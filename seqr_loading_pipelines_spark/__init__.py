@@ -1,0 +1,24 @@
+"""seqr_loading_pipelines_spark — a PySpark-native inverted-index build +
+BM25 top-k query engine, re-expressing the capabilities of
+broadinstitute/seqr-loading-pipelines (VCF -> keyed/annotated tables ->
+search-store load) as an idiomatic Spark pipeline over a source-code corpus.
+
+Layout
+------
+- ``sources``   : validated readers + manifest-table format (Iceberg-style
+                  atomic snapshot publish over parquet).
+- ``functions`` : vectorized tokenizer (Arrow/pandas UDF), text analysis,
+                  cross-engine hashing helpers.
+- ``index``     : codec (delta-gap + varbyte), dense docID assignment,
+                  posting-list build, term dictionary, segment merge,
+                  checkpoint/resume manifest.
+- ``query``     : exact BM25 join-and-score executor + block-max WAND.
+- ``operators`` : dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+                  embedding cosine), similarity search, multimodal plumbing.
+- ``oracle``    : single-node numpy/pandas exact BM25 (golden generator).
+"""
+
+__version__ = "0.1.0"
+
+K1 = 1.2
+B = 0.75

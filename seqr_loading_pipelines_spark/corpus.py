@@ -1,0 +1,123 @@
+"""Deterministic synthetic source-code corpus generator.
+
+Produces the ``input_hint`` table shape exactly:
+``(repo string, path string, commit string, lang string, content string)``.
+
+Distribution design (FIXTURES.md §1):
+- repo sizes zipfian (s≈1.2): one mega-repo holds a large share of files
+  (exercises the salting / skew path);
+- token frequencies zipfian over a ~5k-term vocabulary whose top 20 terms
+  are stop-word-like (in most docs — exercises DF pre-aggregation);
+- content length lognormal;
+- edge rows: empty content, stop-words-only, one large file, unicode.
+
+Determinism: every row is generated from an RNG seeded by
+``(seed, doc_index)`` inside ``mapInPandas`` over ``spark.range(n)`` —
+the output is identical regardless of partitioning or cluster size, and
+the generator scales linearly (no driver-side loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ],
+)
+
+LANGS = ["python", "java", "go", "js", "rust", "md"]
+EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "rust": "rs", "md": "md"}
+
+VOCAB_SIZE = 5000
+N_STOPWORDS = 20
+ZIPF_S = 1.07  # token zipf exponent
+REPO_ZIPF_S = 1.2
+
+
+def _vocab() -> np.ndarray:
+    stop = np.array([f"sw{i}" for i in range(N_STOPWORDS)])
+    rest = np.array([f"term_{i:05d}" for i in range(VOCAB_SIZE - N_STOPWORDS)])
+    return np.concatenate([stop, rest])
+
+
+def _zipf_cdf(n: int, s: float) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return np.cumsum(w / w.sum())
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    n_repos: int = 20,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus as a DataFrame (lazy; re-computable)."""
+    vocab = _vocab()
+    token_cdf = _zipf_cdf(VOCAB_SIZE, ZIPF_S)
+    repo_cdf = _zipf_cdf(n_repos, REPO_ZIPF_S)
+    bc = spark.sparkContext.broadcast((vocab, token_cdf, repo_cdf))
+
+    def gen(batches):
+        vocab_, token_cdf_, repo_cdf_ = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_index in pdf["id"].to_numpy():
+                rng = np.random.RandomState((seed * 1_000_003 + int(doc_index)) % (2**31))
+                repo_idx = int(np.searchsorted(repo_cdf_, rng.rand()))
+                repo = f"repo_{repo_idx:04d}"
+                lang = LANGS[int(rng.randint(len(LANGS)))]
+                path = (
+                    f"dir_{rng.randint(16):x}/dir_{rng.randint(16):x}/"
+                    f"file_{int(doc_index):08d}.{EXT[lang]}"
+                )
+                commit = "".join(
+                    f"{b:02x}" for b in rng.randint(0, 256, 20, dtype=np.int64)
+                )
+                if doc_index == 0:
+                    content = ""  # edge: empty file
+                elif doc_index == 1:
+                    content = " ".join(vocab_[rng.randint(N_STOPWORDS, size=50)])
+                elif doc_index == 2:
+                    # edge: one large file (~200 KB)
+                    idx = np.searchsorted(token_cdf_, rng.rand(25000))
+                    content = " ".join(vocab_[idx])
+                elif doc_index == 3:
+                    content = "π_variable = λ_fn(数据) # ünïcode"  # edge: unicode
+                else:
+                    n_tokens = int(np.clip(rng.lognormal(4.0, 0.8), 20, 3000))
+                    idx = np.searchsorted(token_cdf_, rng.rand(n_tokens))
+                    content = " ".join(vocab_[idx])
+                rows.append((repo, path, commit, lang, content))
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"],
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        spark.range(0, n_docs, numPartitions=parts)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver-provided ``documents`` table to the corpus shape."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("doc_%08d.txt", F.col("doc_id")).alias("path"),
+        F.sha2(F.concat_ws("|", F.col("doc_id").cast("string")), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

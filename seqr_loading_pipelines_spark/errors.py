@@ -1,0 +1,64 @@
+"""Typed validation errors.
+
+The reference raises ``SeqrValidationError`` with exact, user-facing
+messages and regex-maps engine exceptions to them
+(v03_pipeline/lib/misc/validation.py; io.py:23-43 ``validated_hl_function``).
+We reproduce the pattern: typed errors with stable messages, plus a thin
+decorator that translates Spark exceptions.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+
+class IndexValidationError(Exception):
+    """A validation failure with a stable, user-facing message."""
+
+
+class SchemaValidationError(IndexValidationError):
+    pass
+
+
+class ContentValidationError(IndexValidationError):
+    pass
+
+
+# regex on the underlying Spark/Py4J message -> stable user-facing message,
+# mirroring validated_hl_function (v03_pipeline/lib/misc/io.py:23-43).
+_ERROR_TRANSLATIONS: list[tuple[re.Pattern, str]] = [
+    (
+        re.compile(r"(PATH_NOT_FOUND|Path does not exist)", re.IGNORECASE),
+        "Input path does not exist: {msg}",
+    ),
+    (
+        re.compile(r"(UNABLE_TO_INFER_SCHEMA|Unable to infer schema)", re.IGNORECASE),
+        "Input is empty or not a readable table: {msg}",
+    ),
+    (
+        re.compile(r"(PARQUET|Could not read footer)", re.IGNORECASE),
+        "Input is not valid parquet: {msg}",
+    ),
+]
+
+
+def validated_spark_function(fn):
+    """Translate raw Spark exceptions into typed IndexValidationError."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except IndexValidationError:
+            raise
+        except Exception as e:  # noqa: BLE001 - deliberate translation layer
+            msg = str(e)
+            for pattern, template in _ERROR_TRANSLATIONS:
+                if pattern.search(msg):
+                    raise IndexValidationError(
+                        template.format(msg=msg.splitlines()[0][:200]),
+                    ) from e
+            raise
+
+    return wrapper

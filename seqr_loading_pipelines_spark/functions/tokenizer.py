@@ -1,0 +1,83 @@
+"""Vectorized tokenization.
+
+Contract (shared by the Spark engine, the numpy oracle, and the DuckDB
+oracle SQL): tokens are maximal runs of ``[a-z0-9_]+`` over the
+lowercased content. This is the engine's analog of the reference's
+expensive per-record enrichment stage (VEP), which runs batched
+per-partition with a fixed rows-per-partition discipline
+(v03_pipeline/lib/vep.py:12-29;
+v03_pipeline/lib/tasks/write_new_variants_table.py:36-38,163-170).
+
+Two implementations:
+
+- ``tokenize_expr``: pure-JVM ``regexp_extract_all`` (whole-stage codegen)
+  for lightweight parity queries.
+- ``term_counts_udf``: the build-path Arrow/pandas UDF — per batch of
+  documents, returns ``array<struct<term,tf>>`` plus doc_len, so the
+  posting explode needs NO subsequent groupBy to compute tf (the shuffle
+  is saved for the term repartition).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_PATTERN = "[a-z0-9_]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# Pre-tokenizer repartition discipline: fixed rows per partition, clamped,
+# like the reference's VEP stage (1000 rows/partition, clamp [10, 10000]).
+ROWS_PER_PARTITION = 1000
+MIN_PARTITIONS = 1
+
+
+def tokenize_expr(col: Column) -> Column:
+    """JVM-side tokenizer: content -> array<string> of tokens."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+
+
+TERM_COUNTS_TYPE = T.StructType(
+    [
+        T.StructField(
+            "terms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.IntegerType(), False),
+                    ],
+                ),
+            ),
+            False,
+        ),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ],
+)
+
+
+def _term_counts_batch(content: pd.Series) -> pd.DataFrame:
+    """One Arrow batch: content -> ({term,tf} list, doc_len)."""
+    terms_col, len_col = [], []
+    for text in content.fillna(""):
+        tokens = _TOKEN_RE.findall(text.lower())
+        counts: dict[str, int] = {}
+        for t in tokens:
+            counts[t] = counts.get(t, 0) + 1
+        terms_col.append(
+            [{"term": t, "tf": c} for t, c in sorted(counts.items())],
+        )
+        len_col.append(len(tokens))
+    return pd.DataFrame({"terms": terms_col, "doc_len": len_col})
+
+
+term_counts_udf = F.pandas_udf(_term_counts_batch, TERM_COUNTS_TYPE)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Driver-side tokenizer for tiny inputs (query strings, oracle)."""
+    return _TOKEN_RE.findall((text or "").lower())

@@ -1,0 +1,350 @@
+"""Inverted-index build pipeline (ingest -> postings segments + manifest).
+
+Pipeline stages (each one a resumable parquet checkpoint, mirroring the
+reference's Luigi task-per-checkpoint DAG where ``complete()`` probes the
+output and a globals ledger makes re-runs no-ops,
+v03_pipeline/lib/tasks/update_variant_annotations_table_with_new_samples.py:41-65):
+
+1. validate  — schema whitelist assert + null-content rejection (counted),
+               cf. validate_imported_field_types (validation.py:114-151)
+               and skip_invalid_loci import filters (io.py:160).
+2. dedup     — per (repo, path, commit) keep deterministic winner by max
+               sha256, cf. deduplicate_by_most_non_ref_calls
+               (family_entries.py:96-105); drop exact duplicate keys.
+3. doc ids   — dense serial docIDs with a high-water-mark offset
+               (write_new_variants_table.py:197-199).
+4. tokenize  — Arrow/pandas UDF term counting (VEP batching discipline:
+               fixed rows/partition before the CPU-bound stage,
+               write_new_variants_table.py:36-38,163-170).
+5. dictionary— term -> (term_id, df, cf); DF pre-aggregation happens here,
+               BEFORE posting materialization (north-rule skew handling);
+               ids dense by (df desc, term asc).
+6. postings  — (term_id, doc_id, tf, dl) -> per (term_id, shard) blocks of
+               <=128 docs, delta-gap + varbyte packed binary cells with
+               block-max BM25 metadata (CODEC(Delta,ZSTD) analog,
+               test_clickhouse_schema.sql:3).
+7. publish   — doc_stats + term_dict + posting segments into an immutable
+               snapshot, atomic manifest pointer swap (staged ClickHouse
+               load analog, clickhouse.py:483-503,830-862).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seqr_loading_pipelines_spark import B, K1
+from seqr_loading_pipelines_spark.errors import ContentValidationError
+from seqr_loading_pipelines_spark.functions.tokenizer import (
+    ROWS_PER_PARTITION,
+    term_counts_udf,
+)
+from seqr_loading_pipelines_spark.index.codec import (
+    BLOCK_SIZE,
+    encode_block,
+    varbyte_encode,
+)
+from seqr_loading_pipelines_spark.index.doc_ids import assign_dense_ids
+from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
+from seqr_loading_pipelines_spark.sources.readers import (
+    CORPUS_EXPECTED,
+    validate_schema,
+)
+
+DOC_SHARD_SIZE = 1 << 16  # docs per WAND shard
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("block_max_score", T.DoubleType(), False),
+        T.StructField("doc_id_deltas", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        # per-posting doc lengths (varbyte) — makes blocks self-contained
+        # for scoring: the query path needs no join against doc_stats
+        # (the analog of ClickHouse's denormalized search tables).
+        T.StructField("dls", T.BinaryType(), False),
+    ],
+)
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene-style BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        k1: float = K1,
+        b: float = B,
+        shard_size: int = DOC_SHARD_SIZE,
+        rows_per_partition: int = ROWS_PER_PARTITION,
+    ):
+        self.spark = spark
+        self.table = ManifestTable(index_root)
+        self.k1, self.b = k1, b
+        self.shard_size = shard_size
+        self.rows_per_partition = rows_per_partition
+        self.metrics: dict = {"stages": {}}
+
+    # ---- resumable stage runner -------------------------------------
+    def _stage(self, snapshot_dir: str, name: str, fn) -> DataFrame:
+        """Run a stage unless its checkpoint already exists (resume)."""
+        path = os.path.join(snapshot_dir, name)
+        marker = os.path.join(path, "_SUCCESS")
+        t0 = time.time()
+        if not os.path.exists(marker):
+            fn().write.mode("overwrite").parquet(path)
+            self.metrics["stages"][name] = {"wall_s": round(time.time() - t0, 3)}
+        else:
+            self.metrics["stages"][name] = {"wall_s": 0.0, "resumed": True}
+        out = self.spark.read.parquet(path)
+        self.metrics["stages"][name]["partition_files"] = _partition_lineage(path)
+        return out
+
+    # ---- stages ------------------------------------------------------
+    def _validated(self, corpus: DataFrame) -> DataFrame:
+        df = validate_schema(corpus, CORPUS_EXPECTED)
+        return (
+            df.withColumn("_valid", F.col("content").isNotNull())
+            .withColumn("sha256", F.sha2(F.coalesce("content", F.lit("")), 256))
+        )
+
+    def _deduped(self, validated: DataFrame) -> DataFrame:
+        # winner per (repo, path, commit): max sha256 (deterministic)
+        return (
+            validated.filter("_valid")
+            .drop("_valid")
+            .groupBy("repo", "path", "commit")
+            .agg(
+                F.max_by(
+                    F.struct("lang", "content", "sha256"), F.col("sha256"),
+                ).alias("w"),
+            )
+            .select("repo", "path", "commit", "w.lang", "w.content", "w.sha256")
+        )
+
+    def _tokenized(self, with_ids: DataFrame, n_docs: int) -> DataFrame:
+        # fixed rows/partition before the CPU-bound Arrow UDF stage
+        parts = max(1, min(10_000, math.ceil(n_docs / self.rows_per_partition)))
+        parts = max(parts, self.spark.sparkContext.defaultParallelism)
+        return (
+            with_ids.repartition(parts, "doc_id")
+            .withColumn("tc", term_counts_udf(F.col("content")))
+            .select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256",
+                F.col("tc.terms").alias("terms"),
+                F.col("tc.doc_len").alias("doc_len"),
+            )
+        )
+
+    def _postings_blocks(
+        self, postings: DataFrame, n_docs: int, avgdl: float,
+    ) -> DataFrame:
+        """(term_id, df, doc_id, tf, dl) -> encoded block rows.
+
+        groupBy (term_id, shard_id): a stop-word term's postings are
+        spread across ALL doc shards, so skewed terms parallelize across
+        the cluster instead of landing on one task (the groupBy key IS
+        the salt — shard_id plays the role of the reference's
+        ``farmHash64(family_guid) %% n_partitions`` sub-partitioning,
+        test_clickhouse_schema.sql:84-85).
+        """
+        k1, b = self.k1, self.b
+        shard_size = self.shard_size
+
+        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            term_id = int(pdf["term_id"].iloc[0])
+            shard_id = int(pdf["shard_id"].iloc[0])
+            term_idf = float(pdf["idf"].iloc[0])
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["dl"].to_numpy(np.float64)
+            scores = term_idf * (
+                tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            )
+            rows = []
+            for bstart in range(0, len(doc_ids), BLOCK_SIZE):
+                sl = slice(bstart, bstart + BLOCK_SIZE)
+                d, t = doc_ids[sl], tfs[sl]
+                deltas_b, tfs_b = encode_block(d, t)
+                dls_b = varbyte_encode(pdf["dl"].to_numpy(np.int64)[sl])
+                rows.append(
+                    (
+                        term_id, shard_id, bstart // BLOCK_SIZE,
+                        int(d[0]), int(d[-1]), len(d), int(t.max()),
+                        float(scores[sl].max()), deltas_b, tfs_b, dls_b,
+                    ),
+                )
+            return pd.DataFrame(rows, columns=[f.name for f in POSTING_SCHEMA.fields])
+
+        return (
+            postings.withColumn(
+                "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("long"),
+            )
+            .groupBy("term_id", "shard_id")
+            .applyInPandas(encode, schema=POSTING_SCHEMA)
+        )
+
+    # ---- full build --------------------------------------------------
+    def build(self, corpus: DataFrame, source_fingerprint: str) -> dict:
+        """Full index build; idempotent per source_fingerprint."""
+        current = self.table.current_manifest()
+        if current and source_fingerprint in current.get("updates", []):
+            self.metrics["skipped"] = "already indexed (ledger hit)"
+            return current
+
+        snap = self.table.new_snapshot_dir()
+        t_start = time.time()
+
+        validated = self._validated(corpus)
+        staged = self._stage(snap, "validated", lambda: validated)
+        n_raw = staged.count()
+        n_invalid = staged.filter(~F.col("_valid")).count()
+        if n_invalid == n_raw and n_raw > 0:
+            raise ContentValidationError("all rows have null content")
+
+        deduped = self._stage(snap, "deduped", lambda: self._deduped(staged))
+
+        max_doc_id = -1
+        if current:
+            max_doc_id = current.get("max_doc_id", -1)
+        keyed = assign_dense_ids(
+            self.spark, deduped, ["repo", "path", "commit"],
+            os.path.join(snap, "keyed_ckpt"), start=max_doc_id + 1,
+        )
+
+        tokenized = self._stage(
+            snap, "tokenized",
+            lambda: self._tokenized(keyed, max(1, n_raw - n_invalid)),
+        )
+
+        doc_stats = self._stage(
+            snap, "doc_stats",
+            lambda: tokenized.select(
+                "doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256",
+            ).repartitionByRange(
+                max(1, self.spark.sparkContext.defaultParallelism), "doc_id",
+            ).sortWithinPartitions("doc_id"),
+        )
+        n_docs = doc_stats.count()
+        avgdl_row = doc_stats.agg(F.avg("doc_len").alias("a")).first()
+        avgdl = float(avgdl_row["a"] or 0.0) or 1.0
+        new_max_doc_id = doc_stats.agg(F.max("doc_id")).first()[0]
+
+        # flat postings: explode the per-doc term counts (no extra groupBy
+        # — tf and dl were computed inside the Arrow batch)
+        flat = tokenized.select(
+            "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
+        ).select("doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+
+        # term dictionary with dense ids by (df desc, term asc); DF
+        # pre-aggregation first (north rule). Materialize the aggregate
+        # BEFORE dense-id assignment so range sampling re-reads parquet
+        # instead of recomputing the explode.
+        term_stats = self._stage(
+            snap, "term_stats",
+            lambda: flat.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf"),
+            ).withColumn("neg_df", -F.col("df")),
+        )
+        dict_df = assign_dense_ids(
+            self.spark,
+            term_stats,
+            ["neg_df", "term"],
+            os.path.join(snap, "dict_ckpt"),
+            id_col="term_id",
+        ).drop("neg_df")
+        term_dict = self._stage(snap, "term_dict", lambda: dict_df)
+        n_terms = term_dict.count()
+
+        # map term -> term_id (+ df for idf): broadcast when small
+        dict_small = n_terms <= 5_000_000
+        d = term_dict.select("term", "term_id", "df")
+        if dict_small:
+            d = F.broadcast(d)
+        ln = F.log1p(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+        )
+        postings_flat = flat.join(d, "term").select(
+            "term_id", "doc_id", "tf", "dl", ln.alias("idf"),
+        )
+
+        # hash-partition by term_id (NOT repartitionByRange: range
+        # sampling would recompute the encode UDF a second time); files
+        # are sorted by term_id within partitions, so parquet row-group
+        # min/max stats still prune term_id filters at query time.
+        blocks = self._stage(
+            snap, "postings",
+            lambda: self._postings_blocks(postings_flat, n_docs, avgdl)
+            .repartition(
+                max(1, self.spark.sparkContext.defaultParallelism), "term_id",
+            )
+            .sortWithinPartitions("term_id", "shard_id", "block_id"),
+        )
+        n_blocks = blocks.count()
+
+        updates = list(current.get("updates", [])) if current else []
+        manifest = self.table.publish(
+            snap,
+            {
+                "updates": [*updates, source_fingerprint],
+                "max_doc_id": int(new_max_doc_id),
+                "n_docs": int(n_docs),
+                "n_terms": int(n_terms),
+                "n_blocks": int(n_blocks),
+                "n_invalid_content": int(n_invalid),
+                "avgdl": avgdl,
+                "k1": self.k1,
+                "b": self.b,
+                "shard_size": self.shard_size,
+                "build_wall_s": round(time.time() - t_start, 3),
+                "metrics": self.metrics,
+            },
+        )
+        return manifest
+
+
+def _partition_lineage(path: str) -> list[dict]:
+    """Per-partition lineage: file name + bytes for each written part."""
+    out = []
+    try:
+        for name in sorted(os.listdir(path)):
+            if name.startswith("part-"):
+                out.append(
+                    {"file": name, "bytes": os.path.getsize(os.path.join(path, name))},
+                )
+    except OSError:
+        pass
+    return out
+
+
+def load_index(spark: SparkSession, index_root: str) -> dict:
+    """Open the current snapshot: returns dict of DataFrames + stats."""
+    table = ManifestTable(index_root)
+    manifest = table.current_manifest()
+    if manifest is None:
+        raise FileNotFoundError(f"no published index at {index_root}")
+    snap = table.current_data_path()
+    return {
+        "manifest": manifest,
+        "postings": spark.read.parquet(os.path.join(snap, "postings")),
+        "doc_stats": spark.read.parquet(os.path.join(snap, "doc_stats")),
+        "term_dict": spark.read.parquet(os.path.join(snap, "term_dict")),
+    }

@@ -1,0 +1,94 @@
+"""Delta-gap + varbyte posting-block codec, numpy-vectorized.
+
+The reference stores monotone key columns with ``CODEC(Delta, ZSTD)`` and
+dictionary-encodes terms (v03_pipeline/var/test/test_clickhouse_schema.sql:3-4).
+Here the same idea is explicit: docID runs are delta-gapped then varbyte
+packed into one ``binary`` cell per block; tfs are varbyte packed alongside.
+
+Varbyte (a.k.a. VB / LEB128-without-sign): each integer is emitted as
+7-bit groups, little-endian, high bit set on every byte except the last.
+Encode and decode are fully vectorized numpy — no per-element Python in
+the hot path (the codec runs inside Arrow-batched pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per posting block (block-max granularity)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to varbyte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size and int(v.max()) >= (1 << 56):
+        raise ValueError("varbyte_encode supports values < 2**56")
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbits[mask] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # byte positions: offsets[i] = start of value i
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    # fill group g of every value that has >= g+1 groups
+    max_groups = int(nbytes.max())
+    for g in range(max_groups):
+        sel = nbytes > g
+        pos = offsets[sel] + g
+        group = ((v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+        is_last = nbytes[sel] == (g + 1)
+        out[pos] = np.where(is_last, group, group | np.uint8(0x80))
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode varbyte bytes back to an int64 array (vectorized)."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (raw & 0x80) == 0
+    # value index of each byte = count of terminators before it
+    value_idx = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    # group index within each value = position since that value's start
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    group_idx = np.arange(raw.size) - starts[value_idx]
+    payload = (raw & 0x7F).astype(np.uint64) << (7 * group_idx).astype(np.uint64)
+    n_values = int(is_last.sum())
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_idx, payload)
+    return out.astype(np.int64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing ids -> gaps (first value kept as-is)."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    a = np.asarray(gaps, dtype=np.int64)
+    return np.cumsum(a)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """One posting block: delta-gap+varbyte docIDs, varbyte tfs."""
+    return varbyte_encode(delta_encode(doc_ids)), varbyte_encode(tfs)
+
+
+def decode_block(doc_id_deltas: bytes, tfs: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return delta_decode(varbyte_decode(doc_id_deltas)), varbyte_decode(tfs)

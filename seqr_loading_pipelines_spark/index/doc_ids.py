@@ -1,0 +1,71 @@
+"""Dense, deterministic, resumable docID assignment.
+
+The reference assigns each new variant a stable dense serial key:
+``add_index()`` over the current sort order then ``key_ += max_key_ + 1``
+(v03_pipeline/lib/tasks/write_new_variants_table.py:197-199), with the
+high-water mark carried in table globals
+(update_variant_annotations_table_with_new_samples.py:133).
+
+Spark version (no ``monotonically_increasing_id`` — not dense; no global
+``row_number`` window — single-partition bottleneck):
+
+1. range-repartition + sort by the business key, stamp
+   ``spark_partition_id``, and CHECKPOINT to parquet (materializing the
+   partitioning — also the resume point, cf. the reference's "arbitrary
+   checkpoint here, seems to help", write_new_variants_table.py:177);
+2. per-partition counts (tiny) -> cumulative offsets, broadcast;
+3. ``doc_id = global_offset + partition_offset + (row_number within
+   partition ordered by key) - 1`` — fully parallel, deterministic,
+   dense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    spark: SparkSession,
+    df: DataFrame,
+    key_cols: list[str],
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    import os
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    if not os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
+        # NOTE: repartitionByRange samples its input to pick boundaries,
+        # which recomputes the upstream plan once — callers must pass an
+        # already-materialized (checkpointed) df so the sampling pass is
+        # a cheap parquet re-scan, not a recompute of UDF stages.
+        (
+            df.repartitionByRange(parts, *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .write.mode("overwrite")
+            .parquet(checkpoint_path)
+        )
+    staged = spark.read.parquet(checkpoint_path)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, start
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long",
+        ),
+    )
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    return (
+        staged.join(offsets_df, "_pid")
+        .withColumn(id_col, F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    )

@@ -1,0 +1,94 @@
+"""Single-node exact BM25 oracle (numpy/pandas).
+
+The reference validates against committed golden outputs
+(v03_pipeline/lib/tasks/exports/write_new_entries_parquet_test.py:100-186,
+golden ``annotations.ht`` fixtures). Our golden generator is this oracle:
+same tokenizer contract, Lucene-style BM25 (k1=1.2, b=0.75,
+idf = ln(1 + (N - df + 0.5)/(df + 0.5))), ties broken by doc_id asc.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+
+from seqr_loading_pipelines_spark import B, K1
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+
+class Bm25Oracle:
+    """Exact in-memory index over (doc_id, content) pairs."""
+
+    def __init__(self, docs: pd.DataFrame, k1: float = K1, b: float = B):
+        """docs: DataFrame with columns doc_id, content."""
+        self.k1, self.b = k1, b
+        self.doc_ids = docs["doc_id"].tolist()
+        self.tf: list[Counter] = []
+        self.doc_len: list[int] = []
+        self.df: Counter = Counter()
+        for text in docs["content"].fillna(""):
+            tokens = tokenize_py(text)
+            c = Counter(tokens)
+            self.tf.append(c)
+            self.doc_len.append(len(tokens))
+            self.df.update(c.keys())
+        self.n_docs = len(self.tf)
+        self.avgdl = (sum(self.doc_len) / self.n_docs) if self.n_docs else 1.0
+        if self.avgdl == 0:
+            self.avgdl = 1.0
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score_doc(self, i: int, terms: list[str]) -> float:
+        """Fixed fold order: contributions summed in sorted-term order."""
+        k1, b = self.k1, self.b
+        dl = self.doc_len[i]
+        s = 0.0
+        for t in sorted(set(terms)):
+            tf = self.tf[i].get(t, 0)
+            if tf == 0:
+                continue
+            s += self.idf(t) * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / self.avgdl)
+            )
+        return s
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = tokenize_py(query)
+        scored = []
+        for i, doc_id in enumerate(self.doc_ids):
+            s = self.score_doc(i, terms)
+            if s > 0.0:
+                scored.append((doc_id, s))
+        # shared tie rule with the engine: quantize to 1e-5 (half-up),
+        # then doc_id asc — see query/bm25.py ``quantized``.
+        scored.sort(key=lambda x: (-math.floor(x[1] * 1e5 + 0.5), x[0]))
+        return scored[:k]
+
+    def sha256_by_doc(self, docs: pd.DataFrame) -> dict[int, str]:
+        return {
+            int(r.doc_id): hashlib.sha256(
+                (r.content or "").encode("utf-8"),
+            ).hexdigest()
+            for r in docs.itertuples()
+        }
+
+
+def reference_query_set() -> list[dict]:
+    """The committed query set (FIXTURES.md §2): rare term, stop-word
+    term, rare+common conjunction, absent term, repeated term, k=100,
+    k > corpus size."""
+    return [
+        {"query_id": 0, "text": "term_00042", "k": 10},
+        {"query_id": 1, "text": "sw0", "k": 10},
+        {"query_id": 2, "text": "term_00100 sw1", "k": 10},
+        {"query_id": 3, "text": "zz_absent_token_zz", "k": 10},
+        {"query_id": 4, "text": "sw2 sw2 sw2", "k": 10},
+        {"query_id": 5, "text": "term_00007 term_00011 sw3", "k": 100},
+        {"query_id": 6, "text": "sw4 term_00001", "k": 10**9},
+    ]

@@ -1,0 +1,141 @@
+"""BM25 top-k query executors over the posting-block index.
+
+Two executors, both returning ``(doc_id, score, rank)``:
+
+- ``search_exact``: decode ALL candidate blocks (partition/row-group
+  pruned by term_id — postings are written sorted by term_id so parquet
+  min/max stats skip non-matching row groups), score vectorized, exact
+  document-at-a-time union. The correctness baseline.
+- ``search_wand`` (query/wand.py): block-max WAND with a bounded min-heap
+  per doc-shard, skipping blocks whose block_max_score cannot beat the
+  heap floor; per-shard heaps merged into a global top-k.
+
+Serving-side semantics mirrored from the reference's ClickHouse query
+model (SURVEY §3.3): partition pruning -> primary-index range scan ->
+dictionary-encoded term filters -> point lookups by docID
+(test_clickhouse_schema.sql:86-120).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.index.build import idf as idf_fn
+
+
+def _query_terms(index: dict, query_text: str) -> list[dict]:
+    """Resolve query terms against the term dictionary (driver-side;
+    the dictionary lookup is tiny — a pushed-down ``term IN (...)``)."""
+    terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return []
+    rows = (
+        index["term_dict"]
+        .filter(F.col("term").isin(terms))
+        .select("term", "term_id", "df")
+        .collect()
+    )
+    n_docs = index["manifest"]["n_docs"]
+    return [
+        {
+            "term": r["term"],
+            "term_id": int(r["term_id"]),
+            "idf": idf_fn(n_docs, int(r["df"])),
+        }
+        for r in rows
+    ]
+
+
+def _decoded_postings(
+    index: dict, term_infos: list[dict],
+) -> DataFrame:
+    """Candidate blocks -> decoded (doc_id, contribution) rows.
+
+    Decoding runs in mapInPandas (Arrow-batched, numpy codec); the
+    per-posting BM25 contribution is computed inside the same batch so
+    no doc_stats join is needed (dls travel with the block).
+    """
+    from seqr_loading_pipelines_spark.index.codec import (
+        varbyte_decode,
+    )
+
+    manifest = index["manifest"]
+    k1, b, avgdl = manifest["k1"], manifest["b"], manifest["avgdl"]
+    idf_by_tid = {t["term_id"]: t["idf"] for t in term_infos}
+    tids = list(idf_by_tid)
+
+    blocks = index["postings"].filter(F.col("term_id").isin(tids)).select(
+        "term_id", "doc_id_deltas", "tfs", "dls",
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term_id, deltas, tfs_b, dls_b in zip(
+                pdf["term_id"], pdf["doc_id_deltas"], pdf["tfs"], pdf["dls"],
+            ):
+                doc_ids = np.cumsum(varbyte_decode(bytes(deltas)))
+                tfs = varbyte_decode(bytes(tfs_b)).astype(np.float64)
+                dls = varbyte_decode(bytes(dls_b)).astype(np.float64)
+                contrib = idf_by_tid[int(term_id)] * tfs * (k1 + 1.0) / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                outs.append(
+                    pd.DataFrame({"doc_id": doc_ids, "contribution": contrib}),
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blocks.mapInPandas(decode, schema="doc_id long, contribution double")
+
+
+def search_exact(
+    spark: SparkSession, index: dict, query_text: str, k: int = 10,
+) -> DataFrame:
+    """Exact BM25 top-k. Deterministic order: (round(score,5) desc,
+    doc_id asc) — the tie rule shared with the oracle goldens."""
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    # clamp k: Spark's TakeOrderedAndProject allocates a k-sized queue,
+    # so an unbounded user k (e.g. "k > corpus size") would OOM the JVM
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    return rank_topk(scored, k)
+
+
+def quantized(score_col) -> "F.Column":
+    """The shared tie rule: scores quantized to 1e-5 before ordering
+    (cf. the store-side Decimal(9,5) quantization,
+    test_clickhouse_schema.sql:81). floor(s*1e5 + 0.5) is bit-identical
+    to the oracle's python implementation for positive doubles."""
+    return F.floor(score_col * 1e5 + 0.5)
+
+
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k: (quantized score desc, doc_id asc)."""
+    ranked = scored.orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    ).limit(k)
+    # rank window runs over <= k rows (post-limit), not the full corpus
+    w = Window.orderBy(quantized(F.col("score")).desc(), F.col("doc_id").asc())
+    return ranked.select(
+        "doc_id", "score", F.row_number().over(w).alias("rank"),
+    )
+
+
+def hydrate(index: dict, topk_df: DataFrame) -> DataFrame:
+    """Point-lookup top-k docIDs in the doc store (the RocksDB-table
+    analog, test_clickhouse_schema.sql:8): broadcast the tiny top-k side
+    so the doc_stats scan prunes on pushed doc_id min/max."""
+    return index["doc_stats"].join(F.broadcast(topk_df), "doc_id", "inner")

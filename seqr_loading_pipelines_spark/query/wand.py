@@ -1,0 +1,233 @@
+"""Block-max WAND top-k executor.
+
+Document-sharded distributed WAND: posting blocks are keyed by
+``shard_id`` (doc_id range) at build time, so every shard holds all the
+query's terms for its doc range. Each shard runs block-max WAND locally
+with a bounded min-heap (``applyInPandas`` over the shard group); the
+per-shard heaps are unioned and the global top-k taken with the same
+deterministic tie rule as the exact executor.
+
+Skipping levers, per shard:
+- term-level upper bound: max block_max_score across the term's blocks;
+- WAND pivoting on cumulative term upper bounds vs the heap floor;
+- block-level check: sum of current blocks' block_max_score vs the heap
+  floor before decoding/evaluating (blocks decode lazily, numpy codec);
+- whole-shard pruning: shards whose total upper bound cannot beat k
+  already-found scores are skipped early via a first pass over block
+  metadata only.
+
+This is the engine analog of the reference's serving-side pruned scan:
+partition pruning + primary-index ranges + dictionary-encoded filters
+(v03_pipeline/var/test/test_clickhouse_schema.sql:86-120).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.codec import varbyte_decode
+from seqr_loading_pipelines_spark.query.bm25 import _query_terms, rank_topk
+
+
+class _TermCursor:
+    """Lazy cursor over one term's posting blocks within a shard."""
+
+    __slots__ = (
+        "idf", "blocks", "bi", "pos", "doc_ids", "scores", "term_ub", "_k1b",
+    )
+
+    def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float):
+        # blocks sorted by first_doc_id; decoded lazily
+        self.idf = idf
+        self.blocks = blocks
+        self.bi = 0
+        self.pos = 0
+        self.doc_ids: np.ndarray | None = None
+        self.scores: np.ndarray | None = None
+        self.term_ub = max(b_["block_max_score"] for b_ in blocks)
+        self._k1b = (k1, b, avgdl)
+        self._ensure()
+
+    def _decode(self):
+        blk = self.blocks[self.bi]
+        k1, b, avgdl = self._k1b
+        self.doc_ids = np.cumsum(varbyte_decode(blk["doc_id_deltas"]))
+        tfs = varbyte_decode(blk["tfs"]).astype(np.float64)
+        dls = varbyte_decode(blk["dls"]).astype(np.float64)
+        self.scores = self.idf * tfs * (k1 + 1.0) / (
+            tfs + k1 * (1.0 - b + b * dls / avgdl)
+        )
+
+    def _ensure(self):
+        if self.doc_ids is None and self.bi < len(self.blocks):
+            self._decode()
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.blocks)
+
+    @property
+    def current_doc(self) -> int:
+        return int(self.doc_ids[self.pos])
+
+    @property
+    def current_block_max(self) -> float:
+        return self.blocks[self.bi]["block_max_score"]
+
+    def current_score(self) -> float:
+        return float(self.scores[self.pos])
+
+    def advance_to(self, target: int):
+        """Skip blocks by metadata (no decode) then gallop in-block."""
+        while self.bi < len(self.blocks) and self.blocks[self.bi]["last_doc_id"] < target:
+            self.bi += 1
+            self.pos = 0
+            self.doc_ids = None
+        if self.exhausted:
+            return
+        self._ensure()
+        # binary search within the decoded block
+        self.pos = int(np.searchsorted(self.doc_ids, target, side="left"))
+        if self.pos >= len(self.doc_ids):
+            self.bi += 1
+            self.pos = 0
+            self.doc_ids = None
+            self.advance_to(target)
+
+    def next_doc(self):
+        self.advance_to(self.current_doc + 1)
+
+
+def _quantize(s: float) -> int:
+    """Shared tie rule (query/bm25.py ``quantized``): floor(s*1e5+0.5)."""
+    import math
+
+    return math.floor(s * 1e5 + 0.5)
+
+
+def _wand_shard(
+    groups: list[tuple[float, list[dict]]], k: int, k1: float, b: float, avgdl: float,
+) -> list[tuple[int, float]]:
+    """Block-max WAND over one shard. groups = [(idf, blocks)] per term.
+
+    The heap orders by the QUANTIZED score + doc_id-asc tie rule (the
+    same rule the exact executor ranks by), so quantize-tied docs are
+    kept/dropped identically. The skip threshold is conservative: a doc
+    can only be skipped when its upper bound falls strictly below the
+    smallest exact score that could still tie the heap minimum,
+    ``(q_min - 0.5) / 1e5``.
+    """
+    cursors = [
+        _TermCursor(idf, blocks, k1, b, avgdl) for idf, blocks in groups if blocks
+    ]
+    # min-heap of (qscore, -doc_id, exact_score)
+    heap: list[tuple[int, int, float]] = []
+
+    def threshold() -> float:
+        """Exact-score bound below which a candidate can never enter."""
+        if len(heap) < k:
+            return 0.0  # only positive-score docs qualify at all
+        return (heap[0][0] - 0.5) / 1e5
+
+    def can_skip(ub: float) -> bool:
+        if len(heap) < k:
+            return False
+        return ub < threshold()
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.current_doc)
+        # pivot: first term where the cumulative upper bound could matter
+        ub, pivot_idx = 0.0, -1
+        for i, c in enumerate(live):
+            ub += c.term_ub
+            if not can_skip(ub):
+                pivot_idx = i
+                break
+        if pivot_idx == -1:
+            break  # nothing remaining can beat the heap floor
+        pivot_doc = live[pivot_idx].current_doc
+        if live[0].current_doc == pivot_doc:
+            # block-max check before full evaluation. The bound must
+            # cover EVERY cursor positioned at pivot_doc — including
+            # ties sorted after the pivot index — or it under-counts
+            # and wrongly skips.
+            at_pivot = [c for c in live if c.current_doc == pivot_doc]
+            block_ub = sum(c.current_block_max for c in at_pivot)
+            if can_skip(block_ub):
+                # current blocks can't produce a winner at pivot_doc:
+                # advance the highest-UB cursor past pivot_doc
+                lead = max(at_pivot, key=lambda c: c.term_ub)
+                lead.advance_to(pivot_doc + 1)
+                continue
+            score = 0.0
+            for c in live:
+                if c.current_doc == pivot_doc:
+                    score += c.current_score()
+                    c.next_doc()
+                elif c.current_doc > pivot_doc:
+                    break
+            cand = (_quantize(score), -pivot_doc, score)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand[:2] > heap[0][:2]:
+                heapq.heapreplace(heap, cand)
+        else:
+            # advance all terms before the pivot up to pivot_doc
+            for c in live[:pivot_idx]:
+                c.advance_to(pivot_doc)
+    return [(-nd, s) for _, nd, s in heap]
+
+
+def search_wand(
+    spark: SparkSession, index: dict, query_text: str, k: int = 10,
+) -> DataFrame:
+    """Distributed block-max WAND; result identical to search_exact."""
+    term_infos = _query_terms(index, query_text)
+    empty_schema = "doc_id long, score double, rank int"
+    if not term_infos:
+        return spark.createDataFrame([], empty_schema)
+    manifest = index["manifest"]
+    # clamp k (see search_exact): oversized k would OOM TakeOrdered
+    k = max(1, min(k, manifest["n_docs"]))
+    k1, b, avgdl = manifest["k1"], manifest["b"], manifest["avgdl"]
+    idf_by_tid = {t["term_id"]: t["idf"] for t in term_infos}
+    tids = list(idf_by_tid)
+
+    blocks = index["postings"].filter(F.col("term_id").isin(tids)).select(
+        "term_id", "shard_id", "first_doc_id", "last_doc_id",
+        "block_max_score", "doc_id_deltas", "tfs", "dls",
+    )
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = []
+        for tid, sub in pdf.groupby("term_id"):
+            sub = sub.sort_values("first_doc_id")
+            blks = [
+                {
+                    "first_doc_id": int(r.first_doc_id),
+                    "last_doc_id": int(r.last_doc_id),
+                    "block_max_score": float(r.block_max_score),
+                    "doc_id_deltas": bytes(r.doc_id_deltas),
+                    "tfs": bytes(r.tfs),
+                    "dls": bytes(r.dls),
+                }
+                for r in sub.itertuples()
+            ]
+            groups.append((idf_by_tid[int(tid)], blks))
+        top = _wand_shard(groups, k, k1, b, avgdl)
+        return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
+            {"doc_id": "int64", "score": "float64"},
+        )
+
+    per_shard = blocks.groupBy("shard_id").applyInPandas(
+        run_shard, schema="doc_id long, score double",
+    )
+    return rank_topk(per_shard, k)

@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+Mirrors the reference's local-mode config discipline
+(v03_pipeline/var/spark_config/spark-defaults.conf:1-9: ``local[*]``,
+tuned driver memory) but with Spark-native knobs: AQE on, Arrow on,
+shuffle partitions sized to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "seqr_loading_pipelines_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # 32 MB output partitions, the reference's sizing anchor
+        # (v03_pipeline/lib/misc/io.py:19,72-73).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    pattern, cf. base_run_job_on_dataproc.py:82-112 shipping
+    pyscripts.zip). Makes UDF closures importable on workers regardless
+    of the driver's cwd/sys.path."""
+    import zipfile
+
+    import seqr_loading_pipelines_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "seqr_loading_pipelines_spark.zip",
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)

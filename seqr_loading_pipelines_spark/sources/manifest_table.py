@@ -1,0 +1,84 @@
+"""Manifest-table format: Iceberg-style atomic snapshot publish over parquet.
+
+The runtime has no Iceberg jars, so we implement the narrow slice of
+Iceberg semantics the pipeline needs — exactly the semantics the
+reference gets from its staged ClickHouse load
+(v03_pipeline/lib/misc/clickhouse.py:483-503 staging clones, :830-862
+``REPLACE PARTITION`` / ``EXCHANGE TABLES`` atomic swap) and from Hail
+table globals used as an incremental-state ledger
+(update_variant_annotations_table_with_new_samples.py:41-65 ``updates``,
+:133 ``max_key_``):
+
+- data written to an immutable snapshot dir ``<root>/snap_<n>/``;
+- snapshot metadata (schema, row counts, lineage, metrics, arbitrary
+  ledger fields) written to ``<root>/v<n>.manifest.json``;
+- a tiny ``<root>/CURRENT`` pointer file swapped last (atomic rename) —
+  readers only ever see fully-published snapshots;
+- idempotent re-publish: a ledger key already present in the current
+  manifest makes publish a no-op (Luigi ``complete()`` semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class ManifestTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def current_manifest(self) -> dict | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(os.path.join(self.root, f"v{v}.manifest.json")) as f:
+            return json.load(f)
+
+    def current_data_path(self) -> str | None:
+        m = self.current_manifest()
+        return None if m is None else os.path.join(self.root, m["snapshot_dir"])
+
+    def new_snapshot_dir(self) -> str:
+        """A staging dir for the next snapshot's data files."""
+        name = f"snap_{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, name)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def publish(self, snapshot_dir: str, metadata: dict) -> dict:
+        """Atomically swap CURRENT to a fully-written snapshot dir."""
+        v = (self.current_version() or 0) + 1
+        manifest = {
+            "version": v,
+            "snapshot_dir": os.path.relpath(snapshot_dir, self.root),
+            "published_at_unix": time.time(),
+            **metadata,
+        }
+        mpath = os.path.join(self.root, f"v{v}.manifest.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)  # the atomic publish
+        return manifest
+
+    def ledger_contains(self, key: str, value) -> bool:
+        """Idempotence probe: is this update already applied?"""
+        m = self.current_manifest()
+        return bool(m) and value in m.get(key, [])

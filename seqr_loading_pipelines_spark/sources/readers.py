@@ -1,0 +1,82 @@
+"""Validated readers.
+
+Mirrors the reference's import discipline: fixed declared schemas
+validated at read time (``validate_imported_field_types``,
+v03_pipeline/lib/misc/validation.py:114-151 — hard fail naming each
+unexpected field), early projection to whitelists
+(v03_pipeline/lib/misc/io.py:216-237), typed TSV import with
+missing-value tokens (io.py:240-298).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from seqr_loading_pipelines_spark.errors import (
+    SchemaValidationError,
+    validated_spark_function,
+)
+
+
+def validate_schema(df: DataFrame, expected: dict[str, T.DataType]) -> DataFrame:
+    """Assert every expected field exists with the expected type.
+
+    Collects ALL mismatches before failing (the reference reports every
+    unexpected field type in one error, validation.py:140-150).
+    """
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    problems = []
+    for name, dtype in expected.items():
+        if name not in actual:
+            problems.append(f"missing field: {name} (expected {dtype.simpleString()})")
+        elif actual[name] != dtype:
+            problems.append(
+                f"field {name}: expected {dtype.simpleString()}, "
+                f"got {actual[name].simpleString()}",
+            )
+    if problems:
+        raise SchemaValidationError(
+            "Found unexpected field types on input: " + "; ".join(problems),
+        )
+    return df.select(*expected.keys())  # early projection to the whitelist
+
+
+@validated_spark_function
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    expected: dict[str, T.DataType] | None = None,
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    if expected:
+        df = validate_schema(df, expected)
+    return df
+
+
+@validated_spark_function
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = "\t",
+    missing: str = "",
+) -> DataFrame:
+    """Typed delimited import (cf. import_table / import_gcnv_bed_file)."""
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("nullValue", missing)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+CORPUS_EXPECTED = {
+    "repo": T.StringType(),
+    "path": T.StringType(),
+    "commit": T.StringType(),
+    "lang": T.StringType(),
+    "content": T.StringType(),
+}

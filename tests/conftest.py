@@ -1,0 +1,54 @@
+import os
+import shutil
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+N_DOCS = 300
+SEED = 42
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from seqr_loading_pipelines_spark.session import get_spark
+
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus(spark):
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+
+    return generate_corpus(spark, N_DOCS, n_repos=5, seed=SEED)
+
+
+@pytest.fixture(scope="session")
+def index_root(spark, corpus, tmp_path_factory):
+    """Build the index once per test session."""
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+
+    root = str(tmp_path_factory.mktemp("index"))
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="test-corpus")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def index(spark, index_root):
+    from seqr_loading_pipelines_spark.index.build import load_index
+
+    return load_index(spark, index_root)
+
+
+@pytest.fixture(scope="session")
+def oracle(spark, corpus, index):
+    """numpy oracle over the same docs, keyed by the engine's doc ids."""
+    from seqr_loading_pipelines_spark.oracle.bm25_oracle import Bm25Oracle
+
+    ds = index["doc_stats"].select("doc_id", "repo", "path", "commit").toPandas()
+    cp = corpus.toPandas()
+    merged = cp.merge(ds, on=["repo", "path", "commit"])
+    return Bm25Oracle(merged[["doc_id", "content"]].sort_values("doc_id"))

@@ -1,0 +1,172 @@
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import N_DOCS
+
+
+def test_doc_ids_dense_and_deterministic(index):
+    ds = index["doc_stats"].orderBy("doc_id").toPandas()
+    assert list(ds["doc_id"]) == list(range(len(ds)))
+    # dense assignment follows the (repo, path, commit) sort order
+    # (serial key_ semantics, write_new_variants_table.py:197-199)
+    keys = list(zip(ds["repo"], ds["path"], ds["commit"]))
+    assert keys == sorted(keys)
+
+
+def test_sha256_invariant_vs_source(corpus, index):
+    """Per-row invariant: engine doc-store sha256 == sha256(source content)
+    (BASELINE.json input_hint)."""
+    src = corpus.select(
+        "repo", "path", "commit",
+        F.sha2(F.col("content"), 256).alias("src_sha"),
+    )
+    joined = index["doc_stats"].join(src, ["repo", "path", "commit"], "inner")
+    n = joined.count()
+    assert n == index["manifest"]["n_docs"]
+    assert joined.filter(F.col("sha256") != F.col("src_sha")).count() == 0
+    # and via python hashlib on a sample row
+    row = corpus.filter(F.col("content") != "").first()
+    expect = hashlib.sha256(row["content"].encode()).hexdigest()
+    got = (
+        index["doc_stats"]
+        .filter(
+            (F.col("repo") == row["repo"]) & (F.col("path") == row["path"]),
+        )
+        .first()["sha256"]
+    )
+    assert got == expect
+
+
+def test_doc_len_matches_tokenizer(corpus, index):
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    rows = corpus.limit(20).collect()
+    stats = {
+        (r["repo"], r["path"]): r["doc_len"]
+        for r in index["doc_stats"].collect()
+    }
+    for r in rows:
+        assert stats[(r["repo"], r["path"])] == len(tokenize_py(r["content"]))
+
+
+def test_manifest_totals(index):
+    m = index["manifest"]
+    assert m["n_docs"] == N_DOCS
+    assert m["max_doc_id"] == N_DOCS - 1
+    assert m["n_terms"] == index["term_dict"].count()
+    assert m["n_blocks"] == index["postings"].count()
+    assert m["avgdl"] > 0
+    # per-partition lineage recorded for every stage
+    for stage, info in m["metrics"]["stages"].items():
+        assert info["partition_files"], stage
+        assert all(f["bytes"] > 0 for f in info["partition_files"])
+
+
+def test_term_dict_ids_dense_by_df(index):
+    td = index["term_dict"].orderBy("term_id").toPandas()
+    assert list(td["term_id"]) == list(range(len(td)))
+    assert (td["df"].diff().dropna() <= 0).all()  # df non-increasing
+
+
+def test_postings_blocks_shape(index):
+    from seqr_loading_pipelines_spark.index.codec import BLOCK_SIZE
+
+    blocks = index["postings"].toPandas()
+    assert (blocks["n_docs"] <= BLOCK_SIZE).all()
+    assert (blocks["first_doc_id"] <= blocks["last_doc_id"]).all()
+    assert (blocks["block_max_score"] > 0).all()
+    # postings cover every (term, doc) pair exactly once
+    total_postings = int(blocks["n_docs"].sum())
+    expected = index["term_dict"].agg(F.sum("df")).first()[0]
+    assert total_postings == expected
+
+
+def test_idempotent_rebuild_is_noop(spark, corpus, index_root):
+    """Ledger semantics: same fingerprint -> publish skipped
+    (Luigi complete() / globals updates,
+    update_variant_annotations_table_with_new_samples.py:41-65)."""
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+    from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
+
+    before = ManifestTable(index_root).current_version()
+    b = IndexBuilder(spark, index_root)
+    m = b.build(corpus, source_fingerprint="test-corpus")
+    assert ManifestTable(index_root).current_version() == before
+    assert b.metrics.get("skipped")
+    assert m["n_docs"] == N_DOCS
+
+
+def test_dedup_keeps_deterministic_winner(spark, tmp_path):
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+
+    rows = [
+        ("r", "a.py", "c1", "python", "alpha beta"),
+        ("r", "a.py", "c1", "python", "gamma delta"),  # dup key, diff content
+        ("r", "b.py", "c2", "python", "epsilon"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string",
+    )
+    root = str(tmp_path / "idx")
+    IndexBuilder(spark, root).build(df, source_fingerprint="dup-test")
+    idx = load_index(spark, root)
+    assert idx["manifest"]["n_docs"] == 2
+    shas = [
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in ("alpha beta", "gamma delta")
+    ]
+    winner = (
+        idx["doc_stats"].filter(F.col("path") == "a.py").first()["sha256"]
+    )
+    assert winner == max(shas)  # deterministic: max sha256 wins
+
+
+def test_null_content_rejected_and_counted(spark, tmp_path):
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+
+    rows = [
+        ("r", "a.py", "c1", "python", "alpha beta"),
+        ("r", "b.py", "c2", "python", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string",
+    )
+    root = str(tmp_path / "idx")
+    IndexBuilder(spark, root).build(df, source_fingerprint="null-test")
+    m = load_index(spark, root)["manifest"]
+    assert m["n_docs"] == 1
+    assert m["n_invalid_content"] == 1
+
+
+def test_schema_drift_hard_fails(spark, tmp_path):
+    from seqr_loading_pipelines_spark.errors import SchemaValidationError
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+
+    df = spark.createDataFrame(
+        [("r", "a.py", "c1", "x")],
+        "repo string, path string, commit string, content string",  # no lang
+    )
+    with pytest.raises(SchemaValidationError, match="lang"):
+        IndexBuilder(spark, str(tmp_path / "idx")).build(df, "drift")
+
+
+def test_incremental_build_high_water_mark(spark, tmp_path):
+    """Second batch of NEW docs gets ids above the previous max
+    (max_key_ offset semantics)."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+
+    root = str(tmp_path / "idx")
+    c1 = generate_corpus(spark, 50, n_repos=3, seed=7)
+    IndexBuilder(spark, root).build(c1, source_fingerprint="batch1")
+    m1 = load_index(spark, root)["manifest"]
+    assert m1["max_doc_id"] == 49
+
+    c2 = generate_corpus(spark, 80, n_repos=3, seed=7)
+    b2 = IndexBuilder(spark, root)
+    b2.build(c2.subtract(c1), source_fingerprint="batch2")
+    m2 = load_index(spark, root)["manifest"]
+    assert m2["max_doc_id"] >= 50
+    assert "batch1" in m2["updates"] and "batch2" in m2["updates"]

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from seqr_loading_pipelines_spark.index.codec import (
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_block,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+def test_varbyte_roundtrip_simple():
+    vals = np.array([0, 1, 127, 128, 255, 16383, 16384, 2**31, 2**55 - 1])
+    assert (varbyte_decode(varbyte_encode(vals)) == vals).all()
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.array([], dtype=np.int64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+def test_varbyte_single_byte_values():
+    vals = np.arange(128)
+    enc = varbyte_encode(vals)
+    assert len(enc) == 128  # all fit in one byte
+    assert (varbyte_decode(enc) == vals).all()
+
+
+def test_varbyte_rejects_huge():
+    with pytest.raises(ValueError):
+        varbyte_encode(np.array([1 << 60]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=300),
+)
+def test_varbyte_roundtrip_property(values):
+    vals = np.array(values, dtype=np.int64)
+    assert (varbyte_decode(varbyte_encode(vals)) == vals).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200,
+        unique=True,
+    ),
+)
+def test_delta_roundtrip_property(ids):
+    arr = np.sort(np.array(ids, dtype=np.int64))
+    assert (delta_decode(delta_encode(arr)) == arr).all()
+
+
+def test_block_roundtrip():
+    doc_ids = np.array([3, 10, 11, 500, 100000])
+    tfs = np.array([1, 5, 2, 1, 300])
+    d, t = encode_block(doc_ids, tfs)
+    dd, tt = decode_block(d, t)
+    assert (dd == doc_ids).all()
+    assert (tt == tfs).all()
+
+
+def test_compression_is_real():
+    """Dense runs compress far below 8 bytes/posting."""
+    doc_ids = np.arange(10_000, 20_000)
+    tfs = np.ones(10_000, dtype=np.int64)
+    d, t = encode_block(doc_ids, tfs)
+    assert len(d) < 10_500  # ~1 byte per delta-gap
+    assert len(t) == 10_000

@@ -1,0 +1,26 @@
+import pyspark.sql.functions as F
+
+
+def test_deterministic_across_partitionings(spark):
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+
+    a = generate_corpus(spark, 100, n_repos=5, seed=42, partitions=2)
+    b = generate_corpus(spark, 100, n_repos=5, seed=42, partitions=7)
+    pa = a.orderBy("repo", "path").toPandas()
+    pb = b.orderBy("repo", "path").toPandas()
+    assert pa.equals(pb)
+
+
+def test_edge_rows_present(corpus):
+    pdf = corpus.toPandas()
+    assert (pdf["content"] == "").sum() >= 1  # empty doc
+    assert pdf["content"].str.contains("ünïcode").sum() == 1
+    assert pdf["content"].str.len().max() > 100_000  # the big file
+
+
+def test_repo_skew_is_zipfian(corpus):
+    counts = (
+        corpus.groupBy("repo").count().orderBy(F.desc("count")).toPandas()
+    )
+    # mega-repo holds a dominant share (skew path exercised)
+    assert counts["count"].iloc[0] > counts["count"].sum() * 0.3

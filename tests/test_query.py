@@ -1,0 +1,71 @@
+"""Rank-identity gate: engine top-k == oracle top-k, exact scores.
+
+Mirrors the reference's inline-golden test style
+(write_new_entries_parquet_test.py:100-186) with the oracle as the
+golden generator (SURVEY §5)."""
+
+import pytest
+
+from seqr_loading_pipelines_spark.oracle.bm25_oracle import reference_query_set
+from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+from seqr_loading_pipelines_spark.query.wand import search_wand
+
+
+def _collect(df):
+    return [(r["doc_id"], round(r["score"], 4), r["rank"]) for r in df.collect()]
+
+
+def _golden(oracle, text, k):
+    return [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(oracle.topk(text, k))
+    ]
+
+
+@pytest.mark.parametrize("q", reference_query_set(), ids=lambda q: f"q{q['query_id']}")
+def test_exact_rank_identical(spark, index, oracle, q):
+    k = min(q["k"], 500)
+    assert _collect(search_exact(spark, index, q["text"], k)) == _golden(
+        oracle, q["text"], k,
+    )
+
+
+@pytest.mark.parametrize("q", reference_query_set(), ids=lambda q: f"q{q['query_id']}")
+def test_wand_rank_identical(spark, index, oracle, q):
+    k = min(q["k"], 500)
+    assert _collect(search_wand(spark, index, q["text"], k)) == _golden(
+        oracle, q["text"], k,
+    )
+
+
+def test_empty_query(spark, index):
+    assert search_exact(spark, index, "", 10).count() == 0
+    assert search_wand(spark, index, "???", 10).count() == 0
+
+
+def test_absent_term(spark, index):
+    assert search_exact(spark, index, "zz_absent_token_zz", 10).count() == 0
+
+
+def test_hydrate_returns_doc_store_rows(spark, index):
+    top = search_exact(spark, index, "sw0 term_00042", 5)
+    rows = hydrate(index, top).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sha256"] and r["repo"].startswith("repo_")
+
+
+def test_randomized_rank_identity(spark, index, oracle):
+    """Seeded random queries (SURVEY §5: randomized invariant layer)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"term_{rng.randint(0, 400):05d}" for _ in range(30)] + [
+        f"sw{rng.randint(0, 19)}" for _ in range(10)
+    ]
+    for i in range(10):
+        n_terms = rng.randint(1, 4)
+        text = " ".join(rng.choice(vocab) for _ in range(n_terms))
+        k = rng.choice([1, 5, 10, 50])
+        got = _collect(search_exact(spark, index, text, k))
+        want = _golden(oracle, text, k)
+        assert got == want, f"query {i}: {text!r}"

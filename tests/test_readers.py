@@ -1,0 +1,64 @@
+import pytest
+from pyspark.sql import types as T
+
+from seqr_loading_pipelines_spark.errors import (
+    IndexValidationError,
+    SchemaValidationError,
+)
+from seqr_loading_pipelines_spark.sources.readers import (
+    read_parquet,
+    read_tsv,
+    validate_schema,
+)
+
+
+def test_validate_schema_reports_all_problems(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    with pytest.raises(SchemaValidationError) as ei:
+        validate_schema(
+            df, {"a": T.StringType(), "c": T.LongType()},
+        )
+    msg = str(ei.value)
+    assert "field a: expected string, got int" in msg
+    assert "missing field: c" in msg
+
+
+def test_validate_schema_projects_to_whitelist(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, extra double")
+    out = validate_schema(df, {"a": T.IntegerType(), "b": T.StringType()})
+    assert out.columns == ["a", "b"]
+
+
+def test_read_parquet_missing_path_typed_error(spark, tmp_path):
+    with pytest.raises(IndexValidationError, match="does not exist"):
+        read_parquet(spark, str(tmp_path / "nope.parquet"))
+
+
+def test_read_tsv_typed(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("name\tval\na\t1\nb\t\n")
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ],
+    )
+    rows = {r["name"]: r["val"] for r in read_tsv(spark, str(p), schema).collect()}
+    assert rows == {"a": 1, "b": None}
+
+
+def test_manifest_table_atomic_swap(tmp_path):
+    from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    assert t.current_manifest() is None
+    d1 = t.new_snapshot_dir()
+    m1 = t.publish(d1, {"updates": ["u1"], "n": 1})
+    assert t.current_version() == 1
+    assert t.ledger_contains("updates", "u1")
+    d2 = t.new_snapshot_dir()
+    t.publish(d2, {"updates": ["u1", "u2"], "n": 2})
+    assert t.current_version() == 2
+    assert t.current_manifest()["n"] == 2
+    # old snapshot still readable (time travel)
+    assert m1["snapshot_dir"] != t.current_manifest()["snapshot_dir"]
