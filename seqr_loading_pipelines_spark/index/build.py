@@ -156,50 +156,87 @@ class IndexBuilder:
     def _postings_blocks(
         self, postings: DataFrame, n_docs: int, avgdl: float,
     ) -> DataFrame:
-        """(term_id, df, doc_id, tf, dl) -> encoded block rows.
+        """(term_id, idf, doc_id, tf, dl) -> encoded block rows.
 
-        groupBy (term_id, shard_id): a stop-word term's postings are
-        spread across ALL doc shards, so skewed terms parallelize across
-        the cluster instead of landing on one task (the groupBy key IS
-        the salt — shard_id plays the role of the reference's
-        ``farmHash64(family_guid) %% n_partitions`` sub-partitioning,
+        Layout: hash-repartition by term_id (all of a term's postings
+        in one partition), sort by (term_id, shard_id, doc_id), then a
+        single ``mapInPandas`` pass encodes whole partitions. This
+        avoids per-group applyInPandas overhead (one pandas call per
+        tiny group kills throughput at billions of terms) — Arrow
+        batches stream through with a carry buffer so a (term, shard)
+        group spanning a batch boundary is never split.
+
+        shard_id keeps the skew property: a stop-word term's postings
+        split across doc shards, so its blocks parallelize at QUERY
+        time, while the encode is balanced by the hash repartition
+        (shard_id is the sub-partition salt — the reference's
+        ``farmHash64(family_guid) %% n_partitions``,
         test_clickhouse_schema.sql:84-85).
         """
         k1, b = self.k1, self.b
         shard_size = self.shard_size
+        col_names = [f.name for f in POSTING_SCHEMA.fields]
 
-        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("doc_id")
-            term_id = int(pdf["term_id"].iloc[0])
-            shard_id = int(pdf["shard_id"].iloc[0])
-            term_idf = float(pdf["idf"].iloc[0])
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            tfs = pdf["tf"].to_numpy(np.int64)
-            dls = pdf["dl"].to_numpy(np.float64)
-            scores = term_idf * (
-                tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            t = pdf["term_id"].to_numpy(np.int64)
+            s = pdf["shard_id"].to_numpy(np.int64)
+            doc = pdf["doc_id"].to_numpy(np.int64)
+            tf = pdf["tf"].to_numpy(np.int64)
+            dl = pdf["dl"].to_numpy(np.float64)
+            idf_v = pdf["idf"].to_numpy(np.float64)
+            # all scores vectorized in one shot
+            scores = idf_v * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
             )
+            # group starts where (term_id, shard_id) changes
+            change = np.flatnonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1])) + 1
+            starts = np.concatenate(([0], change, [len(t)]))
+            dl_i = dl.astype(np.int64)
             rows = []
-            for bstart in range(0, len(doc_ids), BLOCK_SIZE):
-                sl = slice(bstart, bstart + BLOCK_SIZE)
-                d, t = doc_ids[sl], tfs[sl]
-                deltas_b, tfs_b = encode_block(d, t)
-                dls_b = varbyte_encode(pdf["dl"].to_numpy(np.int64)[sl])
-                rows.append(
-                    (
-                        term_id, shard_id, bstart // BLOCK_SIZE,
-                        int(d[0]), int(d[-1]), len(d), int(t.max()),
-                        float(scores[sl].max()), deltas_b, tfs_b, dls_b,
-                    ),
-                )
-            return pd.DataFrame(rows, columns=[f.name for f in POSTING_SCHEMA.fields])
+            for gi in range(len(starts) - 1):
+                lo, hi = int(starts[gi]), int(starts[gi + 1])
+                for bstart in range(lo, hi, BLOCK_SIZE):
+                    bend = min(bstart + BLOCK_SIZE, hi)
+                    d, tt = doc[bstart:bend], tf[bstart:bend]
+                    deltas_b, tfs_b = encode_block(d, tt)
+                    dls_b = varbyte_encode(dl_i[bstart:bend])
+                    rows.append(
+                        (
+                            int(t[lo]), int(s[lo]), (bstart - lo) // BLOCK_SIZE,
+                            int(d[0]), int(d[-1]), bend - bstart, int(tt.max()),
+                            float(scores[bstart:bend].max()),
+                            deltas_b, tfs_b, dls_b,
+                        ),
+                    )
+            return pd.DataFrame(rows, columns=col_names)
 
+        def encode_stream(batches):
+            carry: pd.DataFrame | None = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                if not len(pdf):
+                    continue
+                # hold back the trailing (term, shard) group — it may
+                # continue in the next Arrow batch (input is sorted)
+                t = pdf["term_id"].to_numpy()
+                s = pdf["shard_id"].to_numpy()
+                suffix = (t == t[-1]) & (s == s[-1])
+                cut = len(pdf) - int(suffix.sum())
+                carry = pdf.iloc[cut:]
+                if cut:
+                    yield encode_batch(pdf.iloc[:cut])
+            if carry is not None and len(carry):
+                yield encode_batch(carry)
+
+        parts = max(1, self.spark.sparkContext.defaultParallelism)
         return (
             postings.withColumn(
                 "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("long"),
             )
-            .groupBy("term_id", "shard_id")
-            .applyInPandas(encode, schema=POSTING_SCHEMA)
+            .repartition(parts, "term_id")
+            .sortWithinPartitions("term_id", "shard_id", "doc_id")
+            .mapInPandas(encode_stream, schema=POSTING_SCHEMA)
         )
 
     # ---- full build --------------------------------------------------
@@ -286,17 +323,13 @@ class IndexBuilder:
             "term_id", "doc_id", "tf", "dl", ln.alias("idf"),
         )
 
-        # hash-partition by term_id (NOT repartitionByRange: range
-        # sampling would recompute the encode UDF a second time); files
-        # are sorted by term_id within partitions, so parquet row-group
-        # min/max stats still prune term_id filters at query time.
+        # _postings_blocks already hash-partitions by term_id and sorts,
+        # so block rows land term-clustered in each parquet file and
+        # row-group min/max stats prune term_id filters at query time.
+        # (No repartitionByRange: its sampling pass would re-run the
+        # encode UDF a second time.)
         blocks = self._stage(
-            snap, "postings",
-            lambda: self._postings_blocks(postings_flat, n_docs, avgdl)
-            .repartition(
-                max(1, self.spark.sparkContext.defaultParallelism), "term_id",
-            )
-            .sortWithinPartitions("term_id", "shard_id", "block_id"),
+            snap, "postings", lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
         )
         n_blocks = blocks.count()
 

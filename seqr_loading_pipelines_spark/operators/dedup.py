@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+- exact:       hash-groupBy on a normalized fingerprint (one shuffle on
+               a short key; winner = min doc_id, the reference's
+               deterministic-winner dedup, family_entries.py:96-105).
+- n-gram Jaccard: shingle -> inverted candidate pairs (rare shingles
+               only, bounding the self-join) -> exact Jaccard on pairs.
+- MinHash+LSH: shingle -> k minhashes -> band buckets -> bucket join;
+               hash = (a * md5_32(shingle) + b) mod p, cross-engine.
+- SimHash:     64-bit sign-aggregated term hash; near-dups = equal
+               simhash (or small hamming distance via band rotation).
+- embedding cosine: see operators/similarity.py near_dup_pairs.
+
+Everything is JVM expressions (array HOFs) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_expr
+from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+# MinHash parameters (shared with the DuckDB oracle SQL)
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+N_HASHES = 12
+LSH_BANDS = 4  # 3 hashes per band
+
+
+def _minhash_coeffs(seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs; a in [1, 2^30), b in [0, 2^30)."""
+    coeffs = []
+    state = seed
+    for _ in range(N_HASHES):
+        state = (state * 1_103_515_245 + 12_345) % (1 << 31)
+        a = (state % ((1 << 30) - 1)) + 1
+        state = (state * 1_103_515_245 + 12_345) % (1 << 31)
+        b = state % (1 << 30)
+        coeffs.append((a, b))
+    return coeffs
+
+
+MINHASH_COEFFS = _minhash_coeffs()
+
+
+def normalized(text_col) -> "F.Column":
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates (normalized); winner = min doc_id."""
+    fp = docs.select("doc_id", F.md5(normalized(F.col(text_col))).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_expr(text_col, n: int = 3) -> "F.Column":
+    """Word n-gram shingles (distinct) from the tokenizer contract."""
+    toks = tokenize_expr(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Candidate pairs sharing a rare shingle, scored by exact Jaccard.
+
+    The inverted self-join is bounded by dropping shingles with
+    document frequency > max_shingle_df (stop-shingles contribute
+    candidates quadratically but evidence little) — the same
+    DF-pre-aggregation-to-kill-skew discipline as the index build.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = docs.select(
+        "doc_id", F.size(shingles_expr(F.col(text_col), n)).alias("n_sh"),
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, max_shingle_df))
+    )
+    sh_r = sh.join(rare.select("shingle"), "shingle")
+    a = sh_r.alias("a")
+    b = sh_r.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_rare"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    # exact Jaccard needs the TRUE shared count (incl. common shingles):
+    shared = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.shingle") == F.col("y.shingle"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                5,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) minhash signatures.
+
+    Explode shingles -> one vectorized hash-aggregate with N_HASHES
+    ``min`` columns. One shuffle on doc_id; no nested HOF trees (a
+    pure-expression formulation inlines the md5/tokenize subtree into
+    every hash lane and recomputes it N_HASHES times)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    ).withColumn("h", md5_int32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing at least one LSH band.
+
+    signature -> LSH_BANDS bands of N_HASHES/LSH_BANDS values -> band
+    bucket key -> groupBy bucket -> emit pairs from buckets (bucket
+    sizes are tiny after banding, so the within-bucket pair expansion
+    is safe).
+    """
+    rows_per_band = N_HASHES // LSH_BANDS
+    sig = minhash_signatures(docs, text_col, n)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda i: F.concat_ws(
+                    ",",
+                    F.slice(
+                        F.col("sig"),
+                        (i * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    ),
+                ),
+            ),
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash62(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 62-bit SimHash over distinct tokens (two
+    31-bit md5 planes).
+
+    For each bit position, vote +1/-1 across token hashes; bit set iff
+    the vote is positive (equivalently: bit i set iff
+    2 * count(hashes with bit i) > n_tokens). 31+31 bits keeps every
+    intermediate strictly inside int64 so the DuckDB oracle (which
+    errors on BIGINT overflow) computes the identical value.
+
+    Shape: explode distinct tokens -> ONE hash aggregate with 62
+    bit-count columns + n (vectorized, single shuffle on doc_id).
+    A pure-expression formulation (62 nested aggregate() lambdas)
+    re-inlines the md5/tokenize subtree per bit and dies at scale.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize_expr(F.col(text_col)))).alias("t"),
+    ).select(
+        "doc_id",
+        md5_int32(F.col("t")).alias("h"),
+        md5_int32(F.concat(F.col("t"), F.lit("#salt"))).alias("h2"),
+    )
+
+    def bit(col, i):
+        # (h >> i) & 1 for non-negative h, without shift-by-column
+        return F.floor(col / F.lit(float(1 << i))).cast("long") % 2
+
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(bit(F.col("h"), i)).alias(f"lo{i}") for i in range(31)]
+    aggs += [F.sum(bit(F.col("h2"), i)).alias(f"hi{i}") for i in range(31)]
+    counted = toks.groupBy("doc_id").agg(*aggs)
+
+    def plane(prefix):
+        out = F.lit(0).cast("long")
+        for i in range(31):
+            out = out + F.when(
+                2 * F.col(f"{prefix}{i}") > F.col("n"),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    sh = counted.select(
+        "doc_id",
+        (plane("lo") + plane("hi") * F.lit(1 << 31).cast("long")).alias("simhash"),
+    )
+    # docs with zero tokens get simhash 0 (kept for parity with the
+    # oracle, which emits 0 for empty token lists)
+    return docs.select("doc_id").join(sh, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+    )
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs whose 62-bit simhash collides exactly (strong near-dup)."""
+    sh = simhash62(docs, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Images/audio/video are carried as binary columns with a typed metadata
+struct. The Spark-side plumbing (schema, partitioning, Arrow batch
+shape, UDF signatures) is real and tested; the actual media decode is
+STUBBED (decode libs are not in this container) behind
+``NotImplementedError`` / a deterministic fake, clearly marked.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("magic", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ],
+            ),
+            True,
+        ),
+    ],
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",
+    b"GIF8": "gif",
+}
+
+
+def to_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapt a documents table into the media shape: payload = utf-8
+    bytes of text (a deterministic stand-in for real image bytes),
+    metadata extracted JVM-side."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col("doc_id"),
+        F.lit("blob").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.substring(F.col(text_col), 1, 4).alias("magic"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _sniff_magic(payload: bytes | None) -> str | None:
+    if not payload:
+        return None
+    for sig, name in _MAGIC.items():
+        if payload[: len(sig)] == sig:
+            return name
+    return "unknown"
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real pattern, fake decode: byte-level stats are computed for real;
+    the image-decode branch raises NotImplementedError (STUB — no
+    decode libraries in this environment).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "sniffed": payloads.map(_sniff_magic),
+                    # deterministic fake "feature": byte-sum mod 997
+                    "fake_feature": payloads.map(
+                        lambda p: int(sum(p) % 997) if p else 0,
+                    ),
+                },
+            )
+            yield out
+
+    return media.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes long, sniffed string, fake_feature int",
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real image decode requires PIL/opencv (not installed).
+
+    The Spark plumbing calls are tested against extract_features; this
+    is the single point a deployment would swap in a real decoder.
+    """
+    raise NotImplementedError(
+        "image decode is stubbed in this environment; plug in PIL/cv2 here",
+    )
+
+
+def frame_sample(payload: bytes, every_n: int = 10) -> list[bytes]:
+    """STUB: video frame sampling requires ffmpeg bindings."""
+    raise NotImplementedError(
+        "video frame sampling is stubbed; plug in pyav/ffmpeg here",
+    )

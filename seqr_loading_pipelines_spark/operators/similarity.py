@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- brute-force cosine top-k: JVM-side dot product via ``zip_with`` +
+  ``aggregate`` against a broadcast query vector — the exactness
+  baseline; scales as one scan + TakeOrdered (no shuffle).
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic seeded
+  planes), bucket join, exact re-rank inside candidate buckets — the
+  scale path: the scan is replaced by a bucket-pruned join.
+- near-dup pairs: cosine >= threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cosine_expr(vec_col, query: list[float]) -> "F.Column":
+    """cos(v, q) with the query literal folded into the plan."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x,
+        ),
+    )
+    norm_q = float(np.sqrt(np.dot(query, query)))
+    return F.when(
+        norm_v > 0, dot / (norm_v * F.lit(norm_q)),
+    ).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k (deterministic tie: id asc)."""
+    scored = emb.select(
+        F.col(id_col),
+        F.round(_cosine_expr(F.col(vec_col), query), 5).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+N_PLANES = 16
+
+
+def _hyperplanes(dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def lsh_signature_expr(vec_col, planes: np.ndarray) -> "F.Column":
+    """Random-hyperplane LSH: sign bits packed into an int64 bucket."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, p, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    hamming_radius: int = 1,
+) -> DataFrame:
+    """ANN top-k: only score vectors whose LSH bucket is within
+    hamming_radius of the query's bucket (candidate pruning), then
+    exact cosine re-rank. Approximate by construction; the bench
+    reports its recall vs cosine_topk."""
+    dim = len(query)
+    planes = _hyperplanes(dim, seed)
+    qsig = int(
+        sum(
+            (1 << i) if float(np.dot(p, query)) > 0 else 0
+            for i, p in enumerate(planes)
+        ),
+    )
+    sig = emb.withColumn("sig", lsh_signature_expr(F.col(vec_col), planes))
+    # buckets within hamming radius: popcount(sig XOR qsig) <= r
+    xor = F.col("sig").bitwiseXOR(F.lit(qsig))
+    candidates = sig.filter(F.bit_count(xor) <= hamming_radius)
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(_cosine_expr(F.col(vec_col), query), 5).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine >= threshold.
+
+    Blocked self-join (same ``block_col`` bucket — at scale, an LSH
+    bucket) keeps the pair expansion linear-ish instead of O(n^2).
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x,
+        ),
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm.alias("nrm"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 5).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators over a documents table.
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` (whole-stage
+codegen) — no Python UDFs. Every operator is deliberately expressible
+in ANSI SQL so the driver's DuckDB oracle can check it value-for-value.
+
+Cross-engine determinism notes:
+- tokenization contract = ``[a-z0-9_]+`` over lower(text) (tokenizer.py);
+- hashing uses md5 hex (identical in Spark/DuckDB), mapped to int64 via
+  the first 15 hex digits (< 2^60, no overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import (
+    TOKEN_PATTERN,
+    tokenize_expr,
+)
+
+# stop-word-like marker sets for the n-gram language heuristic: counts of
+# per-language marker tokens, argmax with deterministic tie order.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def md5_int64(col: Column) -> Column:
+    """First 15 hex digits of md5 as int64 — same value as DuckDB's
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 hex digits of md5 as a 32-bit value in an int64."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokenize_expr(text))
+
+
+def whitespace_token_count_expr(text: Column) -> Column:
+    """Whitespace tokenization count (0 for empty/blank text)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")),
+    )
+
+
+def word_count(text: Column, word: str) -> Column:
+    """Occurrences of a whole token (tokenizer contract, not substring)."""
+    return F.size(
+        F.filter(tokenize_expr(text), lambda t: t == F.lit(word.lower())),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: regex tokens, whitespace tokens, distinct."""
+    toks = tokenize_expr(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        whitespace_token_count_expr(F.col(text_col)).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-token counts per language, argmax
+    (deterministic tie order = sorted language code)."""
+    scores = [
+        (
+            lang,
+            sum(
+                (word_count(F.col(text_col), w) for w in words),
+                F.lit(0),
+            ),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # argmax via greatest + chained when (ties -> first in sorted order)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("unknown")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    sel = [F.col("doc_id"), pred.alias("pred_lang")]
+    sel += [s.alias(f"score_{lang}") for lang, s in scores]
+    return docs.select(*sel)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality heuristics: length, token stats, stop-word ratio,
+    punctuation ratio, alpha ratio; composite score in [0, 1]."""
+    text = F.col(text_col)
+    toks = tokenize_expr(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin([*STOPWORDS])))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.1
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        F.round(stop_ratio, 5).alias("stop_ratio"),
+        F.round(punct_ratio, 5).alias("punct_ratio"),
+        F.round(alpha_ratio, 5).alias("alpha_ratio"),
+        F.round(mean_tok_len, 5).alias("mean_tok_len"),
+        F.round(score, 5).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over NORMALIZED content
+    (lowercase, collapsed whitespace) — the content-identity key used
+    by exact dedup; cross-engine (md5)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        md5_int64(norm).alias("fp_int64"),
+    )

@@ -1,0 +1,895 @@
+"""The driver-contract query surface: every implemented operator from
+SURVEY.md §2 exposed as (spark, sf_dir) -> DataFrame, with a matching
+ANSI-SQL oracle string runnable by DuckDB on the same parquet tables.
+
+Column names/types are aligned pairwise (the driver hashes values after
+sorting columns by name); floats are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark import B, K1
+from seqr_loading_pipelines_spark.functions.tokenizer import (
+    TOKEN_PATTERN,
+    tokenize_expr,
+)
+from seqr_loading_pipelines_spark.operators import dedup as D
+from seqr_loading_pipelines_spark.operators import similarity as S
+from seqr_loading_pipelines_spark.operators import text as TX
+
+_T = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+BM25_QUERY_TERMS = ["spark", "query", "vector"]
+KEYWORD_ALL = ["table", "spark"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# index / BM25 family (documents as the corpus)
+# --------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_expr(F.col("text"))).alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+        "lang",
+    )
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id, len({_T}) AS n_tokens, sha256(text) AS sha256, lang
+FROM documents
+"""
+
+
+def q_term_dictionary(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+    )
+
+
+SQL_TERM_DICTIONARY = f"""
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+GROUP BY term
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    return (
+        q_term_dictionary(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+SQL_TOP_TERMS = f"""
+SELECT * FROM (
+  SELECT term, df, cf,
+         row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM (
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+    FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+    GROUP BY term
+  )
+) WHERE rank <= 20
+"""
+
+
+def q_bm25_topk(spark, sf_dir, terms=None, k=10):
+    """Standalone BM25 over documents (the same math the index engine
+    uses, expressed as one declarative plan for the correctness gate)."""
+    terms = terms or BM25_QUERY_TERMS
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize_expr(F.col("text")).alias("toks"),
+    )
+    n_docs = docs.count()
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).first()[0]
+    flat = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = flat.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        flat.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contribution",
+            idf
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("s"))
+    )
+    w = Window.orderBy(F.floor(F.col("s") * 1e5 + 0.5).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.round("s", 4).alias("score"), "rank")
+    )
+
+
+def _sql_bm25(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25(BM25_QUERY_TERMS, 10)
+
+
+def q_keyword_search_all(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize_expr(F.col("text"))
+    cond = None
+    for t in KEYWORD_ALL:
+        c = F.array_contains(toks, t)
+        cond = c if cond is None else (cond & c)
+    return docs.filter(cond).select("doc_id", "lang")
+
+
+SQL_KEYWORD_SEARCH_ALL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {" AND ".join(f"list_contains({_T}, '{t}')" for t in KEYWORD_ALL)}
+"""
+
+
+# --------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    return TX.token_counts(_read(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({_T}) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(list_distinct({_T})) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return TX.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    score_exprs = []
+    for lang, words in sorted(TX.LANG_MARKERS.items()):
+        parts = " + ".join(
+            f"len(list_filter({_T}, t -> t = '{w}'))" for w in words
+        )
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND score_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+SELECT doc_id, {case} AS pred_lang,
+       {", ".join(f"score_{lg}" for lg in langs)}
+FROM (SELECT doc_id, {", ".join(score_exprs)} FROM documents)
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality_score(spark, sf_dir):
+    return TX.quality_score(_read(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+SQL_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_T}) AS n_tokens,
+         length(text) AS n_chars_m,
+         len(list_filter({_T}, t -> t IN ({_STOP_IN}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tokens, n_chars_m,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars_m > 0 THEN n_punct / n_chars_m ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars_m > 0 THEN n_alpha / n_chars_m ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_tokens > 0 THEN n_chars_m / n_tokens ELSE 0.0 END AS mean_tok_len
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_m,
+       round(stop_ratio, 5) AS stop_ratio,
+       round(punct_ratio, 5) AS punct_ratio,
+       round(alpha_ratio, 5) AS alpha_ratio,
+       round(mean_tok_len, 5) AS mean_tok_len,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + alpha_ratio * 0.3
+             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+             + least(stop_ratio * 5.0, 1.0) * 0.1, 5) AS quality
+FROM ratios
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({_NORM}) AS fp_md5,
+       ('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp_int64
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# dedup family (over documents doubled with shifted ids so real
+# duplicate groups exist to detect)
+# --------------------------------------------------------------------
+
+DUP_SHIFT = 1_000_000
+
+
+def _doubled_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + DUP_SHIFT),
+    )
+    # the source parquet has very few row groups; spread the CPU-bound
+    # tokenize/hash work across all cores before the heavy exprs
+    return doubled.repartition(spark.sparkContext.defaultParallelism)
+
+
+_DOUBLED = f"""
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + {DUP_SHIFT} AS doc_id, text FROM documents)
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    groups = D.exact_duplicates(_doubled_docs(spark, sf_dir))
+    return groups.select(
+        "fp", "n_dups", "keep_doc_id",
+        F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_csv"),
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_dups,
+       min(doc_id) AS keep_doc_id,
+       list_aggregate(list_sort(list(doc_id)), 'string_agg', ',') AS doc_ids_csv
+FROM {_DOUBLED} d
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def q_simhash_dedup(spark, sf_dir):
+    groups = D.simhash_duplicates(_doubled_docs(spark, sf_dir))
+    return groups.select(
+        "simhash", "n_docs", "keep_doc_id",
+        F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_csv"),
+    )
+
+
+_H32 = "(('0x' || substr(md5(t), 1, 8))::BIGINT)"
+_H32S = "(('0x' || substr(md5(t || '#salt'), 1, 8))::BIGINT)"
+
+
+def _sql_simhash() -> str:
+    lo = (
+        "list_sum(list_transform(generate_series(0, 30), i -> "
+        "CASE WHEN list_sum(list_transform(hs, h -> "
+        "CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+    )
+    hi = lo.replace("hs,", "hs2,")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_T}), t -> {_H32}) AS hs,
+         list_transform(list_distinct({_T}), t -> {_H32S}) AS hs2
+  FROM {_DOUBLED} d
+), sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(hs) > 0
+              THEN {lo} + {hi} * (1::BIGINT << 31)
+              ELSE 0 END AS BIGINT) AS simhash
+  FROM t
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id,
+       list_aggregate(list_sort(list(doc_id)), 'string_agg', ',') AS doc_ids_csv
+FROM sh GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+SQL_SIMHASH_DEDUP = _sql_simhash()
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_candidates(_doubled_docs(spark, sf_dir))
+
+
+def _sql_minhash() -> str:
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, len({_T}) - 2), "
+        f"i -> {_T}[i] || ' ' || {_T}[i+1] || ' ' || {_T}[i+2]))"
+    )
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_PRIME}))"
+        for a, b in D.MINHASH_COEFFS
+    )
+    rows = D.N_HASHES // D.LSH_BANDS
+    band_exprs = ", ".join(
+        "list_aggregate(sig[" + str(i * rows + 1) + ":" + str((i + 1) * rows)
+        + "], 'string_agg', ',')"
+        for i in range(D.LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN len({_T}) >= 3 THEN {grams} ELSE [] END,
+           g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+  FROM {_DOUBLED} d
+), sig AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM sh WHERE len(hs) > 0
+), bands AS (
+  SELECT doc_id, band, bucket
+  FROM (SELECT doc_id, unnest([{band_exprs}]) AS bucket,
+               unnest(generate_series(0, {D.LSH_BANDS - 1})) AS band
+        FROM sig)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _doubled_docs(spark, sf_dir), threshold=0.8, max_shingle_df=20,
+    )
+
+
+def _sql_ngram_jaccard(threshold=0.8, max_df=20) -> str:
+    grams = (
+        f"CASE WHEN len({_T}) >= 3 THEN "
+        f"list_distinct(list_transform(generate_series(1, len({_T}) - 2), "
+        f"i -> {_T}[i] || ' ' || {_T}[i+1] || ' ' || {_T}[i+2])) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({grams}) AS shingle FROM {_DOUBLED} d
+), sizes AS (
+  SELECT doc_id, len({grams}) AS n_sh FROM {_DOUBLED} d
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND {max_df}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT * FROM sh SEMI JOIN rare USING (shingle)) a
+  JOIN (SELECT * FROM sh SEMI JOIN rare USING (shingle)) b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), shared AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  SEMI JOIN cand ON x.doc_id = cand.doc_a AND y.doc_id = cand.doc_b
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 5) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 5) >= {threshold}
+"""
+
+
+SQL_NGRAM_JACCARD = _sql_ngram_jaccard()
+
+
+# --------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip(e.embedding, q.embedding), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+)
+_NRM = (
+    "sqrt(list_sum(list_transform({col}, x -> x::DOUBLE * x::DOUBLE)))"
+)
+
+SQL_EMBEDDING_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(CASE WHEN {_NRM.format(col="e.embedding")} > 0
+               THEN {_DOT} / ({_NRM.format(col="e.embedding")} * {_NRM.format(col="q.embedding")})
+               ELSE 0.0 END, 5) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=0.4)
+
+
+_PDOT = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+)
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_PDOT} / ({_NRM.format(col="a.embedding")} * {_NRM.format(col="b.embedding")}), 5) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_PDOT} / ({_NRM.format(col="a.embedding")} * {_NRM.format(col="b.embedding")}), 5) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------
+# relational operator parity (TPC-H-ish tables)
+# --------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_quantity), 5) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING",
+    )
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("revenue"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        revenue.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, revenue, rank FROM (
+  SELECT l_orderkey, revenue,
+         row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+  FROM (
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+  )
+) WHERE rank <= 10
+"""
+
+
+ANTI_SHIFT = 9_000_000
+
+
+def q_anti_join_new_keys(spark, sf_dir):
+    """THE incremental-index operator: keys absent from the other side
+    (write_new_variants_table.py:146-153). The candidate side is the
+    customer keys plus a shifted copy (guaranteed-new keys), so the
+    anti-join provably returns exactly the new ones."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    candidates = cust.select(F.col("c_custkey").alias("key")).unionByName(
+        cust.select((F.col("c_custkey") + ANTI_SHIFT).alias("key")),
+    )
+    return candidates.join(
+        orders, candidates.key == orders.o_custkey, "left_anti",
+    ).select("key")
+
+
+SQL_ANTI_JOIN_NEW_KEYS = f"""
+SELECT key FROM (
+  SELECT c_custkey AS key FROM customer
+  UNION ALL
+  SELECT c_custkey + {ANTI_SHIFT} AS key FROM customer
+) c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.key)
+"""
+
+
+def q_semi_join_present_keys(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+
+
+SQL_SEMI_JOIN_PRESENT_KEYS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Broadcast map join (gencode-mapping pattern,
+    write_new_variants_table.py:61-70)."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_dedup_best_version(spark, sf_dir):
+    """Keep the 'best' duplicate per key — max totalprice, ties by min
+    orderkey (deduplicate_by_most_non_ref_calls, family_entries.py:96-105)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc(),
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_DEDUP_BEST_VERSION = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_window_top3_per_key(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc(),
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_TOP3_PER_KEY = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_global_max_key(spark, sf_dir):
+    """max_key_ high-water-mark global aggregate
+    (update_variant_annotations_table_with_new_samples.py:133)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_orderkey").alias("max_key"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_GLOBAL_MAX_KEY = """
+SELECT max(o_orderkey) AS max_key, count(*) AS n_rows FROM orders
+"""
+
+
+def q_union_dedup_keys(spark, sf_dir):
+    """unionByName + dropDuplicates (callsets.py:30-34)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    a = orders.select(F.col("o_custkey").alias("custkey"))
+    b = cust.select(F.col("c_custkey").alias("custkey"))
+    return a.unionByName(b).dropDuplicates(["custkey"])
+
+
+SQL_UNION_DEDUP_KEYS = """
+SELECT DISTINCT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders
+  UNION ALL
+  SELECT c_custkey AS custkey FROM customer
+)
+"""
+
+
+def q_range_join_ship_window(spark, sf_dir):
+    """Equi-key + range predicate join — the interval-join analog
+    (reference_datasets/misc.py:116-134; 'interval ref data join causes
+    shuffle death' base_hail_table.py:30). The equi key keeps it a hash
+    join with a post-filter, never a nested-loop."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped_90d"),
+        F.round(F.sum("l_extendedprice"), 2).alias("value_90d"),
+    )
+
+
+SQL_RANGE_JOIN_SHIP_WINDOW = """
+SELECT o_orderkey, count(*) AS n_shipped_90d,
+       round(sum(l_extendedprice), 2) AS value_90d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderkey
+"""
+
+
+def q_set_ops_flags(spark, sf_dir):
+    """Set semantics on arrays: collect_set, array_except, sorted join
+    (filters set ops, family_entries.py:19, dataset_type.py:158-165)."""
+    li = _read(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.concat_ws(",", F.col("flags")).alias("flags_csv"),
+        F.concat_ws(",", F.array_except(F.col("flags"), F.array(F.lit("N")))).alias(
+            "flags_minus_n_csv",
+        ),
+        F.array_contains(F.col("flags"), "R").alias("has_r"),
+    )
+
+
+SQL_SET_OPS_FLAGS = """
+SELECT l_orderkey,
+       coalesce(list_aggregate(flags, 'string_agg', ','), '') AS flags_csv,
+       coalesce(list_aggregate(list_filter(flags, f -> f != 'N'), 'string_agg', ','), '')
+         AS flags_minus_n_csv,
+       list_contains(flags, 'R') AS has_r
+FROM (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS flags
+  FROM lineitem GROUP BY l_orderkey
+)
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Time-bucketed incremental aggregate (SummingMergeTree MV analog,
+    test_clickhouse_schema.sql:100-135)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 5).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 5) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata plumbing (decode itself is stubbed)."""
+    from seqr_loading_pipelines_spark.operators.multimodal import to_media_table
+
+    media = to_media_table(_read(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.magic").alias("magic"),
+        F.octet_length("payload").alias("payload_bytes"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       substr(text, 1, 4) AS magic,
+       octet_length(encode(text)) AS payload_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "term_dictionary": q_term_dictionary,
+    "top_terms": q_top_terms,
+    "bm25_topk": q_bm25_topk,
+    "keyword_search_all": q_keyword_search_all,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "minhash_lsh_candidates": q_minhash_lsh,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "anti_join_new_keys": q_anti_join_new_keys,
+    "semi_join_present_keys": q_semi_join_present_keys,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "dedup_best_version": q_dedup_best_version,
+    "window_top3_per_key": q_window_top3_per_key,
+    "global_max_key": q_global_max_key,
+    "union_dedup_keys": q_union_dedup_keys,
+    "range_join_ship_window": q_range_join_ship_window,
+    "set_ops_flags": q_set_ops_flags,
+    "events_rollup": q_events_rollup,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_SQL = {
+    "doc_stats": SQL_DOC_STATS,
+    "term_dictionary": SQL_TERM_DICTIONARY,
+    "top_terms": SQL_TOP_TERMS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "keyword_search_all": SQL_KEYWORD_SEARCH_ALL,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "simhash_dedup": SQL_SIMHASH_DEDUP,
+    "minhash_lsh_candidates": SQL_MINHASH_LSH,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "anti_join_new_keys": SQL_ANTI_JOIN_NEW_KEYS,
+    "semi_join_present_keys": SQL_SEMI_JOIN_PRESENT_KEYS,
+    "broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
+    "dedup_best_version": SQL_DEDUP_BEST_VERSION,
+    "window_top3_per_key": SQL_WINDOW_TOP3_PER_KEY,
+    "global_max_key": SQL_GLOBAL_MAX_KEY,
+    "union_dedup_keys": SQL_UNION_DEDUP_KEYS,
+    "range_join_ship_window": SQL_RANGE_JOIN_SHIP_WINDOW,
+    "set_ops_flags": SQL_SET_OPS_FLAGS,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

@@ -1,0 +1,90 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare row
+count, column names, and values order-insensitively."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'",
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        else:
+            try:
+                pdf[c] = pd.to_numeric(pdf[c], downcast=None)
+            except (ValueError, TypeError):
+                pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    assert name in sqls, f"{name} missing an oracle (rows-only fallback)"
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    want = _normalize(duck.sql(sqls[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g):
+            bad = [
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(g, w))
+                if not (
+                    (math.isnan(a) and math.isnan(b))
+                    or abs(a - b) <= 1e-6 * max(1.0, abs(a), abs(b))
+                )
+            ]
+        else:
+            bad = [
+                (i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b
+            ]
+        assert not bad, f"{name}.{c}: first diffs {bad[:5]}"
+
+
+def test_every_query_has_oracle():
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert rows[0]["rank"] == 1
+    assert {"doc_id", "score", "sha256"} <= set(df.columns)
