@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     _ship_package(spark)  # driver-created session: ship package to workers
     sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
     corpus = corpus_from_documents(spark, sf_dir)
-    index_root = os.path.join(tempfile.gettempdir(), "spark_graft_entry_index")
+    index_root = os.path.join(tempfile.gettempdir(), "spark_graft_entry_index_v2")
     builder = IndexBuilder(spark, index_root)
     builder.build(corpus, source_fingerprint=f"entry:{sf_dir}")
     index = load_index(spark, index_root)

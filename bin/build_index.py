@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Index build entry point for ``spark-submit --py-files dist/engine.zip``.
+
+Usage:
+  spark-submit --master local[N] --py-files dist/engine.zip \
+      bin/build_index.py --n-docs 50000 --out /tmp/idx [--sf-dir DIR]
+
+Reads either the synthetic corpus (--n-docs) or a documents.parquet
+table (--sf-dir), builds the full posting-list index, prints one JSON
+line with throughput (the BASELINE.md run protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=20000)
+    ap.add_argument("--n-repos", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--fingerprint", default=None)
+    args = ap.parse_args()
+
+    # spark-submit provides the session config (master, --py-files);
+    # getOrCreate attaches to it
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from seqr_loading_pipelines_spark.corpus import (
+        corpus_from_documents,
+        generate_corpus,
+    )
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+    from seqr_loading_pipelines_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    if args.sf_dir:
+        corpus = corpus_from_documents(spark, args.sf_dir)
+        fingerprint = args.fingerprint or f"docs:{args.sf_dir}"
+    else:
+        corpus = generate_corpus(
+            spark, args.n_docs, n_repos=args.n_repos, seed=args.seed,
+        )
+        fingerprint = args.fingerprint or f"synthetic:{args.n_docs}:{args.seed}"
+
+    t0 = time.time()
+    manifest = IndexBuilder(spark, args.out).build(corpus, fingerprint)
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "n_docs": manifest["n_docs"],
+                "n_terms": manifest["n_terms"],
+                "n_blocks": manifest["n_blocks"],
+                "build_wall_s": round(wall, 3),
+                "files_per_sec": round(manifest["n_docs"] / wall, 2),
+                "resumed": bool(
+                    manifest.get("metrics", {}).get("skipped"),
+                ),
+                "parallelism": spark.sparkContext.defaultParallelism,
+            },
+        ),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+#!/usr/bin/env python
+"""Build dist/engine.zip for spark-submit --py-files."""
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(ROOT, "seqr_loading_pipelines_spark")
+OUT = os.path.join(ROOT, "dist", "engine.zip")
+
+
+def main() -> None:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with zipfile.ZipFile(OUT, "w") as zf:
+        for root, _, files in os.walk(PKG):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    print(OUT)
+
+
+if __name__ == "__main__":
+    main()

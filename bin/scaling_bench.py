@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.md run protocol).
+
+Runs the identical index build via ``spark-submit --py-files
+dist/engine.zip`` at N and 4N cores on the same seeded corpus, reports
+files/sec at both plus scaling efficiency, and writes BENCH/BASELINE.md.
+
+The sandbox has ~16 effective cores (measured with fixed-work python
+tasks), so the honest N/4N pair inside the physical budget is
+local[2] vs local[8]; override with --n / --n4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_build(cores: int, n_docs: int, out: str, driver_mem: str) -> dict:
+    shutil.rmtree(out, ignore_errors=True)
+    local_dir = "/dev/shm/spark-local"
+    os.makedirs(local_dir, exist_ok=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", driver_mem,
+        "--conf", f"spark.sql.shuffle.partitions={max(cores, 2)}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", f"spark.local.dir={local_dir}",  # tmpfs shuffle dirs
+        "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
+        os.path.join(ROOT, "bin", "build_index.py"),
+        "--n-docs", str(n_docs),
+        "--out", out,
+    ]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, check=False,
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"build at local[{cores}] produced no JSON: {res.stdout[-500:]} "
+        f"{res.stderr[-1000:]}",
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2, help="small cluster cores (N)")
+    ap.add_argument("--n4", type=int, default=8, help="large cluster cores (4N)")
+    ap.add_argument("--n-docs", type=int, default=100_000)
+    ap.add_argument("--driver-mem", default="40g")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out-md", default=os.path.join(ROOT, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bin", "make_dist.py")],
+        check=True, capture_output=True,
+    )
+
+    # the sandbox host has heavy external interference (identical runs
+    # vary >2x), so levels are run INTERLEAVED and the per-level MIN is
+    # the estimator: external stalls only ever inflate a measurement.
+    all_runs: dict[int, list[dict]] = {args.n: [], args.n4: []}
+    for rep in range(args.repeats):
+        for cores in (args.n, args.n4):
+            t0 = time.time()
+            r = run_build(
+                cores, args.n_docs, f"/dev/shm/scaling_idx_{cores}", args.driver_mem,
+            )
+            r["total_wall_s"] = round(time.time() - t0, 1)
+            all_runs[cores].append(r)
+            print(json.dumps({"rep": rep, "cores": cores, **r}))
+            shutil.rmtree(f"/dev/shm/scaling_idx_{cores}", ignore_errors=True)
+
+    results = {
+        cores: min(runs, key=lambda r: r["build_wall_s"])
+        for cores, runs in all_runs.items()
+    }
+
+    small, large = results[args.n], results[args.n4]
+    ratio = small["build_wall_s"] / large["build_wall_s"]
+    core_ratio = args.n4 / args.n
+    efficiency = ratio / core_ratio
+    summary = {
+        "n_docs": args.n_docs,
+        "cores_small": args.n,
+        "cores_large": args.n4,
+        "files_per_sec_small": small["files_per_sec"],
+        "files_per_sec_large": large["files_per_sec"],
+        "throughput_ratio": round(ratio, 3),
+        "core_ratio": core_ratio,
+        "scaling_efficiency": round(efficiency, 3),
+        "passes_0_8": efficiency >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
+    with open(args.out_md, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Protocol (BASELINE.md): identical code + identical seeded corpus
+({args.n_docs} docs, seed=42), built via
+`spark-submit --master local[N] --py-files dist/engine.zip
+bin/build_index.py` at N={args.n} and 4N={args.n4} cores.
+Throughput = indexed files / build-stage wall clock (ingest -> segment
+publish, excluding JVM/session startup). Sandbox note: this host
+exposes 32 vCPUs but sustains ~16 cores of fixed-work throughput, so
+the honest N/4N pair is {args.n}/{args.n4}.
+
+| cores | build wall (s) | files/sec |
+|---|---|---|
+| {args.n} | {small['build_wall_s']} | {small['files_per_sec']} |
+| {args.n4} | {large['build_wall_s']} | {large['files_per_sec']} |
+
+- throughput ratio (T_N / T_4N): **{ratio:.3f}x** (ideal {core_ratio:.0f}x)
+- scaling efficiency: **{efficiency:.3f}** (required >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Raw JSON:
+
+```json
+{json.dumps(results[args.n], indent=2)}
+```
+
+```json
+{json.dumps(results[args.n4], indent=2)}
+```
+"""
+        )
+    print(f"wrote {args.out_md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,30 +72,36 @@ def generate_corpus(
         for pdf in batches:
             rows = []
             for doc_index in pdf["id"].to_numpy():
-                rng = np.random.RandomState((seed * 1_000_003 + int(doc_index)) % (2**31))
-                repo_idx = int(np.searchsorted(repo_cdf_, rng.rand()))
+                # Philox: counter-based, O(1) keying per doc (MT19937
+                # re-seeding costs ~0.2ms/doc and dominated generation)
+                rng = np.random.Generator(
+                    np.random.Philox(key=seed * (1 << 32) + int(doc_index)),
+                )
+                repo_idx = int(np.searchsorted(repo_cdf_, rng.random()))
                 repo = f"repo_{repo_idx:04d}"
-                lang = LANGS[int(rng.randint(len(LANGS)))]
+                lang = LANGS[int(rng.integers(len(LANGS)))]
                 path = (
-                    f"dir_{rng.randint(16):x}/dir_{rng.randint(16):x}/"
+                    f"dir_{rng.integers(16):x}/dir_{rng.integers(16):x}/"
                     f"file_{int(doc_index):08d}.{EXT[lang]}"
                 )
                 commit = "".join(
-                    f"{b:02x}" for b in rng.randint(0, 256, 20, dtype=np.int64)
+                    f"{b:02x}" for b in rng.integers(0, 256, 20)
                 )
                 if doc_index == 0:
                     content = ""  # edge: empty file
                 elif doc_index == 1:
-                    content = " ".join(vocab_[rng.randint(N_STOPWORDS, size=50)])
+                    content = " ".join(
+                        vocab_[rng.integers(N_STOPWORDS, size=50)],
+                    )
                 elif doc_index == 2:
                     # edge: one large file (~200 KB)
-                    idx = np.searchsorted(token_cdf_, rng.rand(25000))
+                    idx = np.searchsorted(token_cdf_, rng.random(25000))
                     content = " ".join(vocab_[idx])
                 elif doc_index == 3:
                     content = "π_variable = λ_fn(数据) # ünïcode"  # edge: unicode
                 else:
                     n_tokens = int(np.clip(rng.lognormal(4.0, 0.8), 20, 3000))
-                    idx = np.searchsorted(token_cdf_, rng.rand(n_tokens))
+                    idx = np.searchsorted(token_cdf_, rng.random(n_tokens))
                     content = " ".join(vocab_[idx])
                 rows.append((repo, path, commit, lang, content))
             yield pd.DataFrame(

@@ -48,8 +48,7 @@ from seqr_loading_pipelines_spark.functions.tokenizer import (
 )
 from seqr_loading_pipelines_spark.index.codec import (
     BLOCK_SIZE,
-    encode_block,
-    varbyte_encode,
+    varbyte_encode_grouped,
 )
 from seqr_loading_pipelines_spark.index.doc_ids import assign_dense_ids
 from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
@@ -60,6 +59,8 @@ from seqr_loading_pipelines_spark.sources.readers import (
 
 DOC_SHARD_SIZE = 1 << 16  # docs per WAND shard
 
+DOC_STATS_COLS = ["doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256"]
+
 POSTING_SCHEMA = T.StructType(
     [
         T.StructField("term_id", T.LongType(), False),
@@ -69,6 +70,11 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        # min doc length in the block: with max_tf it yields a true
+        # BM25 upper bound at QUERY time under the CURRENT (idf, avgdl)
+        # — stored block_max_score goes stale after incremental updates
+        # change N/df/avgdl, this bound never does
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("block_max_score", T.DoubleType(), False),
         T.StructField("doc_id_deltas", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
@@ -184,31 +190,55 @@ class IndexBuilder:
             tf = pdf["tf"].to_numpy(np.int64)
             dl = pdf["dl"].to_numpy(np.float64)
             idf_v = pdf["idf"].to_numpy(np.float64)
+            n = len(t)
             # all scores vectorized in one shot
             scores = idf_v * tf * (k1 + 1.0) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )
             # group starts where (term_id, shard_id) changes
             change = np.flatnonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1])) + 1
-            starts = np.concatenate(([0], change, [len(t)]))
-            dl_i = dl.astype(np.int64)
-            rows = []
-            for gi in range(len(starts) - 1):
-                lo, hi = int(starts[gi]), int(starts[gi + 1])
-                for bstart in range(lo, hi, BLOCK_SIZE):
-                    bend = min(bstart + BLOCK_SIZE, hi)
-                    d, tt = doc[bstart:bend], tf[bstart:bend]
-                    deltas_b, tfs_b = encode_block(d, tt)
-                    dls_b = varbyte_encode(dl_i[bstart:bend])
-                    rows.append(
-                        (
-                            int(t[lo]), int(s[lo]), (bstart - lo) // BLOCK_SIZE,
-                            int(d[0]), int(d[-1]), bend - bstart, int(tt.max()),
-                            float(scores[bstart:bend].max()),
-                            deltas_b, tfs_b, dls_b,
-                        ),
-                    )
-            return pd.DataFrame(rows, columns=col_names)
+            g_starts = np.concatenate(([0], change))
+            g_ends = np.append(change, n)
+            # block starts: every BLOCK_SIZE postings within each group
+            blk_starts = np.concatenate(
+                [
+                    np.arange(lo, hi, BLOCK_SIZE)
+                    for lo, hi in zip(g_starts, g_ends)
+                ],
+            )
+            blk_ends = np.append(blk_starts[1:], n)
+            # map each block back to its group (for block_id numbering)
+            grp_of_blk = np.searchsorted(g_starts, blk_starts, side="right") - 1
+            block_ids = (blk_starts - g_starts[grp_of_blk]) // BLOCK_SIZE
+            # delta-gap docIDs with resets at block starts, then ONE
+            # vectorized varbyte pass per column, sliced per block
+            deltas = np.empty(n, dtype=np.int64)
+            deltas[0] = doc[0]
+            np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+            deltas[blk_starts] = doc[blk_starts]
+            deltas_b = varbyte_encode_grouped(deltas, blk_starts)
+            tfs_b = varbyte_encode_grouped(tf, blk_starts)
+            dls_b = varbyte_encode_grouped(dl.astype(np.int64), blk_starts)
+            max_tf = np.maximum.reduceat(tf, blk_starts)
+            min_dl = np.minimum.reduceat(dl.astype(np.int64), blk_starts)
+            max_score = np.maximum.reduceat(scores, blk_starts)
+            return pd.DataFrame(
+                {
+                    "term_id": t[blk_starts],
+                    "shard_id": s[blk_starts],
+                    "block_id": block_ids.astype(np.int32),
+                    "first_doc_id": doc[blk_starts],
+                    "last_doc_id": doc[blk_ends - 1],
+                    "n_docs": (blk_ends - blk_starts).astype(np.int32),
+                    "max_tf": max_tf.astype(np.int32),
+                    "min_dl": min_dl.astype(np.int32),
+                    "block_max_score": max_score,
+                    "doc_id_deltas": deltas_b,
+                    "tfs": tfs_b,
+                    "dls": dls_b,
+                },
+                columns=col_names,
+            )
 
         def encode_stream(batches):
             carry: pd.DataFrame | None = None
@@ -247,17 +277,23 @@ class IndexBuilder:
             self.metrics["skipped"] = "already indexed (ledger hit)"
             return current
 
-        snap = self.table.new_snapshot_dir()
+        snap = self.table.staging_dir(f"build:{source_fingerprint}")
         t_start = time.time()
 
+        # validation counters: one parallel agg over the source (cheap
+        # relative to a full validated checkpoint write+read)
         validated = self._validated(corpus)
-        staged = self._stage(snap, "validated", lambda: validated)
-        n_raw = staged.count()
-        n_invalid = staged.filter(~F.col("_valid")).count()
+        vrow = validated.agg(
+            F.count("*").alias("n_raw"),
+            F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
+        ).first()
+        n_raw, n_invalid = vrow["n_raw"], vrow["n_invalid"]
         if n_invalid == n_raw and n_raw > 0:
             raise ContentValidationError("all rows have null content")
 
-        deduped = self._stage(snap, "deduped", lambda: self._deduped(staged))
+        deduped = self._stage(
+            snap, "deduped", lambda: self._deduped(self._validated(corpus)),
+        )
 
         max_doc_id = -1
         if current:
@@ -267,23 +303,24 @@ class IndexBuilder:
             os.path.join(snap, "keyed_ckpt"), start=max_doc_id + 1,
         )
 
+        # "docs" doubles as the doc store: doc_stats is a column
+        # projection over it at read time (parquet pruning skips the
+        # terms column), so no separate doc_stats write is needed
         tokenized = self._stage(
-            snap, "tokenized",
+            snap, "docs",
             lambda: self._tokenized(keyed, max(1, n_raw - n_invalid)),
         )
-
-        doc_stats = self._stage(
-            snap, "doc_stats",
-            lambda: tokenized.select(
-                "doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256",
-            ).repartitionByRange(
-                max(1, self.spark.sparkContext.defaultParallelism), "doc_id",
-            ).sortWithinPartitions("doc_id"),
-        )
-        n_docs = doc_stats.count()
-        avgdl_row = doc_stats.agg(F.avg("doc_len").alias("a")).first()
-        avgdl = float(avgdl_row["a"] or 0.0) or 1.0
-        new_max_doc_id = doc_stats.agg(F.max("doc_id")).first()[0]
+        doc_stats = tokenized.select(*DOC_STATS_COLS)
+        srow = doc_stats.agg(
+            F.count("*").alias("n"),
+            F.avg("doc_len").alias("a"),
+            F.sum("doc_len").alias("sdl"),
+            F.max("doc_id").alias("m"),
+        ).first()  # one job for all corpus-level stats
+        n_docs = srow["n"]
+        avgdl = float(srow["a"] or 0.0) or 1.0
+        sum_dl = int(srow["sdl"] or 0)
+        new_max_doc_id = srow["m"]
 
         # flat postings: explode the per-doc term counts (no extra groupBy
         # — tf and dl were computed inside the Arrow batch)
@@ -309,7 +346,7 @@ class IndexBuilder:
             id_col="term_id",
         ).drop("neg_df")
         term_dict = self._stage(snap, "term_dict", lambda: dict_df)
-        n_terms = term_dict.count()
+        n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
 
         # map term -> term_id (+ df for idf): broadcast when small
         dict_small = n_terms <= 5_000_000
@@ -328,22 +365,28 @@ class IndexBuilder:
         # row-group min/max stats prune term_id filters at query time.
         # (No repartitionByRange: its sampling pass would re-run the
         # encode UDF a second time.)
-        blocks = self._stage(
+        self._stage(
             snap, "postings", lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
         )
-        n_blocks = blocks.count()
+        # row count from parquet footers — no Spark job
+        n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
 
         updates = list(current.get("updates", [])) if current else []
+        seg = os.path.relpath(snap, self.table.root)
         manifest = self.table.publish(
             snap,
             {
                 "updates": [*updates, source_fingerprint],
+                # full build: a single segment replaces all prior ones
+                "segments": [seg],
+                "dict_segment": seg,
                 "max_doc_id": int(new_max_doc_id),
                 "n_docs": int(n_docs),
                 "n_terms": int(n_terms),
                 "n_blocks": int(n_blocks),
                 "n_invalid_content": int(n_invalid),
                 "avgdl": avgdl,
+                "sum_dl": sum_dl,
                 "k1": self.k1,
                 "b": self.b,
                 "shard_size": self.shard_size,
@@ -352,6 +395,17 @@ class IndexBuilder:
             },
         )
         return manifest
+
+
+def _parquet_row_count(path: str) -> int:
+    """Total rows from parquet footers (driver-side, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
 
 
 def _partition_lineage(path: str) -> list[dict]:
@@ -369,15 +423,34 @@ def _partition_lineage(path: str) -> list[dict]:
 
 
 def load_index(spark: SparkSession, index_root: str) -> dict:
-    """Open the current snapshot: returns dict of DataFrames + stats."""
+    """Open the current snapshot: returns dict of DataFrames + stats.
+
+    An index is a LIST of segments (LSM-style): incremental updates
+    append a segment with strictly-higher docIDs instead of rewriting
+    old postings; compaction (index/merge.py) folds them back into one.
+    The term dictionary is global and lives in the newest segment.
+    """
     table = ManifestTable(index_root)
     manifest = table.current_manifest()
     if manifest is None:
         raise FileNotFoundError(f"no published index at {index_root}")
-    snap = table.current_data_path()
+    if "segments" not in manifest:
+        raise FileNotFoundError(
+            f"index at {index_root} uses an old layout; rebuild it",
+        )
+    root = table.root
+    segs = manifest["segments"]
     return {
         "manifest": manifest,
-        "postings": spark.read.parquet(os.path.join(snap, "postings")),
-        "doc_stats": spark.read.parquet(os.path.join(snap, "doc_stats")),
-        "term_dict": spark.read.parquet(os.path.join(snap, "term_dict")),
+        "postings": spark.read.parquet(
+            *[os.path.join(root, s, "postings") for s in segs],
+        ),
+        # per-segment doc store; doc_stats = column projection (parquet
+        # pruning never reads the terms column)
+        "doc_stats": spark.read.parquet(
+            *[os.path.join(root, s, "docs") for s in segs],
+        ).select(*DOC_STATS_COLS),
+        "term_dict": spark.read.parquet(
+            os.path.join(root, manifest["dict_segment"], "term_dict"),
+        ),
     }

@@ -69,6 +69,47 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def varbyte_encode_grouped(
+    values: np.ndarray, group_starts: np.ndarray,
+) -> list[bytes]:
+    """Varbyte-encode one array, split into per-group byte strings.
+
+    Equivalent to ``[varbyte_encode(values[s:e]) for s, e in pairs]``
+    but with ONE vectorized encode pass over the whole array; the only
+    per-group work is a byte-range slice. group_starts must start at 0.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return []
+    if int(v.max()) >= (1 << 56):
+        raise ValueError("varbyte_encode supports values < 2**56")
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbits[mask] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    ends = np.cumsum(nbytes)
+    offsets = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for g in range(int(nbytes.max())):
+        sel = nbytes > g
+        pos = offsets[sel] + g
+        group = ((v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+        is_last = nbytes[sel] == (g + 1)
+        out[pos] = np.where(is_last, group, group | np.uint8(0x80))
+    buf = out.tobytes()
+    # byte boundaries of each value-group
+    starts = np.asarray(group_starts, dtype=np.int64)
+    byte_starts = offsets[starts]
+    byte_ends = np.append(byte_starts[1:], len(buf))
+    return [buf[int(s):int(e)] for s, e in zip(byte_starts, byte_ends)]
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing ids -> gaps (first value kept as-is)."""
     a = np.asarray(sorted_ids, dtype=np.int64)

@@ -45,27 +45,33 @@ def assign_dense_ids(
         (
             df.repartitionByRange(parts, *key_cols)
             .sortWithinPartitions(*key_cols)
-            .withColumn("_pid", F.spark_partition_id())
             .write.mode("overwrite")
             .parquet(checkpoint_path)
         )
     staged = spark.read.parquet(checkpoint_path)
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    # per-FILE offsets from parquet footers (no Spark count job): range
+    # partition i writes file part-0000i, so lexical file order == key
+    # order, and footer row counts give exact prefix offsets.
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f
+        for f in os.listdir(checkpoint_path)
+        if f.startswith("part-") and f.endswith(".parquet")
     )
-    offsets, acc = {}, start
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
+    offsets, acc = [], start
+    for f in files:
+        offsets.append((f, acc))
+        acc += pq.ParquetFile(os.path.join(checkpoint_path, f)).metadata.num_rows
     offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long",
-        ),
+        spark.createDataFrame(offsets, "_file string, _offset long"),
     )
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    w = Window.partitionBy("_file").orderBy(*key_cols)
     return (
-        staged.join(offsets_df, "_pid")
+        staged.withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(offsets_df, "_file")
         .withColumn(id_col, F.col("_offset") + F.row_number().over(w) - 1)
-        .drop("_pid", "_offset")
+        .drop("_file", "_offset")
     )

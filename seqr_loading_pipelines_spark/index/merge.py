@@ -1,0 +1,255 @@
+"""Incremental index update + segment compaction.
+
+``update_index`` is the engine analog of the reference's incremental
+annotations update (SURVEY §3.1 steps 5-6):
+
+1. anti-join the incoming docs against the existing doc store to find
+   the truly-new ones (THE incremental operator,
+   v03_pipeline/lib/tasks/write_new_variants_table.py:146-153);
+2. assign dense docIDs from the high-water mark
+   (``max_key_`` offset, write_new_variants_table.py:197-199);
+3. tokenize only the new docs; merge term statistics into the GLOBAL
+   dictionary (existing terms keep their ids, df/cf accumulate; new
+   terms get ids above the old max — broadcast dictionary re-mapping);
+4. encode the new postings as a NEW SEGMENT with strictly-higher
+   docIDs — old segments are never rewritten (the staged-load /
+   ATTACH PARTITION discipline, clickhouse.py:592-622);
+5. publish a manifest listing [old segments..., new segment] with the
+   ledger updated (globals ``updates`` set,
+   update_variant_annotations_table_with_new_samples.py:103-134).
+
+``compact_segments`` is the sorted segment merge: all segments fold
+into one, block ids renumbered per (term, shard) in docID order
+(OPTIMIZE FINAL / REPLACE PARTITION analog, clickhouse.py:693-750,830-848).
+
+Correctness note: BM25 idf/avgdl change on every update; queries
+recompute idf from the merged dictionary + manifest stats at run time,
+and WAND upper bounds derive from per-block (max_tf, min_dl) — so
+rank-identity against a full rebuild holds without touching old blocks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.build import (
+    IndexBuilder,
+    _parquet_row_count,
+    load_index,
+)
+from seqr_loading_pipelines_spark.index.doc_ids import assign_dense_ids
+from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
+
+
+def update_index(
+    spark: SparkSession,
+    index_root: str,
+    corpus: DataFrame,
+    source_fingerprint: str,
+    **builder_kwargs,
+) -> dict:
+    """Incrementally index new docs; idempotent per fingerprint."""
+    table = ManifestTable(index_root)
+    current = table.current_manifest()
+    builder = IndexBuilder(spark, index_root, **builder_kwargs)
+    if current is None:
+        return builder.build(corpus, source_fingerprint)
+    if source_fingerprint in current.get("updates", []):
+        builder.metrics["skipped"] = "already indexed (ledger hit)"
+        return current
+
+    t_start = time.time()
+    old = load_index(spark, index_root)
+    snap = table.staging_dir(f"update:{source_fingerprint}")
+    k1, b = builder.k1, builder.b
+
+    # 1. validate + dedup the incoming batch (same stages as build)
+    vrow = builder._validated(corpus).agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
+    ).first()
+    deduped = builder._stage(
+        snap, "deduped", lambda: builder._deduped(builder._validated(corpus)),
+    )
+
+    # 2. anti-join: only docs whose key is absent from the doc store
+    new_only = deduped.join(
+        old["doc_stats"].select("repo", "path", "commit"),
+        ["repo", "path", "commit"],
+        "left_anti",
+    )
+    keyed = assign_dense_ids(
+        spark, new_only, ["repo", "path", "commit"],
+        os.path.join(snap, "keyed_ckpt"),
+        start=current["max_doc_id"] + 1,
+    )
+
+    # 3. tokenize new docs only ("docs" = doc store + terms)
+    tokenized = builder._stage(
+        snap, "docs",
+        lambda: builder._tokenized(keyed, max(1, vrow["n_raw"])),
+    )
+    from seqr_loading_pipelines_spark.index.build import DOC_STATS_COLS
+
+    new_doc_stats = tokenized.select(*DOC_STATS_COLS)
+    srow = new_doc_stats.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("sdl"),
+        F.max("doc_id").alias("m"),
+    ).first()
+    n_new = srow["n"] or 0
+    if n_new == 0:
+        # nothing new: record the update in the ledger, reuse segments
+        manifest = table.publish(
+            snap,
+            {
+                **{k: current[k] for k in (
+                    "segments", "dict_segment", "max_doc_id", "n_docs",
+                    "n_terms", "n_blocks", "avgdl", "sum_dl", "k1", "b",
+                    "shard_size",
+                )},
+                "updates": [*current["updates"], source_fingerprint],
+                "n_invalid_content": int(vrow["n_invalid"]),
+                "metrics": builder.metrics,
+            },
+        )
+        return manifest
+
+    n_docs = current["n_docs"] + n_new
+    sum_dl = current["sum_dl"] + int(srow["sdl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+    avgdl = avgdl or 1.0
+
+    # 4. merge term statistics into the global dictionary
+    flat = tokenized.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
+    ).select("doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+    new_stats = builder._stage(
+        snap, "term_stats",
+        lambda: flat.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf"),
+        ),
+    )
+    old_dict = old["term_dict"].select("term", "term_id", "df", "cf")
+    joined = old_dict.join(new_stats.withColumnsRenamed(
+        {"df": "df_new", "cf": "cf_new"},
+    ), "term", "full_outer")
+    existing = joined.filter(F.col("term_id").isNotNull()).select(
+        "term",
+        "term_id",
+        (F.col("df") + F.coalesce("df_new", F.lit(0))).alias("df"),
+        (F.col("cf") + F.coalesce("cf_new", F.lit(0))).alias("cf"),
+    )
+    brand_new_stats = joined.filter(F.col("term_id").isNull()).select(
+        "term",
+        F.col("df_new").alias("df"),
+        F.col("cf_new").alias("cf"),
+    ).withColumn("neg_df", -F.col("df"))
+    brand_new = assign_dense_ids(
+        spark, brand_new_stats, ["neg_df", "term"],
+        os.path.join(snap, "dict_ckpt"),
+        id_col="term_id", start=current["n_terms"],
+    ).drop("neg_df")
+    merged_dict = builder._stage(
+        snap, "term_dict",
+        lambda: existing.unionByName(
+            brand_new.select("term", "term_id", "df", "cf"),
+        ),
+    )
+    n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
+
+    # 5. encode new postings as a fresh segment (broadcast dict re-map)
+    d = merged_dict.select("term", "term_id", "df")
+    if n_terms <= 5_000_000:
+        d = F.broadcast(d)
+    ln = F.log1p(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+    )
+    postings_flat = flat.join(d, "term").select(
+        "term_id", "doc_id", "tf", "dl", ln.alias("idf"),
+    )
+    builder._stage(
+        snap, "postings",
+        lambda: builder._postings_blocks(postings_flat, n_docs, avgdl),
+    )
+    n_blocks_new = _parquet_row_count(os.path.join(snap, "postings"))
+
+    seg = os.path.relpath(snap, table.root)
+    return table.publish(
+        snap,
+        {
+            "updates": [*current["updates"], source_fingerprint],
+            "segments": [*current["segments"], seg],
+            "dict_segment": seg,
+            "max_doc_id": int(srow["m"]),
+            "n_docs": int(n_docs),
+            "n_terms": int(n_terms),
+            "n_blocks": int(current["n_blocks"] + n_blocks_new),
+            "n_invalid_content": int(vrow["n_invalid"]),
+            "avgdl": avgdl,
+            "sum_dl": int(sum_dl),
+            "k1": k1,
+            "b": b,
+            "shard_size": builder.shard_size,
+            "update_wall_s": round(time.time() - t_start, 3),
+            "n_new_docs": int(n_new),
+            "metrics": builder.metrics,
+        },
+    )
+
+
+def compact_segments(spark: SparkSession, index_root: str) -> dict:
+    """Sorted segment merge: fold all segments into one.
+
+    Segments hold disjoint, ordered docID ranges, so the merged
+    posting order is (term_id, shard_id, first_doc_id) — a sort-merge
+    with no decode/re-encode of block payloads. Block ids are
+    renumbered per (term, shard); doc stats and the dictionary carry
+    over. Published atomically as a single-segment manifest.
+    """
+    table = ManifestTable(index_root)
+    current = table.current_manifest()
+    if current is None:
+        raise FileNotFoundError(f"no published index at {index_root}")
+    if len(current["segments"]) == 1:
+        return current
+    old = load_index(spark, index_root)
+    snap = table.new_snapshot_dir()
+    parts = max(1, spark.sparkContext.defaultParallelism)
+
+    w = Window.partitionBy("term_id", "shard_id").orderBy("first_doc_id")
+    (
+        old["postings"]
+        .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
+        .repartition(parts, "term_id")
+        .sortWithinPartitions("term_id", "shard_id", "block_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap, "postings"))
+    )
+    (
+        old["doc_stats"]
+        .repartition(parts)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap, "docs"))
+    )
+    old["term_dict"].write.mode("overwrite").parquet(
+        os.path.join(snap, "term_dict"),
+    )
+    seg = os.path.relpath(snap, table.root)
+    return table.publish(
+        snap,
+        {
+            **{k: current[k] for k in (
+                "updates", "max_doc_id", "n_docs", "n_terms", "n_blocks",
+                "avgdl", "sum_dl", "k1", "b", "shard_size",
+            )},
+            "segments": [seg],
+            "dict_segment": seg,
+            "compacted_from": current["segments"],
+        },
+    )

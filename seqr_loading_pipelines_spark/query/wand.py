@@ -42,14 +42,22 @@ class _TermCursor:
     )
 
     def __init__(self, idf: float, blocks: list[dict], k1: float, b: float, avgdl: float):
-        # blocks sorted by first_doc_id; decoded lazily
+        # blocks sorted by first_doc_id; decoded lazily. Upper bounds
+        # are computed HERE from (max_tf, min_dl) under the current
+        # (idf, avgdl) — never from build-time block_max_score, which
+        # goes stale once incremental updates shift N/df/avgdl.
         self.idf = idf
         self.blocks = blocks
+        for b_ in blocks:
+            mtf = b_["max_tf"]
+            b_["ub"] = idf * mtf * (k1 + 1.0) / (
+                mtf + k1 * (1.0 - b + b * b_["min_dl"] / avgdl)
+            )
         self.bi = 0
         self.pos = 0
         self.doc_ids: np.ndarray | None = None
         self.scores: np.ndarray | None = None
-        self.term_ub = max(b_["block_max_score"] for b_ in blocks)
+        self.term_ub = max(b_["ub"] for b_ in blocks)
         self._k1b = (k1, b, avgdl)
         self._ensure()
 
@@ -77,7 +85,7 @@ class _TermCursor:
 
     @property
     def current_block_max(self) -> float:
-        return self.blocks[self.bi]["block_max_score"]
+        return self.blocks[self.bi]["ub"]
 
     def current_score(self) -> float:
         return float(self.scores[self.pos])
@@ -203,7 +211,7 @@ def search_wand(
 
     blocks = index["postings"].filter(F.col("term_id").isin(tids)).select(
         "term_id", "shard_id", "first_doc_id", "last_doc_id",
-        "block_max_score", "doc_id_deltas", "tfs", "dls",
+        "max_tf", "min_dl", "doc_id_deltas", "tfs", "dls",
     )
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -214,7 +222,8 @@ def search_wand(
                 {
                     "first_doc_id": int(r.first_doc_id),
                     "last_doc_id": int(r.last_doc_id),
-                    "block_max_score": float(r.block_max_score),
+                    "max_tf": int(r.max_tf),
+                    "min_dl": int(r.min_dl),
                     "doc_id_deltas": bytes(r.doc_id_deltas),
                     "tfs": bytes(r.tfs),
                     "dls": bytes(r.dls),

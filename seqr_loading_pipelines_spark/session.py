@@ -26,6 +26,11 @@ def get_spark(
     cores = default_parallelism()
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # local mode: the driver heap is the ONLY executor memory. The 1g
+    # default + 32 task threads = GCLocker allocation storms (measured
+    # 8-13x slowdowns). Only effective at JVM launch — spark-submit
+    # users pass --driver-memory instead.
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -39,8 +44,7 @@ def get_spark(
         # (v03_pipeline/lib/misc/io.py:19,72-73).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
-    if driver_memory:
-        builder = builder.config("spark.driver.memory", driver_memory)
+    builder = builder.config("spark.driver.memory", driver_memory)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
@@ -57,6 +61,12 @@ def _ship_package(spark: SparkSession) -> None:
     import seqr_loading_pipelines_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if ".zip" in pkg_dir:
+        # already running from a --py-files zip: ship that zip as-is
+        zip_src = pkg_dir.split(".zip")[0] + ".zip"
+        if os.path.exists(zip_src):
+            spark.sparkContext.addPyFile(zip_src)
+        return
     zip_path = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), "seqr_loading_pipelines_spark.zip",
     )

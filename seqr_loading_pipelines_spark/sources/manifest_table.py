@@ -60,6 +60,18 @@ class ManifestTable:
         os.makedirs(path, exist_ok=True)
         return path
 
+    def staging_dir(self, key: str) -> str:
+        """Deterministic staging dir for a work key: a crashed run
+        re-enters the SAME dir and resumes from its completed stage
+        checkpoints (the reference keys intermediate paths by callset
+        hash the same way, v03_pipeline/lib/paths.py:39-58)."""
+        import hashlib
+
+        name = f"snap_{hashlib.sha1(key.encode()).hexdigest()[:12]}"
+        path = os.path.join(self.root, name)
+        os.makedirs(path, exist_ok=True)
+        return path
+
     def publish(self, snapshot_dir: str, metadata: dict) -> dict:
         """Atomically swap CURRENT to a fully-written snapshot dir."""
         v = (self.current_version() or 0) + 1

