@@ -56,17 +56,49 @@ def main() -> None:
     timings["index_build"] = round(build_s, 3)
     files_per_sec = manifest["n_docs"] / build_s
 
-    # -- BM25 query latency --------------------------------------------
+    # -- BM25 query latency (p50/p95 over the reference query set) -----
+    from seqr_loading_pipelines_spark.oracle.bm25_oracle import (
+        reference_query_set,
+    )
+
     index = load_index(spark, index_root)
-    queries = ["sw0 term_00042", "term_00007 term_00011 sw3", "spark sw1 sw2"]
+    lat_exact, lat_wand = [], []
+    for q in reference_query_set():
+        k = min(q["k"], 1000)
+        t0 = time.time()
+        search_exact(spark, index, q["text"], k).collect()
+        lat_exact.append(time.time() - t0)
+        t0 = time.time()
+        search_wand(spark, index, q["text"], k).collect()
+        lat_wand.append(time.time() - t0)
+
+    def pctl(xs, p):
+        xs = sorted(xs)
+        return round(xs[min(len(xs) - 1, int(p * len(xs)))], 3)
+
+    timings["bm25_exact_p50"] = pctl(lat_exact, 0.5)
+    timings["bm25_exact_p95"] = pctl(lat_exact, 0.95)
+    timings["bm25_wand_p50"] = pctl(lat_wand, 0.5)
+    timings["bm25_wand_p95"] = pctl(lat_wand, 0.95)
+
+    # -- ANN: LSH-bucketed top-k recall vs brute force ------------------
+    from seqr_loading_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.first()["embedding"]]
     t0 = time.time()
-    for q in queries:
-        search_exact(spark, index, q, 10).collect()
-    timings["bm25_exact_x3"] = round(time.time() - t0, 3)
+    brute = {r["vec_id"] for r in cosine_topk(emb, qvec, 10).collect()}
+    timings["ann_brute"] = round(time.time() - t0, 3)
     t0 = time.time()
-    for q in queries:
-        search_wand(spark, index, q, 10).collect()
-    timings["bm25_wand_x3"] = round(time.time() - t0, 3)
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk_lsh(emb, qvec, 10, hamming_radius=4).collect()
+    }
+    timings["ann_lsh"] = round(time.time() - t0, 3)
+    ann_recall = len(brute & approx) / max(1, len(brute))
 
     # -- headline operator queries at SF_DIR ---------------------------
     headline = [
@@ -91,6 +123,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "files_per_sec": round(files_per_sec, 1),
                 "n_docs_indexed": manifest["n_docs"],
+                "ann_lsh_recall_at_10": round(ann_recall, 3),
                 "cpus": CPUS,
             },
         ),

@@ -33,6 +33,9 @@ def main() -> None:
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # 32MB read splits (reference sizing anchor) — runtime SQL conf,
+    # effective under spark-submit too
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
 
     from seqr_loading_pipelines_spark.corpus import (
         corpus_from_documents,

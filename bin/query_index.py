@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""BM25 query entry point for ``spark-submit --py-files dist/engine.zip``.
+
+Usage:
+  spark-submit --master local[N] --py-files dist/engine.zip \
+      bin/query_index.py --index /tmp/idx --query "spark query vector" \
+      [--k 10] [--executor exact|wand] [--hydrate]
+
+Prints one JSON line per query with the ranked (doc_id, score) list
+and wall-clock latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--executor", choices=["exact", "wand"], default="wand")
+    ap.add_argument("--hydrate", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+    from seqr_loading_pipelines_spark.session import _ship_package
+
+    _ship_package(spark)
+    index = load_index(spark, args.index)
+    search = search_wand if args.executor == "wand" else search_exact
+    for q in args.query:
+        t0 = time.time()
+        top = search(spark, index, q, args.k)
+        if args.hydrate:
+            rows = [
+                r.asDict()
+                for r in hydrate(index, top).orderBy("rank").collect()
+            ]
+        else:
+            rows = [r.asDict() for r in top.collect()]
+        print(
+            json.dumps(
+                {
+                    "query": q,
+                    "k": args.k,
+                    "executor": args.executor,
+                    "latency_s": round(time.time() - t0, 3),
+                    "results": rows,
+                },
+                default=str,
+            ),
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

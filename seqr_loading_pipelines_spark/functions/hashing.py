@@ -1,0 +1,40 @@
+"""Cross-engine hashing + skew-salting utilities.
+
+The reference sub-partitions skewed ClickHouse tables with
+``farmHash64(family_guid) %% n_partitions``
+(v03_pipeline/var/test/test_clickhouse_schema.sql:84-85) and keys
+idempotence on sha256 of inputs (lib/paths.py:39-58). Spark versions:
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_expr(*cols: Column, n_salt: int = 16) -> Column:
+    """Deterministic sub-partition salt: pmod(xxhash64(cols), n_salt).
+
+    Prepend to shuffle keys when one key value dominates (mega-repo,
+    stop-word term): groupBy(key, salt) -> partial agg -> groupBy(key)
+    turns one hot reducer into n_salt parallel ones.
+    """
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salt)).cast("int")
+
+
+def salted_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
+    """Two-stage skew-safe count: groupBy(key, salt) partial counts,
+    then groupBy(key) final sum. Same result as df.groupBy(key).count()
+    with the hot key spread over n_salt reducers."""
+    partial = (
+        df.withColumn("_salt", salt_expr(F.col(key), F.rand(seed=0), n_salt=n_salt))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_c"))
+    )
+    return partial.groupBy(key).agg(F.sum("_c").alias("count"))
+
+
+def content_fingerprint(*cols: Column) -> Column:
+    """sha256 identity over concatenated columns (resume/idempotence
+    key, cf. lib/paths.py:39-58)."""
+    return F.sha2(F.concat_ws("\x1f", *cols), 256)

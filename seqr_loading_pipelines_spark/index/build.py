@@ -131,27 +131,21 @@ class IndexBuilder:
             .withColumn("sha256", F.sha2(F.coalesce("content", F.lit("")), 256))
         )
 
-    def _deduped(self, validated: DataFrame) -> DataFrame:
-        # winner per (repo, path, commit): max sha256 (deterministic)
-        return (
-            validated.filter("_valid")
-            .drop("_valid")
-            .groupBy("repo", "path", "commit")
-            .agg(
-                F.max_by(
-                    F.struct("lang", "content", "sha256"), F.col("sha256"),
-                ).alias("w"),
-            )
-            .select("repo", "path", "commit", "w.lang", "w.content", "w.sha256")
-        )
-
     def _tokenized(self, with_ids: DataFrame, n_docs: int) -> DataFrame:
-        # fixed rows/partition before the CPU-bound Arrow UDF stage
-        parts = max(1, min(10_000, math.ceil(n_docs / self.rows_per_partition)))
-        parts = max(parts, self.spark.sparkContext.defaultParallelism)
+        # No repartition before the CPU-bound Arrow UDF stage: doc ids
+        # are pure arithmetic over the keyed checkpoint (doc_ids.py),
+        # so the UDF runs directly on size-balanced parquet read splits
+        # (spark.sql.files.maxPartitionBytes = 32MB, the reference's
+        # partition-sizing anchor, io.py:19). Task count stays near
+        # core count — every extra parquet task pays a schema-JSON
+        # parse plus a GLOBALLY LOCKED Hadoop Configuration
+        # construction (measured via jstack: BLOCKED on
+        # Configuration.<init>). Memory stays bounded regardless of
+        # partition size because the UDF streams Arrow batches
+        # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k —
+        # the analog of VEP's 1000-rows-per-call discipline).
         return (
-            with_ids.repartition(parts, "doc_id")
-            .withColumn("tc", term_counts_udf(F.col("content")))
+            with_ids.withColumn("tc", term_counts_udf(F.col("content")))
             .select(
                 "doc_id", "repo", "path", "commit", "lang", "sha256",
                 F.col("tc.terms").alias("terms"),
@@ -280,8 +274,9 @@ class IndexBuilder:
         snap = self.table.staging_dir(f"build:{source_fingerprint}")
         t_start = time.time()
 
-        # validation counters: one parallel agg over the source (cheap
-        # relative to a full validated checkpoint write+read)
+        # hash-based doc-id keying scans the source exactly once, so no
+        # source checkpoint is needed — the validation agg is the only
+        # second scan (both fully parallel)
         validated = self._validated(corpus)
         vrow = validated.agg(
             F.count("*").alias("n_raw"),
@@ -291,16 +286,19 @@ class IndexBuilder:
         if n_invalid == n_raw and n_raw > 0:
             raise ContentValidationError("all rows have null content")
 
-        deduped = self._stage(
-            snap, "deduped", lambda: self._deduped(self._validated(corpus)),
-        )
-
         max_doc_id = -1
         if current:
             max_doc_id = current.get("max_doc_id", -1)
+        # dedup is FUSED into the keying shuffle (one full-data pass):
+        # range partition by key, window keeps max-sha winner, files
+        # land key-sorted for footer-offset dense ids
         keyed = assign_dense_ids(
-            self.spark, deduped, ["repo", "path", "commit"],
-            os.path.join(snap, "keyed_ckpt"), start=max_doc_id + 1,
+            self.spark,
+            validated.filter("_valid").drop("_valid"),
+            ["repo", "path", "commit"],
+            os.path.join(snap, "keyed_ckpt"),
+            start=max_doc_id + 1,
+            dedup_order_col="sha256",
         )
 
         # "docs" doubles as the doc store: doc_stats is a column
@@ -338,12 +336,16 @@ class IndexBuilder:
                 F.count("*").alias("df"), F.sum("tf").alias("cf"),
             ).withColumn("neg_df", -F.col("df")),
         )
+        # dict ids stay df-desc ordered (frequent terms get small ids —
+        # the Enum8/LowCardinality analog); range sampling is cheap
+        # here because term_stats is a materialized stage
         dict_df = assign_dense_ids(
             self.spark,
             term_stats,
             ["neg_df", "term"],
             os.path.join(snap, "dict_ckpt"),
             id_col="term_id",
+            partitioning="range",
         ).drop("neg_df")
         term_dict = self._stage(snap, "term_dict", lambda: dict_df)
         n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))

@@ -25,6 +25,60 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def write_range_sorted(
+    df: DataFrame,
+    key_cols: list[str],
+    checkpoint_path: str,
+    num_partitions: int,
+    dedup_order_col: str | None = None,
+    partitioning: str = "hash",
+) -> None:
+    """Key-partition + key-sort + (optional fused dedup) + write.
+
+    With ``dedup_order_col`` set, duplicates per key are dropped in
+    the SAME shuffle pass (winner = max of that column), fusing the
+    reference's dedup stage (family_entries.py:96-105) into the keying
+    checkpoint — one full-data shuffle+write instead of two.
+
+    partitioning='hash' (default) scans the input exactly ONCE —
+    ids are dense and deterministic for a given (input, partition
+    count), like the reference's add_index over the current sort order
+    (write_new_variants_table.py:197-199). partitioning='range'
+    additionally makes ids equal to the global key rank (stable across
+    cluster sizes) at the cost of a boundary-sampling pass that
+    re-executes the upstream plan — only use it over a materialized
+    source.
+    """
+    import os
+
+    if os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
+        return
+    if partitioning == "range":
+        staged = df.repartitionByRange(num_partitions, *key_cols)
+    else:
+        staged = df.repartition(num_partitions, *key_cols)
+    if dedup_order_col:
+        # key partitioning clusters equal keys, so the window needs no
+        # extra shuffle (both Hash- and RangePartitioning satisfy the
+        # clustered distribution); its sort doubles as the key sort
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(dedup_order_col).desc(),
+        )
+        staged = (
+            staged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        staged = staged.sortWithinPartitions(*key_cols)
+    # stamp (partition, row-within-partition) IN the write stage:
+    # monotonically_increasing_id = (pid << 33) + row_pos over the
+    # sorted stream, so the read side derives dense ids with pure
+    # arithmetic — no window, no shuffle, no re-sort
+    staged = staged.withColumn("_mid", F.monotonically_increasing_id())
+    staged.write.mode("overwrite").parquet(checkpoint_path)
+
+
 def assign_dense_ids(
     spark: SparkSession,
     df: DataFrame,
@@ -33,25 +87,20 @@ def assign_dense_ids(
     id_col: str = "doc_id",
     start: int = 0,
     num_partitions: int | None = None,
+    dedup_order_col: str | None = None,
+    partitioning: str = "hash",
 ) -> DataFrame:
     import os
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    if not os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
-        # NOTE: repartitionByRange samples its input to pick boundaries,
-        # which recomputes the upstream plan once — callers must pass an
-        # already-materialized (checkpointed) df so the sampling pass is
-        # a cheap parquet re-scan, not a recompute of UDF stages.
-        (
-            df.repartitionByRange(parts, *key_cols)
-            .sortWithinPartitions(*key_cols)
-            .write.mode("overwrite")
-            .parquet(checkpoint_path)
-        )
+    write_range_sorted(
+        df, key_cols, checkpoint_path, parts, dedup_order_col, partitioning,
+    )
     staged = spark.read.parquet(checkpoint_path)
-    # per-FILE offsets from parquet footers (no Spark count job): range
-    # partition i writes file part-0000i, so lexical file order == key
-    # order, and footer row counts give exact prefix offsets.
+    # per-PARTITION offsets from parquet footers (no Spark count job):
+    # range partition i wrote file part-0000i, so lexical file order ==
+    # partition order == key order; footer row counts give exact prefix
+    # offsets, and the stamped _mid supplies (pid, row-in-partition).
     import pyarrow.parquet as pq
 
     files = sorted(
@@ -61,17 +110,19 @@ def assign_dense_ids(
     )
     offsets, acc = [], start
     for f in files:
-        offsets.append((f, acc))
+        # pid parsed from 'part-00042-...' — positional enumeration
+        # would mis-map if an empty partition wrote no file
+        pid = int(f.split("-")[1])
+        offsets.append((pid, acc))
         acc += pq.ParquetFile(os.path.join(checkpoint_path, f)).metadata.num_rows
     offsets_df = F.broadcast(
-        spark.createDataFrame(offsets, "_file string, _offset long"),
+        spark.createDataFrame(offsets, "_pid long, _offset long"),
     )
-    w = Window.partitionBy("_file").orderBy(*key_cols)
+    mid_pid = F.shiftright(F.col("_mid"), 33)
+    mid_row = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     return (
-        staged.withColumn(
-            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1),
-        )
-        .join(offsets_df, "_file")
-        .withColumn(id_col, F.col("_offset") + F.row_number().over(w) - 1)
-        .drop("_file", "_offset")
+        staged.withColumn("_pid", mid_pid)
+        .join(offsets_df, "_pid")
+        .withColumn(id_col, F.col("_offset") + mid_row)
+        .drop("_pid", "_offset", "_mid")
     )

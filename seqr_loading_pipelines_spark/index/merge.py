@@ -68,16 +68,15 @@ def update_index(
     k1, b = builder.k1, builder.b
 
     # 1. validate + dedup the incoming batch (same stages as build)
-    vrow = builder._validated(corpus).agg(
+    validated = builder._validated(corpus)
+    vrow = validated.agg(
         F.count("*").alias("n_raw"),
         F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
     ).first()
-    deduped = builder._stage(
-        snap, "deduped", lambda: builder._deduped(builder._validated(corpus)),
-    )
 
-    # 2. anti-join: only docs whose key is absent from the doc store
-    new_only = deduped.join(
+    # 2. anti-join: only docs whose key is absent from the doc store;
+    # dedup fuses into the keying shuffle (see build())
+    new_only = validated.filter("_valid").drop("_valid").join(
         old["doc_stats"].select("repo", "path", "commit"),
         ["repo", "path", "commit"],
         "left_anti",
@@ -86,6 +85,7 @@ def update_index(
         spark, new_only, ["repo", "path", "commit"],
         os.path.join(snap, "keyed_ckpt"),
         start=current["max_doc_id"] + 1,
+        dedup_order_col="sha256",
     )
 
     # 3. tokenize new docs only ("docs" = doc store + terms)
@@ -153,6 +153,7 @@ def update_index(
         spark, brand_new_stats, ["neg_df", "term"],
         os.path.join(snap, "dict_ckpt"),
         id_col="term_id", start=current["n_terms"],
+        partitioning="range",
     ).drop("neg_df")
     merged_dict = builder._stage(
         snap, "term_dict",

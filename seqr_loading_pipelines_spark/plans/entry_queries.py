@@ -828,6 +828,146 @@ FROM documents
 """
 
 
+def q_collect_nested_sorted(spark, sf_dir):
+    """Per-key collect + in-array sort (the family_entries collapse,
+    family_entries.py:24-39): each customer's orders as a date-sorted
+    csv of keys."""
+    orders = _read(spark, sf_dir, "orders")
+    # sortable composite string key (date|zero-padded key) — identical
+    # lexicographic semantics in both engines
+    sort_key = F.concat(
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list(sort_key)).alias("arr"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("arr"),
+                lambda x: F.substring(x, 16, 12).cast("long").cast("string"),
+            ),
+        ).alias("orders_by_date_csv"),
+        F.size("arr").alias("n_orders"),
+    )
+
+
+SQL_COLLECT_NESTED_SORTED = """
+SELECT o_custkey,
+       list_aggregate(
+         list_transform(
+           list_sort(list(strftime(o_orderdate, '%Y%m%d%H%M%S') || '|'
+                          || lpad(o_orderkey::VARCHAR, 12, '0'))),
+           x -> (x[16:27])::BIGINT::VARCHAR),
+         'string_agg', ',') AS orders_by_date_csv,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_posexplode_tokens(spark, sf_dir):
+    """enumerate/posexplode parity (exports/misc.py:111-126 rank
+    attach): first 3 tokens of each doc with their positions."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(tokenize_expr(F.col("text")), 1, 3)).alias(
+            "pos", "term",
+        ),
+    )
+    return toks.select("doc_id", "pos", "term")
+
+
+SQL_POSEXPLODE_TOKENS = f"""
+SELECT doc_id,
+       unnest(generate_series(1, len(toks))) - 1 AS pos,
+       unnest(toks) AS term
+FROM (SELECT doc_id, {_T}[1:3] AS toks FROM documents)
+"""
+
+
+def q_composite_xpos_key(spark, sf_dir):
+    """Composite sortable int64 key (xpos = contig*1e9 + pos,
+    expression_helpers.py:116-121)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * F.lit(1_000_000_000) + F.col("l_partkey")).alias(
+            "xkey",
+        ),
+        "l_orderkey", "l_partkey",
+    ).dropDuplicates(["xkey"])
+
+
+SQL_COMPOSITE_XPOS_KEY = """
+SELECT DISTINCT ON (xkey) l_orderkey * 1000000000 + l_partkey AS xkey,
+       l_orderkey, l_partkey
+FROM lineitem
+"""
+
+
+def q_union_cols_outer(spark, sf_dir):
+    """union_cols(row_join_type='outer') analog (callsets.py:37-47):
+    widen two per-key column sets with a full-outer join + coalesce."""
+    orders = _read(spark, sf_dir, "orders")
+    a = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    li = _read(spark, sf_dir, "lineitem")
+    b = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+        )
+    )
+
+
+SQL_UNION_COLS_OUTER = """
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(a.n_orders, 0) AS n_orders,
+       coalesce(b.total_price, 0.0) AS total_price
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) a
+FULL OUTER JOIN (
+  SELECT o_custkey, round(sum(l_extendedprice), 2) AS total_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+) b ON a.o_custkey = b.o_custkey
+"""
+
+
+def q_count_validation(spark, sf_dir):
+    """Pre-publish count validation (clickhouse.py:778-814): per-key
+    row counts of source vs destination with a mismatch flag."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    src = li.groupBy("l_orderkey").agg(F.count("*").alias("src_n"))
+    dst = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+    return (
+        src.join(dst, "l_orderkey", "full_outer")
+        .select(
+            "l_orderkey",
+            F.coalesce("src_n", F.lit(0)).alias("src_n"),
+            (F.coalesce("src_n", F.lit(0)) > 0).alias("has_lineitems"),
+        )
+    )
+
+
+SQL_COUNT_VALIDATION = """
+SELECT coalesce(s.l_orderkey, o.o_orderkey) AS l_orderkey,
+       coalesce(s.src_n, 0) AS src_n,
+       coalesce(s.src_n, 0) > 0 AS has_lineitems
+FROM (SELECT l_orderkey, count(*) AS src_n FROM lineitem GROUP BY 1) s
+FULL OUTER JOIN orders o ON s.l_orderkey = o.o_orderkey
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -861,6 +1001,11 @@ QUERIES = {
     "set_ops_flags": q_set_ops_flags,
     "events_rollup": q_events_rollup,
     "multimodal_meta": q_multimodal_meta,
+    "collect_nested_sorted": q_collect_nested_sorted,
+    "posexplode_tokens": q_posexplode_tokens,
+    "composite_xpos_key": q_composite_xpos_key,
+    "union_cols_outer": q_union_cols_outer,
+    "count_validation": q_count_validation,
 }
 
 ORACLE_SQL = {
@@ -892,4 +1037,9 @@ ORACLE_SQL = {
     "set_ops_flags": SQL_SET_OPS_FLAGS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "collect_nested_sorted": SQL_COLLECT_NESTED_SORTED,
+    "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
+    "composite_xpos_key": SQL_COMPOSITE_XPOS_KEY,
+    "union_cols_outer": SQL_UNION_COLS_OUTER,
+    "count_validation": SQL_COUNT_VALIDATION,
 }

@@ -39,10 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep the 10k default Arrow batch: larger batches make the
+        # tokenizer's nested array<struct> output pathologically slow
+        # (python object boxing scales superlinearly with batch size)
         .config("spark.ui.enabled", "false")
-        # 32 MB output partitions, the reference's sizing anchor
-        # (v03_pipeline/lib/misc/io.py:19,72-73).
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 32 MB read splits, the reference's partition-sizing anchor
+        # (v03_pipeline/lib/misc/io.py:19,72-73) — also keeps UDF
+        # stages parallel without an explicit repartition shuffle.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     builder = builder.config("spark.driver.memory", driver_memory)
     spark = builder.getOrCreate()

@@ -1,0 +1,136 @@
+"""Micro-batch incremental indexing.
+
+The reference has NO Structured Streaming — its incrementality is an
+async filesystem work queue feeding idempotent batch DAG runs
+(v03_pipeline/api/app.py:38-60 enqueue; bin/pipeline_worker.py:67-106
+oldest-first poll, retry up to 5, dead-letter). Both shapes are
+provided here:
+
+- ``QueueWorker``: the faithful analog — JSON request files, oldest
+  first, attempt counter, dead-letter dir, each request an idempotent
+  ``update_index`` call (ledger makes re-runs no-ops).
+- ``stream_index_updates``: the Spark-native shape — Structured
+  Streaming over a landing directory of parquet doc batches,
+  ``foreachBatch`` folding each micro-batch into the index via the
+  same ``update_index`` (exactly-once via the ledger fingerprint =
+  batch id + checkpointLocation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from seqr_loading_pipelines_spark.corpus import CORPUS_SCHEMA
+from seqr_loading_pipelines_spark.index.merge import update_index
+
+MAX_ATTEMPTS = 5  # cf. api/model.py:45-49
+
+
+class QueueWorker:
+    """Filesystem work queue: request files named <run_id>.json with
+    {"corpus_path": ..., "attempt_id": n}. Oldest first; failures
+    re-enqueue with attempt_id+1 up to MAX_ATTEMPTS, then dead-letter.
+    """
+
+    def __init__(self, spark: SparkSession, index_root: str, queue_dir: str):
+        self.spark = spark
+        self.index_root = index_root
+        self.queue_dir = queue_dir
+        self.dead_letter_dir = os.path.join(queue_dir, "dead_letter")
+        os.makedirs(queue_dir, exist_ok=True)
+        os.makedirs(self.dead_letter_dir, exist_ok=True)
+
+    def enqueue(self, corpus_path: str, run_id: str | None = None) -> str:
+        run_id = run_id or time.strftime("%Y%m%d-%H%M%S-") + str(
+            time.time_ns() % 1_000_000,
+        )
+        path = os.path.join(self.queue_dir, f"{run_id}.json")
+        with open(path, "w") as f:
+            json.dump({"corpus_path": corpus_path, "attempt_id": 0}, f)
+        return run_id
+
+    def _pending(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self.queue_dir)
+            if f.endswith(".json")
+            and os.path.isfile(os.path.join(self.queue_dir, f))
+        )
+
+    def process_one(self) -> dict | None:
+        """Handle the oldest request; returns the manifest or None."""
+        pending = self._pending()
+        if not pending:
+            return None
+        name = pending[0]
+        path = os.path.join(self.queue_dir, name)
+        with open(path) as f:
+            request = json.load(f)
+        try:
+            corpus = self.spark.read.schema(CORPUS_SCHEMA).parquet(
+                request["corpus_path"],
+            )
+            manifest = update_index(
+                self.spark, self.index_root, corpus,
+                source_fingerprint=f"queue:{name}",
+            )
+            os.remove(path)
+            return manifest
+        except Exception:  # noqa: BLE001 - retry/dead-letter policy
+            request["attempt_id"] += 1
+            os.remove(path)
+            if request["attempt_id"] >= MAX_ATTEMPTS:
+                with open(os.path.join(self.dead_letter_dir, name), "w") as f:
+                    json.dump(request, f)
+            else:
+                with open(path, "w") as f:
+                    json.dump(request, f)
+            raise
+
+    def run_forever(self, poll_seconds: float = 1.0, max_loops: int | None = None):
+        loops = 0
+        while max_loops is None or loops < max_loops:
+            try:
+                self.process_one()
+            except Exception:  # noqa: BLE001 - keep polling (worker loop)
+                pass
+            time.sleep(poll_seconds)
+            loops += 1
+
+
+def stream_index_updates(
+    spark: SparkSession,
+    index_root: str,
+    landing_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Structured Streaming ingestion: parquet files landing in
+    ``landing_dir`` are folded into the index one micro-batch at a
+    time. The ledger fingerprint includes the batch id, so replays
+    after a crash are no-ops (exactly-once on top of at-least-once)."""
+
+    def fold(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        update_index(
+            spark, index_root, batch_df,
+            source_fingerprint=f"stream:{checkpoint_dir}:{batch_id}",
+        )
+
+    reader = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

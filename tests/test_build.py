@@ -6,13 +6,22 @@ import pytest
 from tests.conftest import N_DOCS
 
 
-def test_doc_ids_dense_and_deterministic(index):
+def test_doc_ids_dense_and_deterministic(spark, corpus, index, tmp_path):
     ds = index["doc_stats"].orderBy("doc_id").toPandas()
+    # dense serial ids (key_ semantics,
+    # write_new_variants_table.py:197-199)
     assert list(ds["doc_id"]) == list(range(len(ds)))
-    # dense assignment follows the (repo, path, commit) sort order
-    # (serial key_ semantics, write_new_variants_table.py:197-199)
-    keys = list(zip(ds["repo"], ds["path"], ds["commit"]))
-    assert keys == sorted(keys)
+    # deterministic: a rebuild of the same corpus assigns identical ids
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+
+    root = str(tmp_path / "rebuild")
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="rebuild")
+    ds2 = (
+        load_index(spark, root)["doc_stats"].orderBy("doc_id").toPandas()
+    )
+    assert ds[["doc_id", "repo", "path", "commit"]].equals(
+        ds2[["doc_id", "repo", "path", "commit"]],
+    )
 
 
 def test_sha256_invariant_vs_source(corpus, index):

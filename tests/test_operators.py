@@ -1,0 +1,140 @@
+"""Operator-level tests: similarity/ANN, multimodal plumbing, salting."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(pdf["vec_id"], np.round(cos, 5)), key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk(emb, [float(x) for x in q], 10).collect()
+    ]
+    assert got == [(int(v), float(c)) for v, c in order]
+
+
+def test_lsh_ann_recall_reasonable(spark, emb):
+    from seqr_loading_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    brute = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+    # these synthetic vectors are nearly orthogonal (top-10 cosines
+    # ~0.3), so a wide hamming radius is needed for recall; true
+    # near-dups (cos > 0.9) collide at radius 1
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk_lsh(emb, q, 10, hamming_radius=6).collect()
+    }
+    assert len(brute & approx) / len(brute) >= 0.2
+
+
+def test_minhash_similar_docs_collide(spark):
+    """Two docs sharing most shingles must share an LSH band bucket."""
+    from seqr_loading_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (0, base),
+        (1, base + " tail difference"),
+        (2, "completely different content with other words entirely " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_multimodal_extract_features(spark):
+    from seqr_loading_pipelines_spark.operators.multimodal import (
+        extract_features,
+        to_media_table,
+    )
+
+    from seqr_loading_pipelines_spark.operators.multimodal import _sniff_magic
+
+    # magic sniffing on raw bytes (utf-8 text payloads can't carry
+    # binary magic — \x89 re-encodes to two bytes)
+    assert _sniff_magic(b"\x89PNG\r\n") == "png"
+    assert _sniff_magic(b"\xff\xd8\xffdata") == "jpeg"
+    assert _sniff_magic(None) is None
+
+    docs = spark.createDataFrame(
+        [(1, "GIF8 fake image bytes"), (2, ""), (3, "plain text")],
+        "doc_id long, text string",
+    )
+    media = to_media_table(docs)
+    rows = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert rows[1]["sniffed"] == "gif"  # ascii magic survives utf-8
+    assert rows[2]["n_bytes"] == 0
+    assert rows[3]["sniffed"] == "unknown"
+    assert 0 <= rows[3]["fake_feature"] < 997
+
+
+def test_multimodal_decode_is_stubbed():
+    from seqr_loading_pipelines_spark.operators.multimodal import (
+        decode_image,
+        frame_sample,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        frame_sample(b"RIFF")
+
+
+def test_salted_count_matches_plain(spark):
+    from seqr_loading_pipelines_spark.functions.hashing import salted_count
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+    )
+    got = {r["k"]: r["count"] for r in salted_count(df, "k").collect()}
+    want = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_salt_expr_spreads_hot_key(spark):
+    from seqr_loading_pipelines_spark.functions.hashing import salt_expr
+
+    df = spark.range(1000).select(F.lit("hot").alias("k"), "id")
+    n = (
+        df.select(salt_expr(F.col("k"), F.col("id"), n_salt=16).alias("s"))
+        .select(F.countDistinct("s"))
+        .first()[0]
+    )
+    assert n == 16
+
+
+def test_quality_score_empty_and_normal(spark):
+    from seqr_loading_pipelines_spark.operators.text import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the and of to in " * 30), (3, "!!!???###")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert rows[1]["quality"] == pytest.approx(0.2, abs=1e-6)  # empty: only punct term
+    assert rows[2]["quality"] > 0.5
+    assert rows[3]["punct_ratio"] == 1.0

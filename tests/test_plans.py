@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: the optimizations we rely on at 100 TB
+must be visible in .explain output, not assumed.
+
+- term_id filters reach the parquet scan (PushedFilters) so posting
+  row-groups prune;
+- doc_stats projection prunes the heavy terms column from the scan;
+- the term-dictionary lookup and top-k hydration use broadcast joins;
+- parity queries stay JVM-side (no BatchEvalPython in the plan).
+"""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted",
+    )
+
+
+def test_postings_term_filter_pushdown(spark, index):
+    import pyspark.sql.functions as F
+
+    df = index["postings"].filter(F.col("term_id").isin([1, 2, 3]))
+    plan = _plan(df)
+    assert "PushedFilters: [In(term_id" in plan, plan
+
+
+def test_doc_stats_scan_prunes_terms_column(spark, index):
+    plan = _plan(index["doc_stats"])
+    # ReadSchema of the docs scan must not include the terms array
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert all("terms" not in ln for ln in read_schema), read_schema
+
+
+def test_hydrate_uses_broadcast_join(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+
+    top = search_exact(spark, index, "sw0", 5)
+    plan = _plan(hydrate(index, top))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_parity_queries_are_jvm_side(spark):
+    """Hot-path operator queries must not fall back to row-at-a-time
+    Python (BatchEvalPython); Arrow-batched stages (ArrowEvalPython /
+    MapInPandas) are the only sanctioned Python."""
+    from seqr_loading_pipelines_spark.plans.entry_queries import QUERIES
+
+    jvm_only = [
+        "doc_stats", "term_dictionary", "bm25_topk", "token_counts",
+        "lang_id", "quality_score", "doc_fingerprint", "exact_dedup",
+        "simhash_dedup", "minhash_lsh_candidates", "pricing_summary",
+        "embedding_cosine_topk",
+    ]
+    for name in jvm_only:
+        plan = _plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in plan, f"{name} uses per-row Python"
+
+
+def test_dict_join_is_broadcast_in_build_plan(spark, tmp_path):
+    """The term-dictionary attach inside the build must broadcast the
+    small dict side rather than shuffling the posting stream."""
+    import pyspark.sql.functions as F
+
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_expr
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma").alias("content"),
+    )
+    flat = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("content"))).alias("term"),
+    )
+    dict_df = F.broadcast(
+        flat.groupBy("term").agg(F.count("*").alias("df")),
+    )
+    plan = _plan(flat.join(dict_df, "term"))
+    assert "BroadcastHashJoin" in plan, plan

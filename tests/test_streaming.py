@@ -1,0 +1,64 @@
+import os
+
+import pytest
+
+from seqr_loading_pipelines_spark.corpus import generate_corpus
+from seqr_loading_pipelines_spark.index.build import load_index
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.streaming.incremental import (
+    QueueWorker,
+    stream_index_updates,
+)
+
+
+def test_queue_worker_processes_oldest_first(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    qdir = str(tmp_path / "queue")
+    c1 = generate_corpus(spark, 60, n_repos=3, seed=5)
+    c2 = generate_corpus(spark, 100, n_repos=3, seed=5)
+    p1, p2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    c1.write.parquet(p1)
+    c2.write.parquet(p2)
+
+    w = QueueWorker(spark, root, qdir)
+    w.enqueue(p1, run_id="20240101-000000-1")
+    w.enqueue(p2, run_id="20240101-000001-2")
+    m1 = w.process_one()
+    assert m1["n_docs"] == 60
+    m2 = w.process_one()
+    assert m2["n_docs"] == 100  # 40 new docs appended via anti-join
+    assert w.process_one() is None  # queue drained
+
+
+def test_queue_worker_dead_letters_bad_requests(spark, tmp_path):
+    from seqr_loading_pipelines_spark.streaming.incremental import MAX_ATTEMPTS
+
+    w = QueueWorker(spark, str(tmp_path / "idx"), str(tmp_path / "q"))
+    w.enqueue(str(tmp_path / "does-not-exist"), run_id="bad")
+    for _ in range(MAX_ATTEMPTS):
+        with pytest.raises(Exception):
+            w.process_one()
+    assert w.process_one() is None
+    assert os.path.exists(str(tmp_path / "q" / "dead_letter" / "bad.json"))
+
+
+def test_structured_streaming_folds_batches(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    generate_corpus(spark, 80, n_repos=3, seed=9).write.mode("append").parquet(landing)
+
+    q = stream_index_updates(spark, root, landing, ckpt)
+    q.awaitTermination(300)
+    m = load_index(spark, root)["manifest"]
+    assert m["n_docs"] == 80
+
+    # second wave of files -> incremental segment
+    generate_corpus(spark, 140, n_repos=3, seed=9).write.mode("append").parquet(landing)
+    q = stream_index_updates(spark, root, landing, ckpt)
+    q.awaitTermination(300)
+    idx = load_index(spark, root)
+    assert idx["manifest"]["n_docs"] == 140
+    # index answers queries after streaming ingest
+    assert search_exact(spark, idx, "sw0", 5).count() > 0
