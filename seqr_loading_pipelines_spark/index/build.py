@@ -316,6 +316,14 @@ class IndexBuilder:
             F.max("doc_id").alias("m"),
         ).first()  # one job for all corpus-level stats
         n_docs = srow["n"]
+        if not n_docs:
+            # empty (or all-filtered) corpus: refuse loudly instead of
+            # crashing on max_doc_id=None below — callers with
+            # legitimately-empty increments go through update_index,
+            # which publishes a ledger-only manifest for n_new == 0
+            raise ContentValidationError(
+                "empty corpus: no valid documents to index",
+            )
         avgdl = float(srow["a"] or 0.0) or 1.0
         sum_dl = int(srow["sdl"] or 0)
         new_max_doc_id = srow["m"]
@@ -373,12 +381,16 @@ class IndexBuilder:
         # row count from parquet footers — no Spark job
         n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
 
-        updates = list(current.get("updates", [])) if current else []
         seg = os.path.relpath(snap, self.table.root)
         manifest = self.table.publish(
             snap,
             {
-                "updates": [*updates, source_fingerprint],
+                # full build REPLACES the corpus, so the ledger resets
+                # to just this fingerprint: carrying old update
+                # fingerprints forward would make a later re-submit of
+                # one of those corpora a silent no-op even though its
+                # documents were dropped with the old segments
+                "updates": [source_fingerprint],
                 # full build: a single segment replaces all prior ones
                 "segments": [seg],
                 "dict_segment": seg,

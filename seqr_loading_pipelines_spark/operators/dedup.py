@@ -117,10 +117,21 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    # exact Jaccard needs the TRUE shared count (incl. common shingles):
+    # exact Jaccard needs the TRUE shared count (incl. common shingles)
+    # — but ONLY for candidate docs. Semi-join the posting relation to
+    # the candidate doc-id population BEFORE the self-join, so the
+    # O(df^2) pair expansion of a hot shingle is bounded by the
+    # candidate count, not the corpus (a stop-shingle with df=D would
+    # otherwise emit D^2 join rows regardless of the later semi-join).
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
     shared = (
-        sh.alias("x")
-        .join(sh.alias("y"), (F.col("x.shingle") == F.col("y.shingle"))
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), (F.col("x.shingle") == F.col("y.shingle"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),

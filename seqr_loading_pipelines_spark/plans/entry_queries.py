@@ -69,13 +69,24 @@ GROUP BY term
 """
 
 
-def q_top_terms(spark, sf_dir):
-    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+def _limit_then_rank(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k without a whole-table window: ``orderBy().limit(k)``
+    (TakeOrderedAndProject — parallel partial top-k per partition, only
+    k rows ever cross to the driver-side stage) and THEN a rank window
+    over the <= k survivors. The constant partition key declares the
+    (tiny) single partition, so no 'move all data to one partition'
+    plan ever exists (query/bm25.py rank_topk is the same pattern)."""
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
     return (
-        q_term_dictionary(spark, sf_dir)
+        df.orderBy(*order_cols)
+        .limit(k)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
     )
+
+
+def q_top_terms(spark, sf_dir):
+    order = [F.col("cf").desc(), F.col("term").asc()]
+    return _limit_then_rank(q_term_dictionary(spark, sf_dir), order, 20)
 
 
 SQL_TOP_TERMS = f"""
@@ -99,9 +110,13 @@ def q_bm25_topk(spark, sf_dir, terms=None, k=10):
     toks = docs.select(
         "doc_id", tokenize_expr(F.col("text")).alias("toks"),
     )
-    n_docs = docs.count()
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).first()[0]
+    # ONE action for both corpus-level constants (single source scan;
+    # the index-backed query path reads these from the manifest instead)
+    srow = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = srow["n"], srow["avgdl"]
     flat = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(terms))
@@ -123,11 +138,9 @@ def q_bm25_topk(spark, sf_dir, terms=None, k=10):
         .groupBy("doc_id")
         .agg(F.sum("contribution").alias("s"))
     )
-    w = Window.orderBy(F.floor(F.col("s") * 1e5 + 0.5).desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", F.round("s", 4).alias("score"), "rank")
+    order = [F.floor(F.col("s") * 1e5 + 0.5).desc(), F.col("doc_id").asc()]
+    return _limit_then_rank(scored, order, k).select(
+        "doc_id", F.round("s", 4).alias("score"), "rank",
     )
 
 
@@ -428,9 +441,13 @@ WITH sh AS (
   FROM (SELECT * FROM sh SEMI JOIN rare USING (shingle)) a
   JOIN (SELECT * FROM sh SEMI JOIN rare USING (shingle)) b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), cand_ids AS (
+  SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b AS doc_id FROM cand
+), sh_c AS (
+  SELECT * FROM sh SEMI JOIN cand_ids USING (doc_id)
 ), shared AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM sh_c x JOIN sh_c y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   SEMI JOIN cand ON x.doc_id = cand.doc_a AND y.doc_id = cand.doc_b
   GROUP BY 1, 2
 )
@@ -553,11 +570,8 @@ def q_shipping_priority(spark, sf_dir):
             ).alias("revenue"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        revenue.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-    )
+    order = [F.col("revenue").desc(), F.col("l_orderkey").asc()]
+    return _limit_then_rank(revenue, order, 10)
 
 
 SQL_SHIPPING_PRIORITY = """

@@ -123,12 +123,20 @@ def quantized(score_col) -> "F.Column":
 
 
 def rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Deterministic top-k: (quantized score desc, doc_id asc)."""
+    """Deterministic top-k: (quantized score desc, doc_id asc).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (parallel
+    per-partition partial top-k, no global sort); the rank window then
+    runs over <= k rows. The constant partition key keeps the window a
+    declared single-partition op (it IS one partition of k rows) rather
+    than an accidental whole-table collapse.
+    """
     ranked = scored.orderBy(
         quantized(F.col("score")).desc(), F.col("doc_id").asc(),
     ).limit(k)
-    # rank window runs over <= k rows (post-limit), not the full corpus
-    w = Window.orderBy(quantized(F.col("score")).desc(), F.col("doc_id").asc())
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    )
     return ranked.select(
         "doc_id", "score", F.row_number().over(w).alias("rank"),
     )

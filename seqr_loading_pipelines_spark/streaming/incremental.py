@@ -61,6 +61,14 @@ class QueueWorker:
             and os.path.isfile(os.path.join(self.queue_dir, f))
         )
 
+    def _dead_letter(self, name: str, payload: dict) -> None:
+        """Atomically move a request out of the queue into dead-letter."""
+        tmp = os.path.join(self.dead_letter_dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(self.dead_letter_dir, name))
+        os.remove(os.path.join(self.queue_dir, name))
+
     def process_one(self) -> dict | None:
         """Handle the oldest request; returns the manifest or None."""
         pending = self._pending()
@@ -68,8 +76,14 @@ class QueueWorker:
             return None
         name = pending[0]
         path = os.path.join(self.queue_dir, name)
-        with open(path) as f:
-            request = json.load(f)
+        try:
+            # parse INSIDE the failure path: a corrupt/truncated file
+            # must dead-letter, not wedge the queue head forever
+            with open(path) as f:
+                request = json.load(f)
+        except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+            self._dead_letter(name, {"error": f"unparseable: {exc}"})
+            raise
         try:
             corpus = self.spark.read.schema(CORPUS_SCHEMA).parquet(
                 request["corpus_path"],
@@ -81,14 +95,16 @@ class QueueWorker:
             os.remove(path)
             return manifest
         except Exception:  # noqa: BLE001 - retry/dead-letter policy
-            request["attempt_id"] += 1
-            os.remove(path)
+            request["attempt_id"] = request.get("attempt_id", 0) + 1
             if request["attempt_id"] >= MAX_ATTEMPTS:
-                with open(os.path.join(self.dead_letter_dir, name), "w") as f:
-                    json.dump(request, f)
+                self._dead_letter(name, request)
             else:
-                with open(path, "w") as f:
+                # atomic re-enqueue: a crash mid-update can never lose
+                # the request (write tmp, then rename over the original)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
                     json.dump(request, f)
+                os.replace(tmp, path)
             raise
 
     def run_forever(self, poll_seconds: float = 1.0, max_loops: int | None = None):

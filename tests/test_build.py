@@ -173,9 +173,46 @@ def test_incremental_build_high_water_mark(spark, tmp_path):
     m1 = load_index(spark, root)["manifest"]
     assert m1["max_doc_id"] == 49
 
+    from seqr_loading_pipelines_spark.index.merge import update_index
+
     c2 = generate_corpus(spark, 80, n_repos=3, seed=7)
-    b2 = IndexBuilder(spark, root)
-    b2.build(c2.subtract(c1), source_fingerprint="batch2")
+    update_index(spark, root, c2, source_fingerprint="batch2")
     m2 = load_index(spark, root)["manifest"]
     assert m2["max_doc_id"] >= 50
     assert "batch1" in m2["updates"] and "batch2" in m2["updates"]
+
+
+def test_full_rebuild_resets_ledger(spark, tmp_path):
+    """build() over an existing index REPLACES the corpus, so old
+    update fingerprints must leave the ledger — otherwise re-submitting
+    one of those corpora later would silently no-op even though its
+    documents were dropped with the old segments."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.index.merge import update_index
+
+    root = str(tmp_path / "idx")
+    c1 = generate_corpus(spark, 40, n_repos=3, seed=7)
+    IndexBuilder(spark, root).build(c1, source_fingerprint="batch1")
+    c2 = generate_corpus(spark, 60, n_repos=3, seed=7)
+    update_index(spark, root, c2, source_fingerprint="batch2")
+
+    c3 = generate_corpus(spark, 30, n_repos=3, seed=9)
+    IndexBuilder(spark, root).build(c3, source_fingerprint="rebuild")
+    m = load_index(spark, root)["manifest"]
+    assert m["updates"] == ["rebuild"]
+    # ...so re-submitting batch1's corpus now indexes its docs again
+    update_index(spark, root, c1, source_fingerprint="batch1")
+    m2 = load_index(spark, root)["manifest"]
+    assert m2["n_docs"] > m["n_docs"]
+
+
+def test_empty_corpus_raises(spark, tmp_path):
+    from seqr_loading_pipelines_spark.errors import ContentValidationError
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(ContentValidationError):
+        IndexBuilder(spark, str(tmp_path / "idx")).build(empty, "empty")

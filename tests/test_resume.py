@@ -60,6 +60,13 @@ def test_kill_then_resume_matches_clean_build(spark, tmp_path):
     # no manifest should have been published by the killed run
     if was_killed:
         assert not os.path.exists(os.path.join(killed_root, "CURRENT"))
+    # record which checkpoints survived the kill (path -> _SUCCESS mtime):
+    # a resumed checkpoint is REUSED, so its marker must not be rewritten
+    survivors = {}
+    for snap_dir, _, files in os.walk(killed_root):
+        if "_SUCCESS" in files:
+            marker = os.path.join(snap_dir, "_SUCCESS")
+            survivors[marker] = os.path.getmtime(marker)
 
     # re-run to completion: resumes from surviving stage checkpoints
     _run_build(killed_root, n, kill_after=None)
@@ -78,10 +85,21 @@ def test_kill_then_resume_matches_clean_build(spark, tmp_path):
     assert td_r.equals(td_c)
     assert resumed["postings"].count() == clean["postings"].count()
     assert resumed["manifest"]["n_docs"] == clean["manifest"]["n_docs"] == n
-    # resume evidence: if the kill landed mid-build, at least one stage
-    # checkpoint must have been reused
-    if was_killed and any(
-        d.startswith("snap_") for d in os.listdir(killed_root)
-    ):
+    # resume evidence: every checkpoint that survived the kill must have
+    # been REUSED by the re-run (marker not rewritten), and if a _stage
+    # checkpoint survived it must also carry the resumed flag
+    if was_killed and survivors:
+        for marker, mtime in survivors.items():
+            assert os.path.getmtime(marker) == mtime, (
+                f"checkpoint {marker} was rebuilt instead of reused"
+            )
         stages = resumed["manifest"]["metrics"]["stages"]
-        assert any(info.get("resumed") for info in stages.values()) or True
+        stage_survivors = [
+            name
+            for name in stages
+            if any(
+                m.endswith(os.path.join(name, "_SUCCESS")) for m in survivors
+            )
+        ]
+        for name in stage_survivors:
+            assert stages[name].get("resumed"), name
