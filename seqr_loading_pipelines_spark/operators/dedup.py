@@ -271,6 +271,64 @@ def simhash62(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs whose 62-bit simhash hamming distance is <= max_distance.
+
+    Band rotation (the pigeonhole trick): split the 62 bits into
+    ``max_distance + 1`` contiguous bands. Two hashes within distance r
+    differ in at most r bands, so at least one band matches EXACTLY —
+    candidate pairs are docs sharing any (band_idx, band_value) bucket,
+    a hash join on a short key instead of an all-pairs O(n^2) compare.
+    Exact hamming distance verifies each candidate (bit_count of xor,
+    pure JVM). Same shape as the MinHash LSH banding above.
+    """
+    n_bands = max_distance + 1
+    width = (62 + n_bands - 1) // n_bands
+    sh = simhash62(docs, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    # contiguous bit slice [i*width, (i+1)*width)
+                    F.shiftright(F.col("simhash"), i * width)
+                    % F.lit(1 << width)
+                    for i in range(n_bands)
+                ],
+            ),
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Docs whose 62-bit simhash collides exactly (strong near-dup)."""
     sh = simhash62(docs, text_col)

@@ -1,0 +1,83 @@
+"""Export-shape operators: recursive snake_case -> camelCase rename of
+nested struct fields with deterministic (sorted) field ordering.
+
+The reference reshapes its internal snake_case tables into the
+camelCase, field-sorted JSON export the seqr app consumes
+(v03_pipeline/lib/tasks/exports/misc.py:22-34 ``snake_to_camelcase``,
+:129-158 ``reformat_fields_for_export`` — recursive over nested
+structs and arrays of structs, with sorted field order so exports are
+byte-stable across runs).
+
+Spark version: pure Column expression rebuilds — ``F.struct`` for
+structs, ``F.transform`` for arrays — so the rename stays inside
+whole-stage codegen; no UDF, no extra shuffle (a projection only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def snake_to_camel(name: str) -> str:
+    """foo_bar_baz -> fooBarBaz (leading/trailing underscores kept)."""
+    parts = name.split("_")
+    head = [parts[0]]
+    return "".join(
+        head + [p[:1].upper() + p[1:] if p else "" for p in parts[1:]],
+    )
+
+
+def _rebuilt(col: Column, dtype: T.DataType) -> Column:
+    """Recursively rebuild a column with camelCase, sorted struct fields."""
+    if isinstance(dtype, T.StructType):
+        fields = sorted(dtype.fields, key=lambda f: snake_to_camel(f.name))
+        return F.struct(
+            *[
+                _rebuilt(col.getField(f.name), f.dataType).alias(
+                    snake_to_camel(f.name),
+                )
+                for f in fields
+            ],
+        )
+    if isinstance(dtype, T.ArrayType):
+        inner = dtype.elementType
+        if _needs_rebuild(inner):
+            return F.transform(col, lambda x: _rebuilt(x, inner))
+        return col
+    if isinstance(dtype, T.MapType):
+        if _needs_rebuild(dtype.valueType):
+            return F.map_from_arrays(
+                F.map_keys(col),
+                F.transform(
+                    F.map_values(col),
+                    lambda v: _rebuilt(v, dtype.valueType),
+                ),
+            )
+        return col
+    return col
+
+
+def _needs_rebuild(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.StructType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _needs_rebuild(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _needs_rebuild(dtype.valueType)
+    return False
+
+
+def rename_nested_snake_to_camel(df: DataFrame) -> DataFrame:
+    """Rename every column AND every nested struct field (at any depth,
+    including through arrays and map values) from snake_case to
+    camelCase, sorting struct fields by their new name. Top-level
+    column order is sorted too — the deterministic export contract."""
+    cols = sorted(df.schema.fields, key=lambda f: snake_to_camel(f.name))
+    return df.select(
+        *[
+            _rebuilt(F.col(f.name), f.dataType).alias(snake_to_camel(f.name))
+            for f in cols
+        ],
+    )

@@ -372,6 +372,57 @@ FROM sh GROUP BY simhash HAVING count(*) > 1
 SQL_SIMHASH_DEDUP = _sql_simhash()
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    pairs = D.simhash_near_dups(_doubled_docs(spark, sf_dir), max_distance=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _sql_simhash_near_dups(max_distance=3) -> str:
+    n_bands = max_distance + 1
+    width = (62 + n_bands - 1) // n_bands
+    lo = (
+        "list_sum(list_transform(generate_series(0, 30), i -> "
+        "CASE WHEN list_sum(list_transform(hs, h -> "
+        "CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+    )
+    hi = lo.replace("hs,", "hs2,")
+    band_items = ", ".join(
+        f"(simhash >> {i * width}) % {1 << width}" for i in range(n_bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_T}), t -> {_H32}) AS hs,
+         list_transform(list_distinct({_T}), t -> {_H32S}) AS hs2
+  FROM {_DOUBLED} d
+), sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(hs) > 0
+              THEN {lo} + {hi} * (1::BIGINT << 31)
+              ELSE 0 END AS BIGINT) AS simhash
+  FROM t
+), bands AS (
+  SELECT doc_id, simhash,
+         unnest(generate_series(0, {n_bands - 1})) AS band,
+         unnest([{band_items}]) AS bucket
+  FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_distance}
+"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups()
+
+
 def q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_candidates(_doubled_docs(spark, sf_dir))
 
@@ -956,6 +1007,52 @@ FULL OUTER JOIN (
 """
 
 
+def q_nested_rename(spark, sf_dir):
+    """Recursive snake->camel nested-struct rename with sorted fields
+    (exports/misc.py:22-34,129-158), round-tripped through to_json so
+    the oracle verifies field NAMES and ORDER, not just values."""
+    from seqr_loading_pipelines_spark.operators.export_shape import (
+        rename_nested_snake_to_camel,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").cast("long").alias("line_number"),
+                    F.col("l_partkey").cast("long").alias("part_key"),
+                ),
+            ),
+        ).alias("line_items"),
+    )
+    src = nested.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.struct(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("line_items").alias("line_items"),
+        ).alias("order_info"),
+    )
+    out = rename_nested_snake_to_camel(src)
+    return out.select(
+        F.col("orderKey").alias("order_key"),
+        F.to_json("orderInfo").alias("order_json"),
+    )
+
+
+SQL_NESTED_RENAME = """
+SELECT l_orderkey AS order_key,
+       to_json(struct_pack(lineItems := items,
+                           orderId := l_orderkey))::VARCHAR AS order_json
+FROM (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(lineNumber := l_linenumber::BIGINT,
+                                    partKey := l_partkey::BIGINT))) AS items
+  FROM lineitem GROUP BY l_orderkey
+)
+"""
+
+
 def q_count_validation(spark, sf_dir):
     """Pre-publish count validation (clickhouse.py:778-814): per-key
     row counts of source vs destination with a mismatch flag."""
@@ -998,6 +1095,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "simhash_near_dups": q_simhash_near_dups,
     "minhash_lsh_candidates": q_minhash_lsh,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -1019,6 +1117,7 @@ QUERIES = {
     "posexplode_tokens": q_posexplode_tokens,
     "composite_xpos_key": q_composite_xpos_key,
     "union_cols_outer": q_union_cols_outer,
+    "nested_rename": q_nested_rename,
     "count_validation": q_count_validation,
 }
 
@@ -1034,6 +1133,7 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "simhash_dedup": SQL_SIMHASH_DEDUP,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "minhash_lsh_candidates": SQL_MINHASH_LSH,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
@@ -1055,5 +1155,6 @@ ORACLE_SQL = {
     "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
     "composite_xpos_key": SQL_COMPOSITE_XPOS_KEY,
     "union_cols_outer": SQL_UNION_COLS_OUTER,
+    "nested_rename": SQL_NESTED_RENAME,
     "count_validation": SQL_COUNT_VALIDATION,
 }

@@ -138,3 +138,53 @@ def test_quality_score_empty_and_normal(spark):
     assert rows[1]["quality"] == pytest.approx(0.2, abs=1e-6)  # empty: only punct term
     assert rows[2]["quality"] > 0.5
     assert rows[3]["punct_ratio"] == 1.0
+
+
+def test_simhash_near_dups_finds_small_perturbations(spark):
+    from seqr_loading_pipelines_spark.operators.dedup import simhash_near_dups
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    rows = [
+        (1, base),
+        (2, base),  # identical -> distance 0
+        (3, base.replace("tok5 ", "tok5 extra_a ", 1)),  # tiny edit
+        (4, " ".join(f"other{i}" for i in range(200))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_distance=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_nested_rename_recursive_and_sorted(spark):
+    from seqr_loading_pipelines_spark.operators.export_shape import (
+        rename_nested_snake_to_camel,
+        snake_to_camel,
+    )
+
+    assert snake_to_camel("foo_bar_baz") == "fooBarBaz"
+    assert snake_to_camel("already") == "already"
+
+    df = spark.createDataFrame(
+        [(1, {"z_field": 2, "a_inner": {"deep_one": 3}}, [{"arr_val": 4}])],
+        "row_id long, "
+        "nested_struct struct<z_field: long, a_inner: struct<deep_one: long>>, "
+        "struct_list array<struct<arr_val: long>>",
+    )
+    out = rename_nested_snake_to_camel(df)
+    # top-level columns renamed and sorted
+    assert out.columns == ["nestedStruct", "rowId", "structList"]
+    ns = out.schema["nestedStruct"].dataType
+    assert [f.name for f in ns.fields] == ["aInner", "zField"]  # sorted
+    assert [f.name for f in ns.fields[0].dataType.fields] == ["deepOne"]
+    sl = out.schema["structList"].dataType.elementType
+    assert [f.name for f in sl.fields] == ["arrVal"]
+    row = out.first()
+    assert row["rowId"] == 1
+    assert row["nestedStruct"]["zField"] == 2
+    assert row["nestedStruct"]["aInner"]["deepOne"] == 3
+    assert row["structList"][0]["arrVal"] == 4
