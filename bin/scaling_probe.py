@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Decompose scaling: which layer stops scaling on this host?
+
+Three fixed-work probes, each run at N and 4N parallelism:
+  1. pure python processes (multiprocessing, no Spark) — the host's
+     real core budget;
+  2. Spark JVM-only work (range -> sha2 -> agg) — JVM task scheduling
+     + codegen under gVisor;
+  3. Spark pandas-UDF round trip (Arrow socket traffic) — the python
+     worker path.
+
+Usage: python bin/scaling_probe.py [--n 2] [--n4 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import subprocess
+import sys
+import time
+
+ROOT = __file__.rsplit("/", 2)[0]
+
+
+def _burn(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) % (1 << 31)
+    return acc
+
+
+def probe_python(procs: int, total_work: int = 64_000_000) -> float:
+    per = total_work // procs
+    t0 = time.time()
+    with mp.Pool(procs) as pool:
+        pool.map(_burn, [per] * procs)
+    return time.time() - t0
+
+
+SPARK_JVM = """
+import time, json, sys
+from pyspark.sql import SparkSession, functions as F
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+cores = spark.sparkContext.defaultParallelism
+n = 24_000_000
+df = spark.range(0, n, numPartitions=2 * cores)
+t0 = time.time()
+df.select(F.sha2(F.col("id").cast("string"), 256).alias("h")).agg(
+    F.count(F.when(F.col("h").startswith("00"), 1))).collect()
+print(json.dumps({"jvm_wall": round(time.time() - t0, 2)}))
+"""
+
+SPARK_UDF = """
+import time, json
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+cores = spark.sparkContext.defaultParallelism
+n = 1_600_000
+
+def work(batches):
+    import hashlib
+    for pdf in batches:
+        out = [hashlib.sha256(str(x).encode()).hexdigest() for x in pdf["id"]]
+        yield pd.DataFrame({"h": out})
+
+df = spark.range(0, n, numPartitions=2 * cores)
+t0 = time.time()
+df.mapInPandas(work, "h string").agg(F.count("h")).collect()
+print(json.dumps({"udf_wall": round(time.time() - t0, 2)}))
+"""
+
+
+def spark_probe(script: str, cores: int) -> float:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".py", delete=False,
+    ) as f:
+        f.write(script)
+        path = f.name
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.local.dir=/dev/shm/spark-local",
+        path,
+    ]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=900, check=False,
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return float(next(iter(json.loads(line).values())))
+    raise RuntimeError(res.stderr[-800:])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--n4", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+    levels = (args.n, args.n4)
+    results = {}
+    for name, fn in (
+        ("python", lambda c: probe_python(c)),
+        ("spark_jvm", lambda c: spark_probe(SPARK_JVM, c)),
+        ("spark_udf", lambda c: spark_probe(SPARK_UDF, c)),
+    ):
+        walls = {c: [] for c in levels}
+        for _ in range(args.repeats):
+            for c in levels:
+                walls[c].append(fn(c))
+        tmin = {c: min(w) for c, w in walls.items()}
+        ratio = tmin[args.n] / tmin[args.n4]
+        results[name] = {
+            "wall_small": round(tmin[args.n], 2),
+            "wall_large": round(tmin[args.n4], 2),
+            "ratio": round(ratio, 2),
+            "efficiency": round(ratio / (args.n4 / args.n), 3),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,27 @@ class IndexBuilder:
         self.rows_per_partition = rows_per_partition
         self.metrics: dict = {"stages": {}}
 
+    def _tune_split_size(self, path: str) -> None:
+        """Size read splits for the NEXT stage so its task count is
+        ~2x cores for this directory. Every parquet task pays a serial
+        schema-JSON parse plus a globally-locked Hadoop Configuration
+        construction (verified via jstack), so a fixed 32 MB split size
+        turns a 2 GB checkpoint into ~60 tasks whose fixed overhead is
+        identical at every cluster size — pure non-scaling residue.
+        Splits proportional to input/cores keep that overhead
+        proportional to cores instead."""
+        try:
+            total = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.startswith("part-")
+            )
+        except OSError:
+            return
+        cores = max(1, self.spark.sparkContext.defaultParallelism)
+        target = min(max(total // (2 * cores) + 1, 16 << 20), 1 << 30)
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
     # ---- resumable stage runner -------------------------------------
     def _stage(self, snapshot_dir: str, name: str, fn) -> DataFrame:
         """Run a stage unless its checkpoint already exists (resume)."""
@@ -253,12 +274,18 @@ class IndexBuilder:
             if carry is not None and len(carry):
                 yield encode_batch(carry)
 
-        parts = max(1, self.spark.sparkContext.defaultParallelism)
+        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
         return (
             postings.withColumn(
-                "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("long"),
+                # int32: shard count stays < 2^31 up to ~1.4e14 docs
+                "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"),
             )
-            .repartition(parts, "term_id")
+            # partition on (term_id, shard_id) — shard_id IS the salt:
+            # a stop-word term's postings split across its doc shards
+            # instead of all landing on one hash partition (the skew
+            # the north rule calls out; groups stay intact because an
+            # encode group is exactly (term_id, shard_id))
+            .repartition(parts, "term_id", "shard_id")
             .sortWithinPartitions("term_id", "shard_id", "doc_id")
             .mapInPandas(encode_stream, schema=POSTING_SCHEMA)
         )
@@ -274,59 +301,89 @@ class IndexBuilder:
         snap = self.table.staging_dir(f"build:{source_fingerprint}")
         t_start = time.time()
 
-        # hash-based doc-id keying scans the source exactly once, so no
-        # source checkpoint is needed — the validation agg is the only
-        # second scan (both fully parallel)
+        # hash-based doc-id keying scans the source exactly ONCE: the
+        # validation counts ride along as observed metrics on the same
+        # pass (df.observe — the accumulator pattern), instead of a
+        # separate full-corpus aggregate job
+        from pyspark.sql import Observation
+
         validated = self._validated(corpus)
-        vrow = validated.agg(
-            F.count("*").alias("n_raw"),
+        val_obs = Observation()
+        observed = validated.observe(
+            val_obs,
+            F.count(F.lit(1)).alias("n_raw"),
             F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
-        ).first()
-        n_raw, n_invalid = vrow["n_raw"], vrow["n_invalid"]
-        if n_invalid == n_raw and n_raw > 0:
-            raise ContentValidationError("all rows have null content")
+        )
 
         max_doc_id = -1
         if current:
             max_doc_id = current.get("max_doc_id", -1)
         # dedup is FUSED into the keying shuffle (one full-data pass):
-        # range partition by key, window keeps max-sha winner, files
-        # land key-sorted for footer-offset dense ids
+        # key-partition, window keeps max-sha winner, files land
+        # key-sorted for footer-offset dense ids
+        key_info: dict = {}
+        t_key = time.time()
         keyed = assign_dense_ids(
             self.spark,
-            validated.filter("_valid").drop("_valid"),
+            observed.filter("_valid").drop("_valid"),
             ["repo", "path", "commit"],
             os.path.join(snap, "keyed_ckpt"),
             start=max_doc_id + 1,
             dedup_order_col="sha256",
+            info=key_info,
         )
-
-        # "docs" doubles as the doc store: doc_stats is a column
-        # projection over it at read time (parquet pruning skips the
-        # terms column), so no separate doc_stats write is needed
-        tokenized = self._stage(
-            snap, "docs",
-            lambda: self._tokenized(keyed, max(1, n_raw - n_invalid)),
-        )
-        doc_stats = tokenized.select(*DOC_STATS_COLS)
-        srow = doc_stats.agg(
-            F.count("*").alias("n"),
-            F.avg("doc_len").alias("a"),
-            F.sum("doc_len").alias("sdl"),
-            F.max("doc_id").alias("m"),
-        ).first()  # one job for all corpus-level stats
-        n_docs = srow["n"]
+        self.metrics["stages"]["keyed"] = {
+            "wall_s": round(time.time() - t_key, 3),
+            "resumed": not key_info["did_write"],
+            "partition_files": _partition_lineage(
+                os.path.join(snap, "keyed_ckpt"),
+            ),
+        }
+        if key_info["did_write"]:
+            vmetrics = val_obs.get
+            n_raw, n_invalid = vmetrics["n_raw"], vmetrics["n_invalid"]
+        else:
+            # resumed checkpoint: the observed pass never ran, so
+            # recount from the source (rare path; resume-only)
+            vrow = validated.agg(
+                F.count("*").alias("n_raw"),
+                F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
+            ).first()
+            n_raw, n_invalid = vrow["n_raw"], vrow["n_invalid"]
+        if n_invalid == n_raw and n_raw > 0:
+            raise ContentValidationError("all rows have null content")
+        # dense ids: totals come from the checkpoint's parquet footers
+        n_docs = key_info["n_rows"]
+        new_max_doc_id = key_info["max_id"]
         if not n_docs:
             # empty (or all-filtered) corpus: refuse loudly instead of
-            # crashing on max_doc_id=None below — callers with
-            # legitimately-empty increments go through update_index,
-            # which publishes a ledger-only manifest for n_new == 0
+            # crashing on max_doc_id=None — callers with legitimately-
+            # empty increments go through update_index, which publishes
+            # a ledger-only manifest for n_new == 0
             raise ContentValidationError(
                 "empty corpus: no valid documents to index",
             )
-        avgdl = float(srow["a"] or 0.0) or 1.0
-        sum_dl = int(srow["sdl"] or 0)
-        new_max_doc_id = srow["m"]
+
+        # "docs" doubles as the doc store: doc_stats is a column
+        # projection over it at read time (parquet pruning skips the
+        # terms column), so no separate doc_stats write is needed.
+        # sum(doc_len) rides the tokenize pass as an observed metric.
+        doc_obs = Observation()
+        self._tune_split_size(os.path.join(snap, "keyed_ckpt"))
+        tokenized = self._stage(
+            snap, "docs",
+            lambda: self._tokenized(keyed, n_docs).observe(
+                doc_obs, F.sum("doc_len").alias("sdl"),
+            ),
+        )
+        doc_stats = tokenized.select(*DOC_STATS_COLS)
+        if self.metrics["stages"]["docs"].get("resumed"):
+            sum_dl = int(
+                doc_stats.agg(F.sum("doc_len")).first()[0] or 0,
+            )
+        else:
+            sum_dl = int(doc_obs.get["sdl"] or 0)
+        avgdl = (sum_dl / n_docs) or 1.0
 
         # flat postings: explode the per-doc term counts (no extra groupBy
         # — tf and dl were computed inside the Arrow batch)
@@ -338,6 +395,7 @@ class IndexBuilder:
         # pre-aggregation first (north rule). Materialize the aggregate
         # BEFORE dense-id assignment so range sampling re-reads parquet
         # instead of recomputing the explode.
+        self._tune_split_size(os.path.join(snap, "docs"))
         term_stats = self._stage(
             snap, "term_stats",
             lambda: flat.groupBy("term").agg(
@@ -347,6 +405,7 @@ class IndexBuilder:
         # dict ids stay df-desc ordered (frequent terms get small ids —
         # the Enum8/LowCardinality analog); range sampling is cheap
         # here because term_stats is a materialized stage
+        dict_info: dict = {}
         dict_df = assign_dense_ids(
             self.spark,
             term_stats,
@@ -354,9 +413,10 @@ class IndexBuilder:
             os.path.join(snap, "dict_ckpt"),
             id_col="term_id",
             partitioning="range",
+            info=dict_info,
         ).drop("neg_df")
         term_dict = self._stage(snap, "term_dict", lambda: dict_df)
-        n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
+        n_terms = dict_info["n_rows"]
 
         # map term -> term_id (+ df for idf): broadcast when small
         dict_small = n_terms <= 5_000_000
@@ -366,15 +426,25 @@ class IndexBuilder:
         ln = F.log1p(
             (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
         )
+        # narrow the posting shuffle rows: int32 term_id (dense ids —
+        # long only past 2^31 distinct terms), int32 tf/dl, float32 idf
+        # (idf feeds only the stored block_max_score metadata; query
+        # executors recompute bounds from (max_tf, min_dl) + live idf)
+        tid_type = "int" if n_terms < (1 << 31) else "long"
         postings_flat = flat.join(d, "term").select(
-            "term_id", "doc_id", "tf", "dl", ln.alias("idf"),
+            F.col("term_id").cast(tid_type).alias("term_id"),
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+            ln.cast("float").alias("idf"),
         )
 
-        # _postings_blocks already hash-partitions by term_id and sorts,
-        # so block rows land term-clustered in each parquet file and
-        # row-group min/max stats prune term_id filters at query time.
-        # (No repartitionByRange: its sampling pass would re-run the
-        # encode UDF a second time.)
+        # _postings_blocks already hash-partitions by (term_id,
+        # shard_id) and sorts, so block rows land term-clustered in
+        # each parquet file and row-group min/max stats prune term_id
+        # filters at query time. (No repartitionByRange: its sampling
+        # pass would re-run the encode UDF a second time.)
+        self._tune_split_size(os.path.join(snap, "docs"))
         self._stage(
             snap, "postings", lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
         )
@@ -454,6 +524,7 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
         )
     root = table.root
     segs = manifest["segments"]
+    tomb_dirs = manifest.get("tombstone_dirs") or []
     return {
         "manifest": manifest,
         "postings": spark.read.parquet(
@@ -467,4 +538,10 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
         "term_dict": spark.read.parquet(
             os.path.join(root, manifest["dict_segment"], "term_dict"),
         ),
+        # logically-deleted docIDs (index/deletes.py); None when clean
+        "tombstones": spark.read.parquet(
+            *[os.path.join(root, t) for t in tomb_dirs],
+        )
+        if tomb_dirs
+        else None,
     }

@@ -1,0 +1,134 @@
+"""Document deletes: tombstone sets folded in by compaction.
+
+The reference deletes families by inserting ``sign=-1`` rows that a
+later ``OPTIMIZE FINAL`` collapses (v03_pipeline/lib/misc/clickhouse.py
+:625-637 sign-collapse, :1043-1100 ``delete_family_guids``) — logical
+delete now, physical removal deferred to a merge. Same shape here,
+Iceberg-delete-file style:
+
+- ``delete_docs`` writes the victim docID set as a tombstone parquet,
+  publishes a manifest pointing at it, and REWRITES ONLY the term
+  dictionary with exact per-term df/cf decrements (computed from the
+  victims' stored term vectors — one pruned scan of the doc store, no
+  posting decode). n_docs/sum_dl/avgdl adjust in the manifest, so BM25
+  scores of surviving docs are rank-identical to a from-scratch
+  rebuild without the deleted docs.
+- query executors (query/bm25.py, query/wand.py) exclude tombstoned
+  docIDs during scoring (broadcast sorted-array membership test).
+- ``compact_segments`` (index/merge.py) folds tombstones in
+  physically: decode -> drop victims -> re-encode, then clears the
+  tombstone list (the OPTIMIZE FINAL analog).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.build import load_index
+from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
+
+
+def tombstone_ids(index: dict) -> np.ndarray | None:
+    """Sorted numpy array of tombstoned docIDs (None when there are
+    none). Cached on the index dict — the set is bounded because
+    compaction folds it to zero; at 100 TB scale it is the analog of
+    ClickHouse's in-flight sign=-1 rows between OPTIMIZEs."""
+    if "_tombstone_ids" in index:
+        return index["_tombstone_ids"]
+    ids = None
+    if index.get("tombstones") is not None:
+        rows = index["tombstones"].select("doc_id").collect()
+        if rows:
+            ids = np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+    index["_tombstone_ids"] = ids
+    return ids
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_root: str,
+    predicate,
+) -> dict:
+    """Logically delete every doc matching ``predicate`` (a SQL string
+    or Column over doc_stats columns). Idempotent: already-tombstoned
+    docs never double-decrement the dictionary."""
+    table = ManifestTable(index_root)
+    current = table.current_manifest()
+    if current is None:
+        raise FileNotFoundError(f"no published index at {index_root}")
+    idx = load_index(spark, index_root)
+    t_start = time.time()
+
+    victims = idx["doc_stats"].filter(predicate).select("doc_id", "doc_len")
+    if idx.get("tombstones") is not None:
+        victims = victims.join(idx["tombstones"], "doc_id", "left_anti")
+
+    snap = table.new_snapshot_dir()
+    tomb_path = os.path.join(snap, "tombstones")
+    victims.select("doc_id").repartition(1).write.mode("overwrite").parquet(
+        tomb_path,
+    )
+    vrow = victims.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("sdl"),
+    ).first()
+    n_del = int(vrow["n"] or 0)
+    if n_del == 0:
+        return current  # nothing matched: keep the current snapshot
+
+    # exact per-term df/cf decrements from the victims' stored term
+    # vectors: a doc_id-pruned scan of the doc store — no posting
+    # decode, no full-corpus re-tokenize
+    root = table.root
+    docs_full = spark.read.parquet(
+        *[os.path.join(root, s, "docs") for s in current["segments"]],
+    ).select("doc_id", "terms")
+    victim_terms = docs_full.join(
+        F.broadcast(victims.select("doc_id")), "doc_id",
+    ).select(F.explode("terms").alias("t"))
+    dec = victim_terms.groupBy(F.col("t.term").alias("term")).agg(
+        F.count("*").alias("df_dec"), F.sum("t.tf").alias("cf_dec"),
+    )
+    # dictionary rewrite with decrements; terms fully deleted leave
+    # the dict (df -> 0), matching a rebuild's vocabulary
+    (
+        idx["term_dict"]
+        .join(F.broadcast(dec), "term", "left")
+        .select(
+            "term",
+            "term_id",
+            (F.col("df") - F.coalesce("df_dec", F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce("cf_dec", F.lit(0))).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap, "term_dict"))
+    )
+
+    from seqr_loading_pipelines_spark.index.build import _parquet_row_count
+
+    n_docs = current["n_docs"] - n_del
+    sum_dl = current["sum_dl"] - int(vrow["sdl"] or 0)
+    seg = os.path.relpath(snap, root)
+    old_tombs = list(current.get("tombstone_dirs", []))
+    return table.publish(
+        snap,
+        {
+            **{k: current[k] for k in (
+                "updates", "segments", "max_doc_id", "n_blocks",
+                "k1", "b", "shard_size",
+            )},
+            "dict_segment": seg,
+            "tombstone_dirs": [*old_tombs, os.path.join(seg, "tombstones")],
+            "n_docs": int(n_docs),
+            "n_terms": _parquet_row_count(os.path.join(snap, "term_dict")),
+            "sum_dl": int(sum_dl),
+            "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+            "n_deleted": int(current.get("n_deleted", 0) + n_del),
+            "delete_wall_s": round(time.time() - t_start, 3),
+        },
+    )

@@ -52,7 +52,7 @@ def write_range_sorted(
     import os
 
     if os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
-        return
+        return False
     if partitioning == "range":
         staged = df.repartitionByRange(num_partitions, *key_cols)
     else:
@@ -77,6 +77,7 @@ def write_range_sorted(
     # arithmetic — no window, no shuffle, no re-sort
     staged = staged.withColumn("_mid", F.monotonically_increasing_id())
     staged.write.mode("overwrite").parquet(checkpoint_path)
+    return True
 
 
 def assign_dense_ids(
@@ -89,11 +90,17 @@ def assign_dense_ids(
     num_partitions: int | None = None,
     dedup_order_col: str | None = None,
     partitioning: str = "hash",
+    info: dict | None = None,
 ) -> DataFrame:
+    """See write_range_sorted. When ``info`` (a dict) is passed, it is
+    filled with driver-side facts that save follow-up Spark jobs:
+    ``n_rows`` (total rows, from parquet footers), ``max_id``
+    (start + n_rows - 1; ids are dense), and ``did_write`` (False when
+    the checkpoint was resumed)."""
     import os
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    write_range_sorted(
+    did_write = write_range_sorted(
         df, key_cols, checkpoint_path, parts, dedup_order_col, partitioning,
     )
     staged = spark.read.parquet(checkpoint_path)
@@ -115,6 +122,10 @@ def assign_dense_ids(
         pid = int(f.split("-")[1])
         offsets.append((pid, acc))
         acc += pq.ParquetFile(os.path.join(checkpoint_path, f)).metadata.num_rows
+    if info is not None:
+        info["n_rows"] = acc - start
+        info["max_id"] = acc - 1
+        info["did_write"] = did_write
     offsets_df = F.broadcast(
         spark.createDataFrame(offsets, "_pid long, _offset long"),
     )

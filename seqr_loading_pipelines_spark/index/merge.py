@@ -67,41 +67,47 @@ def update_index(
     snap = table.staging_dir(f"update:{source_fingerprint}")
     k1, b = builder.k1, builder.b
 
-    # 1. validate + dedup the incoming batch (same stages as build)
-    validated = builder._validated(corpus)
-    vrow = validated.agg(
-        F.count("*").alias("n_raw"),
-        F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
-    ).first()
+    # 1. validate the incoming batch; counts ride the keying pass as
+    # observed metrics (same single-scan shape as build())
+    from pyspark.sql import Observation
 
-    # 2. anti-join: only docs whose key is absent from the doc store;
+    validated = builder._validated(corpus)
+    val_obs = Observation()
+    observed = validated.observe(
+        val_obs,
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(~F.col("_valid"), 1)).alias("n_invalid"),
+    )
+
+    # 2. anti-join: only docs whose key is absent from the LIVE doc
+    # store — tombstoned docs don't block re-insertion (a re-submitted
+    # deleted doc gets a fresh docID; the old one stays tombstoned);
     # dedup fuses into the keying shuffle (see build())
-    new_only = validated.filter("_valid").drop("_valid").join(
-        old["doc_stats"].select("repo", "path", "commit"),
+    live_keys = old["doc_stats"].select("doc_id", "repo", "path", "commit")
+    if old.get("tombstones") is not None:
+        live_keys = live_keys.join(old["tombstones"], "doc_id", "left_anti")
+    new_only = observed.filter("_valid").drop("_valid").join(
+        live_keys.select("repo", "path", "commit"),
         ["repo", "path", "commit"],
         "left_anti",
     )
+    key_info: dict = {}
     keyed = assign_dense_ids(
         spark, new_only, ["repo", "path", "commit"],
         os.path.join(snap, "keyed_ckpt"),
         start=current["max_doc_id"] + 1,
         dedup_order_col="sha256",
+        info=key_info,
     )
-
-    # 3. tokenize new docs only ("docs" = doc store + terms)
-    tokenized = builder._stage(
-        snap, "docs",
-        lambda: builder._tokenized(keyed, max(1, vrow["n_raw"])),
-    )
-    from seqr_loading_pipelines_spark.index.build import DOC_STATS_COLS
-
-    new_doc_stats = tokenized.select(*DOC_STATS_COLS)
-    srow = new_doc_stats.agg(
-        F.count("*").alias("n"),
-        F.sum("doc_len").alias("sdl"),
-        F.max("doc_id").alias("m"),
-    ).first()
-    n_new = srow["n"] or 0
+    if key_info["did_write"]:
+        n_invalid = int(val_obs.get["n_invalid"])
+    else:  # resumed checkpoint: the observed pass never ran
+        n_invalid = int(
+            validated.agg(
+                F.count(F.when(~F.col("_valid"), 1)),
+            ).first()[0],
+        )
+    n_new = key_info["n_rows"]
     if n_new == 0:
         # nothing new: record the update in the ledger, reuse segments
         manifest = table.publish(
@@ -112,15 +118,34 @@ def update_index(
                     "n_terms", "n_blocks", "avgdl", "sum_dl", "k1", "b",
                     "shard_size",
                 )},
+                **_carry_tombstones(current),
                 "updates": [*current["updates"], source_fingerprint],
-                "n_invalid_content": int(vrow["n_invalid"]),
+                "n_invalid_content": n_invalid,
                 "metrics": builder.metrics,
             },
         )
         return manifest
 
+    # 3. tokenize new docs only ("docs" = doc store + terms);
+    # sum(doc_len) rides the tokenize pass as an observed metric
+    doc_obs = Observation()
+    builder._tune_split_size(os.path.join(snap, "keyed_ckpt"))
+    tokenized = builder._stage(
+        snap, "docs",
+        lambda: builder._tokenized(keyed, n_new).observe(
+            doc_obs, F.sum("doc_len").alias("sdl"),
+        ),
+    )
+    from seqr_loading_pipelines_spark.index.build import DOC_STATS_COLS
+
+    new_doc_stats = tokenized.select(*DOC_STATS_COLS)
+    if builder.metrics["stages"]["docs"].get("resumed"):
+        new_sdl = int(new_doc_stats.agg(F.sum("doc_len")).first()[0] or 0)
+    else:
+        new_sdl = int(doc_obs.get["sdl"] or 0)
+
     n_docs = current["n_docs"] + n_new
-    sum_dl = current["sum_dl"] + int(srow["sdl"] or 0)
+    sum_dl = current["sum_dl"] + new_sdl
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
     avgdl = avgdl or 1.0
 
@@ -170,9 +195,16 @@ def update_index(
     ln = F.log1p(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
     )
+    # narrow shuffle rows (matches build(): int32 ids/counts, f32 idf)
+    tid_type = "int" if n_terms < (1 << 31) else "long"
     postings_flat = flat.join(d, "term").select(
-        "term_id", "doc_id", "tf", "dl", ln.alias("idf"),
+        F.col("term_id").cast(tid_type).alias("term_id"),
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+        ln.cast("float").alias("idf"),
     )
+    builder._tune_split_size(os.path.join(snap, "docs"))
     builder._stage(
         snap, "postings",
         lambda: builder._postings_blocks(postings_flat, n_docs, avgdl),
@@ -183,14 +215,15 @@ def update_index(
     return table.publish(
         snap,
         {
+            **_carry_tombstones(current),
             "updates": [*current["updates"], source_fingerprint],
             "segments": [*current["segments"], seg],
             "dict_segment": seg,
-            "max_doc_id": int(srow["m"]),
+            "max_doc_id": int(key_info["max_id"]),
             "n_docs": int(n_docs),
             "n_terms": int(n_terms),
             "n_blocks": int(current["n_blocks"] + n_blocks_new),
-            "n_invalid_content": int(vrow["n_invalid"]),
+            "n_invalid_content": n_invalid,
             "avgdl": avgdl,
             "sum_dl": int(sum_dl),
             "k1": k1,
@@ -203,41 +236,144 @@ def update_index(
     )
 
 
-def compact_segments(spark: SparkSession, index_root: str) -> dict:
-    """Sorted segment merge: fold all segments into one.
+def _carry_tombstones(current: dict) -> dict:
+    """Manifest fields that must survive a ledger/segment republish."""
+    out = {}
+    if current.get("tombstone_dirs"):
+        out["tombstone_dirs"] = current["tombstone_dirs"]
+    if current.get("n_deleted"):
+        out["n_deleted"] = current["n_deleted"]
+    return out
 
-    Segments hold disjoint, ordered docID ranges, so the merged
-    posting order is (term_id, shard_id, first_doc_id) — a sort-merge
-    with no decode/re-encode of block payloads. Block ids are
-    renumbered per (term, shard); doc stats and the dictionary carry
-    over. Published atomically as a single-segment manifest.
+
+def compact_segments(spark: SparkSession, index_root: str) -> dict:
+    """Segment compaction: fold all segments (and any tombstones) into
+    one physical segment.
+
+    Without tombstones this is a pure sorted segment merge: segments
+    hold disjoint, ordered docID ranges, so the merged posting order is
+    (term_id, shard_id, first_doc_id) — no decode/re-encode of block
+    payloads, block ids renumbered per (term, shard).
+
+    With tombstones it is the OPTIMIZE FINAL analog
+    (clickhouse.py:693-750 sign-collapse): blocks are decoded, deleted
+    docIDs dropped, and postings re-encoded under the already-adjusted
+    dictionary — after which the tombstone list is empty and queries
+    pay zero exclusion cost again.
     """
     table = ManifestTable(index_root)
     current = table.current_manifest()
     if current is None:
         raise FileNotFoundError(f"no published index at {index_root}")
-    if len(current["segments"]) == 1:
+    tomb_dirs = current.get("tombstone_dirs") or []
+    if len(current["segments"]) == 1 and not tomb_dirs:
         return current
     old = load_index(spark, index_root)
     snap = table.new_snapshot_dir()
     parts = max(1, spark.sparkContext.defaultParallelism)
 
-    w = Window.partitionBy("term_id", "shard_id").orderBy("first_doc_id")
-    (
-        old["postings"]
-        .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
-        .repartition(parts, "term_id")
-        .sortWithinPartitions("term_id", "shard_id", "block_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap, "postings"))
-    )
-    (
-        old["doc_stats"]
-        .repartition(parts)
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(snap, "docs"))
-    )
+    if tomb_dirs:
+        from seqr_loading_pipelines_spark.index.build import IndexBuilder
+        from seqr_loading_pipelines_spark.index.codec import varbyte_decode
+        from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
+
+        import numpy as np
+        import pandas as pd
+
+        tomb = tombstone_ids(old)
+        bc = spark.sparkContext.broadcast(tomb)
+
+        def explode_blocks(batches):
+            victims = bc.value
+            for pdf in batches:
+                outs = []
+                for tid, deltas, tfs_b, dls_b in zip(
+                    pdf["term_id"], pdf["doc_id_deltas"],
+                    pdf["tfs"], pdf["dls"],
+                ):
+                    doc_ids = np.cumsum(varbyte_decode(bytes(deltas)))
+                    keep = ~np.isin(doc_ids, victims)
+                    if not keep.any():
+                        continue
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term_id": np.full(
+                                    int(keep.sum()), int(tid), dtype=np.int64,
+                                ),
+                                "doc_id": doc_ids[keep],
+                                "tf": varbyte_decode(bytes(tfs_b))[keep],
+                                "dl": varbyte_decode(bytes(dls_b))[keep],
+                            },
+                        ),
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        flat = old["postings"].select(
+            "term_id", "doc_id_deltas", "tfs", "dls",
+        ).mapInPandas(
+            explode_blocks, "term_id long, doc_id long, tf long, dl long",
+        )
+        n_docs, avgdl = current["n_docs"], current["avgdl"]
+        d = old["term_dict"].select("term_id", "df")
+        if current["n_terms"] <= 5_000_000:
+            d = F.broadcast(d)
+        ln = F.log1p(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+        )
+        # inner join against the (delete-adjusted) dictionary also drops
+        # postings of fully-deleted terms, matching a rebuild's output
+        tid_type = "int" if current["n_terms"] < (1 << 31) else "long"
+        postings_flat = flat.join(d, "term_id").select(
+            F.col("term_id").cast(tid_type).alias("term_id"),
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+            ln.cast("float").alias("idf"),
+        )
+        builder = IndexBuilder(
+            spark, index_root,
+            k1=current["k1"], b=current["b"],
+            shard_size=current["shard_size"],
+        )
+        builder._postings_blocks(
+            postings_flat, n_docs, avgdl,
+        ).write.mode("overwrite").parquet(os.path.join(snap, "postings"))
+        root = table.root
+        docs_full = spark.read.parquet(
+            *[os.path.join(root, s, "docs") for s in current["segments"]],
+        )
+        (
+            docs_full.join(F.broadcast(old["tombstones"]), "doc_id", "left_anti")
+            .repartition(parts)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap, "docs"))
+        )
+        n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
+    else:
+        w = Window.partitionBy("term_id", "shard_id").orderBy("first_doc_id")
+        (
+            old["postings"]
+            .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
+            .repartition(parts, "term_id")
+            .sortWithinPartitions("term_id", "shard_id", "block_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap, "postings"))
+        )
+        root = table.root
+        docs_full = spark.read.parquet(
+            *[os.path.join(root, s, "docs") for s in current["segments"]],
+        )
+        (
+            docs_full
+            .repartition(parts)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(snap, "docs"))
+        )
+        n_blocks = current["n_blocks"]
     old["term_dict"].write.mode("overwrite").parquet(
         os.path.join(snap, "term_dict"),
     )
@@ -246,11 +382,13 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         snap,
         {
             **{k: current[k] for k in (
-                "updates", "max_doc_id", "n_docs", "n_terms", "n_blocks",
+                "updates", "max_doc_id", "n_docs", "n_terms",
                 "avgdl", "sum_dl", "k1", "b", "shard_size",
             )},
+            "n_blocks": int(n_blocks),
             "segments": [seg],
             "dict_segment": seg,
             "compacted_from": current["segments"],
+            "n_compacted_tombstones": int(current.get("n_deleted", 0)),
         },
     )

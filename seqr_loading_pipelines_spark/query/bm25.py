@@ -73,6 +73,9 @@ def _decoded_postings(
     blocks = index["postings"].filter(F.col("term_id").isin(tids)).select(
         "term_id", "doc_id_deltas", "tfs", "dls",
     )
+    from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
+
+    tomb = tombstone_ids(index)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,6 +86,10 @@ def _decoded_postings(
                 doc_ids = np.cumsum(varbyte_decode(bytes(deltas)))
                 tfs = varbyte_decode(bytes(tfs_b)).astype(np.float64)
                 dls = varbyte_decode(bytes(dls_b)).astype(np.float64)
+                if tomb is not None:
+                    # exclude logically-deleted docs (sorted-array test)
+                    keep = ~np.isin(doc_ids, tomb)
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
                 contrib = idf_by_tid[int(term_id)] * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )

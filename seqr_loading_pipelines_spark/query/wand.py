@@ -111,6 +111,12 @@ class _TermCursor:
         self.advance_to(self.current_doc + 1)
 
 
+def _in_sorted(arr: np.ndarray, x: int) -> bool:
+    """Membership test against a sorted int64 array (binary search)."""
+    i = int(np.searchsorted(arr, x))
+    return i < len(arr) and int(arr[i]) == x
+
+
 def _quantize(s: float) -> int:
     """Shared tie rule (query/bm25.py ``quantized``): floor(s*1e5+0.5)."""
     import math
@@ -119,7 +125,12 @@ def _quantize(s: float) -> int:
 
 
 def _wand_shard(
-    groups: list[tuple[float, list[dict]]], k: int, k1: float, b: float, avgdl: float,
+    groups: list[tuple[float, list[dict]]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one shard. groups = [(idf, blocks)] per term.
 
@@ -163,6 +174,16 @@ def _wand_shard(
             break  # nothing remaining can beat the heap floor
         pivot_doc = live[pivot_idx].current_doc
         if live[0].current_doc == pivot_doc:
+            if excluded is not None and _in_sorted(excluded, pivot_doc):
+                # tombstoned doc: advance past it without scoring (it
+                # must not occupy a heap slot a surviving doc would
+                # have taken)
+                for c in live:
+                    if c.current_doc == pivot_doc:
+                        c.next_doc()
+                    elif c.current_doc > pivot_doc:
+                        break
+                continue
             # block-max check before full evaluation. The bound must
             # cover EVERY cursor positioned at pivot_doc — including
             # ties sorted after the pivot index — or it under-counts
@@ -213,6 +234,9 @@ def search_wand(
         "term_id", "shard_id", "first_doc_id", "last_doc_id",
         "max_tf", "min_dl", "doc_id_deltas", "tfs", "dls",
     )
+    from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
+
+    tomb = tombstone_ids(index)
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = []
@@ -231,7 +255,7 @@ def search_wand(
                 for r in sub.itertuples()
             ]
             groups.append((idf_by_tid[int(tid)], blks))
-        top = _wand_shard(groups, k, k1, b, avgdl)
+        top = _wand_shard(groups, k, k1, b, avgdl, excluded=tomb)
         return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"},
         )

@@ -1,0 +1,144 @@
+"""Document deletes: tombstone semantics, rank-identity vs a rebuild
+without the deleted docs, physical fold at compaction, re-insertion."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from seqr_loading_pipelines_spark.corpus import generate_corpus
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.index.deletes import delete_docs
+from seqr_loading_pipelines_spark.index.merge import compact_segments, update_index
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.query.wand import search_wand
+
+QUERIES = ["sw0 term_00042", "term_00007 term_00123 sw3", "term_01500"]
+
+
+def _results(spark, root, k=10):
+    idx = load_index(spark, root)
+    out = {}
+    for q in QUERIES:
+        out[q] = [
+            (r["doc_id"], round(r["score"], 5), r["rank"])
+            for r in search_exact(spark, idx, q, k).collect()
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def deleted_env(spark, tmp_path_factory):
+    """Build 400 docs, delete one repo's docs, plus a rebuilt index of
+    only the survivors (the rank-identity reference)."""
+    base = tmp_path_factory.mktemp("deletes")
+    root = str(base / "idx")
+    corpus = generate_corpus(spark, 400, n_repos=5, seed=11)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="full")
+    manifest = delete_docs(spark, root, F.col("repo") == "repo_0000")
+
+    rebuilt_root = str(base / "rebuilt")
+    # identical survivor corpus: drop the same repo BEFORE indexing
+    survivors = corpus.filter(F.col("repo") != "repo_0000")
+    IndexBuilder(spark, rebuilt_root).build(survivors, "survivors")
+    return {
+        "root": root,
+        "rebuilt_root": rebuilt_root,
+        "manifest": manifest,
+        "corpus": corpus,
+    }
+
+
+def test_delete_excludes_docs_and_adjusts_stats(spark, deleted_env):
+    root = deleted_env["root"]
+    idx = load_index(spark, root)
+    m = idx["manifest"]
+    rebuilt = load_index(spark, deleted_env["rebuilt_root"])["manifest"]
+    assert m["n_docs"] == rebuilt["n_docs"]
+    assert m["sum_dl"] == rebuilt["sum_dl"]
+    assert abs(m["avgdl"] - rebuilt["avgdl"]) < 1e-9
+    assert m["n_deleted"] > 0
+    # deleted docs never surface
+    victims = {r["doc_id"] for r in idx["tombstones"].collect()}
+    assert victims
+    for q, rows in _results(spark, root).items():
+        assert not ({d for d, _, _ in rows} & victims), q
+
+
+def test_delete_rank_identical_to_rebuild(spark, deleted_env):
+    got = _results(spark, deleted_env["root"])
+    # rebuilt index has different docIDs; compare by (repo, path) keys
+    idx = load_index(spark, deleted_env["root"])
+    reb = load_index(spark, deleted_env["rebuilt_root"])
+    key_of = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in idx["doc_stats"].collect()
+    }
+    key_of_reb = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in reb["doc_stats"].collect()
+    }
+    for q in QUERIES:
+        want = [
+            ((key_of_reb[r["doc_id"]]), round(r["score"], 5))
+            for r in search_exact(spark, reb, q, 10).collect()
+        ]
+        have = [(key_of[d], s) for d, s, _ in got[q]]
+        assert have == want, q
+
+
+def test_wand_matches_exact_with_tombstones(spark, deleted_env):
+    idx = load_index(spark, deleted_env["root"])
+    for q in QUERIES:
+        exact = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        wand = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, idx, q, 10).collect()
+        ]
+        assert wand == exact, q
+
+
+def test_delete_idempotent(spark, deleted_env):
+    root = deleted_env["root"]
+    before = load_index(spark, root)["manifest"]
+    after = delete_docs(spark, root, F.col("repo") == "repo_0000")
+    assert after["n_docs"] == before["n_docs"]
+    assert after.get("n_deleted") == before.get("n_deleted")
+
+
+def test_compaction_physically_drops_tombstones(spark, deleted_env):
+    root = deleted_env["root"]
+    got_before = _results(spark, root)
+    m = compact_segments(spark, root)
+    assert not m.get("tombstone_dirs")
+    idx = load_index(spark, root)
+    assert idx["tombstones"] is None
+    # doc store physically shrunk to the live set
+    assert idx["doc_stats"].count() == m["n_docs"]
+    assert idx["doc_stats"].filter(F.col("repo") == "repo_0000").count() == 0
+    # queries identical pre/post fold
+    assert _results(spark, root) == got_before
+
+
+def test_reinsert_deleted_doc_gets_new_id(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 60, n_repos=3, seed=21)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    delete_docs(spark, root, F.col("repo") == "repo_0000")
+    m1 = load_index(spark, root)["manifest"]
+    n_after_delete = m1["n_docs"]
+    # resubmit the full corpus: only the deleted repo's docs are new
+    m2 = update_index(spark, root, corpus, source_fingerprint="v2")
+    assert m2["n_new_docs"] == m2["n_docs"] - n_after_delete
+    assert m2["n_new_docs"] > 0
+    idx = load_index(spark, root)
+    # reinserted docs are live again under fresh ids above the old max
+    live = idx["doc_stats"].join(idx["tombstones"], "doc_id", "left_anti")
+    assert live.filter(F.col("repo") == "repo_0000").count() > 0
+    assert (
+        live.filter(F.col("repo") == "repo_0000")
+        .agg(F.min("doc_id"))
+        .first()[0]
+        > m1["max_doc_id"]
+    )
