@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--fingerprint", default=None)
+    ap.add_argument(
+        "--docs-chunks", type=int, default=1,
+        help="tokenize-stage chunk checkpoints (per-partition resume)",
+    )
     args = ap.parse_args()
 
     # spark-submit provides the session config (master, --py-files);
@@ -56,7 +60,9 @@ def main() -> None:
         fingerprint = args.fingerprint or f"synthetic:{args.n_docs}:{args.seed}"
 
     t0 = time.time()
-    manifest = IndexBuilder(spark, args.out).build(corpus, fingerprint)
+    manifest = IndexBuilder(
+        spark, args.out, docs_chunks=args.docs_chunks,
+    ).build(corpus, fingerprint)
     wall = time.time() - t0
     print(
         json.dumps(

@@ -45,12 +45,14 @@ from pyspark.sql import SparkSession, functions as F
 spark = SparkSession.builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 cores = spark.sparkContext.defaultParallelism
-n = 24_000_000
+spark.range(1000).count()  # warm the scheduler
+n = 96_000_000
 df = spark.range(0, n, numPartitions=2 * cores)
-t0 = time.time()
-df.select(F.sha2(F.col("id").cast("string"), 256).alias("h")).agg(
-    F.count(F.when(F.col("h").startswith("00"), 1))).collect()
-print(json.dumps({"jvm_wall": round(time.time() - t0, 2)}))
+plan = df.select(F.sha2(F.col("id").cast("string"), 256).alias("h")).agg(
+    F.count(F.when(F.col("h").startswith("00"), 1)))
+t0 = time.time(); plan.collect(); cold = time.time() - t0
+t0 = time.time(); plan.collect(); warm = time.time() - t0
+print(json.dumps({"jvm_wall": round(warm, 2), "jvm_cold": round(cold, 2)}))
 """
 
 SPARK_UDF = """
@@ -60,7 +62,8 @@ from pyspark.sql import SparkSession, functions as F
 spark = SparkSession.builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 cores = spark.sparkContext.defaultParallelism
-n = 1_600_000
+spark.range(1000).count()
+n = 9_600_000
 
 def work(batches):
     import hashlib
@@ -69,9 +72,10 @@ def work(batches):
         yield pd.DataFrame({"h": out})
 
 df = spark.range(0, n, numPartitions=2 * cores)
-t0 = time.time()
-df.mapInPandas(work, "h string").agg(F.count("h")).collect()
-print(json.dumps({"udf_wall": round(time.time() - t0, 2)}))
+plan = df.mapInPandas(work, "h string").agg(F.count("h"))
+t0 = time.time(); plan.collect(); cold = time.time() - t0
+t0 = time.time(); plan.collect(); warm = time.time() - t0
+print(json.dumps({"udf_wall": round(warm, 2), "udf_cold": round(cold, 2)}))
 """
 
 

@@ -100,12 +100,18 @@ class IndexBuilder:
         b: float = B,
         shard_size: int = DOC_SHARD_SIZE,
         rows_per_partition: int = ROWS_PER_PARTITION,
+        docs_chunks: int = 1,
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
         self.k1, self.b = k1, b
         self.shard_size = shard_size
         self.rows_per_partition = rows_per_partition
+        # >1 splits the tokenize stage into per-partition-group chunk
+        # checkpoints (finer resume: a died-at-90% run re-does only the
+        # unfinished chunks, north rule "resumable from per-partition
+        # checkpoints"); 1 keeps the single-job fast path
+        self.docs_chunks = docs_chunks
         self.metrics: dict = {"stages": {}}
 
     def _tune_split_size(self, path: str) -> None:
@@ -119,8 +125,9 @@ class IndexBuilder:
         proportional to cores instead."""
         try:
             total = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
+                os.path.getsize(os.path.join(root, f))
+                for root, _, names in os.walk(path)
+                for f in names
                 if f.startswith("part-")
             )
         except OSError:
@@ -143,6 +150,63 @@ class IndexBuilder:
         out = self.spark.read.parquet(path)
         self.metrics["stages"][name]["partition_files"] = _partition_lineage(path)
         return out
+
+    def _stage_docs_chunked(
+        self, snap: str, keyed_path: str, start: int,
+    ) -> tuple[DataFrame, int]:
+        """Tokenize stage at per-partition-group granularity: each
+        chunk covers a fixed subset of the keyed checkpoint's part
+        files and commits its own parquet dir (own _SUCCESS), so a
+        killed run resumes from the last complete CHUNK instead of
+        redoing the whole stage. Returns (docs df, sum_dl)."""
+        from pyspark.sql import Observation
+
+        from seqr_loading_pipelines_spark.index.doc_ids import (
+            checkpoint_offsets,
+            dense_ids_view,
+        )
+
+        path = os.path.join(snap, "docs")
+        files = [f for (_, _, f) in checkpoint_offsets(keyed_path, start)]
+        n_chunks = max(1, min(self.docs_chunks, len(files)))
+        groups = [list(g) for g in np.array_split(files, n_chunks) if len(g)]
+        t0 = time.time()
+        sum_dl, resumed, pending_dirs = 0, 0, []
+        for i, grp in enumerate(groups):
+            cdir = os.path.join(path, f"ck_{i:04d}")
+            if os.path.exists(os.path.join(cdir, "_SUCCESS")):
+                resumed += 1
+                pending_dirs.append(cdir)  # sdl recovered by agg below
+                continue
+            obs = Observation()
+            chunk = dense_ids_view(
+                self.spark, keyed_path, start, files=grp,
+            )
+            (
+                self._tokenized(chunk, 0)
+                .observe(obs, F.sum("doc_len").alias("sdl"))
+                .write.mode("overwrite")
+                .parquet(cdir)
+            )
+            sum_dl += int(obs.get["sdl"] or 0)
+        if pending_dirs:
+            sum_dl += int(
+                self.spark.read.parquet(*pending_dirs)
+                .agg(F.sum("doc_len"))
+                .first()[0]
+                or 0,
+            )
+        self.metrics["stages"]["docs"] = {
+            "wall_s": round(time.time() - t0, 3),
+            "chunks": len(groups),
+            "chunks_resumed": resumed,
+            "resumed": resumed == len(groups),
+            "partition_files": _partition_lineage(path),
+        }
+        docs = self.spark.read.option("recursiveFileLookup", "true").parquet(
+            path,
+        )
+        return docs, sum_dl
 
     # ---- stages ------------------------------------------------------
     def _validated(self, corpus: DataFrame) -> DataFrame:
@@ -368,21 +432,26 @@ class IndexBuilder:
         # projection over it at read time (parquet pruning skips the
         # terms column), so no separate doc_stats write is needed.
         # sum(doc_len) rides the tokenize pass as an observed metric.
-        doc_obs = Observation()
         self._tune_split_size(os.path.join(snap, "keyed_ckpt"))
-        tokenized = self._stage(
-            snap, "docs",
-            lambda: self._tokenized(keyed, n_docs).observe(
-                doc_obs, F.sum("doc_len").alias("sdl"),
-            ),
-        )
-        doc_stats = tokenized.select(*DOC_STATS_COLS)
-        if self.metrics["stages"]["docs"].get("resumed"):
-            sum_dl = int(
-                doc_stats.agg(F.sum("doc_len")).first()[0] or 0,
+        if self.docs_chunks > 1:
+            tokenized, sum_dl = self._stage_docs_chunked(
+                snap, os.path.join(snap, "keyed_ckpt"), max_doc_id + 1,
             )
         else:
-            sum_dl = int(doc_obs.get["sdl"] or 0)
+            doc_obs = Observation()
+            tokenized = self._stage(
+                snap, "docs",
+                lambda: self._tokenized(keyed, n_docs).observe(
+                    doc_obs, F.sum("doc_len").alias("sdl"),
+                ),
+            )
+            if self.metrics["stages"]["docs"].get("resumed"):
+                sum_dl = int(
+                    tokenized.agg(F.sum("doc_len")).first()[0] or 0,
+                )
+            else:
+                sum_dl = int(doc_obs.get["sdl"] or 0)
+        doc_stats = tokenized.select(*DOC_STATS_COLS)
         avgdl = (sum_dl / n_docs) or 1.0
 
         # flat postings: explode the per-doc term counts (no extra groupBy
@@ -493,14 +562,20 @@ def _parquet_row_count(path: str) -> int:
 
 
 def _partition_lineage(path: str) -> list[dict]:
-    """Per-partition lineage: file name + bytes for each written part."""
+    """Per-partition lineage: file name + bytes for each written part
+    (recursive — chunked stages nest ck_*/part-* dirs)."""
     out = []
     try:
-        for name in sorted(os.listdir(path)):
-            if name.startswith("part-"):
-                out.append(
-                    {"file": name, "bytes": os.path.getsize(os.path.join(path, name))},
-                )
+        for root, _, names in sorted(os.walk(path)):
+            for name in sorted(names):
+                if name.startswith("part-"):
+                    full = os.path.join(root, name)
+                    out.append(
+                        {
+                            "file": os.path.relpath(full, path),
+                            "bytes": os.path.getsize(full),
+                        },
+                    )
     except OSError:
         pass
     return out
@@ -531,10 +606,11 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
             *[os.path.join(root, s, "postings") for s in segs],
         ),
         # per-segment doc store; doc_stats = column projection (parquet
-        # pruning never reads the terms column)
-        "doc_stats": spark.read.parquet(
-            *[os.path.join(root, s, "docs") for s in segs],
-        ).select(*DOC_STATS_COLS),
+        # pruning never reads the terms column); recursive lookup
+        # handles chunk-checkpointed docs dirs (ck_*/part-*)
+        "doc_stats": spark.read.option("recursiveFileLookup", "true")
+        .parquet(*[os.path.join(root, s, "docs") for s in segs])
+        .select(*DOC_STATS_COLS),
         "term_dict": spark.read.parquet(
             os.path.join(root, manifest["dict_segment"], "term_dict"),
         ),

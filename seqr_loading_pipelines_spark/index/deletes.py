@@ -84,7 +84,7 @@ def delete_docs(
     # vectors: a doc_id-pruned scan of the doc store — no posting
     # decode, no full-corpus re-tokenize
     root = table.root
-    docs_full = spark.read.parquet(
+    docs_full = spark.read.option("recursiveFileLookup", "true").parquet(
         *[os.path.join(root, s, "docs") for s in current["segments"]],
     ).select("doc_id", "terms")
     victim_terms = docs_full.join(

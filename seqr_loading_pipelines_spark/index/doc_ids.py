@@ -80,6 +80,71 @@ def write_range_sorted(
     return True
 
 
+def checkpoint_offsets(
+    checkpoint_path: str, start: int = 0,
+) -> list[tuple[int, int, str]]:
+    """(pid, id_offset, file_name) per written partition, from parquet
+    footers — driver-side, no Spark job. Lexical file order == partition
+    order == key order, so footer row counts give exact prefix offsets."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f
+        for f in os.listdir(checkpoint_path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    out, acc = [], start
+    for f in files:
+        # pid parsed from 'part-00042-...' — positional enumeration
+        # would mis-map if an empty partition wrote no file
+        pid = int(f.split("-")[1])
+        out.append((pid, acc, f))
+        acc += pq.ParquetFile(os.path.join(checkpoint_path, f)).metadata.num_rows
+    return out
+
+
+def dense_ids_view(
+    spark: SparkSession,
+    checkpoint_path: str,
+    start: int = 0,
+    id_col: str = "doc_id",
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Re-derive the dense-id view over an EXISTING keyed checkpoint —
+    optionally over a subset of its part files (the unit of
+    per-partition resume: a chunk re-reads only its own files, with
+    offsets still computed from the full footer list so ids are
+    globally identical)."""
+    import os
+
+    offsets = checkpoint_offsets(checkpoint_path, start)
+    if files is not None:
+        wanted = set(files)
+        paths = [
+            os.path.join(checkpoint_path, f)
+            for (_, _, f) in offsets
+            if f in wanted
+        ]
+        staged = spark.read.parquet(*paths)
+    else:
+        staged = spark.read.parquet(checkpoint_path)
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for (p, o, _) in offsets], "_pid long, _offset long",
+        ),
+    )
+    mid_pid = F.shiftright(F.col("_mid"), 33)
+    mid_row = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        staged.withColumn("_pid", mid_pid)
+        .join(offsets_df, "_pid")
+        .withColumn(id_col, F.col("_offset") + mid_row)
+        .drop("_pid", "_offset", "_mid")
+    )
+
+
 def assign_dense_ids(
     spark: SparkSession,
     df: DataFrame,
@@ -103,37 +168,21 @@ def assign_dense_ids(
     did_write = write_range_sorted(
         df, key_cols, checkpoint_path, parts, dedup_order_col, partitioning,
     )
-    staged = spark.read.parquet(checkpoint_path)
-    # per-PARTITION offsets from parquet footers (no Spark count job):
-    # range partition i wrote file part-0000i, so lexical file order ==
-    # partition order == key order; footer row counts give exact prefix
-    # offsets, and the stamped _mid supplies (pid, row-in-partition).
-    import pyarrow.parquet as pq
-
-    files = sorted(
-        f
-        for f in os.listdir(checkpoint_path)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    offsets, acc = [], start
-    for f in files:
-        # pid parsed from 'part-00042-...' — positional enumeration
-        # would mis-map if an empty partition wrote no file
-        pid = int(f.split("-")[1])
-        offsets.append((pid, acc))
-        acc += pq.ParquetFile(os.path.join(checkpoint_path, f)).metadata.num_rows
     if info is not None:
-        info["n_rows"] = acc - start
-        info["max_id"] = acc - 1
+        import pyarrow.parquet as pq
+
+        offsets = checkpoint_offsets(checkpoint_path, start)
+        last_rows = (
+            pq.ParquetFile(
+                os.path.join(checkpoint_path, offsets[-1][2]),
+            ).metadata.num_rows
+            if offsets
+            else 0
+        )
+        total = (offsets[-1][1] + last_rows - start) if offsets else 0
+        info["n_rows"] = total
+        info["max_id"] = start + total - 1
         info["did_write"] = did_write
-    offsets_df = F.broadcast(
-        spark.createDataFrame(offsets, "_pid long, _offset long"),
-    )
-    mid_pid = F.shiftright(F.col("_mid"), 33)
-    mid_row = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    return (
-        staged.withColumn("_pid", mid_pid)
-        .join(offsets_df, "_pid")
-        .withColumn(id_col, F.col("_offset") + mid_row)
-        .drop("_pid", "_offset", "_mid")
-    )
+    # per-PARTITION offsets from parquet footers (no Spark count job);
+    # the stamped _mid supplies (pid, row-in-partition)
+    return dense_ids_view(spark, checkpoint_path, start, id_col)

@@ -341,7 +341,7 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             postings_flat, n_docs, avgdl,
         ).write.mode("overwrite").parquet(os.path.join(snap, "postings"))
         root = table.root
-        docs_full = spark.read.parquet(
+        docs_full = spark.read.option("recursiveFileLookup", "true").parquet(
             *[os.path.join(root, s, "docs") for s in current["segments"]],
         )
         (
@@ -363,7 +363,7 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             .parquet(os.path.join(snap, "postings"))
         )
         root = table.root
-        docs_full = spark.read.parquet(
+        docs_full = spark.read.option("recursiveFileLookup", "true").parquet(
             *[os.path.join(root, s, "docs") for s in current["segments"]],
         )
         (

@@ -207,6 +207,27 @@ def test_full_rebuild_resets_ledger(spark, tmp_path):
     assert m2["n_docs"] > m["n_docs"]
 
 
+def test_chunked_docs_stage_matches_unchunked(spark, tmp_path):
+    """docs_chunks > 1 (per-partition resume granularity) must produce
+    the identical index: same ids, doc store, dictionary, postings."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+
+    corpus = generate_corpus(spark, 80, n_repos=3, seed=13)
+    r1, r2 = str(tmp_path / "plain"), str(tmp_path / "chunked")
+    IndexBuilder(spark, r1).build(corpus, "v")
+    IndexBuilder(spark, r2, docs_chunks=3).build(corpus, "v")
+    a, b = load_index(spark, r1), load_index(spark, r2)
+    pa = a["doc_stats"].orderBy("doc_id").toPandas()
+    pb = b["doc_stats"].orderBy("doc_id").toPandas()
+    assert pa.equals(pb)
+    assert a["term_dict"].orderBy("term_id").toPandas().equals(
+        b["term_dict"].orderBy("term_id").toPandas(),
+    )
+    assert a["postings"].count() == b["postings"].count()
+    assert b["manifest"]["metrics"]["stages"]["docs"]["chunks"] == 3
+
+
 def test_empty_corpus_raises(spark, tmp_path):
     from seqr_loading_pipelines_spark.errors import ContentValidationError
     from seqr_loading_pipelines_spark.index.build import IndexBuilder

@@ -26,6 +26,7 @@ def _run_build(out: str, n_docs: int, kill_after: float | None = None) -> bool:
         os.path.join(ROOT, "bin", "build_index.py"),
         "--n-docs", str(n_docs), "--out", out,
         "--fingerprint", "resume-test",
+        "--docs-chunks", "4",  # per-partition-group resume granularity
     ]
     proc = subprocess.Popen(
         cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
