@@ -34,6 +34,8 @@ def main() -> None:
     from seqr_loading_pipelines_spark.plans.entry_queries import QUERIES
     from seqr_loading_pipelines_spark.query.bm25 import search_exact
     from seqr_loading_pipelines_spark.query.wand import search_wand
+    from pyspark.sql.functions import col as F_col
+
     from seqr_loading_pipelines_spark.session import get_spark
 
     spark = get_spark(
@@ -81,24 +83,63 @@ def main() -> None:
     timings["bm25_wand_p50"] = pctl(lat_wand, 0.5)
     timings["bm25_wand_p95"] = pctl(lat_wand, 0.95)
 
-    # -- ANN: LSH-bucketed top-k recall vs brute force ------------------
-    from seqr_loading_pipelines_spark.operators.similarity import (
-        cosine_topk,
-        cosine_topk_lsh,
+    # -- ANN: persisted IVF + banded-LSH indexes vs brute force ---------
+    # (>=100k vectors; the sf embeddings table is tiny, so the bench
+    # synthesizes a deterministic clustered vector table)
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_ivf,
+        build_lsh,
+        generate_embeddings,
+        ivf_topk,
+        load_ivf,
+        load_lsh,
+        lsh_topk,
     )
+    from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    qvec = [float(x) for x in emb.first()["embedding"]]
+    n_vecs = max(100_000, N_DOCS)
+    ann_root = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ann")
+    shutil.rmtree(ann_root, ignore_errors=True)
+    vecs_path = os.path.join(ann_root, "vectors")
+    generate_embeddings(spark, n_vecs, dim=64, n_clusters=64).write.mode(
+        "overwrite",
+    ).parquet(vecs_path)
+    emb = spark.read.parquet(vecs_path)
     t0 = time.time()
-    brute = {r["vec_id"] for r in cosine_topk(emb, qvec, 10).collect()}
-    timings["ann_brute"] = round(time.time() - t0, 3)
+    build_ivf(spark, emb, os.path.join(ann_root, "ivf"), n_centroids=128)
+    timings["ann_ivf_build"] = round(time.time() - t0, 3)
     t0 = time.time()
-    approx = {
-        r["vec_id"]
-        for r in cosine_topk_lsh(emb, qvec, 10, hamming_radius=4).collect()
-    }
-    timings["ann_lsh"] = round(time.time() - t0, 3)
-    ann_recall = len(brute & approx) / max(1, len(brute))
+    build_lsh(spark, emb, os.path.join(ann_root, "lsh"))
+    timings["ann_lsh_build"] = round(time.time() - t0, 3)
+    ivf = load_ivf(spark, os.path.join(ann_root, "ivf"))
+    lsh = load_lsh(spark, os.path.join(ann_root, "lsh"))
+    q_rows = emb.filter(F_col("vec_id").isin([1, 3, 5])).collect()
+    recalls_ivf, recalls_lsh = [], []
+    brute_w, ivf_w, lsh_w = [], [], []
+    for row in q_rows:
+        qvec = [float(x) for x in row["embedding"]]
+        t0 = time.time()
+        brute = {r["vec_id"] for r in cosine_topk(emb, qvec, 10).collect()}
+        brute_w.append(time.time() - t0)
+        t0 = time.time()
+        got_ivf = {
+            r["vec_id"]
+            for r in ivf_topk(spark, ivf, qvec, 10, n_probe=8).collect()
+        }
+        ivf_w.append(time.time() - t0)
+        t0 = time.time()
+        got_lsh = {
+            r["vec_id"] for r in lsh_topk(spark, lsh, emb, qvec, 10).collect()
+        }
+        lsh_w.append(time.time() - t0)
+        recalls_ivf.append(len(brute & got_ivf) / max(1, len(brute)))
+        recalls_lsh.append(len(brute & got_lsh) / max(1, len(brute)))
+    timings["ann_brute"] = round(sum(brute_w) / len(brute_w), 3)
+    timings["ann_ivf"] = round(sum(ivf_w) / len(ivf_w), 3)
+    timings["ann_lsh"] = round(sum(lsh_w) / len(lsh_w), 3)
+    ann_recall = sum(recalls_lsh) / len(recalls_lsh)
+    ann_recall_ivf = sum(recalls_ivf) / len(recalls_ivf)
+    shutil.rmtree(ann_root, ignore_errors=True)
 
     # -- headline operator queries at SF_DIR ---------------------------
     headline = [
@@ -123,7 +164,9 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "files_per_sec": round(files_per_sec, 1),
                 "n_docs_indexed": manifest["n_docs"],
+                "ann_n_vectors": n_vecs,
                 "ann_lsh_recall_at_10": round(ann_recall, 3),
+                "ann_ivf_recall_at_10": round(ann_recall_ivf, 3),
                 "cpus": CPUS,
             },
         ),

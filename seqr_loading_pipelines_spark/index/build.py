@@ -208,6 +208,30 @@ class IndexBuilder:
         )
         return docs, sum_dl
 
+    def _rank_dict(self, stats: DataFrame, start: int = 0) -> DataFrame:
+        """(term, df, cf) stats -> dense df-desc term ids, in-plan.
+
+        The rank window runs on ONE declared partition — safe because
+        the input is the post-aggregation dictionary (small side by
+        design: it must broadcast at query time), not the corpus."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            F.col("df").desc(), F.col("term").asc(),
+        )
+        return stats.repartition(1).withColumn(
+            "term_id", F.row_number().over(w) - 1 + F.lit(start),
+        )
+
+    def _dict_df(self, flat: DataFrame, start: int = 0) -> DataFrame:
+        """Exploded (term, tf) stream -> ranked dictionary, one job."""
+        return self._rank_dict(
+            flat.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf"),
+            ),
+            start,
+        )
+
     # ---- stages ------------------------------------------------------
     def _validated(self, corpus: DataFrame) -> DataFrame:
         df = validate_schema(corpus, CORPUS_EXPECTED)
@@ -461,31 +485,21 @@ class IndexBuilder:
         ).select("doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
 
         # term dictionary with dense ids by (df desc, term asc); DF
-        # pre-aggregation first (north rule). Materialize the aggregate
-        # BEFORE dense-id assignment so range sampling re-reads parquet
-        # instead of recomputing the explode.
+        # pre-aggregation first (north rule). ONE job: the groupBy
+        # shuffle collapses the exploded stream to n_terms rows, which
+        # coalesce onto a single partition for the df-desc rank — the
+        # dictionary is by construction the SMALL side (it must
+        # broadcast at query time), so ranking it on one task is the
+        # cheap move; the old 3-write path (materialized stats + range
+        # sampling + id re-write) cost three extra jobs whose fixed
+        # scheduler/codegen overhead is pure non-scaling residue.
+        # (A >100M-term vocabulary would flip dict_strategy to
+        # 'partitioned' — the assign_dense_ids range path.)
         self._tune_split_size(os.path.join(snap, "docs"))
-        term_stats = self._stage(
-            snap, "term_stats",
-            lambda: flat.groupBy("term").agg(
-                F.count("*").alias("df"), F.sum("tf").alias("cf"),
-            ).withColumn("neg_df", -F.col("df")),
+        term_dict = self._stage(
+            snap, "term_dict", lambda: self._dict_df(flat),
         )
-        # dict ids stay df-desc ordered (frequent terms get small ids —
-        # the Enum8/LowCardinality analog); range sampling is cheap
-        # here because term_stats is a materialized stage
-        dict_info: dict = {}
-        dict_df = assign_dense_ids(
-            self.spark,
-            term_stats,
-            ["neg_df", "term"],
-            os.path.join(snap, "dict_ckpt"),
-            id_col="term_id",
-            partitioning="range",
-            info=dict_info,
-        ).drop("neg_df")
-        term_dict = self._stage(snap, "term_dict", lambda: dict_df)
-        n_terms = dict_info["n_rows"]
+        n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
 
         # map term -> term_id (+ df for idf): broadcast when small
         dict_small = n_terms <= 5_000_000

@@ -149,15 +149,16 @@ def update_index(
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
     avgdl = avgdl or 1.0
 
-    # 4. merge term statistics into the global dictionary
+    # 4. merge term statistics into the global dictionary — one job:
+    # new-batch stats full-outer-join the old dict; existing terms keep
+    # their ids with df/cf accumulated, brand-new terms rank df-desc
+    # above the old max (the in-plan single-partition rank, see
+    # IndexBuilder._rank_dict — the dictionary is the small side)
     flat = tokenized.select(
         "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
     ).select("doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
-    new_stats = builder._stage(
-        snap, "term_stats",
-        lambda: flat.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf"),
-        ),
+    new_stats = flat.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"),
     )
     old_dict = old["term_dict"].select("term", "term_id", "df", "cf")
     joined = old_dict.join(new_stats.withColumnsRenamed(
@@ -169,17 +170,14 @@ def update_index(
         (F.col("df") + F.coalesce("df_new", F.lit(0))).alias("df"),
         (F.col("cf") + F.coalesce("cf_new", F.lit(0))).alias("cf"),
     )
-    brand_new_stats = joined.filter(F.col("term_id").isNull()).select(
-        "term",
-        F.col("df_new").alias("df"),
-        F.col("cf_new").alias("cf"),
-    ).withColumn("neg_df", -F.col("df"))
-    brand_new = assign_dense_ids(
-        spark, brand_new_stats, ["neg_df", "term"],
-        os.path.join(snap, "dict_ckpt"),
-        id_col="term_id", start=current["n_terms"],
-        partitioning="range",
-    ).drop("neg_df")
+    brand_new = builder._rank_dict(
+        joined.filter(F.col("term_id").isNull()).select(
+            "term",
+            F.col("df_new").alias("df"),
+            F.col("cf_new").alias("cf"),
+        ),
+        start=current["n_terms"],
+    )
     merged_dict = builder._stage(
         snap, "term_dict",
         lambda: existing.unionByName(

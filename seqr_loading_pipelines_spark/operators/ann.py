@@ -1,0 +1,306 @@
+"""IVF approximate-nearest-neighbor index over an embedding column.
+
+The scale path for similarity search (FAISS-IVF shape, expressed in
+Spark): a persisted index artifact, not per-query recomputation —
+
+- build: deterministic seeded centroid init (k vectors with the
+  smallest md5(vec_id)), a few Lloyd iterations (assignment via an
+  Arrow-batched matmul UDF — the one place built-ins can't express the
+  argmax over k centroids; centroid update is a pure-JVM
+  posexplode + avg), then the assignment table written
+  centroid-clustered so query-time probes prune parquet row groups.
+- query: rank centroids driver-side (k × dim floats), scan ONLY the
+  n_probe nearest centroids' rows (pushed ``centroid_id IN`` filter),
+  exact cosine re-rank inside the candidate set.
+
+Recall is tunable via n_probe; the bench (bench.py) reports
+recall@10 vs the brute-force scan plus both wall clocks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
+
+DEFAULT_CENTROIDS = 64
+DEFAULT_ITERS = 2
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _assign_expr(emb: DataFrame, cents: np.ndarray, vec_col: str):
+    """(rows..., centroid_id) via Arrow-batched argmax(cos) matmul."""
+    cents_n = _normalized(cents.astype(np.float64))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _normalized(mat) @ cents_n.T
+            out = pdf.copy()
+            out["centroid_id"] = np.argmax(sims, axis=1).astype(np.int32)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + ", centroid_id int"
+    return emb.mapInPandas(assign, schema=schema)
+
+
+def build_ivf(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_root: str,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    iters: int = DEFAULT_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build + persist the IVF index; returns its metadata dict."""
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    dim = len(emb.select(vec_col).first()[0])
+    # deterministic seeded init: k vectors with the smallest md5(id)
+    init = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", md5_int32(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cents = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(max(0, iters)):
+        assigned = _assign_expr(emb, cents, vec_col)
+        # centroid update: pure-JVM per-position mean, k*dim tiny rows
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["centroid_id"]][r["pos"]] = r["m"]
+        cents = new
+
+    parts = max(1, spark.sparkContext.defaultParallelism)
+    final = _assign_expr(emb, cents, vec_col)
+    (
+        final.repartition(min(parts, n_centroids), "centroid_id")
+        .sortWithinPartitions("centroid_id", id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_root, "assignments"))
+    )
+    meta = {
+        "n_centroids": int(n_centroids),
+        "dim": int(dim),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": [[float(x) for x in c] for c in cents],
+    }
+    tmp = os.path.join(out_root, "ivf_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_root, "ivf_meta.json"))
+    return meta
+
+
+def load_ivf(spark: SparkSession, out_root: str) -> dict:
+    with open(os.path.join(out_root, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    meta["assignments"] = spark.read.parquet(
+        os.path.join(out_root, "assignments"),
+    )
+    meta["centroids_np"] = np.array(meta["centroids"], dtype=np.float64)
+    return meta
+
+
+def ivf_topk(
+    spark: SparkSession,
+    ivf: dict,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 8,
+) -> DataFrame:
+    """ANN top-k: probe the n_probe nearest centroids only."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = _normalized(ivf["centroids_np"]) @ qn
+    probes = [int(i) for i in np.argsort(-sims)[: max(1, n_probe)]]
+    cand = ivf["assignments"].filter(F.col("centroid_id").isin(probes))
+    return cosine_topk(
+        cand, [float(x) for x in query], k,
+        vec_col=ivf["vec_col"], id_col=ivf["id_col"],
+    )
+
+
+def build_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_root: str,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Persisted banded random-hyperplane LSH signatures.
+
+    n_planes sign bits split into n_bands buckets of n_planes/n_bands
+    bits; near vectors (cos ~ 0.9) share a band bucket with high
+    probability while random pairs almost never do — candidates are a
+    bucket lookup, not a scan. The signature table is the index
+    artifact (the round-1 version recomputed signatures per query —
+    an 'ANN' that still scanned the full table)."""
+    assert n_planes % n_bands == 0
+    width = n_planes // n_bands
+    dim = len(emb.select(vec_col).first()[0])
+    planes = np.random.Generator(
+        np.random.Philox(key=seed * 7919),
+    ).standard_normal((n_planes, dim))
+
+    def signatures(batches):
+        weights = (1 << np.arange(width)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # (n, n_planes)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for band in range(n_bands):
+                chunk = bits[:, band * width : (band + 1) * width]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "band": np.int32(band),
+                            "bucket": chunk @ weights,
+                        },
+                    ),
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    parts = max(1, spark.sparkContext.defaultParallelism)
+    (
+        emb.select(id_col, vec_col)
+        .mapInPandas(signatures, "vec_id long, band int, bucket long")
+        .repartition(parts, "band", "bucket")
+        .sortWithinPartitions("band", "bucket", "vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_root, "signatures"))
+    )
+    meta = {
+        "n_planes": n_planes,
+        "n_bands": n_bands,
+        "dim": dim,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "planes": [[float(x) for x in p] for p in planes],
+    }
+    tmp = os.path.join(out_root, "lsh_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_root, "lsh_meta.json"))
+    return meta
+
+
+def load_lsh(spark: SparkSession, out_root: str) -> dict:
+    with open(os.path.join(out_root, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    meta["signatures"] = spark.read.parquet(
+        os.path.join(out_root, "signatures"),
+    )
+    meta["planes_np"] = np.array(meta["planes"], dtype=np.float64)
+    return meta
+
+
+def lsh_topk(
+    spark: SparkSession,
+    lsh: dict,
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """ANN top-k via bucket lookup + multi-probe: for each band, the
+    query's bucket plus (optionally) every single-bit-flip neighbor
+    bucket; candidates = vectors sharing any probed bucket, then exact
+    cosine re-rank on just those."""
+    planes = lsh["planes_np"]
+    width = lsh["n_planes"] // lsh["n_bands"]
+    q = np.asarray(query, dtype=np.float64)
+    bits = (planes @ q) > 0
+    weights = (1 << np.arange(width)).astype(np.int64)
+    cond = None
+    for band in range(lsh["n_bands"]):
+        chunk = bits[band * width : (band + 1) * width]
+        base = int(chunk @ weights)
+        buckets = [base]
+        if probe_flips >= 1:
+            buckets += [base ^ (1 << i) for i in range(width)]
+        c = (F.col("band") == band) & F.col("bucket").isin(
+            [int(x) for x in buckets],
+        )
+        cond = c if cond is None else (cond | c)
+    cand_ids = (
+        lsh["signatures"].filter(cond).select("vec_id").distinct()
+    )
+    id_col, vec_col = lsh["id_col"], lsh["vec_col"]
+    cand = emb.join(
+        F.broadcast(cand_ids.withColumnRenamed("vec_id", id_col)), id_col,
+    )
+    return cosine_topk(
+        cand, [float(x) for x in query], k, vec_col=vec_col, id_col=id_col,
+    )
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 25,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic clustered synthetic vectors (Philox counter RNG
+    keyed by vec_id — identical output at any parallelism), for the
+    ANN bench: cluster structure gives ANN something real to find."""
+    centers = np.random.Generator(
+        np.random.Philox(key=seed),
+    ).standard_normal((n_clusters, dim)) * 4.0
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for vid in ids:
+                rng = np.random.Generator(
+                    np.random.Philox(key=(seed + 1) * (1 << 32) + int(vid)),
+                )
+                cid = int(vid) % n_clusters
+                vec = centers[cid] + rng.standard_normal(dim)
+                rows.append(
+                    (int(vid), [float(x) for x in vec.astype(np.float32)], cid),
+                )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "embedding", "label"],
+            )
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int",
+    )

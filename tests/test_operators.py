@@ -188,3 +188,50 @@ def test_nested_rename_recursive_and_sorted(spark):
     assert row["nestedStruct"]["zField"] == 2
     assert row["nestedStruct"]["aInner"]["deepOne"] == 3
     assert row["structList"][0]["arrVal"] == 4
+
+
+def test_ivf_ann_recall_and_pruning(spark, tmp_path):
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_ivf,
+        generate_embeddings,
+        ivf_topk,
+        load_ivf,
+    )
+    from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
+
+    vecs = generate_embeddings(spark, 3000, dim=32, n_clusters=12, seed=5)
+    root = str(tmp_path / "ivf")
+    build_ivf(spark, vecs, root, n_centroids=24, iters=2)
+    ivf = load_ivf(spark, root)
+    # determinism: vectors regenerate identically
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    brute = [r["vec_id"] for r in cosine_topk(vecs, q, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(spark, ivf, q, 10, n_probe=6).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.8, (recall, brute, approx)
+    # the probe really prunes: candidate scan smaller than the table
+    probes_all = ivf["assignments"].count()
+    probed = ivf["assignments"].filter(F.col("centroid_id").isin([0, 1])).count()
+    assert probed < probes_all
+
+
+def test_lsh_ann_persisted_recall(spark, tmp_path):
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_lsh,
+        generate_embeddings,
+        load_lsh,
+        lsh_topk,
+    )
+    from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
+
+    vecs = generate_embeddings(spark, 3000, dim=32, n_clusters=12, seed=5)
+    root = str(tmp_path / "lsh")
+    build_lsh(spark, vecs, root, n_planes=64, n_bands=8)
+    lsh = load_lsh(spark, root)
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    brute = [r["vec_id"] for r in cosine_topk(vecs, q, 10).collect()]
+    approx = [
+        r["vec_id"] for r in lsh_topk(spark, lsh, vecs, q, 10).collect()
+    ]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.8, (recall, brute, approx)
