@@ -51,6 +51,7 @@ from seqr_loading_pipelines_spark.index.codec import (
     varbyte_encode_grouped,
 )
 from seqr_loading_pipelines_spark.index.doc_ids import assign_dense_ids
+from seqr_loading_pipelines_spark.sources import fs as pfs
 from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
 from seqr_loading_pipelines_spark.sources.readers import (
     CORPUS_EXPECTED,
@@ -125,10 +126,9 @@ class IndexBuilder:
         proportional to cores instead."""
         try:
             total = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, names in os.walk(path)
-                for f in names
-                if f.startswith("part-")
+                size
+                for rel, size in pfs.list_files(path, recursive=True)
+                if rel.rsplit("/", 1)[-1].startswith("part-")
             )
         except OSError:
             return
@@ -142,7 +142,7 @@ class IndexBuilder:
         path = os.path.join(snapshot_dir, name)
         marker = os.path.join(path, "_SUCCESS")
         t0 = time.time()
-        if not os.path.exists(marker):
+        if not pfs.exists(marker):
             fn().write.mode("overwrite").parquet(path)
             self.metrics["stages"][name] = {"wall_s": round(time.time() - t0, 3)}
         else:
@@ -174,7 +174,7 @@ class IndexBuilder:
         sum_dl, resumed, pending_dirs = 0, 0, []
         for i, grp in enumerate(groups):
             cdir = os.path.join(path, f"ck_{i:04d}")
-            if os.path.exists(os.path.join(cdir, "_SUCCESS")):
+            if pfs.exists(os.path.join(cdir, "_SUCCESS")):
                 resumed += 1
                 pending_dirs.append(cdir)  # sdl recovered by agg below
                 continue
@@ -565,34 +565,22 @@ class IndexBuilder:
 
 
 def _parquet_row_count(path: str) -> int:
-    """Total rows from parquet footers (driver-side, no Spark job)."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for name in os.listdir(path):
-        if name.startswith("part-") and name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return total
+    """Total rows from parquet footers (driver-side, no Spark job;
+    any pyarrow filesystem)."""
+    return pfs.parquet_row_count(path)
 
 
 def _partition_lineage(path: str) -> list[dict]:
     """Per-partition lineage: file name + bytes for each written part
     (recursive — chunked stages nest ck_*/part-* dirs)."""
-    out = []
     try:
-        for root, _, names in sorted(os.walk(path)):
-            for name in sorted(names):
-                if name.startswith("part-"):
-                    full = os.path.join(root, name)
-                    out.append(
-                        {
-                            "file": os.path.relpath(full, path),
-                            "bytes": os.path.getsize(full),
-                        },
-                    )
+        return [
+            {"file": rel, "bytes": size}
+            for rel, size in pfs.list_files(path, recursive=True)
+            if rel.rsplit("/", 1)[-1].startswith("part-")
+        ]
     except OSError:
-        pass
-    return out
+        return []
 
 
 def load_index(spark: SparkSession, index_root: str) -> dict:

@@ -51,7 +51,9 @@ def write_range_sorted(
     """
     import os
 
-    if os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
+    from seqr_loading_pipelines_spark.sources import fs as pfs
+
+    if pfs.exists(os.path.join(checkpoint_path, "_SUCCESS")):
         return False
     if partitioning == "range":
         staged = df.repartitionByRange(num_partitions, *key_cols)
@@ -84,24 +86,18 @@ def checkpoint_offsets(
     checkpoint_path: str, start: int = 0,
 ) -> list[tuple[int, int, str]]:
     """(pid, id_offset, file_name) per written partition, from parquet
-    footers — driver-side, no Spark job. Lexical file order == partition
-    order == key order, so footer row counts give exact prefix offsets."""
-    import os
+    footers — driver-side, no Spark job, any pyarrow filesystem.
+    Lexical file order == partition order == key order, so footer row
+    counts give exact prefix offsets."""
+    from seqr_loading_pipelines_spark.sources import fs as pfs
 
-    import pyarrow.parquet as pq
-
-    files = sorted(
-        f
-        for f in os.listdir(checkpoint_path)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
     out, acc = [], start
-    for f in files:
+    for f, rows in pfs.part_file_rows(checkpoint_path):
         # pid parsed from 'part-00042-...' — positional enumeration
         # would mis-map if an empty partition wrote no file
         pid = int(f.split("-")[1])
         out.append((pid, acc, f))
-        acc += pq.ParquetFile(os.path.join(checkpoint_path, f)).metadata.num_rows
+        acc += rows
     return out
 
 
@@ -169,17 +165,9 @@ def assign_dense_ids(
         df, key_cols, checkpoint_path, parts, dedup_order_col, partitioning,
     )
     if info is not None:
-        import pyarrow.parquet as pq
+        from seqr_loading_pipelines_spark.sources import fs as pfs
 
-        offsets = checkpoint_offsets(checkpoint_path, start)
-        last_rows = (
-            pq.ParquetFile(
-                os.path.join(checkpoint_path, offsets[-1][2]),
-            ).metadata.num_rows
-            if offsets
-            else 0
-        )
-        total = (offsets[-1][1] + last_rows - start) if offsets else 0
+        total = sum(r for _, r in pfs.part_file_rows(checkpoint_path))
         info["n_rows"] = total
         info["max_id"] = start + total - 1
         info["did_write"] = did_write

@@ -1,0 +1,112 @@
+"""Filesystem abstraction for driver-side metadata IO.
+
+The reference runs its manifest/ledger logic against GCS via the
+Hadoop filesystem (v03_pipeline/lib/paths.py + Dataproc task IO); the
+engine's equivalents (manifest pointer swap, parquet-footer counts,
+per-partition lineage, split sizing) must not assume a POSIX local
+disk. Everything funnels through ``pyarrow.fs``:
+
+- plain paths -> LocalFileSystem;
+- ``file://``, ``s3://``, ``gs://``, ``hdfs://`` URIs -> the pyarrow
+  filesystem for that scheme (the Spark side of the same paths is
+  handled by Hadoop's own connectors).
+
+Atomicity note: CURRENT-pointer swaps use ``move`` which is an atomic
+rename on local/HDFS; object stores without atomic rename need their
+conditional-put primitives — same caveat the reference inherits from
+its staged-load design.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyarrow import fs as pafs
+
+
+def resolve(path: str) -> tuple["pafs.FileSystem", str]:
+    """(filesystem, fs-internal path) for a path or URI."""
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+        return fs, p
+    return pafs.LocalFileSystem(), path
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (posix separator)."""
+    return posixpath.join(base, *parts)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def read_text(path: str) -> str:
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return f.read().decode()
+
+
+def write_text_atomic(path: str, text: str) -> None:
+    """Write then rename — readers never observe a partial file."""
+    fs, p = resolve(path)
+    tmp = p + ".tmp"
+    with fs.open_output_stream(tmp) as f:
+        f.write(text.encode())
+    fs.move(tmp, p)
+
+
+def list_files(
+    path: str, recursive: bool = False,
+) -> list[tuple[str, int]]:
+    """[(path relative to ``path``, size)] for regular files, sorted."""
+    fs, p = resolve(path)
+    sel = pafs.FileSelector(p, recursive=recursive, allow_not_found=True)
+    out = [
+        (posixpath.relpath(i.path, p), i.size)
+        for i in fs.get_file_info(sel)
+        if i.type == pafs.FileType.File
+    ]
+    return sorted(out)
+
+
+def parquet_row_count(dir_path: str) -> int:
+    """Total rows across a parquet dir's part files, from footers only
+    (driver-side, no Spark job; works on any pyarrow filesystem)."""
+    import pyarrow.parquet as pq
+
+    fs, p = resolve(dir_path)
+    total = 0
+    for rel, _ in list_files(dir_path, recursive=True):
+        name = rel.rsplit("/", 1)[-1]
+        if name.startswith("part-") and name.endswith(".parquet"):
+            total += pq.read_metadata(
+                posixpath.join(p, rel), filesystem=fs,
+            ).num_rows
+    return total
+
+
+def part_file_rows(dir_path: str) -> list[tuple[str, int]]:
+    """[(file name, row count)] for top-level part files, sorted —
+    the footer-offset primitive behind dense id assignment."""
+    import pyarrow.parquet as pq
+
+    fs, p = resolve(dir_path)
+    out = []
+    for rel, _ in list_files(dir_path):
+        if rel.startswith("part-") and rel.endswith(".parquet"):
+            out.append(
+                (
+                    rel,
+                    pq.read_metadata(
+                        posixpath.join(p, rel), filesystem=fs,
+                    ).num_rows,
+                ),
+            )
+    return out

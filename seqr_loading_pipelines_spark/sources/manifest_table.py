@@ -16,48 +16,54 @@ table globals used as an incremental-state ledger
   readers only ever see fully-published snapshots;
 - idempotent re-publish: a ledger key already present in the current
   manifest makes publish a no-op (Luigi ``complete()`` semantics).
+
+All IO goes through sources/fs.py (pyarrow.fs), so the root may be a
+plain path or a ``file://``/``s3://``/``gs://``/``hdfs://`` URI — the
+reference runs this logic against GCS the same way (lib/paths.py).
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 import uuid
+
+from seqr_loading_pipelines_spark.sources import fs
 
 
 class ManifestTable:
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fs.makedirs(root)
 
     @property
     def _pointer(self) -> str:
-        return os.path.join(self.root, "CURRENT")
+        return fs.join(self.root, "CURRENT")
 
     def current_version(self) -> int | None:
         try:
-            with open(self._pointer) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+            return int(fs.read_text(self._pointer).strip())
+        except (FileNotFoundError, OSError, ValueError):
             return None
 
     def current_manifest(self) -> dict | None:
         v = self.current_version()
         if v is None:
             return None
-        with open(os.path.join(self.root, f"v{v}.manifest.json")) as f:
-            return json.load(f)
+        return json.loads(
+            fs.read_text(fs.join(self.root, f"v{v}.manifest.json")),
+        )
 
     def current_data_path(self) -> str | None:
         m = self.current_manifest()
-        return None if m is None else os.path.join(self.root, m["snapshot_dir"])
+        return None if m is None else fs.join(self.root, m["snapshot_dir"])
 
     def new_snapshot_dir(self) -> str:
         """A staging dir for the next snapshot's data files."""
         name = f"snap_{uuid.uuid4().hex[:12]}"
-        path = os.path.join(self.root, name)
-        os.makedirs(path, exist_ok=True)
+        path = fs.join(self.root, name)
+        fs.makedirs(path)
         return path
 
     def staging_dir(self, key: str) -> str:
@@ -68,8 +74,8 @@ class ManifestTable:
         import hashlib
 
         name = f"snap_{hashlib.sha1(key.encode()).hexdigest()[:12]}"
-        path = os.path.join(self.root, name)
-        os.makedirs(path, exist_ok=True)
+        path = fs.join(self.root, name)
+        fs.makedirs(path)
         return path
 
     def publish(self, snapshot_dir: str, metadata: dict) -> dict:
@@ -77,17 +83,17 @@ class ManifestTable:
         v = (self.current_version() or 0) + 1
         manifest = {
             "version": v,
-            "snapshot_dir": os.path.relpath(snapshot_dir, self.root),
+            "snapshot_dir": posixpath.relpath(
+                snapshot_dir.rstrip("/"), self.root.rstrip("/"),
+            ),
             "published_at_unix": time.time(),
             **metadata,
         }
-        mpath = os.path.join(self.root, f"v{v}.manifest.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)  # the atomic publish
+        fs.write_text_atomic(
+            fs.join(self.root, f"v{v}.manifest.json"),
+            json.dumps(manifest, indent=2, sort_keys=True, default=str),
+        )
+        fs.write_text_atomic(self._pointer, str(v))  # the atomic publish
         return manifest
 
     def ledger_contains(self, key: str, value) -> bool:

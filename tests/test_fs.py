@@ -1,0 +1,75 @@
+"""Portable-FS layer: the index works with file:// URIs end-to-end,
+and the driver-side helpers run against a non-local-rooted pyarrow
+filesystem (SubTreeFileSystem stands in for s3/gcs/hdfs)."""
+
+import pyspark.sql.functions as F
+
+from seqr_loading_pipelines_spark.sources import fs as pfs
+
+
+def test_helpers_on_plain_and_uri_paths(tmp_path):
+    base = str(tmp_path / "x")
+    pfs.makedirs(base)
+    pfs.write_text_atomic(pfs.join(base, "a.txt"), "hello")
+    assert pfs.exists(pfs.join(base, "a.txt"))
+    assert pfs.read_text(pfs.join(base, "a.txt")) == "hello"
+    # same files through a file:// URI
+    uri = "file://" + base
+    assert pfs.exists(pfs.join(uri, "a.txt"))
+    assert pfs.read_text(pfs.join(uri, "a.txt")) == "hello"
+    assert pfs.list_files(uri) == [("a.txt", 5)]
+    assert not pfs.exists(pfs.join(uri, "missing"))
+
+
+def test_helpers_through_mocked_remote_fs(tmp_path, monkeypatch):
+    """Route resolve() through a SubTreeFileSystem — a filesystem whose
+    internal paths do NOT exist on the local tree (the mocked remote):
+    every helper must work purely through the pyarrow FS interface."""
+    from pyarrow import fs as pafs
+
+    root = str(tmp_path / "bucket")
+    pafs.LocalFileSystem().create_dir(root)
+    sub = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+
+    def fake_resolve(path: str):
+        assert path.startswith("mock://"), path
+        return sub, path[len("mock://"):]
+
+    monkeypatch.setattr(pfs, "resolve", fake_resolve)
+    pfs.makedirs("mock://idx/snap_1")
+    pfs.write_text_atomic("mock://idx/CURRENT", "1")
+    assert pfs.read_text("mock://idx/CURRENT") == "1"
+    assert pfs.exists("mock://idx/snap_1")
+    assert pfs.list_files("mock://idx") == [("CURRENT", 1)]
+
+
+def test_build_and_query_over_file_uri(spark, tmp_path):
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    root = "file://" + str(tmp_path / "uri_idx")
+    corpus = generate_corpus(spark, 60, n_repos=3, seed=17)
+    m = IndexBuilder(spark, root).build(corpus, source_fingerprint="uri")
+    assert m["n_docs"] == 60
+    idx = load_index(spark, root)
+    exact = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in search_exact(spark, idx, "sw0 term_00042", 5).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in search_wand(spark, idx, "sw0 term_00042", 5).collect()
+    ]
+    assert exact and exact == wand
+    # plain-path build of the same corpus gives the identical index
+    plain = str(tmp_path / "plain_idx")
+    IndexBuilder(spark, plain).build(corpus, source_fingerprint="uri")
+    p = load_index(spark, plain)
+    assert (
+        p["doc_stats"].orderBy("doc_id").toPandas()
+        .equals(idx["doc_stats"].orderBy("doc_id").toPandas())
+    )
+    assert idx["term_dict"].count() == p["term_dict"].count()
+    _ = F  # keep the import for fixtures that expect it
