@@ -1007,6 +1007,77 @@ FULL OUTER JOIN (
 """
 
 
+def q_salted_aggregation(spark, sf_dir):
+    """Two-phase salted aggregate (the skew discipline the north rule
+    names: a hot key's rows split across salt sub-partitions, partial
+    aggregates combine afterwards — farmHash64 %% n analog,
+    test_clickhouse_schema.sql:84-85). The oracle proves the two-phase
+    plan equals the direct GROUP BY."""
+    li = _read(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.hash(F.col("l_orderkey")), F.lit(16)),
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("l_quantity").alias("pq"),
+        F.max("l_quantity").alias("pm"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.round(F.sum("pq"), 2).alias("sum_qty"),
+        F.max("pm").alias("max_qty"),
+    )
+
+
+SQL_SALTED_AGGREGATION = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot long->wide per group with per-group min/max riding along
+    (the import_gcnv_bed shape: pivot sample columns + per-variant
+    min/max/collect, v03_pipeline/lib/misc/io.py gcnv import)."""
+    ev = _read(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .count()
+    )
+    minmax = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.round(F.max("value"), 5).alias("max_value"),
+    )
+    out = wide.join(minmax, "user_id")
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in PIVOT_EVENT_TYPES
+        ],
+        "first_ts",
+        "max_value",
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = f"""
+SELECT user_id,
+       {", ".join(
+           f"count(*) FILTER (event_type = '{t}') AS n_{t}"
+           for t in PIVOT_EVENT_TYPES
+       )},
+       min(ts) AS first_ts,
+       round(max(value), 5) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_nested_rename(spark, sf_dir):
     """Recursive snake->camel nested-struct rename with sorted fields
     (exports/misc.py:22-34,129-158), round-tripped through to_json so
@@ -1117,6 +1188,8 @@ QUERIES = {
     "posexplode_tokens": q_posexplode_tokens,
     "composite_xpos_key": q_composite_xpos_key,
     "union_cols_outer": q_union_cols_outer,
+    "salted_aggregation": q_salted_aggregation,
+    "pivot_event_counts": q_pivot_event_counts,
     "nested_rename": q_nested_rename,
     "count_validation": q_count_validation,
 }
@@ -1155,6 +1228,8 @@ ORACLE_SQL = {
     "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
     "composite_xpos_key": SQL_COMPOSITE_XPOS_KEY,
     "union_cols_outer": SQL_UNION_COLS_OUTER,
+    "salted_aggregation": SQL_SALTED_AGGREGATION,
+    "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
     "nested_rename": SQL_NESTED_RENAME,
     "count_validation": SQL_COUNT_VALIDATION,
 }
