@@ -35,6 +35,11 @@ def run_build(cores: int, n_docs: int, out: str, driver_mem: str) -> dict:
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", f"spark.local.dir={local_dir}",  # tmpfs shuffle dirs
+        # syscall-tax mitigation under the user-space-kernel sandbox:
+        # big stream buffers, no CRC sidecar files, big shuffle buffers
+        "--conf", f"spark.hadoop.io.file.buffer.size={1 << 20}",
+        "--conf", "spark.hadoop.fs.file.impl=org.apache.hadoop.fs.RawLocalFileSystem",
+        "--conf", "spark.shuffle.file.buffer=1m",
         "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
         os.path.join(ROOT, "bin", "build_index.py"),
         "--n-docs", str(n_docs),

@@ -47,6 +47,18 @@ def get_spark(
         # (v03_pipeline/lib/misc/io.py:19,72-73) — also keeps UDF
         # stages parallel without an explicit repartition shuffle.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # syscall-tax mitigation (this host virtualizes syscalls via a
+        # user-space kernel; every write() traps): Hadoop local streams
+        # default to 4 KB buffers and a checksummed FS that writes
+        # .crc sidecars — 1 MB buffers + RawLocalFileSystem cut the
+        # trapped syscalls per written byte by orders of magnitude,
+        # and shuffle writers get the same treatment
+        .config("spark.hadoop.io.file.buffer.size", str(1 << 20))
+        .config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        )
+        .config("spark.shuffle.file.buffer", "1m")
     )
     builder = builder.config("spark.driver.memory", driver_memory)
     spark = builder.getOrCreate()
