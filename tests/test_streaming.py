@@ -62,3 +62,28 @@ def test_structured_streaming_folds_batches(spark, tmp_path):
     assert idx["manifest"]["n_docs"] == 140
     # index answers queries after streaming ingest
     assert search_exact(spark, idx, "sw0", 5).count() > 0
+
+
+def test_queue_worker_dead_letters_corrupt_request(spark, tmp_path):
+    """A truncated/corrupt request file must dead-letter immediately —
+    not wedge the queue head forever (it sorts first every poll)."""
+    qdir = str(tmp_path / "q")
+    w = QueueWorker(spark, str(tmp_path / "idx"), qdir)
+    bad = os.path.join(qdir, "00000000-000000-corrupt.json")
+    with open(bad, "w") as f:
+        f.write('{"corpus_path": "tr')  # truncated mid-write
+    with pytest.raises(Exception):
+        w.process_one()
+    # moved out of the queue and into dead_letter
+    assert not os.path.exists(bad)
+    assert os.path.exists(
+        os.path.join(qdir, "dead_letter", "00000000-000000-corrupt.json"),
+    )
+    # the queue head is free again: a good request processes
+    import seqr_loading_pipelines_spark.corpus as C
+
+    good = str(tmp_path / "good")
+    C.generate_corpus(spark, 30, n_repos=2, seed=3).write.parquet(good)
+    w.enqueue(good, run_id="20250101-000000-ok")
+    m = w.process_one()
+    assert m["n_docs"] == 30
