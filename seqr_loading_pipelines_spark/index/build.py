@@ -406,26 +406,44 @@ class IndexBuilder:
         max_doc_id = -1
         if current:
             max_doc_id = current.get("max_doc_id", -1)
-        # dedup is FUSED into the keying shuffle (one full-data pass):
-        # key-partition, window keeps max-sha winner, files land
-        # key-sorted for footer-offset dense ids
+        # dedup AND tokenization are FUSED into the keying shuffle
+        # (one full-data pass): key-partition, window keeps max-sha
+        # winner, the Arrow tokenizer UDF runs on the deduped stream,
+        # and the files land key-sorted for footer-offset dense ids —
+        # the raw content never round-trips through a second
+        # checkpoint. With docs_chunks > 1 the stage splits in two
+        # (keyed checkpoint, then chunked tokenize) to buy
+        # per-partition-group resume at the cost of that round trip.
+        doc_obs = Observation()
+        fused = self.docs_chunks <= 1
+
+        def tokenize_project(df: DataFrame) -> DataFrame:
+            # doc_id doesn't exist yet here — it's derived from footer
+            # offsets at read time (dense_ids_view)
+            tok = df.withColumn("tc", term_counts_udf(F.col("content"))).select(
+                "repo", "path", "commit", "lang", "sha256",
+                F.col("tc.terms").alias("terms"),
+                F.col("tc.doc_len").alias("doc_len"),
+            )
+            return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
+
+        docs_dir = os.path.join(snap, "docs" if fused else "keyed_ckpt")
         key_info: dict = {}
         t_key = time.time()
         keyed = assign_dense_ids(
             self.spark,
             observed.filter("_valid").drop("_valid"),
             ["repo", "path", "commit"],
-            os.path.join(snap, "keyed_ckpt"),
+            docs_dir,
             start=max_doc_id + 1,
             dedup_order_col="sha256",
             info=key_info,
+            post_transform=tokenize_project if fused else None,
         )
-        self.metrics["stages"]["keyed"] = {
+        self.metrics["stages"]["keyed" if not fused else "docs"] = {
             "wall_s": round(time.time() - t_key, 3),
             "resumed": not key_info["did_write"],
-            "partition_files": _partition_lineage(
-                os.path.join(snap, "keyed_ckpt"),
-            ),
+            "partition_files": _partition_lineage(docs_dir),
         }
         if key_info["did_write"]:
             vmetrics = val_obs.get
@@ -455,26 +473,20 @@ class IndexBuilder:
         # "docs" doubles as the doc store: doc_stats is a column
         # projection over it at read time (parquet pruning skips the
         # terms column), so no separate doc_stats write is needed.
-        # sum(doc_len) rides the tokenize pass as an observed metric.
-        self._tune_split_size(os.path.join(snap, "keyed_ckpt"))
-        if self.docs_chunks > 1:
-            tokenized, sum_dl = self._stage_docs_chunked(
-                snap, os.path.join(snap, "keyed_ckpt"), max_doc_id + 1,
-            )
-        else:
-            doc_obs = Observation()
-            tokenized = self._stage(
-                snap, "docs",
-                lambda: self._tokenized(keyed, n_docs).observe(
-                    doc_obs, F.sum("doc_len").alias("sdl"),
-                ),
-            )
-            if self.metrics["stages"]["docs"].get("resumed"):
+        # sum(doc_len) rode the fused pass as an observed metric.
+        if fused:
+            tokenized = keyed
+            if key_info["did_write"]:
+                sum_dl = int(doc_obs.get["sdl"] or 0)
+            else:  # resumed: the observed pass never ran
                 sum_dl = int(
                     tokenized.agg(F.sum("doc_len")).first()[0] or 0,
                 )
-            else:
-                sum_dl = int(doc_obs.get["sdl"] or 0)
+        else:
+            self._tune_split_size(docs_dir)
+            tokenized, sum_dl = self._stage_docs_chunked(
+                snap, docs_dir, max_doc_id + 1,
+            )
         doc_stats = tokenized.select(*DOC_STATS_COLS)
         avgdl = (sum_dl / n_docs) or 1.0
 
@@ -546,6 +558,9 @@ class IndexBuilder:
                 "updates": [source_fingerprint],
                 # full build: a single segment replaces all prior ones
                 "segments": [seg],
+                # dense-id base per segment (fused docs derive doc_id
+                # from footer offsets at read time, load_docs)
+                "segment_starts": [max_doc_id + 1],
                 "dict_segment": seg,
                 "max_doc_id": int(new_max_doc_id),
                 "n_docs": int(n_docs),
@@ -600,19 +615,18 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
             f"index at {index_root} uses an old layout; rebuild it",
         )
     root = table.root
-    segs = manifest["segments"]
     tomb_dirs = manifest.get("tombstone_dirs") or []
     return {
         "manifest": manifest,
         "postings": spark.read.parquet(
-            *[os.path.join(root, s, "postings") for s in segs],
+            *[
+                os.path.join(root, s, "postings")
+                for s in manifest["segments"]
+            ],
         ),
         # per-segment doc store; doc_stats = column projection (parquet
-        # pruning never reads the terms column); recursive lookup
-        # handles chunk-checkpointed docs dirs (ck_*/part-*)
-        "doc_stats": spark.read.option("recursiveFileLookup", "true")
-        .parquet(*[os.path.join(root, s, "docs") for s in segs])
-        .select(*DOC_STATS_COLS),
+        # pruning never reads the terms column)
+        "doc_stats": load_docs(spark, root, manifest).select(*DOC_STATS_COLS),
         "term_dict": spark.read.parquet(
             os.path.join(root, manifest["dict_segment"], "term_dict"),
         ),
@@ -623,3 +637,27 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
         if tomb_dirs
         else None,
     }
+
+
+def load_docs(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
+    """Full doc store (terms included) across all segments.
+
+    A fused-build segment stores ``_mid`` instead of a materialized
+    doc_id column (the dense id is footer-offset arithmetic,
+    doc_ids.dense_ids_view); a chunked or compacted segment carries a
+    real doc_id column. Handles both, per segment."""
+    from seqr_loading_pipelines_spark.index.doc_ids import dense_ids_view
+
+    segs = manifest["segments"]
+    starts = manifest.get("segment_starts") or [0] * len(segs)
+    parts = []
+    for seg, start in zip(segs, starts):
+        path = os.path.join(root, seg, "docs")
+        df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+        if "doc_id" not in df.columns:
+            df = dense_ids_view(spark, path, start)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

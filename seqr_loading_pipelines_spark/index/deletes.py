@@ -83,10 +83,10 @@ def delete_docs(
     # exact per-term df/cf decrements from the victims' stored term
     # vectors: a doc_id-pruned scan of the doc store — no posting
     # decode, no full-corpus re-tokenize
+    from seqr_loading_pipelines_spark.index.build import load_docs
+
     root = table.root
-    docs_full = spark.read.option("recursiveFileLookup", "true").parquet(
-        *[os.path.join(root, s, "docs") for s in current["segments"]],
-    ).select("doc_id", "terms")
+    docs_full = load_docs(spark, root, current).select("doc_id", "terms")
     victim_terms = docs_full.join(
         F.broadcast(victims.select("doc_id")), "doc_id",
     ).select(F.explode("terms").alias("t"))
@@ -122,6 +122,11 @@ def delete_docs(
                 "updates", "segments", "max_doc_id", "n_blocks",
                 "k1", "b", "shard_size",
             )},
+            **(
+                {"segment_starts": current["segment_starts"]}
+                if current.get("segment_starts")
+                else {}
+            ),
             "dict_segment": seg,
             "tombstone_dirs": [*old_tombs, os.path.join(seg, "tombstones")],
             "n_docs": int(n_docs),

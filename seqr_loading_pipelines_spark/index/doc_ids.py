@@ -32,7 +32,8 @@ def write_range_sorted(
     num_partitions: int,
     dedup_order_col: str | None = None,
     partitioning: str = "hash",
-) -> None:
+    post_transform=None,
+) -> bool:
     """Key-partition + key-sort + (optional fused dedup) + write.
 
     With ``dedup_order_col`` set, duplicates per key are dropped in
@@ -73,6 +74,12 @@ def write_range_sorted(
         )
     else:
         staged = staged.sortWithinPartitions(*key_cols)
+    if post_transform is not None:
+        # fused enrichment: run the expensive per-row stage (tokenize)
+        # INSIDE the keying pass, post-dedup — the raw content never
+        # round-trips through a second checkpoint (projections preserve
+        # row order, so dense-id arithmetic is unaffected)
+        staged = post_transform(staged)
     # stamp (partition, row-within-partition) IN the write stage:
     # monotonically_increasing_id = (pid << 33) + row_pos over the
     # sorted stream, so the read side derives dense ids with pure
@@ -152,6 +159,7 @@ def assign_dense_ids(
     dedup_order_col: str | None = None,
     partitioning: str = "hash",
     info: dict | None = None,
+    post_transform=None,
 ) -> DataFrame:
     """See write_range_sorted. When ``info`` (a dict) is passed, it is
     filled with driver-side facts that save follow-up Spark jobs:
@@ -163,6 +171,7 @@ def assign_dense_ids(
     parts = num_partitions or spark.sparkContext.defaultParallelism
     did_write = write_range_sorted(
         df, key_cols, checkpoint_path, parts, dedup_order_col, partitioning,
+        post_transform,
     )
     if info is not None:
         from seqr_loading_pipelines_spark.sources import fs as pfs

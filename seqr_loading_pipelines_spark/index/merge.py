@@ -91,14 +91,36 @@ def update_index(
         ["repo", "path", "commit"],
         "left_anti",
     )
+    # keying + dedup + tokenize fused into one pass (see build());
+    # content never round-trips through a second checkpoint
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        term_counts_udf,
+    )
+
+    doc_obs = Observation()
+
+    def tokenize_project(df):
+        tok = df.withColumn("tc", term_counts_udf(F.col("content"))).select(
+            "repo", "path", "commit", "lang", "sha256",
+            F.col("tc.terms").alias("terms"),
+            F.col("tc.doc_len").alias("doc_len"),
+        )
+        return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
+
     key_info: dict = {}
+    t_key = time.time()
     keyed = assign_dense_ids(
         spark, new_only, ["repo", "path", "commit"],
-        os.path.join(snap, "keyed_ckpt"),
+        os.path.join(snap, "docs"),
         start=current["max_doc_id"] + 1,
         dedup_order_col="sha256",
         info=key_info,
+        post_transform=tokenize_project,
     )
+    builder.metrics["stages"]["docs"] = {
+        "wall_s": round(time.time() - t_key, 3),
+        "resumed": not key_info["did_write"],
+    }
     if key_info["did_write"]:
         n_invalid = int(val_obs.get["n_invalid"])
     else:  # resumed checkpoint: the observed pass never ran
@@ -126,23 +148,16 @@ def update_index(
         )
         return manifest
 
-    # 3. tokenize new docs only ("docs" = doc store + terms);
-    # sum(doc_len) rides the tokenize pass as an observed metric
-    doc_obs = Observation()
-    builder._tune_split_size(os.path.join(snap, "keyed_ckpt"))
-    tokenized = builder._stage(
-        snap, "docs",
-        lambda: builder._tokenized(keyed, n_new).observe(
-            doc_obs, F.sum("doc_len").alias("sdl"),
-        ),
-    )
+    # 3. the fused pass already wrote the doc store (docs = terms +
+    # stats, no content); sum(doc_len) rode it as an observed metric
+    tokenized = keyed
     from seqr_loading_pipelines_spark.index.build import DOC_STATS_COLS
 
     new_doc_stats = tokenized.select(*DOC_STATS_COLS)
-    if builder.metrics["stages"]["docs"].get("resumed"):
-        new_sdl = int(new_doc_stats.agg(F.sum("doc_len")).first()[0] or 0)
-    else:
+    if key_info["did_write"]:
         new_sdl = int(doc_obs.get["sdl"] or 0)
+    else:  # resumed checkpoint: the observed pass never ran
+        new_sdl = int(new_doc_stats.agg(F.sum("doc_len")).first()[0] or 0)
 
     n_docs = current["n_docs"] + n_new
     sum_dl = current["sum_dl"] + new_sdl
@@ -216,6 +231,13 @@ def update_index(
             **_carry_tombstones(current),
             "updates": [*current["updates"], source_fingerprint],
             "segments": [*current["segments"], seg],
+            "segment_starts": [
+                *(
+                    current.get("segment_starts")
+                    or [0] * len(current["segments"])
+                ),
+                current["max_doc_id"] + 1,
+            ],
             "dict_segment": seg,
             "max_doc_id": int(key_info["max_id"]),
             "n_docs": int(n_docs),
@@ -241,6 +263,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["tombstone_dirs"] = current["tombstone_dirs"]
     if current.get("n_deleted"):
         out["n_deleted"] = current["n_deleted"]
+    if current.get("segment_starts"):
+        out["segment_starts"] = current["segment_starts"]
     return out
 
 
@@ -338,10 +362,9 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         builder._postings_blocks(
             postings_flat, n_docs, avgdl,
         ).write.mode("overwrite").parquet(os.path.join(snap, "postings"))
-        root = table.root
-        docs_full = spark.read.option("recursiveFileLookup", "true").parquet(
-            *[os.path.join(root, s, "docs") for s in current["segments"]],
-        )
+        from seqr_loading_pipelines_spark.index.build import load_docs
+
+        docs_full = load_docs(spark, table.root, current)
         (
             docs_full.join(F.broadcast(old["tombstones"]), "doc_id", "left_anti")
             .repartition(parts)
@@ -360,10 +383,9 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             .write.mode("overwrite")
             .parquet(os.path.join(snap, "postings"))
         )
-        root = table.root
-        docs_full = spark.read.option("recursiveFileLookup", "true").parquet(
-            *[os.path.join(root, s, "docs") for s in current["segments"]],
-        )
+        from seqr_loading_pipelines_spark.index.build import load_docs
+
+        docs_full = load_docs(spark, table.root, current)
         (
             docs_full
             .repartition(parts)
