@@ -618,6 +618,7 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     tomb_dirs = manifest.get("tombstone_dirs") or []
     return {
         "manifest": manifest,
+        "_root": root,
         "postings": spark.read.parquet(
             *[
                 os.path.join(root, s, "postings")
@@ -637,6 +638,61 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
         if tomb_dirs
         else None,
     }
+
+
+def lookup_docs(
+    spark: SparkSession, index: dict, doc_ids: list[int],
+) -> DataFrame:
+    """Point-lookup doc-store rows by docID with PUSHED scan filters
+    (the RocksDB-point-lookup analog, test_clickhouse_schema.sql:8).
+
+    Fused segments store ``_mid`` instead of doc_id, so the pushable
+    predicate is computed driver-side: doc_id -> (file partition,
+    row-in-partition) via the footer offsets, i.e. the exact stored
+    ``_mid`` values — parquet row-group min/max on _mid then prunes
+    the scan. Materialized segments just push doc_id IN (...)."""
+    from seqr_loading_pipelines_spark.index.doc_ids import (
+        checkpoint_offsets,
+        dense_ids_view,
+    )
+
+    manifest = index["manifest"]
+    root = index["_root"]
+    segs = manifest["segments"]
+    starts = manifest.get("segment_starts") or [0] * len(segs)
+    wanted = sorted(set(int(d) for d in doc_ids))
+    parts = []
+    for seg, start in zip(segs, starts):
+        path = os.path.join(root, seg, "docs")
+        df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+        if "doc_id" in df.columns:
+            parts.append(df.filter(F.col("doc_id").isin(wanted)))
+            continue
+        import bisect
+
+        offsets = checkpoint_offsets(path, start)
+        bounds = [(o, pid) for pid, o, _ in offsets]
+        mids = []
+        for d in wanted:
+            i = bisect.bisect_right(bounds, (d, 1 << 62)) - 1
+            if i >= 0:
+                off, pid = bounds[i]
+                mids.append((pid << 33) + (d - off))
+        if not mids:
+            continue  # no candidate ids in this segment: skip it
+        # push the stored-column predicate: the view's doc_id is
+        # derived, but _mid reaches the parquet scan (row-group
+        # min/max on the monotone _mid prunes)
+        stored = df.filter(F.col("_mid").isin(mids))
+        parts.append(
+            dense_ids_view(spark, path, start, prefiltered=stored),
+        )
+    if not parts:
+        return index["doc_stats"].filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*DOC_STATS_COLS)
 
 
 def load_docs(spark: SparkSession, root: str, manifest: dict) -> DataFrame:

@@ -114,16 +114,20 @@ def dense_ids_view(
     start: int = 0,
     id_col: str = "doc_id",
     files: list[str] | None = None,
+    prefiltered: DataFrame | None = None,
 ) -> DataFrame:
     """Re-derive the dense-id view over an EXISTING keyed checkpoint —
     optionally over a subset of its part files (the unit of
     per-partition resume: a chunk re-reads only its own files, with
     offsets still computed from the full footer list so ids are
-    globally identical)."""
+    globally identical), or over an already-filtered scan of it
+    (``prefiltered`` — point lookups push a _mid predicate)."""
     import os
 
     offsets = checkpoint_offsets(checkpoint_path, start)
-    if files is not None:
+    if prefiltered is not None:
+        staged = prefiltered
+    elif files is not None:
         wanted = set(files)
         paths = [
             os.path.join(checkpoint_path, f)

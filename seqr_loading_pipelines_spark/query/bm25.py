@@ -151,6 +151,20 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 def hydrate(index: dict, topk_df: DataFrame) -> DataFrame:
     """Point-lookup top-k docIDs in the doc store (the RocksDB-table
-    analog, test_clickhouse_schema.sql:8): broadcast the tiny top-k side
-    so the doc_stats scan prunes on pushed doc_id min/max."""
-    return index["doc_stats"].join(F.broadcast(topk_df), "doc_id", "inner")
+    analog, test_clickhouse_schema.sql:8): the k result ids are known
+    (bounded), so collect them and push a STORED-column predicate into
+    the doc-store scan (lookup_docs translates docID -> _mid for fused
+    segments) — row-group pruning instead of a full metadata scan."""
+    if "_root" not in index:  # externally-assembled index dict
+        return index["doc_stats"].join(
+            F.broadcast(topk_df), "doc_id", "inner",
+        )
+    spark = topk_df.sparkSession
+    top = topk_df.collect()
+    from seqr_loading_pipelines_spark.index.build import lookup_docs
+
+    docs = lookup_docs(spark, index, [r["doc_id"] for r in top])
+    if not top:
+        return docs.join(F.broadcast(topk_df), "doc_id", "inner")
+    tiny = spark.createDataFrame(top, topk_df.schema)
+    return docs.join(F.broadcast(tiny), "doc_id", "inner")

@@ -77,3 +77,14 @@ def test_dict_join_is_broadcast_in_build_plan(spark, tmp_path):
     )
     plan = _plan(flat.join(dict_df, "term"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hydrate_pushes_stored_column_filter(spark, index):
+    """Point lookups must prune the doc-store scan: fused segments
+    store _mid (doc_id is derived), so the pushed predicate is the
+    driver-translated _mid set."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+
+    top = search_exact(spark, index, "sw0 term_00042", 5)
+    plan = _plan(hydrate(index, top))
+    assert ("In(_mid" in plan) or ("In(doc_id" in plan), plan
