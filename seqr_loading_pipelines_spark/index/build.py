@@ -115,6 +115,15 @@ class IndexBuilder:
         self.docs_chunks = docs_chunks
         self.metrics: dict = {"stages": {}}
 
+    @staticmethod
+    def _cpu_ns() -> int:
+        """Container CPU counter (cgroup) for per-stage diagnostics."""
+        try:
+            with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
     def _tune_split_size(self, path: str) -> None:
         """Size read splits for the NEXT stage so its task count is
         ~2x cores for this directory. Every parquet task pays a serial
@@ -141,10 +150,13 @@ class IndexBuilder:
         """Run a stage unless its checkpoint already exists (resume)."""
         path = os.path.join(snapshot_dir, name)
         marker = os.path.join(path, "_SUCCESS")
-        t0 = time.time()
+        t0, c0 = time.time(), self._cpu_ns()
         if not pfs.exists(marker):
             fn().write.mode("overwrite").parquet(path)
-            self.metrics["stages"][name] = {"wall_s": round(time.time() - t0, 3)}
+            self.metrics["stages"][name] = {
+                "wall_s": round(time.time() - t0, 3),
+                "cpu_s": round((self._cpu_ns() - c0) / 1e9, 1),
+            }
         else:
             self.metrics["stages"][name] = {"wall_s": 0.0, "resumed": True}
         out = self.spark.read.parquet(path)
@@ -429,7 +441,7 @@ class IndexBuilder:
 
         docs_dir = os.path.join(snap, "docs" if fused else "keyed_ckpt")
         key_info: dict = {}
-        t_key = time.time()
+        t_key, c_key = time.time(), self._cpu_ns()
         keyed = assign_dense_ids(
             self.spark,
             observed.filter("_valid").drop("_valid"),
@@ -442,6 +454,7 @@ class IndexBuilder:
         )
         self.metrics["stages"]["keyed" if not fused else "docs"] = {
             "wall_s": round(time.time() - t_key, 3),
+            "cpu_s": round((self._cpu_ns() - c_key) / 1e9, 1),
             "resumed": not key_info["did_write"],
             "partition_files": _partition_lineage(docs_dir),
         }
