@@ -504,10 +504,18 @@ class IndexBuilder:
         avgdl = (sum_dl / n_docs) or 1.0
 
         # flat postings: explode the per-doc term counts (no extra groupBy
-        # — tf and dl were computed inside the Arrow batch)
+        # — tf and dl were computed inside the Arrow batch). Persisted:
+        # the dictionary aggregate AND the posting encode both consume
+        # it, and re-running the explode doubles the string churn that
+        # dominates these stages (MEMORY_AND_DISK spills instead of
+        # OOMing when the exploded stream outgrows executor memory).
+        from pyspark import StorageLevel
+
         flat = tokenized.select(
             "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
-        ).select("doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+        ).select(
+            "doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # term dictionary with dense ids by (df desc, term asc); DF
         # pre-aggregation first (north rule). ONE job: the groupBy
@@ -556,6 +564,7 @@ class IndexBuilder:
         self._stage(
             snap, "postings", lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
         )
+        flat.unpersist()
         # row count from parquet footers — no Spark job
         n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
 
