@@ -155,11 +155,21 @@ def main() -> None:
 Protocol (BASELINE.md): identical code + identical seeded corpus
 ({args.n_docs} docs, seed=42), built via
 `spark-submit --master local[N] --py-files dist/engine.zip
-bin/build_index.py` at N={args.n} and 4N={args.n4} cores.
+bin/build_index.py` at N={args.n} and 4N={args.n4} cores, with
+`-XX:ActiveProcessorCount=N` so each level is a faithful N-core
+executor (otherwise the JVM sizes GC/netty/ForkJoin pools for all 32
+host vCPUs at both levels — measured +40% container CPU of pure
+contention at the larger level).
 Throughput = indexed files / build-stage wall clock (ingest -> segment
-publish, excluding JVM/session startup). Sandbox note: this host
-exposes 32 vCPUs but sustains ~16 cores of fixed-work throughput, so
-the honest N/4N pair is {args.n}/{args.n4}.
+publish, excluding JVM/session startup; python workers + scheduler are
+pre-warmed with an untimed no-op job, as long-lived executors would
+be). Sandbox notes: (a) the host exposes 32 vCPUs but sustains ~16
+cores of fixed-work throughput, so the honest N/4N pair is
+{args.n}/{args.n4}; (b) runs are INTERLEAVED and per-level minima are
+the estimator — external host stalls (identical runs vary >2x) can
+only inflate a measurement, never deflate it; (c) per-run container
+CPU (cgroup) is recorded alongside wall so contention (extra CPU) is
+distinguishable from serialization (idle wall).
 
 | cores | build wall (s) | files/sec |
 |---|---|---|
