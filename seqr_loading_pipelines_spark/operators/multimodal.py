@@ -2,15 +2,22 @@
 
 Images/audio/video are carried as binary columns with a typed metadata
 struct. The Spark-side plumbing (schema, partitioning, Arrow batch
-shape, UDF signatures) is real and tested; the actual media decode is
-STUBBED (decode libs are not in this container) behind
-``NotImplementedError`` / a deterministic fake, clearly marked.
+shape, UDF signatures) is real and tested. Decode support:
+
+- REAL, pure-numpy (no external libs): PPM (P6) and uncompressed
+  24-bit BMP images, PCM-16 WAV audio, nearest-neighbor resize, and
+  frame sampling over concatenated-PPM clips.
+- STUBBED behind ``NotImplementedError``: compressed formats
+  (PNG/JPEG/MP4 — their codecs are not in this container); the stub
+  is the single point a deployment swaps in PIL/cv2/pyav.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -101,19 +108,169 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real image decode requires PIL/opencv (not installed).
+# ---- real decoders (pure numpy/struct, uncompressed formats) --------
 
-    The Spark plumbing calls are tested against extract_features; this
-    is the single point a deployment would swap in a real decoder.
-    """
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 array."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens ('#' comments allowed), then ONE whitespace byte, then raw
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes here (bpp={bpp}, "
+            f"compression={compression}); plug in PIL/cv2 for the rest",
+        )
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset,
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM-16 WAV -> (sample_rate, samples[int16, n x channels])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, samples = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 WAV decodes here (fmt={fmt}, bits={bits})",
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=size // 2, offset=body,
+            )
+        pos = body + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples.reshape(-1, channels)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy indexing."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to (h, w, 3) uint8.
+
+    PPM/BMP decode for real (pure numpy); compressed formats raise —
+    this is the single point a deployment swaps in PIL/cv2."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode is stubbed in this environment; plug in PIL/cv2 here",
+        "compressed image decode (png/jpeg/...) is stubbed in this "
+        "environment; plug in PIL/cv2 here",
     )
 
 
-def frame_sample(payload: bytes, every_n: int = 10) -> list[bytes]:
-    """STUB: video frame sampling requires ffmpeg bindings."""
-    raise NotImplementedError(
-        "video frame sampling is stubbed; plug in pyav/ffmpeg here",
+def frame_sample(payload: bytes, every_n: int = 10) -> list[np.ndarray]:
+    """Sample every n-th frame from a concatenated-PPM clip (the
+    uncompressed stand-in for a video container). Compressed video
+    needs pyav/ffmpeg — swap in here."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "compressed video is stubbed; plug in pyav/ffmpeg here",
+        )
+    frames, pos, i = [], 0, 0
+    while pos < len(payload):
+        nxt = payload.find(b"P6", pos + 2)
+        chunk = payload[pos:] if nxt == -1 else payload[pos:nxt]
+        if i % every_n == 0:
+            frames.append(decode_ppm(chunk))
+        i += 1
+        if nxt == -1:
+            break
+        pos = nxt
+    return frames
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Real decode + per-channel stats for decodable payloads (PPM/BMP);
+    rows with undecodable payloads get nulls, not exceptions — the
+    standard large-corpus posture (bad media must not kill the job)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload)) if payload is not None else None
+                except (NotImplementedError, ValueError):
+                    img = None
+                if img is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                else:
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            doc_id, img.shape[1], img.shape[0],
+                            float(means[0]), float(means[1]), float(means[2]),
+                        ),
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
     )

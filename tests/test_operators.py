@@ -235,3 +235,61 @@ def test_lsh_ann_persisted_recall(spark, tmp_path):
     ]
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.8, (recall, brute, approx)
+
+
+def test_multimodal_real_decoders(spark):
+    import struct as _struct
+
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    # PPM round trip
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    # BMP: build a minimal bottom-up 24-bit file and decode it
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].tobytes()  # BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    header = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    assert np.array_equal(M.decode_bmp(bytes(header + body)), img)
+    # WAV: PCM-16 mono round trip
+    samples = (np.sin(np.arange(400) / 10.0) * 20000).astype("<i2")
+    wav = (
+        b"RIFF" + _struct.pack("<I", 36 + samples.nbytes) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + _struct.pack("<I", samples.nbytes) + samples.tobytes()
+    )
+    rate, got = M.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(got[:, 0], samples)
+    # resize + frame sampling
+    small = M.resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    clip = b"".join(M.encode_ppm(img + i) for i in range(5))
+    frames = M.frame_sample(clip, every_n=2)
+    assert len(frames) == 3 and frames[0].shape == (7, 5, 3)
+    # distributed image_features over a mixed-decodability table
+    rows = [
+        (1, "image", bytearray(M.encode_ppm(img))),
+        (2, "image", bytearray(b"\x89PNG....")),  # undecodable -> nulls
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in M.image_features(media).collect()}
+    assert got[1]["width"] == 5 and got[1]["height"] == 7
+    assert abs(got[1]["mean_r"] - float(img[:, :, 0].mean())) < 1e-9
+    assert got[2]["width"] is None
+    # compressed formats still raise at the decode seam
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG....")
