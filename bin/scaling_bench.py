@@ -68,6 +68,9 @@ def run_build(cores: int, n_docs: int, out: str, driver_mem: str) -> dict:
         "--conf", f"spark.hadoop.io.file.buffer.size={1 << 20}",
         "--conf", "spark.hadoop.fs.file.impl=org.apache.hadoop.fs.RawLocalFileSystem",
         "--conf", "spark.shuffle.file.buffer=1m",
+        # tmpfs shuffle dirs: lz4 burns CPU without saving IO
+        "--conf", "spark.shuffle.compress=false",
+        "--conf", "spark.shuffle.spill.compress=false",
         "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
         os.path.join(ROOT, "bin", "build_index.py"),
         "--n-docs", str(n_docs),

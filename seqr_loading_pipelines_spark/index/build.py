@@ -504,18 +504,16 @@ class IndexBuilder:
         avgdl = (sum_dl / n_docs) or 1.0
 
         # flat postings: explode the per-doc term counts (no extra groupBy
-        # — tf and dl were computed inside the Arrow batch). Persisted:
-        # the dictionary aggregate AND the posting encode both consume
-        # it, and re-running the explode doubles the string churn that
-        # dominates these stages (MEMORY_AND_DISK spills instead of
-        # OOMing when the exploded stream outgrows executor memory).
-        from pyspark import StorageLevel
-
+        # — tf and dl were computed inside the Arrow batch). NOT
+        # persisted: both consumers re-run the explode, but caching the
+        # exploded stream was measured strictly worse (the cache
+        # materialization cost more CPU than the second column-pruned
+        # read + explode — and at corpus scale it wouldn't fit anyway).
         flat = tokenized.select(
             "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
         ).select(
             "doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
         # term dictionary with dense ids by (df desc, term asc); DF
         # pre-aggregation first (north rule). ONE job: the groupBy
@@ -561,10 +559,24 @@ class IndexBuilder:
         # filters at query time. (No repartitionByRange: its sampling
         # pass would re-run the encode UDF a second time.)
         self._tune_split_size(os.path.join(snap, "docs"))
-        self._stage(
-            snap, "postings", lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
+        # the encode UDF consumes narrow int rows: big Arrow batches
+        # amortize the per-batch python/socket overhead (the tokenizer
+        # stage keeps the 10k default — its rows carry large strings)
+        prev_batch = self.spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000",
         )
-        flat.unpersist()
+        self.spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "131072",
+        )
+        try:
+            self._stage(
+                snap, "postings",
+                lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch,
+            )
         # row count from parquet footers — no Spark job
         n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
 

@@ -169,13 +169,11 @@ def update_index(
     # their ids with df/cf accumulated, brand-new terms rank df-desc
     # above the old max (the in-plan single-partition rank, see
     # IndexBuilder._rank_dict — the dictionary is the small side)
-    from pyspark import StorageLevel
-
     flat = tokenized.select(
         "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
     ).select(
         "doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     new_stats = flat.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf"),
     )
@@ -226,7 +224,6 @@ def update_index(
         snap, "postings",
         lambda: builder._postings_blocks(postings_flat, n_docs, avgdl),
     )
-    flat.unpersist()
     n_blocks_new = _parquet_row_count(os.path.join(snap, "postings"))
 
     seg = os.path.relpath(snap, table.root)

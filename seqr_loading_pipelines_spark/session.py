@@ -59,6 +59,11 @@ def get_spark(
             "org.apache.hadoop.fs.RawLocalFileSystem",
         )
         .config("spark.shuffle.file.buffer", "1m")
+        # local mode shuffles via the local FS (tmpfs when
+        # spark.local.dir=/dev/shm): lz4 burns CPU without saving IO.
+        # A network-shuffling cluster should flip these back on.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
     )
     builder = builder.config("spark.driver.memory", driver_memory)
     spark = builder.getOrCreate()
