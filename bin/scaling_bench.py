@@ -49,6 +49,13 @@ def run_build(cores: int, n_docs: int, out: str, driver_mem: str) -> dict:
     local_dir = "/dev/shm/spark-local"
     os.makedirs(local_dir, exist_ok=True)
     cmd = [
+        # hard CPU affinity: a 'local[N]' JVM without it is NOT an
+        # N-core executor — python workers, GC and netty helpers run
+        # on extra host cores (measured: a local[2] build consumed
+        # ~2.5 cores of container CPU). Pinning the whole process tree
+        # to N cpus is the faithful N-core-cluster simulation the
+        # two-cluster-size protocol calls for.
+        "taskset", "-c", f"0-{cores - 1}",
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", driver_mem,
