@@ -43,7 +43,9 @@ def _container_cpu_ns() -> int:
     return 0
 
 
-def run_build(cores: int, n_docs: int, out: str, driver_mem: str) -> dict:
+def run_build(
+    cores: int, n_docs: int, out: str, driver_mem: str, cpu_offset: int = 0,
+) -> dict:
     shutil.rmtree(out, ignore_errors=True)
     cpu0 = _container_cpu_ns()
     local_dir = "/dev/shm/spark-local"
@@ -54,8 +56,10 @@ def run_build(cores: int, n_docs: int, out: str, driver_mem: str) -> dict:
         # on extra host cores (measured: a local[2] build consumed
         # ~2.5 cores of container CPU). Pinning the whole process tree
         # to N cpus is the faithful N-core-cluster simulation the
-        # two-cluster-size protocol calls for.
-        "taskset", "-c", f"0-{cores - 1}",
+        # two-cluster-size protocol calls for. The pinned RANGE rotates
+        # per repetition (cpu_offset) so a single noisy host core
+        # can't dominate every run; minima pick the calm placement.
+        "taskset", "-c", f"{cpu_offset}-{cpu_offset + cores - 1}",
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", driver_mem,
@@ -123,7 +127,9 @@ def main() -> None:
         for cores in (args.n, args.n4):
             t0 = time.time()
             r = run_build(
-                cores, args.n_docs, f"/dev/shm/scaling_idx_{cores}", args.driver_mem,
+                cores, args.n_docs, f"/dev/shm/scaling_idx_{cores}",
+                args.driver_mem,
+                cpu_offset=(rep * args.n4) % max(1, 32 - args.n4),
             )
             r["total_wall_s"] = round(time.time() - t0, 1)
             all_runs[cores].append(r)

@@ -274,8 +274,81 @@ class IndexBuilder:
             )
         )
 
+    # broadcast-array gates: above these the narrow-shuffle side data
+    # would strain driver/executor memory and the wide-row path wins
+    MAX_BCAST_TERMS = 50_000_000
+    MAX_BCAST_DOCS = 200_000_000
+
+    def _driver_idf_array(
+        self, dict_dir: str, n_terms: int, n_docs: int,
+    ):
+        """idf by dense term_id as one numpy array, read straight from
+        the dictionary parquet footers+data on the driver (no Spark
+        job). Lets the posting shuffle drop its per-row idf column."""
+        if n_terms > self.MAX_BCAST_TERMS:
+            return None
+        import pyarrow.parquet as pq
+
+        from seqr_loading_pipelines_spark.sources import fs as sfs
+
+        fs_, p = sfs.resolve(dict_dir)
+        tids, dfs = [], []
+        for rel, _ in sfs.list_files(dict_dir, recursive=True):
+            if rel.rsplit("/", 1)[-1].startswith("part-") and rel.endswith(
+                ".parquet",
+            ):
+                t = pq.read_table(
+                    f"{p}/{rel}", columns=["term_id", "df"], filesystem=fs_,
+                )
+                tids.append(t["term_id"].to_numpy())
+                dfs.append(t["df"].to_numpy())
+        if not tids:
+            return None
+        tid = np.concatenate(tids)
+        df_ = np.concatenate(dfs).astype(np.float64)
+        arr = np.zeros(n_terms, dtype=np.float64)
+        arr[tid] = np.log1p((n_docs - df_ + 0.5) / (df_ + 0.5))
+        return arr
+
+    def _driver_dl_array(self, docs_dir: str, start: int, n_docs: int):
+        """doc_len by (doc_id - start) as one numpy array (driver-side
+        parquet read). Lets the posting shuffle drop its per-row dl."""
+        if n_docs > self.MAX_BCAST_DOCS:
+            return None
+        import pyarrow.parquet as pq
+
+        from seqr_loading_pipelines_spark.sources import fs as sfs
+
+        fs_, p = sfs.resolve(docs_dir)
+        arr = np.zeros(n_docs, dtype=np.int32)
+        pos = 0
+        for rel, _ in sorted(sfs.list_files(docs_dir, recursive=True)):
+            if not (
+                rel.rsplit("/", 1)[-1].startswith("part-")
+                and rel.endswith(".parquet")
+            ):
+                continue
+            pf = pq.ParquetFile(f"{p}/{rel}", filesystem=fs_)
+            names = pf.schema_arrow.names
+            if "doc_id" in names:
+                t = pf.read(columns=["doc_id", "doc_len"])
+                arr[t["doc_id"].to_numpy() - start] = t["doc_len"].to_numpy()
+                pos = -1  # ids explicit; positional cursor unused
+            else:
+                # fused layout: file order == doc_id order
+                dl = pf.read(columns=["doc_len"])["doc_len"].to_numpy()
+                arr[pos : pos + len(dl)] = dl
+                pos += len(dl)
+        return arr
+
     def _postings_blocks(
-        self, postings: DataFrame, n_docs: int, avgdl: float,
+        self,
+        postings: DataFrame,
+        n_docs: int,
+        avgdl: float,
+        idf_arr=None,
+        dl_arr=None,
+        dl_base: int = 0,
     ) -> DataFrame:
         """(term_id, idf, doc_id, tf, dl) -> encoded block rows.
 
@@ -297,14 +370,26 @@ class IndexBuilder:
         k1, b = self.k1, self.b
         shard_size = self.shard_size
         col_names = [f.name for f in POSTING_SCHEMA.fields]
+        sc = self.spark.sparkContext
+        idf_b = sc.broadcast(idf_arr) if idf_arr is not None else None
+        dl_b = sc.broadcast(dl_arr) if dl_arr is not None else None
+        base = dl_base
 
         def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             t = pdf["term_id"].to_numpy(np.int64)
             s = pdf["shard_id"].to_numpy(np.int64)
             doc = pdf["doc_id"].to_numpy(np.int64)
             tf = pdf["tf"].to_numpy(np.int64)
-            dl = pdf["dl"].to_numpy(np.float64)
-            idf_v = pdf["idf"].to_numpy(np.float64)
+            # side data arrives via broadcast arrays when small enough
+            # (narrow shuffle rows); else as per-row columns
+            if dl_b is not None:
+                dl = dl_b.value[doc - base].astype(np.float64)
+            else:
+                dl = pdf["dl"].to_numpy(np.float64)
+            if idf_b is not None:
+                idf_v = idf_b.value[t]
+            else:
+                idf_v = pdf["idf"].to_numpy(np.float64)
             n = len(t)
             # all scores vectorized in one shot
             scores = idf_v * tf * (k1 + 1.0) / (
@@ -532,26 +617,42 @@ class IndexBuilder:
         )
         n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
 
-        # map term -> term_id (+ df for idf): broadcast when small
+        # side data for the encode stage: idf by term_id and doc_len by
+        # doc_id as broadcast numpy arrays (driver-side parquet reads,
+        # no Spark jobs) — the posting shuffle then carries ONLY
+        # (term_id, doc_id, tf); above the size gates the columns ride
+        # the rows instead
+        idf_arr = self._driver_idf_array(
+            os.path.join(snap, "term_dict"), n_terms, n_docs,
+        )
+        dl_arr = self._driver_dl_array(
+            os.path.join(snap, "docs"), max_doc_id + 1, n_docs,
+        )
+
+        # map term -> term_id: broadcast when small
         dict_small = n_terms <= 5_000_000
-        d = term_dict.select("term", "term_id", "df")
+        dict_cols = ["term", "term_id"] + ([] if idf_arr is not None else ["df"])
+        d = term_dict.select(*dict_cols)
         if dict_small:
             d = F.broadcast(d)
-        ln = F.log1p(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
-        )
         # narrow the posting shuffle rows: int32 term_id (dense ids —
-        # long only past 2^31 distinct terms), int32 tf/dl, float32 idf
-        # (idf feeds only the stored block_max_score metadata; query
-        # executors recompute bounds from (max_tf, min_dl) + live idf)
+        # long only past 2^31 distinct terms), int32 tf (idf feeds only
+        # the stored block_max_score metadata; query executors recompute
+        # bounds from (max_tf, min_dl) + live idf)
         tid_type = "int" if n_terms < (1 << 31) else "long"
-        postings_flat = flat.join(d, "term").select(
+        cols = [
             F.col("term_id").cast(tid_type).alias("term_id"),
-            "doc_id",
+            F.col("doc_id"),
             F.col("tf").cast("int").alias("tf"),
-            F.col("dl").cast("int").alias("dl"),
-            ln.cast("float").alias("idf"),
-        )
+        ]
+        if dl_arr is None:
+            cols.append(F.col("dl").cast("int").alias("dl"))
+        if idf_arr is None:
+            ln = F.log1p(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+            )
+            cols.append(ln.cast("float").alias("idf"))
+        postings_flat = flat.join(d, "term").select(*cols)
 
         # _postings_blocks already hash-partitions by (term_id,
         # shard_id) and sorts, so block rows land term-clustered in
@@ -571,7 +672,10 @@ class IndexBuilder:
         try:
             self._stage(
                 snap, "postings",
-                lambda: self._postings_blocks(postings_flat, n_docs, avgdl),
+                lambda: self._postings_blocks(
+                    postings_flat, n_docs, avgdl,
+                    idf_arr=idf_arr, dl_arr=dl_arr, dl_base=max_doc_id + 1,
+                ),
             )
         finally:
             self.spark.conf.set(

@@ -203,26 +203,40 @@ def update_index(
     )
     n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
 
-    # 5. encode new postings as a fresh segment (broadcast dict re-map)
-    d = merged_dict.select("term", "term_id", "df")
+    # 5. encode new postings as a fresh segment (broadcast dict re-map;
+    # idf/doc_len side data as broadcast arrays when small — see build)
+    idf_arr = builder._driver_idf_array(
+        os.path.join(snap, "term_dict"), n_terms, n_docs,
+    )
+    dl_base = current["max_doc_id"] + 1
+    dl_arr = builder._driver_dl_array(
+        os.path.join(snap, "docs"), dl_base, n_new,
+    )
+    dict_cols = ["term", "term_id"] + ([] if idf_arr is not None else ["df"])
+    d = merged_dict.select(*dict_cols)
     if n_terms <= 5_000_000:
         d = F.broadcast(d)
-    ln = F.log1p(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
-    )
-    # narrow shuffle rows (matches build(): int32 ids/counts, f32 idf)
     tid_type = "int" if n_terms < (1 << 31) else "long"
-    postings_flat = flat.join(d, "term").select(
+    cols = [
         F.col("term_id").cast(tid_type).alias("term_id"),
-        "doc_id",
+        F.col("doc_id"),
         F.col("tf").cast("int").alias("tf"),
-        F.col("dl").cast("int").alias("dl"),
-        ln.cast("float").alias("idf"),
-    )
+    ]
+    if dl_arr is None:
+        cols.append(F.col("dl").cast("int").alias("dl"))
+    if idf_arr is None:
+        ln = F.log1p(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+        )
+        cols.append(ln.cast("float").alias("idf"))
+    postings_flat = flat.join(d, "term").select(*cols)
     builder._tune_split_size(os.path.join(snap, "docs"))
     builder._stage(
         snap, "postings",
-        lambda: builder._postings_blocks(postings_flat, n_docs, avgdl),
+        lambda: builder._postings_blocks(
+            postings_flat, n_docs, avgdl,
+            idf_arr=idf_arr, dl_arr=dl_arr, dl_base=dl_base,
+        ),
     )
     n_blocks_new = _parquet_row_count(os.path.join(snap, "postings"))
 
