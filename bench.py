@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "20000"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "60000"))
 
 
 def main() -> None:

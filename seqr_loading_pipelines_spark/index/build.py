@@ -114,6 +114,7 @@ class IndexBuilder:
         # checkpoints"); 1 keeps the single-job fast path
         self.docs_chunks = docs_chunks
         self.metrics: dict = {"stages": {}}
+        self._orig_split_size: str | None = None
 
     @staticmethod
     def _cpu_ns() -> int:
@@ -143,7 +144,20 @@ class IndexBuilder:
             return
         cores = max(1, self.spark.sparkContext.defaultParallelism)
         target = min(max(total // (2 * cores) + 1, 16 << 20), 1 << 30)
+        if self._orig_split_size is None:
+            self._orig_split_size = self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20),
+            )
         self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
+    def _restore_split_size(self) -> None:
+        """Undo _tune_split_size — the session is shared; later queries
+        must not inherit build-stage split sizing."""
+        if self._orig_split_size is not None:
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", self._orig_split_size,
+            )
+            self._orig_split_size = None
 
     # ---- resumable stage runner -------------------------------------
     def _stage(self, snapshot_dir: str, name: str, fn) -> DataFrame:
@@ -714,6 +728,7 @@ class IndexBuilder:
                 "metrics": self.metrics,
             },
         )
+        self._restore_split_size()
         return manifest
 
 

@@ -241,7 +241,7 @@ def update_index(
     n_blocks_new = _parquet_row_count(os.path.join(snap, "postings"))
 
     seg = os.path.relpath(snap, table.root)
-    return table.publish(
+    manifest = table.publish(
         snap,
         {
             **_carry_tombstones(current),
@@ -270,6 +270,8 @@ def update_index(
             "metrics": builder.metrics,
         },
     )
+    builder._restore_split_size()
+    return manifest
 
 
 def _carry_tombstones(current: dict) -> dict:

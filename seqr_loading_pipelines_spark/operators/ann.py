@@ -256,13 +256,13 @@ def lsh_topk(
             [int(x) for x in buckets],
         )
         cond = c if cond is None else (cond | c)
-    cand_ids = (
-        lsh["signatures"].filter(cond).select("vec_id").distinct()
-    )
     id_col, vec_col = lsh["id_col"], lsh["vec_col"]
-    cand = emb.join(
-        F.broadcast(cand_ids.withColumnRenamed("vec_id", id_col)), id_col,
+    cand_ids = lsh["signatures"].filter(cond).select(
+        F.col("vec_id").alias(id_col),
     )
+    # broadcast LEFT SEMI both dedups bucket-collision candidates and
+    # avoids a distinct exchange — one job end to end
+    cand = emb.join(F.broadcast(cand_ids), id_col, "left_semi")
     return cosine_topk(
         cand, [float(x) for x in query], k, vec_col=vec_col, id_col=id_col,
     )

@@ -17,6 +17,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _local_dir() -> str:
+    """tmpfs scratch when available (1.3 GB/s vs ~0.3 on the VM disk)."""
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/spark-local"
+        try:
+            os.makedirs(path, exist_ok=True)
+            return path
+        except OSError:
+            pass
+    return os.environ.get("TMPDIR", "/tmp")
+
+
 def get_spark(
     app_name: str = "seqr_loading_pipelines_spark",
     master: str | None = None,
@@ -59,9 +71,10 @@ def get_spark(
             "org.apache.hadoop.fs.RawLocalFileSystem",
         )
         .config("spark.shuffle.file.buffer", "1m")
-        # local mode shuffles via the local FS (tmpfs when
-        # spark.local.dir=/dev/shm): lz4 burns CPU without saving IO.
-        # A network-shuffling cluster should flip these back on.
+        # local mode shuffles via the local FS — put shuffle dirs on
+        # tmpfs and skip lz4 (it burns CPU without saving tmpfs IO).
+        # A network-shuffling cluster should flip compression back on.
+        .config("spark.local.dir", _local_dir())
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
     )
