@@ -97,7 +97,7 @@ def main() -> None:
     )
     from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
 
-    n_vecs = max(100_000, N_DOCS)
+    n_vecs = max(250_000, N_DOCS)
     ann_root = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ann")
     shutil.rmtree(ann_root, ignore_errors=True)
     vecs_path = os.path.join(ann_root, "vectors")
@@ -129,7 +129,7 @@ def main() -> None:
         ivf_w.append(time.time() - t0)
         t0 = time.time()
         got_lsh = {
-            r["vec_id"] for r in lsh_topk(spark, lsh, emb, qvec, 10).collect()
+            r["vec_id"] for r in lsh_topk(spark, lsh, emb, qvec, 10, probe_flips=0).collect()
         }
         lsh_w.append(time.time() - t0)
         recalls_ivf.append(len(brute & got_ivf) / max(1, len(brute)))
