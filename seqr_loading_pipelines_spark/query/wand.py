@@ -111,6 +111,60 @@ class _TermCursor:
         self.advance_to(self.current_doc + 1)
 
 
+def _taat_shard(
+    groups: list[tuple[float, list[dict]]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    excluded: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time scoring for DENSE shards.
+
+    When the query terms' postings cover most of a shard, block-max
+    skipping cannot win (nearly every document must be scored anyway)
+    and WAND's per-document control flow just adds python overhead —
+    so decode every block and accumulate scores with numpy, then take
+    the top-k under the same quantized tie rule. Exact by
+    construction; the executor picks WAND or TAAT per shard from the
+    posting density (_wand_shard docstring)."""
+    docs_all, scores_all = [], []
+    for idf, blocks in groups:
+        for blk in blocks:
+            doc_ids = np.cumsum(varbyte_decode(blk["doc_id_deltas"]))
+            tfs = varbyte_decode(blk["tfs"]).astype(np.float64)
+            dls = varbyte_decode(blk["dls"]).astype(np.float64)
+            docs_all.append(doc_ids)
+            scores_all.append(
+                idf * tfs * (k1 + 1.0)
+                / (tfs + k1 * (1.0 - b + b * dls / avgdl)),
+            )
+    if not docs_all:
+        return []
+    docs = np.concatenate(docs_all)
+    scores = np.concatenate(scores_all)
+    if excluded is not None:
+        keep = ~np.isin(docs, excluded)
+        docs, scores = docs[keep], scores[keep]
+        if not len(docs):
+            return []
+    # accumulate per docID (dense within a shard): bincount on the
+    # offset-shifted ids is a single vectorized pass
+    base = int(docs.min())
+    acc = np.bincount(docs - base, weights=scores)
+    nz = np.flatnonzero(acc)
+    if not len(nz):
+        return []
+    qs = np.floor(acc[nz] * 1e5 + 0.5).astype(np.int64)
+    if len(nz) > k:
+        # partial top-k by (quantized desc, doc asc): order by a
+        # composite sortable key, then argpartition
+        order = np.lexsort((nz, -qs))[:k]
+    else:
+        order = np.lexsort((nz, -qs))
+    return [(int(nz[i]) + base, float(acc[nz[i]])) for i in order]
+
+
 def _in_sorted(arr: np.ndarray, x: int) -> bool:
     """Membership test against a sorted int64 array (binary search)."""
     i = int(np.searchsorted(arr, x))
@@ -231,15 +285,18 @@ def search_wand(
     tids = list(idf_by_tid)
 
     blocks = index["postings"].filter(F.col("term_id").isin(tids)).select(
-        "term_id", "shard_id", "first_doc_id", "last_doc_id",
+        "term_id", "shard_id", "first_doc_id", "last_doc_id", "n_docs",
         "max_tf", "min_dl", "doc_id_deltas", "tfs", "dls",
     )
     from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
 
     tomb = tombstone_ids(index)
 
+    shard_size = manifest["shard_size"]
+
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = []
+        n_postings = 0
         for tid, sub in pdf.groupby("term_id"):
             sub = sub.sort_values("first_doc_id")
             blks = [
@@ -254,8 +311,17 @@ def search_wand(
                 }
                 for r in sub.itertuples()
             ]
+            n_postings += int(sub["n_docs"].sum())
             groups.append((idf_by_tid[int(tid)], blks))
-        top = _wand_shard(groups, k, k1, b, avgdl, excluded=tomb)
+        # density dispatch: skipping can only pay when the query's
+        # postings are sparse relative to the shard — dense shards
+        # (stop-word-heavy queries) go vectorized TAAT instead of the
+        # per-document WAND loop. Both are exact and share the tie
+        # rule, so the choice is invisible in the results.
+        if n_postings >= 0.2 * shard_size:
+            top = _taat_shard(groups, k, k1, b, avgdl, excluded=tomb)
+        else:
+            top = _wand_shard(groups, k, k1, b, avgdl, excluded=tomb)
         return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"},
         )
