@@ -294,12 +294,16 @@ class IndexBuilder:
     MAX_BCAST_DOCS = 200_000_000
 
     def _driver_idf_array(
-        self, dict_dir: str, n_terms: int, n_docs: int,
+        self, dict_dir: str, id_space: int, n_docs: int,
     ):
         """idf by dense term_id as one numpy array, read straight from
         the dictionary parquet footers+data on the driver (no Spark
-        job). Lets the posting shuffle drop its per-row idf column."""
-        if n_terms > self.MAX_BCAST_TERMS:
+        job). Lets the posting shuffle drop its per-row idf column.
+
+        ``id_space`` = max_term_id + 1, NOT the dictionary row count:
+        after a delete drops fully-deleted terms the id range has holes
+        and surviving ids still span up to the old max (ADVICE r2)."""
+        if id_space > self.MAX_BCAST_TERMS:
             return None
         import pyarrow.parquet as pq
 
@@ -320,7 +324,7 @@ class IndexBuilder:
             return None
         tid = np.concatenate(tids)
         df_ = np.concatenate(dfs).astype(np.float64)
-        arr = np.zeros(n_terms, dtype=np.float64)
+        arr = np.zeros(id_space, dtype=np.float64)
         arr[tid] = np.log1p((n_docs - df_ + 0.5) / (df_ + 0.5))
         return arr
 
@@ -492,6 +496,14 @@ class IndexBuilder:
     # ---- full build --------------------------------------------------
     def build(self, corpus: DataFrame, source_fingerprint: str) -> dict:
         """Full index build; idempotent per source_fingerprint."""
+        try:
+            return self._build(corpus, source_fingerprint)
+        finally:
+            # the session is shared: split-size tuning must not leak to
+            # later queries even when a stage raises (ADVICE r2)
+            self._restore_split_size()
+
+    def _build(self, corpus: DataFrame, source_fingerprint: str) -> dict:
         current = self.table.current_manifest()
         if current and source_fingerprint in current.get("updates", []):
             self.metrics["skipped"] = "already indexed (ledger hit)"
@@ -717,6 +729,10 @@ class IndexBuilder:
                 "max_doc_id": int(new_max_doc_id),
                 "n_docs": int(n_docs),
                 "n_terms": int(n_terms),
+                # id-space high-water mark: == n_terms - 1 on a fresh
+                # build (dense ids), but diverges from row count once
+                # deletes drop terms — every id-space sizing reads THIS
+                "max_term_id": int(n_terms - 1),
                 "n_blocks": int(n_blocks),
                 "n_invalid_content": int(n_invalid),
                 "avgdl": avgdl,
@@ -728,7 +744,6 @@ class IndexBuilder:
                 "metrics": self.metrics,
             },
         )
-        self._restore_split_size()
         return manifest
 
 
@@ -736,6 +751,20 @@ def _parquet_row_count(path: str) -> int:
     """Total rows from parquet footers (driver-side, no Spark job;
     any pyarrow filesystem)."""
     return pfs.parquet_row_count(path)
+
+
+def manifest_max_term_id(manifest: dict, root: str) -> int:
+    """Term-id high-water mark for a published manifest. Newer
+    manifests carry ``max_term_id``; for older ones (or after external
+    edits) recover it from the dictionary parquet footer statistics —
+    driver-side, no Spark job. NEVER use ``n_terms`` (a row count) as
+    an id space: deletes leave holes (ADVICE r2)."""
+    if "max_term_id" in manifest:
+        return int(manifest["max_term_id"])
+    mx = pfs.parquet_column_max(
+        os.path.join(root, manifest["dict_segment"], "term_dict"), "term_id",
+    )
+    return int(mx) if mx is not None else int(manifest["n_terms"]) - 1
 
 
 def _partition_lineage(path: str) -> list[dict]:

@@ -29,7 +29,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.index.build import load_index
+from seqr_loading_pipelines_spark.index.build import (
+    load_index,
+    manifest_max_term_id,
+)
 from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
 
 
@@ -68,17 +71,20 @@ def delete_docs(
     if idx.get("tombstones") is not None:
         victims = victims.join(idx["tombstones"], "doc_id", "left_anti")
 
-    snap = table.new_snapshot_dir()
-    tomb_path = os.path.join(snap, "tombstones")
-    victims.select("doc_id").repartition(1).write.mode("overwrite").parquet(
-        tomb_path,
-    )
+    # victim count FIRST: the no-op path must not leave an orphaned
+    # snapshot dir / stale empty tombstone file behind (ADVICE r2)
     vrow = victims.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("sdl"),
     ).first()
     n_del = int(vrow["n"] or 0)
     if n_del == 0:
         return current  # nothing matched: keep the current snapshot
+
+    snap = table.new_snapshot_dir()
+    tomb_path = os.path.join(snap, "tombstones")
+    victims.select("doc_id").repartition(1).write.mode("overwrite").parquet(
+        tomb_path,
+    )
 
     # exact per-term df/cf decrements from the victims' stored term
     # vectors: a doc_id-pruned scan of the doc store — no posting
@@ -131,6 +137,10 @@ def delete_docs(
             "tombstone_dirs": [*old_tombs, os.path.join(seg, "tombstones")],
             "n_docs": int(n_docs),
             "n_terms": _parquet_row_count(os.path.join(snap, "term_dict")),
+            # id high-water mark is UNCHANGED by a delete: surviving
+            # term ids still span to the old max even though fully-
+            # deleted terms left holes in the dictionary (ADVICE r2)
+            "max_term_id": manifest_max_term_id(current, root),
             "sum_dl": int(sum_dl),
             "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
             "n_deleted": int(current.get("n_deleted", 0) + n_del),

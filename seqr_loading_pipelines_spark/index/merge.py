@@ -61,7 +61,23 @@ def update_index(
     if source_fingerprint in current.get("updates", []):
         builder.metrics["skipped"] = "already indexed (ledger hit)"
         return current
+    try:
+        return _update(
+            spark, table, current, builder, corpus, source_fingerprint,
+        )
+    finally:
+        builder._restore_split_size()  # shared session (ADVICE r2)
 
+
+def _update(
+    spark: SparkSession,
+    table: ManifestTable,
+    current: dict,
+    builder: IndexBuilder,
+    corpus: DataFrame,
+    source_fingerprint: str,
+) -> dict:
+    index_root = table.root
     t_start = time.time()
     old = load_index(spark, index_root)
     snap = table.staging_dir(f"update:{source_fingerprint}")
@@ -187,13 +203,20 @@ def update_index(
         (F.col("df") + F.coalesce("df_new", F.lit(0))).alias("df"),
         (F.col("cf") + F.coalesce("cf_new", F.lit(0))).alias("cf"),
     )
+    # brand-new ids start ABOVE the id high-water mark, not the row
+    # count: after a delete the dictionary has holes (dropped terms)
+    # but surviving ids still span to the old max — seeding at
+    # n_terms would collide with them (ADVICE r2)
+    from seqr_loading_pipelines_spark.index.build import manifest_max_term_id
+
+    old_max_tid = manifest_max_term_id(current, index_root)
     brand_new = builder._rank_dict(
         joined.filter(F.col("term_id").isNull()).select(
             "term",
             F.col("df_new").alias("df"),
             F.col("cf_new").alias("cf"),
         ),
-        start=current["n_terms"],
+        start=old_max_tid + 1,
     )
     merged_dict = builder._stage(
         snap, "term_dict",
@@ -202,11 +225,16 @@ def update_index(
         ),
     )
     n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
+    from seqr_loading_pipelines_spark.sources import fs as pfs
+
+    mx = pfs.parquet_column_max(os.path.join(snap, "term_dict"), "term_id")
+    max_term_id = int(mx) if mx is not None else old_max_tid
+    id_space = max_term_id + 1
 
     # 5. encode new postings as a fresh segment (broadcast dict re-map;
     # idf/doc_len side data as broadcast arrays when small — see build)
     idf_arr = builder._driver_idf_array(
-        os.path.join(snap, "term_dict"), n_terms, n_docs,
+        os.path.join(snap, "term_dict"), id_space, n_docs,
     )
     dl_base = current["max_doc_id"] + 1
     dl_arr = builder._driver_dl_array(
@@ -216,7 +244,7 @@ def update_index(
     d = merged_dict.select(*dict_cols)
     if n_terms <= 5_000_000:
         d = F.broadcast(d)
-    tid_type = "int" if n_terms < (1 << 31) else "long"
+    tid_type = "int" if id_space < (1 << 31) else "long"
     cols = [
         F.col("term_id").cast(tid_type).alias("term_id"),
         F.col("doc_id"),
@@ -258,6 +286,7 @@ def update_index(
             "max_doc_id": int(key_info["max_id"]),
             "n_docs": int(n_docs),
             "n_terms": int(n_terms),
+            "max_term_id": int(max_term_id),
             "n_blocks": int(current["n_blocks"] + n_blocks_new),
             "n_invalid_content": n_invalid,
             "avgdl": avgdl,
@@ -270,7 +299,6 @@ def update_index(
             "metrics": builder.metrics,
         },
     )
-    builder._restore_split_size()
     return manifest
 
 
@@ -283,6 +311,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["n_deleted"] = current["n_deleted"]
     if current.get("segment_starts"):
         out["segment_starts"] = current["segment_starts"]
+    if "max_term_id" in current:
+        out["max_term_id"] = current["max_term_id"]
     return out
 
 
@@ -363,8 +393,15 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
         )
         # inner join against the (delete-adjusted) dictionary also drops
-        # postings of fully-deleted terms, matching a rebuild's output
-        tid_type = "int" if current["n_terms"] < (1 << 31) else "long"
+        # postings of fully-deleted terms, matching a rebuild's output.
+        # id-space gate by the HIGH-WATER id, not the row count: the
+        # delete-adjusted dict has holes (ADVICE r2)
+        from seqr_loading_pipelines_spark.index.build import (
+            manifest_max_term_id,
+        )
+
+        id_space = manifest_max_term_id(current, table.root) + 1
+        tid_type = "int" if id_space < (1 << 31) else "long"
         postings_flat = flat.join(d, "term_id").select(
             F.col("term_id").cast(tid_type).alias("term_id"),
             "doc_id",
@@ -423,6 +460,11 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
                 "updates", "max_doc_id", "n_docs", "n_terms",
                 "avgdl", "sum_dl", "k1", "b", "shard_size",
             )},
+            **(
+                {"max_term_id": current["max_term_id"]}
+                if "max_term_id" in current
+                else {}
+            ),
             "n_blocks": int(n_blocks),
             "segments": [seg],
             "dict_segment": seg,

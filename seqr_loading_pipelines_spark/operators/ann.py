@@ -4,11 +4,12 @@ The scale path for similarity search (FAISS-IVF shape, expressed in
 Spark): a persisted index artifact, not per-query recomputation —
 
 - build: deterministic seeded centroid init (k vectors with the
-  smallest md5(vec_id)), a few Lloyd iterations (assignment via an
-  Arrow-batched matmul UDF — the one place built-ins can't express the
-  argmax over k centroids; centroid update is a pure-JVM
-  posexplode + avg), then the assignment table written
-  centroid-clustered so query-time probes prune parquet row groups.
+  smallest md5(vec_id)), a few Lloyd iterations (assignment AND
+  centroid statistics fused into one Arrow-batched numpy pass per
+  partition — each partition emits a single (k×dim sums, k counts)
+  row, combined on the driver; nothing is exploded or shuffled), then
+  the assignment table written centroid-clustered so query-time probes
+  prune parquet row groups.
 - query: rank centroids driver-side (k × dim floats), scan ONLY the
   n_probe nearest centroids' rows (pushed ``centroid_id IN`` filter),
   exact cosine re-rank inside the candidate set.
@@ -59,6 +60,46 @@ def _assign_expr(emb: DataFrame, cents: np.ndarray, vec_col: str):
     return emb.mapInPandas(assign, schema=schema)
 
 
+def _centroid_stats(emb: DataFrame, cents: np.ndarray, vec_col: str):
+    """One Lloyd iteration's sufficient statistics, shuffle-free: each
+    partition assigns its vectors (same matmul as _assign_expr) and
+    emits ONE row of (k*dim partial sums, k counts); the driver
+    combines. Replaces the r2 posexplode->groupBy update, whose dim×
+    row blowup shuffled ~2.3T rows/iteration at 1B×768 — this moves
+    k*dim*n_partitions floats total and runs entirely in-executor."""
+    cents_n = _normalized(cents.astype(np.float64))
+    k, dim = cents.shape
+
+    def stats(batches):
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a = np.argmax(_normalized(mat) @ cents_n.T, axis=1)
+            # segment-sum via stable sort + reduceat (np.add.at is
+            # orders slower on large batches)
+            order = np.argsort(a, kind="stable")
+            sorted_a = a[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sorted_a[1:] != sorted_a[:-1])),
+            )
+            seg = np.add.reduceat(mat[order], starts, axis=0)
+            sums[sorted_a[starts]] += seg
+            counts += np.bincount(a, minlength=k)
+        if seen:
+            yield pd.DataFrame(
+                {"sums": [sums.ravel().tolist()], "counts": [counts.tolist()]},
+            )
+
+    return emb.select(vec_col).mapInPandas(
+        stats, schema="sums array<double>, counts array<long>",
+    )
+
+
 def build_ivf(
     spark: SparkSession,
     emb: DataFrame,
@@ -83,17 +124,17 @@ def build_ivf(
     cents = np.stack(init[vec_col].to_numpy()).astype(np.float64)
 
     for _ in range(max(0, iters)):
-        assigned = _assign_expr(emb, cents, vec_col)
-        # centroid update: pure-JVM per-position mean, k*dim tiny rows
-        means = (
-            assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )
+        # per-partition partial (sums, counts) — no explode, no shuffle;
+        # one k*dim row per partition crosses to the driver
+        rows = _centroid_stats(emb, cents, vec_col).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums += np.asarray(r["sums"], dtype=np.float64).reshape(cents.shape)
+            counts += np.asarray(r["counts"], dtype=np.int64)
         new = cents.copy()
-        for r in means:
-            new[r["centroid_id"]][r["pos"]] = r["m"]
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
         cents = new
 
     parts = max(1, spark.sparkContext.defaultParallelism)

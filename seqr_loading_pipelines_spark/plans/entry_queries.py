@@ -1151,6 +1151,90 @@ FULL OUTER JOIN orders o ON s.l_orderkey = o.o_orderkey
 
 
 # --------------------------------------------------------------------
+# index-backed rows: the REAL engine (posting-block index + WAND +
+# tombstones) behind driver-green correctness entries, not declarative
+# twins. The index builds once per (tag, sf_dir) into a tmp root —
+# IndexBuilder.build is idempotent per fingerprint, so repeat driver
+# invocations reuse the published snapshot.
+# --------------------------------------------------------------------
+
+def _index_root(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    fp = hashlib.sha1(f"{tag}:{sf_dir}".encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_idx_r3_{tag}_{fp}",
+    )
+
+
+def _built_index(spark, sf_dir, tag):
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = _index_root(sf_dir, tag)
+    IndexBuilder(spark, root).build(
+        corpus_from_documents(spark, sf_dir),
+        source_fingerprint=f"{tag}:{sf_dir}",
+    )
+    return root, load_index(spark, root)
+
+
+def _orig_doc_id():
+    """corpus_from_documents encodes the documents-table id in the path
+    (doc_%08d.txt); the reverse map keys engine results back to the
+    oracle's doc_id space."""
+    return F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1).cast("long")
+
+
+def q_index_bm25_topk(spark, sf_dir):
+    """Flagship path, driver-gated: full inverted-index build (posting
+    blocks, delta-gap varbyte, broadcast dictionary) -> block-max WAND
+    top-k -> doc-store hydrate. Oracle: the same BM25 in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_wand(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def q_index_delete_survivors(spark, sf_dir):
+    """Delete-by-predicate roundtrip, driver-gated: build -> tombstone
+    every lang='de' doc (dictionary df/cf decremented exactly) -> the
+    live doc store. Oracle: the source table minus the predicate."""
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+
+    root, index = _built_index(spark, sf_dir, "del")
+    if not index["manifest"].get("n_deleted"):
+        delete_docs(spark, root, F.col("lang") == "de")
+        index = load_index(spark, root)
+    live = index["doc_stats"]
+    if index["tombstones"] is not None:
+        live = live.join(index["tombstones"], "doc_id", "left_anti")
+    return live.select(
+        _orig_doc_id().alias("doc_id"),
+        "lang",
+        F.col("doc_len").alias("doc_len"),
+    )
+
+
+SQL_INDEX_DELETE_SURVIVORS = f"""
+SELECT doc_id, lang, len({_T}) AS doc_len
+FROM documents WHERE lang <> 'de'
+"""
+
+
+# --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
 
@@ -1192,6 +1276,8 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "nested_rename": q_nested_rename,
     "count_validation": q_count_validation,
+    "index_bm25_topk": q_index_bm25_topk,
+    "index_delete_survivors": q_index_delete_survivors,
 }
 
 ORACLE_SQL = {
@@ -1232,4 +1318,6 @@ ORACLE_SQL = {
     "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
     "nested_rename": SQL_NESTED_RENAME,
     "count_validation": SQL_COUNT_VALIDATION,
+    "index_bm25_topk": SQL_BM25_TOPK,
+    "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
 }

@@ -92,6 +92,42 @@ def parquet_row_count(dir_path: str) -> int:
     return total
 
 
+def parquet_column_max(dir_path: str, column: str) -> int | None:
+    """Max value of an integer column across a parquet dir, from
+    row-group footer statistics (driver-side, no Spark job); falls back
+    to reading just that column when a footer lacks stats. Used to
+    recover the term-id high-water mark from a dictionary whose ids
+    have holes (deletes drop fully-deleted terms, so row count !=
+    max_id + 1)."""
+    import pyarrow.parquet as pq
+
+    fs, p = resolve(dir_path)
+    best: int | None = None
+    for rel, _ in list_files(dir_path, recursive=True):
+        name = rel.rsplit("/", 1)[-1]
+        if not (name.startswith("part-") and name.endswith(".parquet")):
+            continue
+        fpath = posixpath.join(p, rel)
+        md = pq.read_metadata(fpath, filesystem=fs)
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                v = int(st.max)
+            else:  # stats missing: read the one column of this file
+                col = pq.read_table(
+                    fpath, columns=[column], filesystem=fs,
+                )[column]
+                v = int(col.to_numpy().max()) if len(col) else None
+                if v is None:
+                    break
+            best = v if best is None else max(best, v)
+    return best
+
+
 def part_file_rows(dir_path: str) -> list[tuple[str, int]]:
     """[(file name, row count)] for top-level part files, sorted —
     the footer-offset primitive behind dense id assignment."""

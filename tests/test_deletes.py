@@ -121,6 +121,89 @@ def test_compaction_physically_drops_tombstones(spark, deleted_env):
     assert _results(spark, root) == got_before
 
 
+def test_update_after_exclusive_term_delete_no_id_collision(spark, tmp_path):
+    """ADVICE r2 (high): deleting a repo that OWNS terms exclusively
+    drops those terms from the dictionary (df -> 0), so the row count
+    shrinks below max(term_id)+1; a later update must seed brand-new
+    term ids above the surviving MAX id, not at the row count — and
+    the driver idf array must size by the id space, not the count."""
+    root = str(tmp_path / "idx")
+    shared = "alpha beta gamma delta"
+    # doc lengths unique mod 3 per group: scores never tie, so rank
+    # order is insensitive to the docID-assignment difference between
+    # the incremental index and the from-scratch rebuild
+    rows = [
+        ("keep", f"k{i}.py", "c0", "py",
+         f"{shared} common_{i % 3} " + "pad " * (3 * i))
+        for i in range(12)
+    ] + [
+        # repo 'gone' holds terms nobody else uses; they rank high (df
+        # within the repo) so their ids sit BELOW later survivors' ids
+        ("gone", f"g{i}.py", "c0", "py",
+         "zzonlyhere zzsecret zzgone_{} {}".format(i, shared))
+        for i in range(20)
+    ]
+    cols = ["repo", "path", "commit", "lang", "content"]
+    corpus = spark.createDataFrame(rows, cols)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    m0 = load_index(spark, root)["manifest"]
+    delete_docs(spark, root, F.col("repo") == "gone")
+    m1 = load_index(spark, root)["manifest"]
+    # the premise: deletion left holes (row count < id space)
+    assert m1["n_terms"] < m0["n_terms"]
+    assert m1["max_term_id"] == m0["max_term_id"]
+
+    new_rows = [
+        ("fresh", f"f{i}.py", "c1", "py",
+         f"brandnew_token_{i} another_new_one {shared} " + "pad " * (3 * i + 1))
+        for i in range(8)
+    ]
+    m2 = update_index(
+        spark, root, spark.createDataFrame(new_rows, cols), "v2",
+    )
+    idx = load_index(spark, root)
+    dict_rows = idx["term_dict"].select("term", "term_id").collect()
+    ids = [r["term_id"] for r in dict_rows]
+    assert len(ids) == len(set(ids)), "term_id collision after delete+update"
+    new_ids = {
+        r["term_id"] for r in dict_rows if r["term"].startswith("brandnew")
+    }
+    assert new_ids and min(new_ids) > m1["max_term_id"]
+    assert m2["max_term_id"] == max(ids)
+
+    # rank-identity vs a from-scratch rebuild over survivors + new docs
+    rebuilt_root = str(tmp_path / "rebuilt")
+    survivors = corpus.filter(F.col("repo") != "gone").unionByName(
+        spark.createDataFrame(new_rows, cols),
+    )
+    IndexBuilder(spark, rebuilt_root).build(survivors, "flat")
+    reb = load_index(spark, rebuilt_root)
+    key_of = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in idx["doc_stats"].join(
+            idx["tombstones"], "doc_id", "left_anti",
+        ).collect()
+    }
+    key_of_reb = {
+        r["doc_id"]: (r["repo"], r["path"]) for r in reb["doc_stats"].collect()
+    }
+    for q in ["alpha brandnew_token_3", "common_1 another_new_one", "beta"]:
+        have = [
+            (key_of[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        want = [
+            (key_of_reb[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, reb, q, 10).collect()
+        ]
+        assert have == want, q
+        wand = [
+            (key_of[r["doc_id"]], round(r["score"], 5))
+            for r in search_wand(spark, idx, q, 10).collect()
+        ]
+        assert wand == have, q
+
+
 def test_reinsert_deleted_doc_gets_new_id(spark, tmp_path):
     root = str(tmp_path / "idx")
     corpus = generate_corpus(spark, 60, n_repos=3, seed=21)
