@@ -115,6 +115,47 @@ def generate_corpus(
     )
 
 
+def corpus_from_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read the corpus from an Iceberg table (the north-star source:
+    ``(repo, path, commit, lang, content)``), optionally pinned to a
+    snapshot for reproducible incremental diffs.
+
+    This container ships no Iceberg runtime jars, so the adapter checks
+    availability and fails with a setup message instead of a raw
+    ClassNotFoundException; everything downstream (validation, keying,
+    checkpointing via the manifest table) is source-agnostic. With jars
+    present this is the only line that changes between the parquet-dir
+    harness and a lakehouse deployment."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        df = reader.format("iceberg").load(table)
+    except (AnalysisException, Exception) as e:  # noqa: BLE001
+        msg = str(e)
+        if "iceberg" in msg.lower() or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise RuntimeError(
+                "Iceberg runtime not on the Spark classpath; add "
+                "org.apache.iceberg:iceberg-spark-runtime and a catalog "
+                "config, or read a parquet corpus directly",
+            ) from e
+        raise
+    return df.select(
+        F.col("repo").cast("string"),
+        F.col("path").cast("string"),
+        F.col("commit").cast("string"),
+        F.col("lang").cast("string"),
+        F.col("content").cast("string"),
+    )
+
+
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver-provided ``documents`` table to the corpus shape."""
     from pyspark.sql import functions as F

@@ -1,0 +1,62 @@
+"""Retry-with-backoff for flaky, side-effect-safe operations.
+
+The reference wraps every store operation that crosses a network or
+filesystem boundary in a ``retry`` decorator
+(v03_pipeline/lib/misc/retry.py, applied at
+v03_pipeline/lib/misc/clickhouse.py:693,753,817,1011). The engine's
+equivalents are the driver-side metadata ops: manifest pointer reads/
+swaps and parquet-footer scans against object stores. Spark TASKS
+already retry via ``spark.task.maxFailures`` — this is for the
+driver-side calls Spark doesn't cover.
+
+Only idempotent callables belong under this decorator (every
+``sources.fs`` op qualifies: reads, atomic write-then-rename, listing).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+log = logging.getLogger(__name__)
+
+DEFAULT_ATTEMPTS = 3
+DEFAULT_BASE_DELAY_S = 0.5
+
+
+def retry(
+    max_attempts: int = DEFAULT_ATTEMPTS,
+    base_delay_s: float = DEFAULT_BASE_DELAY_S,
+    retryable: tuple[type[BaseException], ...] = (OSError,),
+):
+    """Exponential-backoff retry decorator: delays base, 2x, 4x, ...
+    Re-raises the final failure unchanged so callers see the real
+    error, with each intermediate failure logged."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            delay = base_delay_s
+            for attempt in range(1, max_attempts + 1):
+                try:
+                    return fn(*args, **kwargs)
+                except retryable as e:
+                    # a missing file is a semantic miss (e.g. probing
+                    # for a manifest that doesn't exist yet), not a
+                    # transient fault — backoff would only add latency
+                    if isinstance(e, FileNotFoundError):
+                        raise
+                    if attempt == max_attempts:
+                        raise
+                    log.warning(
+                        "%s failed (attempt %d/%d): %s — retrying in %.1fs",
+                        fn.__name__, attempt, max_attempts, e, delay,
+                    )
+                    time.sleep(delay)
+                    delay *= 2
+            raise AssertionError("unreachable")  # pragma: no cover
+
+        return wrapped
+
+    return deco

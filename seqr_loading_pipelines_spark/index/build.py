@@ -102,6 +102,8 @@ class IndexBuilder:
         shard_size: int = DOC_SHARD_SIZE,
         rows_per_partition: int = ROWS_PER_PARTITION,
         docs_chunks: int = 1,
+        dict_strategy: str = "fused",
+        dict_partition_gate: int = 5_000_000,
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -113,6 +115,21 @@ class IndexBuilder:
         # unfinished chunks, north rule "resumable from per-partition
         # checkpoints"); 1 keeps the single-job fast path
         self.docs_chunks = docs_chunks
+        # term-id assignment strategy:
+        #   'fused'       — ONE job: groupBy -> single-partition rank
+        #                   window (the dictionary is the small side by
+        #                   design; cheapest below ~10M terms);
+        #   'partitioned' — materialize stats, then distributed rank via
+        #                   range partitioning + footer-offset dense ids
+        #                   (no single task ever holds the vocabulary —
+        #                   the >100M-term path);
+        #   'auto'        — materialize stats, pick by the TRUE n_terms
+        #                   vs dict_partition_gate.
+        # All three produce bit-identical ids (rank by df desc, term asc).
+        if dict_strategy not in ("fused", "partitioned", "auto"):
+            raise ValueError(f"unknown dict_strategy: {dict_strategy}")
+        self.dict_strategy = dict_strategy
+        self.dict_partition_gate = dict_partition_gate
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
 
@@ -234,6 +251,45 @@ class IndexBuilder:
         )
         return docs, sum_dl
 
+    def _stage_postings_chunked(self, snap: str, make_flat, encode) -> None:
+        """Postings encode at chunk granularity (the docs-stage chunk
+        pattern applied to the encode stage, VERDICT r2): each docs
+        chunk — a contiguous docID range — encodes into its own
+        ``postings/ck_i`` dir with its own _SUCCESS marker, so a killed
+        encode resumes from the last complete chunk instead of redoing
+        100%. Correct because chunks hold disjoint, ordered docID
+        ranges: a (term, shard) group's blocks from different chunks
+        never overlap, and the query executors order blocks by
+        ``first_doc_id``, never by block_id."""
+        path = os.path.join(snap, "postings")
+        docs_path = os.path.join(snap, "docs")
+        chunks = sorted(
+            {
+                rel.split("/", 1)[0]
+                for rel, _ in pfs.list_files(docs_path, recursive=True)
+                if rel.startswith("ck_") and "/" in rel
+            },
+        )
+        t0, c0 = time.time(), self._cpu_ns()
+        resumed = 0
+        for c in chunks:
+            cdir = os.path.join(path, c)
+            if pfs.exists(os.path.join(cdir, "_SUCCESS")):
+                resumed += 1
+                continue
+            chunk_docs = self.spark.read.parquet(os.path.join(docs_path, c))
+            encode(make_flat(chunk_docs)).write.mode("overwrite").parquet(
+                cdir,
+            )
+        self.metrics["stages"]["postings"] = {
+            "wall_s": round(time.time() - t0, 3),
+            "cpu_s": round((self._cpu_ns() - c0) / 1e9, 1),
+            "chunks": len(chunks),
+            "chunks_resumed": resumed,
+            "resumed": resumed == len(chunks),
+            "partition_files": _partition_lineage(path),
+        }
+
     def _rank_dict(self, stats: DataFrame, start: int = 0) -> DataFrame:
         """(term, df, cf) stats -> dense df-desc term ids, in-plan.
 
@@ -246,7 +302,10 @@ class IndexBuilder:
             F.col("df").desc(), F.col("term").asc(),
         )
         return stats.repartition(1).withColumn(
-            "term_id", F.row_number().over(w) - 1 + F.lit(start),
+            # long: the id space outlives int32 at corpus scale, and the
+            # partitioned strategy's footer-offset ids are long already
+            "term_id",
+            (F.row_number().over(w) - 1 + F.lit(start)).cast("long"),
         )
 
     def _dict_df(self, flat: DataFrame, start: int = 0) -> DataFrame:
@@ -256,6 +315,56 @@ class IndexBuilder:
                 F.count("*").alias("df"), F.sum("tf").alias("cf"),
             ),
             start,
+        )
+
+    def _rank_dict_partitioned(
+        self, snap: str, stats: DataFrame, start: int = 0,
+    ) -> DataFrame:
+        """Distributed dense term-id assignment — the path for
+        vocabularies too large for any single task (a 10^12-file code
+        corpus): range-partition the MATERIALIZED stats by the rank key
+        (df desc via a negated column, term asc), sort within
+        partitions, and derive ids from parquet footer offsets — the
+        exact trick doc_ids.py uses for docIDs. Range sampling reads
+        the materialized stats parquet, never re-running the corpus
+        aggregation. Ids are bit-identical to the fused rank."""
+        keyed = os.path.join(snap, "term_dict_keyed")
+        ids = assign_dense_ids(
+            self.spark,
+            stats.withColumn("_negdf", -F.col("df")),
+            ["_negdf", "term"],
+            keyed,
+            id_col="term_id",
+            start=start,
+            partitioning="range",
+        )
+        return ids.select("term", "term_id", "df", "cf")
+
+    def _stage_dict(
+        self, snap: str, flat: DataFrame, start: int = 0,
+    ) -> DataFrame:
+        """Dictionary stage under the configured dict_strategy."""
+        if self.dict_strategy == "fused":
+            self.metrics["dict_strategy_used"] = "fused"
+            return self._stage(
+                snap, "term_dict", lambda: self._dict_df(flat, start),
+            )
+        stats = self._stage(
+            snap, "term_stats",
+            lambda: flat.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf"),
+            ),
+        )
+        n = _parquet_row_count(os.path.join(snap, "term_stats"))
+        if self.dict_strategy == "auto" and n <= self.dict_partition_gate:
+            self.metrics["dict_strategy_used"] = "auto:single"
+            return self._stage(
+                snap, "term_dict", lambda: self._rank_dict(stats, start),
+            )
+        self.metrics["dict_strategy_used"] = "partitioned"
+        return self._stage(
+            snap, "term_dict",
+            lambda: self._rank_dict_partitioned(snap, stats, start),
         )
 
     # ---- stages ------------------------------------------------------
@@ -620,27 +729,30 @@ class IndexBuilder:
         # exploded stream was measured strictly worse (the cache
         # materialization cost more CPU than the second column-pruned
         # read + explode — and at corpus scale it wouldn't fit anyway).
-        flat = tokenized.select(
-            "doc_id", F.col("doc_len").alias("dl"), F.explode("terms").alias("t"),
-        ).select(
-            "doc_id", "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"),
-        )
+        def _flat_of(docs_df: DataFrame) -> DataFrame:
+            return docs_df.select(
+                "doc_id",
+                F.col("doc_len").alias("dl"),
+                F.explode("terms").alias("t"),
+            ).select(
+                "doc_id", "dl",
+                F.col("t.term").alias("term"), F.col("t.tf").alias("tf"),
+            )
+
+        flat = _flat_of(tokenized)
 
         # term dictionary with dense ids by (df desc, term asc); DF
-        # pre-aggregation first (north rule). ONE job: the groupBy
-        # shuffle collapses the exploded stream to n_terms rows, which
-        # coalesce onto a single partition for the df-desc rank — the
-        # dictionary is by construction the SMALL side (it must
-        # broadcast at query time), so ranking it on one task is the
-        # cheap move; the old 3-write path (materialized stats + range
-        # sampling + id re-write) cost three extra jobs whose fixed
-        # scheduler/codegen overhead is pure non-scaling residue.
-        # (A >100M-term vocabulary would flip dict_strategy to
-        # 'partitioned' — the assign_dense_ids range path.)
+        # pre-aggregation first (north rule). Default 'fused' = ONE
+        # job: the groupBy shuffle collapses the exploded stream to
+        # n_terms rows, which coalesce onto a single partition for the
+        # df-desc rank — the dictionary is by construction the SMALL
+        # side (it must broadcast at query time), so ranking it on one
+        # task is the cheap move. dict_strategy='partitioned' (or
+        # 'auto' past the gate) instead materializes stats and ranks
+        # distributed via range partitioning + footer-offset ids
+        # (_rank_dict_partitioned) — no task ever holds the vocabulary.
         self._tune_split_size(os.path.join(snap, "docs"))
-        term_dict = self._stage(
-            snap, "term_dict", lambda: self._dict_df(flat),
-        )
+        term_dict = self._stage_dict(snap, flat)
         n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
 
         # side data for the encode stage: idf by term_id and doc_len by
@@ -678,7 +790,11 @@ class IndexBuilder:
                 (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
             )
             cols.append(ln.cast("float").alias("idf"))
-        postings_flat = flat.join(d, "term").select(*cols)
+
+        def make_flat(docs_df: DataFrame) -> DataFrame:
+            return _flat_of(docs_df).join(d, "term").select(*cols)
+
+        postings_flat = make_flat(tokenized)
 
         # _postings_blocks already hash-partitions by (term_id,
         # shard_id) and sorts, so block rows land term-clustered in
@@ -695,14 +811,19 @@ class IndexBuilder:
         self.spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", "131072",
         )
-        try:
-            self._stage(
-                snap, "postings",
-                lambda: self._postings_blocks(
-                    postings_flat, n_docs, avgdl,
-                    idf_arr=idf_arr, dl_arr=dl_arr, dl_base=max_doc_id + 1,
-                ),
+        def encode(pf: DataFrame) -> DataFrame:
+            return self._postings_blocks(
+                pf, n_docs, avgdl,
+                idf_arr=idf_arr, dl_arr=dl_arr, dl_base=max_doc_id + 1,
             )
+
+        try:
+            if fused:
+                self._stage(snap, "postings", lambda: encode(postings_flat))
+            else:
+                # chunk the encode along the docs chunks: a killed
+                # encode resumes at chunk granularity (VERDICT r2)
+                self._stage_postings_chunked(snap, make_flat, encode)
         finally:
             self.spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch,
@@ -801,7 +922,8 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     return {
         "manifest": manifest,
         "_root": root,
-        "postings": spark.read.parquet(
+        # recursiveFileLookup: a chunk-resumable encode nests ck_*/part-*
+        "postings": spark.read.option("recursiveFileLookup", "true").parquet(
             *[
                 os.path.join(root, s, "postings")
                 for s in manifest["segments"]

@@ -36,18 +36,42 @@ from seqr_loading_pipelines_spark.index.build import (
 from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
 
 
+# above this many tombstoned docs the broadcast-array exclusion flips
+# to distributed exclusion (anti-join / per-shard cogrouped victims):
+# a mass-delete between compactions must not ship a giant array with
+# every query task. Overridable per-index via index["_tomb_bcast_max"].
+TOMBSTONE_BROADCAST_MAX = 2_000_000
+
+
+def tombstones_gated(index: dict) -> bool:
+    """True when the tombstone set is too large to broadcast — query
+    executors must then exclude via the tombstone DataFrame instead of
+    a driver-collected array. Uses the manifest's n_deleted counter
+    (maintained by delete_docs, reset by compaction), so the decision
+    costs no Spark job."""
+    if index.get("tombstones") is None:
+        return False
+    gate = index.get("_tomb_bcast_max", TOMBSTONE_BROADCAST_MAX)
+    return int(index["manifest"].get("n_deleted", 0)) > gate
+
+
 def tombstone_ids(index: dict) -> np.ndarray | None:
     """Sorted numpy array of tombstoned docIDs (None when there are
-    none). Cached on the index dict — the set is bounded because
-    compaction folds it to zero; at 100 TB scale it is the analog of
-    ClickHouse's in-flight sign=-1 rows between OPTIMIZEs."""
+    none, or when the set exceeds the broadcast gate — callers must
+    check ``tombstones_gated`` and fall back to DataFrame exclusion).
+    Cached on the index dict — the set is bounded because compaction
+    folds it to zero; at 100 TB scale it is the analog of ClickHouse's
+    in-flight sign=-1 rows between OPTIMIZEs."""
     if "_tombstone_ids" in index:
         return index["_tombstone_ids"]
     ids = None
-    if index.get("tombstones") is not None:
-        rows = index["tombstones"].select("doc_id").collect()
-        if rows:
-            ids = np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+    if index.get("tombstones") is not None and not tombstones_gated(index):
+        arr = (
+            index["tombstones"].select("doc_id").toPandas()["doc_id"]
+            .to_numpy(dtype=np.int64)
+        )
+        if len(arr):
+            ids = np.sort(arr)
     index["_tombstone_ids"] = ids
     return ids
 

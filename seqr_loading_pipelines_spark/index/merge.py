@@ -210,14 +210,22 @@ def _update(
     from seqr_loading_pipelines_spark.index.build import manifest_max_term_id
 
     old_max_tid = manifest_max_term_id(current, index_root)
-    brand_new = builder._rank_dict(
-        joined.filter(F.col("term_id").isNull()).select(
-            "term",
-            F.col("df_new").alias("df"),
-            F.col("cf_new").alias("cf"),
-        ),
-        start=old_max_tid + 1,
+    new_stats = joined.filter(F.col("term_id").isNull()).select(
+        "term",
+        F.col("df_new").alias("df"),
+        F.col("cf_new").alias("cf"),
     )
+    if builder.dict_strategy == "partitioned":
+        # huge-vocabulary increments: materialize the brand-new stats,
+        # then the distributed footer-offset rank (see build.py)
+        staged_stats = builder._stage(
+            snap, "new_term_stats", lambda: new_stats,
+        )
+        brand_new = builder._rank_dict_partitioned(
+            snap, staged_stats, start=old_max_tid + 1,
+        )
+    else:
+        brand_new = builder._rank_dict(new_stats, start=old_max_tid + 1)
     merged_dict = builder._stage(
         snap, "term_dict",
         lambda: existing.unionByName(
@@ -345,16 +353,20 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
     if tomb_dirs:
         from seqr_loading_pipelines_spark.index.build import IndexBuilder
         from seqr_loading_pipelines_spark.index.codec import varbyte_decode
-        from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
+        from seqr_loading_pipelines_spark.index.deletes import (
+            tombstone_ids,
+            tombstones_gated,
+        )
 
         import numpy as np
         import pandas as pd
 
+        gated = tombstones_gated(old)
         tomb = tombstone_ids(old)
         bc = spark.sparkContext.broadcast(tomb)
 
         def explode_blocks(batches):
-            victims = bc.value
+            victims = bc.value  # None when gated: exclusion joins below
             for pdf in batches:
                 outs = []
                 for tid, deltas, tfs_b, dls_b in zip(
@@ -362,7 +374,11 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
                     pdf["tfs"], pdf["dls"],
                 ):
                     doc_ids = np.cumsum(varbyte_decode(bytes(deltas)))
-                    keep = ~np.isin(doc_ids, victims)
+                    keep = (
+                        ~np.isin(doc_ids, victims)
+                        if victims is not None
+                        else np.ones(len(doc_ids), dtype=bool)
+                    )
                     if not keep.any():
                         continue
                     outs.append(
@@ -385,6 +401,12 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         ).mapInPandas(
             explode_blocks, "term_id long, doc_id long, tf long, dl long",
         )
+        if gated:
+            # mass-delete fold: victims exceed the broadcast gate, so
+            # drop them with a shuffled anti-join instead of np.isin
+            flat = flat.join(
+                old["tombstones"].select("doc_id"), "doc_id", "left_anti",
+            )
         n_docs, avgdl = current["n_docs"], current["avgdl"]
         d = old["term_dict"].select("term_id", "df")
         if current["n_terms"] <= 5_000_000:
@@ -420,8 +442,13 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         from seqr_loading_pipelines_spark.index.build import load_docs
 
         docs_full = load_docs(spark, table.root, current)
+        tomb_side = (
+            old["tombstones"]
+            if gated  # too big to broadcast: shuffled anti-join
+            else F.broadcast(old["tombstones"])
+        )
         (
-            docs_full.join(F.broadcast(old["tombstones"]), "doc_id", "left_anti")
+            docs_full.join(tomb_side, "doc_id", "left_anti")
             .repartition(parts)
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")

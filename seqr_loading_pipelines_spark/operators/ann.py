@@ -316,13 +316,17 @@ def generate_embeddings(
     n_clusters: int = 25,
     seed: int = 42,
     partitions: int | None = None,
+    center_scale: float = 4.0,
 ) -> DataFrame:
     """Deterministic clustered synthetic vectors (Philox counter RNG
     keyed by vec_id — identical output at any parallelism), for the
-    ANN bench: cluster structure gives ANN something real to find."""
+    ANN bench: cluster structure gives ANN something real to find.
+    ``center_scale`` sets cluster separation relative to unit
+    within-cluster noise: 4.0 = well-separated (easy), ~1.5 = heavily
+    overlapping (recall numbers start to mean something)."""
     centers = np.random.Generator(
         np.random.Philox(key=seed),
-    ).standard_normal((n_clusters, dim)) * 4.0
+    ).standard_normal((n_clusters, dim)) * center_scale
 
     def gen(batches):
         for pdf in batches:

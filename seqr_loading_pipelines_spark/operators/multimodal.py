@@ -117,13 +117,14 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) -> (h, w, 3) uint8 array."""
-    if not payload.startswith(b"P6"):
+def _ppm_header(payload: bytes, base: int = 0) -> tuple[int, int, int]:
+    """Parse a P6 header starting at ``base``; returns (w, h,
+    data_start). header = magic, width, height, maxval as whitespace-
+    separated tokens ('#' comments allowed), then ONE whitespace byte,
+    then raw pixel data."""
+    if payload[base : base + 2] != b"P6":
         raise ValueError("not a P6 PPM")
-    # header = magic, width, height, maxval as whitespace-separated
-    # tokens ('#' comments allowed), then ONE whitespace byte, then raw
-    tokens, pos = [], 2
+    tokens, pos = [], base + 2
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -139,6 +140,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    return w, h, pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 array."""
+    w, h, pos = _ppm_header(payload)
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return data.reshape(h, w, 3).copy()
 
@@ -223,16 +230,18 @@ def frame_sample(payload: bytes, every_n: int = 10) -> list[np.ndarray]:
         raise NotImplementedError(
             "compressed video is stubbed; plug in pyav/ffmpeg here",
         )
+    # advance by each frame's parsed header + w*h*3 pixel bytes —
+    # scanning for the literal b"P6" would split at any frame whose
+    # raw pixel data happens to contain 0x50 0x36 (ADVICE r2)
     frames, pos, i = [], 0, 0
-    while pos < len(payload):
-        nxt = payload.find(b"P6", pos + 2)
-        chunk = payload[pos:] if nxt == -1 else payload[pos:nxt]
+    n = len(payload)
+    while pos < n:
+        w, h, data_start = _ppm_header(payload, pos)
+        end = data_start + w * h * 3
         if i % every_n == 0:
-            frames.append(decode_ppm(chunk))
+            frames.append(decode_ppm(payload[pos:end]))
         i += 1
-        if nxt == -1:
-            break
-        pos = nxt
+        pos = end
     return frames
 
 

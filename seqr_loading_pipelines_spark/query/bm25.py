@@ -73,9 +73,13 @@ def _decoded_postings(
     blocks = index["postings"].filter(F.col("term_id").isin(tids)).select(
         "term_id", "doc_id_deltas", "tfs", "dls",
     )
-    from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
+    from seqr_loading_pipelines_spark.index.deletes import (
+        tombstone_ids,
+        tombstones_gated,
+    )
 
     tomb = tombstone_ids(index)
+    gated = tombstones_gated(index)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,7 +103,17 @@ def _decoded_postings(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return blocks.mapInPandas(decode, schema="doc_id long, contribution double")
+    decoded = blocks.mapInPandas(
+        decode, schema="doc_id long, contribution double",
+    )
+    if gated:
+        # tombstone set too large to broadcast (mass-delete between
+        # compactions): distributed anti-join exclusion instead — the
+        # shuffle is on the already-pruned candidate postings only
+        decoded = decoded.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    return decoded
 
 
 def search_exact(

@@ -288,13 +288,22 @@ def search_wand(
         "term_id", "shard_id", "first_doc_id", "last_doc_id", "n_docs",
         "max_tf", "min_dl", "doc_id_deltas", "tfs", "dls",
     )
-    from seqr_loading_pipelines_spark.index.deletes import tombstone_ids
+    from seqr_loading_pipelines_spark.index.deletes import (
+        tombstone_ids,
+        tombstones_gated,
+    )
 
     tomb = tombstone_ids(index)
+    gated = tombstones_gated(index)
 
     shard_size = manifest["shard_size"]
+    out_cols = {"doc_id": "int64", "score": "float64"}
 
-    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_shard(
+        pdf: pd.DataFrame, excluded: np.ndarray | None,
+    ) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=list(out_cols)).astype(out_cols)
         groups = []
         n_postings = 0
         for tid, sub in pdf.groupby("term_id"):
@@ -319,14 +328,41 @@ def search_wand(
         # per-document WAND loop. Both are exact and share the tie
         # rule, so the choice is invisible in the results.
         if n_postings >= 0.2 * shard_size:
-            top = _taat_shard(groups, k, k1, b, avgdl, excluded=tomb)
+            top = _taat_shard(groups, k, k1, b, avgdl, excluded=excluded)
         else:
-            top = _wand_shard(groups, k, k1, b, avgdl, excluded=tomb)
-        return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
-            {"doc_id": "int64", "score": "float64"},
+            top = _wand_shard(groups, k, k1, b, avgdl, excluded=excluded)
+        return pd.DataFrame(top, columns=list(out_cols)).astype(out_cols)
+
+    if gated:
+        # tombstone set too large to broadcast: ship each shard ONLY
+        # its own victims via a cogrouped join on shard_id — the
+        # victims must reach the heap logic (a post-filter would let
+        # tombstoned docs occupy top-k slots surviving docs deserve)
+        tombs = index["tombstones"].select(
+            "doc_id",
+            (F.col("doc_id") / F.lit(shard_size)).cast("long").alias(
+                "shard_id",
+            ),
         )
 
-    per_shard = blocks.groupBy("shard_id").applyInPandas(
-        run_shard, schema="doc_id long, score double",
-    )
+        def run_shard_cogrouped(
+            blk_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame,
+        ) -> pd.DataFrame:
+            excl = None
+            if len(tomb_pdf):
+                excl = np.sort(tomb_pdf["doc_id"].to_numpy(np.int64))
+            return run_shard(blk_pdf, excl)
+
+        per_shard = (
+            blocks.groupBy("shard_id")
+            .cogroup(tombs.groupBy("shard_id"))
+            .applyInPandas(
+                run_shard_cogrouped, schema="doc_id long, score double",
+            )
+        )
+    else:
+        per_shard = blocks.groupBy("shard_id").applyInPandas(
+            lambda pdf: run_shard(pdf, tomb),
+            schema="doc_id long, score double",
+        )
     return rank_topk(per_shard, k)

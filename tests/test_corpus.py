@@ -24,3 +24,15 @@ def test_repo_skew_is_zipfian(corpus):
     )
     # mega-repo holds a dominant share (skew path exercised)
     assert counts["count"].iloc[0] > counts["count"].sum() * 0.3
+
+
+def test_corpus_from_iceberg_reports_missing_runtime(spark):
+    """The lakehouse adapter seam: without Iceberg jars on the
+    classpath the reader must fail with a setup message, not a raw
+    ClassNotFound/AnalysisException."""
+    import pytest
+
+    from seqr_loading_pipelines_spark.corpus import corpus_from_iceberg
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        corpus_from_iceberg(spark, "lake.code_corpus")

@@ -121,6 +121,59 @@ def test_compaction_physically_drops_tombstones(spark, deleted_env):
     assert _results(spark, root) == got_before
 
 
+def test_mass_delete_gated_exclusion(spark, tmp_path, monkeypatch):
+    """VERDICT r2: above the tombstone broadcast gate, query-side
+    exclusion flips from a driver-collected array to distributed
+    exclusion (anti-join for exact, cogrouped per-shard victims for
+    WAND). A mass delete (>10% of corpus) must rank identically on
+    both sides of the gate, and a gated compaction must fold the same."""
+    import seqr_loading_pipelines_spark.index.deletes as del_mod
+
+    root = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 300, n_repos=4, seed=31)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    # the zipfian mega-repo: a large share of all docs
+    m = delete_docs(spark, root, F.col("repo") == "repo_0000")
+    assert m["n_deleted"] > 30, "premise: mass delete"
+
+    ungated = load_index(spark, root)
+    gated = load_index(spark, root)
+    gated["_tomb_bcast_max"] = 1  # force the distributed path
+    assert del_mod.tombstones_gated(gated)
+    assert not del_mod.tombstones_gated(ungated)
+    assert del_mod.tombstone_ids(gated) is None
+
+    baseline = {}
+    for q in QUERIES:
+        a = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, ungated, q, 10).collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, gated, q, 10).collect()
+        ]
+        c = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, gated, q, 10).collect()
+        ]
+        assert a == b == c, q
+        baseline[q] = a
+
+    # compaction under the gate folds tombstones without the broadcast
+    monkeypatch.setattr(del_mod, "TOMBSTONE_BROADCAST_MAX", 1)
+    mc = compact_segments(spark, root)
+    assert not mc.get("tombstone_dirs")
+    idx = load_index(spark, root)
+    assert idx["tombstones"] is None
+    for q in QUERIES:
+        got = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        assert got == baseline[q], q
+
+
 def test_update_after_exclusive_term_delete_no_id_collision(spark, tmp_path):
     """ADVICE r2 (high): deleting a repo that OWNS terms exclusively
     drops those terms from the dictionary (df -> 0), so the row count

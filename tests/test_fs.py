@@ -73,3 +73,35 @@ def test_build_and_query_over_file_uri(spark, tmp_path):
     )
     assert idx["term_dict"].count() == p["term_dict"].count()
     _ = F  # keep the import for fixtures that expect it
+
+
+def test_retry_backoff_recovers_then_gives_up():
+    """Driver-side metadata ops retry transient failures with backoff
+    (the reference's retry discipline around store ops,
+    v03_pipeline/lib/misc/retry.py used at clickhouse.py:693,753)."""
+    import pytest
+
+    from seqr_loading_pipelines_spark.functions.retry import retry
+
+    calls = {"n": 0}
+
+    @retry(max_attempts=3, base_delay_s=0.0)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+
+    @retry(max_attempts=2, base_delay_s=0.0)
+    def dead():
+        calls["n"] += 1
+        raise OSError("permanent")
+
+    with pytest.raises(OSError, match="permanent"):
+        dead()
+    assert calls["n"] == 2

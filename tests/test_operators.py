@@ -276,6 +276,20 @@ def test_multimodal_real_decoders(spark):
     clip = b"".join(M.encode_ppm(img + i) for i in range(5))
     frames = M.frame_sample(clip, every_n=2)
     assert len(frames) == 3 and frames[0].shape == (7, 5, 3)
+    # regression (ADVICE r2): raw pixel data containing the literal
+    # bytes 'P6' must not be mistaken for a frame boundary
+    tricky_frames = []
+    for i in range(4):
+        f = (img + i).astype(np.uint8)
+        f[3, 2] = (0x50, 0x36, 0x0A)  # 'P6\n' inside the pixels
+        tricky_frames.append(f)
+    frames2 = M.frame_sample(
+        b"".join(M.encode_ppm(f) for f in tricky_frames), every_n=1,
+    )
+    assert len(frames2) == 4
+    assert all(
+        np.array_equal(a, b) for a, b in zip(frames2, tricky_frames)
+    )
     # distributed image_features over a mixed-decodability table
     rows = [
         (1, "image", bytearray(M.encode_ppm(img))),
