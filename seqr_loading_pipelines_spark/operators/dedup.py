@@ -50,15 +50,39 @@ def normalized(text_col) -> "F.Column":
     return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of exact duplicates (normalized); winner = min doc_id."""
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", max_ids: int | None = None,
+) -> DataFrame:
+    """Groups of exact duplicates (normalized); winner = min doc_id.
+
+    ``max_ids`` caps the materialized per-group id list (n_dups stays
+    the TRUE count) — at corpus scale a pathological duplicate (a
+    boilerplate file in millions of repos) would otherwise build one
+    unbounded in-memory array in a single aggregation task. The cap is
+    real, not cosmetic: ids are ranked per group first and only ranks
+    <= max_ids enter the collect (collect_list skips nulls), so the
+    agg buffer itself is bounded; the rank window partitions on the
+    same key as the groupBy, so no extra shuffle appears. None keeps
+    the full list (the oracle-checked parity default at test scale)."""
     fp = docs.select("doc_id", F.md5(normalized(F.col(text_col))).alias("fp"))
+    if max_ids is None:
+        ids = F.array_sort(F.collect_list("doc_id"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        fp = fp.withColumn("_rn", F.row_number().over(w))
+        ids = F.array_sort(
+            F.collect_list(
+                F.when(F.col("_rn") <= max_ids, F.col("doc_id")),
+            ),
+        )
     return (
         fp.groupBy("fp")
         .agg(
             F.count("*").alias("n_dups"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            ids.alias("doc_ids"),
         )
         .filter(F.col("n_dups") > 1)
     )

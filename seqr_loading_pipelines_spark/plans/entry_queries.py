@@ -1241,6 +1241,44 @@ FROM documents WHERE lang <> 'de'
 """
 
 
+def q_index_incremental_update(spark, sf_dir):
+    """THE incremental path behind a driver-green row: build over the
+    first half of the corpus, ``update_index`` with the FULL corpus
+    (anti-join finds the truly-new docs, dictionary merges, new segment
+    appends), then ``compact_segments`` folds the two segments into
+    one. The resulting doc store must equal the source table exactly.
+    Oracle: the source table."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.merge import (
+        compact_segments,
+        update_index,
+    )
+
+    root = _index_root(sf_dir, "upd")
+    full = corpus_from_documents(spark, sf_dir)
+    first = full.filter(_orig_doc_id() % 2 == 0)
+    IndexBuilder(spark, root).build(
+        first, source_fingerprint=f"upd-first:{sf_dir}",
+    )
+    update_index(spark, root, full, f"upd-rest:{sf_dir}")
+    compact_segments(spark, root)
+    index = load_index(spark, root)
+    return index["doc_stats"].select(
+        _orig_doc_id().alias("doc_id"),
+        "lang",
+        F.col("doc_len").alias("doc_len"),
+    )
+
+
+SQL_INDEX_INCREMENTAL_UPDATE = f"""
+SELECT doc_id, lang, len({_T}) AS doc_len FROM documents
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -1285,6 +1323,7 @@ QUERIES = {
     "count_validation": q_count_validation,
     "index_bm25_topk": q_index_bm25_topk,
     "index_delete_survivors": q_index_delete_survivors,
+    "index_incremental_update": q_index_incremental_update,
 }
 
 ORACLE_SQL = {
@@ -1327,4 +1366,5 @@ ORACLE_SQL = {
     "count_validation": SQL_COUNT_VALIDATION,
     "index_bm25_topk": SQL_BM25_TOPK,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
+    "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
 }

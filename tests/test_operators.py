@@ -307,3 +307,21 @@ def test_multimodal_real_decoders(spark):
 
     with _pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG....")
+
+
+def test_exact_dedup_id_cap_bounds_group_list(spark):
+    """max_ids caps the per-group id list with a BOUNDED agg buffer
+    (ranks > max_ids never enter the collect); n_dups stays the true
+    count — the mega-duplicate-group guard at corpus scale."""
+    from seqr_loading_pipelines_spark.operators.dedup import exact_duplicates
+
+    rows = [(i, "same text here") for i in range(10)] + [
+        (100 + i, f"unique {i}") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = exact_duplicates(docs).collect()
+    capped = exact_duplicates(docs, max_ids=3).collect()
+    assert len(full) == len(capped) == 1
+    assert full[0]["n_dups"] == capped[0]["n_dups"] == 10
+    assert list(full[0]["doc_ids"]) == list(range(10))
+    assert list(capped[0]["doc_ids"]) == [0, 1, 2]
