@@ -42,11 +42,19 @@ REPS_USED: dict[str, int] = {}
 
 
 def timed_min(label: str, fn, timings: dict[str, float]) -> None:
-    """Untimed warm-up + min of N timed reps (see module docstring)."""
+    """Untimed warm-up + min of N timed reps (see module docstring).
+    Sub-3s queries get extra reps: their walls are dominated by the
+    ~1.5-2s per-job fixed cost whose jitter needs more samples to
+    floor out."""
     t0 = time.time()
     fn()
     warm = time.time() - t0
-    reps = REPS if warm < SLOW_QUERY_S else min(REPS, 2)
+    if warm < 3.0:
+        reps = REPS + 2
+    elif warm < SLOW_QUERY_S:
+        reps = REPS
+    else:
+        reps = min(REPS, 2)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
