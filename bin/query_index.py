@@ -4,10 +4,13 @@
 Usage:
   spark-submit --master local[N] --py-files dist/engine.zip \
       bin/query_index.py --index /tmp/idx --query "spark query vector" \
-      [--k 10] [--executor exact|wand] [--hydrate]
+      [--k 10] [--executor wand|exact] [--hydrate]
 
-Prints one JSON line per query with the ranked (doc_id, score) list
-and wall-clock latency.
+Prints one JSON line per query: ranked (doc_id, score) — with
+``--hydrate``, each hit also carries its doc-store row (repo, path,
+lang, doc_len, sha256). The serving-side analog of the reference's
+search path (SURVEY §3.3): dictionary filter -> pruned posting scan ->
+block-max WAND -> point-lookup hydration.
 """
 
 from __future__ import annotations
@@ -20,9 +23,12 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument(
+        "--query", action="append", required=True,
+        help="repeatable: one ranked result line per query",
+    )
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--executor", choices=["exact", "wand"], default="wand")
+    ap.add_argument("--executor", choices=["wand", "exact"], default="wand")
     ap.add_argument("--hydrate", action="store_true")
     args = ap.parse_args()
 
@@ -38,30 +44,34 @@ def main() -> None:
 
     _ship_package(spark)
     index = load_index(spark, args.index)
-    search = search_wand if args.executor == "wand" else search_exact
+    run = search_wand if args.executor == "wand" else search_exact
     for q in args.query:
         t0 = time.time()
-        top = search(spark, index, q, args.k)
+        topk = run(spark, index, q, args.k)
         if args.hydrate:
-            rows = [
-                r.asDict()
-                for r in hydrate(index, top).orderBy("rank").collect()
-            ]
+            rows = (
+                hydrate(index, topk)
+                .select(
+                    "rank", "doc_id", "score",
+                    "repo", "path", "lang", "doc_len", "sha256",
+                )
+                .orderBy("rank")
+                .collect()
+            )
         else:
-            rows = [r.asDict() for r in top.collect()]
+            rows = topk.orderBy("rank").collect()
         print(
             json.dumps(
                 {
                     "query": q,
-                    "k": args.k,
                     "executor": args.executor,
-                    "latency_s": round(time.time() - t0, 3),
-                    "results": rows,
+                    "k": args.k,
+                    "wall_s": round(time.time() - t0, 3),
+                    "hits": [r.asDict() for r in rows],
                 },
                 default=str,
             ),
         )
-    spark.stop()
 
 
 if __name__ == "__main__":
