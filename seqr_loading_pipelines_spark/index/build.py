@@ -965,6 +965,10 @@ def lookup_docs(
     segs = manifest["segments"]
     starts = manifest.get("segment_starts") or [0] * len(segs)
     wanted = sorted(set(int(d) for d in doc_ids))
+    # footer offsets per segment cached on the index handle: segments
+    # are immutable, and re-reading every part-file footer per query
+    # would be thousands of metadata reads at corpus scale
+    off_cache = index.setdefault("_offsets_cache", {})
     parts = []
     for seg, start in zip(segs, starts):
         path = os.path.join(root, seg, "docs")
@@ -974,7 +978,10 @@ def lookup_docs(
             continue
         import bisect
 
-        offsets = checkpoint_offsets(path, start)
+        offsets = off_cache.get(path)
+        if offsets is None:
+            offsets = checkpoint_offsets(path, start)
+            off_cache[path] = offsets
         bounds = [(o, pid) for pid, o, _ in offsets]
         mids = []
         for d in wanted:

@@ -29,26 +29,49 @@ from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
 from seqr_loading_pipelines_spark.index.build import idf as idf_fn
 
 
+# dictionaries at or below this row count are pulled to the driver once
+# and every later query resolves terms without a Spark job (each job
+# costs ~1.5-2s fixed on this sandbox; a FLAT-dictionary point lookup
+# is the reference's serving-side shape, clickhouse_schema_testcase.py
+# :111). Above the gate, per-query pushed ``term IN (...)`` scans.
+DICT_CACHE_MAX_TERMS = 2_000_000
+
+
 def _query_terms(index: dict, query_text: str) -> list[dict]:
-    """Resolve query terms against the term dictionary (driver-side;
-    the dictionary lookup is tiny — a pushed-down ``term IN (...)``)."""
+    """Resolve query terms against the term dictionary, driver-side.
+
+    Small dictionaries cache as one python map on the opened index
+    (amortized over every subsequent query on this index handle);
+    large ones stay distributed with a pushed-down term filter."""
     terms = sorted(set(tokenize_py(query_text)))
     if not terms:
         return []
-    rows = (
-        index["term_dict"]
-        .filter(F.col("term").isin(terms))
-        .select("term", "term_id", "df")
-        .collect()
-    )
     n_docs = index["manifest"]["n_docs"]
+    gate = index.get("_dict_cache_max_terms", DICT_CACHE_MAX_TERMS)
+    if index["manifest"].get("n_terms", gate + 1) <= gate:
+        cache = index.get("_dict_cache")
+        if cache is None:
+            pdf = index["term_dict"].select("term", "term_id", "df").toPandas()
+            cache = dict(
+                zip(pdf["term"], zip(pdf["term_id"], pdf["df"])),
+            )
+            index["_dict_cache"] = cache
+        hits = [(t, *cache[t]) for t in terms if t in cache]
+    else:
+        hits = [
+            (r["term"], r["term_id"], r["df"])
+            for r in index["term_dict"]
+            .filter(F.col("term").isin(terms))
+            .select("term", "term_id", "df")
+            .collect()
+        ]
     return [
         {
-            "term": r["term"],
-            "term_id": int(r["term_id"]),
-            "idf": idf_fn(n_docs, int(r["df"])),
+            "term": t,
+            "term_id": int(tid),
+            "idf": idf_fn(n_docs, int(df)),
         }
-        for r in rows
+        for t, tid, df in hits
     ]
 
 
