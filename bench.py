@@ -132,6 +132,22 @@ def main() -> None:
     timings["bm25_wand_p50"] = pctl(lat_wand, 0.5)
     timings["bm25_wand_p95"] = pctl(lat_wand, 0.95)
 
+    # batched serving throughput: the WHOLE reference query set in one
+    # distributed pass (per-job fixed cost amortizes across the batch)
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+    batch = {
+        str(q["query_id"]): q["text"] for q in reference_query_set()
+    }
+    timed_min(
+        "bm25_wand_batch_all",
+        lambda: search_wand_many(spark, index, batch, k=10).collect(),
+        timings,
+    )
+    timings["bm25_wand_batch_per_query"] = round(
+        timings["bm25_wand_batch_all"] / max(1, len(batch)), 3,
+    )
+
     # -- ANN: persisted IVF + banded-LSH indexes vs brute force ---------
     # (>=100k vectors; the sf embeddings table is tiny, so the bench
     # synthesizes a deterministic clustered vector table)

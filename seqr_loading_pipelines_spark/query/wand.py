@@ -31,7 +31,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seqr_loading_pipelines_spark.index.codec import varbyte_decode
-from seqr_loading_pipelines_spark.query.bm25 import _query_terms, rank_topk
+from seqr_loading_pipelines_spark.query.bm25 import (
+    _query_terms,
+    quantized,
+    rank_topk,
+)
+
+
+def _decode_block(blk: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (and memoize on the block dict) one posting block to
+    (doc_ids, tfs, dls). Scores are NOT cached — they depend on the
+    query's idf, so a multi-query pass re-derives them vectorized from
+    the shared arrays while paying the varbyte decode only once."""
+    dec = blk.get("_dec")
+    if dec is None:
+        dec = (
+            np.cumsum(varbyte_decode(blk["doc_id_deltas"])),
+            varbyte_decode(blk["tfs"]).astype(np.float64),
+            varbyte_decode(blk["dls"]).astype(np.float64),
+        )
+        blk["_dec"] = dec
+    return dec
 
 
 class _TermCursor:
@@ -64,9 +84,8 @@ class _TermCursor:
     def _decode(self):
         blk = self.blocks[self.bi]
         k1, b, avgdl = self._k1b
-        self.doc_ids = np.cumsum(varbyte_decode(blk["doc_id_deltas"]))
-        tfs = varbyte_decode(blk["tfs"]).astype(np.float64)
-        dls = varbyte_decode(blk["dls"]).astype(np.float64)
+        doc_ids, tfs, dls = _decode_block(blk)
+        self.doc_ids = doc_ids
         self.scores = self.idf * tfs * (k1 + 1.0) / (
             tfs + k1 * (1.0 - b + b * dls / avgdl)
         )
@@ -131,9 +150,7 @@ def _taat_shard(
     docs_all, scores_all = [], []
     for idf, blocks in groups:
         for blk in blocks:
-            doc_ids = np.cumsum(varbyte_decode(blk["doc_id_deltas"]))
-            tfs = varbyte_decode(blk["tfs"]).astype(np.float64)
-            dls = varbyte_decode(blk["dls"]).astype(np.float64)
+            doc_ids, tfs, dls = _decode_block(blk)
             docs_all.append(doc_ids)
             scores_all.append(
                 idf * tfs * (k1 + 1.0)
@@ -366,3 +383,141 @@ def search_wand(
             schema="doc_id long, score double",
         )
     return rank_topk(per_shard, k)
+
+
+def search_wand_many(
+    spark: SparkSession,
+    index: dict,
+    queries: dict[str, str] | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """The WHOLE query batch in ONE distributed pass ->
+    ``(query_id, doc_id, score, rank)``, rank <= k per query.
+
+    Per-query results are identical to ``search_wand`` (same density
+    dispatch, tie rule, tombstone handling). What changes is cost: one
+    pruned posting scan + one shard pass serve every query, instead of
+    a full Spark job each — and the per-job fixed cost dominates
+    single-query latency, so batch throughput scales with
+    queries-per-job (the serving analog of the reference's one
+    ClickHouse round-trip answering a whole search request). Inside a
+    shard, a posting block decodes ONCE even when many queries
+    reference its term (idf-dependent scores re-derive vectorized from
+    the shared arrays). Queries with no known terms yield no rows."""
+    if isinstance(queries, list):
+        queries = {str(i): q for i, q in enumerate(queries)}
+    infos_by_q = {
+        qid: _query_terms(index, text) for qid, text in queries.items()
+    }
+    infos_by_q = {qid: ti for qid, ti in infos_by_q.items() if ti}
+    out_schema = "query_id string, doc_id long, score double"
+    if not infos_by_q:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    manifest = index["manifest"]
+    k = max(1, min(k, manifest["n_docs"]))
+    k1, b, avgdl = manifest["k1"], manifest["b"], manifest["avgdl"]
+    tids_by_q = {
+        qid: {t["term_id"]: t["idf"] for t in ti}
+        for qid, ti in infos_by_q.items()
+    }
+    all_tids = sorted({tid for m in tids_by_q.values() for tid in m})
+
+    blocks = index["postings"].filter(
+        F.col("term_id").isin(all_tids),
+    ).select(
+        "term_id", "shard_id", "first_doc_id", "last_doc_id", "n_docs",
+        "max_tf", "min_dl", "doc_id_deltas", "tfs", "dls",
+    )
+    from seqr_loading_pipelines_spark.index.deletes import (
+        tombstone_ids,
+        tombstones_gated,
+    )
+
+    tomb = tombstone_ids(index)
+    gated = tombstones_gated(index)
+    shard_size = manifest["shard_size"]
+    out_cols = {"query_id": "object", "doc_id": "int64", "score": "float64"}
+
+    def run_shard_many(
+        pdf: pd.DataFrame, excluded: np.ndarray | None,
+    ) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=list(out_cols)).astype(
+                {"doc_id": "int64", "score": "float64"},
+            )
+        blks_by_tid: dict[int, tuple[list[dict], int]] = {}
+        for tid, sub in pdf.groupby("term_id"):
+            sub = sub.sort_values("first_doc_id")
+            blks = [
+                {
+                    "first_doc_id": int(r.first_doc_id),
+                    "last_doc_id": int(r.last_doc_id),
+                    "max_tf": int(r.max_tf),
+                    "min_dl": int(r.min_dl),
+                    "doc_id_deltas": bytes(r.doc_id_deltas),
+                    "tfs": bytes(r.tfs),
+                    "dls": bytes(r.dls),
+                }
+                for r in sub.itertuples()
+            ]
+            blks_by_tid[int(tid)] = (blks, int(sub["n_docs"].sum()))
+        frames = []
+        for qid, idf_by_tid in tids_by_q.items():
+            groups, n_postings = [], 0
+            for tid, idf in idf_by_tid.items():
+                ent = blks_by_tid.get(tid)
+                if ent is None:
+                    continue
+                groups.append((idf, ent[0]))
+                n_postings += ent[1]
+            if not groups:
+                continue
+            if n_postings >= 0.2 * shard_size:
+                top = _taat_shard(groups, k, k1, b, avgdl, excluded=excluded)
+            else:
+                top = _wand_shard(groups, k, k1, b, avgdl, excluded=excluded)
+            if top:
+                f = pd.DataFrame(top, columns=["doc_id", "score"])
+                f.insert(0, "query_id", qid)
+                frames.append(f)
+        if not frames:
+            return pd.DataFrame(columns=list(out_cols)).astype(
+                {"doc_id": "int64", "score": "float64"},
+            )
+        return pd.concat(frames, ignore_index=True).astype(
+            {"doc_id": "int64", "score": "float64"},
+        )
+
+    if gated:
+        tombs = index["tombstones"].select(
+            "doc_id",
+            (F.col("doc_id") / F.lit(shard_size)).cast("long").alias(
+                "shard_id",
+            ),
+        )
+
+        def run_cogrouped(blk_pdf, tomb_pdf):
+            excl = None
+            if len(tomb_pdf):
+                excl = np.sort(tomb_pdf["doc_id"].to_numpy(np.int64))
+            return run_shard_many(blk_pdf, excl)
+
+        per_shard = (
+            blocks.groupBy("shard_id")
+            .cogroup(tombs.groupBy("shard_id"))
+            .applyInPandas(run_cogrouped, schema=out_schema)
+        )
+    else:
+        per_shard = blocks.groupBy("shard_id").applyInPandas(
+            lambda pdf: run_shard_many(pdf, tomb), schema=out_schema,
+        )
+    # global per-query rank over the (n_shards * n_queries * <=k)-row
+    # union — query_id is a REAL partition key, so the window
+    # parallelizes and never collapses to one partition
+    w = Window.partitionBy("query_id").orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

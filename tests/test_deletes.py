@@ -160,6 +160,22 @@ def test_mass_delete_gated_exclusion(spark, tmp_path, monkeypatch):
         assert a == b == c, q
         baseline[q] = a
 
+    # the batched executor honors the gate identically (cogrouped
+    # per-shard victims)
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+    many = search_wand_many(
+        spark, gated, {q: q for q in QUERIES}, k=10,
+    ).collect()
+    by_q: dict = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 5)),
+        )
+    for q in QUERIES:
+        got = sorted(by_q.get(q, []))
+        assert got == sorted(baseline[q]), q
+
     # compaction under the gate folds tombstones without the broadcast
     monkeypatch.setattr(del_mod, "TOMBSTONE_BROADCAST_MAX", 1)
     mc = compact_segments(spark, root)

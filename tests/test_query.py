@@ -69,3 +69,37 @@ def test_randomized_rank_identity(spark, index, oracle):
         got = _collect(search_exact(spark, index, text, k))
         want = _golden(oracle, text, k)
         assert got == want, f"query {i}: {text!r}"
+
+
+def test_batched_wand_matches_per_query(spark, index):
+    """search_wand_many: one distributed pass for a whole query batch
+    must reproduce search_wand exactly per query — including queries
+    sharing terms (decoded blocks are shared inside a shard), an
+    empty query, and an absent-term query (both: no rows)."""
+    from seqr_loading_pipelines_spark.query.wand import (
+        search_wand,
+        search_wand_many,
+    )
+
+    batch = {
+        "a": "sw0 term_00042",
+        "b": "term_00007 term_00123 sw3",
+        "c": "sw0 sw1 sw2",  # shares sw0 with 'a'
+        "empty": "",
+        "absent": "zz_absent_token_zz",
+    }
+    got = search_wand_many(spark, index, batch, k=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 5)),
+        )
+    for rows in by_q.values():
+        rows.sort()
+    assert "empty" not in by_q and "absent" not in by_q
+    for qid in ("a", "b", "c"):
+        want = [
+            (r["rank"], r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, index, batch[qid], 10).collect()
+        ]
+        assert by_q.get(qid) == sorted(want), qid
