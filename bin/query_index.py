@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--executor", choices=["wand", "exact"], default="wand")
     ap.add_argument("--hydrate", action="store_true")
+    ap.add_argument(
+        "--batch", action="store_true",
+        help="serve ALL --query values in one distributed pass "
+        "(search_wand_many) instead of one Spark job each",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,6 +49,34 @@ def main() -> None:
 
     _ship_package(spark)
     index = load_index(spark, args.index)
+    if args.batch:
+        from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+        t0 = time.time()
+        out = search_wand_many(
+            spark, index, {q: q for q in args.query}, args.k,
+        )
+        if args.hydrate:
+            out = hydrate(index, out)
+        rows = out.orderBy("query_id", "rank").collect()
+        wall = round(time.time() - t0, 3)
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r.asDict())
+        for q in args.query:
+            print(
+                json.dumps(
+                    {
+                        "query": q,
+                        "executor": "wand-batch",
+                        "k": args.k,
+                        "batch_wall_s": wall,
+                        "hits": by_q.get(q, []),
+                    },
+                    default=str,
+                ),
+            )
+        return
     run = search_wand if args.executor == "wand" else search_exact
     for q in args.query:
         t0 = time.time()

@@ -1241,6 +1241,42 @@ FROM documents WHERE lang <> 'de'
 """
 
 
+BM25_BATCH = {"q1": " ".join(BM25_QUERY_TERMS), "q2": "table spark index"}
+
+
+def q_index_bm25_batch(spark, sf_dir):
+    """The batched executor behind a driver-green row: every query of
+    the batch served by ONE distributed pass (search_wand_many), then
+    hydrated. Oracle: the per-query BM25 SQL union-tagged by query."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = search_wand_many(spark, index, BM25_BATCH, k=10)
+    return hydrate(index, out).select(
+        "query_id",
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_batch(batch: dict[str, str], k: int) -> str:
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    parts = []
+    for qid, text in batch.items():
+        terms = sorted(set(tokenize_py(text)))
+        inner = _sql_bm25(terms, k)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t.* FROM ({inner}) t",
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_INDEX_BM25_BATCH = _sql_bm25_batch(BM25_BATCH, 10)
+
+
 def q_index_incremental_update(spark, sf_dir):
     """THE incremental path behind a driver-green row: build over the
     first half of the corpus, ``update_index`` with the FULL corpus
@@ -1322,6 +1358,7 @@ QUERIES = {
     "nested_rename": q_nested_rename,
     "count_validation": q_count_validation,
     "index_bm25_topk": q_index_bm25_topk,
+    "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
 }
@@ -1365,6 +1402,7 @@ ORACLE_SQL = {
     "nested_rename": SQL_NESTED_RENAME,
     "count_validation": SQL_COUNT_VALIDATION,
     "index_bm25_topk": SQL_BM25_TOPK,
+    "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
 }
