@@ -314,3 +314,42 @@ def test_empty_corpus_raises(spark, tmp_path):
     )
     with pytest.raises(ContentValidationError):
         IndexBuilder(spark, str(tmp_path / "idx")).build(empty, "empty")
+
+
+def test_stopword_postings_spread_across_shards(spark, tmp_path):
+    """The north-rule skew property, locked: a stop-word term's
+    postings must split across doc shards (shard_id is the
+    sub-partition salt, the farmHash64(...) % n analog,
+    test_clickhouse_schema.sql:84-85) AND across physical partition
+    files — so both the encode and the query of a hot term
+    parallelize instead of landing on one task."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    corpus = generate_corpus(spark, 200, n_repos=4, seed=17)
+    root = str(tmp_path / "idx")
+    IndexBuilder(spark, root, shard_size=16).build(corpus, "v")
+    idx = load_index(spark, root)
+    tid = idx["term_dict"].filter(F.col("term") == "sw0").first()["term_id"]
+    rows = (
+        idx["postings"]
+        .filter(F.col("term_id") == tid)
+        .select("shard_id", F.input_file_name().alias("f"))
+        .collect()
+    )
+    shards = {r["shard_id"] for r in rows}
+    files = {r["f"] for r in rows}
+    assert len(shards) > 4, shards  # ~200/16 doc shards, sw0 in most
+    assert len(files) > 1, files  # the (term_id, shard_id) salt spread
+    # the sharded layout stays exact
+    ex = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in search_exact(spark, idx, "sw0 term_00042", 10).collect()
+    ]
+    wa = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in search_wand(spark, idx, "sw0 term_00042", 10).collect()
+    ]
+    assert ex == wa and len(ex) == 10

@@ -88,3 +88,17 @@ def test_hydrate_pushes_stored_column_filter(spark, index):
     top = search_exact(spark, index, "sw0 term_00042", 5)
     plan = _plan(hydrate(index, top))
     assert ("In(_mid" in plan) or ("In(doc_id" in plan), plan
+
+
+def test_batched_wand_single_pushed_scan(spark, index):
+    """search_wand_many must serve the whole batch from ONE posting
+    scan with the union of the batch's term ids pushed to parquet —
+    not one scan per query."""
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+    df = search_wand_many(
+        spark, index, {"a": "sw0 term_00042", "b": "sw1"}, 5,
+    )
+    plan = _plan(df)
+    assert plan.count("PushedFilters: [In(term_id") == 1, plan
+    assert "BatchEvalPython" not in plan
