@@ -85,7 +85,20 @@ def write_range_sorted(
     # sorted stream, so the read side derives dense ids with pure
     # arithmetic — no window, no shuffle, no re-sort
     staged = staged.withColumn("_mid", F.monotonically_increasing_id())
-    staged.write.mode("overwrite").parquet(checkpoint_path)
+    # the physical file count IS the resume/chunk granularity (and the
+    # parallelism of every downstream read), so AQE must not coalesce
+    # this exchange: with an AQE-planned join upstream (the incremental
+    # anti-join) the declared partitioning otherwise collapses to ONE
+    # task/file for a small-stats batch — correct ids, but the whole
+    # increment serializes and chunked resume degrades to all-or-nothing
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        staged.write.mode("overwrite").parquet(checkpoint_path)
+    finally:
+        spark.conf.set(key, prev)
     return True
 
 

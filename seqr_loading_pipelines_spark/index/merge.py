@@ -123,17 +123,22 @@ def _update(
         )
         return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
 
+    # fused (default) tokenizes inside the keying pass; docs_chunks > 1
+    # splits keying and chunked tokenize for per-chunk resume, exactly
+    # like build()
+    fused = builder.docs_chunks <= 1
+    docs_dir = os.path.join(snap, "docs" if fused else "keyed_ckpt")
     key_info: dict = {}
     t_key = time.time()
     keyed = assign_dense_ids(
         spark, new_only, ["repo", "path", "commit"],
-        os.path.join(snap, "docs"),
+        docs_dir,
         start=current["max_doc_id"] + 1,
         dedup_order_col="sha256",
         info=key_info,
-        post_transform=tokenize_project,
+        post_transform=tokenize_project if fused else None,
     )
-    builder.metrics["stages"]["docs"] = {
+    builder.metrics["stages"]["docs" if fused else "keyed"] = {
         "wall_s": round(time.time() - t_key, 3),
         "resumed": not key_info["did_write"],
     }
@@ -165,15 +170,26 @@ def _update(
         return manifest
 
     # 3. the fused pass already wrote the doc store (docs = terms +
-    # stats, no content); sum(doc_len) rode it as an observed metric
-    tokenized = keyed
+    # stats, no content); sum(doc_len) rode it as an observed metric.
+    # Chunked mode tokenizes the keyed checkpoint chunk by chunk
+    # (per-chunk resume).
     from seqr_loading_pipelines_spark.index.build import DOC_STATS_COLS
 
-    new_doc_stats = tokenized.select(*DOC_STATS_COLS)
-    if key_info["did_write"]:
-        new_sdl = int(doc_obs.get["sdl"] or 0)
-    else:  # resumed checkpoint: the observed pass never ran
-        new_sdl = int(new_doc_stats.agg(F.sum("doc_len")).first()[0] or 0)
+    if fused:
+        tokenized = keyed
+        new_doc_stats = tokenized.select(*DOC_STATS_COLS)
+        if key_info["did_write"]:
+            new_sdl = int(doc_obs.get["sdl"] or 0)
+        else:  # resumed checkpoint: the observed pass never ran
+            new_sdl = int(
+                new_doc_stats.agg(F.sum("doc_len")).first()[0] or 0,
+            )
+    else:
+        builder._tune_split_size(docs_dir)
+        tokenized, new_sdl = builder._stage_docs_chunked(
+            snap, docs_dir, current["max_doc_id"] + 1,
+        )
+        new_doc_stats = tokenized.select(*DOC_STATS_COLS)
 
     n_docs = current["n_docs"] + n_new
     sum_dl = current["sum_dl"] + new_sdl
@@ -265,15 +281,30 @@ def _update(
             (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
         )
         cols.append(ln.cast("float").alias("idf"))
-    postings_flat = flat.join(d, "term").select(*cols)
-    builder._tune_split_size(os.path.join(snap, "docs"))
-    builder._stage(
-        snap, "postings",
-        lambda: builder._postings_blocks(
-            postings_flat, n_docs, avgdl,
+    def make_flat(docs_df):
+        fl = docs_df.select(
+            "doc_id",
+            F.col("doc_len").alias("dl"),
+            F.explode("terms").alias("t"),
+        ).select(
+            "doc_id", "dl",
+            F.col("t.term").alias("term"), F.col("t.tf").alias("tf"),
+        )
+        return fl.join(d, "term").select(*cols)
+
+    def encode(pf):
+        return builder._postings_blocks(
+            pf, n_docs, avgdl,
             idf_arr=idf_arr, dl_arr=dl_arr, dl_base=dl_base,
-        ),
-    )
+        )
+
+    builder._tune_split_size(os.path.join(snap, "docs"))
+    if fused:
+        builder._stage(snap, "postings", lambda: encode(make_flat(tokenized)))
+    else:
+        # chunk the encode along the docs chunks (per-chunk resume,
+        # same shape as build)
+        builder._stage_postings_chunked(snap, make_flat, encode)
     n_blocks_new = _parquet_row_count(os.path.join(snap, "postings"))
 
     seg = os.path.relpath(snap, table.root)

@@ -96,3 +96,54 @@ def test_compaction_preserves_results(spark, merged_index):
         assert got_w == want, q
     # compacting a single segment is a no-op
     assert compact_segments(spark, root)["version"] == m["version"]
+
+
+def test_chunked_update_matches_fused(spark, tmp_path):
+    """docs_chunks > 1 on the INCREMENTAL path (keying split from
+    chunked tokenize + chunked postings encode, per-chunk resume) must
+    produce the identical index to the fused default."""
+    import pyspark.sql.functions as F
+
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+    from seqr_loading_pipelines_spark.index.merge import update_index
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    c1 = generate_corpus(spark, 60, n_repos=3, seed=7)
+    c2 = generate_corpus(spark, 120, n_repos=3, seed=7)  # 60 new docs
+    roots = {"fused": str(tmp_path / "f"), "chunked": str(tmp_path / "c")}
+    for mode, root in roots.items():
+        IndexBuilder(spark, root).build(c1, "b1")
+        update_index(
+            spark, root, c2, "b2",
+            docs_chunks=3 if mode == "chunked" else 1,
+        )
+    a = load_index(spark, roots["fused"])
+    b = load_index(spark, roots["chunked"])
+    m = b["manifest"]["metrics"]["stages"]
+    assert m["docs"]["chunks"] == 3 and m["postings"]["chunks"] == 3
+    assert (
+        a["doc_stats"].orderBy("doc_id").toPandas()
+        .equals(b["doc_stats"].orderBy("doc_id").toPandas())
+    )
+    assert (
+        a["term_dict"].orderBy("term_id").toPandas()
+        .equals(b["term_dict"].orderBy("term_id").toPandas())
+    )
+    tot = lambda i: i["postings"].agg(F.sum("n_docs")).first()[0]  # noqa: E731
+    assert tot(a) == tot(b)
+    for q in ["sw0 term_00042", "term_00007 sw3"]:
+        ea = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, a, q, 10).collect()
+        ]
+        eb = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, b, q, 10).collect()
+        ]
+        wb = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, b, q, 10).collect()
+        ]
+        assert ea == eb == wb, q
