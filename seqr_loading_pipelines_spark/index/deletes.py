@@ -14,7 +14,11 @@ Iceberg-delete-file style:
   scores of surviving docs are rank-identical to a from-scratch
   rebuild without the deleted docs.
 - query executors (query/bm25.py, query/wand.py) exclude tombstoned
-  docIDs during scoring (broadcast sorted-array membership test).
+  docIDs during scoring: a broadcast sorted-array membership test below
+  ``TOMBSTONE_BROADCAST_MAX``, distributed exclusion above it
+  (anti-join for the exact path, cogrouped per-shard victim arrays for
+  WAND) — a mass delete between compactions never ships a giant array
+  with every query.
 - ``compact_segments`` (index/merge.py) folds tombstones in
   physically: decode -> drop victims -> re-encode, then clears the
   tombstone list (the OPTIMIZE FINAL analog).
