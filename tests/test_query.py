@@ -103,3 +103,17 @@ def test_batched_wand_matches_per_query(spark, index):
             for r in search_wand(spark, index, batch[qid], 10).collect()
         ]
         assert by_q.get(qid) == sorted(want), qid
+
+
+def test_batched_wand_edge_inputs(spark, index):
+    """Probes: oversized k clamps to n_docs (no TakeOrdered OOM);
+    an all-garbage batch returns an empty frame with the full schema."""
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+    big = search_wand_many(spark, index, {"a": "sw0"}, k=10**9)
+    rows = big.collect()
+    assert len(rows) <= index["manifest"]["n_docs"]
+    assert rows and rows[0]["rank"] == 1
+    empty = search_wand_many(spark, index, {"x": "", "y": "@@@ ###"}, k=5)
+    assert empty.columns == ["query_id", "doc_id", "score", "rank"]
+    assert empty.count() == 0
