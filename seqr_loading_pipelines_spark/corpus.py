@@ -115,6 +115,32 @@ def generate_corpus(
     )
 
 
+def _is_missing_iceberg_runtime(e: Exception) -> bool:
+    """True only for 'the iceberg DataSource class is not on the
+    classpath' failures: Spark 3.x raises ClassNotFoundException
+    ('Failed to find data source: iceberg'), Spark 4 raises
+    AnalysisException with errorClass DATA_SOURCE_NOT_FOUND."""
+    cond = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None,
+    )
+    if cond is not None:
+        try:
+            if cond() == "DATA_SOURCE_NOT_FOUND":
+                return True
+        except Exception:  # noqa: BLE001 — JVM-side probe, best effort
+            pass
+    msg = str(e)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source: iceberg" in msg
+        or "Failed to find the data source: iceberg" in msg
+        or (
+            "ClassNotFoundException" in msg
+            and "iceberg" in msg.lower()
+        )
+    )
+
+
 def corpus_from_iceberg(
     spark: SparkSession,
     table: str,
@@ -131,16 +157,19 @@ def corpus_from_iceberg(
     present this is the only line that changes between the parquet-dir
     harness and a lakehouse deployment."""
     from pyspark.sql import functions as F
-    from pyspark.sql.utils import AnalysisException
 
     try:
         reader = spark.read
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         df = reader.format("iceberg").load(table)
-    except (AnalysisException, Exception) as e:  # noqa: BLE001
-        msg = str(e)
-        if "iceberg" in msg.lower() or "DATA_SOURCE_NOT_FOUND" in msg:
+    except Exception as e:  # noqa: BLE001
+        # Match ONLY the missing-data-source signal; every other failure
+        # (catalog misconfig, missing table, permissions) re-raises
+        # unchanged so the real error isn't shadowed (ADVICE r3 — the
+        # old substring match on 'iceberg' swallowed nearly everything,
+        # since format('iceberg') appears in most error messages).
+        if _is_missing_iceberg_runtime(e):
             raise RuntimeError(
                 "Iceberg runtime not on the Spark classpath; add "
                 "org.apache.iceberg:iceberg-spark-runtime and a catalog "

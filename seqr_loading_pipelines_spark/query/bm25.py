@@ -175,10 +175,14 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
     declared single-partition op (it IS one partition of k rows) rather
     than an accidental whole-table collapse.
     """
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
     ranked = scored.orderBy(
         quantized(F.col("score")).desc(), F.col("doc_id").asc(),
     ).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(
         quantized(F.col("score")).desc(), F.col("doc_id").asc(),
     )
     return ranked.select(

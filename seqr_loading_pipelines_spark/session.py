@@ -81,25 +81,13 @@ def get_spark(
     builder = builder.config("spark.driver.memory", driver_memory)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _silence_benign_window_warning(spark)
+    # note: no WindowExec logger suppression here — the engine's
+    # limit-then-rank windows declare a NON-FOLDABLE constant partition
+    # key (functions/hashing.py single_partition_key), so the benign
+    # windows simply never warn and a genuine accidental whole-table
+    # window collapse anywhere still surfaces at WARN (ADVICE r3).
     _ship_package(spark)
     return spark
-
-
-def _silence_benign_window_warning(spark: SparkSession) -> None:
-    """WindowExec warns 'No Partition Defined' on every limit-then-rank
-    window even though those windows run over <= k already-limited rows
-    (Catalyst constant-folds the declared partitionBy(lit(0)) key away).
-    The warning is noise that buries real ones — raise that one logger
-    to ERROR; everything else stays at WARN."""
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:  # non-log4j2 deployments: cosmetic, never fatal
-        pass
 
 
 def _ship_package(spark: SparkSession) -> None:

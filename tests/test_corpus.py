@@ -36,3 +36,33 @@ def test_corpus_from_iceberg_reports_missing_runtime(spark):
 
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         corpus_from_iceberg(spark, "lake.code_corpus")
+
+
+def test_missing_iceberg_matcher_is_narrow():
+    """ADVICE r3: only the missing-data-source signal maps to the
+    setup message; catalog/table/permission errors (whose messages
+    mention 'iceberg' because format('iceberg') is in the plan) must
+    re-raise unchanged."""
+    from seqr_loading_pipelines_spark.corpus import (
+        _is_missing_iceberg_runtime,
+    )
+
+    assert _is_missing_iceberg_runtime(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data "
+                  "source: iceberg."),
+    )
+    assert _is_missing_iceberg_runtime(
+        Exception("java.lang.ClassNotFoundException: iceberg."
+                  "DefaultSource"),
+    )
+    # unrelated failures that merely mention the word 'iceberg'
+    assert not _is_missing_iceberg_runtime(
+        Exception("Table or view not found: lake.iceberg_corpus"),
+    )
+    assert not _is_missing_iceberg_runtime(
+        Exception("Permission denied reading iceberg table metadata"),
+    )
+    assert not _is_missing_iceberg_runtime(
+        Exception("Catalog 'lake' plugin class not found: "
+                  "org.example.MyCatalog"),
+    )

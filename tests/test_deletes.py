@@ -294,3 +294,83 @@ def test_reinsert_deleted_doc_gets_new_id(spark, tmp_path):
         .first()[0]
         > m1["max_doc_id"]
     )
+
+
+def test_mass_delete_writes_partitioned_tombstones(
+    spark, tmp_path, monkeypatch,
+):
+    """ADVICE r3: a mass delete past the broadcast gate must not funnel
+    every victim docID through one task — the tombstone write scales
+    its partition count with the victim count (the gated read path
+    already accepts multi-file tombstone dirs), and the dictionary-
+    decrement join flips from broadcast to shuffled above the gate."""
+    import glob
+    import os
+
+    import seqr_loading_pipelines_spark.index.deletes as del_mod
+
+    monkeypatch.setattr(del_mod, "TOMBSTONE_ROWS_PER_FILE", 25)
+    root = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 300, n_repos=4, seed=41)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    # broadcast_max=1: every mass-delete code path takes the gated
+    # (shuffled-join) branch, as it would past 2M victims at scale
+    m = delete_docs(
+        spark, root, F.col("repo") == "repo_0000", broadcast_max=1,
+    )
+    assert m["n_deleted"] > 50, "premise: mass delete"
+    tomb_dir = os.path.join(root, m["tombstone_dirs"][0])
+    parts = glob.glob(os.path.join(tomb_dir, "part-*.parquet"))
+    assert len(parts) > 1, "tombstone write stayed single-task"
+
+    # rank-identity vs a from-scratch rebuild of the survivors proves
+    # the gated dictionary decrement is still exact
+    rebuilt_root = str(tmp_path / "rebuilt")
+    IndexBuilder(spark, rebuilt_root).build(
+        corpus.filter(F.col("repo") != "repo_0000"), "survivors",
+    )
+    idx = load_index(spark, root)
+    reb = load_index(spark, rebuilt_root)
+    key_of = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in idx["doc_stats"].collect()
+    }
+    key_of_reb = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in reb["doc_stats"].collect()
+    }
+    for q in QUERIES:
+        have = [
+            (key_of[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        want = [
+            (key_of_reb[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, reb, q, 10).collect()
+        ]
+        assert have == want, q
+
+
+def test_delete_ledger_key_replay_safe(spark, tmp_path):
+    """A ledger-keyed delete is a no-op on replay (same key), and the
+    key lands in the manifest's updates ledger — the build's
+    idempotence discipline applied to deletes."""
+    root = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 80, n_repos=3, seed=51)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    m1 = delete_docs(
+        spark, root, F.col("repo") == "repo_0001", ledger_key="del:r1",
+    )
+    assert "del:r1" in m1["updates"]
+    assert m1["n_deleted"] > 0
+    v1 = m1["version"]
+    # replay: same key -> manifest untouched (no new snapshot published)
+    m2 = delete_docs(
+        spark, root, F.col("repo") == "repo_0001", ledger_key="del:r1",
+    )
+    assert m2["version"] == v1
+    # a DIFFERENT ledgered delete still applies
+    m3 = delete_docs(
+        spark, root, F.col("repo") == "repo_0002", ledger_key="del:r2",
+    )
+    assert m3["version"] > v1 and "del:r2" in m3["updates"]

@@ -1,0 +1,197 @@
+"""External-key -> docID point lookup (the key_lookup analog):
+projection written at build/update/compaction, pushed-predicate
+lookups, hydrate-by-key, delete-by-key-list, old-layout fallback.
+
+Reference parity: the RocksDB-backed ``key_lookup`` table
+(v03_pipeline/var/test/test_clickhouse_schema.sql:114-120) and its
+reference-data join (:243-251)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from seqr_loading_pipelines_spark.corpus import generate_corpus
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.index.key_lookup import (
+    delete_docs_by_keys,
+    hydrate_by_keys,
+    resolve_doc_ids,
+    resolve_doc_ids_by_sha,
+)
+
+
+def _truth(idx):
+    return {
+        (r["repo"], r["path"], r["commit"]): (r["doc_id"], r["sha256"])
+        for r in idx["doc_stats"].collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def lk_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("keylk") / "idx")
+    corpus = generate_corpus(spark, 150, n_repos=4, seed=71)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    return root
+
+
+def test_lookup_resolves_exact_ids(spark, lk_index):
+    idx = load_index(spark, lk_index)
+    truth = _truth(idx)
+    keys = sorted(truth)[: 7]
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in resolve_doc_ids(spark, idx, keys).collect()
+    }
+    assert got == {k: truth[k][0] for k in keys}
+
+
+def test_lookup_missing_keys_yield_no_rows(spark, lk_index):
+    idx = load_index(spark, lk_index)
+    got = resolve_doc_ids(
+        spark, idx, [("no_such_repo", "nope.py", "deadbeef")],
+    ).collect()
+    assert got == []
+
+
+def test_lookup_pushes_key_hash_filter(spark, lk_index):
+    """Plan gate: the key_hash IN (...) predicate must reach the
+    parquet scan of the SORTED projection (PushedFilters), so row-group
+    min/max prunes — the point-lookup contract."""
+    idx = load_index(spark, lk_index)
+    keys = sorted(_truth(idx))[:3]
+    plan = resolve_doc_ids(spark, idx, keys)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted",
+        ),
+    )
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any("key_hash" in ln and "In(" in ln for ln in pushed), plan
+
+
+def test_lookup_by_sha(spark, lk_index):
+    idx = load_index(spark, lk_index)
+    truth = _truth(idx)
+    wanted = [v[1] for v in list(truth.values())[:5]]
+    got = resolve_doc_ids_by_sha(spark, idx, wanted).collect()
+    by_sha = {}
+    for (k, (d, s)) in truth.items():
+        by_sha.setdefault(s, set()).add(d)
+    want_pairs = {
+        (s, d) for s in wanted for d in by_sha.get(s, set())
+    }
+    assert {(r["sha256"], r["doc_id"]) for r in got} == want_pairs
+
+
+def test_hydrate_by_keys(spark, lk_index):
+    idx = load_index(spark, lk_index)
+    truth = _truth(idx)
+    keys = sorted(truth)[5:10]
+    rows = hydrate_by_keys(spark, idx, keys).collect()
+    assert {
+        (r["repo"], r["path"], r["commit"]) for r in rows
+    } == set(keys)
+    for r in rows:
+        assert r["doc_id"] == truth[(r["repo"], r["path"], r["commit"])][0]
+        assert r["doc_len"] >= 0 and r["sha256"]
+
+
+def test_delete_by_key_list(spark, tmp_path):
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+
+    root = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 120, n_repos=3, seed=72)
+    IndexBuilder(spark, root).build(corpus, source_fingerprint="v1")
+    idx = load_index(spark, root)
+    truth = _truth(idx)
+    victims = sorted(truth)[: 6]
+    m = delete_docs_by_keys(spark, root, victims, ledger_key="del:files")
+    assert m["n_deleted"] == len(victims)
+    idx = load_index(spark, root)
+    # deleted keys no longer resolve; everything else still does
+    assert resolve_doc_ids(spark, idx, victims).collect() == []
+    survivors = sorted(truth)[6:12]
+    assert len(resolve_doc_ids(spark, idx, survivors).collect()) == len(
+        survivors,
+    )
+    # replay-safe
+    m2 = delete_docs_by_keys(spark, root, victims, ledger_key="del:files")
+    assert m2["version"] == m["version"]
+    # rank-identity vs a rebuild without the victims
+    rebuilt = str(tmp_path / "rebuilt")
+    vic = {v for v in victims}
+    keep = corpus.withColumn(
+        "_k", F.struct("repo", "path", "commit"),
+    )
+    keep_rows = [
+        r for r in corpus.collect()
+        if (r["repo"], r["path"], r["commit"]) not in vic
+    ]
+    IndexBuilder(spark, rebuilt).build(
+        spark.createDataFrame(keep_rows, corpus.schema), "survivors",
+    )
+    reb = load_index(spark, rebuilt)
+    key_of = {r["doc_id"]: (r["repo"], r["path"]) for r in idx["doc_stats"].collect()}
+    key_of_reb = {r["doc_id"]: (r["repo"], r["path"]) for r in reb["doc_stats"].collect()}
+    for q in ["sw0 term_00042", "term_00007"]:
+        have = [
+            (key_of[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        want = [
+            (key_of_reb[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, reb, q, 10).collect()
+        ]
+        assert have == want, q
+
+
+def test_lookup_spans_segments_and_survives_compaction(spark, tmp_path):
+    from seqr_loading_pipelines_spark.index.merge import (
+        compact_segments,
+        update_index,
+    )
+
+    root = str(tmp_path / "idx")
+    first = generate_corpus(spark, 80, n_repos=3, seed=73)
+    full = generate_corpus(spark, 140, n_repos=3, seed=73)
+    IndexBuilder(spark, root).build(first, source_fingerprint="b1")
+    update_index(spark, root, full, "b2")
+    idx = load_index(spark, root)
+    assert len(idx["manifest"]["segments"]) == 2
+    truth = _truth(idx)
+    assert len(truth) == 140
+    keys = sorted(truth)[::20]  # spread across both segments
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in resolve_doc_ids(spark, idx, keys).collect()
+    }
+    assert got == {k: truth[k][0] for k in keys}
+
+    compact_segments(spark, root)
+    idx2 = load_index(spark, root)
+    got2 = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in resolve_doc_ids(spark, idx2, keys).collect()
+    }
+    assert got2 == got
+
+
+def test_fallback_without_projection(spark, tmp_path):
+    """Pre-r4 snapshots (no key_lookup dirs) still resolve via the
+    doc-store scan fallback — same rows, no crash."""
+    root = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 60, n_repos=3, seed=74)
+    IndexBuilder(spark, root, key_lookup=False).build(corpus, "v1")
+    idx = load_index(spark, root)
+    truth = _truth(idx)
+    keys = sorted(truth)[:4]
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in resolve_doc_ids(spark, idx, keys).collect()
+    }
+    assert got == {k: truth[k][0] for k in keys}
+    shas = [truth[k][1] for k in keys]
+    assert len(resolve_doc_ids_by_sha(spark, idx, shas).collect()) >= len(
+        keys,
+    )

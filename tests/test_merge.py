@@ -147,3 +147,61 @@ def test_chunked_update_matches_fused(spark, tmp_path):
             for r in search_wand(spark, b, q, 10).collect()
         ]
         assert ea == eb == wb, q
+
+
+def test_update_auto_dict_strategy_honors_gate(spark, tmp_path):
+    """ADVICE r3: update_index with dict_strategy='auto' must compare
+    the BRAND-NEW term count against dict_partition_gate and pick the
+    partitioned rank when it trips — previously 'auto' silently ranked
+    new terms on one task regardless of the gate."""
+    root = str(tmp_path / "idx")
+    first = generate_corpus(spark, 120, n_repos=4, seed=61)
+    full = generate_corpus(spark, 200, n_repos=4, seed=61)
+    IndexBuilder(spark, root).build(first, source_fingerprint="b1")
+
+    m = update_index(
+        spark, root, full, "b2",
+        dict_strategy="auto", dict_partition_gate=5,
+    )
+    assert m["metrics"]["dict_strategy_used"] == "partitioned"
+
+    idx = load_index(spark, root)
+    ids = [r["term_id"] for r in idx["term_dict"].select("term_id").collect()]
+    assert len(ids) == len(set(ids)), "id collision under partitioned rank"
+
+    # and the partitioned update still answers rank-identically to a
+    # from-scratch rebuild over the full corpus
+    rebuilt = str(tmp_path / "rebuilt")
+    IndexBuilder(spark, rebuilt).build(full, "flat")
+    reb = load_index(spark, rebuilt)
+    key_of = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in idx["doc_stats"].collect()
+    }
+    key_of_reb = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in reb["doc_stats"].collect()
+    }
+    for q in QUERIES[:2]:
+        have = [
+            (key_of[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        want = [
+            (key_of_reb[r["doc_id"]], round(r["score"], 5))
+            for r in search_exact(spark, reb, q, 10).collect()
+        ]
+        assert have == want, q
+
+
+def test_update_auto_dict_strategy_small_stays_single(spark, tmp_path):
+    """auto under the gate keeps the single-task rank (and records it)."""
+    root = str(tmp_path / "idx")
+    first = generate_corpus(spark, 80, n_repos=3, seed=62)
+    full = generate_corpus(spark, 120, n_repos=3, seed=62)
+    IndexBuilder(spark, root).build(first, source_fingerprint="b1")
+    m = update_index(
+        spark, root, full, "b2",
+        dict_strategy="auto", dict_partition_gate=5_000_000,
+    )
+    assert m["metrics"]["dict_strategy_used"] == "auto:single"
