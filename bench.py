@@ -148,6 +148,31 @@ def main() -> None:
         timings["bm25_wand_batch_all"] / max(1, len(batch)), 3,
     )
 
+    # serving QPS at scale: 100 random vocabulary queries through the
+    # cross-query vectorized pass (decode+score once per term for the
+    # whole batch) — per-query cost must be sublinear in batch size
+    import numpy as np
+
+    rng100 = np.random.default_rng(17)
+    vocab100 = [f"term_{i:05d}" for i in range(300)] + [
+        f"sw{i}" for i in range(20)
+    ]
+    batch100 = {
+        f"b{i}": " ".join(
+            rng100.choice(vocab100, size=int(rng100.integers(2, 5)),
+                          replace=False),
+        )
+        for i in range(100)
+    }
+    timed_min(
+        "bm25_wand_batch100_all",
+        lambda: search_wand_many(spark, index, batch100, k=10).collect(),
+        timings,
+    )
+    timings["bm25_wand_batch100_per_query"] = round(
+        timings["bm25_wand_batch100_all"] / len(batch100), 4,
+    )
+
     # -- ANN: persisted IVF + banded-LSH indexes vs brute force ---------
     # (>=100k vectors; the sf embeddings table is tiny, so the bench
     # synthesizes a deterministic clustered vector table)

@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Scale soak: one run where every r3 scale gate trips NATURALLY.
+
+VERDICT r3 next-round #1 — the partitioned-dictionary gate, the
+tombstone broadcast gate, and the gated compaction fold were
+correctness-proven only under test-forced gates at toy scale. This
+soak builds a corpus big enough that the engine CHOOSES those paths
+itself, then proves rank-identity against a from-scratch rebuild:
+
+1. ~N docs with a long-tail identifier vocabulary
+   (``unique_tokens_per_doc=2`` -> ~2N+5k distinct terms), built with
+   ``dict_strategy='auto'`` at the DEFAULT 5M gate — the partitioned
+   distributed rank must be chosen by the gate, not a monkeypatch;
+   the >5M-term dictionary also disengages the broadcast-dict join in
+   the postings encode (shuffle join chosen naturally).
+2. mass delete of the two biggest zipf repos (> TOMBSTONE_BROADCAST_MAX
+   = 2M victims at N=6M) — query-side exclusion must flip to the
+   distributed path via the REAL n_deleted counter.
+3. rank-identity: exact == WAND == batched on mixed
+   stopword/mid/uid-point queries, against a from-scratch rebuild of
+   the survivor corpus (keyed comparison — docIDs differ).
+4. gated compaction fold (anti-join victim drop, no broadcast), then
+   the same queries again — identical results, tombstones gone.
+
+Emits one JSON line per phase and a final summary JSON; exits nonzero
+on any mismatch. Run: ``python bin/scale_soak.py --n-docs 6000000``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def log(phase: str, **kw) -> None:
+    print(json.dumps({"phase": phase, **kw}), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=6_000_000)
+    ap.add_argument("--n-repos", type=int, default=100)
+    ap.add_argument("--work-dir", default="/dev/shm/soak_r4")
+    ap.add_argument("--keep", action="store_true")
+    # smoke-mode ONLY: shrink the gates so the script's wiring can be
+    # validated at toy scale. The evidence run uses the defaults —
+    # every emitted JSON records which gates were in force.
+    ap.add_argument("--dict-gate", type=int, default=5_000_000)
+    ap.add_argument("--tomb-gate", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.deletes import (
+        TOMBSTONE_BROADCAST_MAX,
+        delete_docs,
+        tombstones_gated,
+    )
+    from seqr_loading_pipelines_spark.index.merge import compact_segments
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import (
+        search_wand,
+        search_wand_many,
+    )
+    from seqr_loading_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_soak")
+    shutil.rmtree(args.work_dir, ignore_errors=True)
+    root = os.path.join(args.work_dir, "idx")
+    rebuilt_root = os.path.join(args.work_dir, "rebuilt")
+
+    corpus = generate_corpus(
+        spark, args.n_docs, n_repos=args.n_repos, seed=42,
+        unique_tokens_per_doc=2,
+    )
+    victim_repos = ["repo_0000", "repo_0001"]
+
+    # mixed query set: stopwords (dense shards), mid-frequency terms,
+    # and per-doc unique identifiers (point lookups through the
+    # partitioned dictionary's long tail)
+    queries = [
+        "sw0 term_00042",
+        "term_00007 term_00123 sw3",
+        "term_01500",
+        f"uid{args.n_docs // 2}_0 sw1",
+        f"uid{args.n_docs - 7}_1",
+    ]
+
+    # -- 1. build: the dictionary gate must trip on its own ------------
+    t0 = time.time()
+    m = IndexBuilder(
+        spark, root, dict_strategy="auto",
+        dict_partition_gate=args.dict_gate,
+    ).build(corpus, source_fingerprint="soak-v1")
+    build_wall = round(time.time() - t0, 1)
+    strategy = m["metrics"].get("dict_strategy_used")
+    log(
+        "build",
+        wall_s=build_wall,
+        n_docs=m["n_docs"],
+        n_terms=m["n_terms"],
+        n_blocks=m["n_blocks"],
+        dict_strategy_used=strategy,
+        dict_gate=args.dict_gate,
+        files_per_sec=round(m["n_docs"] / build_wall, 1),
+    )
+    assert strategy == "partitioned", (
+        f"dictionary gate did not trip naturally: {strategy} "
+        f"(n_terms={m['n_terms']}, gate={args.dict_gate})"
+    )
+    assert m["n_terms"] > args.dict_gate
+
+    # -- 2. mass delete past the broadcast gate ------------------------
+    tomb_gate = (
+        args.tomb_gate
+        if args.tomb_gate is not None
+        else TOMBSTONE_BROADCAST_MAX
+    )
+    t0 = time.time()
+    md = delete_docs(
+        spark, root, F.col("repo").isin(victim_repos),
+        ledger_key="soak-del", broadcast_max=tomb_gate,
+    )
+    idx = load_index(spark, root)
+    if args.tomb_gate is not None:
+        idx["_tomb_bcast_max"] = args.tomb_gate
+    gated = tombstones_gated(idx)
+    log(
+        "mass_delete",
+        wall_s=round(time.time() - t0, 1),
+        n_deleted=md["n_deleted"],
+        gate=tomb_gate,
+        gate_overridden=args.tomb_gate is not None,
+        tombstones_gated=gated,
+    )
+    assert md["n_deleted"] > tomb_gate, (
+        f"delete too small to trip the gate: {md['n_deleted']}"
+    )
+    assert gated, "tombstone gate did not engage from the real counter"
+
+    # -- 3. rank-identity vs from-scratch survivor rebuild -------------
+    t0 = time.time()
+    IndexBuilder(spark, rebuilt_root, dict_strategy="auto").build(
+        corpus.filter(~F.col("repo").isin(victim_repos)), "soak-rebuilt",
+    )
+    reb = load_index(spark, rebuilt_root)
+    log("rebuild", wall_s=round(time.time() - t0, 1))
+
+    def keyed_results(index, q, k=10):
+        top = search_wand(spark, index, q, k)
+        from seqr_loading_pipelines_spark.query.bm25 import hydrate
+
+        return [
+            (r["repo"], r["path"], round(r["score"], 5), r["rank"])
+            for r in sorted(
+                hydrate(index, top).collect(), key=lambda r: r["rank"],
+            )
+        ]
+
+    t0 = time.time()
+    mismatches = []
+    batch = {f"q{i}": q for i, q in enumerate(queries)}
+    many = search_wand_many(spark, idx, batch, k=10).collect()
+    many_by_q: dict = {}
+    for r in many:
+        many_by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 5)),
+        )
+    for i, q in enumerate(queries):
+        exact = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_exact(spark, idx, q, 10).collect()
+        ]
+        wand = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, idx, q, 10).collect()
+        ]
+        batched = [
+            (d, s) for _, d, s in sorted(many_by_q.get(f"q{i}", []))
+        ]
+        if not (exact == wand == batched):
+            mismatches.append((q, "executor", exact, wand, batched))
+        have = keyed_results(idx, q)
+        want = keyed_results(reb, q)
+        if have != want:
+            mismatches.append((q, "rebuild", have, want))
+    log(
+        "rank_identity",
+        wall_s=round(time.time() - t0, 1),
+        queries=len(queries),
+        mismatches=len(mismatches),
+    )
+    assert not mismatches, mismatches[:2]
+
+    # -- 4. gated compaction fold --------------------------------------
+    before = {q: keyed_results(idx, q) for q in queries}
+    t0 = time.time()
+    mc = compact_segments(spark, root)
+    idx2 = load_index(spark, root)
+    after = {q: keyed_results(idx2, q) for q in queries}
+    log(
+        "compaction",
+        wall_s=round(time.time() - t0, 1),
+        n_compacted_tombstones=mc.get("n_compacted_tombstones"),
+        tombstones_after=idx2["tombstones"] is not None,
+        identical=before == after,
+    )
+    assert before == after
+    assert idx2["tombstones"] is None
+
+    log(
+        "summary",
+        ok=True,
+        n_docs=args.n_docs,
+        n_terms=m["n_terms"],
+        dict_strategy_used=strategy,
+        n_deleted=md["n_deleted"],
+        tombstones_gated=True,
+        build_wall_s=build_wall,
+    )
+    if not args.keep:
+        shutil.rmtree(args.work_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

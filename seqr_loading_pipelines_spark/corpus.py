@@ -60,8 +60,16 @@ def generate_corpus(
     n_repos: int = 20,
     seed: int = 42,
     partitions: int | None = None,
+    unique_tokens_per_doc: int = 0,
 ) -> DataFrame:
-    """Deterministic corpus as a DataFrame (lazy; re-computable)."""
+    """Deterministic corpus as a DataFrame (lazy; re-computable).
+
+    ``unique_tokens_per_doc`` > 0 appends that many per-doc-unique
+    identifier tokens (``uid<doc>_<j>``) to every regular document —
+    the long-tail identifier vocabulary real code corpora have. At
+    n_docs x rate extra distinct terms this drives the dictionary past
+    its partitioned-rank gate NATURALLY (the scale-soak evidence path;
+    default 0 keeps the fixed 5k vocabulary)."""
     vocab = _vocab()
     token_cdf = _zipf_cdf(VOCAB_SIZE, ZIPF_S)
     repo_cdf = _zipf_cdf(n_repos, REPO_ZIPF_S)
@@ -103,6 +111,11 @@ def generate_corpus(
                     n_tokens = int(np.clip(rng.lognormal(4.0, 0.8), 20, 3000))
                     idx = np.searchsorted(token_cdf_, rng.random(n_tokens))
                     content = " ".join(vocab_[idx])
+                    if unique_tokens_per_doc:
+                        content += " " + " ".join(
+                            f"uid{int(doc_index)}_{j}"
+                            for j in range(unique_tokens_per_doc)
+                        )
                 rows.append((repo, path, commit, lang, content))
             yield pd.DataFrame(
                 rows, columns=["repo", "path", "commit", "lang", "content"],

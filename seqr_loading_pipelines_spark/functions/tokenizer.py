@@ -8,22 +8,33 @@ per-partition with a fixed rows-per-partition discipline
 (v03_pipeline/lib/vep.py:12-29;
 v03_pipeline/lib/tasks/write_new_variants_table.py:36-38,163-170).
 
-Two implementations:
+Three implementations:
 
 - ``tokenize_expr``: pure-JVM ``regexp_extract_all`` (whole-stage codegen)
   for lightweight parity queries.
-- ``term_counts_udf``: the build-path Arrow/pandas UDF — per batch of
-  documents, returns ``array<struct<term,tf>>`` plus doc_len, so the
-  posting explode needs NO subsequent groupBy to compute tf (the shuffle
-  is saved for the term repartition).
+- ``term_counts_arrow_project``: the build-path DEFAULT — ``mapInArrow``
+  with a fully Arrow-native kernel (RE2 split, C++ dictionary encode,
+  numpy group-count on integer codes, Arrow nested-array assembly): no
+  Python string object ever exists, per batch of documents returns
+  ``array<struct<term,tf>>`` plus doc_len, so the posting explode needs
+  NO subsequent groupBy to compute tf. Measured 52k docs/s/core vs 17k
+  for the per-doc-loop pandas UDF it replaces (the loop's kernel was
+  33k, but Spark's pandas->Arrow conversion of the nested result ate
+  half of it; the Arrow path hands Spark finished Arrow buffers).
+- ``term_counts_udf``: the prior pandas-UDF path (per-doc Python loop
+  inside the Arrow batch), kept as the comparison baseline and
+  fallback (``IndexBuilder(tokenizer='loop')``).
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -86,3 +97,90 @@ term_counts_udf = F.pandas_udf(_term_counts_batch, TERM_COUNTS_TYPE)
 def tokenize_py(text: str) -> list[str]:
     """Driver-side tokenizer for tiny inputs (query strings, oracle)."""
     return _TOKEN_RE.findall((text or "").lower())
+
+
+def _term_counts_arrow(
+    arr: pa.Array,
+) -> tuple[pa.ListArray, pa.Int32Array]:
+    """Arrow-native term counting for one record batch's content
+    column — zero Python objects in the hot path:
+
+    1. ``utf8_lower`` + ``split_pattern_regex`` on the complement
+       class (RE2, C++): maximal ``[a-z0-9_]+`` runs per doc, with
+       parent offsets for free;
+    2. ``dictionary_encode`` the flattened tokens (C++ hash): every
+       subsequent step works on int codes, never strings;
+    3. numpy group-count of (doc, code) pairs via a fused int64 key
+       (``np.unique`` — radix-friendly sort of ~1M ints/batch);
+    4. assemble the ``list<struct<term,tf>>`` result directly as
+       Arrow buffers (``pc.take`` decodes only the per-(doc,term)
+       survivors).
+    """
+    n = len(arr)
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    parts = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    tokens = pc.list_flatten(parts)
+    cnts = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False,
+    ).astype(np.int64)
+    parents = np.repeat(np.arange(n, dtype=np.int64), cnts)
+    enc = pc.dictionary_encode(tokens)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # splitting "-a-" yields ["", "a", ""]: drop the empty tokens
+    mask = pc.not_equal(tokens, "").to_numpy(zero_copy_only=False)
+    codes = codes[mask]
+    parents_f = parents[mask]
+    doc_len = np.bincount(parents_f, minlength=n).astype(np.int32)
+    n_dict = max(1, len(enc.dictionary))
+    if len(codes):
+        keys = parents_f * n_dict + codes
+        uniq, tf = np.unique(keys, return_counts=True)
+        pair_parent = uniq // n_dict
+        pair_code = uniq % n_dict
+    else:
+        pair_parent = np.array([], np.int64)
+        pair_code = pair_parent
+        tf = pair_parent
+    term_strs = pc.take(enc.dictionary, pa.array(pair_code))
+    struct = pa.StructArray.from_arrays(
+        [term_strs, pa.array(tf.astype(np.int32), pa.int32())],
+        names=["term", "tf"],
+    )
+    distinct = np.bincount(pair_parent, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(distinct, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return lists, pa.array(doc_len, pa.int32())
+
+
+TOKENIZE_KEEP_COLS = ("repo", "path", "commit", "lang", "sha256")
+
+
+def term_counts_arrow_project(
+    df: DataFrame, keep_cols: tuple[str, ...] = TOKENIZE_KEEP_COLS,
+) -> DataFrame:
+    """content -> (terms, doc_len) via ``mapInArrow``: batches stay in
+    Arrow end to end (north rule: vectorized Arrow UDFs, no per-row
+    Python). Partition-local and order-preserving, so the fused keying
+    pass can stamp ``_mid`` after it exactly as with a projection."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep_cols]
+        + [
+            T.StructField(
+                "terms", TERM_COUNTS_TYPE["terms"].dataType, False,
+            ),
+            T.StructField("doc_len", T.IntegerType(), False),
+        ],
+    )
+    names = list(keep_cols) + ["terms", "doc_len"]
+
+    def fn(batches):
+        for rb in batches:
+            content = rb.column(rb.schema.get_field_index("content"))
+            lists, dls = _term_counts_arrow(content)
+            cols = [
+                rb.column(rb.schema.get_field_index(c)) for c in keep_cols
+            ] + [lists, dls]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return df.mapInArrow(fn, out_schema)

@@ -105,6 +105,7 @@ class IndexBuilder:
         dict_strategy: str = "fused",
         dict_partition_gate: int = 5_000_000,
         key_lookup: bool = True,
+        tokenizer: str = "arrow",
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -134,8 +135,30 @@ class IndexBuilder:
         # write the external-key -> docID lookup projections
         # (index/key_lookup.py, the reference's key_lookup analog)
         self.key_lookup = key_lookup
+        # 'arrow' (default): mapInArrow kernel, no Python objects in
+        # the hot path, ~3x the measured throughput of 'loop' (the
+        # prior per-doc-Python pandas UDF, kept as fallback/baseline)
+        if tokenizer not in ("arrow", "loop"):
+            raise ValueError(f"unknown tokenizer: {tokenizer}")
+        self.tokenizer = tokenizer
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
+
+    def _apply_tokenizer(self, df: DataFrame, keep_cols) -> DataFrame:
+        """content -> (terms, doc_len), passthrough ``keep_cols``."""
+        from seqr_loading_pipelines_spark.functions.tokenizer import (
+            term_counts_arrow_project,
+        )
+
+        if self.tokenizer == "arrow":
+            return term_counts_arrow_project(df, tuple(keep_cols))
+        return df.withColumn(
+            "tc", term_counts_udf(F.col("content")),
+        ).select(
+            *keep_cols,
+            F.col("tc.terms").alias("terms"),
+            F.col("tc.doc_len").alias("doc_len"),
+        )
 
     @staticmethod
     def _cpu_ns() -> int:
@@ -396,13 +419,9 @@ class IndexBuilder:
         # partition size because the UDF streams Arrow batches
         # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k —
         # the analog of VEP's 1000-rows-per-call discipline).
-        return (
-            with_ids.withColumn("tc", term_counts_udf(F.col("content")))
-            .select(
-                "doc_id", "repo", "path", "commit", "lang", "sha256",
-                F.col("tc.terms").alias("terms"),
-                F.col("tc.doc_len").alias("doc_len"),
-            )
+        return self._apply_tokenizer(
+            with_ids,
+            ["doc_id", "repo", "path", "commit", "lang", "sha256"],
         )
 
     # broadcast-array gates: above these the narrow-shuffle side data
@@ -660,10 +679,8 @@ class IndexBuilder:
         def tokenize_project(df: DataFrame) -> DataFrame:
             # doc_id doesn't exist yet here — it's derived from footer
             # offsets at read time (dense_ids_view)
-            tok = df.withColumn("tc", term_counts_udf(F.col("content"))).select(
-                "repo", "path", "commit", "lang", "sha256",
-                F.col("tc.terms").alias("terms"),
-                F.col("tc.doc_len").alias("doc_len"),
+            tok = self._apply_tokenizer(
+                df, ["repo", "path", "commit", "lang", "sha256"],
             )
             return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
 
@@ -749,6 +766,9 @@ class IndexBuilder:
             )
             self.metrics["stages"]["key_lookup"] = {
                 "wall_s": round(time.time() - t_lk, 3),
+                "partition_files": _partition_lineage(
+                    os.path.join(snap, "key_lookup"),
+                ),
             }
 
         # flat postings: explode the per-doc term counts (no extra groupBy

@@ -109,17 +109,11 @@ def _update(
     )
     # keying + dedup + tokenize fused into one pass (see build());
     # content never round-trips through a second checkpoint
-    from seqr_loading_pipelines_spark.functions.tokenizer import (
-        term_counts_udf,
-    )
-
     doc_obs = Observation()
 
     def tokenize_project(df):
-        tok = df.withColumn("tc", term_counts_udf(F.col("content"))).select(
-            "repo", "path", "commit", "lang", "sha256",
-            F.col("tc.terms").alias("terms"),
-            F.col("tc.doc_len").alias("doc_len"),
+        tok = builder._apply_tokenizer(
+            df, ["repo", "path", "commit", "lang", "sha256"],
         )
         return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
 

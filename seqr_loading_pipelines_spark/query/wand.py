@@ -385,11 +385,87 @@ def search_wand(
     return rank_topk(per_shard, k)
 
 
+def _taat_shard_many(
+    blks_by_tid: dict[int, tuple[list[dict], int]],
+    idf_of: dict[int, float],
+    tids_by_q: dict[str, dict[int, float]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    excluded: np.ndarray | None,
+) -> list[pd.DataFrame]:
+    """Cross-query vectorized scoring for LARGE batches: one shard's
+    postings scored ONCE PER TERM for every query at once.
+
+    BM25's per-posting contribution ``idf * tf*(k1+1)/(tf + k1*(1-b+
+    b*dl/avgdl))`` depends only on the TERM (idf is a dictionary
+    property), never on the query — so each term's postings decode AND
+    score exactly once, tombstones are excluded once, and a query's
+    doc scores are just the sum of its terms' precomputed contribution
+    arrays (the sparse postings-x-query-incidence product, VERDICT r3
+    #7). Per query the only remaining work is one vectorized
+    scatter-add per term plus the shared top-k tie rule — no
+    per-document Python, cost sublinear in batch size because the
+    decode/score work amortizes across every query sharing a term."""
+    per_term: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for tid, (blks, _n) in blks_by_tid.items():
+        idf = idf_of[tid]
+        docs_l, contrib_l = [], []
+        for blk in blks:
+            doc_ids, tfs, dls = _decode_block(blk)
+            docs_l.append(doc_ids)
+            contrib_l.append(
+                idf * tfs * (k1 + 1.0)
+                / (tfs + k1 * (1.0 - b + b * dls / avgdl)),
+            )
+        docs = np.concatenate(docs_l)
+        contribs = np.concatenate(contrib_l)
+        if excluded is not None:
+            keep = ~np.isin(docs, excluded)
+            docs, contribs = docs[keep], contribs[keep]
+        if len(docs):
+            per_term[tid] = (docs, contribs)
+    if not per_term:
+        return []
+    base = min(int(d.min()) for d, _ in per_term.values())
+    size = max(int(d.max()) for d, _ in per_term.values()) - base + 1
+    total = np.empty(size, dtype=np.float64)
+    frames = []
+    for qid, idf_by_tid in tids_by_q.items():
+        tids = [t for t in idf_by_tid if t in per_term]
+        if not tids:
+            continue
+        total.fill(0.0)
+        for t in tids:
+            docs, contribs = per_term[t]
+            # one posting per (term, doc): indices are unique, so the
+            # fancy-indexed += is a single vectorized scatter-add
+            total[docs - base] += contribs
+        nz = np.flatnonzero(total)
+        if not len(nz):
+            continue
+        qs = np.floor(total[nz] * 1e5 + 0.5).astype(np.int64)
+        order = np.lexsort((nz, -qs))[:k]
+        sel = nz[order]
+        f = pd.DataFrame({"doc_id": sel + base, "score": total[sel]})
+        f.insert(0, "query_id", qid)
+        frames.append(f)
+    return frames
+
+
+# at/above this many queries the batched executor switches from the
+# per-query WAND/TAAT loop to the cross-query vectorized TAAT pass
+# (decode+score once per term for the whole batch)
+VECTORIZED_BATCH_MIN = 8
+
+
 def search_wand_many(
     spark: SparkSession,
     index: dict,
     queries: dict[str, str] | list[str],
     k: int = 10,
+    batch_mode: str = "auto",
 ) -> DataFrame:
     """The WHOLE query batch in ONE distributed pass ->
     ``(query_id, doc_id, score, rank)``, rank <= k per query.
@@ -404,6 +480,8 @@ def search_wand_many(
     shard, a posting block decodes ONCE even when many queries
     reference its term (idf-dependent scores re-derive vectorized from
     the shared arrays). Queries with no known terms yield no rows."""
+    if batch_mode not in ("auto", "loop", "vectorized"):
+        raise ValueError(f"unknown batch_mode: {batch_mode}")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     infos_by_q = {
@@ -437,6 +515,14 @@ def search_wand_many(
     gated = tombstones_gated(index)
     shard_size = manifest["shard_size"]
     out_cols = {"query_id": "object", "doc_id": "int64", "score": "float64"}
+    # idf is a term property (same value in every query's map): the
+    # merged view feeds the cross-query vectorized pass
+    idf_of = {
+        t["term_id"]: t["idf"] for ti in infos_by_q.values() for t in ti
+    }
+    use_vectorized = batch_mode == "vectorized" or (
+        batch_mode == "auto" and len(tids_by_q) >= VECTORIZED_BATCH_MIN
+    )
 
     def run_shard_many(
         pdf: pd.DataFrame, excluded: np.ndarray | None,
@@ -461,6 +547,17 @@ def search_wand_many(
                 for r in sub.itertuples()
             ]
             blks_by_tid[int(tid)] = (blks, int(sub["n_docs"].sum()))
+        if use_vectorized:
+            frames = _taat_shard_many(
+                blks_by_tid, idf_of, tids_by_q, k, k1, b, avgdl, excluded,
+            )
+            if not frames:
+                return pd.DataFrame(columns=list(out_cols)).astype(
+                    {"doc_id": "int64", "score": "float64"},
+                )
+            return pd.concat(frames, ignore_index=True).astype(
+                {"doc_id": "int64", "score": "float64"},
+            )
         frames = []
         for qid, idf_by_tid in tids_by_q.items():
             groups, n_postings = [], 0

@@ -84,6 +84,36 @@ def list_files(
 
 
 @retry()
+def list_dirs(path: str) -> list[str]:
+    """Immediate subdirectory names (not paths), sorted."""
+    fs, p = resolve(path)
+    sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    return sorted(
+        posixpath.relpath(i.path, p)
+        for i in fs.get_file_info(sel)
+        if i.type == pafs.FileType.Directory
+    )
+
+
+@retry()
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory tree (no-op when absent)."""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return
+    fs.delete_dir(p)
+
+
+@retry()
+def delete_file(path: str) -> None:
+    """Delete a single file (no-op when absent)."""
+    fs, p = resolve(path)
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return
+    fs.delete_file(p)
+
+
+@retry()
 def parquet_row_count(dir_path: str) -> int:
     """Total rows across a parquet dir's part files, from footers only
     (driver-side, no Spark job; works on any pyarrow filesystem)."""

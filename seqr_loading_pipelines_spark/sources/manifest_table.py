@@ -100,3 +100,68 @@ class ManifestTable:
         """Idempotence probe: is this update already applied?"""
         m = self.current_manifest()
         return bool(m) and value in m.get(key, [])
+
+    def _manifest_at(self, version: int) -> dict | None:
+        try:
+            return json.loads(
+                fs.read_text(
+                    fs.join(self.root, f"v{version}.manifest.json"),
+                ),
+            )
+        except (FileNotFoundError, OSError):
+            return None
+
+    @staticmethod
+    def referenced_dirs(manifest: dict) -> set[str]:
+        """Top-level snap_* dir names a manifest's data lives in:
+        its snapshot dir, every live segment, the dictionary segment,
+        and the parents of any tombstone dirs."""
+        refs = {manifest["snapshot_dir"]}
+        refs.update(manifest.get("segments", []))
+        if manifest.get("dict_segment"):
+            refs.add(manifest["dict_segment"])
+        for t in manifest.get("tombstone_dirs", []):
+            refs.add(t.split("/", 1)[0])
+        return {r.split("/", 1)[0] for r in refs}
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Garbage-collect snapshot dirs unreferenced by the last
+        ``keep_last`` published manifest versions, and prune manifest
+        json files older than those.
+
+        The reference drops its staging databases right after the
+        atomic swap (v03_pipeline/lib/misc/clickhouse.py:483-503,
+        :830-862); snapshot-dir immutability here means superseded
+        snapshots otherwise accumulate forever under daily incremental
+        updates. ``keep_last > 1`` keeps N versions readable for
+        rollback/time travel.
+
+        Discipline: run only when no writer is active — an in-flight
+        build's staging dir (not yet published, hence unreferenced)
+        would be collected, costing it its resume checkpoints (never
+        correctness: the build would start over).
+        """
+        cur_v = self.current_version()
+        if cur_v is None:
+            return {"removed_dirs": [], "removed_manifests": []}
+        keep_lo = max(1, cur_v - max(1, keep_last) + 1)
+        refs: set[str] = set()
+        for v in range(keep_lo, cur_v + 1):
+            m = self._manifest_at(v)
+            if m is not None:
+                refs |= self.referenced_dirs(m)
+        removed_dirs = []
+        for d in fs.list_dirs(self.root):
+            if d.startswith("snap_") and d not in refs:
+                fs.delete_dir(fs.join(self.root, d))
+                removed_dirs.append(d)
+        removed_manifests = []
+        for v in range(1, keep_lo):
+            path = fs.join(self.root, f"v{v}.manifest.json")
+            if fs.exists(path):
+                fs.delete_file(path)
+                removed_manifests.append(f"v{v}.manifest.json")
+        return {
+            "removed_dirs": sorted(removed_dirs),
+            "removed_manifests": removed_manifests,
+        }

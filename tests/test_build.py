@@ -353,3 +353,63 @@ def test_stopword_postings_spread_across_shards(spark, tmp_path):
         for r in search_wand(spark, idx, "sw0 term_00042", 10).collect()
     ]
     assert ex == wa and len(ex) == 10
+
+
+def test_arrow_kernel_matches_loop_kernel_on_edges():
+    """The Arrow-native tokenizer kernel (mapInArrow path) must agree
+    with the per-doc-loop kernel on every edge shape: empty, null,
+    punctuation-only, unicode, repeated terms, leading/trailing
+    separators."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        _term_counts_arrow,
+        _term_counts_batch,
+    )
+
+    docs = [
+        "", None, "@@@ ### !!!", "a", "a a a b_2 B_2 b_2",
+        "-lead and trail-", "π_variable = λ_fn(数据) # ünïcode",
+        "x" * 5000, "tab\tsep\nnewline  double  space",
+        "MiXeD CaSe TOKENS mixed_case",
+    ]
+    lists, dls = _term_counts_arrow(pa.array(docs, pa.string()))
+    ref = _term_counts_batch(pd.Series(docs))
+    for i in range(len(docs)):
+        got = sorted((d["term"], d["tf"]) for d in lists[i].as_py())
+        want = sorted(ref["terms"][i])
+        assert got == want, (i, docs[i], got, want)
+        assert dls[i].as_py() == ref["doc_len"][i], (i, docs[i])
+
+
+def test_arrow_and_loop_tokenizers_build_identical_indexes(spark, tmp_path):
+    """tokenizer='arrow' (default) and tokenizer='loop' must produce
+    bit-identical indexes: same dictionary ids/stats, same doc store,
+    same manifest totals — the swap is a pure execution-strategy
+    change (VERDICT r3 #4)."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    corpus = generate_corpus(spark, 120, n_repos=3, seed=91)
+    got = {}
+    for tok in ("arrow", "loop"):
+        root = str(tmp_path / tok)
+        IndexBuilder(spark, root, tokenizer=tok).build(corpus, "v1")
+        idx = load_index(spark, root)
+        got[tok] = (
+            idx["manifest"]["n_terms"],
+            idx["manifest"]["sum_dl"],
+            sorted(
+                (r["term"], r["term_id"], r["df"], r["cf"])
+                for r in idx["term_dict"].collect()
+            ),
+            sorted(
+                (r["doc_id"], r["path"], r["doc_len"], r["sha256"])
+                for r in idx["doc_stats"].collect()
+            ),
+        )
+    assert got["arrow"] == got["loop"]

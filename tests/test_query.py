@@ -117,3 +117,53 @@ def test_batched_wand_edge_inputs(spark, index):
     empty = search_wand_many(spark, index, {"x": "", "y": "@@@ ###"}, k=5)
     assert empty.columns == ["query_id", "doc_id", "score", "rank"]
     assert empty.count() == 0
+
+
+def test_batched_vectorized_matches_loop_and_sequential(spark, index):
+    """VERDICT r3 #7: the cross-query vectorized TAAT pass must return
+    byte-identical results to the per-query loop AND to sequential
+    search_wand, across batch sizes on both sides of the auto
+    threshold."""
+    from seqr_loading_pipelines_spark.query.wand import (
+        VECTORIZED_BATCH_MIN,
+        search_wand,
+        search_wand_many,
+    )
+
+    batch = {
+        f"q{i}": q
+        for i, q in enumerate(
+            [
+                "sw0 term_00042",
+                "term_00007 term_00123 sw3",
+                "term_01500",
+                "sw1 sw2",
+                "term_00011 term_00100",
+                "sw0 sw1 sw2 sw3",
+                "term_00555 sw5",
+                "term_00001",
+                "term_00200 term_00300 term_00400",
+                "sw9 term_00021",
+            ],
+        )
+    }
+    assert len(batch) >= VECTORIZED_BATCH_MIN  # auto picks vectorized
+
+    def rows(mode):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 5))
+            for r in search_wand_many(
+                spark, index, batch, k=10, batch_mode=mode,
+            ).collect()
+        )
+
+    vec = rows("vectorized")
+    assert vec == rows("loop")
+    assert vec == rows("auto")
+    for qid in ("q0", "q2", "q5"):
+        seq = [
+            (r["doc_id"], round(r["score"], 5))
+            for r in search_wand(spark, index, batch[qid], 10).collect()
+        ]
+        got = [(d, s) for (q, _rk, d, s) in vec if q == qid]
+        assert got == seq, qid

@@ -87,3 +87,34 @@ def test_queue_worker_dead_letters_corrupt_request(spark, tmp_path):
     w.enqueue(good, run_id="20250101-000000-ok")
     m = w.process_one()
     assert m["n_docs"] == 30
+
+
+def test_queue_worker_vacuums_superseded_snapshots(spark, tmp_path):
+    """vacuum_keep_last wires snapshot GC into the worker: after each
+    successful update only the dirs the current manifest references
+    remain, and the index keeps answering."""
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    root = str(tmp_path / "idx")
+    qdir = str(tmp_path / "queue")
+    sizes = [50, 80, 110]
+    for i, n in enumerate(sizes):
+        p = str(tmp_path / f"c{i}")
+        generate_corpus(spark, n, n_repos=3, seed=7).write.parquet(p)
+        QueueWorker(
+            spark, root, qdir, vacuum_keep_last=1,
+        ).enqueue(p, run_id=f"20240101-00000{i}-{i}")
+    w = QueueWorker(spark, root, qdir, vacuum_keep_last=1)
+    for _ in sizes:
+        assert w.process_one() is not None
+    table = ManifestTable(root)
+    cur = table.current_manifest()
+    remaining = {
+        d for d in os.listdir(root) if d.startswith("snap_")
+    }
+    assert remaining == table.referenced_dirs(cur)
+    idx = load_index(spark, root)
+    assert idx["doc_stats"].count() == sizes[-1]
+    assert search_exact(spark, idx, "sw0", 5).count() == 5
