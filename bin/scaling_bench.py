@@ -88,7 +88,9 @@ def run_build(
         "--out", out,
     ]
     res = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=1800, check=False,
+        cmd, capture_output=True, text=True,
+        timeout=int(os.environ.get("SCALING_BENCH_TIMEOUT", "1800")),
+        check=False,
     )
     for line in reversed(res.stdout.strip().splitlines()):
         line = line.strip()
