@@ -197,6 +197,28 @@ def resolve_doc_ids_by_sha(
     return _without_tombstones(index, hits.select("sha256", "doc_id"))
 
 
+def resolve_doc_ids_bulk(
+    spark: SparkSession,
+    index: dict,
+    keys_df: DataFrame,
+) -> DataFrame:
+    """UNBOUNDED key sets (a whole file-manifest join): shuffle-join
+    the keys DataFrame against the lookup projection — no driver
+    collect, no pushed IN list. ``resolve_doc_ids`` is the bounded
+    point-lookup twin (pruned scan); this is the mass path where a
+    shuffle on the short (repo, path, commit) key is the correct plan
+    at any scale. The projection side still wins over the doc store:
+    it is the narrow five-column table, never the terms column."""
+    lk = _segment_lookups(spark, index, "by_path")
+    src = (
+        lk.select(*PATH_KEY_COLS, "doc_id")
+        if lk is not None
+        else index["doc_stats"].select(*PATH_KEY_COLS, "doc_id")
+    )
+    hits = src.join(keys_df.select(*PATH_KEY_COLS), PATH_KEY_COLS)
+    return _without_tombstones(index, hits)
+
+
 def hydrate_by_keys(
     spark: SparkSession,
     index: dict,

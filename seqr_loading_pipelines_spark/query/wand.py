@@ -19,6 +19,13 @@ Skipping levers, per shard:
 This is the engine analog of the reference's serving-side pruned scan:
 partition pruning + primary-index ranges + dictionary-encoded filters
 (v03_pipeline/var/test/test_clickhouse_schema.sql:86-120).
+
+Batched serving (``search_wand_many``) adds two amortization levels:
+one distributed pass serves the whole query set (per-job fixed cost),
+and at >=8 queries the per-shard executor switches to a cross-query
+vectorized TAAT pass (``_taat_shard_many``) where every term's
+postings decode AND score exactly once for the entire batch — the
+per-query marginal cost is one vectorized scatter-add per term.
 """
 
 from __future__ import annotations

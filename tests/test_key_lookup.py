@@ -195,3 +195,27 @@ def test_fallback_without_projection(spark, tmp_path):
     assert len(resolve_doc_ids_by_sha(spark, idx, shas).collect()) >= len(
         keys,
     )
+
+
+def test_resolve_bulk_matches_point_lookup(spark, lk_index):
+    """The unbounded-key-set path (shuffle join, no driver collect)
+    returns the same rows as the bounded pruned-scan path."""
+    from seqr_loading_pipelines_spark.index.key_lookup import (
+        resolve_doc_ids_bulk,
+    )
+
+    idx = load_index(spark, lk_index)
+    truth = _truth(idx)
+    keys = sorted(truth)[10:30]
+    keys_df = spark.createDataFrame(
+        list(keys), "repo string, path string, commit string",
+    )
+    bulk = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in resolve_doc_ids_bulk(spark, idx, keys_df).collect()
+    }
+    point = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in resolve_doc_ids(spark, idx, keys).collect()
+    }
+    assert bulk == point == {k: truth[k][0] for k in keys}
