@@ -353,6 +353,120 @@ def simhash_near_dups(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: connected components.
+
+    The missing stage between "near-dup candidate pairs" (what every
+    LSH/simhash/Jaccard operator above emits) and a usable
+    training-data keep/drop list: transitive closure, so A~B and B~C
+    place {A, B, C} in ONE cluster even when A~C was never emitted.
+    Returns (doc_id, cluster_id, keep) with cluster_id = min doc_id of
+    the component and keep = 1 iff doc_id == cluster_id (the
+    deterministic-winner rule shared with exact_duplicates). Only docs
+    that appear in some pair are returned — everything else is
+    trivially its own singleton cluster and would bloat the output.
+
+    Algorithm: iterative min-label propagation with pointer jumping,
+    pure DataFrame ops. Each round does
+      (1) label(v) <- min(label(v), min over neighbors u of label(u))
+          — one shuffle join of the (narrow) label table against the
+          symmetrized edge table + one map-side-combined min-agg;
+      (2) pointer jump label(v) <- label(label(v)) — a self-join of
+          the label table, which halves chain depth each round so
+          convergence is O(log n) rounds, not O(diameter) (a path
+          graph would otherwise need one round per hop).
+    Labels are always node ids (they start as doc_ids and only ever
+    copy other labels), so the pointer-jump join always finds its
+    target. Each round ends with an EAGER localCheckpoint: the lineage
+    is cut (no exponential re-execution of prior rounds) and the
+    convergence check (any label changed?) reads the materialized
+    result, costing one narrow scan. The label table is 2 longs/row
+    and the edge table is persisted once — at corpus scale the
+    per-round cost is one bounded shuffle of each, the same shape
+    GraphX/GraphFrames connected-components uses internally.
+
+    The reference's analog is driver-side: collect + itertools.groupby
+    best-match grouping (v03_pipeline/lib/misc/sv.py:36-108), which
+    cannot scale past driver memory; this replaces it with the
+    distributed fixpoint.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("src"), "label",
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label"),
+                ).alias("label"),
+                F.col("label").alias("_prev"),
+            )
+            parent = stepped.select(
+                F.col("doc_id").alias("label"),
+                F.col("label").alias("parent_label"),
+            )
+            jumped = (
+                stepped.join(parent, "label", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("parent_label", "label"),
+                    ).alias("label"),
+                    "_prev",
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                jumped.filter(F.col("label") != F.col("_prev")).limit(1).count()
+            )
+            labels = jumped.drop("_prev")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} rounds "
+                "(pointer jumping makes this O(log n) — raise max_iter "
+                "only for adversarial graphs)",
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("keep"),
+    )
+
+
 def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Docs whose 62-bit simhash collides exactly (strong near-dup)."""
     sh = simhash62(docs, text_col)

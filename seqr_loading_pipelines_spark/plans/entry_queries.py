@@ -477,6 +477,37 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = _sql_minhash()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure over the MinHash-LSH candidate pairs:
+    (doc_id, cluster_id, keep) — the stage that turns near-dup PAIRS
+    into a usable keep/drop list (A~B, B~C => {A,B,C} one cluster).
+    Replaces the reference's driver-side collect+groupby best-match
+    grouping (v03_pipeline/lib/misc/sv.py:36-108) with a distributed
+    fixpoint."""
+    pairs = D.minhash_lsh_candidates(_doubled_docs(spark, sf_dir))
+    return D.dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.doc_id
+)
+SELECT doc_id,
+       MIN(lbl) AS cluster_id,
+       CAST(doc_id = MIN(lbl) AS INTEGER) AS keep
+FROM reach
+GROUP BY doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         _doubled_docs(spark, sf_dir), threshold=0.8, max_shingle_df=20,
@@ -1409,6 +1440,7 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "simhash_near_dups": q_simhash_near_dups,
     "minhash_lsh_candidates": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1454,6 +1486,7 @@ ORACLE_SQL = {
     "simhash_dedup": SQL_SIMHASH_DEDUP,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "minhash_lsh_candidates": SQL_MINHASH_LSH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

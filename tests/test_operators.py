@@ -372,3 +372,40 @@ def test_ivf_sampled_training_matches_full_recall(spark, tmp_path):
     r_samp = sum(recall_at10(samp, q) for q in qids) / len(qids)
     assert r_samp >= r_full - 0.1, (r_samp, r_full)
     assert r_samp >= 0.8, r_samp
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must cluster {A,B,C} even though A~C was never a
+    pair; disjoint components keep distinct cluster ids; keep flags
+    mark exactly the min doc_id of each cluster."""
+    from seqr_loading_pipelines_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # one reversed pair (22, 21) checks symmetrization
+        [(1, 2), (2, 3), (10, 11), (22, 21), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert out == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        21: (21, 1), 22: (21, 0), 23: (21, 0),
+    }
+
+
+def test_dedup_clusters_path_graph_converges_fast(spark):
+    """A 64-node path graph is the worst case for plain label
+    propagation (needs 63 rounds); pointer jumping must converge
+    within ~log2(n) + slack rounds."""
+    from seqr_loading_pipelines_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long",
+    )
+    rows = dedup_clusters(pairs, max_iter=10).collect()
+    assert len(rows) == 64
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["keep"] for r in rows) == 1
