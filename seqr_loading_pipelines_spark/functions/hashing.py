@@ -25,9 +25,19 @@ def salt_expr(*cols: Column, n_salt: int = 16) -> Column:
 def salted_count(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
     """Two-stage skew-safe count: groupBy(key, salt) partial counts,
     then groupBy(key) final sum. Same result as df.groupBy(key).count()
-    with the hot key spread over n_salt reducers."""
+    with the hot key spread over n_salt reducers.
+
+    The salt mixes in spark_partition_id(): the key alone would map
+    every row of the hot key to ONE salt (no spreading), while a
+    nondeterministic component (rand) is a correctness trap the moment
+    the pattern is copied to a non-algebraic aggregate — partition id
+    is row-local AND deterministic for a fixed input layout, spreading
+    a hot key over min(input partitions, n_salt) reducers."""
     partial = (
-        df.withColumn("_salt", salt_expr(F.col(key), F.rand(seed=0), n_salt=n_salt))
+        df.withColumn(
+            "_salt",
+            salt_expr(F.col(key), F.spark_partition_id(), n_salt=n_salt),
+        )
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_c"))
     )

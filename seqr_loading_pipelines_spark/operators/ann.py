@@ -129,12 +129,19 @@ def build_ivf(
     vector. Centroids travel as a Spark broadcast, not a task-closure
     capture (VERDICT r3 #8: extreme-k closures were the scale
     residual)."""
+    from pyspark.sql import Observation
+
     from seqr_loading_pipelines_spark.operators.text import md5_int32
 
     dim = len(emb.select(vec_col).first()[0])
-    # deterministic seeded init: k vectors with the smallest md5(id)
+    # deterministic seeded init: k vectors with the smallest md5(id).
+    # n_total rides this same scan as an observation (the TopK sort
+    # consumes every input row, so the count is complete) — no second
+    # full pass over the embedding table just to size the train sample.
+    obs = Observation("ivf_n_total")
     init = (
-        emb.select(id_col, vec_col)
+        emb.observe(obs, F.count(F.lit(1)).alias("n"))
+        .select(id_col, vec_col)
         .withColumn("_h", md5_int32(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
         .limit(n_centroids)
@@ -142,7 +149,7 @@ def build_ivf(
     )
     cents = np.stack(init[vec_col].to_numpy()).astype(np.float64)
 
-    n_total = emb.count()
+    n_total = int(obs.get["n"])
     if n_total > train_sample_max:
         denom = -(-n_total // train_sample_max)  # ceil
         train = emb.filter(
@@ -173,19 +180,29 @@ def build_ivf(
         cents = new
 
     parts = max(1, spark.sparkContext.defaultParallelism)
-    final = _assign_expr(emb, _bcast_centroids(emb, cents), vec_col)
-    (
-        final.repartition(min(parts, n_centroids), "centroid_id")
-        .sortWithinPartitions("centroid_id", id_col)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_root, "assignments"))
-    )
+    # bind the final-assignment broadcast so it can be unpersisted
+    # after the write — unbound it leaked up to ~190 MB/executor at
+    # extreme k for the life of the session (ADVICE r4)
+    final_bc = _bcast_centroids(emb, cents)
+    try:
+        final = _assign_expr(emb, final_bc, vec_col)
+        (
+            final.repartition(min(parts, n_centroids), "centroid_id")
+            .sortWithinPartitions("centroid_id", id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_root, "assignments"))
+        )
+    finally:
+        final_bc.unpersist()
     meta = {
         "n_centroids": int(n_centroids),
         "dim": int(dim),
         "vec_col": vec_col,
         "id_col": id_col,
         "n_vectors": int(n_total),
+        # incremental-maintenance ledger (update_ivf's drift gate)
+        "n_at_train": int(n_total),
+        "n_appended_since_train": 0,
         # expected training-sample size (exact when unsampled; the
         # hash sample's realized count varies around n_total/denom)
         "train_sample_target": int(
@@ -195,10 +212,92 @@ def build_ivf(
         ),
         "centroids": [[float(x) for x in c] for c in cents],
     }
-    tmp = os.path.join(out_root, "ivf_meta.json.tmp")
+    _write_meta(out_root, "ivf_meta.json", meta)
+    return meta
+
+
+def _write_meta(out_root: str, name: str, meta: dict) -> None:
+    tmp = os.path.join(out_root, f"{name}.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_root, "ivf_meta.json"))
+    os.replace(tmp, os.path.join(out_root, name))
+
+
+def update_ivf(
+    spark: SparkSession,
+    out_root: str,
+    new_vectors: DataFrame,
+    retrain_frac: float = 0.5,
+    train_sample_max: int = 500_000,
+    iters: int = DEFAULT_ITERS,
+) -> dict:
+    """Incremental IVF maintenance: the index sibling of the inverted
+    index's incremental update (index/merge.py) — appends, don't
+    rebuild.
+
+    New vectors are assigned against the FROZEN centroids (one
+    Arrow-batched pass, no training) and appended to the clustered
+    assignments table as new centroid-sorted files; query-time
+    ``centroid_id IN`` pruning works on the appended files exactly as
+    on the originals. A drift gate retrains instead when appends since
+    the last training exceed ``retrain_frac`` of the population the
+    quantizer was trained on (the dict_strategy-'auto' discipline:
+    cheap path by default, automatic escalation when the cheap path's
+    assumption — new data looks like trained data — has decayed).
+    The retrain stages the merged source to a temp dir first: Spark
+    refuses (correctly) to overwrite a parquet path that is also an
+    input of the running plan."""
+    with open(os.path.join(out_root, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    assignments_path = os.path.join(out_root, "assignments")
+    n_new = new_vectors.count()
+    if n_new == 0:
+        return meta
+    n_at_train = int(meta.get("n_at_train", meta["n_vectors"]))
+    appended = int(meta.get("n_appended_since_train", 0)) + n_new
+    if appended > retrain_frac * max(1, n_at_train):
+        import shutil as _shutil
+
+        keep_cols = [f.name for f in new_vectors.schema.fields]
+        full = (
+            spark.read.parquet(assignments_path)
+            .select(*keep_cols)
+            .unionByName(new_vectors.select(*keep_cols))
+        )
+        staged = os.path.join(out_root, "_retrain_src")
+        _shutil.rmtree(staged, ignore_errors=True)
+        full.write.mode("overwrite").parquet(staged)
+        try:
+            return build_ivf(
+                spark,
+                spark.read.parquet(staged),
+                out_root,
+                n_centroids=int(meta["n_centroids"]),
+                iters=iters,
+                vec_col=meta["vec_col"],
+                id_col=meta["id_col"],
+                train_sample_max=train_sample_max,
+            )
+        finally:
+            _shutil.rmtree(staged, ignore_errors=True)
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    parts = max(1, spark.sparkContext.defaultParallelism)
+    bc = _bcast_centroids(new_vectors, cents)
+    try:
+        assigned = _assign_expr(new_vectors, bc, meta["vec_col"])
+        (
+            assigned.repartition(
+                min(parts, int(meta["n_centroids"])), "centroid_id",
+            )
+            .sortWithinPartitions("centroid_id", meta["id_col"])
+            .write.mode("append")
+            .parquet(assignments_path)
+        )
+    finally:
+        bc.unpersist()
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    meta["n_appended_since_train"] = appended
+    _write_meta(out_root, "ivf_meta.json", meta)
     return meta
 
 
@@ -319,11 +418,20 @@ def lsh_topk(
     query: list[float],
     k: int = 10,
     probe_flips: int = 1,
+    broadcast_max: int = 2_000_000,
 ) -> DataFrame:
     """ANN top-k via bucket lookup + multi-probe: for each band, the
     query's bucket plus (optionally) every single-bit-flip neighbor
     bucket; candidates = vectors sharing any probed bucket, then exact
-    cosine re-rank on just those."""
+    cosine re-rank on just those.
+
+    The candidate set is gated before broadcasting (the tombstone-gate
+    pattern from index/deletes.py): bucket populations are usually
+    tiny, but at 10^9 vectors a pathological hot bucket (or flips=1
+    widening) can reach multi-GB — counting the pruned signature scan
+    is one cheap job against a bucket-clustered table, and past
+    ``broadcast_max`` candidates the semi-join runs unbroadcast
+    (shuffle join) instead of shipping the set to every executor."""
     planes = lsh["planes_np"]
     width = lsh["n_planes"] // lsh["n_bands"]
     q = np.asarray(query, dtype=np.float64)
@@ -345,8 +453,12 @@ def lsh_topk(
         F.col("vec_id").alias(id_col),
     )
     # broadcast LEFT SEMI both dedups bucket-collision candidates and
-    # avoids a distinct exchange — one job end to end
-    cand = emb.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # avoids a distinct exchange — one job end to end (when the
+    # candidate population fits under the gate)
+    n_cand = cand_ids.count()
+    if n_cand <= broadcast_max:
+        cand_ids = F.broadcast(cand_ids)
+    cand = emb.join(cand_ids, id_col, "left_semi")
     return cosine_topk(
         cand, [float(x) for x in query], k, vec_col=vec_col, id_col=id_col,
     )

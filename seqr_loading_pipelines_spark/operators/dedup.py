@@ -51,7 +51,7 @@ def normalized(text_col) -> "F.Column":
 
 
 def exact_duplicates(
-    docs: DataFrame, text_col: str = "text", max_ids: int | None = None,
+    docs: DataFrame, text_col: str = "text", max_ids: int | None = 10_000,
 ) -> DataFrame:
     """Groups of exact duplicates (normalized); winner = min doc_id.
 
@@ -62,8 +62,11 @@ def exact_duplicates(
     real, not cosmetic: ids are ranked per group first and only ranks
     <= max_ids enter the collect (collect_list skips nulls), so the
     agg buffer itself is bounded; the rank window partitions on the
-    same key as the groupBy, so no extra shuffle appears. None keeps
-    the full list (the oracle-checked parity default at test scale)."""
+    same key as the groupBy, so no extra shuffle appears. The cap is
+    ON by default (10k ids ~ a few hundred KB per group) so a
+    corpus-scale caller can't OOM one agg task by forgetting the
+    kwarg; pass ``max_ids=None`` to opt out (full lists — safe only
+    when group sizes are known-bounded, e.g. oracle-parity tests)."""
     fp = docs.select("doc_id", F.md5(normalized(F.col(text_col))).alias("fp"))
     if max_ids is None:
         ids = F.array_sort(F.collect_list("doc_id"))

@@ -409,3 +409,88 @@ def test_dedup_clusters_path_graph_converges_fast(spark):
     assert len(rows) == 64
     assert all(r["cluster_id"] == 0 for r in rows)
     assert sum(r["keep"] for r in rows) == 1
+
+
+def test_lsh_topk_unbroadcast_gate_identical(spark, tmp_path):
+    """Forcing the candidate set past the broadcast gate must route
+    through the unbroadcast semi-join and return the identical
+    top-k."""
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_lsh,
+        generate_embeddings,
+        load_lsh,
+        lsh_topk,
+    )
+
+    vecs = generate_embeddings(spark, 2000, dim=32, n_clusters=12, seed=5)
+    root = str(tmp_path / "lsh")
+    build_lsh(spark, vecs, root, n_planes=64, n_bands=8)
+    lsh = load_lsh(spark, root)
+    q = [float(x) for x in vecs.first()["embedding"]]
+    bcast = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_topk(spark, lsh, vecs, q, 10, probe_flips=1).collect()
+    ]
+    plain = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_topk(
+            spark, lsh, vecs, q, 10, probe_flips=1, broadcast_max=0,
+        ).collect()
+    ]
+    assert bcast == plain
+    assert len(bcast) == 10
+
+
+def test_update_ivf_append_recall_and_retrain_gate(spark, tmp_path):
+    """Appending 20% new vectors against frozen centroids keeps recall
+    within 2% of a full rebuild; pushing appends past the drift gate
+    retrains (ledger resets, centroids re-fit)."""
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_ivf,
+        generate_embeddings,
+        ivf_topk,
+        load_ivf,
+        update_ivf,
+    )
+    from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
+
+    vecs = generate_embeddings(spark, 4000, dim=32, n_clusters=12, seed=9)
+    base = vecs.filter(F.col("vec_id") < 3200)
+    extra = vecs.filter(F.col("vec_id") >= 3200)
+    incr_root, full_root = str(tmp_path / "incr"), str(tmp_path / "full")
+    build_ivf(spark, base, incr_root, n_centroids=24, iters=2)
+    meta = update_ivf(spark, incr_root, extra)
+    assert meta["n_vectors"] == 4000
+    assert meta["n_appended_since_train"] == 800  # under the 0.5 gate
+    build_ivf(spark, vecs, full_root, n_centroids=24, iters=2)
+    incr, full = load_ivf(spark, incr_root), load_ivf(spark, full_root)
+    assert incr["assignments"].count() == 4000
+
+    def recall_at10(ivf, qid):
+        q = [
+            float(x)
+            for x in vecs.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        brute = {r["vec_id"] for r in cosine_topk(vecs, q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(spark, ivf, q, 10, n_probe=8).collect()
+        }
+        return len(brute & got) / 10
+
+    qids = [11, 777, 3456, 3999]  # includes appended-range queries
+    r_incr = sum(recall_at10(incr, q) for q in qids) / len(qids)
+    r_full = sum(recall_at10(full, q) for q in qids) / len(qids)
+    assert r_incr >= r_full - 0.02, (r_incr, r_full)
+
+    # drift gate: a second large append (800 + 2000 > 0.5 * 3200)
+    # must RETRAIN — ledger resets and the train population updates
+    more = generate_embeddings(spark, 6000, dim=32, n_clusters=12, seed=9)
+    meta2 = update_ivf(
+        spark, incr_root, more.filter(F.col("vec_id") >= 4000),
+    )
+    assert meta2["n_appended_since_train"] == 0
+    assert meta2["n_at_train"] == 6000
+    assert load_ivf(spark, incr_root)["assignments"].count() == 6000
