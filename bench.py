@@ -41,6 +41,25 @@ SLOW_QUERY_S = 30.0  # warm-up slower than this drops to 2 reps
 REPS_USED: dict[str, int] = {}
 
 
+def _container_cpu_s() -> float:
+    """Cgroup container-CPU seconds: recorded around the build so a
+    host-noise-inflated wall is self-evident in the artifact (wall up
+    with CPU flat = external stall, not a plan regression)."""
+    try:
+        with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+            return int(f.read().strip()) / 1e9
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as f:
+            for line in f:
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def timed_min(label: str, fn, timings: dict[str, float]) -> None:
     """Untimed warm-up + min of N timed reps (see module docstring).
     Sub-3s queries get extra reps: their walls are dominated by the
@@ -92,18 +111,36 @@ def main() -> None:
     del _pd
 
     # -- index build throughput over the synthetic corpus --------------
-    # single-shot by design: a rebuild would ledger-hit the manifest;
-    # bin/scaling_bench.py (interleaved minima) is the build instrument
-    index_root = os.path.join(tempfile.gettempdir(), "spark_graft_bench_index")
-    shutil.rmtree(index_root, ignore_errors=True)
+    # min-of-2 with per-run container CPU (VERDICT r4 #1: the build was
+    # the one single-shot headline, i.e. the number most exposed to
+    # host noise; a second run + the CPU counter lets BENCH_rN.json
+    # adjudicate a noisy wall by itself). Each run uses its own root +
+    # fingerprint — a rebuild into the same root would ledger-hit.
+    # bin/scaling_bench.py (interleaved minima) stays the authoritative
+    # build-throughput instrument.
     corpus = generate_corpus(spark, N_DOCS, n_repos=50, seed=42)
-    t0 = time.time()
-    manifest = IndexBuilder(spark, index_root).build(
-        corpus, source_fingerprint=f"bench-{N_DOCS}",
-    )
-    build_s = time.time() - t0
+    build_walls, build_cpus = [], []
+    manifest = None
+    for rep in ("a", "b"):
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_index_{rep}",
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        cpu0 = _container_cpu_s()
+        t0 = time.time()
+        m = IndexBuilder(spark, root).build(
+            corpus, source_fingerprint=f"bench-{N_DOCS}-{rep}",
+        )
+        build_walls.append(round(time.time() - t0, 3))
+        build_cpus.append(round(_container_cpu_s() - cpu0, 1))
+        if rep == "a":
+            manifest = m
+            index_root = root
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+    build_s = min(build_walls)
     timings["index_build"] = round(build_s, 3)
-    REPS_USED["index_build"] = 1
+    REPS_USED["index_build"] = 2
     files_per_sec = manifest["n_docs"] / build_s
 
     # -- BM25 query latency (p50/p95 of per-query minima) --------------
@@ -284,9 +321,9 @@ def main() -> None:
     # -- headline operator queries at SF_DIR ---------------------------
     headline = [
         "bm25_topk", "term_dictionary", "doc_stats", "exact_dedup",
-        "minhash_lsh_candidates", "simhash_dedup", "embedding_cosine_topk",
-        "pricing_summary", "shipping_priority", "range_join_ship_window",
-        "events_rollup", "quality_score",
+        "minhash_lsh_candidates", "dedup_clusters", "simhash_dedup",
+        "embedding_cosine_topk", "pricing_summary", "shipping_priority",
+        "range_join_ship_window", "events_rollup", "quality_score",
     ]
     for name in headline:
         timed_min(
@@ -308,6 +345,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "files_per_sec": round(files_per_sec, 1),
+                "index_build_runs_s": build_walls,
+                "index_build_container_cpu_s": build_cpus,
                 "n_docs_indexed": manifest["n_docs"],
                 "ann_n_vectors": n_vecs,
                 "ann_ivf_recall_at_10": round(ann_recall_ivf, 3),

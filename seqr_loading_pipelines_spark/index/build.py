@@ -60,6 +60,13 @@ from seqr_loading_pipelines_spark.sources.readers import (
 
 DOC_SHARD_SIZE = 1 << 16  # docs per WAND shard
 
+# dictionary-broadcast gate: vocabularies at or below this many terms
+# broadcast in joins (≈150 MB of (term, id, df) rows); above it every
+# dictionary join shuffles and term-id assignment goes partitioned.
+# Build records the configured value in the manifest; delete/compact
+# read it back rather than re-hardcoding (ADVICE r4).
+DICT_BROADCAST_GATE = 5_000_000
+
 DOC_STATS_COLS = ["doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256"]
 
 POSTING_SCHEMA = T.StructType(
@@ -103,7 +110,7 @@ class IndexBuilder:
         rows_per_partition: int = ROWS_PER_PARTITION,
         docs_chunks: int = 1,
         dict_strategy: str = "fused",
-        dict_partition_gate: int = 5_000_000,
+        dict_partition_gate: int = DICT_BROADCAST_GATE,
         key_lookup: bool = True,
         tokenizer: str = "arrow",
     ):
@@ -815,8 +822,10 @@ class IndexBuilder:
             os.path.join(snap, "docs"), max_doc_id + 1, n_docs,
         )
 
-        # map term -> term_id: broadcast when small
-        dict_small = n_terms <= 5_000_000
+        # map term -> term_id: broadcast when small (the builder's
+        # configured gate — recorded in the manifest so delete/compact
+        # make the SAME decision later)
+        dict_small = n_terms <= self.dict_partition_gate
         dict_cols = ["term", "term_id"] + ([] if idf_arr is not None else ["df"])
         d = term_dict.select(*dict_cols)
         if dict_small:
@@ -909,6 +918,10 @@ class IndexBuilder:
                 "k1": self.k1,
                 "b": self.b,
                 "shard_size": self.shard_size,
+                # dictionary-broadcast gate this index was built with:
+                # delete/compact/update read it back so a non-default
+                # gate keeps governing every later broadcast decision
+                "dict_partition_gate": self.dict_partition_gate,
                 "build_wall_s": round(time.time() - t_start, 3),
                 "metrics": self.metrics,
             },

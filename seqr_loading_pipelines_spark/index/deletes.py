@@ -163,8 +163,13 @@ def delete_docs(
     # dictionary rewrite with decrements; terms fully deleted leave
     # the dict (df -> 0), matching a rebuild's vocabulary. The
     # decrement side is at most vocabulary-sized: broadcast it only
-    # under the same dictionary gate build/merge use
-    dec_side = dec if current["n_terms"] > 5_000_000 else F.broadcast(dec)
+    # under the dictionary gate this index was BUILT with (read back
+    # from the manifest — an index built with a lower gate must not
+    # see a hardcoded 5M here, ADVICE r4)
+    from seqr_loading_pipelines_spark.index.build import DICT_BROADCAST_GATE
+
+    dict_gate = int(current.get("dict_partition_gate", DICT_BROADCAST_GATE))
+    dec_side = dec if current["n_terms"] > dict_gate else F.broadcast(dec)
     (
         idx["term_dict"]
         .join(dec_side, "term", "left")
@@ -192,6 +197,11 @@ def delete_docs(
                 "segments", "max_doc_id", "n_blocks",
                 "k1", "b", "shard_size",
             )},
+            **(
+                {"dict_partition_gate": current["dict_partition_gate"]}
+                if "dict_partition_gate" in current
+                else {}
+            ),
             "updates": (
                 [*current["updates"], ledger_key]
                 if ledger_key is not None

@@ -62,17 +62,30 @@ def write_lookup_segment(
     a column-pruned scan of the segment's docs parquet (the terms
     column is never read). Idempotent per projection (resume-safe):
     a projection with a _SUCCESS marker is left untouched.
-    """
+
+    Scaling shape (round-5 stage profile): the row-count file sizing
+    alone made the reduce side ONE task below 4M docs — a pure serial
+    addend to every build — so the partition count is floored at the
+    cluster parallelism; and the two projections are independent
+    single-job writes, so they run CONCURRENTLY from driver threads
+    (Spark schedules both jobs at once; their fixed scheduling costs
+    and any tail tasks overlap instead of summing)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from seqr_loading_pipelines_spark.sources import fs as pfs
 
-    n_parts = max(1, math.ceil(n_docs / LOOKUP_ROWS_PER_FILE))
-    for name, hash_col, cols in (
-        ("by_path", path_key_hash(), PATH_KEY_COLS),
-        ("by_sha", sha_key_hash(), ["sha256"]),
-    ):
+    parallelism = max(
+        1, docs_view.sparkSession.sparkContext.defaultParallelism,
+    )
+    n_parts = max(
+        math.ceil(n_docs / LOOKUP_ROWS_PER_FILE), min(parallelism, 32),
+    )
+
+    def write_one(spec) -> None:
+        name, hash_col, cols = spec
         path = os.path.join(seg_dir, "key_lookup", name)
         if pfs.exists(os.path.join(path, "_SUCCESS")):
-            continue
+            return
         (
             docs_view.select(
                 hash_col.alias("key_hash"), *cols, "doc_id",
@@ -82,6 +95,14 @@ def write_lookup_segment(
             .write.mode("overwrite")
             .parquet(path)
         )
+
+    specs = [
+        ("by_path", path_key_hash(), PATH_KEY_COLS),
+        ("by_sha", sha_key_hash(), ["sha256"]),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(write_one, s) for s in specs]:
+            fut.result()
 
 
 def _segment_lookups(
@@ -119,14 +140,32 @@ def _without_tombstones(index: dict, df: DataFrame) -> DataFrame:
     return df.join(side.select("doc_id"), "doc_id", "left_anti")
 
 
+# bounded point-lookup contract: past this many keys the pushed
+# IN-list plan stops being the right shape (driver collect + a
+# many-element IN filter) and the caller belongs on the shuffle-join
+# mass path
+POINT_LOOKUP_MAX_KEYS = 10_000
+
+
 def _local_hashes(
     spark: SparkSession, keys_df: DataFrame, hash_col: Column,
+    limit: int = POINT_LOOKUP_MAX_KEYS,
 ) -> list[int]:
     """Wanted-key hashes via Spark's own xxhash64 over the local keys
-    relation — a LocalTableScan, no cluster-side scan."""
-    return [
-        r["h"] for r in keys_df.select(hash_col.alias("h")).collect()
-    ]
+    relation — a LocalTableScan, no cluster-side scan.
+
+    Bounded: collects ``limit + 1`` rows and refuses past the bound —
+    an unbounded keys DataFrame would otherwise OOM the DRIVER here
+    (ADVICE r4); such callers belong on ``resolve_doc_ids_bulk``,
+    which shuffle-joins without any driver materialization."""
+    rows = keys_df.select(hash_col.alias("h")).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"more than {limit} lookup keys: the pushed-IN point-lookup "
+            "path materializes keys on the driver; use "
+            "resolve_doc_ids_bulk for unbounded key sets",
+        )
+    return [r["h"] for r in rows]
 
 
 def resolve_doc_ids(

@@ -290,7 +290,7 @@ def _update(
     )
     dict_cols = ["term", "term_id"] + ([] if idf_arr is not None else ["df"])
     d = merged_dict.select(*dict_cols)
-    if n_terms <= 5_000_000:
+    if n_terms <= builder.dict_partition_gate:
         d = F.broadcast(d)
     tid_type = "int" if id_space < (1 << 31) else "long"
     cols = [
@@ -376,6 +376,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["segment_starts"] = current["segment_starts"]
     if "max_term_id" in current:
         out["max_term_id"] = current["max_term_id"]
+    if "dict_partition_gate" in current:
+        out["dict_partition_gate"] = current["dict_partition_gate"]
     return out
 
 
@@ -464,7 +466,13 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             )
         n_docs, avgdl = current["n_docs"], current["avgdl"]
         d = old["term_dict"].select("term_id", "df")
-        if current["n_terms"] <= 5_000_000:
+        from seqr_loading_pipelines_spark.index.build import (
+            DICT_BROADCAST_GATE,
+        )
+
+        if current["n_terms"] <= int(
+            current.get("dict_partition_gate", DICT_BROADCAST_GATE),
+        ):
             d = F.broadcast(d)
         ln = F.log1p(
             (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
@@ -554,6 +562,11 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
                 "updates", "max_doc_id", "n_docs", "n_terms",
                 "avgdl", "sum_dl", "k1", "b", "shard_size",
             )},
+            **(
+                {"dict_partition_gate": current["dict_partition_gate"]}
+                if "dict_partition_gate" in current
+                else {}
+            ),
             **(
                 {"max_term_id": current["max_term_id"]}
                 if "max_term_id" in current

@@ -1347,6 +1347,35 @@ FROM documents WHERE doc_id IN ({", ".join(str(i) for i in KEY_LOOKUP_IDS)})
 """
 
 
+def q_index_key_lookup_bulk(spark, sf_dir):
+    """The mass twin of the point lookup, driver-gated: a whole
+    file-manifest DataFrame (every third document's identity) resolved
+    through the shuffle-join bulk path — no driver collect, no pushed
+    IN list; the narrow lookup projection joins the keys on
+    (repo, path, commit). Oracle: the source table filtered by the
+    same identity predicate."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.key_lookup import (
+        resolve_doc_ids_bulk,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    keys_df = (
+        corpus_from_documents(spark, sf_dir)
+        .filter(_orig_doc_id() % 3 == 0)
+        .select("repo", "path", "commit")
+    )
+    hits = resolve_doc_ids_bulk(spark, index, keys_df)
+    return hits.select(
+        _orig_doc_id().alias("doc_id"), F.col("repo"),
+    )
+
+
+SQL_INDEX_KEY_LOOKUP_BULK = """
+SELECT doc_id, source AS repo FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 BM25_BATCH = {"q1": " ".join(BM25_QUERY_TERMS), "q2": "table spark index"}
 
 
@@ -1470,6 +1499,7 @@ QUERIES = {
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
     "index_key_lookup": q_index_key_lookup,
+    "index_key_lookup_bulk": q_index_key_lookup_bulk,
 }
 
 ORACLE_SQL = {
@@ -1516,4 +1546,5 @@ ORACLE_SQL = {
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
     "index_key_lookup": SQL_INDEX_KEY_LOOKUP,
+    "index_key_lookup_bulk": SQL_INDEX_KEY_LOOKUP_BULK,
 }

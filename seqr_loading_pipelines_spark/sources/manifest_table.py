@@ -32,6 +32,10 @@ import uuid
 from seqr_loading_pipelines_spark.sources import fs
 
 
+LEASE_NAME = "_STAGING_LEASE"
+DEFAULT_LEASE_TTL_S = 24 * 3600
+
+
 class ManifestTable:
     def __init__(self, root: str):
         self.root = root
@@ -64,19 +68,42 @@ class ManifestTable:
         name = f"snap_{uuid.uuid4().hex[:12]}"
         path = fs.join(self.root, name)
         fs.makedirs(path)
+        self.touch_staging_lease(path)
         return path
 
     def staging_dir(self, key: str) -> str:
         """Deterministic staging dir for a work key: a crashed run
         re-enters the SAME dir and resumes from its completed stage
         checkpoints (the reference keys intermediate paths by callset
-        hash the same way, v03_pipeline/lib/paths.py:39-58)."""
+        hash the same way, v03_pipeline/lib/paths.py:39-58). Entering
+        (or re-entering on resume) renews the staging lease, so a
+        concurrent/background vacuum leaves an in-flight build's
+        checkpoints alone."""
         import hashlib
 
         name = f"snap_{hashlib.sha1(key.encode()).hexdigest()[:12]}"
         path = fs.join(self.root, name)
         fs.makedirs(path)
+        self.touch_staging_lease(path)
         return path
+
+    def touch_staging_lease(self, staging_dir: str) -> None:
+        """Mark a staging dir as actively written (vacuum skips dirs
+        with a lease younger than its TTL). The lease carries its own
+        wall-clock timestamp — no filesystem-mtime semantics needed,
+        so it works identically on object stores."""
+        fs.write_text_atomic(
+            fs.join(staging_dir, LEASE_NAME), repr(time.time()),
+        )
+
+    def _lease_age_s(self, dirname: str) -> float | None:
+        """Seconds since the dir's lease was last touched, or None if
+        it never had one (pre-lease layouts)."""
+        try:
+            ts = float(fs.read_text(fs.join(self.root, dirname, LEASE_NAME)))
+        except (FileNotFoundError, OSError, ValueError):
+            return None
+        return time.time() - ts
 
     def publish(self, snapshot_dir: str, metadata: dict) -> dict:
         """Atomically swap CURRENT to a fully-written snapshot dir."""
@@ -94,6 +121,11 @@ class ManifestTable:
             json.dumps(manifest, indent=2, sort_keys=True, default=str),
         )
         fs.write_text_atomic(self._pointer, str(v))  # the atomic publish
+        # release the staging lease: the dir is now manifest-referenced;
+        # once superseded it becomes immediately vacuumable
+        lease = fs.join(snapshot_dir, LEASE_NAME)
+        if fs.exists(lease):
+            fs.delete_file(lease)
         return manifest
 
     def ledger_contains(self, key: str, value) -> bool:
@@ -124,7 +156,11 @@ class ManifestTable:
             refs.add(t.split("/", 1)[0])
         return {r.split("/", 1)[0] for r in refs}
 
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
+    ) -> dict:
         """Garbage-collect snapshot dirs unreferenced by the last
         ``keep_last`` published manifest versions, and prune manifest
         json files older than those.
@@ -136,10 +172,14 @@ class ManifestTable:
         updates. ``keep_last > 1`` keeps N versions readable for
         rollback/time travel.
 
-        Discipline: run only when no writer is active — an in-flight
-        build's staging dir (not yet published, hence unreferenced)
-        would be collected, costing it its resume checkpoints (never
-        correctness: the build would start over).
+        Writer safety: an in-flight build's staging dir is unpublished
+        (hence unreferenced), but every writer entering a staging dir
+        touches a lease file — dirs whose lease is younger than
+        ``lease_ttl_s`` are SKIPPED, so vacuum is safe to run alongside
+        an active or crashed-but-resumable build (a collected stale dir
+        costs only its resume checkpoints, never correctness).
+        ``lease_ttl_s=0`` disables the protection (collect everything
+        unreferenced).
         """
         cur_v = self.current_version()
         if cur_v is None:
@@ -152,9 +192,13 @@ class ManifestTable:
                 refs |= self.referenced_dirs(m)
         removed_dirs = []
         for d in fs.list_dirs(self.root):
-            if d.startswith("snap_") and d not in refs:
-                fs.delete_dir(fs.join(self.root, d))
-                removed_dirs.append(d)
+            if not d.startswith("snap_") or d in refs:
+                continue
+            age = self._lease_age_s(d)
+            if lease_ttl_s > 0 and age is not None and age < lease_ttl_s:
+                continue  # fresh lease: an active/resumable writer
+            fs.delete_dir(fs.join(self.root, d))
+            removed_dirs.append(d)
         removed_manifests = []
         for v in range(1, keep_lo):
             path = fs.join(self.root, f"v{v}.manifest.json")

@@ -105,7 +105,11 @@ class QueueWorker:
                 source_fingerprint=f"queue:{name}",
             )
             os.remove(path)
-            if self.vacuum_keep_last is not None:
+            # vacuum only when the queue is fully drained: a failed
+            # request awaiting retry owns an unpublished staging dir
+            # whose resume checkpoints a vacuum could collect (ADVICE
+            # r4) — the staging lease is the second line of defense
+            if self.vacuum_keep_last is not None and not self._pending():
                 from seqr_loading_pipelines_spark.sources.manifest_table import (  # noqa: E501
                     ManifestTable,
                 )

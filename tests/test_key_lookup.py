@@ -219,3 +219,50 @@ def test_resolve_bulk_matches_point_lookup(spark, lk_index):
         for r in resolve_doc_ids(spark, idx, keys).collect()
     }
     assert bulk == point == {k: truth[k][0] for k in keys}
+
+
+def test_point_lookup_refuses_unbounded_keys(spark, lk_index):
+    """An oversized keys DataFrame must be refused by the point path
+    (driver-collect bound) with a pointer to the bulk path."""
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.index import key_lookup as kl
+
+    idx = load_index(spark, lk_index)
+    big = spark.range(0, 50).selectExpr(
+        "concat('r', id) AS repo",
+        "concat('p', id) AS path",
+        "concat('c', id) AS commit",
+    )
+    orig = kl.POINT_LOOKUP_MAX_KEYS
+    kl.POINT_LOOKUP_MAX_KEYS = 10
+    try:
+        with _pytest.raises(ValueError, match="resolve_doc_ids_bulk"):
+            kl._local_hashes(
+                spark, big, kl.path_key_hash(), limit=kl.POINT_LOOKUP_MAX_KEYS,
+            )
+    finally:
+        kl.POINT_LOOKUP_MAX_KEYS = orig
+
+
+def test_bulk_plan_has_no_driver_hash_collect(spark, lk_index):
+    """The bulk path's physical plan must be a pure join — no pushed
+    key_hash IN list (the point path's driver-collect signature)."""
+    from seqr_loading_pipelines_spark.index.key_lookup import (
+        resolve_doc_ids_bulk,
+    )
+
+    idx = load_index(spark, lk_index)
+    keys_df = spark.range(0, 100).selectExpr(
+        "concat('r', id) AS repo",
+        "concat('p', id) AS path",
+        "concat('c', id) AS commit",
+    )
+    plan = (
+        resolve_doc_ids_bulk(spark, idx, keys_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "key_hash IN" not in plan
+    assert "Join" in plan

@@ -286,3 +286,48 @@ def test_vacuum_keep_last_preserves_rollback_window(spark, tmp_path):
     # v2 anyway, and v1's manifest file stays readable for rollback
     assert table._manifest_at(cur_v - 1) is not None
     assert out["removed_manifests"] == []
+
+
+def test_vacuum_spares_leased_staging_dir(spark, tmp_path):
+    """An in-flight (or crashed-but-resumable) build's staging dir
+    holds a fresh lease: vacuum must leave it — and its resume
+    checkpoints — alone; an EXPIRED lease makes it collectable."""
+    import os
+
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        LEASE_NAME,
+        ManifestTable,
+    )
+
+    root = str(tmp_path / "idx")
+    IndexBuilder(spark, root).build(
+        generate_corpus(spark, 60, n_repos=3, seed=83), "b1",
+    )
+    table = ManifestTable(root)
+    # a writer enters a staging dir (lease touched) and checkpoints
+    # partial work, then stalls
+    staged = table.staging_dir("update:b2")
+    # partial work: NOT a completed stage (no _SUCCESS — the resume
+    # logic must still re-run the stage), just bytes vacuum could lose
+    os.makedirs(os.path.join(staged, "docs"), exist_ok=True)
+    marker = os.path.join(staged, "docs", "part-00000.parquet.inprogress")
+    with open(marker, "w") as f:
+        f.write("partial")
+    name = os.path.basename(staged)
+
+    out = table.vacuum(keep_last=1)
+    assert name not in out["removed_dirs"]
+    assert os.path.exists(marker), "resume checkpoint must survive"
+
+    # the stalled writer resumes into the SAME dir and completes
+    m = update_index(
+        spark, root, generate_corpus(spark, 90, n_repos=3, seed=83), "b2",
+    )
+    assert m["n_docs"] == 90
+
+    # an ABANDONED staging dir with an expired lease is collected
+    stale = table.staging_dir("update:never-finished")
+    with open(os.path.join(stale, LEASE_NAME), "w") as f:
+        f.write(repr(0.0))  # epoch: maximally stale
+    out2 = table.vacuum(keep_last=1)
+    assert os.path.basename(stale) in out2["removed_dirs"]
