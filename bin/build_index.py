@@ -84,6 +84,22 @@ def main() -> None:
                     manifest.get("metrics", {}).get("skipped"),
                 ),
                 "parallelism": spark.sparkContext.defaultParallelism,
+                # per-stage walls straight from the build metrics, so a
+                # scaling pair self-attributes WHICH stage stopped
+                # scaling instead of needing a re-run under a profiler
+                "stage_walls_s": {
+                    name: s.get("wall_s")
+                    for name, s in manifest.get("metrics", {})
+                    .get("stages", {})
+                    .items()
+                },
+                "stage_cpus_s": {
+                    name: s["cpu_s"]
+                    for name, s in manifest.get("metrics", {})
+                    .get("stages", {})
+                    .items()
+                    if "cpu_s" in s
+                },
             },
         ),
     )

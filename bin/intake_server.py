@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Run the HTTP intake server (the reference's aiohttp app analog,
+v03_pipeline/api/app.py:92-101 run_app).
+
+No SparkSession here — the intake only validates requests and writes
+queue files; run one or more ``QueueWorker`` processes against the
+same queue dir to execute them:
+
+  python bin/intake_server.py --queue-dir /data/queue --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from seqr_loading_pipelines_spark.api.app import (  # noqa: E402
+    DEFAULT_QUEUE_LIMIT,
+    make_server,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queue-dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--queue-limit", type=int, default=DEFAULT_QUEUE_LIMIT)
+    args = ap.parse_args()
+
+    server = make_server(
+        args.queue_dir, host=args.host, port=args.port,
+        queue_limit=args.queue_limit,
+    )
+    host, port = server.server_address[:2]
+    print(f"intake listening on http://{host}:{port} -> {args.queue_dir}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

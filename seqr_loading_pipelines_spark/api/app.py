@@ -1,0 +1,157 @@
+"""HTTP intake facade over the filesystem work queue.
+
+The reference fronts its pipeline queue with a small aiohttp app
+(v03_pipeline/api/app.py:38-64): POST a JSON request, validate it
+against a typed model, refuse when the queue is full (409), reject a
+missing body (422) or an invalid one (400), then write the validated
+request as a ``<run_id>.json`` queue file and answer 202 with the
+echoed payload. This is the same surface on stdlib ``http.server`` —
+no web-framework dependency, and deliberately NO SparkSession: the
+intake only writes queue files; ``streaming.incremental.QueueWorker``
+(the pipeline_worker.py analog) owns Spark and drains the queue.
+
+Scale shape: intake and execution are decoupled through the queue
+directory exactly as in the reference — the HTTP layer is stateless
+and horizontally replicable; the single-writer discipline lives in
+the worker, not here.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from seqr_loading_pipelines_spark.api.model import parse_request
+from seqr_loading_pipelines_spark.sources import fs
+
+DEFAULT_QUEUE_LIMIT = 10  # cf. Env.LOADING_QUEUE_LIMIT (app.py:47-50)
+
+
+def new_run_id() -> str:
+    """Sortable run id: queue files drain oldest-first by name
+    (misc/runs.py new_run_id + worker's sorted() poll)."""
+    return time.strftime("%Y%m%d-%H%M%S") + f"-{time.time_ns() % 1_000_000:06d}"
+
+
+class IntakeQueue:
+    """Queue-file writer + fullness check, shared by HTTP and
+    programmatic callers."""
+
+    def __init__(self, queue_dir: str, limit: int = DEFAULT_QUEUE_LIMIT):
+        self.queue_dir = queue_dir
+        self.limit = limit
+        fs.makedirs(queue_dir)
+
+    def pending(self) -> list[str]:
+        return sorted(
+            name
+            for name, _ in fs.list_files(self.queue_dir)
+            if name.endswith(".json")
+        )
+
+    def is_full(self) -> bool:
+        return len(self.pending()) >= self.limit
+
+    def enqueue(self, request) -> str:
+        run_id = new_run_id()
+        fs.write_text_atomic(
+            fs.join(self.queue_dir, f"{run_id}.json"), request.to_json(),
+        )
+        return run_id
+
+
+class _Handler(BaseHTTPRequestHandler):
+    queue: IntakeQueue  # set by make_server on the handler subclass
+
+    # silence per-request stderr logging (tests and workers read stdout)
+    def log_message(self, *args) -> None:  # noqa: D102
+        pass
+
+    def _respond(self, status: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if self.path == "/queue":
+            self._respond(
+                200,
+                {
+                    "pending": self.queue.pending(),
+                    "limit": self.queue.limit,
+                },
+            )
+        else:
+            self._respond(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        # error middleware analog (app.py:25-35): HTTP-mapped errors
+        # pass through, anything unhandled becomes a 500 with a trace
+        try:
+            self._enqueue()
+        except Exception as exc:  # noqa: BLE001 - middleware catch-all
+            self._respond(
+                500, {"error": f"{exc}: {traceback.format_exc()}"},
+            )
+
+    def _enqueue(self) -> None:
+        if self.path != "/enqueue":
+            self._respond(404, {"error": f"unknown path {self.path}"})
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        if length == 0:
+            self._respond(422, {"error": "request body required"})
+            return
+        if self.queue.is_full():
+            self._respond(
+                409,
+                {
+                    "error": "queue is full, try again later",
+                    "limit": self.queue.limit,
+                },
+            )
+            return
+        try:
+            payload = json.loads(self.rfile.read(length))
+            request = parse_request(payload)
+        except (json.JSONDecodeError, ValueError) as exc:
+            self._respond(400, {"error": str(exc)})
+            return
+        run_id = self.queue.enqueue(request)
+        self._respond(
+            202,
+            {
+                "Successfully queued": json.loads(request.to_json()),
+                "run_id": run_id,
+            },
+        )
+
+
+def make_server(
+    queue_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    queue_limit: int = DEFAULT_QUEUE_LIMIT,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the intake server; ``port=0`` binds an
+    ephemeral port (``server.server_address[1]`` reveals it)."""
+    queue = IntakeQueue(queue_dir, limit=queue_limit)
+    handler = type("BoundHandler", (_Handler,), {"queue": queue})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(
+    queue_dir: str, **kwargs,
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the intake server on a daemon thread (the test/embedded
+    shape; production runs ``server.serve_forever()`` directly)."""
+    server = make_server(queue_dir, **kwargs)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread

@@ -1,0 +1,154 @@
+"""Typed, validated intake request models.
+
+The reference fronts its work queue with pydantic request models
+(v03_pipeline/api/model.py:23-49 ``PipelineRunnerRequest`` subclasses:
+``request_type`` defaults to the class name, ``attempt_id`` is bounded
+to [0, MAX_ATTEMPTS), list fields enforce min length 1, and the
+callset path must exist with a known extension). This mirrors those
+semantics with stdlib dataclasses only — the engine must not depend
+on packages outside the container's guaranteed set — and raises
+``ValueError`` on any invalid field, exactly the error class the
+reference's validators raise (app.py maps it to HTTP 400).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+MAX_ATTEMPTS = 5  # cf. v03_pipeline/api/model.py:17 MAX_LOADING_PIPELINE_ATTEMPTS
+VALID_CORPUS_EXTENSIONS = (".parquet", "/")  # parquet file or directory
+
+
+@dataclasses.dataclass
+class PipelineRequest:
+    """Base request: ``request_type`` is pinned to the concrete class
+    name so a queue file self-describes which handler it belongs to
+    (v03_pipeline/api/model.py:23-28)."""
+
+    def __post_init__(self) -> None:
+        self.request_type = type(self).__name__
+        self.validate()
+
+    def validate(self) -> None:  # overridden by subclasses
+        raise NotImplementedError
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"request_type": self.request_type, **dataclasses.asdict(self)},
+            sort_keys=True,
+        )
+
+    def incr_attempt(self) -> bool:
+        """Bump the retry counter; False once retries are exhausted
+        (v03_pipeline/api/model.py:45-49)."""
+        if getattr(self, "attempt_id", MAX_ATTEMPTS - 1) >= MAX_ATTEMPTS - 1:
+            return False
+        self.attempt_id += 1
+        return True
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValueError(msg)
+
+
+@dataclasses.dataclass
+class IndexUpdateRequest(PipelineRequest):
+    """Enqueue an incremental index update over a parquet corpus —
+    the LoadingPipelineRequest analog (callset_path -> corpus_path,
+    same extension + existence checks, model.py:30-43,72-85)."""
+
+    corpus_path: str
+    attempt_id: int = 0
+    check_exists: bool = True
+
+    def validate(self) -> None:
+        _require(
+            isinstance(self.corpus_path, str) and bool(self.corpus_path),
+            "corpus_path must be a non-empty string",
+        )
+        _require(
+            isinstance(self.attempt_id, int)
+            and 0 <= self.attempt_id < MAX_ATTEMPTS,
+            f"attempt_id must be in [0, {MAX_ATTEMPTS})",
+        )
+        path = self.corpus_path
+        _require(
+            path.rstrip("/").endswith(".parquet") or path.endswith("/")
+            or "*" in path,
+            "corpus_path must be a parquet file, a directory (trailing"
+            " '/'), or a shard pattern",
+        )
+        if self.check_exists and "*" not in path:
+            from seqr_loading_pipelines_spark.sources import fs
+
+            _require(
+                fs.exists(path.rstrip("/")),
+                "corpus_path must point to a path that exists",
+            )
+
+
+@dataclasses.dataclass
+class DeleteDocsRequest(PipelineRequest):
+    """Enqueue a delete of one repo's documents (optionally a path
+    subset) — the DeleteFamiliesRequest analog (project_guid -> repo,
+    family_guids -> paths with the same min-length-1 rule,
+    model.py:88-93)."""
+
+    repo: str
+    paths: list[str] | None = None
+    attempt_id: int = 0
+
+    def validate(self) -> None:
+        _require(
+            isinstance(self.repo, str) and bool(self.repo),
+            "repo must be a non-empty string",
+        )
+        if self.paths is not None:
+            _require(
+                isinstance(self.paths, list) and len(self.paths) >= 1,
+                "paths must be a non-empty list when given",
+            )
+            _require(
+                all(isinstance(p, str) and p for p in self.paths),
+                "paths entries must be non-empty strings",
+            )
+        _require(
+            isinstance(self.attempt_id, int)
+            and 0 <= self.attempt_id < MAX_ATTEMPTS,
+            f"attempt_id must be in [0, {MAX_ATTEMPTS})",
+        )
+
+
+REQUEST_TYPES: dict[str, type[PipelineRequest]] = {
+    "IndexUpdateRequest": IndexUpdateRequest,
+    "DeleteDocsRequest": DeleteDocsRequest,
+}
+
+
+def parse_request(payload: dict) -> PipelineRequest:
+    """Validate a raw JSON payload into a typed request.
+
+    The ``request_type`` key picks the model (defaulting to the update
+    request, matching the pre-API queue-file shape QueueWorker already
+    reads); unknown keys are rejected rather than silently dropped —
+    a client typo'ing a field name should hear about it.
+    """
+    if not isinstance(payload, dict):
+        raise ValueError("request body must be a JSON object")
+    data = dict(payload)
+    rtype = data.pop("request_type", "IndexUpdateRequest")
+    cls = REQUEST_TYPES.get(rtype)
+    if cls is None:
+        raise ValueError(
+            f"unknown request_type {rtype!r}; one of {sorted(REQUEST_TYPES)}",
+        )
+    fields = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - fields
+    if unknown:
+        raise ValueError(f"unknown fields for {rtype}: {sorted(unknown)}")
+    try:
+        return cls(**data)
+    except TypeError as exc:  # missing required fields
+        raise ValueError(str(exc)) from exc

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 
 import numpy as np
@@ -757,26 +758,63 @@ class IndexBuilder:
 
         # external-key -> docID lookup projections (the key_lookup
         # analog, test_clickhouse_schema.sql:114-120): key-sorted
-        # parquet over a column-pruned doc-store scan, resume-safe
+        # parquet over a column-pruned doc-store scan, resume-safe.
+        # Runs on a BACKGROUND driver thread: it depends only on the
+        # docs checkpoint, so its (small) jobs fill scheduler slots
+        # the dict stage leaves idle (the single-task df-desc rank
+        # keeps <1 core busy) instead of adding their whole wall to
+        # the critical path — measured ~6s off the 4-core 600k build,
+        # the dominant non-scaling addend in the r5 stage profile.
+        # Joined (and re-raised on failure) before publish.
+        lk_thread: threading.Thread | None = None
+        lk_err: list[BaseException] = []
         if self.key_lookup:
             from seqr_loading_pipelines_spark.index.key_lookup import (
                 write_lookup_segment,
             )
 
-            t_lk = time.time()
-            write_lookup_segment(
-                snap,
-                tokenized.select(
-                    "doc_id", "repo", "path", "commit", "sha256",
-                ),
-                n_docs,
+            lk_view = tokenized.select(
+                "doc_id", "repo", "path", "commit", "sha256",
             )
-            self.metrics["stages"]["key_lookup"] = {
-                "wall_s": round(time.time() - t_lk, 3),
-                "partition_files": _partition_lineage(
-                    os.path.join(snap, "key_lookup"),
-                ),
-            }
+
+            def _lk_write() -> None:
+                t_lk = time.time()
+                try:
+                    write_lookup_segment(snap, lk_view, n_docs)
+                except BaseException as exc:  # noqa: BLE001 re-raised at join
+                    lk_err.append(exc)
+                    return
+                self.metrics["stages"]["key_lookup"] = {
+                    "wall_s": round(time.time() - t_lk, 3),
+                    "overlapped": True,
+                    "partition_files": _partition_lineage(
+                        os.path.join(snap, "key_lookup"),
+                    ),
+                }
+
+            lk_thread = threading.Thread(
+                target=_lk_write, name="key-lookup-write", daemon=True,
+            )
+            lk_thread.start()
+
+        # prefetch the doc-length broadcast array on a second driver
+        # thread: it needs only the docs checkpoint (pure pyarrow
+        # column reads, GIL-released), but otherwise sits serial on
+        # the critical path between the dict and postings stages
+        dl_result: dict = {}
+
+        def _dl_prefetch() -> None:
+            try:
+                dl_result["arr"] = self._driver_dl_array(
+                    os.path.join(snap, "docs"), max_doc_id + 1, n_docs,
+                )
+            except BaseException as exc:  # noqa: BLE001 re-raised at join
+                dl_result["err"] = exc
+
+        dl_thread = threading.Thread(
+            target=_dl_prefetch, name="dl-prefetch", daemon=True,
+        )
+        dl_thread.start()
 
         # flat postings: explode the per-doc term counts (no extra groupBy
         # — tf and dl were computed inside the Arrow batch). NOT
@@ -818,9 +856,10 @@ class IndexBuilder:
         idf_arr = self._driver_idf_array(
             os.path.join(snap, "term_dict"), n_terms, n_docs,
         )
-        dl_arr = self._driver_dl_array(
-            os.path.join(snap, "docs"), max_doc_id + 1, n_docs,
-        )
+        dl_thread.join()
+        if "err" in dl_result:
+            raise dl_result["err"]
+        dl_arr = dl_result.get("arr")
 
         # map term -> term_id: broadcast when small (the builder's
         # configured gate — recorded in the manifest so delete/compact
@@ -887,6 +926,13 @@ class IndexBuilder:
             )
         # row count from parquet footers — no Spark job
         n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
+
+        # the lookup projections must be durable before the manifest
+        # can reference this segment
+        if lk_thread is not None:
+            lk_thread.join()
+            if lk_err:
+                raise lk_err[0]
 
         seg = os.path.relpath(snap, self.table.root)
         manifest = self.table.publish(

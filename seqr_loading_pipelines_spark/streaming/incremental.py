@@ -81,6 +81,39 @@ class QueueWorker:
         os.replace(tmp, os.path.join(self.dead_letter_dir, name))
         os.remove(os.path.join(self.queue_dir, name))
 
+    def _dispatch(self, name: str, request: dict) -> dict:
+        """Route a queue file to its handler by ``request_type`` —
+        the pipeline_worker dispatch analog (the reference worker
+        switches on the pydantic request class the same way;
+        bin/pipeline_worker.py:67-106). Files without a
+        ``request_type`` are the pre-API update shape. Every handler
+        keys the manifest ledger on the queue-file name, so a replay
+        after a crash-after-publish is a no-op."""
+        rtype = request.get("request_type", "IndexUpdateRequest")
+        if rtype == "DeleteDocsRequest":
+            from pyspark.sql import functions as F
+
+            from seqr_loading_pipelines_spark.index.deletes import (
+                delete_docs,
+            )
+
+            predicate = F.col("repo") == request["repo"]
+            if request.get("paths"):
+                predicate = predicate & F.col("path").isin(request["paths"])
+            return delete_docs(
+                self.spark, self.index_root, predicate,
+                ledger_key=f"queue:{name}",
+            )
+        if rtype != "IndexUpdateRequest":
+            raise ValueError(f"unknown request_type {rtype!r} in {name}")
+        corpus = self.spark.read.schema(CORPUS_SCHEMA).parquet(
+            request["corpus_path"],
+        )
+        return update_index(
+            self.spark, self.index_root, corpus,
+            source_fingerprint=f"queue:{name}",
+        )
+
     def process_one(self) -> dict | None:
         """Handle the oldest request; returns the manifest or None."""
         pending = self._pending()
@@ -97,13 +130,7 @@ class QueueWorker:
             self._dead_letter(name, {"error": f"unparseable: {exc}"})
             raise
         try:
-            corpus = self.spark.read.schema(CORPUS_SCHEMA).parquet(
-                request["corpus_path"],
-            )
-            manifest = update_index(
-                self.spark, self.index_root, corpus,
-                source_fingerprint=f"queue:{name}",
-            )
+            manifest = self._dispatch(name, request)
             os.remove(path)
             # vacuum only when the queue is fully drained: a failed
             # request awaiting retry owns an unpublished staging dir

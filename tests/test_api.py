@@ -1,0 +1,209 @@
+"""HTTP intake facade: request-model validation, status codes, queue
+files, and the end-to-end POST -> QueueWorker -> index path (the
+reference's aiohttp app + pydantic models + pipeline worker loop,
+v03_pipeline/api/app.py:38-64, api/model.py:23-93)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from seqr_loading_pipelines_spark.api.app import serve_background
+from seqr_loading_pipelines_spark.api.model import (
+    MAX_ATTEMPTS,
+    DeleteDocsRequest,
+    IndexUpdateRequest,
+    parse_request,
+)
+
+
+# ---------------------------------------------------------------- models
+
+
+def test_update_request_validates(tmp_path):
+    p = tmp_path / "c.parquet"
+    p.write_text("")
+    r = parse_request({"corpus_path": str(p)})
+    assert isinstance(r, IndexUpdateRequest)
+    assert r.request_type == "IndexUpdateRequest"
+    assert r.attempt_id == 0
+    assert json.loads(r.to_json())["corpus_path"] == str(p)
+
+
+@pytest.mark.parametrize(
+    "payload,match",
+    [
+        ({}, "corpus_path"),
+        ({"corpus_path": ""}, "non-empty"),
+        ({"corpus_path": "/nope/x.csv", "check_exists": False}, "parquet"),
+        ({"corpus_path": "/nope/x.parquet"}, "exists"),
+        (
+            {"corpus_path": "x.parquet", "check_exists": False,
+             "attempt_id": MAX_ATTEMPTS},
+            "attempt_id",
+        ),
+        (
+            {"corpus_path": "x.parquet", "check_exists": False,
+             "typo_field": 1},
+            "unknown fields",
+        ),
+        ({"request_type": "NoSuchRequest"}, "unknown request_type"),
+        ({"request_type": "DeleteDocsRequest"}, "repo"),
+        ({"request_type": "DeleteDocsRequest", "repo": ""}, "non-empty"),
+        (
+            {"request_type": "DeleteDocsRequest", "repo": "r", "paths": []},
+            "non-empty list",
+        ),
+    ],
+)
+def test_invalid_requests_raise(payload, match):
+    with pytest.raises(ValueError, match=match):
+        parse_request(payload)
+
+
+def test_delete_request_and_attempts():
+    r = parse_request({"request_type": "DeleteDocsRequest", "repo": "r0"})
+    assert isinstance(r, DeleteDocsRequest)
+    assert r.paths is None
+    for want in range(1, MAX_ATTEMPTS):
+        assert r.incr_attempt() is True
+        assert r.attempt_id == want
+    assert r.incr_attempt() is False  # retries exhausted
+
+
+def test_wildcard_path_skips_existence_check():
+    r = parse_request({"corpus_path": "/data/batch-*.parquet"})
+    assert r.corpus_path.endswith("*.parquet")
+
+
+# ------------------------------------------------------------------ http
+
+
+@pytest.fixture()
+def server(tmp_path):
+    qdir = str(tmp_path / "queue")
+    srv, _ = serve_background(qdir, queue_limit=3)
+    yield srv, qdir
+    srv.shutdown()
+
+
+def _post(srv, body: bytes | None):
+    port = srv.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/enqueue",
+        data=body,
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(srv, path: str):
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_enqueue_accepted(server, tmp_path):
+    srv, qdir = server
+    p = tmp_path / "c.parquet"
+    p.write_text("")
+    status, body = _post(
+        srv, json.dumps({"corpus_path": str(p)}).encode(),
+    )
+    assert status == 202
+    assert body["Successfully queued"]["corpus_path"] == str(p)
+    run_id = body["run_id"]
+    queued = json.load(open(f"{qdir}/{run_id}.json"))
+    assert queued["request_type"] == "IndexUpdateRequest"
+    assert queued["attempt_id"] == 0
+    status, listing = _get(srv, "/queue")
+    assert status == 200
+    assert listing["pending"] == [f"{run_id}.json"]
+
+
+def test_http_error_statuses(server):
+    srv, _ = server
+    assert _post(srv, None)[0] == 422  # no body
+    status, body = _post(srv, b'{"corpus_path": "/nope/x.parquet"}')
+    assert status == 400  # validation error
+    assert "exists" in body["error"]
+    assert _post(srv, b"not json{")[0] == 400
+    assert _get(srv, "/nope")[0] == 404
+
+
+def test_http_queue_full_409(server, tmp_path):
+    srv, qdir = server
+    p = tmp_path / "c.parquet"
+    p.write_text("")
+    body = json.dumps({"corpus_path": str(p)}).encode()
+    for _ in range(3):  # queue_limit=3
+        assert _post(srv, body)[0] == 202
+    status, resp = _post(srv, body)
+    assert status == 409
+    assert resp["limit"] == 3
+
+
+# ------------------------------------------------- end-to-end with Spark
+
+
+def test_http_to_worker_update_and_delete(spark, tmp_path):
+    """Full intake path: POST update -> worker builds; POST delete ->
+    worker tombstones the repo's docs; both ledger-keyed (replay of a
+    processed queue file name is a no-op)."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.streaming.incremental import (
+        QueueWorker,
+    )
+
+    root = str(tmp_path / "idx")
+    qdir = str(tmp_path / "queue")
+    cpath = str(tmp_path / "corpus.parquet")
+    generate_corpus(spark, 80, n_repos=4, seed=11).write.parquet(cpath)
+
+    srv, _ = serve_background(qdir)
+    try:
+        status, _ = _post(
+            srv, json.dumps({"corpus_path": cpath + "/"}).encode(),
+        )
+        assert status == 202
+        worker = QueueWorker(spark, root, qdir)
+        m1 = worker.process_one()
+        assert m1["n_docs"] == 80
+
+        victim_repo = (
+            load_index(spark, root)["doc_stats"]
+            .select("repo").first()["repo"]
+        )
+        status, _ = _post(
+            srv,
+            json.dumps(
+                {"request_type": "DeleteDocsRequest", "repo": victim_repo},
+            ).encode(),
+        )
+        assert status == 202
+        m2 = worker.process_one()
+        assert m2["n_docs"] < 80
+        survivors = load_index(spark, root)
+        live = (
+            survivors["doc_stats"]
+            .join(
+                survivors["tombstones"].select("doc_id"),
+                "doc_id", "left_anti",
+            )
+            .filter(f"repo = '{victim_repo}'")
+            .count()
+        )
+        assert live == 0
+        assert worker.process_one() is None  # queue drained
+    finally:
+        srv.shutdown()
