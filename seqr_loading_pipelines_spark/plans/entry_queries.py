@@ -617,6 +617,66 @@ WHERE round({_PDOT} / ({_NRM.format(col="a.embedding")} * {_NRM.format(col="b.em
 """
 
 
+def _emb_for_ann(spark, sf_dir):
+    """The searched population: every vector except vec_id=0 (the
+    query vector, same convention as the brute-force row)."""
+    return _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Persisted-IVF ANN behind a driver-green row: seeded centroid
+    init + sampled Lloyd training -> centroid-clustered assignments
+    parquet -> load -> centroid probe -> exact cosine re-rank. Probed
+    with n_probe = n_centroids the probe is exhaustive, so the full
+    index machinery must reproduce brute-force cosine top-k EXACTLY
+    and the SQL oracle is a true identity (build/assignment/round-trip
+    bugs cannot hide behind 'approximate'); selective-probe recall and
+    latency are measured in bench.py. The index builds once per
+    (sf_dir, embeddings-content) into a tmp root and is reused across
+    driver invocations."""
+    import os
+
+    from seqr_loading_pipelines_spark.operators import ann
+
+    root = _index_root(sf_dir, "ivf", table="embeddings")
+    if not os.path.exists(os.path.join(root, "ivf_meta.json")):
+        ann.build_ivf(
+            spark, _emb_for_ann(spark, sf_dir), root,
+            n_centroids=16, iters=2,
+        )
+    ivf = ann.load_ivf(spark, root)
+    return ann.ivf_topk(
+        spark, ivf, _query_vec(spark, sf_dir), k=10,
+        n_probe=int(ivf["n_centroids"]),
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Persisted banded-hyperplane-LSH ANN behind a driver-green row.
+    Built with width-1 bands (n_planes == n_bands) and probed with
+    flips=1, each band probe covers both possible buckets — the
+    candidate set is exhaustive BY CONSTRUCTION, so the signature
+    build, bucket-probe predicate, gated semi-join, and exact re-rank
+    must together reproduce brute-force cosine top-k exactly;
+    selective-bucket recall is measured in bench.py (where the real
+    64-plane/8-band configuration runs)."""
+    import os
+
+    from seqr_loading_pipelines_spark.operators import ann
+
+    root = _index_root(sf_dir, "lsh", table="embeddings")
+    if not os.path.exists(os.path.join(root, "lsh_meta.json")):
+        ann.build_lsh(
+            spark, _emb_for_ann(spark, sf_dir), root,
+            n_planes=8, n_bands=8,
+        )
+    lsh = ann.load_lsh(spark, root)
+    return ann.lsh_topk(
+        spark, lsh, _emb_for_ann(spark, sf_dir),
+        _query_vec(spark, sf_dir), k=10, probe_flips=1,
+    )
+
+
 # --------------------------------------------------------------------
 # relational operator parity (TPC-H-ish tables)
 # --------------------------------------------------------------------
@@ -1200,18 +1260,18 @@ FULL OUTER JOIN orders o ON s.l_orderkey = o.o_orderkey
 # invocations reuse the published snapshot.
 # --------------------------------------------------------------------
 
-def _source_content_fp(sf_dir: str) -> str:
+def _source_content_fp(sf_dir: str, table: str = "documents") -> str:
     """Content fingerprint of the driver parquet input: file names +
-    sizes + mtimes under documents.parquet. Folded into both the index
-    root path and the build ledger key so regenerated data at the same
-    sf_dir path never silently reuses a stale index, and two harness
-    runs over different data cannot race on one staging root
+    sizes + mtimes under ``<table>.parquet``. Folded into both the
+    index root path and the build ledger key so regenerated data at
+    the same sf_dir path never silently reuses a stale index, and two
+    harness runs over different data cannot race on one staging root
     (ADVICE r3)."""
     import hashlib
     import os
 
     h = hashlib.sha1()
-    target = os.path.join(sf_dir, "documents.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
     paths = []
     if os.path.isdir(target):
         for droot, _, files in os.walk(target):
@@ -1227,12 +1287,12 @@ def _source_content_fp(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _index_root(sf_dir: str, tag: str) -> str:
+def _index_root(sf_dir: str, tag: str, table: str = "documents") -> str:
     import hashlib
     import os
     import tempfile
 
-    key = f"{tag}:{sf_dir}:{_source_content_fp(sf_dir)}"
+    key = f"{tag}:{sf_dir}:{_source_content_fp(sf_dir, table)}"
     fp = hashlib.sha1(key.encode()).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(), f"spark_graft_idx_r4_{tag}_{fp}",
@@ -1473,6 +1533,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "anti_join_new_keys": q_anti_join_new_keys,
@@ -1520,6 +1582,10 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    # exhaustive-probe settings make both ANN paths exact (see the
+    # query docstrings), so the brute-force oracle is a true identity
+    "ann_ivf_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "ann_lsh_topk": SQL_EMBEDDING_COSINE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "anti_join_new_keys": SQL_ANTI_JOIN_NEW_KEYS,
