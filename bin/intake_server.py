@@ -12,9 +12,10 @@ same queue dir to execute them:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seqr_loading_pipelines_spark.api.app import (  # noqa: E402
     DEFAULT_QUEUE_LIMIT,

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Run a queue worker that drains intake requests into the index
+(the reference's pipeline-worker loop analog,
+v03_pipeline/bin/pipeline_worker.py:102-106: poll the queue dir every
+second, execute the oldest request, repeat).
+
+Pairs with bin/intake_server.py: the HTTP intake (no Spark) validates
+and enqueues; THIS process owns the SparkSession and the index's
+single-writer discipline. Scale shape: one worker per index root;
+intake replicas can be many.
+
+  spark-submit --py-files dist/engine.zip bin/queue_worker.py \
+      --index-root /data/idx --queue-dir /data/queue
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--queue-dir", required=True)
+    ap.add_argument("--poll-seconds", type=float, default=1.0)
+    ap.add_argument(
+        "--vacuum-keep-last", type=int, default=None,
+        help="GC superseded snapshots after each successful request,"
+        " keeping N manifest versions for rollback (default: off)",
+    )
+    ap.add_argument(
+        "--max-loops", type=int, default=None,
+        help="exit after N poll loops (default: run forever)",
+    )
+    args = ap.parse_args()
+
+    from seqr_loading_pipelines_spark.session import get_spark
+    from seqr_loading_pipelines_spark.streaming.incremental import QueueWorker
+
+    spark = get_spark()
+    worker = QueueWorker(
+        spark,
+        args.index_root,
+        args.queue_dir,
+        vacuum_keep_last=args.vacuum_keep_last,
+    )
+    worker.run_forever(
+        poll_seconds=args.poll_seconds, max_loops=args.max_loops,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,20 +20,16 @@ from __future__ import annotations
 
 import json
 import threading
-import time
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from seqr_loading_pipelines_spark.api.model import parse_request
 from seqr_loading_pipelines_spark.sources import fs
+from seqr_loading_pipelines_spark.sources.fs import new_run_id
 
 DEFAULT_QUEUE_LIMIT = 10  # cf. Env.LOADING_QUEUE_LIMIT (app.py:47-50)
 
-
-def new_run_id() -> str:
-    """Sortable run id: queue files drain oldest-first by name
-    (misc/runs.py new_run_id + worker's sorted() poll)."""
-    return time.strftime("%Y%m%d-%H%M%S") + f"-{time.time_ns() % 1_000_000:06d}"
+__all__ = ["IntakeQueue", "make_server", "new_run_id", "serve_background"]
 
 
 class IntakeQueue:

@@ -75,7 +75,10 @@ class IndexUpdateRequest(PipelineRequest):
         )
         path = self.corpus_path
         _require(
-            path.rstrip("/").endswith(".parquet") or path.endswith("/")
+            any(
+                path.rstrip("/").endswith(ext) or path.endswith(ext)
+                for ext in VALID_CORPUS_EXTENSIONS
+            )
             or "*" in path,
             "corpus_path must be a parquet file, a directory (trailing"
             " '/'), or a shard pattern",
@@ -139,6 +142,10 @@ def parse_request(payload: dict) -> PipelineRequest:
         raise ValueError("request body must be a JSON object")
     data = dict(payload)
     rtype = data.pop("request_type", "IndexUpdateRequest")
+    if not isinstance(rtype, str):
+        # a non-string (possibly unhashable) request_type is a client
+        # error -> ValueError -> 400, not a TypeError -> 500
+        raise ValueError("request_type must be a string")
     cls = REQUEST_TYPES.get(rtype)
     if cls is None:
         raise ValueError(

@@ -68,6 +68,19 @@ DOC_SHARD_SIZE = 1 << 16  # docs per WAND shard
 # read it back rather than re-hardcoding (ADVICE r4).
 DICT_BROADCAST_GATE = 5_000_000
 
+# postings-encode partition sizing: bound the ROWS each sort task
+# holds, not just the task count. 2x parallelism alone is wrong at
+# scale — at 6M docs (~300M posting rows) it put ~40M narrow rows in
+# each of 8 sorters; four ran concurrently sharing one execution-memory
+# pool and spilled, while the 1-core run's lone task enjoyed the whole
+# pool and didn't (measured: postings-stage container CPU 855s at 1
+# core vs 2131s at 4 — the entire scaling-efficiency gap). 8M rows
+# ≈ 300-450 MB of UnsafeRow sort state per task: comfortably in-memory
+# even with a full complement of concurrent tasks, and the same
+# constant yields bounded, spill-free tasks at 100 TB on a real
+# cluster (partition count grows with data, not with cores).
+POSTING_ROWS_PER_PARTITION = 8_000_000
+
 DOC_STATS_COLS = ["doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256"]
 
 POSTING_SCHEMA = T.StructType(
@@ -216,6 +229,12 @@ class IndexBuilder:
         """Run a stage unless its checkpoint already exists (resume)."""
         path = os.path.join(snapshot_dir, name)
         marker = os.path.join(path, "_SUCCESS")
+        # renew the staging lease at every stage boundary: a build
+        # whose TOTAL wall exceeds the lease TTL must not have its
+        # in-flight staging dir reclaimed by a concurrent vacuum (the
+        # entry-time touch alone only covers the first TTL window; a
+        # single STAGE outrunning the TTL still needs a larger TTL)
+        self.table.touch_staging_lease(snapshot_dir)
         t0, c0 = time.time(), self._cpu_ns()
         if not pfs.exists(marker):
             fn().write.mode("overwrite").parquet(path)
@@ -511,6 +530,7 @@ class IndexBuilder:
         idf_arr=None,
         dl_arr=None,
         dl_base: int = 0,
+        est_rows: int | None = None,
     ) -> DataFrame:
         """(term_id, idf, doc_id, tf, dl) -> encoded block rows.
 
@@ -621,7 +641,18 @@ class IndexBuilder:
             if carry is not None and len(carry):
                 yield encode_batch(carry)
 
+        # task count = max(enough tasks per core, enough tasks for the
+        # DATA): est_rows (the caller's sum_dl — token count, an upper
+        # bound on posting rows) caps per-task sort state at
+        # POSTING_ROWS_PER_PARTITION so concurrent sorters never spill
+        # just because they share the execution-memory pool. See the
+        # constant's comment for the measured failure mode.
         parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
+        if est_rows:
+            parts = max(
+                parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION),
+            )
+        self.metrics["postings_encode_partitions"] = parts
         return (
             postings.withColumn(
                 # int32: shard count stays < 2^31 up to ~1.4e14 docs
@@ -907,10 +938,15 @@ class IndexBuilder:
         self.spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", "131072",
         )
+        # per-encode row estimate: the chunked path encodes one docs
+        # chunk at a time, so each call sees ~1/n_chunks of sum_dl
+        est_rows = sum_dl // max(1, 1 if fused else self.docs_chunks)
+
         def encode(pf: DataFrame) -> DataFrame:
             return self._postings_blocks(
                 pf, n_docs, avgdl,
                 idf_arr=idf_arr, dl_arr=dl_arr, dl_base=max_doc_id + 1,
+                est_rows=est_rows,
             )
 
         try:
@@ -964,10 +1000,12 @@ class IndexBuilder:
                 "k1": self.k1,
                 "b": self.b,
                 "shard_size": self.shard_size,
-                # dictionary-broadcast gate this index was built with:
-                # delete/compact/update read it back so a non-default
-                # gate keeps governing every later broadcast decision
+                # dictionary-broadcast gate + rank strategy this index
+                # was built with: delete/compact/update read them back
+                # so a non-default configuration keeps governing every
+                # later broadcast/rank decision
                 "dict_partition_gate": self.dict_partition_gate,
+                "dict_strategy": self.dict_strategy,
                 "build_wall_s": round(time.time() - t_start, 3),
                 "metrics": self.metrics,
             },

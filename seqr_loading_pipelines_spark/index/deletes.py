@@ -202,6 +202,13 @@ def delete_docs(
                 if "dict_partition_gate" in current
                 else {}
             ),
+            # strategy rides along for the same reason as the gate:
+            # a later update inherits both from the CURRENT manifest
+            **(
+                {"dict_strategy": current["dict_strategy"]}
+                if "dict_strategy" in current
+                else {}
+            ),
             "updates": (
                 [*current["updates"], ledger_key]
                 if ledger_key is not None

@@ -55,6 +55,29 @@ def update_index(
     """Incrementally index new docs; idempotent per fingerprint."""
     table = ManifestTable(index_root)
     current = table.current_manifest()
+    # an update inherits the INDEX's recorded dictionary gate and rank
+    # strategy unless the caller overrides them — the build threaded
+    # both through the manifest precisely so delete/compact/update all
+    # make the same broadcast-vs-partitioned decision as the build that
+    # sized it (a worker calling update_index() with no kwargs must not
+    # re-apply the 5M/'fused' defaults to an index built otherwise)
+    if current is not None:
+        if (
+            "dict_partition_gate" not in builder_kwargs
+            and "dict_partition_gate" in current
+        ):
+            builder_kwargs = {
+                **builder_kwargs,
+                "dict_partition_gate": int(current["dict_partition_gate"]),
+            }
+        if (
+            "dict_strategy" not in builder_kwargs
+            and "dict_strategy" in current
+        ):
+            builder_kwargs = {
+                **builder_kwargs,
+                "dict_strategy": current["dict_strategy"],
+            }
     builder = IndexBuilder(spark, index_root, **builder_kwargs)
     if current is None:
         return builder.build(corpus, source_fingerprint)
@@ -320,6 +343,9 @@ def _update(
         return builder._postings_blocks(
             pf, n_docs, avgdl,
             idf_arr=idf_arr, dl_arr=dl_arr, dl_base=dl_base,
+            # the increment's token count bounds its posting rows; the
+            # chunked path encodes 1/n_chunks of them per call
+            est_rows=new_sdl // max(1, 1 if fused else builder.docs_chunks),
         )
 
     builder._tune_split_size(os.path.join(snap, "docs"))
@@ -357,6 +383,12 @@ def _update(
             "k1": k1,
             "b": b,
             "shard_size": builder.shard_size,
+            # gate + strategy must survive republish: delete/compact/
+            # update all read them from the CURRENT manifest (build.py
+            # records them; dropping them here would silently restore
+            # the 5M/'fused' defaults after the first update)
+            "dict_partition_gate": builder.dict_partition_gate,
+            "dict_strategy": builder.dict_strategy,
             "update_wall_s": round(time.time() - t_start, 3),
             "n_new_docs": int(n_new),
             "metrics": builder.metrics,
@@ -378,6 +410,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["max_term_id"] = current["max_term_id"]
     if "dict_partition_gate" in current:
         out["dict_partition_gate"] = current["dict_partition_gate"]
+    if "dict_strategy" in current:
+        out["dict_strategy"] = current["dict_strategy"]
     return out
 
 
@@ -501,6 +535,8 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         )
         builder._postings_blocks(
             postings_flat, n_docs, avgdl,
+            # survivors' token total bounds the re-encoded posting rows
+            est_rows=int(current.get("sum_dl", 0)),
         ).write.mode("overwrite").parquet(os.path.join(snap, "postings"))
         from seqr_loading_pipelines_spark.index.build import load_docs
 
@@ -565,6 +601,11 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             **(
                 {"dict_partition_gate": current["dict_partition_gate"]}
                 if "dict_partition_gate" in current
+                else {}
+            ),
+            **(
+                {"dict_strategy": current["dict_strategy"]}
+                if "dict_strategy" in current
                 else {}
             ),
             **(

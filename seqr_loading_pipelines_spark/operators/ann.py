@@ -264,22 +264,45 @@ def update_ivf(
             .select(*keep_cols)
             .unionByName(new_vectors.select(*keep_cols))
         )
+        # retrain into a SIDE root and swap on success: the live
+        # assignments must survive a crash mid-retrain (an overwrite
+        # of assignments_path in place would delete the only copy of
+        # the vectors before the replacement is durable, and a finally
+        # rmtree of the staged merge would then destroy the backup too)
         staged = os.path.join(out_root, "_retrain_src")
+        new_root = os.path.join(out_root, "_retrain_out")
         _shutil.rmtree(staged, ignore_errors=True)
+        _shutil.rmtree(new_root, ignore_errors=True)
         full.write.mode("overwrite").parquet(staged)
-        try:
-            return build_ivf(
-                spark,
-                spark.read.parquet(staged),
-                out_root,
-                n_centroids=int(meta["n_centroids"]),
-                iters=iters,
-                vec_col=meta["vec_col"],
-                id_col=meta["id_col"],
-                train_sample_max=train_sample_max,
-            )
-        finally:
-            _shutil.rmtree(staged, ignore_errors=True)
+        new_meta = build_ivf(
+            spark,
+            spark.read.parquet(staged),
+            new_root,
+            n_centroids=int(meta["n_centroids"]),
+            iters=iters,
+            vec_col=meta["vec_col"],
+            id_col=meta["id_col"],
+            train_sample_max=train_sample_max,
+        )
+        # publish: two directory renames plus an atomic meta replace.
+        # A crash before the first rename leaves the old index fully
+        # live; between the renames the data sits intact in
+        # _assignments_old (recoverable, window is two rename(2)s);
+        # after the meta replace the new index is live and the
+        # leftovers are torn down (and would be reclaimed by the next
+        # retrain's rmtrees anyway).
+        old_dir = os.path.join(out_root, "_assignments_old")
+        _shutil.rmtree(old_dir, ignore_errors=True)
+        os.replace(assignments_path, old_dir)
+        os.replace(os.path.join(new_root, "assignments"), assignments_path)
+        os.replace(
+            os.path.join(new_root, "ivf_meta.json"),
+            os.path.join(out_root, "ivf_meta.json"),
+        )
+        _shutil.rmtree(old_dir, ignore_errors=True)
+        _shutil.rmtree(new_root, ignore_errors=True)
+        _shutil.rmtree(staged, ignore_errors=True)
+        return new_meta
     cents = np.array(meta["centroids"], dtype=np.float64)
     parts = max(1, spark.sparkContext.defaultParallelism)
     bc = _bcast_centroids(new_vectors, cents)
@@ -454,8 +477,11 @@ def lsh_topk(
     )
     # broadcast LEFT SEMI both dedups bucket-collision candidates and
     # avoids a distinct exchange — one job end to end (when the
-    # candidate population fits under the gate)
-    n_cand = cand_ids.count()
+    # candidate population fits under the gate). The gate probe is
+    # BOUNDED: limit(gate+1) only needs "is it over the line", so a
+    # pathological hot bucket costs at most gate+1 rows of scan, not
+    # a full count of a multi-GB candidate set
+    n_cand = cand_ids.limit(broadcast_max + 1).count()
     if n_cand <= broadcast_max:
         cand_ids = F.broadcast(cand_ids)
     cand = emb.join(cand_ids, id_col, "left_semi")

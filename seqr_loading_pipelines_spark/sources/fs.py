@@ -186,3 +186,33 @@ def part_file_rows(dir_path: str) -> list[tuple[str, int]]:
                 ),
             )
     return out
+
+
+import threading as _threading
+
+_run_id_lock = _threading.Lock()
+_run_id_counter = 0
+
+
+def new_run_id() -> str:
+    """Sortable, MONOTONIC run id for queue files (the runs.py analog,
+    v03_pipeline/lib/misc/runs.py:18-21).
+
+    Queue workers drain oldest-first by filename sort, so the id must
+    sort in mint order: a human-readable second prefix, the full
+    zero-padded nanosecond wall clock (a sub-second REMAINDER would
+    sort two same-second requests in arbitrary order — an update and
+    its follow-up delete could execute reversed), and a process-local
+    counter so ids minted in the same nanosecond, or by threads racing
+    the clock, still never collide within a process.
+    """
+    import time
+
+    global _run_id_counter
+    with _run_id_lock:
+        _run_id_counter += 1
+        n = _run_id_counter
+    return (
+        time.strftime("%Y%m%d-%H%M%S")
+        + f"-{time.time_ns():020d}-{n % 1_000_000:06d}"
+    )

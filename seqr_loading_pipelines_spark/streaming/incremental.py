@@ -57,9 +57,9 @@ class QueueWorker:
         os.makedirs(self.dead_letter_dir, exist_ok=True)
 
     def enqueue(self, corpus_path: str, run_id: str | None = None) -> str:
-        run_id = run_id or time.strftime("%Y%m%d-%H%M%S-") + str(
-            time.time_ns() % 1_000_000,
-        )
+        from seqr_loading_pipelines_spark.sources.fs import new_run_id
+
+        run_id = run_id or new_run_id()
         path = os.path.join(self.queue_dir, f"{run_id}.json")
         with open(path, "w") as f:
             json.dump({"corpus_path": corpus_path, "attempt_id": 0}, f)
@@ -132,11 +132,15 @@ class QueueWorker:
         try:
             manifest = self._dispatch(name, request)
             os.remove(path)
-            # vacuum only when the queue is fully drained: a failed
-            # request awaiting retry owns an unpublished staging dir
-            # whose resume checkpoints a vacuum could collect (ADVICE
-            # r4) — the staging lease is the second line of defense
-            if self.vacuum_keep_last is not None and not self._pending():
+            # vacuum after every successful request: a drain-only gate
+            # would mean a worker under sustained traffic NEVER vacuums
+            # (>= 1 request always pending), reintroducing unbounded
+            # snapshot growth. Safety is the staging lease, not the
+            # gate: a failed request awaiting retry re-enters its
+            # staging dir through staging_dir(), which renews the
+            # lease vacuum honors (and every stage boundary renews it
+            # again), so its resume checkpoints survive
+            if self.vacuum_keep_last is not None:
                 from seqr_loading_pipelines_spark.sources.manifest_table import (  # noqa: E501
                     ManifestTable,
                 )

@@ -49,6 +49,9 @@ def test_update_request_validates(tmp_path):
             "unknown fields",
         ),
         ({"request_type": "NoSuchRequest"}, "unknown request_type"),
+        # non-string (unhashable) request_type is a 400-class client
+        # error, not a TypeError->500
+        ({"request_type": ["IndexUpdateRequest"]}, "must be a string"),
         ({"request_type": "DeleteDocsRequest"}, "repo"),
         ({"request_type": "DeleteDocsRequest", "repo": ""}, "non-empty"),
         (

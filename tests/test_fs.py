@@ -105,3 +105,21 @@ def test_retry_backoff_recovers_then_gives_up():
     with pytest.raises(OSError, match="permanent"):
         dead()
     assert calls["n"] == 2
+
+
+def test_new_run_id_monotonic_and_unique():
+    """Queue files drain oldest-first by filename sort, so run ids
+    must sort in mint order (a sub-second remainder suffix ordered
+    same-second requests arbitrarily — an update + follow-up delete
+    could execute reversed) and never collide under threaded mints."""
+    import concurrent.futures
+
+    from seqr_loading_pipelines_spark.sources.fs import new_run_id
+
+    seq = [new_run_id() for _ in range(300)]
+    assert seq == sorted(seq)
+    assert len(set(seq)) == len(seq)
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        burst = list(pool.map(lambda _: new_run_id(), range(400)))
+    assert len(set(burst)) == len(burst)

@@ -331,3 +331,28 @@ def test_vacuum_spares_leased_staging_dir(spark, tmp_path):
         f.write(repr(0.0))  # epoch: maximally stale
     out2 = table.vacuum(keep_last=1)
     assert os.path.basename(stale) in out2["removed_dirs"]
+
+
+def test_update_inherits_manifest_dict_gate(spark, tmp_path):
+    """An update called with NO builder kwargs must adopt the gate the
+    index was BUILT with (read back from the manifest, like delete and
+    compact do) and re-record it — not silently re-apply the 5M
+    default an operator-sized-down index was configured to avoid."""
+    root = str(tmp_path / "idx")
+    first = generate_corpus(spark, 100, n_repos=3, seed=63)
+    full = generate_corpus(spark, 160, n_repos=3, seed=63)
+    IndexBuilder(
+        spark, root, dict_strategy="auto", dict_partition_gate=5,
+    ).build(first, source_fingerprint="b1")
+
+    m = update_index(spark, root, full, "b2")  # no kwargs: inherit
+    assert m["dict_partition_gate"] == 5
+    assert m["dict_strategy"] == "auto"
+    # the inherited gate+strategy drove the rank decision exactly as if
+    # the caller had re-passed them (brand-new terms >> 5 in the batch)
+    assert m["metrics"]["dict_strategy_used"] == "partitioned"
+
+    # an explicit caller override still wins and is re-recorded
+    wider = generate_corpus(spark, 200, n_repos=3, seed=63)
+    m2 = update_index(spark, root, wider, "b3", dict_partition_gate=7)
+    assert m2["dict_partition_gate"] == 7

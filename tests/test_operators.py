@@ -494,3 +494,42 @@ def test_update_ivf_append_recall_and_retrain_gate(spark, tmp_path):
     assert meta2["n_appended_since_train"] == 0
     assert meta2["n_at_train"] == 6000
     assert load_ivf(spark, incr_root)["assignments"].count() == 6000
+
+
+def test_update_ivf_retrain_crash_preserves_assignments(
+    spark, tmp_path, monkeypatch,
+):
+    """A crash during the drift-gated retrain must leave the live
+    index intact: the retrain builds into a SIDE root and swaps only
+    on success — an in-place overwrite would delete the only copy of
+    the assignments before the replacement is durable."""
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.operators import ann
+
+    vecs = ann.generate_embeddings(spark, 1200, dim=16, n_clusters=6, seed=4)
+    base = vecs.filter(F.col("vec_id") < 780)
+    root = str(tmp_path / "ivf")
+    ann.build_ivf(spark, base, root, n_centroids=8, iters=1)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-retrain crash")
+
+    monkeypatch.setattr(ann, "build_ivf", boom)
+    # 420 appends > 0.5 * 780 trips the retrain gate -> crash
+    with pytest.raises(RuntimeError, match="mid-retrain"):
+        ann.update_ivf(spark, root, vecs.filter(F.col("vec_id") >= 780))
+
+    # the original index is fully live: meta unchanged, assignments
+    # readable, queries answer
+    ivf = ann.load_ivf(spark, root)
+    assert ivf["n_vectors"] == 780
+    assert ivf["assignments"].count() == 780
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    assert ann.ivf_topk(spark, ivf, q, 5, n_probe=8).count() == 5
+
+    # and the retrain succeeds once the fault clears (real build_ivf)
+    monkeypatch.undo()
+    meta = ann.update_ivf(spark, root, vecs.filter(F.col("vec_id") >= 780))
+    assert meta["n_at_train"] == 1200
+    assert ann.load_ivf(spark, root)["assignments"].count() == 1200

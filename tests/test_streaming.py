@@ -118,3 +118,34 @@ def test_queue_worker_vacuums_superseded_snapshots(spark, tmp_path):
     idx = load_index(spark, root)
     assert idx["doc_stats"].count() == sizes[-1]
     assert search_exact(spark, idx, "sw0", 5).count() == 5
+
+
+def test_queue_worker_vacuums_while_queue_nonempty(spark, tmp_path):
+    """Vacuum must fire after EVERY successful request, not only on a
+    drained queue — a worker under sustained traffic (>= 1 request
+    always pending) would otherwise never GC superseded snapshots.
+    Safety for in-flight/retrying work is the staging lease, which
+    vacuum honors."""
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    root = str(tmp_path / "idx")
+    qdir = str(tmp_path / "queue")
+    w = QueueWorker(spark, root, qdir, vacuum_keep_last=1)
+    for i, n in enumerate([40, 70, 100]):
+        p = str(tmp_path / f"c{i}")
+        generate_corpus(spark, n, n_repos=3, seed=8).write.parquet(p)
+        w.enqueue(p, run_id=f"20240101-000000-{i:020d}-{i:06d}")
+
+    assert w.process_one() is not None  # initial build
+    assert w.process_one() is not None  # first update; 1 still queued
+    table = ManifestTable(root)
+    remaining = {d for d in os.listdir(root) if d.startswith("snap_")}
+    # the superseded initial snapshot was vacuumed DESPITE the pending
+    # third request
+    assert remaining == table.referenced_dirs(table.current_manifest())
+    assert len(w._pending()) == 1
+    assert w.process_one() is not None  # drain; index still answers
+    idx = load_index(spark, root)
+    assert idx["doc_stats"].count() == 100
