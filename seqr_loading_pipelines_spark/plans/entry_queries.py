@@ -148,8 +148,18 @@ def q_bm25_topk(spark, sf_dir, terms=None, k=10):
     )
 
 
-def _sql_bm25(terms: list[str], k: int) -> str:
+def _sql_bm25(terms: list[str], k: int, doc_where: str | None = None) -> str:
+    """``doc_where``: optional SQL predicate over documents — filters
+    CANDIDATES before ranking while idf/avgdl/n stay corpus-level
+    (the filtered-search statistics contract, query/bm25.py
+    search_filtered)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
+    filt = (
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents"
+        f" WHERE {doc_where})"
+        if doc_where
+        else ""
+    )
     return f"""
 WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
 stats AS (SELECT (SELECT count(*) FROM documents) AS n,
@@ -167,6 +177,7 @@ scored AS (
               * tf.tf * ({K1} + 1.0)
               / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  {filt}
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s, 4) AS score, rank FROM (
@@ -178,6 +189,54 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 
 
 SQL_BM25_TOPK = _sql_bm25(BM25_QUERY_TERMS, 10)
+
+SQL_INDEX_BM25_FILTERED = _sql_bm25(
+    BM25_QUERY_TERMS, 10, doc_where="lang = 'en'",
+)
+
+
+def _sql_bm25_prefix(prefix: str, max_expansions: int, k: int) -> str:
+    """Prefix expansion + disjunctive BM25, mirroring search_prefix:
+    expansion set = matching terms ordered (df DESC, term ASC) capped
+    at max_expansions; each expanded term contributes its own
+    corpus-level idf."""
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+flat AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term LIKE '{prefix}%'
+),
+expanded AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM flat GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN (SELECT term FROM expanded)
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN expanded e USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_PREFIX_SEARCH = _sql_bm25_prefix("s", 4, 10)
 
 
 def q_keyword_search_all(spark, sf_dir):
@@ -1337,6 +1396,47 @@ def q_index_bm25_topk(spark, sf_dir):
     )
 
 
+def q_index_bm25_filtered(spark, sf_dir):
+    """Filtered retrieval through the REAL index path: a metadata
+    predicate (lang = 'en') restricts candidates inside the vectorized
+    posting decode (gated broadcast mask, the tombstone pattern) while
+    idf/avgdl stay corpus-level. Oracle: the same BM25 in pure SQL
+    with the doc filter applied before ranking."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_filtered,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_filtered(
+        spark, index, " ".join(BM25_QUERY_TERMS), F.col("lang") == "en", k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def q_index_prefix_search(spark, sf_dir):
+    """Prefix query through the REAL index path: dictionary range
+    expansion (df-descending, capped at 4 — exercising the rewrite
+    cap) -> disjunctive BM25 over the expanded terms. Oracle: the
+    same expansion + scoring in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_prefix,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_prefix(spark, index, "s", k=10, max_expansions=4)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
 def q_index_delete_survivors(spark, sf_dir):
     """Delete-by-predicate roundtrip, driver-gated: build -> tombstone
     every lang='de' doc (dictionary df/cf decremented exactly) -> the
@@ -1557,6 +1657,8 @@ QUERIES = {
     "nested_rename": q_nested_rename,
     "count_validation": q_count_validation,
     "index_bm25_topk": q_index_bm25_topk,
+    "index_bm25_filtered": q_index_bm25_filtered,
+    "index_prefix_search": q_index_prefix_search,
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
@@ -1608,6 +1710,8 @@ ORACLE_SQL = {
     "nested_rename": SQL_NESTED_RENAME,
     "count_validation": SQL_COUNT_VALIDATION,
     "index_bm25_topk": SQL_BM25_TOPK,
+    "index_bm25_filtered": SQL_INDEX_BM25_FILTERED,
+    "index_prefix_search": SQL_INDEX_PREFIX_SEARCH,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,

@@ -36,6 +36,19 @@ from seqr_loading_pipelines_spark.index.build import idf as idf_fn
 # :111). Above the gate, per-query pushed ``term IN (...)`` scans.
 DICT_CACHE_MAX_TERMS = 2_000_000
 
+# filtered search: metadata-predicate doc sets at or below this many
+# docs ship to executors as one sorted numpy array (the tombstone
+# broadcast-gate pattern, deletes.py:47) and are applied INSIDE the
+# posting decode — no shuffle at all; above it, the filter becomes a
+# post-aggregation semi-join against the pushed-predicate doc_stats
+# scan (distributed, no driver materialization)
+FILTER_BROADCAST_MAX = 2_000_000
+
+# prefix queries expand to at most this many dictionary terms by
+# default (highest-df first — the variants that can actually change
+# the ranking; cf. Lucene's MultiTermQuery rewrite cap)
+PREFIX_MAX_EXPANSIONS = 64
+
 
 def _query_terms(index: dict, query_text: str) -> list[dict]:
     """Resolve query terms against the term dictionary, driver-side.
@@ -76,13 +89,17 @@ def _query_terms(index: dict, query_text: str) -> list[dict]:
 
 
 def _decoded_postings(
-    index: dict, term_infos: list[dict],
+    index: dict, term_infos: list[dict], keep_ids=None,
 ) -> DataFrame:
     """Candidate blocks -> decoded (doc_id, contribution) rows.
 
     Decoding runs in mapInPandas (Arrow-batched, numpy codec); the
     per-posting BM25 contribution is computed inside the same batch so
     no doc_stats join is needed (dls travel with the block).
+
+    ``keep_ids`` (sorted int64 numpy array) restricts decoding to an
+    allowed doc set inside the same vectorized pass — the inclusion
+    twin of the tombstone exclusion mask below.
     """
     from seqr_loading_pipelines_spark.index.codec import (
         varbyte_decode,
@@ -117,6 +134,10 @@ def _decoded_postings(
                     # exclude logically-deleted docs (sorted-array test)
                     keep = ~np.isin(doc_ids, tomb)
                     doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                if keep_ids is not None:
+                    # metadata-filter inclusion mask (search_filtered)
+                    keep = np.isin(doc_ids, keep_ids)
+                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
                 contrib = idf_by_tid[int(term_id)] * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )
@@ -149,6 +170,125 @@ def search_exact(
         return spark.createDataFrame([], "doc_id long, score double, rank int")
     # clamp k: Spark's TakeOrderedAndProject allocates a k-sized queue,
     # so an unbounded user k (e.g. "k > corpus size") would OOM the JVM
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    return rank_topk(scored, k)
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long, score double, rank int")
+
+
+def search_filtered(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    predicate,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """BM25 top-k restricted to docs matching a metadata predicate
+    (lang/repo/path... — any expression over the doc-stats columns).
+
+    Filtered retrieval is the serving-store's WHERE-clause-beside-
+    the-rank shape (the reference serves ranked rows behind dictionary
+    / Set-membership metadata filters, test_clickhouse_schema.sql:
+    86-120). Collection statistics (idf, avgdl, n_docs) stay
+    CORPUS-level — the predicate restricts candidates, never the
+    statistics — so a doc's score is identical with and without the
+    filter (standard filtered-search semantics; also what makes the
+    exact/filter-then-rank identity testable).
+
+    Scale shape: the allowed-doc set is probed with a BOUNDED
+    limit(gate+1) count. At or under the gate it ships as one sorted
+    int64 array applied inside the vectorized posting decode (zero
+    extra shuffle — the tombstone-mask pattern); over the gate it
+    stays distributed and the term-restricted scored candidates
+    semi-join it (shuffle on candidates only, never on the corpus).
+
+    ``predicate``: a pyspark Column or a SQL string over doc_stats.
+    """
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    allowed = index["doc_stats"].filter(pred).select("doc_id")
+    gate = (
+        broadcast_max
+        if broadcast_max is not None
+        else index.get("_filter_bcast_max", FILTER_BROADCAST_MAX)
+    )
+    keep_ids = None
+    if allowed.limit(gate + 1).count() <= gate:
+        arr = allowed.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+        if not len(arr):
+            return _empty_topk(spark)
+        keep_ids = np.sort(arr)
+    scored = (
+        _decoded_postings(index, term_infos, keep_ids=keep_ids)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    if keep_ids is None:
+        scored = scored.join(allowed, "doc_id", "left_semi")
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
+def expand_prefix(
+    index: dict, prefix: str, max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> list[dict]:
+    """Prefix -> the matching dictionary terms, highest-df first
+    (ties: term asc), capped at ``max_expansions``.
+
+    One bounded dictionary job: the startswith predicate pushes into
+    the term-sorted dictionary parquet (row-group pruning on term
+    min/max) and orderBy().limit() is a TakeOrdered, so at most
+    max_expansions rows ever reach the driver."""
+    prefix = prefix.strip().lower()
+    if not prefix:
+        # an empty prefix is a full-dictionary expansion — a scan, not
+        # a query; refuse rather than silently OR every term
+        raise ValueError("prefix must be non-empty")
+    n_docs = index["manifest"]["n_docs"]
+    rows = (
+        index["term_dict"]
+        .filter(F.col("term").startswith(prefix))
+        .select("term", "term_id", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [
+        {
+            "term": r["term"],
+            "term_id": int(r["term_id"]),
+            "idf": idf_fn(n_docs, int(r["df"])),
+        }
+        for r in rows
+    ]
+
+
+def search_prefix(
+    spark: SparkSession,
+    index: dict,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> DataFrame:
+    """Prefix query: expand against the term dictionary (df-descending,
+    capped — Lucene's MultiTermQuery rewrite discipline), then score as
+    the disjunction of the expanded terms. Rank-identical to
+    ``search_exact`` over the same expanded term set: each variant
+    contributes its own corpus idf and a doc matching several variants
+    sums their contributions."""
+    term_infos = expand_prefix(index, prefix, max_expansions)
+    if not term_infos:
+        return _empty_topk(spark)
     k = max(1, min(k, index["manifest"]["n_docs"]))
     scored = (
         _decoded_postings(index, term_infos)

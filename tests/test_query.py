@@ -167,3 +167,126 @@ def test_batched_vectorized_matches_loop_and_sequential(spark, index):
         ]
         got = [(d, s) for (q, _rk, d, s) in vec if q == qid]
         assert got == seq, qid
+
+
+# ---------------------------------------------------------------------
+# filtered search + prefix expansion (query/bm25.py search_filtered /
+# search_prefix)
+# ---------------------------------------------------------------------
+
+def _rerank(scored_rows, k):
+    """The shared tie rule (quantized score desc, doc_id asc) applied
+    driver-side — the golden generator for filter-then-rerank."""
+    import math
+
+    ordered = sorted(
+        scored_rows,
+        key=lambda r: (-math.floor(r[1] * 1e5 + 0.5), r[0]),
+    )[:k]
+    return [(d, round(s, 4), i + 1) for i, (d, s) in enumerate(ordered)]
+
+
+def test_filtered_rank_identity_both_gate_paths(spark, index):
+    """search_filtered == filter(search_exact over ALL docs) re-ranked,
+    through BOTH scale paths: the broadcast keep-mask (filter set under
+    the gate, applied inside the posting decode) and the distributed
+    semi-join (gate forced to 0)."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_filtered,
+    )
+
+    q = "sw0 term_00042"
+    pred = "lang = 'python'"
+    allowed = {
+        r["doc_id"]
+        for r in index["doc_stats"].filter(pred).select("doc_id").collect()
+    }
+    assert 0 < len(allowed) < index["manifest"]["n_docs"]
+    full = [
+        (r["doc_id"], r["score"])
+        for r in search_exact(spark, index, q, k=10**9).collect()
+        if r["doc_id"] in allowed
+    ]
+    golden = _rerank(full, 5)
+    got_bcast = [
+        (r["doc_id"], round(r["score"], 4), r["rank"])
+        for r in search_filtered(spark, index, q, pred, k=5).collect()
+    ]
+    got_join = [
+        (r["doc_id"], round(r["score"], 4), r["rank"])
+        for r in search_filtered(
+            spark, index, q, pred, k=5, broadcast_max=0,
+        ).collect()
+    ]
+    assert got_bcast == golden
+    assert got_join == golden
+
+
+def test_filtered_column_predicate_and_empty_filter(spark, index):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_filtered
+
+    got = search_filtered(
+        spark, index, "sw0", F.col("repo") == "repo_0000", k=3,
+    ).collect()
+    assert len(got) == 3
+    repos = {
+        r["repo"]
+        for r in index["doc_stats"]
+        .filter(F.col("doc_id").isin([x["doc_id"] for x in got]))
+        .collect()
+    }
+    assert repos == {"repo_0000"}
+    # a predicate matching nothing is 0 rows, not an error
+    assert (
+        search_filtered(spark, index, "sw0", "lang = 'cobol'", k=3).count()
+        == 0
+    )
+
+
+def test_prefix_matches_exact_over_expansion(spark, index):
+    """Prefix scoring IS disjunctive BM25 over the expansion set:
+    rank-identical to search_exact on the expanded terms, including
+    under a forced tiny rewrite cap."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        expand_prefix,
+        search_exact,
+        search_prefix,
+    )
+
+    exp = expand_prefix(index, "term_0004")
+    assert len(exp) > 1
+    # expansion ordering contract: df descending, then term ascending
+    # (idf is monotone-DECREASING in df, so df desc == idf asc)
+    order = [(t["idf"], t["term"]) for t in exp]
+    assert order == sorted(order)
+
+    def rows(df):
+        return [
+            (r["doc_id"], round(r["score"], 4), r["rank"])
+            for r in df.collect()
+        ]
+
+    full_q = " ".join(t["term"] for t in exp)
+    assert rows(search_prefix(spark, index, "term_0004", k=7)) == rows(
+        search_exact(spark, index, full_q, k=7),
+    )
+
+    capped = expand_prefix(index, "term_0004", max_expansions=2)
+    assert len(capped) == 2
+    cap_q = " ".join(t["term"] for t in capped)
+    assert rows(
+        search_prefix(spark, index, "term_0004", k=7, max_expansions=2),
+    ) == rows(search_exact(spark, index, cap_q, k=7))
+
+
+def test_prefix_edge_cases(spark, index):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_prefix
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        search_prefix(spark, index, "   ", k=5)
+    assert search_prefix(spark, index, "zz_no_such_", k=5).count() == 0
