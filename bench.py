@@ -169,6 +169,27 @@ def main() -> None:
     timings["bm25_wand_p50"] = pctl(lat_wand, 0.5)
     timings["bm25_wand_p95"] = pctl(lat_wand, 0.95)
 
+    # filtered + prefix retrieval (round-5 query-side surfaces):
+    # metadata-predicate mask inside the posting decode / dictionary
+    # range expansion -> disjunctive scoring
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_filtered,
+        search_prefix,
+    )
+
+    timed_min(
+        "bm25_filtered",
+        lambda: search_filtered(
+            spark, index, "sw0 term_00042", "lang = 'python'", k=10,
+        ).collect(),
+        timings,
+    )
+    timed_min(
+        "bm25_prefix",
+        lambda: search_prefix(spark, index, "term_0004", k=10).collect(),
+        timings,
+    )
+
     # batched serving throughput: the WHOLE reference query set in one
     # distributed pass (per-job fixed cost amortizes across the batch)
     from seqr_loading_pipelines_spark.query.wand import search_wand_many
