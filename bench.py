@@ -190,6 +190,44 @@ def main() -> None:
         timings,
     )
 
+    # conjunctive (AND) retrieval: same pruned scan, matched-term-count
+    # gate (query/bm25.py search_and)
+    from seqr_loading_pipelines_spark.query.bm25 import search_and
+
+    timed_min(
+        "bm25_and",
+        lambda: search_and(
+            spark, index, "sw0 term_00042 term_00123", k=10,
+        ).collect(),
+        timings,
+    )
+
+    # phrase retrieval over the positional projection: one positions-
+    # enabled build (single-shot artifact build, like the ANN indexes —
+    # timed separately so the headline index_build stays comparable
+    # across rounds), then position-list-intersection queries
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    pos_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bench_posidx",
+    )
+    shutil.rmtree(pos_root, ignore_errors=True)
+    t0 = time.time()
+    IndexBuilder(spark, pos_root, positions=True).build(
+        corpus, source_fingerprint=f"bench-pos-{N_DOCS}",
+    )
+    timings["positions_build"] = round(time.time() - t0, 3)
+    REPS_USED["positions_build"] = 1
+    pos_index = load_index(spark, pos_root)
+    timed_min(
+        "bm25_phrase",
+        lambda: search_phrase(
+            spark, pos_index, "sw0 sw1", k=10,
+        ).collect(),
+        timings,
+    )
+    shutil.rmtree(pos_root, ignore_errors=True)
+
     # batched serving throughput: the WHOLE reference query set in one
     # distributed pass (per-job fixed cost amortizes across the batch)
     from seqr_loading_pipelines_spark.query.wand import search_wand_many

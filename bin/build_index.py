@@ -29,6 +29,12 @@ def main() -> None:
         "--docs-chunks", type=int, default=1,
         help="tokenize-stage chunk checkpoints (per-partition resume)",
     )
+    ap.add_argument(
+        "--positions", action="store_true",
+        help="also write the positional-postings projection "
+        "(enables phrase queries via bin/query_index.py "
+        "--executor phrase)",
+    )
     args = ap.parse_args()
 
     # spark-submit provides the session config (master, --py-files);
@@ -70,6 +76,7 @@ def main() -> None:
     t0 = time.time()
     manifest = IndexBuilder(
         spark, args.out, docs_chunks=args.docs_chunks,
+        positions=args.positions,
     ).build(corpus, fingerprint)
     wall = time.time() - t0
     print(

@@ -28,7 +28,14 @@ def main() -> None:
         help="repeatable: one ranked result line per query",
     )
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--executor", choices=["wand", "exact"], default="wand")
+    ap.add_argument(
+        "--executor",
+        choices=["wand", "exact", "and", "phrase"],
+        default="wand",
+        help="wand/exact: disjunctive BM25; and: conjunctive BM25 "
+        "(every term required); phrase: exact adjacent-token match "
+        "(requires an index built with positions=True)",
+    )
     ap.add_argument("--hydrate", action="store_true")
     ap.add_argument(
         "--batch", action="store_true",
@@ -77,7 +84,16 @@ def main() -> None:
                 ),
             )
         return
-    run = search_wand if args.executor == "wand" else search_exact
+    from seqr_loading_pipelines_spark.query.bm25 import search_and
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    run = {
+        "wand": search_wand,
+        "exact": search_exact,
+        "and": search_and,
+        "phrase": search_phrase,
+    }[args.executor]
+    score_col = "phrase_tf" if args.executor == "phrase" else "score"
     for q in args.query:
         t0 = time.time()
         topk = run(spark, index, q, args.k)
@@ -85,7 +101,7 @@ def main() -> None:
             rows = (
                 hydrate(index, topk)
                 .select(
-                    "rank", "doc_id", "score",
+                    "rank", "doc_id", score_col,
                     "repo", "path", "lang", "doc_len", "sha256",
                 )
                 .orderBy("rank")

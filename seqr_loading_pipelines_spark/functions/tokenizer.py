@@ -70,6 +70,30 @@ TERM_COUNTS_TYPE = T.StructType(
     ],
 )
 
+# positional variant: each (term, tf) additionally carries the term's
+# token offsets within the document (ascending) — the payload of the
+# positions projection that phrase queries intersect (query/phrase.py)
+TERM_COUNTS_POS_TYPE = T.StructType(
+    [
+        T.StructField(
+            "terms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.IntegerType(), False),
+                        T.StructField(
+                            "pos", T.ArrayType(T.IntegerType(), False), False,
+                        ),
+                    ],
+                ),
+            ),
+            False,
+        ),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ],
+)
+
 
 def _term_counts_batch(content: pd.Series) -> pd.DataFrame:
     """One Arrow batch: content -> ({term,tf} list, doc_len).
@@ -94,13 +118,34 @@ def _term_counts_batch(content: pd.Series) -> pd.DataFrame:
 term_counts_udf = F.pandas_udf(_term_counts_batch, TERM_COUNTS_TYPE)
 
 
+def _term_counts_pos_batch(content: pd.Series) -> pd.DataFrame:
+    """Positional twin of ``_term_counts_batch``: per doc, each term
+    carries its ascending token-offset list (the loop fallback for
+    ``IndexBuilder(tokenizer='loop', positions=True)``)."""
+    terms_col, len_col = [], []
+    findall = _TOKEN_RE.findall
+    for text in content.fillna(""):
+        tokens = findall(text.lower())
+        positions: dict[str, list[int]] = {}
+        for i, t in enumerate(tokens):
+            positions.setdefault(t, []).append(i)
+        terms_col.append(
+            [(t, len(ps), ps) for t, ps in positions.items()],
+        )
+        len_col.append(len(tokens))
+    return pd.DataFrame({"terms": terms_col, "doc_len": len_col})
+
+
+term_counts_pos_udf = F.pandas_udf(_term_counts_pos_batch, TERM_COUNTS_POS_TYPE)
+
+
 def tokenize_py(text: str) -> list[str]:
     """Driver-side tokenizer for tiny inputs (query strings, oracle)."""
     return _TOKEN_RE.findall((text or "").lower())
 
 
 def _term_counts_arrow(
-    arr: pa.Array,
+    arr: pa.Array, with_positions: bool = False,
 ) -> tuple[pa.ListArray, pa.Int32Array]:
     """Arrow-native term counting for one record batch's content
     column — zero Python objects in the hot path:
@@ -142,10 +187,33 @@ def _term_counts_arrow(
         pair_code = pair_parent
         tf = pair_parent
     term_strs = pc.take(enc.dictionary, pa.array(pair_code))
-    struct = pa.StructArray.from_arrays(
-        [term_strs, pa.array(tf.astype(np.int32), pa.int32())],
-        names=["term", "tf"],
-    )
+    children = [term_strs, pa.array(tf.astype(np.int32), pa.int32())]
+    names = ["term", "tf"]
+    if with_positions:
+        # token offset within the (empty-token-filtered) doc stream:
+        # global index minus the doc's exclusive-prefix start
+        ends = np.cumsum(doc_len.astype(np.int64))
+        starts_excl = np.concatenate(([0], ends[:-1]))
+        pos_in_doc = (
+            np.arange(len(parents_f), dtype=np.int64)
+            - starts_excl[parents_f]
+        )
+        # stable sort by the fused (doc, code) key groups tokens in the
+        # SAME order np.unique(keys) emits pairs, and keeps positions
+        # ascending within each pair (stream order)
+        order = np.argsort(keys, kind="stable") if len(codes) else codes
+        pos_offsets = np.zeros(len(tf) + 1, dtype=np.int32)
+        np.cumsum(tf, out=pos_offsets[1:])
+        children.append(
+            pa.ListArray.from_arrays(
+                pa.array(pos_offsets, pa.int32()),
+                pa.array(pos_in_doc[order].astype(np.int32), pa.int32())
+                if len(codes)
+                else pa.array([], pa.int32()),
+            ),
+        )
+        names.append("pos")
+    struct = pa.StructArray.from_arrays(children, names=names)
     distinct = np.bincount(pair_parent, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(distinct, out=offsets[1:])
@@ -157,18 +225,24 @@ TOKENIZE_KEEP_COLS = ("repo", "path", "commit", "lang", "sha256")
 
 
 def term_counts_arrow_project(
-    df: DataFrame, keep_cols: tuple[str, ...] = TOKENIZE_KEEP_COLS,
+    df: DataFrame,
+    keep_cols: tuple[str, ...] = TOKENIZE_KEEP_COLS,
+    with_positions: bool = False,
 ) -> DataFrame:
     """content -> (terms, doc_len) via ``mapInArrow``: batches stay in
     Arrow end to end (north rule: vectorized Arrow UDFs, no per-row
     Python). Partition-local and order-preserving, so the fused keying
-    pass can stamp ``_mid`` after it exactly as with a projection."""
+    pass can stamp ``_mid`` after it exactly as with a projection.
+
+    ``with_positions`` adds each term's ascending token-offset list to
+    the struct (feeds the positions projection for phrase queries)."""
+    terms_type = (
+        TERM_COUNTS_POS_TYPE if with_positions else TERM_COUNTS_TYPE
+    )["terms"].dataType
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols]
         + [
-            T.StructField(
-                "terms", TERM_COUNTS_TYPE["terms"].dataType, False,
-            ),
+            T.StructField("terms", terms_type, False),
             T.StructField("doc_len", T.IntegerType(), False),
         ],
     )
@@ -177,7 +251,9 @@ def term_counts_arrow_project(
     def fn(batches):
         for rb in batches:
             content = rb.column(rb.schema.get_field_index("content"))
-            lists, dls = _term_counts_arrow(content)
+            lists, dls = _term_counts_arrow(
+                content, with_positions=with_positions,
+            )
             cols = [
                 rb.column(rb.schema.get_field_index(c)) for c in keep_cols
             ] + [lists, dls]

@@ -127,6 +127,7 @@ class IndexBuilder:
         dict_partition_gate: int = DICT_BROADCAST_GATE,
         key_lookup: bool = True,
         tokenizer: str = "arrow",
+        positions: bool = False,
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -162,6 +163,13 @@ class IndexBuilder:
         if tokenizer not in ("arrow", "loop"):
             raise ValueError(f"unknown tokenizer: {tokenizer}")
         self.tokenizer = tokenizer
+        # positional postings (opt-in): each segment additionally writes
+        # a term-clustered ``positions/`` projection — (term_id, doc_id,
+        # pos array<int>) sorted by (term_id, doc_id) — enabling phrase
+        # queries (query/phrase.py). Opt-in because it costs a second
+        # explode+dictionary-join pass and roughly doubles segment size;
+        # recorded in the manifest so update/compact maintain it.
+        self.positions = positions
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
 
@@ -169,12 +177,16 @@ class IndexBuilder:
         """content -> (terms, doc_len), passthrough ``keep_cols``."""
         from seqr_loading_pipelines_spark.functions.tokenizer import (
             term_counts_arrow_project,
+            term_counts_pos_udf,
         )
 
         if self.tokenizer == "arrow":
-            return term_counts_arrow_project(df, tuple(keep_cols))
+            return term_counts_arrow_project(
+                df, tuple(keep_cols), with_positions=self.positions,
+            )
+        udf = term_counts_pos_udf if self.positions else term_counts_udf
         return df.withColumn(
-            "tc", term_counts_udf(F.col("content")),
+            "tc", udf(F.col("content")),
         ).select(
             *keep_cols,
             F.col("tc.terms").alias("terms"),
@@ -668,6 +680,44 @@ class IndexBuilder:
             .mapInPandas(encode_stream, schema=POSTING_SCHEMA)
         )
 
+    def _positions_df(
+        self, tokenized: DataFrame, d: DataFrame, tid_type: str,
+        est_rows: int | None = None,
+    ) -> DataFrame:
+        """Positional-postings projection rows: explode each doc's
+        (term, pos-list) pairs and attach dense term ids.
+
+        Term-clustered layout (repartition by term_id + sort by
+        (term_id, doc_id)) so a phrase query's ``term_id IN (...)``
+        filter prunes parquet row-groups exactly like the posting
+        blocks; the pos arrays stay parquet-encoded ints (delta/RLE)
+        rather than varbyte blobs so the phrase intersection runs as
+        pure JVM array HOFs with no Python decode pass. Partition
+        count sized by ROWS (POSTING_ROWS_PER_PARTITION) like the
+        postings encode — grows with data, not cores."""
+        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
+        if est_rows:
+            parts = max(
+                parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION),
+            )
+        fl = tokenized.select(
+            "doc_id", F.explode("terms").alias("t"),
+        ).select(
+            "doc_id",
+            F.col("t.term").alias("term"),
+            F.col("t.pos").alias("pos"),
+        )
+        return (
+            fl.join(d, "term")
+            .select(
+                F.col("term_id").cast(tid_type).alias("term_id"),
+                "doc_id",
+                "pos",
+            )
+            .repartition(parts, "term_id")
+            .sortWithinPartitions("term_id", "doc_id")
+        )
+
     # ---- full build --------------------------------------------------
     def build(self, corpus: DataFrame, source_fingerprint: str) -> dict:
         """Full index build; idempotent per source_fingerprint."""
@@ -963,6 +1013,16 @@ class IndexBuilder:
         # row count from parquet footers — no Spark job
         n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
 
+        if self.positions:
+            # positions projection (phrase queries): second explode +
+            # dict join, resumable as its own stage; (doc,term) pair
+            # count is bounded by sum_dl, the same row estimator the
+            # postings encode uses
+            self._stage(
+                snap, "positions",
+                lambda: self._positions_df(tokenized, d, tid_type, sum_dl),
+            )
+
         # the lookup projections must be durable before the manifest
         # can reference this segment
         if lk_thread is not None:
@@ -1006,6 +1066,10 @@ class IndexBuilder:
                 # later broadcast/rank decision
                 "dict_partition_gate": self.dict_partition_gate,
                 "dict_strategy": self.dict_strategy,
+                # positional postings present in EVERY listed segment
+                # (a full build has exactly one); update/compact carry
+                # or clear this so phrase queries never half-cover
+                "positions": self.positions,
                 "build_wall_s": round(time.time() - t_start, 3),
                 "metrics": self.metrics,
             },
@@ -1064,7 +1128,7 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
         )
     root = table.root
     tomb_dirs = manifest.get("tombstone_dirs") or []
-    return {
+    out = {
         "manifest": manifest,
         "_root": root,
         # recursiveFileLookup: a chunk-resumable encode nests ck_*/part-*
@@ -1087,6 +1151,16 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
         if tomb_dirs
         else None,
     }
+    if manifest.get("positions"):
+        # positional-postings projection, present in every segment when
+        # the manifest flag is set (build/update/compact maintain it)
+        out["positions"] = spark.read.parquet(
+            *[
+                os.path.join(root, s, "positions")
+                for s in manifest["segments"]
+            ],
+        )
+    return out
 
 
 def lookup_docs(

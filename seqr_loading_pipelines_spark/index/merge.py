@@ -78,6 +78,10 @@ def update_index(
                 **builder_kwargs,
                 "dict_strategy": current["dict_strategy"],
             }
+        if "positions" not in builder_kwargs and current.get("positions"):
+            # a positions-enabled index must stay phrase-queryable:
+            # every appended segment needs its own positions projection
+            builder_kwargs = {**builder_kwargs, "positions": True}
     builder = IndexBuilder(spark, index_root, **builder_kwargs)
     if current is None:
         return builder.build(corpus, source_fingerprint)
@@ -357,6 +361,17 @@ def _update(
         builder._stage_postings_chunked(snap, make_flat, encode)
     n_blocks_new = _parquet_row_count(os.path.join(snap, "postings"))
 
+    # positional projection for the NEW segment (old segments keep
+    # theirs); the manifest flag stays true only while EVERY segment
+    # carries positions, so an explicit positions=False update turns
+    # phrase queries off rather than half-covering them
+    positions_on = builder.positions and bool(current.get("positions"))
+    if positions_on:
+        builder._stage(
+            snap, "positions",
+            lambda: builder._positions_df(tokenized, d, tid_type, new_sdl),
+        )
+
     seg = os.path.relpath(snap, table.root)
     manifest = table.publish(
         snap,
@@ -389,6 +404,7 @@ def _update(
             # the 5M/'fused' defaults after the first update)
             "dict_partition_gate": builder.dict_partition_gate,
             "dict_strategy": builder.dict_strategy,
+            "positions": positions_on,
             "update_wall_s": round(time.time() - t_start, 3),
             "n_new_docs": int(n_new),
             "metrics": builder.metrics,
@@ -412,6 +428,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["dict_partition_gate"] = current["dict_partition_gate"]
     if "dict_strategy" in current:
         out["dict_strategy"] = current["dict_strategy"]
+    if "positions" in current:
+        out["positions"] = current["positions"]
     return out
 
 
@@ -590,6 +608,30 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         compacted_docs.select("doc_id", "repo", "path", "commit", "sha256"),
         current["n_docs"],
     )
+    if current.get("positions"):
+        # positional projection rebuilt from the compacted (tombstone-
+        # free) doc store: the terms structs retain each term's offset
+        # list when the index was built with positions=True, so no
+        # re-tokenization pass is needed
+        from seqr_loading_pipelines_spark.index.build import (
+            DICT_BROADCAST_GATE,
+            IndexBuilder,
+            manifest_max_term_id,
+        )
+
+        id_space = manifest_max_term_id(current, table.root) + 1
+        d = old["term_dict"].select("term", "term_id")
+        if current["n_terms"] <= int(
+            current.get("dict_partition_gate", DICT_BROADCAST_GATE),
+        ):
+            d = F.broadcast(d)
+        pos_builder = IndexBuilder(spark, index_root, positions=True)
+        pos_builder._positions_df(
+            compacted_docs,
+            d,
+            "int" if id_space < (1 << 31) else "long",
+            est_rows=int(current.get("sum_dl", 0)),
+        ).write.mode("overwrite").parquet(os.path.join(snap, "positions"))
     seg = os.path.relpath(snap, table.root)
     return table.publish(
         snap,
@@ -616,6 +658,7 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             "n_blocks": int(n_blocks),
             "segments": [seg],
             "dict_segment": seg,
+            "positions": bool(current.get("positions")),
             "compacted_from": current["segments"],
             "n_compacted_tombstones": int(current.get("n_deleted", 0)),
         },

@@ -148,16 +148,27 @@ def q_bm25_topk(spark, sf_dir, terms=None, k=10):
     )
 
 
-def _sql_bm25(terms: list[str], k: int, doc_where: str | None = None) -> str:
+def _sql_bm25(
+    terms: list[str],
+    k: int,
+    doc_where: str | None = None,
+    require_all: bool = False,
+) -> str:
     """``doc_where``: optional SQL predicate over documents — filters
     CANDIDATES before ranking while idf/avgdl/n stay corpus-level
     (the filtered-search statistics contract, query/bm25.py
-    search_filtered)."""
+    search_filtered). ``require_all``: conjunctive (AND) semantics —
+    only docs matching every term (query/bm25.py search_and)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     filt = (
         f"WHERE tf.doc_id IN (SELECT doc_id FROM documents"
         f" WHERE {doc_where})"
         if doc_where
+        else ""
+    )
+    having = (
+        f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
+        if require_all
         else ""
     )
     return f"""
@@ -179,6 +190,7 @@ scored AS (
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   {filt}
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT doc_id, round(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
@@ -1358,7 +1370,7 @@ def _index_root(sf_dir: str, tag: str, table: str = "documents") -> str:
     )
 
 
-def _built_index(spark, sf_dir, tag):
+def _built_index(spark, sf_dir, tag, **builder_kwargs):
     from seqr_loading_pipelines_spark.corpus import corpus_from_documents
     from seqr_loading_pipelines_spark.index.build import (
         IndexBuilder,
@@ -1366,7 +1378,7 @@ def _built_index(spark, sf_dir, tag):
     )
 
     root = _index_root(sf_dir, tag)
-    IndexBuilder(spark, root).build(
+    IndexBuilder(spark, root, **builder_kwargs).build(
         corpus_from_documents(spark, sf_dir),
         source_fingerprint=f"{tag}:{sf_dir}:{_source_content_fp(sf_dir)}",
     )
@@ -1435,6 +1447,94 @@ def q_index_prefix_search(spark, sf_dir):
         F.round("score", 4).alias("score"),
         "rank",
     )
+
+
+def q_index_bm25_and(spark, sf_dir):
+    """Conjunctive (AND) retrieval through the REAL index path: same
+    pruned posting scan, per-doc matched-term count gates the ranking
+    (query/bm25.py search_and) — every result contains ALL query
+    terms, scored identically to the disjunctive executors. Oracle:
+    the BM25 SQL with a HAVING over the distinct matched terms."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_and
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_and(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_BM25_AND = _sql_bm25(BM25_QUERY_TERMS, 10, require_all=True)
+
+
+PHRASE_QUERY = "slow hash batch"
+
+
+def q_index_phrase_search(spark, sf_dir):
+    """Exact phrase search through the REAL index path: a build with
+    positional postings (positions=True writes the term-clustered
+    (term_id, doc_id, pos) projection), then the position-list
+    intersection executor (query/phrase.py) — shifted lists folded with
+    array_intersect, phrase_tf = distinct start offsets. Oracle: the
+    adjacency self-join over re-tokenized text in pure SQL.
+
+    The engine breaks phrase_tf ties on its INTERNAL dense doc_id
+    (hash-keyed assignment, doc_ids.py:55-63), which need not order
+    like the oracle's external ids — so the row over-fetches (k large
+    enough to cover every match at oracle scale) and re-ranks the
+    hydrated results in the EXTERNAL id space before truncating, the
+    shape a serving layer keyed by source ids would use."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_phrase(spark, index, PHRASE_QUERY, k=100)
+    hyd = hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"), "phrase_tf",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _sql_phrase(terms: list[str], k: int) -> str:
+    """DuckDB oracle: positional adjacency as an n-way self-join over
+    the re-tokenized text (exact, counts overlapping occurrences)."""
+    joins, conds = [], [f"t0.tok = '{terms[0]}'"]
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i}",
+        )
+        conds.append(f"t{i}.tok = '{terms[i]}'")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+), hits AS (
+  SELECT t0.doc_id, count(*)::INT AS phrase_tf
+  FROM toks t0 {" ".join(joins)}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.doc_id
+)
+SELECT doc_id, phrase_tf,
+       row_number() OVER (ORDER BY phrase_tf DESC, doc_id)::INT AS rank
+FROM hits ORDER BY phrase_tf DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_INDEX_PHRASE_SEARCH = _sql_phrase(PHRASE_QUERY.split(), 10)
 
 
 def q_index_delete_survivors(spark, sf_dir):
@@ -1659,6 +1759,8 @@ QUERIES = {
     "index_bm25_topk": q_index_bm25_topk,
     "index_bm25_filtered": q_index_bm25_filtered,
     "index_prefix_search": q_index_prefix_search,
+    "index_phrase_search": q_index_phrase_search,
+    "index_bm25_and": q_index_bm25_and,
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
@@ -1712,6 +1814,8 @@ ORACLE_SQL = {
     "index_bm25_topk": SQL_BM25_TOPK,
     "index_bm25_filtered": SQL_INDEX_BM25_FILTERED,
     "index_prefix_search": SQL_INDEX_PREFIX_SEARCH,
+    "index_phrase_search": SQL_INDEX_PHRASE_SEARCH,
+    "index_bm25_and": SQL_INDEX_BM25_AND,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,

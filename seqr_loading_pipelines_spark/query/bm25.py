@@ -90,6 +90,7 @@ def _query_terms(index: dict, query_text: str) -> list[dict]:
 
 def _decoded_postings(
     index: dict, term_infos: list[dict], keep_ids=None,
+    with_term: bool = False,
 ) -> DataFrame:
     """Candidate blocks -> decoded (doc_id, contribution) rows.
 
@@ -141,15 +142,20 @@ def _decoded_postings(
                 contrib = idf_by_tid[int(term_id)] * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )
-                outs.append(
-                    pd.DataFrame({"doc_id": doc_ids, "contribution": contrib}),
-                )
+                cols = {"doc_id": doc_ids, "contribution": contrib}
+                if with_term:
+                    # conjunctive executors count matched terms per doc
+                    cols["term_id"] = np.full(
+                        len(doc_ids), int(term_id), dtype=np.int64,
+                    )
+                outs.append(pd.DataFrame(cols))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    decoded = blocks.mapInPandas(
-        decode, schema="doc_id long, contribution double",
-    )
+    schema = "doc_id long, contribution double"
+    if with_term:
+        schema += ", term_id long"
+    decoded = blocks.mapInPandas(decode, schema=schema)
     if gated:
         # tombstone set too large to broadcast (mass-delete between
         # compactions): distributed anti-join exclusion instead — the
@@ -235,6 +241,39 @@ def search_filtered(
     )
     if keep_ids is None:
         scored = scored.join(allowed, "doc_id", "left_semi")
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
+def search_and(
+    spark: SparkSession, index: dict, query_text: str, k: int = 10,
+) -> DataFrame:
+    """Conjunctive BM25 top-k: only docs containing EVERY query term
+    (AND semantics — the default retrieval mode of most code-search
+    engines), scored identically to the disjunctive executors so a doc
+    in both result sets gets the same score.
+
+    Shape: the same one pruned posting scan; the conjunction is a
+    HAVING on the per-doc matched-term count — exact with a plain
+    count because a (term, doc) pair appears in exactly one posting
+    entry of exactly one segment (dense doc ids never repeat across
+    segments). A query term absent from the dictionary short-circuits
+    to empty (nothing can contain it)."""
+    q_terms = set(tokenize_py(query_text))
+    term_infos = _query_terms(index, query_text)
+    if not term_infos or len(term_infos) < len(q_terms):
+        return _empty_topk(spark)
+    n = len(term_infos)
+    scored = (
+        _decoded_postings(index, term_infos, with_term=True)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contribution").alias("score"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+        .filter(F.col("_nt") == n)
+        .select("doc_id", "score")
+    )
     k = max(1, min(k, index["manifest"]["n_docs"]))
     return rank_topk(scored, k)
 

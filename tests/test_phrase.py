@@ -1,0 +1,247 @@
+"""Phrase queries over positional postings (query/phrase.py).
+
+Covers: adjacency + ordering semantics, overlapping occurrences,
+repeated-term phrases, single-term degenerate case, absent terms,
+tokenizer parity (arrow vs loop positions), incremental update /
+delete / compaction maintenance of the positions projection, and the
+pushed term_id filter plan gate.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    # (repo, path, commit, lang, content)
+    ("r0", "d0.py", "c0", "python", "a b c a b"),
+    ("r0", "d1.py", "c1", "python", "a x b"),
+    ("r0", "d2.py", "c2", "python", "b a"),
+    ("r0", "d3.py", "c3", "python", "a a a"),
+    ("r1", "d4.py", "c4", "go", "z a b c"),
+    ("r1", "d5.py", "c5", "go", "q w e"),
+]
+
+
+def _naive_phrase(content: str, phrase: str) -> int:
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    p = phrase.split()
+    return sum(
+        1
+        for i in range(len(toks) - len(p) + 1)
+        if toks[i : i + len(p)] == p
+    )
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("pos_index"))
+    corpus = spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    IndexBuilder(spark, root, positions=True).build(corpus, "pos-test")
+    idx = load_index(spark, root)
+    # key: path -> doc_id for assertions
+    idx["_by_path"] = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    return root, idx
+
+
+def _results(spark, idx, phrase, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    return {
+        r["doc_id"]: r["phrase_tf"]
+        for r in search_phrase(spark, idx, phrase, k).collect()
+    }
+
+
+def test_phrase_adjacency_and_order(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _results(spark, idx, "a b")
+    # d0 twice; d4 once; d1 not adjacent; d2 wrong order
+    assert got == {by["d0.py"]: 2, by["d4.py"]: 1}
+
+
+def test_phrase_three_terms(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _results(spark, idx, "a b c")
+    assert got == {by["d0.py"]: 1, by["d4.py"]: 1}
+
+
+def test_phrase_overlapping_repeated_term(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    # "a a" in "a a a": overlapping starts at offsets 0 and 1
+    got = _results(spark, idx, "a a")
+    assert got == {by["d3.py"]: 2}
+
+
+def test_phrase_single_term(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _results(spark, idx, "a")
+    assert got == {
+        by["d0.py"]: 2, by["d1.py"]: 1, by["d2.py"]: 1,
+        by["d3.py"]: 3, by["d4.py"]: 1,
+    }
+
+
+def test_phrase_absent_and_garbage(spark, pos_index):
+    _, idx = pos_index
+    assert _results(spark, idx, "a nosuchterm") == {}
+    assert _results(spark, idx, "@@@ ###") == {}
+
+
+def test_phrase_rank_is_deterministic(spark, pos_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    _, idx = pos_index
+    rows = search_phrase(spark, idx, "a b", k=10).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # tf desc, doc_id asc
+    keys = [(-r["phrase_tf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_phrase_matches_naive_on_generated_corpus(
+    spark, corpus, tmp_path_factory,
+):
+    """Cross-check against a pure-python matcher on the 300-doc
+    generated corpus for a phrase with real multiplicity."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    root = str(tmp_path_factory.mktemp("pos_gen"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "pos-gen")
+    idx = load_index(spark, root)
+    phrase = "sw0 sw1"
+    expected = {}
+    key_tf = {
+        (r["repo"], r["path"], r["commit"]): _naive_phrase(
+            r["content"] or "", phrase,
+        )
+        for r in corpus.collect()
+    }
+    for r in idx["doc_stats"].select(
+        "doc_id", "repo", "path", "commit",
+    ).collect():
+        tf = key_tf[(r["repo"], r["path"], r["commit"])]
+        if tf:
+            expected[r["doc_id"]] = tf
+    assert expected, "phrase must occur in the generated corpus"
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in search_phrase(spark, idx, phrase, k=len(expected)).collect()
+    }
+    # engine returns the top-k; every returned (doc, tf) must be exact
+    # and the top-k by (tf desc, id asc) must match the oracle's
+    topk = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == dict(topk[: len(got)])
+
+
+def test_loop_tokenizer_positions_parity(spark, tmp_path_factory):
+    """tokenizer='loop' + positions produces the identical projection."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    corpus = spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    outs = []
+    for tok in ("arrow", "loop"):
+        root = str(tmp_path_factory.mktemp(f"pos_{tok}"))
+        IndexBuilder(spark, root, positions=True, tokenizer=tok).build(
+            corpus, f"pos-{tok}",
+        )
+        idx = load_index(spark, root)
+        outs.append(
+            sorted(
+                (r["term_id"], r["doc_id"], list(r["pos"]))
+                for r in idx["positions"].collect()
+            ),
+        )
+    assert outs[0] == outs[1]
+
+
+def test_positions_term_filter_pushdown(spark, pos_index):
+    from tests.test_plans import _plan
+
+    _, idx = pos_index
+    df = idx["positions"].filter(F.col("term_id").isin([0, 1]))
+    assert "PushedFilters: [In(term_id" in _plan(df)
+
+
+def test_phrase_requires_positions(spark, index):
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    with pytest.raises(ValueError, match="positions"):
+        search_phrase(spark, index, "sw0 sw1")
+
+
+def test_update_delete_compact_maintain_positions(
+    spark, tmp_path_factory,
+):
+    """Build half -> update with the rest (new segment gets its own
+    projection) -> delete one doc (tombstone excluded at query time)
+    -> compact (projection rebuilt tombstone-free): phrase results stay
+    correct at every step."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+    from seqr_loading_pipelines_spark.index.merge import (
+        compact_segments,
+        update_index,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    root = str(tmp_path_factory.mktemp("pos_upd"))
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    first = spark.createDataFrame(DOCS[:3], schema)
+    full = spark.createDataFrame(DOCS, schema)
+    IndexBuilder(spark, root, positions=True).build(first, "pos-upd-1")
+    update_index(spark, root, full, "pos-upd-2")
+    idx = load_index(spark, root)
+    assert len(idx["manifest"]["segments"]) == 2
+    by = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    got = _results(spark, idx, "a b")
+    assert got == {by["d0.py"]: 2, by["d4.py"]: 1}
+
+    delete_docs(spark, root, F.col("path") == "d0.py", ledger_key="del-d0")
+    idx = load_index(spark, root)
+    assert _results(spark, idx, "a b") == {by["d4.py"]: 1}
+
+    compact_segments(spark, root)
+    idx = load_index(spark, root)
+    assert idx["manifest"]["positions"] is True
+    assert len(idx["manifest"]["segments"]) == 1
+    assert _results(spark, idx, "a b") == {by["d4.py"]: 1}
+    # compacted projection is tombstone-free: the deleted doc's rows
+    # are physically gone
+    assert (
+        idx["positions"].filter(F.col("doc_id") == by["d0.py"]).count() == 0
+    )

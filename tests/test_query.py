@@ -290,3 +290,57 @@ def test_prefix_edge_cases(spark, index):
     with _pytest.raises(ValueError, match="non-empty"):
         search_prefix(spark, index, "   ", k=5)
     assert search_prefix(spark, index, "zz_no_such_", k=5).count() == 0
+
+
+# ---------------------------------------------------------------------
+# conjunctive (AND) retrieval (query/bm25.py search_and)
+# ---------------------------------------------------------------------
+
+
+def test_and_conjunctive_rank_identity(spark, index, oracle):
+    """search_and == the oracle's exact scores restricted to docs
+    containing EVERY query term, re-ranked under the shared tie rule."""
+    import math
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_and
+
+    q = "sw0 term_00042"
+    terms = sorted(set(q.split()))
+    golden = sorted(
+        (
+            (oracle.doc_ids[i], oracle.score_doc(i, terms))
+            for i in range(oracle.n_docs)
+            if all(oracle.tf[i].get(t, 0) > 0 for t in terms)
+        ),
+        key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]),
+    )
+    assert golden, "conjunction must be non-empty in the test corpus"
+    k = min(10, len(golden))
+    expect = [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(golden[:k])
+    ]
+    assert _collect(search_and(spark, index, q, k)) == expect
+
+
+def test_and_is_subset_of_exact_with_equal_scores(spark, index):
+    """AND results are exactly the disjunctive results whose docs match
+    all terms — same scores (the statistics contract)."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_and,
+        search_exact,
+    )
+
+    q = "sw0 sw1 term_00042"
+    full = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in search_exact(spark, index, q, 300).collect()
+    }
+    for r in search_and(spark, index, q, 300).collect():
+        assert round(r["score"], 4) == full[r["doc_id"]]
+
+
+def test_and_absent_term_short_circuits(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_and
+
+    assert search_and(spark, index, "sw0 zz_absent_zz", 10).count() == 0
+    assert search_and(spark, index, "", 10).count() == 0
