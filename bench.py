@@ -202,27 +202,47 @@ def main() -> None:
         timings,
     )
 
-    # phrase retrieval over the positional projection: one positions-
-    # enabled build (single-shot artifact build, like the ANN indexes —
-    # timed separately so the headline index_build stays comparable
-    # across rounds), then position-list-intersection queries
+    # phrase + substring retrieval over the positional and trigram
+    # projections: ONE build with both enabled (single-shot artifact
+    # build, like the ANN indexes — timed separately so the headline
+    # index_build stays comparable across rounds), then the position-
+    # list-intersection and trigram-candidate executors
     from seqr_loading_pipelines_spark.query.phrase import search_phrase
+    from seqr_loading_pipelines_spark.query.substring import (
+        search_substring,
+    )
 
     pos_root = os.path.join(
         tempfile.gettempdir(), "spark_graft_bench_posidx",
     )
     shutil.rmtree(pos_root, ignore_errors=True)
     t0 = time.time()
-    IndexBuilder(spark, pos_root, positions=True).build(
+    IndexBuilder(spark, pos_root, positions=True, trigrams=True).build(
         corpus, source_fingerprint=f"bench-pos-{N_DOCS}",
     )
-    timings["positions_build"] = round(time.time() - t0, 3)
-    REPS_USED["positions_build"] = 1
+    timings["projections_build"] = round(time.time() - t0, 3)
+    REPS_USED["projections_build"] = 1
     pos_index = load_index(spark, pos_root)
     timed_min(
         "bm25_phrase",
         lambda: search_phrase(
             spark, pos_index, "sw0 sw1", k=10,
+        ).collect(),
+        timings,
+    )
+    timed_min(
+        "substring_search",
+        lambda: search_substring(
+            spark, pos_index, "sw0 sw1", k=10,
+        ).collect(),
+        timings,
+    )
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    timed_min(
+        "near_search",
+        lambda: search_near(
+            spark, pos_index, "sw0 term_00042", window=6, k=10,
         ).collect(),
         timings,
     )

@@ -35,6 +35,12 @@ def main() -> None:
         "(enables phrase queries via bin/query_index.py "
         "--executor phrase)",
     )
+    ap.add_argument(
+        "--trigrams", action="store_true",
+        help="also write the byte-trigram substring index "
+        "(enables grep-style queries via bin/query_index.py "
+        "--executor substring)",
+    )
     args = ap.parse_args()
 
     # spark-submit provides the session config (master, --py-files);
@@ -76,7 +82,7 @@ def main() -> None:
     t0 = time.time()
     manifest = IndexBuilder(
         spark, args.out, docs_chunks=args.docs_chunks,
-        positions=args.positions,
+        positions=args.positions, trigrams=args.trigrams,
     ).build(corpus, fingerprint)
     wall = time.time() - t0
     print(

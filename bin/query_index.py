@@ -30,11 +30,18 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--executor",
-        choices=["wand", "exact", "and", "phrase"],
+        choices=["wand", "exact", "and", "phrase", "near", "substring"],
         default="wand",
         help="wand/exact: disjunctive BM25; and: conjunctive BM25 "
-        "(every term required); phrase: exact adjacent-token match "
-        "(requires an index built with positions=True)",
+        "(every term required); phrase: exact adjacent-token match; "
+        "near: all terms pairwise within --window tokens (both "
+        "require an index built with positions=True); substring: "
+        "grep-style exact byte match, including inside tokens "
+        "(requires trigrams=True)",
+    )
+    ap.add_argument(
+        "--window", type=int, default=8,
+        help="token window for --executor near",
     )
     ap.add_argument("--hydrate", action="store_true")
     ap.add_argument(
@@ -86,14 +93,24 @@ def main() -> None:
         return
     from seqr_loading_pipelines_spark.query.bm25 import search_and
     from seqr_loading_pipelines_spark.query.phrase import search_phrase
+    from seqr_loading_pipelines_spark.query.substring import (
+        search_substring,
+    )
+
+    from seqr_loading_pipelines_spark.query.near import search_near
 
     run = {
         "wand": search_wand,
         "exact": search_exact,
         "and": search_and,
         "phrase": search_phrase,
+        "near": lambda s, i, q, k: search_near(s, i, q, args.window, k),
+        "substring": search_substring,
     }[args.executor]
-    score_col = "phrase_tf" if args.executor == "phrase" else "score"
+    score_col = {
+        "phrase": "phrase_tf", "substring": "n_matches",
+        "near": "min_gap",
+    }.get(args.executor, "score")
     for q in args.query:
         t0 = time.time()
         topk = run(spark, index, q, args.k)

@@ -1,0 +1,120 @@
+"""Arrow-native byte-trigram extraction for substring search.
+
+The substring-search index (zoekt / Google Code Search family) maps
+every document to the SET of 3-byte windows of its UTF-8 content; a
+needle of length >= 3 can only occur in documents containing ALL of
+the needle's trigrams, so the trigram posting lists give an exact
+candidate superset that a final ``contains`` pass verifies.
+
+Trigrams are packed into one int32 (``b0<<16 | b1<<8 | b2``) — the
+"dictionary" is the identity map, posting lists cluster and prune on a
+plain int column, and the needle's trigrams are computed driver-side
+with the same packing. Extraction is zero-Python-objects per row
+(north rule: vectorized Arrow/pandas UDFs only): the record batch's
+flat UTF-8 buffer is viewed as numpy uint8, all windows are packed in
+three vectorized gathers, and per-(doc, trigram) dedup is one
+``np.unique`` over fused int64 keys — the same discipline as the
+tokenizer kernel (tokenizer.py::_term_counts_arrow).
+
+Reference analog: the reference serves substring match via ClickHouse
+``like``/``hasToken`` over denormalized search tables
+(test_clickhouse_schema.sql:86-120) — a full scan per query; the
+trigram index is the from-scratch engine's corpus-scale equivalent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TRIGRAM_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("tri_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ],
+)
+
+
+def needle_trigrams(needle: str) -> list[int]:
+    """Distinct packed trigrams of the needle's UTF-8 bytes, sorted.
+
+    Empty for needles shorter than 3 bytes — callers must use the
+    full-scan fallback below that length."""
+    b = needle.encode("utf-8")
+    return sorted(
+        {(b[i] << 16) | (b[i + 1] << 8) | b[i + 2] for i in range(len(b) - 2)},
+    )
+
+
+def _trigram_pairs(content: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """One batch's content -> distinct (row_index, packed_trigram)
+    pairs, both sorted by (row, trigram). Zero Python objects."""
+    arr = pc.fill_null(content, "")
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    n = len(arr)
+    # offset values are absolute indices into the data buffer, so a
+    # non-zero array offset only shifts WHICH offsets we read, never
+    # the values' meaning
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    n_win = np.maximum(lens - 2, 0)  # windows never cross documents
+    total = int(n_win.sum())
+    if total == 0:
+        return np.array([], np.int64), np.array([], np.int32)
+    parents = np.repeat(np.arange(n, dtype=np.int64), n_win)
+    ends = np.cumsum(n_win)
+    win_rel = np.arange(total, dtype=np.int64) - np.repeat(
+        ends - n_win, n_win,
+    )
+    start = np.repeat(offs[:-1], n_win) + win_rel
+    tri = (
+        (buf[start].astype(np.int32) << 16)
+        | (buf[start + 1].astype(np.int32) << 8)
+        | buf[start + 2].astype(np.int32)
+    )
+    # distinct per doc: fused (row, trigram) key — trigram fits 24 bits
+    uniq = np.unique((parents << 24) | tri)
+    return (uniq >> 24).astype(np.int64), (uniq & 0xFFFFFF).astype(np.int32)
+
+
+def trigram_pairs_project(df: DataFrame) -> DataFrame:
+    """(doc_id, content) -> distinct (tri_id, doc_id) pairs via
+    ``mapInArrow`` — batches stay in Arrow end to end."""
+    out_schema = T.StructType(
+        [
+            TRIGRAM_PAIR_SCHEMA["tri_id"],
+            df.schema["doc_id"],
+        ],
+    )
+
+    def fn(batches):
+        for rb in batches:
+            content = rb.column(rb.schema.get_field_index("content"))
+            doc_ids = rb.column(
+                rb.schema.get_field_index("doc_id"),
+            ).to_numpy(zero_copy_only=False)
+            rows, tris = _trigram_pairs(content)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tris, pa.int32()),
+                    pa.array(doc_ids[rows], pa.int64()),
+                ],
+                names=["tri_id", "doc_id"],
+            )
+
+    return df.select("doc_id", "content").mapInArrow(fn, out_schema)
+
+
+def trigrams_py(text: str) -> set[int]:
+    """Driver-side reference implementation (tests / tiny inputs)."""
+    b = (text or "").encode("utf-8")
+    return {
+        (b[i] << 16) | (b[i + 1] << 8) | b[i + 2] for i in range(len(b) - 2)
+    }

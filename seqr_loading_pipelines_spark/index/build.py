@@ -81,6 +81,11 @@ DICT_BROADCAST_GATE = 5_000_000
 # cluster (partition count grows with data, not with cores).
 POSTING_ROWS_PER_PARTITION = 8_000_000
 
+# content-projection file sizing (trigram substring index): ~128 MB of
+# raw text per partition file keeps row groups small enough that a
+# pushed doc_id IN (...) verify scan prunes to just the candidates
+CONTENT_BYTES_PER_PARTITION = 128 << 20
+
 DOC_STATS_COLS = ["doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256"]
 
 POSTING_SCHEMA = T.StructType(
@@ -128,6 +133,7 @@ class IndexBuilder:
         key_lookup: bool = True,
         tokenizer: str = "arrow",
         positions: bool = False,
+        trigrams: bool = False,
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -170,6 +176,13 @@ class IndexBuilder:
         # explode+dictionary-join pass and roughly doubles segment size;
         # recorded in the manifest so update/compact maintain it.
         self.positions = positions
+        # byte-trigram substring index (opt-in): segments additionally
+        # carry a doc_id-sorted ``content/`` projection plus a
+        # trigram-clustered ``tri_postings/`` (tri_id, doc_id) + per-
+        # trigram df table — the zoekt/Code-Search shape behind
+        # query/substring.py. Opt-in because content is stored in the
+        # index; recorded in the manifest so update/compact maintain it.
+        self.trigrams = trigrams
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
 
@@ -458,10 +471,13 @@ class IndexBuilder:
         # partition size because the UDF streams Arrow batches
         # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k —
         # the analog of VEP's 1000-rows-per-call discipline).
-        return self._apply_tokenizer(
-            with_ids,
-            ["doc_id", "repo", "path", "commit", "lang", "sha256"],
-        )
+        keep = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
+        if self.trigrams:
+            # substring index: raw content rides the tokenize stage into
+            # the doc store (the content projection + trigram extraction
+            # read it back; doc_stats prunes it away at read time)
+            keep.append("content")
+        return self._apply_tokenizer(with_ids, keep)
 
     # broadcast-array gates: above these the narrow-shuffle side data
     # would strain driver/executor memory and the wide-row path wins
@@ -718,6 +734,76 @@ class IndexBuilder:
             .sortWithinPartitions("term_id", "doc_id")
         )
 
+    def _content_df(
+        self, tokenized: DataFrame, est_bytes: int | None = None,
+    ) -> DataFrame:
+        """doc_id-sorted (doc_id, content) projection for the substring
+        index's verify pass: range partitioning on doc_id gives files
+        and row groups with tight doc_id min/max, so a bounded
+        candidate set verifies via a pushed ``doc_id IN (...)`` scan
+        (the key_lookup discipline, key_lookup.py:76-84) instead of a
+        full content scan. Partition count sized by BYTES — grows with
+        data, not cores."""
+        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
+        if est_bytes:
+            parts = max(
+                parts, -(-int(est_bytes) // CONTENT_BYTES_PER_PARTITION),
+            )
+        return (
+            tokenized.select("doc_id", "content")
+            .repartitionByRange(parts, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+
+    def _trigram_postings_df(
+        self, content_df: DataFrame, est_rows: int | None = None,
+    ) -> DataFrame:
+        """Distinct (tri_id, doc_id) pairs, trigram-clustered: a
+        substring query's ``tri_id IN (...)`` filter prunes parquet
+        row groups exactly like the posting blocks. The Arrow kernel
+        already emits per-doc-distinct pairs, so the repartition is
+        the only shuffle and no groupBy is needed. Partition count
+        sized by ROWS (POSTING_ROWS_PER_PARTITION), like the postings
+        encode."""
+        from seqr_loading_pipelines_spark.functions.trigram import (
+            trigram_pairs_project,
+        )
+
+        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
+        if est_rows:
+            parts = max(
+                parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION),
+            )
+        return (
+            trigram_pairs_project(content_df)
+            .repartition(parts, "tri_id")
+            .sortWithinPartitions("tri_id", "doc_id")
+        )
+
+    def _stage_trigrams(self, snap: str, tokenized: DataFrame, sum_dl: int):
+        """Substring-index stages: content projection, trigram posting
+        pairs, per-trigram df table (rarest-first probe selection in
+        query/substring.py — selection only, never correctness, so
+        post-delete staleness is benign). Each resumable on its own."""
+        content_df = self._stage(
+            snap, "content",
+            # ~7 bytes per whitespace-separated token is the sizing
+            # estimate; only file COUNT depends on it
+            lambda: self._content_df(tokenized, est_bytes=sum_dl * 7),
+        )
+        tri = self._stage(
+            snap, "tri_postings",
+            lambda: self._trigram_postings_df(
+                content_df, est_rows=sum_dl * 3,
+            ),
+        )
+        self._stage(
+            snap, "tri_dict",
+            lambda: tri.groupBy("tri_id").agg(
+                F.count(F.lit(1)).alias("df"),
+            ).coalesce(1),
+        )
+
     # ---- full build --------------------------------------------------
     def build(self, corpus: DataFrame, source_fingerprint: str) -> dict:
         """Full index build; idempotent per source_fingerprint."""
@@ -768,9 +854,10 @@ class IndexBuilder:
         def tokenize_project(df: DataFrame) -> DataFrame:
             # doc_id doesn't exist yet here — it's derived from footer
             # offsets at read time (dense_ids_view)
-            tok = self._apply_tokenizer(
-                df, ["repo", "path", "commit", "lang", "sha256"],
-            )
+            keep = ["repo", "path", "commit", "lang", "sha256"]
+            if self.trigrams:
+                keep.append("content")
+            tok = self._apply_tokenizer(df, keep)
             return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
 
         docs_dir = os.path.join(snap, "docs" if fused else "keyed_ckpt")
@@ -1023,6 +1110,12 @@ class IndexBuilder:
                 lambda: self._positions_df(tokenized, d, tid_type, sum_dl),
             )
 
+        if self.trigrams:
+            # substring index (content projection + trigram postings +
+            # trigram df), fed by the content column the tokenize stage
+            # kept in the doc store
+            self._stage_trigrams(snap, tokenized, sum_dl)
+
         # the lookup projections must be durable before the manifest
         # can reference this segment
         if lk_thread is not None:
@@ -1070,6 +1163,8 @@ class IndexBuilder:
                 # (a full build has exactly one); update/compact carry
                 # or clear this so phrase queries never half-cover
                 "positions": self.positions,
+                # likewise for the substring (trigram) index
+                "trigrams": self.trigrams,
                 "build_wall_s": round(time.time() - t_start, 3),
                 "metrics": self.metrics,
             },
@@ -1159,6 +1254,19 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
                 os.path.join(root, s, "positions")
                 for s in manifest["segments"]
             ],
+        )
+    if manifest.get("trigrams"):
+        # substring-index projections (same every-segment contract)
+        segs = manifest["segments"]
+        out["content"] = spark.read.parquet(
+            *[os.path.join(root, s, "content") for s in segs],
+        )
+        out["tri_postings"] = spark.read.parquet(
+            *[os.path.join(root, s, "tri_postings") for s in segs],
+        )
+        # per-segment dfs: query-side probe selection sums them
+        out["tri_dict"] = spark.read.parquet(
+            *[os.path.join(root, s, "tri_dict") for s in segs],
         )
     return out
 

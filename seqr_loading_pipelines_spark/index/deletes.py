@@ -209,6 +209,14 @@ def delete_docs(
                 if "dict_strategy" in current
                 else {}
             ),
+            # projection flags survive a delete: the per-segment
+            # positions/trigram files are untouched and both executors
+            # exclude tombstoned docs at query time
+            **{
+                k: current[k]
+                for k in ("positions", "trigrams")
+                if k in current
+            },
             "updates": (
                 [*current["updates"], ledger_key]
                 if ledger_key is not None

@@ -82,6 +82,9 @@ def update_index(
             # a positions-enabled index must stay phrase-queryable:
             # every appended segment needs its own positions projection
             builder_kwargs = {**builder_kwargs, "positions": True}
+        if "trigrams" not in builder_kwargs and current.get("trigrams"):
+            # same contract for the substring (trigram) index
+            builder_kwargs = {**builder_kwargs, "trigrams": True}
     builder = IndexBuilder(spark, index_root, **builder_kwargs)
     if current is None:
         return builder.build(corpus, source_fingerprint)
@@ -139,9 +142,10 @@ def _update(
     doc_obs = Observation()
 
     def tokenize_project(df):
-        tok = builder._apply_tokenizer(
-            df, ["repo", "path", "commit", "lang", "sha256"],
-        )
+        keep = ["repo", "path", "commit", "lang", "sha256"]
+        if builder.trigrams:
+            keep.append("content")  # substring index, see build()
+        tok = builder._apply_tokenizer(df, keep)
         return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
 
     # fused (default) tokenizes inside the keying pass; docs_chunks > 1
@@ -371,6 +375,9 @@ def _update(
             snap, "positions",
             lambda: builder._positions_df(tokenized, d, tid_type, new_sdl),
         )
+    trigrams_on = builder.trigrams and bool(current.get("trigrams"))
+    if trigrams_on:
+        builder._stage_trigrams(snap, tokenized, int(new_sdl))
 
     seg = os.path.relpath(snap, table.root)
     manifest = table.publish(
@@ -405,6 +412,7 @@ def _update(
             "dict_partition_gate": builder.dict_partition_gate,
             "dict_strategy": builder.dict_strategy,
             "positions": positions_on,
+            "trigrams": trigrams_on,
             "update_wall_s": round(time.time() - t_start, 3),
             "n_new_docs": int(n_new),
             "metrics": builder.metrics,
@@ -430,6 +438,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["dict_strategy"] = current["dict_strategy"]
     if "positions" in current:
         out["positions"] = current["positions"]
+    if "trigrams" in current:
+        out["trigrams"] = current["trigrams"]
     return out
 
 
@@ -632,6 +642,15 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             "int" if id_space < (1 << 31) else "long",
             est_rows=int(current.get("sum_dl", 0)),
         ).write.mode("overwrite").parquet(os.path.join(snap, "positions"))
+    if current.get("trigrams"):
+        # substring index rebuilt from the compacted (tombstone-free)
+        # doc store, which retains the content column when the index
+        # was built with trigrams=True
+        from seqr_loading_pipelines_spark.index.build import IndexBuilder
+
+        IndexBuilder(spark, index_root, trigrams=True)._stage_trigrams(
+            snap, compacted_docs, int(current.get("sum_dl", 0)),
+        )
     seg = os.path.relpath(snap, table.root)
     return table.publish(
         snap,
@@ -659,6 +678,7 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             "segments": [seg],
             "dict_segment": seg,
             "positions": bool(current.get("positions")),
+            "trigrams": bool(current.get("trigrams")),
             "compacted_from": current["segments"],
             "n_compacted_tombstones": int(current.get("n_deleted", 0)),
         },

@@ -1537,6 +1537,103 @@ FROM hits ORDER BY phrase_tf DESC, doc_id LIMIT {k}
 SQL_INDEX_PHRASE_SEARCH = _sql_phrase(PHRASE_QUERY.split(), 10)
 
 
+NEAR_QUERY = ("slow", "batch")
+NEAR_WINDOW = 2
+
+
+def q_index_near_search(spark, sf_dir):
+    """Proximity (NEAR) search through the REAL index path: positional
+    build, then the pairwise within-window executor (query/near.py) —
+    min_gap = closest distance between any 'slow' and any 'batch'
+    occurrence, docs kept when min_gap <= window, tightest first.
+    Oracle: the same min-over-pairs in pure SQL. Over-fetch +
+    external-id re-rank, same tie-rule rationale as phrase."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_near(
+        spark, index, " ".join(NEAR_QUERY), window=NEAR_WINDOW, k=200,
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "min_gap",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("min_gap").asc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_NEAR_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+), a AS (SELECT doc_id, pos FROM toks WHERE tok = '{NEAR_QUERY[0]}'),
+b AS (SELECT doc_id, pos FROM toks WHERE tok = '{NEAR_QUERY[1]}'),
+g AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos))::INT AS min_gap
+  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id
+)
+SELECT doc_id, min_gap,
+       row_number() OVER (ORDER BY min_gap, doc_id)::INT AS rank
+FROM g WHERE min_gap <= {NEAR_WINDOW}
+ORDER BY min_gap, doc_id LIMIT 10
+"""
+
+
+SUBSTRING_NEEDLE = "ash bat"  # crosses token boundaries mid-word
+
+
+def q_index_substring_search(spark, sf_dir):
+    """Exact substring (grep-style) search through the REAL index
+    path: a build with the byte-trigram projection (trigrams=True),
+    rarest-trigram candidate AND, pushed doc_id verify scan, occurrence
+    count by length arithmetic (query/substring.py). The needle crosses
+    token boundaries mid-word ('ash bat' ⊂ 'hash batch'), which no
+    tokenized posting list can answer. Oracle: position()/replace()
+    over raw text in pure SQL. Over-fetch + external-id re-rank, same
+    tie-rule rationale as q_index_phrase_search."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.substring import (
+        search_substring,
+    )
+
+    _, index = _built_index(spark, sf_dir, "tri", trigrams=True)
+    out = search_substring(spark, index, SUBSTRING_NEEDLE, k=200)
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "n_matches",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_SUBSTRING_SEARCH = f"""
+WITH hits AS (
+  SELECT doc_id,
+         ((length(text) - length(replace(text, '{SUBSTRING_NEEDLE}', '')))
+          / length('{SUBSTRING_NEEDLE}'))::INT AS n_matches
+  FROM documents
+  WHERE position('{SUBSTRING_NEEDLE}' IN text) > 0
+)
+SELECT doc_id, n_matches,
+       row_number() OVER (ORDER BY n_matches DESC, doc_id)::INT AS rank
+FROM hits ORDER BY n_matches DESC, doc_id LIMIT 10
+"""
+
+
 def q_index_delete_survivors(spark, sf_dir):
     """Delete-by-predicate roundtrip, driver-gated: build -> tombstone
     every lang='de' doc (dictionary df/cf decremented exactly) -> the
@@ -1760,6 +1857,8 @@ QUERIES = {
     "index_bm25_filtered": q_index_bm25_filtered,
     "index_prefix_search": q_index_prefix_search,
     "index_phrase_search": q_index_phrase_search,
+    "index_near_search": q_index_near_search,
+    "index_substring_search": q_index_substring_search,
     "index_bm25_and": q_index_bm25_and,
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
@@ -1815,6 +1914,8 @@ ORACLE_SQL = {
     "index_bm25_filtered": SQL_INDEX_BM25_FILTERED,
     "index_prefix_search": SQL_INDEX_PREFIX_SEARCH,
     "index_phrase_search": SQL_INDEX_PHRASE_SEARCH,
+    "index_near_search": SQL_INDEX_NEAR_SEARCH,
+    "index_substring_search": SQL_INDEX_SUBSTRING_SEARCH,
     "index_bm25_and": SQL_INDEX_BM25_AND,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,

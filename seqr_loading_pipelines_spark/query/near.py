@@ -1,0 +1,128 @@
+"""Proximity (within-window) queries over the positional projection.
+
+``search_near`` answers "these tokens co-occur close together" —
+Lucene's sloppy-phrase / NEAR operator — with PAIRWISE semantics: a
+doc matches when it contains every distinct query term and, for every
+pair of terms, some occurrence of one lies within ``window`` token
+offsets of some occurrence of the other. Results are ranked tightest
+first by ``min_gap`` = the largest of the per-pair closest distances
+(0 when the query has a single distinct term), ties on doc_id.
+
+Pairwise closeness (rather than one shared W-token interval covering
+all terms) is chosen because it is exactly expressible for ANY term
+count both here and in plain SQL — the two are identical for the
+two-term queries that dominate proximity usage.
+
+Shape: same one pruned ``term_id IN`` scan of the positions projection
+as phrase search, same conjunctive count gate; the per-pair closest
+distance folds over the collected per-term position lists as nested
+JVM ``transform`` + ``array_min`` (no Python). The nested fold is
+O(|A|·|B|) per pair per doc — positions lists are per-doc-bounded, and
+candidate docs were already restricted to those containing every term;
+a sorted-merge single-pass gap scan is the constant-factor upgrade if
+stop-word-pair queries ever dominate.
+
+Reference analog: none — the reference's ClickHouse search surface has
+no proximity operator; this extends the positional index the way
+Lucene's SpanNearQuery extends its postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.bm25 import _query_terms, rank_topk
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "doc_id long, min_gap int, rank int",
+    )
+
+
+def search_near(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    window: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs whose distinct query terms all occur pairwise within
+    ``window`` token offsets, ranked by (min_gap asc, doc_id asc).
+    Requires an index built with ``IndexBuilder(positions=True)``."""
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable proximity queries",
+        )
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return _empty(spark)
+    infos = _query_terms(index, query_text)
+    tid_by_term = {i["term"]: i["term_id"] for i in infos}
+    if any(t not in tid_by_term for t in terms):
+        return _empty(spark)  # conjunctive: a missing term matches nothing
+    tids = [tid_by_term[t] for t in terms]
+    n = len(tids)
+
+    pos = index["positions"].filter(F.col("term_id").isin(tids))
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    grouped = (
+        pos.select("term_id", "doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.array_sort(
+                F.collect_list(F.struct("term_id", "pos")),
+            ).alias("arrs"),
+        )
+        .filter(F.col("_nt") == n)  # every distinct term present
+    )
+    if n == 1:
+        scored = grouped.select(
+            "doc_id", F.lit(0).alias("min_gap"),
+        )
+    else:
+        # per-pair closest distance; a doc is near iff EVERY pair is
+        # within the window, ranked by the loosest pair. Closure
+        # factory keeps every HOF lambda single-argument (a 2-arg
+        # lambda means (element, index) to Spark) and early-binds the
+        # loop's pair
+        def pair_min_gap(a, b):
+            return F.array_min(
+                F.flatten(
+                    F.transform(
+                        a,
+                        lambda x: F.transform(b, lambda y: F.abs(x - y)),
+                    ),
+                ),
+            )
+
+        gaps = [
+            pair_min_gap(
+                F.col("arrs")[i]["pos"], F.col("arrs")[j]["pos"],
+            )
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        scored = grouped.select(
+            "doc_id", F.greatest(*gaps, F.lit(0)).alias("min_gap"),
+        ).filter(F.col("min_gap") <= window)
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    # rank_topk orders score DESC; negate so tightest ranks first
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", (-F.col("min_gap")).cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
+    )

@@ -1,0 +1,170 @@
+"""Exact substring search over the byte-trigram index.
+
+``search_substring`` answers grep-style "this exact byte sequence
+appears in the content" queries — including matches INSIDE tokens and
+across token boundaries, which no tokenized posting list can express —
+with the zoekt / Google-Code-Search trigram recipe:
+
+1. the needle's distinct packed trigrams are computed driver-side; a
+   needle can only occur in a doc containing ALL of them, so any
+   subset gives a correct candidate superset;
+2. probe selection: the per-trigram document frequencies for just the
+   needle's trigrams come from a pushed ``tri_id IN`` scan of the tiny
+   ``tri_dict`` table; the ``max_probe`` RAREST trigrams are chosen
+   (candidate-restriction-before-the-expensive-step, the engine's
+   dedup-operator discipline). A needle trigram absent from every
+   segment's dict short-circuits to empty — exact, not heuristic;
+3. one pruned scan of the trigram-clustered ``tri_postings``
+   projection, AND-gated by per-doc matched-trigram count (exact with
+   a plain count: the build writes per-doc-DISTINCT pairs and dense
+   doc ids never repeat across segments);
+4. verify + count on the candidates only: when the rarest trigram's df
+   bounds the candidate set under ``id_collect_gate`` the content
+   projection is read with a pushed ``doc_id IN (...)`` filter (the
+   doc_id-range-sorted layout prunes row groups to just the
+   candidates); past the gate a distributed semi-join does the same
+   without a driver collect. ``n_matches`` = non-overlapping
+   occurrence count via length arithmetic — whole-stage JVM, no
+   Python;
+5. rank by (n_matches desc, doc_id asc), bounded top-k.
+
+Needles shorter than 3 bytes have no trigram and fall back to a full
+content scan — correct, flagged as the scan it is.
+
+Scale shape: posting scans are pruned to <= max_probe trigram
+clusters; the only shuffle is the AND-gate groupBy over candidate
+rows (bounded by the rarest probes' df sum); the verify scan reads
+content for candidate row groups only. Tombstoned docs are excluded
+before verification.
+
+Reference analog: ClickHouse ``like``/``hasToken`` full scans over
+denormalized search tables (test_clickhouse_schema.sql:86-120).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.trigram import needle_trigrams
+from seqr_loading_pipelines_spark.query.bm25 import rank_topk
+
+# rarest-first probe count: zoekt uses the 2 rarest; a few more cheap
+# int-clustered scans buy a much smaller candidate set on skewed text
+DEFAULT_MAX_PROBE = 8
+
+# candidates at or under this bound verify via a driver-collected
+# pushed doc_id IN list; above it, a distributed semi-join (the
+# tombstone-gate pattern, deletes.py:56-65). Kept SMALL: a pushed IN
+# is only the right shape for genuinely small sets — a measured
+# ~40k-element IN filter cost ~2 minutes of catalyst/eval time on a
+# 60k-doc index (stop-word-dense needle) where the semi-join takes
+# under a second
+ID_COLLECT_GATE = 1_000
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "doc_id long, n_matches int, rank int",
+    )
+
+
+def _n_matches(needle: str):
+    """Non-overlapping occurrence count, pure JVM length arithmetic."""
+    return (
+        (
+            F.length("content")
+            - F.length(F.replace(F.col("content"), F.lit(needle)))
+        )
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def _verified_topk(
+    spark: SparkSession, index: dict, content: DataFrame,
+    needle: str, k: int,
+) -> DataFrame:
+    scored = (
+        content.select("doc_id", _n_matches(needle).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", F.col("n_matches").cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", F.col("score").cast("int").alias("n_matches"), "rank",
+    )
+
+
+def search_substring(
+    spark: SparkSession,
+    index: dict,
+    needle: str,
+    k: int = 10,
+    max_probe: int = DEFAULT_MAX_PROBE,
+    id_collect_gate: int = ID_COLLECT_GATE,
+) -> DataFrame:
+    """Top-k docs containing the exact substring ``needle``, ranked by
+    (n_matches desc, doc_id asc). Requires an index built with
+    ``IndexBuilder(trigrams=True)``."""
+    if "tri_postings" not in index:
+        raise ValueError(
+            "index was built without the trigram substring projection; "
+            "rebuild with IndexBuilder(trigrams=True) to enable "
+            "substring queries",
+        )
+    if not needle:
+        return _empty(spark)
+    content = index["content"]
+    tombstones = index.get("tombstones")
+    tris = needle_trigrams(needle)
+    if not tris:
+        # needle shorter than 3 bytes: no trigram to prune with — full
+        # verify scan (correct; the cost IS a content scan)
+        if tombstones is not None:
+            content = content.join(
+                tombstones.select("doc_id"), "doc_id", "left_anti",
+            )
+        return _verified_topk(spark, index, content, needle, k)
+
+    # per-trigram df for JUST the needle's trigrams (pushed IN over the
+    # tiny per-segment dict tables, summed across segments)
+    df_rows = (
+        index["tri_dict"]
+        .filter(F.col("tri_id").isin(tris))
+        .groupBy("tri_id")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    df_by_tri = {r["tri_id"]: r["df"] for r in df_rows}
+    if len(df_by_tri) < len(tris):
+        # some needle trigram occurs in no document -> no match anywhere
+        return _empty(spark)
+    probes = sorted(tris, key=lambda t: (df_by_tri[t], t))[:max_probe]
+    cand = (
+        index["tri_postings"]
+        .filter(F.col("tri_id").isin(probes))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == len(probes))
+        .select("doc_id")
+    )
+    if tombstones is not None:
+        cand = cand.join(
+            tombstones.select("doc_id"), "doc_id", "left_anti",
+        )
+
+    # the rarest probe's df bounds |candidates| WITHOUT an extra action
+    min_df = min(df_by_tri[t] for t in probes)
+    if min_df <= id_collect_gate:
+        ids = [r["doc_id"] for r in cand.collect()]
+        if not ids:
+            return _empty(spark)
+        verified = content.filter(F.col("doc_id").isin(ids))
+    else:
+        verified = content.join(cand, "doc_id", "left_semi")
+    return _verified_topk(spark, index, verified, needle, k)

@@ -1,0 +1,167 @@
+"""Proximity (within-window) queries: query/near.py.
+
+Covers: pairwise-gap semantics and ordering, window edge cases
+(adjacent = gap 1, window 0 matches nothing for distinct terms),
+three-term pairwise conjunction, single-term degenerate case, missing
+terms, tombstone exclusion, naive-oracle parity on the generated
+corpus, and the requires-positions error.
+"""
+
+import re
+
+import pytest
+
+DOCS = [
+    ("r0", "d0.py", "c0", "python", "alpha beta gap gap gamma"),
+    ("r0", "d1.py", "c1", "python", "alpha x x x x x x x x x beta"),
+    ("r0", "d2.py", "c2", "python", "beta alpha"),
+    ("r0", "d3.py", "c3", "python", "alpha only here"),
+    ("r1", "d4.py", "c4", "go", "beta gamma alpha"),
+    ("r1", "d5.py", "c5", "go", "unrelated words"),
+]
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def _naive_min_gap(content: str, t1: str, t2: str) -> int | None:
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    a = [i for i, t in enumerate(toks) if t == t1]
+    b = [i for i, t in enumerate(toks) if t == t2]
+    if not a or not b:
+        return None
+    return min(abs(x - y) for x in a for y in b)
+
+
+@pytest.fixture(scope="module")
+def near_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("near_index"))
+    corpus = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, root, positions=True).build(corpus, "near-test")
+    idx = load_index(spark, root)
+    idx["_by_path"] = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    return idx
+
+
+def _near(spark, idx, q, window, k=10):
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    return {
+        r["doc_id"]: r["min_gap"]
+        for r in search_near(spark, idx, q, window, k).collect()
+    }
+
+
+def test_near_window_and_gaps(spark, near_index):
+    by = near_index["_by_path"]
+    got = _near(spark, near_index, "alpha beta", 3)
+    # d0 gap 1, d2 gap 1 (order-insensitive), d4 gap 2; d1 gap 10 out
+    assert got == {by["d0.py"]: 1, by["d2.py"]: 1, by["d4.py"]: 2}
+    wide = _near(spark, near_index, "alpha beta", 10)
+    assert wide[by["d1.py"]] == 10
+
+
+def test_near_window_zero_matches_nothing_for_distinct_terms(
+    spark, near_index,
+):
+    assert _near(spark, near_index, "alpha beta", 0) == {}
+
+
+def test_near_three_terms_pairwise(spark, near_index):
+    by = near_index["_by_path"]
+    # d4: alpha-beta 2, beta-gamma 1, alpha-gamma 1 -> loosest 2
+    # d0: alpha-beta 1, beta-gamma 3, alpha-gamma 4 -> loosest 4
+    got = _near(spark, near_index, "alpha beta gamma", 4)
+    assert got == {by["d4.py"]: 2, by["d0.py"]: 4}
+    assert _near(spark, near_index, "alpha beta gamma", 2) == {
+        by["d4.py"]: 2,
+    }
+
+
+def test_near_single_term_and_missing_term(spark, near_index):
+    by = near_index["_by_path"]
+    got = _near(spark, near_index, "gamma", 5)
+    assert got == {by["d0.py"]: 0, by["d4.py"]: 0}
+    assert _near(spark, near_index, "alpha zz_nope", 100) == {}
+    assert _near(spark, near_index, "", 5) == {}
+
+
+def test_near_rank_tightest_first(spark, near_index):
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    rows = search_near(spark, near_index, "alpha beta", 10, 10).collect()
+    gaps = [r["min_gap"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert gaps == sorted(gaps)
+
+
+def test_near_requires_positions_and_window_validation(
+    spark, near_index, index,
+):
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    with pytest.raises(ValueError, match="positions"):
+        search_near(spark, index, "a b", 3)
+    with pytest.raises(ValueError, match="window"):
+        search_near(spark, near_index, "a b", -1)
+
+
+def test_near_matches_naive_on_generated_corpus(
+    spark, corpus, tmp_path_factory,
+):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("near_gen"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "near-gen")
+    idx = load_index(spark, root)
+    t1, t2, w = "sw0", "term_00042", 6
+    key_gap = {
+        (r["repo"], r["path"], r["commit"]): _naive_min_gap(
+            r["content"] or "", t1, t2,
+        )
+        for r in corpus.collect()
+    }
+    expected = {}
+    for r in idx["doc_stats"].select(
+        "doc_id", "repo", "path", "commit",
+    ).collect():
+        g = key_gap[(r["repo"], r["path"], r["commit"])]
+        if g is not None and g <= w:
+            expected[r["doc_id"]] = g
+    assert expected, "proximity pair must occur in the generated corpus"
+    got = _near(spark, idx, f"{t1} {t2}", w, k=len(expected))
+    topk = sorted(expected.items(), key=lambda kv: (kv[1], kv[0]))
+    assert got == dict(topk[: len(got)])
+
+
+def test_near_excludes_tombstoned_docs(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+
+    root = str(tmp_path_factory.mktemp("near_del"))
+    corpus = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, root, positions=True).build(corpus, "near-del")
+    idx = load_index(spark, root)
+    by = idx["_by_path"] = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    delete_docs(spark, root, F.col("path") == "d0.py", ledger_key="nd")
+    idx = load_index(spark, root)
+    got = _near(spark, idx, "alpha beta", 3)
+    assert got == {by["d2.py"]: 1, by["d4.py"]: 2}

@@ -1,0 +1,286 @@
+"""Substring (trigram-index) search: functions/trigram.py +
+query/substring.py.
+
+Covers: kernel parity vs a pure-python reference (incl. sliced arrays,
+unicode, empty/short docs), exact grep semantics across token
+boundaries, occurrence counting, short-needle full-scan fallback,
+absent-trigram short-circuit, both verify paths (pushed IN vs
+semi-join) agreeing, naive-scan parity on the generated corpus,
+update/delete/compaction maintenance of the projections, and the
+pushed tri_id / doc_id filter plan gates.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    ("r0", "d0.py", "c0", "python", "the hash batch runs slow"),
+    ("r0", "d1.py", "c1", "python", "crash batter"),
+    ("r0", "d2.py", "c2", "python", "no match here"),
+    ("r0", "d3.py", "c3", "python", "ash bat ash bat"),
+    ("r1", "d4.py", "c4", "go", "ab"),
+    ("r1", "d5.py", "c5", "go", "héllo ash batwörld"),
+]
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def _naive(content: str, needle: str) -> int:
+    """Non-overlapping occurrence count (str.count semantics — the
+    same counting rule as the engine's replace/length arithmetic)."""
+    return content.count(needle)
+
+
+# ---------------------------------------------------------------------
+# kernel (no Spark)
+# ---------------------------------------------------------------------
+
+
+def test_trigram_kernel_matches_python_reference():
+    import pyarrow as pa
+
+    from seqr_loading_pipelines_spark.functions.trigram import (
+        _trigram_pairs,
+        trigrams_py,
+    )
+
+    docs = [
+        "abcd", "", "ab", "aaa", "héllo wörld",
+        "xyz xyz", None, "a" * 5000 + "b", "\U0001f600abc",
+    ]
+    arr = pa.array(docs, pa.string())
+    rows, tris = _trigram_pairs(arr)
+    got: dict[int, set[int]] = {}
+    for r, t in zip(rows, tris):
+        got.setdefault(int(r), set()).add(int(t))
+    for i, d in enumerate(docs):
+        assert got.get(i, set()) == trigrams_py(d or ""), i
+    # non-zero array offset (sliced batch)
+    rows2, tris2 = _trigram_pairs(arr.slice(3, 4))
+    got2: dict[int, set[int]] = {}
+    for r, t in zip(rows2, tris2):
+        got2.setdefault(int(r), set()).add(int(t))
+    for i in range(4):
+        assert got2.get(i, set()) == trigrams_py(docs[3 + i] or ""), i
+
+
+def test_needle_trigrams():
+    from seqr_loading_pipelines_spark.functions.trigram import (
+        needle_trigrams,
+        trigrams_py,
+    )
+
+    assert needle_trigrams("ab") == []
+    assert needle_trigrams("") == []
+    assert set(needle_trigrams("ash bat")) == trigrams_py("ash bat")
+    # unicode needle uses utf-8 BYTE trigrams
+    assert set(needle_trigrams("hél")) == trigrams_py("hél")
+
+
+# ---------------------------------------------------------------------
+# engine semantics
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("tri_index"))
+    corpus = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, root, trigrams=True).build(corpus, "tri-test")
+    idx = load_index(spark, root)
+    idx["_by_path"] = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    return root, idx
+
+
+def _results(spark, idx, needle, k=10, **kw):
+    from seqr_loading_pipelines_spark.query.substring import (
+        search_substring,
+    )
+
+    return {
+        r["doc_id"]: r["n_matches"]
+        for r in search_substring(spark, idx, needle, k, **kw).collect()
+    }
+
+
+def test_substring_across_token_boundaries(spark, tri_index):
+    _, idx = tri_index
+    by = idx["_by_path"]
+    got = _results(spark, idx, "ash bat")
+    assert got == {
+        by["d0.py"]: 1,   # 'hash batch'
+        by["d1.py"]: 1,   # 'crash batter'
+        by["d3.py"]: 2,   # two literal occurrences
+        by["d5.py"]: 1,   # unicode neighbours
+    }
+
+
+def test_substring_unicode_needle(spark, tri_index):
+    _, idx = tri_index
+    by = idx["_by_path"]
+    assert _results(spark, idx, "héllo") == {by["d5.py"]: 1}
+
+
+def test_substring_short_needle_fallback(spark, tri_index):
+    _, idx = tri_index
+    by = idx["_by_path"]
+    got = _results(spark, idx, "ab")
+    assert got == {by["d4.py"]: 1}
+
+
+def test_substring_absent_trigram_short_circuits(spark, tri_index):
+    _, idx = tri_index
+    assert _results(spark, idx, "zzqx!!") == {}
+    assert _results(spark, idx, "") == {}
+
+
+def test_substring_both_verify_paths_agree(spark, tri_index):
+    _, idx = tri_index
+    pushed = _results(spark, idx, "ash bat", id_collect_gate=10**9)
+    joined = _results(spark, idx, "ash bat", id_collect_gate=0)
+    assert pushed == joined and pushed
+
+
+def test_substring_rank_deterministic(spark, tri_index):
+    from seqr_loading_pipelines_spark.query.substring import (
+        search_substring,
+    )
+
+    _, idx = tri_index
+    rows = search_substring(spark, idx, "ash bat", k=10).collect()
+    ordered = sorted(rows, key=lambda r: (-r["n_matches"], r["doc_id"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    assert rows[0]["n_matches"] == 2
+
+
+def test_substring_k_clamp_and_requires_trigrams(spark, tri_index, index):
+    from seqr_loading_pipelines_spark.query.substring import (
+        search_substring,
+    )
+
+    _, idx = tri_index
+    assert search_substring(spark, idx, "a", 10**9).count() >= 1
+    with pytest.raises(ValueError, match="trigram"):
+        search_substring(spark, index, "ash bat")
+
+
+def test_substring_matches_naive_on_generated_corpus(
+    spark, corpus, tmp_path_factory,
+):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("tri_gen"))
+    IndexBuilder(spark, root, trigrams=True).build(corpus, "tri-gen")
+    idx = load_index(spark, root)
+    needle = "sw0 sw1"
+    key_n = {
+        (r["repo"], r["path"], r["commit"]): _naive(
+            r["content"] or "", needle,
+        )
+        for r in corpus.collect()
+    }
+    expected = {}
+    for r in idx["doc_stats"].select(
+        "doc_id", "repo", "path", "commit",
+    ).collect():
+        n = key_n[(r["repo"], r["path"], r["commit"])]
+        if n:
+            expected[r["doc_id"]] = n
+    assert expected, "needle must occur in the generated corpus"
+    got = _results(spark, idx, needle, k=len(expected))
+    topk = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == dict(topk[: len(got)])
+
+
+# ---------------------------------------------------------------------
+# plan gates
+# ---------------------------------------------------------------------
+
+
+def test_tri_postings_filter_pushdown(spark, tri_index):
+    from tests.test_plans import _plan
+
+    _, idx = tri_index
+    df = idx["tri_postings"].filter(F.col("tri_id").isin([1, 2]))
+    assert "PushedFilters: [In(tri_id" in _plan(df)
+
+
+def test_content_doc_id_pushdown(spark, tri_index):
+    from tests.test_plans import _plan
+
+    _, idx = tri_index
+    df = idx["content"].filter(F.col("doc_id").isin([0, 1]))
+    assert "PushedFilters: [In(doc_id" in _plan(df)
+
+
+def test_doc_stats_still_prunes_content_column(spark, tri_index):
+    """content rides the doc store only for the substring index; the
+    doc_stats projection must not read it."""
+    from tests.test_plans import _plan
+
+    _, idx = tri_index
+    assert "content" not in _plan(idx["doc_stats"].select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------
+# lifecycle maintenance
+# ---------------------------------------------------------------------
+
+
+def test_update_delete_compact_maintain_trigrams(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+    from seqr_loading_pipelines_spark.index.merge import (
+        compact_segments,
+        update_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("tri_upd"))
+    first = spark.createDataFrame(DOCS[:3], SCHEMA)
+    full = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, root, trigrams=True).build(first, "tri-upd-1")
+    update_index(spark, root, full, "tri-upd-2")
+    idx = load_index(spark, root)
+    assert len(idx["manifest"]["segments"]) == 2
+    assert idx["manifest"]["trigrams"] is True
+    by = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    got = _results(spark, idx, "ash bat")
+    assert got == {
+        by["d0.py"]: 1, by["d1.py"]: 1, by["d3.py"]: 2, by["d5.py"]: 1,
+    }
+
+    delete_docs(spark, root, F.col("path") == "d3.py", ledger_key="del-d3")
+    idx = load_index(spark, root)
+    assert _results(spark, idx, "ash bat") == {
+        by["d0.py"]: 1, by["d1.py"]: 1, by["d5.py"]: 1,
+    }
+
+    compact_segments(spark, root)
+    idx = load_index(spark, root)
+    assert idx["manifest"]["trigrams"] is True
+    assert len(idx["manifest"]["segments"]) == 1
+    # tombstone-free after compaction: d3 gone from the projections too
+    assert _results(spark, idx, "ash bat") == {
+        by["d0.py"]: 1, by["d1.py"]: 1, by["d5.py"]: 1,
+    }
+    assert (
+        idx["content"].filter(F.col("doc_id") == by["d3.py"]).count() == 0
+    )
