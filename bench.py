@@ -202,6 +202,17 @@ def main() -> None:
         timings,
     )
 
+    # boolean must_not: second pruned posting scan + anti-join
+    from seqr_loading_pipelines_spark.query.bm25 import search_not
+
+    timed_min(
+        "bm25_not",
+        lambda: search_not(
+            spark, index, "sw0 term_00042", "sw1", k=10,
+        ).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

@@ -43,6 +43,11 @@ def main() -> None:
         "--window", type=int, default=8,
         help="token window for --executor near",
     )
+    ap.add_argument(
+        "--exclude", default=None,
+        help="must_not terms: drop every doc containing ANY of these "
+        "tokens (works with wand/exact via a post-scan anti-join)",
+    )
     ap.add_argument("--hydrate", action="store_true")
     ap.add_argument(
         "--batch", action="store_true",
@@ -107,6 +112,12 @@ def main() -> None:
         "near": lambda s, i, q, k: search_near(s, i, q, args.window, k),
         "substring": search_substring,
     }[args.executor]
+    if args.exclude:
+        if args.executor not in ("wand", "exact"):
+            raise SystemExit("--exclude works with --executor wand/exact")
+        from seqr_loading_pipelines_spark.query.bm25 import search_not
+
+        run = lambda s, i, q, k: search_not(s, i, q, args.exclude, k)  # noqa: E731
     score_col = {
         "phrase": "phrase_tf", "substring": "n_matches",
         "near": "min_gap",

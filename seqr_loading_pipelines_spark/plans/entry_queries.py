@@ -1469,6 +1469,35 @@ def q_index_bm25_and(spark, sf_dir):
 SQL_INDEX_BM25_AND = _sql_bm25(BM25_QUERY_TERMS, 10, require_all=True)
 
 
+BM25_EXCLUDE_TERM = "window"
+
+
+def q_index_bm25_not(spark, sf_dir):
+    """Boolean must_not through the REAL index path: disjunctive BM25
+    over the reference terms minus every doc containing the excluded
+    term, exclusion as a distributed anti-join over a second pruned
+    posting scan (query/bm25.py search_not). Oracle: the BM25 SQL with
+    a NOT list_has_any candidate predicate — statistics stay
+    corpus-level on both sides."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_not
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_not(
+        spark, index, " ".join(BM25_QUERY_TERMS), BM25_EXCLUDE_TERM, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_BM25_NOT = _sql_bm25(
+    BM25_QUERY_TERMS, 10,
+    doc_where=f"NOT list_has_any({_T}, ['{BM25_EXCLUDE_TERM}'])",
+)
+
+
 PHRASE_QUERY = "slow hash batch"
 
 
@@ -1860,6 +1889,7 @@ QUERIES = {
     "index_near_search": q_index_near_search,
     "index_substring_search": q_index_substring_search,
     "index_bm25_and": q_index_bm25_and,
+    "index_bm25_not": q_index_bm25_not,
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
@@ -1917,6 +1947,7 @@ ORACLE_SQL = {
     "index_near_search": SQL_INDEX_NEAR_SEARCH,
     "index_substring_search": SQL_INDEX_SUBSTRING_SEARCH,
     "index_bm25_and": SQL_INDEX_BM25_AND,
+    "index_bm25_not": SQL_INDEX_BM25_NOT,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,

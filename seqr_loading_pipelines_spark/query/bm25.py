@@ -278,6 +278,42 @@ def search_and(
     return rank_topk(scored, k)
 
 
+def search_not(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    exclude_text: str,
+    k: int = 10,
+) -> DataFrame:
+    """Boolean must_not: disjunctive BM25 over ``query_text``, minus
+    every doc containing ANY token of ``exclude_text`` — scores and
+    corpus statistics identical to ``search_exact`` on the survivors
+    (the filtered-search statistics contract, ``search_filtered``).
+
+    Shape: one pruned posting scan per side; the exclusion side
+    decodes only doc ids and drops the positives with a distributed
+    anti-join — never a driver collect or broadcast, because a
+    stop-word exclusion legitimately matches most of the corpus.
+    Excluded terms absent from the dictionary exclude nothing; a doc
+    matching both sides is excluded (must_not wins)."""
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    ex_infos = _query_terms(index, exclude_text)
+    if ex_infos:
+        excluded = _decoded_postings(index, ex_infos).select(
+            "doc_id",
+        ).distinct()
+        scored = scored.join(excluded, "doc_id", "left_anti")
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
 def expand_prefix(
     index: dict, prefix: str, max_expansions: int = PREFIX_MAX_EXPANSIONS,
 ) -> list[dict]:

@@ -344,3 +344,72 @@ def test_and_absent_term_short_circuits(spark, index):
 
     assert search_and(spark, index, "sw0 zz_absent_zz", 10).count() == 0
     assert search_and(spark, index, "", 10).count() == 0
+
+
+# ---------------------------------------------------------------------
+# boolean must_not (query/bm25.py search_not)
+# ---------------------------------------------------------------------
+
+
+def test_not_rank_identity_vs_oracle(spark, index, oracle):
+    """search_not == the oracle's exact scores restricted to docs NOT
+    containing the excluded term, re-ranked under the shared tie rule
+    (corpus-level statistics on both sides)."""
+    import math
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_not
+
+    q, ex = "sw0 term_00042", "sw1"
+    terms = sorted(set(q.split()))
+    golden = sorted(
+        (
+            (oracle.doc_ids[i], oracle.score_doc(i, terms))
+            for i in range(oracle.n_docs)
+            if any(oracle.tf[i].get(t, 0) > 0 for t in terms)
+            and oracle.tf[i].get(ex, 0) == 0
+        ),
+        key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]),
+    )
+    assert golden, "exclusion must leave survivors in the test corpus"
+    k = min(10, len(golden))
+    expect = [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(golden[:k])
+    ]
+    assert _collect(search_not(spark, index, q, ex, k)) == expect
+
+
+def test_not_excluded_docs_absent_and_scores_unchanged(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_not,
+    )
+
+    q, ex = "sw0 sw1 term_00042", "term_00042"
+    with_term = {
+        r["doc_id"] for r in search_exact(spark, index, ex, 500).collect()
+    }
+    full = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in search_exact(spark, index, q, 500).collect()
+    }
+    got = search_not(spark, index, q, ex, 500).collect()
+    assert got, "must_not must leave survivors"
+    for r in got:
+        assert r["doc_id"] not in with_term
+        assert round(r["score"], 4) == full[r["doc_id"]]
+
+
+def test_not_edge_cases(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_not,
+    )
+
+    # absent excluded term excludes nothing
+    a = _collect(search_not(spark, index, "sw0 term_00042", "zz_no", 10))
+    b = _collect(search_exact(spark, index, "sw0 term_00042", 10))
+    assert a == b
+    # empty positive query -> empty result
+    assert search_not(spark, index, "", "sw0", 10).count() == 0
+    # excluding every positive term -> empty (must_not wins)
+    assert search_not(spark, index, "sw0", "sw0", 10).count() == 0
