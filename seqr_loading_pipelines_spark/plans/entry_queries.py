@@ -1663,6 +1663,259 @@ FROM hits ORDER BY n_matches DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------------------------------------------
+# round-5 retrieval surfaces: bool tree, fuzzy, facets, pagination,
+# regex — each through the REAL index path with a pure-SQL oracle
+# --------------------------------------------------------------------
+
+BOOL_MUST = ["spark"]
+BOOL_SHOULD = ["query", "vector"]
+BOOL_MUST_NOT = ["window"]
+BOOL_FILTER_SQL = "lang = 'en'"
+
+
+def q_index_bool_search(spark, sf_dir):
+    """Structured bool retrieval through the REAL index path: the
+    Lucene/ES bool tree (must gates candidacy, should boosts, must_not
+    anti-joins, filter restricts via the gated decode mask) compiled
+    onto one pruned posting scan (query/boolean.py). Exercises every
+    clause at once. Oracle: BM25 SQL with a HAVING over matched must
+    terms + NOT list_has_any + the metadata predicate."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.boolean import search_bool
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_bool(
+        spark, index,
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT,
+        filter=BOOL_FILTER_SQL, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_bool(
+    must: list[str], should: list[str], must_not: list[str],
+    filter_sql: str, k: int,
+) -> str:
+    """Bool-tree oracle: disjunctive scoring over must+should with a
+    matched-MUST-count HAVING, must_not exclusion, metadata filter —
+    statistics corpus-level throughout (query/boolean.py contract)."""
+    all_terms = sorted(set(must) | set(should))
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    must_list = ", ".join(f"'{t}'" for t in sorted(set(must)))
+    not_list = ", ".join(f"'{t}'" for t in sorted(set(must_not)))
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {filter_sql})
+    AND tf.doc_id NOT IN (
+      SELECT doc_id FROM documents WHERE list_has_any({_T}, [{not_list}]))
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN tf.term IN ({must_list})
+                             THEN tf.term END) = {len(set(must))}
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_BOOL_SEARCH = _sql_bm25_bool(
+    BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, BOOL_FILTER_SQL, 10,
+)
+
+
+FUZZY_QUERY = "hast"  # lev<=1 neighborhood in-corpus: {hash, fast}
+FUZZY_MAX_EDITS = 1
+
+
+def q_index_fuzzy_search(spark, sf_dir):
+    """Fuzzy (edit-distance) retrieval through the REAL index path:
+    the typo token expands against the term dictionary via the banded
+    JVM levenshtein with a length-band prefilter (query/bm25.py
+    expand_fuzzy), then one pruned posting scan scores the union
+    disjunction. Oracle: the same expansion + scoring in pure SQL
+    (DuckDB levenshtein)."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_fuzzy,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_fuzzy(
+        spark, index, FUZZY_QUERY, max_edits=FUZZY_MAX_EDITS, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_fuzzy(term: str, max_edits: int, max_expansions: int, k: int) -> str:
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+flat AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE levenshtein(term, '{term}') <= {max_edits}
+),
+expanded AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM flat GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN (SELECT term FROM expanded)
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN expanded e USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_FUZZY_SEARCH = _sql_bm25_fuzzy(FUZZY_QUERY, FUZZY_MAX_EDITS, 64, 10)
+
+
+def q_index_facets(spark, sf_dir):
+    """Faceted search through the REAL index path: lang-value counts
+    over EVERY doc matching any reference query term (query/facets.py)
+    — the aggregation-beside-the-ranking every serving engine renders.
+    Facet values are corpus metadata, so no id mapping is needed.
+    Oracle: GROUP BY over the disjunctive match set in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import facet_counts
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return facet_counts(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang", top_n=10,
+    )
+
+
+SQL_INDEX_FACETS = f"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+GROUP BY lang
+ORDER BY n_docs DESC, lang ASC
+LIMIT 10
+"""
+
+
+SEARCH_AFTER_PAGE = 5
+
+
+def q_index_search_after(spark, sf_dir):
+    """Keyset pagination through the REAL index path: page 1 of
+    {SEARCH_AFTER_PAGE} via search_exact, then its last row becomes
+    the (score, doc_id) cursor and search_after returns page 2 with
+    page-relative ranks — O(k) deep pagination (query/bm25.py).
+    Oracle: ranks 6..10 of the same BM25 SQL, renumbered."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_after,
+        search_exact,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    q = " ".join(BM25_QUERY_TERMS)
+    page1 = search_exact(spark, index, q, k=SEARCH_AFTER_PAGE).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"]) if page1 else None
+    page2 = search_after(
+        spark, index, q, cursor=cursor, k=SEARCH_AFTER_PAGE,
+    )
+    return hydrate(index, page2).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_SEARCH_AFTER = f"""
+SELECT doc_id, score, (rank - {SEARCH_AFTER_PAGE})::INT AS rank
+FROM ({_sql_bm25(BM25_QUERY_TERMS, 2 * SEARCH_AFTER_PAGE)})
+WHERE rank > {SEARCH_AFTER_PAGE}
+"""
+
+
+REGEX_PATTERN = "hash b[a-z]tch"  # matches inside 'hash batch' runs
+
+
+def q_index_regex_search(spark, sf_dir):
+    """Regex (grep -E) search through the REAL index path: required
+    literal runs extracted conservatively from the pattern, their
+    trigrams AND-gated through the byte-trigram projection, the real
+    regex engine confirming on candidates only (query/regex.py — the
+    zoekt recipe generalized from exact substrings). Oracle:
+    regexp_matches/regexp_extract_all in SQL. Over-fetch +
+    external-id re-rank, same tie-rule rationale as the substring
+    row."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.regex import search_regex
+
+    _, index = _built_index(spark, sf_dir, "tri", trigrams=True)
+    out = search_regex(spark, index, REGEX_PATTERN, k=200)
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "n_matches",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_REGEX_SEARCH = f"""
+WITH hits AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{REGEX_PATTERN}'))::INT AS n_matches
+  FROM documents
+  WHERE regexp_matches(text, '{REGEX_PATTERN}')
+)
+SELECT doc_id, n_matches,
+       row_number() OVER (ORDER BY n_matches DESC, doc_id)::INT AS rank
+FROM hits ORDER BY n_matches DESC, doc_id LIMIT 10
+"""
+
+
 def q_index_delete_survivors(spark, sf_dir):
     """Delete-by-predicate roundtrip, driver-gated: build -> tombstone
     every lang='de' doc (dictionary df/cf decremented exactly) -> the
@@ -1890,6 +2143,11 @@ QUERIES = {
     "index_substring_search": q_index_substring_search,
     "index_bm25_and": q_index_bm25_and,
     "index_bm25_not": q_index_bm25_not,
+    "index_bool_search": q_index_bool_search,
+    "index_fuzzy_search": q_index_fuzzy_search,
+    "index_facets": q_index_facets,
+    "index_search_after": q_index_search_after,
+    "index_regex_search": q_index_regex_search,
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
@@ -1948,6 +2206,11 @@ ORACLE_SQL = {
     "index_substring_search": SQL_INDEX_SUBSTRING_SEARCH,
     "index_bm25_and": SQL_INDEX_BM25_AND,
     "index_bm25_not": SQL_INDEX_BM25_NOT,
+    "index_bool_search": SQL_INDEX_BOOL_SEARCH,
+    "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,
+    "index_facets": SQL_INDEX_FACETS,
+    "index_search_after": SQL_INDEX_SEARCH_AFTER,
+    "index_regex_search": SQL_INDEX_REGEX_SEARCH,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,

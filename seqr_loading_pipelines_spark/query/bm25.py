@@ -348,6 +348,125 @@ def expand_prefix(
     ]
 
 
+def expand_fuzzy(
+    index: dict,
+    term: str,
+    max_edits: int = 1,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> list[dict]:
+    """Fuzzy term -> dictionary terms within ``max_edits`` Levenshtein
+    edits, highest-df first (ties: term asc), capped at
+    ``max_expansions`` — Lucene FuzzyQuery's rewrite discipline.
+
+    One bounded dictionary job, entirely JVM-side: a cheap length-band
+    prefilter (an edit changes length by at most 1, so
+    ``abs(len(term) - len(q)) <= max_edits`` prunes most of the
+    dictionary before any distance is computed), then Spark's built-in
+    banded ``levenshtein(.., threshold)`` — early-exits past the
+    threshold instead of filling the full DP matrix — and a
+    TakeOrdered cap so at most ``max_expansions`` rows reach the
+    driver. The dictionary scan reads two narrow columns of a table
+    ~1e4x smaller than the corpus; an FST/SymSpell automaton is the
+    further refinement if dictionary scans ever dominate."""
+    term = term.strip().lower()
+    if not term:
+        raise ValueError("fuzzy term must be non-empty")
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    n_docs = index["manifest"]["n_docs"]
+    rows = (
+        index["term_dict"]
+        .filter(
+            F.abs(F.length("term") - F.lit(len(term))) <= max_edits,
+        )
+        .filter(
+            F.levenshtein(F.col("term"), F.lit(term), max_edits) >= 0,
+        )
+        .select("term", "term_id", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [
+        {
+            "term": r["term"],
+            "term_id": int(r["term_id"]),
+            "idf": idf_fn(n_docs, int(r["df"])),
+        }
+        for r in rows
+    ]
+
+
+def search_fuzzy(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    max_edits: int = 1,
+    k: int = 10,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> DataFrame:
+    """Fuzzy query: every query token expands to its dictionary
+    neighborhood within ``max_edits`` (capped df-descending per
+    token), then ONE pruned posting scan scores the union disjunction
+    — each matched variant contributes its own corpus idf, and a doc
+    matching several variants sums their contributions
+    (rank-identical to ``search_exact`` over the same expanded term
+    set). The typo-tolerant retrieval mode of every serving engine."""
+    expanded: dict[int, dict] = {}
+    for tok in sorted(set(tokenize_py(query_text))):
+        for info in expand_fuzzy(index, tok, max_edits, max_expansions):
+            expanded[info["term_id"]] = info
+    if not expanded:
+        return _empty_topk(spark)
+    term_infos = list(expanded.values())
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    return rank_topk(scored, k)
+
+
+def search_after(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    cursor: tuple[float, int] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Keyset pagination over disjunctive BM25: return the next ``k``
+    results strictly AFTER ``cursor = (score, doc_id)`` in the shared
+    deterministic total order (quantized score desc, doc_id asc) —
+    Elasticsearch's ``search_after``, the deep-pagination shape that
+    stays O(k) per page where from+size grows O(page_depth).
+
+    The cursor compares in QUANTIZED score space (the same 1e-5
+    quantization the tie rule ranks with, ``quantized``), so a page
+    boundary splitting two score-tied docs resumes exactly at the
+    doc_id tiebreak and float jitter can't skip or repeat a row.
+    Ranks restart at 1 per page (the page is self-contained; absolute
+    offsets are the caller's bookkeeping). ``cursor=None`` is page 1.
+    """
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    if cursor is not None:
+        c_score, c_doc = cursor
+        cq = F.floor(F.lit(float(c_score)) * 1e5 + 0.5)
+        q = quantized(F.col("score"))
+        scored = scored.filter(
+            (q < cq) | ((q == cq) & (F.col("doc_id") > int(c_doc))),
+        )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
 def search_prefix(
     spark: SparkSession,
     index: dict,

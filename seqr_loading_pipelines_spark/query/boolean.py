@@ -1,0 +1,145 @@
+"""Structured boolean retrieval: the Lucene/Elasticsearch ``bool``
+query compiled onto ONE pruned posting scan.
+
+``search_bool`` takes the four classic clause lists — ``must``
+(every term required, scoring), ``should`` (optional, scoring),
+``must_not`` (excluding, non-scoring), ``filter`` (a metadata
+predicate over the doc store, non-scoring) — and answers top-k BM25
+with the same statistics contract as every other executor in this
+package: idf/avgdl/N are CORPUS-level, clauses restrict candidates but
+never the statistics, so a doc's score for a given matched-term set is
+identical across ``search_exact`` / ``search_and`` / ``search_bool``.
+
+This is the serving-side query model the reference exports to: its
+Hail→Elasticsearch path (SURVEY §2/§3) hands seqr an ES index queried
+with exactly these bool trees (term filters + ranked should clauses);
+the from-scratch engine answers them against its own posting-block
+index instead.
+
+Execution shape (one scan, three cheap gates — never N scans):
+
+1. must + should terms resolve against the dictionary together and
+   share ONE term-pruned posting scan (``_decoded_postings`` with
+   per-row term ids), so a term appearing in both lists decodes once;
+2. the conjunction is a HAVING over the per-doc matched-MUST count
+   (exact with a plain count — a (term, doc) posting pair exists in
+   exactly one segment, index/build.py dense doc ids);
+3. ``minimum_should_match`` gates on the matched-SHOULD count; its
+   default follows Lucene: 0 when ``must`` is non-empty (should only
+   boosts), else 1 (pure disjunction);
+4. ``must_not`` decodes doc ids only from a second pruned scan and
+   drops positives with a DISTRIBUTED anti-join (a stop-word
+   exclusion legitimately matches most of the corpus — never a
+   driver collect, query/bm25.py search_not);
+5. ``filter`` reuses the gated inclusion-mask machinery of
+   ``search_filtered``: small allowed sets ride INSIDE the vectorized
+   posting decode as a sorted numpy mask, large ones stay distributed
+   behind a semi-join on candidates only.
+
+A must term missing from the dictionary short-circuits to empty
+(nothing can contain it); missing should / must_not terms contribute /
+exclude nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.bm25 import (
+    FILTER_BROADCAST_MAX,
+    _decoded_postings,
+    _empty_topk,
+    _query_terms,
+    rank_topk,
+)
+
+
+def search_bool(
+    spark: SparkSession,
+    index: dict,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    filter=None,  # noqa: A002 - the ES clause name IS the API
+    minimum_should_match: int | None = None,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 over a bool clause tree; returns
+    ``(doc_id, score, rank)`` under the shared deterministic tie rule
+    (quantized score desc, doc_id asc)."""
+    must_terms = sorted({t for c in (must or []) for t in tokenize_py(c)})
+    should_terms = sorted({t for c in (should or []) for t in tokenize_py(c)})
+    if not must_terms and not should_terms:
+        return _empty_topk(spark)
+    if minimum_should_match is None:
+        minimum_should_match = 0 if must_terms else 1
+
+    infos = _query_terms(index, " ".join(must_terms + should_terms))
+    by_term = {i["term"]: i for i in infos}
+    missing_must = [t for t in must_terms if t not in by_term]
+    if missing_must:
+        return _empty_topk(spark)
+    matched_should = [t for t in should_terms if t in by_term]
+    if len(matched_should) < minimum_should_match and not must_terms:
+        return _empty_topk(spark)
+
+    # ---- optional metadata filter: gated inclusion mask ------------
+    keep_ids = None
+    allowed = None
+    if filter is not None:
+        pred = F.expr(filter) if isinstance(filter, str) else filter
+        allowed = index["doc_stats"].filter(pred).select("doc_id")
+        gate = (
+            broadcast_max
+            if broadcast_max is not None
+            else index.get("_filter_bcast_max", FILTER_BROADCAST_MAX)
+        )
+        if allowed.limit(gate + 1).count() <= gate:
+            arr = allowed.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+            if not len(arr):
+                return _empty_topk(spark)
+            keep_ids = np.sort(arr)
+            allowed = None  # applied inside the decode; no join needed
+
+    # ---- one scan for every scoring term ----------------------------
+    must_tids = [by_term[t]["term_id"] for t in must_terms]
+    should_tids = [by_term[t]["term_id"] for t in matched_should]
+    decoded = _decoded_postings(index, infos, keep_ids=keep_ids, with_term=True)
+    is_must = F.col("term_id").isin(must_tids) if must_tids else F.lit(False)
+    is_should = (
+        F.col("term_id").isin(should_tids) if should_tids else F.lit(False)
+    )
+    scored = (
+        decoded.groupBy("doc_id")
+        .agg(
+            F.sum("contribution").alias("score"),
+            F.sum(is_must.cast("int")).alias("_n_must"),
+            F.sum(is_should.cast("int")).alias("_n_should"),
+        )
+        .filter(
+            (F.col("_n_must") == len(must_tids))
+            & (F.col("_n_should") >= minimum_should_match),
+        )
+        .select("doc_id", "score")
+    )
+    if allowed is not None:
+        scored = scored.join(allowed, "doc_id", "left_semi")
+
+    # ---- must_not: second pruned scan, distributed anti-join --------
+    not_terms = sorted(
+        {t for c in (must_not or []) for t in tokenize_py(c)},
+    )
+    if not_terms:
+        ex_infos = _query_terms(index, " ".join(not_terms))
+        if ex_infos:
+            excluded = _decoded_postings(index, ex_infos).select(
+                "doc_id",
+            ).distinct()
+            scored = scored.join(excluded, "doc_id", "left_anti")
+
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)

@@ -1,0 +1,84 @@
+"""Faceted search: value counts of a doc-store column over ALL docs
+matching a query — the aggregation panel every serving engine renders
+beside ranked results (Elasticsearch ``terms`` aggregation; the
+reference's ES export serves exactly these beside its ranked hits,
+and its ClickHouse successor serves them as GROUP BY over dictionary-
+encoded filter columns, test_clickhouse_schema.sql:4,75).
+
+Semantics: the match set is the DISJUNCTION of the query's tokens
+(every doc containing at least one term — the candidate set BM25
+ranks), optionally conjunctive via ``require_all``. Facet counts
+cover the WHOLE match set, not the top-k page: that is the point of
+facets, and the reason this is a distinct operator rather than a
+``hydrate`` post-step.
+
+Scale shape: one term-pruned posting scan yields matching doc ids
+(already tombstone-excluded); the facet column rides a two-column
+projection of the doc store joined on doc_id — small match sets
+broadcast into the join (bounded probe, the tombstone-gate pattern),
+large ones shuffle ONCE on doc_id; the per-value count is a
+map-side-combining hash agg on the facet value whose output
+cardinality is the number of distinct facet values, then a bounded
+TakeOrdered for the top-n panel. No driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.bm25 import (
+    _decoded_postings,
+    _query_terms,
+)
+
+# match sets at or under this size broadcast into the doc-store join;
+# above it the join shuffles (matches deletes.py:47's tombstone gate)
+MATCH_BROADCAST_MAX = 2_000_000
+
+
+def facet_counts(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    facet_col: str,
+    top_n: int = 10,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Top-n ``(facet, n_docs)`` for ``facet_col`` over every doc
+    matching ``query_text``, ordered (n_docs desc, facet asc).
+    Null facet values count under their own bucket (surfaced as
+    NULL — hiding them would silently under-report the match set).
+    """
+    term_infos = _query_terms(index, query_text)
+    if not term_infos or (
+        require_all and len(term_infos) < len(set(tokenize_py(query_text)))
+    ):
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    decoded = _decoded_postings(index, term_infos, with_term=require_all)
+    if require_all:
+        matches = (
+            decoded.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(term_infos))
+            .select("doc_id")
+        )
+    else:
+        matches = decoded.select("doc_id").distinct()
+
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    counted = (
+        index["doc_stats"]
+        .select("doc_id", facet_col)
+        .join(matches, "doc_id", "inner")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        counted.orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+        .limit(top_n)
+    )

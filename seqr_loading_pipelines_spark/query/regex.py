@@ -1,0 +1,274 @@
+"""Regex search over the byte-trigram index — the zoekt / Google
+Code Search recipe generalized from exact substrings to patterns.
+
+A regex match must contain, verbatim, every literal run the pattern
+REQUIRES (chars that appear in all paths through the pattern,
+contiguously). Those runs' trigrams give an exact candidate superset
+through the same trigram machinery as ``search_substring``; a final
+pruned content scan verifies with the real regex engine (JVM
+``rlike`` / ``regexp_count`` — whole-stage codegen, no Python).
+
+``required_literals`` is a CONSERVATIVE extractor: it only ever
+returns literals that every match truly contains (soundness — a
+missed literal costs pruning power, an invented one costs
+correctness), handling escapes, char classes, groups (a group
+quantified ``?``/``*``/``{0,..}`` contributes nothing; its literals
+are discarded), quantifier back-off (``x*`` removes the ``x`` from
+the run, ``x+`` keeps one ``x`` but breaks the run), and refusing
+top-level alternation (``a|b`` requires neither side — v1 answers it
+through the scan fallback rather than approximating the union).
+
+Patterns with no required literal of >= 3 bytes have no trigram
+anchor; by default that raises (at corpus scale an unanchored regex
+IS a full scan and the caller should say so), and
+``allow_scan=True`` opts into the full content scan explicitly —
+the zoekt fallback, correct and honestly priced.
+
+Reference analog: the reference serves pattern match via ClickHouse
+``match()`` full scans over denormalized search tables
+(test_clickhouse_schema.sql:86-120); the trigram anchor is the
+from-scratch engine's corpus-scale replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.trigram import needle_trigrams
+from seqr_loading_pipelines_spark.query.bm25 import rank_topk
+from seqr_loading_pipelines_spark.query.substring import (
+    DEFAULT_MAX_PROBE,
+    ID_COLLECT_GATE,
+    trigram_candidate_content,
+)
+
+# metacharacters that terminate a literal run when unescaped
+_META = set(".^$*+?()[]{}|\\")
+
+# escapes that denote a single literal char (\. \* \\ ...) — anything
+# else escaped (\d \w \b \s \1 ...) is a class/anchor, not a literal
+_LITERAL_ESCAPES = set(".^$*+?()[]{}|\\-/ ")
+
+
+class _Run:
+    """A literal run under construction + the finished runs, with
+    group-scoped rollback (a ``(...)?`` group un-requires everything
+    it collected)."""
+
+    def __init__(self) -> None:
+        self.done: list[str] = []
+        self.cur: list[str] = []
+
+    def push(self, ch: str) -> None:
+        self.cur.append(ch)
+
+    def brk(self) -> None:
+        if self.cur:
+            self.done.append("".join(self.cur))
+            self.cur = []
+
+    def drop_last_char(self) -> None:
+        if self.cur:
+            self.cur.pop()
+
+    def mark(self) -> int:
+        # group boundaries always brk() first, so cur is empty at both
+        # mark and rollback time; the done-count is the whole state
+        return len(self.done)
+
+    def rollback(self, mark: int) -> None:
+        del self.done[mark:]
+        self.cur = []
+
+
+def required_literals(pattern: str) -> list[str] | None:
+    """Literal strings every match of ``pattern`` must contain
+    contiguously, or ``None`` when the pattern's structure defeats
+    conservative extraction (top-level alternation). Sound, not
+    complete."""
+    runs = _Run()
+    group_marks: list[tuple[int, bool]] = []  # (mark, discard_contents)
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= n:
+                return None  # trailing backslash: malformed, punt
+            nxt = pattern[i + 1]
+            i += 2
+            if nxt in _LITERAL_ESCAPES:
+                # quantifier after an escaped literal back-offs below
+                if i < n and pattern[i] in "*?":
+                    runs.brk()
+                elif i < n and pattern[i] == "{":
+                    runs.brk()  # conservative: drop the atom entirely
+                elif i < n and pattern[i] == "+":
+                    runs.push(nxt)
+                    runs.brk()
+                    i += 1
+                else:
+                    runs.push(nxt)
+            else:
+                runs.brk()  # \d \w \s \b ... — not a literal
+            continue
+        if ch == "|":
+            # alternation: nothing on either side is required. Inside
+            # a group we could discard just the group; v1 punts the
+            # whole pattern to the caller's fallback (sound).
+            return None
+        if ch == "[":
+            # skip the char class (handle \] and a leading ])
+            i += 1
+            if i < n and pattern[i] == "^":
+                i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            if i >= n:
+                return None  # unterminated class: malformed, punt
+            i += 1  # the closing ]
+            # a class matches unknown bytes; quantifiers after it are
+            # irrelevant to literals — just break the run
+            runs.brk()
+            continue
+        if ch == "(":
+            # group open ( (?: (?= (?! (?<= (?<! ... — always a run
+            # boundary. Lookaround contents are dropped wholesale at
+            # close: a POSITIVE lookaround's text does appear in the
+            # doc, but a negative one's must NOT — rather than track
+            # polarity, discard both (loses pruning power, never
+            # soundness).
+            runs.brk()
+            discard = False
+            i += 1
+            if i < n and pattern[i] == "?":
+                j = i + 1
+                if j < n and pattern[j] == ":":
+                    i = j + 1
+                elif j < n and pattern[j] in "=!":
+                    i, discard = j + 1, True
+                elif j + 1 < n and pattern[j] == "<" and pattern[j + 1] in "=!":
+                    i, discard = j + 2, True
+                else:
+                    # (?P<name> etc. — name chars would read as
+                    # literals, which is unsound; punt
+                    return None
+            group_marks.append((runs.mark(), discard))
+            continue
+        if ch == ")":
+            runs.brk()
+            if not group_marks:
+                return None  # unbalanced: malformed, punt
+            mark, discard = group_marks.pop()
+            i += 1
+            if discard or (
+                i < n
+                and (
+                    pattern[i] in "*?"
+                    or (pattern[i] == "{" and pattern[i + 1: i + 2] == "0")
+                )
+            ):
+                # optional group / lookaround: contents not required
+                runs.rollback(mark)
+            continue
+        if ch in ".^$":
+            runs.brk()
+            i += 1
+            continue
+        if ch in "*?":
+            # previous single char was optional — remove it, break
+            runs.drop_last_char()
+            runs.brk()
+            i += 1
+            continue
+        if ch == "+":
+            # previous char required at least once; repetition follows
+            runs.brk()
+            i += 1
+            continue
+        if ch == "{":
+            # {m,n} quantifier on the previous char: keep it only when
+            # m >= 1; conservative — drop it otherwise
+            j = pattern.find("}", i)
+            if j < 0:
+                return None
+            body = pattern[i + 1: j]
+            head = body.split(",")[0].strip()
+            if not (head.isdigit() and int(head) >= 1):
+                runs.drop_last_char()
+            runs.brk()
+            i = j + 1
+            continue
+        runs.push(ch)
+        i += 1
+    if group_marks:
+        return None  # unbalanced parens: malformed, punt
+    runs.brk()
+    return [r for r in runs.done if r]
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "doc_id long, n_matches int, rank int",
+    )
+
+
+def search_regex(
+    spark: SparkSession,
+    index: dict,
+    pattern: str,
+    k: int = 10,
+    max_probe: int = DEFAULT_MAX_PROBE,
+    id_collect_gate: int = ID_COLLECT_GATE,
+    allow_scan: bool = False,
+) -> DataFrame:
+    """Top-k docs whose content matches ``pattern`` (JVM regex
+    semantics), ranked by (non-overlapping match count desc, doc_id
+    asc). Requires ``IndexBuilder(trigrams=True)``.
+
+    The candidate set is docs containing ALL trigrams of ALL required
+    literal runs (each run is required text, so the union of their
+    trigram sets is jointly required); the rarest ``max_probe``
+    trigrams do the pruning and the regex engine confirms on the
+    survivors only."""
+    if not pattern:
+        return _empty(spark)
+    lits = required_literals(pattern)
+    tris: list[int] = []
+    if lits is not None:
+        seen: set[int] = set()
+        for lit in lits:
+            seen.update(needle_trigrams(lit))
+        tris = sorted(seen)
+    if not tris and not allow_scan:
+        raise ValueError(
+            "pattern has no required literal of >= 3 bytes — no trigram "
+            "anchor, so this query is a full content scan; pass "
+            "allow_scan=True to run it anyway",
+        )
+    verified = trigram_candidate_content(
+        spark, index, tris, max_probe, id_collect_gate,
+    )
+    if verified is None:
+        return _empty(spark)
+    scored = (
+        verified.select(
+            "doc_id",
+            F.regexp_count(F.col("content"), F.lit(pattern)).alias(
+                "n_matches",
+            ),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", F.col("n_matches").cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", F.col("score").cast("int").alias("n_matches"), "rank",
+    )

@@ -100,36 +100,33 @@ def _verified_topk(
     )
 
 
-def search_substring(
+def trigram_candidate_content(
     spark: SparkSession,
     index: dict,
-    needle: str,
-    k: int = 10,
+    tris: list[int],
     max_probe: int = DEFAULT_MAX_PROBE,
     id_collect_gate: int = ID_COLLECT_GATE,
-) -> DataFrame:
-    """Top-k docs containing the exact substring ``needle``, ranked by
-    (n_matches desc, doc_id asc). Requires an index built with
-    ``IndexBuilder(trigrams=True)``."""
+) -> DataFrame | None:
+    """Content projection restricted to docs containing ALL ``tris``
+    (steps 2-4 of the module recipe), tombstone-excluded; ``None``
+    means some trigram occurs in no live document, so no match exists
+    anywhere — callers short-circuit to empty. An empty ``tris`` list
+    returns the full (tombstone-excluded) content scan: correct, and
+    the cost IS a scan. Shared by exact-substring and regex search."""
     if "tri_postings" not in index:
         raise ValueError(
             "index was built without the trigram substring projection; "
             "rebuild with IndexBuilder(trigrams=True) to enable "
-            "substring queries",
+            "substring/regex queries",
         )
-    if not needle:
-        return _empty(spark)
     content = index["content"]
     tombstones = index.get("tombstones")
-    tris = needle_trigrams(needle)
     if not tris:
-        # needle shorter than 3 bytes: no trigram to prune with — full
-        # verify scan (correct; the cost IS a content scan)
         if tombstones is not None:
             content = content.join(
                 tombstones.select("doc_id"), "doc_id", "left_anti",
             )
-        return _verified_topk(spark, index, content, needle, k)
+        return content
 
     # per-trigram df for JUST the needle's trigrams (pushed IN over the
     # tiny per-segment dict tables, summed across segments)
@@ -143,7 +140,7 @@ def search_substring(
     df_by_tri = {r["tri_id"]: r["df"] for r in df_rows}
     if len(df_by_tri) < len(tris):
         # some needle trigram occurs in no document -> no match anywhere
-        return _empty(spark)
+        return None
     probes = sorted(tris, key=lambda t: (df_by_tri[t], t))[:max_probe]
     cand = (
         index["tri_postings"]
@@ -163,8 +160,33 @@ def search_substring(
     if min_df <= id_collect_gate:
         ids = [r["doc_id"] for r in cand.collect()]
         if not ids:
-            return _empty(spark)
-        verified = content.filter(F.col("doc_id").isin(ids))
-    else:
-        verified = content.join(cand, "doc_id", "left_semi")
+            return None
+        return content.filter(F.col("doc_id").isin(ids))
+    return content.join(cand, "doc_id", "left_semi")
+
+
+def search_substring(
+    spark: SparkSession,
+    index: dict,
+    needle: str,
+    k: int = 10,
+    max_probe: int = DEFAULT_MAX_PROBE,
+    id_collect_gate: int = ID_COLLECT_GATE,
+) -> DataFrame:
+    """Top-k docs containing the exact substring ``needle``, ranked by
+    (n_matches desc, doc_id asc). Requires an index built with
+    ``IndexBuilder(trigrams=True)``."""
+    if "tri_postings" not in index:
+        raise ValueError(
+            "index was built without the trigram substring projection; "
+            "rebuild with IndexBuilder(trigrams=True) to enable "
+            "substring queries",
+        )
+    if not needle:
+        return _empty(spark)
+    verified = trigram_candidate_content(
+        spark, index, needle_trigrams(needle), max_probe, id_collect_gate,
+    )
+    if verified is None:
+        return _empty(spark)
     return _verified_topk(spark, index, verified, needle, k)

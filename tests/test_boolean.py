@@ -1,0 +1,283 @@
+"""Round-5 retrieval surfaces: structured bool queries
+(query/boolean.py), fuzzy term expansion, keyset pagination
+(query/bm25.py), and faceted search (query/facets.py).
+
+Strategy: each composite surface must be IDENTICAL to the composition
+of the already-rank-identity-gated executors it generalizes
+(bool(must) == and, bool(should) == exact, bool+filter == filtered,
+pages concatenated == one big page), plus oracle-derived goldens for
+the semantics only the new surface has (mixed must/should scoring,
+fuzzy neighborhoods, facet counts).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.bm25 import (
+    expand_fuzzy,
+    search_after,
+    search_and,
+    search_exact,
+    search_filtered,
+    search_fuzzy,
+    search_not,
+)
+from seqr_loading_pipelines_spark.query.boolean import search_bool
+from seqr_loading_pipelines_spark.query.facets import facet_counts
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 4), r["rank"]) for r in df.collect()
+    ]
+
+
+# ---------------------------------------------------------------------
+# search_bool: identities against the gated executors
+# ---------------------------------------------------------------------
+
+
+def test_bool_must_only_equals_and(spark, index):
+    q = "sw0 term_00042"
+    assert _rows(search_bool(spark, index, must=["sw0", "term_00042"], k=20)) \
+        == _rows(search_and(spark, index, q, k=20))
+
+
+def test_bool_should_only_equals_exact(spark, index):
+    q = "sw1 term_00007"
+    got = search_bool(spark, index, should=["sw1", "term_00007"], k=15)
+    assert _rows(got) == _rows(search_exact(spark, index, q, k=15))
+
+
+def test_bool_msm_all_equals_and(spark, index):
+    got = search_bool(
+        spark, index, should=["sw0", "sw1"], minimum_should_match=2, k=10,
+    )
+    assert _rows(got) == _rows(search_and(spark, index, "sw0 sw1", k=10))
+
+
+def test_bool_should_plus_must_not_equals_not(spark, index):
+    got = search_bool(
+        spark, index, should=["sw0", "term_00042"], must_not=["sw1"], k=15,
+    )
+    want = search_not(spark, index, "sw0 term_00042", "sw1", k=15)
+    assert _rows(got) == _rows(want)
+
+
+def test_bool_filter_equals_filtered(spark, index):
+    got = search_bool(
+        spark, index, should=["sw0", "term_00011"],
+        filter=F.col("lang") == "python", k=15,
+    )
+    want = search_filtered(
+        spark, index, "sw0 term_00011", F.col("lang") == "python", k=15,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_bool_mixed_must_should_golden(spark, index, oracle):
+    """must gates candidacy, should only boosts: expected set = docs
+    containing the must term; expected score = contributions of every
+    matched query term (must or should)."""
+    must_t, should_t = "sw0", "term_00042"
+    got = _rows(search_bool(spark, index, must=[must_t], should=[should_t], k=500))
+    scored = []
+    for i, doc_id in enumerate(oracle.doc_ids):
+        if oracle.tf[i].get(must_t, 0) == 0:
+            continue
+        s = oracle.score_doc(i, [must_t, should_t])
+        scored.append((doc_id, s))
+    scored.sort(key=lambda x: (-math.floor(x[1] * 1e5 + 0.5), x[0]))
+    want = [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(scored[:500])
+    ]
+    assert got == want
+    # sanity: the should term actually changed at least one score
+    # (otherwise this golden degenerates to the must-only identity)
+    and_only = dict(
+        (d, s) for d, s, _ in _rows(search_exact(spark, index, must_t, k=500))
+    )
+    assert any(abs(dict((d, s) for d, s, _ in got).get(d, 0) - s) > 1e-6
+               for d, s in and_only.items())
+
+
+def test_bool_missing_must_and_empty_clauses(spark, index):
+    assert search_bool(
+        spark, index, must=["zz_nope_zz"], should=["sw0"],
+    ).count() == 0
+    assert search_bool(spark, index).count() == 0
+    # missing should term with must present: must still answers
+    got = search_bool(spark, index, must=["sw0"], should=["zz_nope_zz"], k=5)
+    assert _rows(got) == _rows(search_and(spark, index, "sw0", k=5))
+
+
+def test_bool_filter_unbroadcast_gate_identical(spark, index):
+    """broadcast_max=0 forces the distributed semi-join path; results
+    must be identical to the in-decode mask path."""
+    kw = dict(
+        should=["sw0", "term_00042"], filter=F.col("lang") == "go", k=15,
+    )
+    assert _rows(search_bool(spark, index, **kw, broadcast_max=0)) == _rows(
+        search_bool(spark, index, **kw),
+    )
+
+
+# ---------------------------------------------------------------------
+# fuzzy expansion + search
+# ---------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb),
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def test_expand_fuzzy_matches_python_neighborhood(index, oracle):
+    got = expand_fuzzy(index, "term_00042", max_edits=1, max_expansions=10_000)
+    got_terms = sorted(t["term"] for t in got)
+    want = sorted(
+        t for t in oracle.df if _lev(t, "term_00042") <= 1
+    )
+    assert got_terms == want
+    assert len(want) > 5  # the digit neighborhood is real
+    # df-descending cap binds deterministically
+    capped = expand_fuzzy(index, "term_00042", max_edits=1, max_expansions=3)
+    assert [t["term"] for t in capped] == [
+        t["term"]
+        for t in sorted(got, key=lambda x: (-oracle.df[x["term"]], x["term"]))
+    ][:3]
+
+
+def test_expand_fuzzy_zero_edits_is_exact(index):
+    got = expand_fuzzy(index, "sw0", max_edits=0, max_expansions=100)
+    assert [t["term"] for t in got] == ["sw0"]
+
+
+def test_search_fuzzy_rank_identity_vs_oracle(spark, index, oracle):
+    """Fuzzy over the expanded union must equal the oracle scoring of
+    exactly that term set (disjunctive, per-variant idf)."""
+    q = "term_00042"
+    infos = expand_fuzzy(index, q, max_edits=1, max_expansions=10_000)
+    terms = [t["term"] for t in infos]
+    got = _rows(search_fuzzy(spark, index, q, max_edits=1, k=25,
+                             max_expansions=10_000))
+    scored = []
+    for i, doc_id in enumerate(oracle.doc_ids):
+        s = oracle.score_doc(i, terms)
+        if s > 0.0:
+            scored.append((doc_id, s))
+    scored.sort(key=lambda x: (-math.floor(x[1] * 1e5 + 0.5), x[0]))
+    want = [(d, round(s, 4), i + 1) for i, (d, s) in enumerate(scored[:25])]
+    assert got == want
+
+
+def test_search_fuzzy_edges(spark, index):
+    assert search_fuzzy(spark, index, "zzqq_no_neighborhood", 1).count() == 0
+    with pytest.raises(ValueError):
+        expand_fuzzy(index, "   ")
+    with pytest.raises(ValueError):
+        expand_fuzzy(index, "sw0", max_edits=-1)
+
+
+# ---------------------------------------------------------------------
+# keyset pagination
+# ---------------------------------------------------------------------
+
+
+def test_search_after_pages_tile_the_full_ranking(spark, index):
+    q = "sw0 sw1 term_00042"
+    full = search_exact(spark, index, q, k=15).collect()
+
+    def key(rows):
+        return [(r["doc_id"], round(r["score"], 4)) for r in rows]
+
+    p1 = search_after(spark, index, q, cursor=None, k=5).collect()
+    assert key(p1) == key(full[:5])
+    # the cursor is the last row AS RETURNED (full-precision score —
+    # rounding it for display and feeding the rounded value back would
+    # re-admit docs inside the rounding gap)
+    c1 = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = search_after(spark, index, q, cursor=c1, k=5).collect()
+    assert key(p2) == key(full[5:10])
+    assert [r["rank"] for r in p2] == [1, 2, 3, 4, 5]  # page-relative
+    c2 = (p2[-1]["score"], p2[-1]["doc_id"])
+    p3 = search_after(spark, index, q, cursor=c2, k=5).collect()
+    assert key(p3) == key(full[10:15])
+    # disjointness across pages
+    ids = [r["doc_id"] for page in (p1, p2, p3) for r in page]
+    assert len(ids) == len(set(ids))
+
+
+def test_search_after_exhausted_cursor_returns_empty(spark, index):
+    q = "term_00042"
+    full = _rows(search_exact(spark, index, q, k=100_000))
+    last = full[-1]
+    tail = search_after(spark, index, q, cursor=(last[1], last[0]), k=5)
+    assert tail.count() == 0
+
+
+# ---------------------------------------------------------------------
+# facets
+# ---------------------------------------------------------------------
+
+
+def _expected_facets(index, oracle, terms, facet_col, require_all=False):
+    lang_by_doc = {
+        r["doc_id"]: r[facet_col]
+        for r in index["doc_stats"].select("doc_id", facet_col).collect()
+    }
+    from collections import Counter
+
+    c = Counter()
+    for i, doc_id in enumerate(oracle.doc_ids):
+        n = sum(1 for t in terms if oracle.tf[i].get(t, 0) > 0)
+        ok = (n == len(terms)) if require_all else (n > 0)
+        if ok:
+            c[lang_by_doc[doc_id]] += 1
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.mark.parametrize("require_all", [False, True])
+def test_facet_counts_match_python(spark, index, oracle, require_all):
+    terms = ["sw0", "term_00042"]
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(
+            spark, index, " ".join(terms), "lang", top_n=50,
+            require_all=require_all,
+        ).collect()
+    ]
+    assert got == _expected_facets(index, oracle, terms, "lang", require_all)
+    assert got  # non-degenerate
+
+
+def test_facet_counts_top_n_and_gates(spark, index, oracle):
+    terms = ["sw0"]
+    want = _expected_facets(index, oracle, terms, "lang")[:2]
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(spark, index, "sw0", "lang", top_n=2).collect()
+    ]
+    assert got == want
+    # forced unbroadcast path identical
+    got_shuffle = [
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(
+            spark, index, "sw0", "lang", top_n=2, broadcast_max=0,
+        ).collect()
+    ]
+    assert got_shuffle == want
+    # absent term -> empty frame with the declared schema
+    empty = facet_counts(spark, index, "zz_nope_zz", "lang")
+    assert empty.count() == 0 and empty.columns == ["lang", "n_docs"]

@@ -1,0 +1,162 @@
+"""Regex search over the trigram index: query/regex.py.
+
+Covers: the conservative required-literal extractor (soundness table
+incl. escapes, classes, optional groups, lookarounds, quantifier
+back-off, alternation punt), trigram-anchored search vs a python
+``re`` reference on the shared DOCS corpus, occurrence counting,
+unanchored-pattern refusal + explicit scan opt-in, absent-trigram
+short-circuit, and identity with exact-substring search on literal
+patterns.
+"""
+
+import re
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.regex import (
+    required_literals,
+    search_regex,
+)
+from tests.test_substring import DOCS, SCHEMA, tri_index  # noqa: F401
+
+
+# ---------------------------------------------------------------------
+# extractor (no Spark)
+# ---------------------------------------------------------------------
+
+EXTRACT_CASES = [
+    (r"hash batch", ["hash batch"]),
+    (r"ha.h", ["ha", "h"]),
+    (r"hash [a-z]+tch", ["hash ", "tch"]),
+    (r"hash.*batch", ["hash", "batch"]),
+    (r"foo(bar)?baz", ["foo", "baz"]),
+    (r"foo(bar)baz", ["foo", "bar", "baz"]),
+    (r"foo(?!bad)bar", ["foo", "bar"]),      # negative lookahead dropped
+    (r"foo(?<=pre)bar", ["foo", "bar"]),     # lookbehind dropped
+    (r"a|b", None),                          # alternation: punt
+    (r"(?:foo|bar)baz", None),
+    (r"ab*c", ["a", "c"]),
+    (r"ab+c", ["ab", "c"]),
+    (r"ab{0,2}c", ["a", "c"]),
+    (r"ab{2}c", ["ab", "c"]),
+    (r"colou?r", ["colo", "r"]),
+    (r"\d+ items", [" items"]),
+    (r"a\.b", ["a.b"]),
+    (r"^start.*end$", ["start", "end"]),
+    (r"a((bc)?d)e", ["a", "d", "e"]),
+    (r"x\*y", ["x*y"]),
+    (r"n(o)+pe", ["n", "o", "pe"]),
+    (r"(?P<name>abc)", None),                # named group: punt
+    (r"broken(", None),                      # malformed: punt
+    (r"[unterminated", None),
+]
+
+
+@pytest.mark.parametrize("pattern,want", EXTRACT_CASES)
+def test_required_literals(pattern, want):
+    assert required_literals(pattern) == want
+
+
+def test_extracted_literals_are_sound_on_random_matches():
+    """Property: for every pattern with literals, any string matching
+    the pattern contains every extracted literal."""
+    samples = {
+        r"hash [a-z]+tch": ["hash xtch", "hash batch scratch"],
+        r"foo(bar)?baz": ["foobaz", "foobarbaz"],
+        r"ab*c": ["ac", "abbbc"],
+        r"colou?r": ["color", "colour"],
+        r"foo(?!bad)bar": ["foobar"],
+    }
+    for pat, strings in samples.items():
+        lits = required_literals(pat)
+        for s in strings:
+            assert re.search(pat, s), (pat, s)
+            for lit in lits:
+                assert lit in s, (pat, s, lit)
+
+
+# ---------------------------------------------------------------------
+# engine semantics (tri_index imported from test_substring)
+# ---------------------------------------------------------------------
+
+
+def _got(spark, idx, pattern, **kw):
+    return {
+        r["doc_id"]: r["n_matches"]
+        for r in search_regex(spark, idx, pattern, **kw).collect()
+    }
+
+
+def _want(idx, pattern):
+    by_path = idx["_by_path"]
+    out = {}
+    for _, path, _, _, content in DOCS:
+        n = len(re.findall(pattern, content))
+        if n:
+            out[by_path[path]] = n
+    return out
+
+
+@pytest.mark.parametrize("pattern", [
+    r"h[a-z]sh batch",          # class inside: matches only 'hash batch'
+    r"crash.*batter",           # gap: candidate needs both literals
+    r"ash bat",                 # pure literal: == substring semantics
+    r"the .* slow",             # common words with wildcard
+    r"b[ao]tch",                # matches 'batch' only
+])
+def test_regex_matches_python_reference(spark, tri_index, pattern):  # noqa: F811
+    _, idx = tri_index
+    assert _got(spark, idx, pattern) == _want(idx, pattern)
+
+
+def test_regex_literal_pattern_equals_substring(spark, tri_index):  # noqa: F811
+    from seqr_loading_pipelines_spark.query.substring import search_substring
+
+    _, idx = tri_index
+    sub = {
+        r["doc_id"]: r["n_matches"]
+        for r in search_substring(spark, idx, "ash bat", 10).collect()
+    }
+    assert _got(spark, idx, r"ash bat") == sub
+
+
+def test_regex_counts_non_overlapping(spark, tri_index):  # noqa: F811
+    _, idx = tri_index
+    got = _got(spark, idx, r"ash bat")
+    d3 = idx["_by_path"]["d3.py"]
+    assert got[d3] == 2  # 'ash bat ash bat'
+
+
+def test_regex_unanchored_refuses_then_scans(spark, tri_index):  # noqa: F811
+    _, idx = tri_index
+    with pytest.raises(ValueError, match="trigram anchor"):
+        search_regex(spark, idx, r"[0-9]+")
+    assert _got(spark, idx, r"[0-9]+", allow_scan=True) == {}
+    # short literal (< 3 bytes): also scan-only
+    with pytest.raises(ValueError, match="trigram anchor"):
+        search_regex(spark, idx, r"ab")
+    assert _got(spark, idx, r"ab", allow_scan=True) == _want(idx, r"ab")
+
+
+def test_regex_alternation_falls_back_to_scan(spark, tri_index):  # noqa: F811
+    _, idx = tri_index
+    pat = r"(hash|crash) bat"
+    with pytest.raises(ValueError, match="trigram anchor"):
+        search_regex(spark, idx, pat)
+    assert _got(spark, idx, pat, allow_scan=True) == _want(idx, pat)
+
+
+def test_regex_absent_trigram_short_circuits(spark, tri_index):  # noqa: F811
+    _, idx = tri_index
+    assert _got(spark, idx, r"zzz[0-9]qqq") == {}
+
+
+def test_regex_empty_pattern_and_rank_order(spark, tri_index):  # noqa: F811
+    _, idx = tri_index
+    assert search_regex(spark, idx, "").count() == 0
+    rows = search_regex(spark, idx, r"ash bat", k=10).collect()
+    ranked = [(r["n_matches"], r["doc_id"], r["rank"]) for r in rows]
+    assert ranked == sorted(
+        ranked, key=lambda x: (-x[0], x[1]),
+    )
+    assert [r[2] for r in ranked] == list(range(1, len(ranked) + 1))
