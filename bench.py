@@ -213,6 +213,54 @@ def main() -> None:
         timings,
     )
 
+    # structured bool tree: every clause kind on one pruned scan
+    from seqr_loading_pipelines_spark.query.boolean import search_bool
+
+    timed_min(
+        "bm25_bool",
+        lambda: search_bool(
+            spark, index,
+            must=["sw0"], should=["term_00042", "term_00123"],
+            must_not=["sw1"], filter="lang = 'python'", k=10,
+        ).collect(),
+        timings,
+    )
+
+    # fuzzy: banded-levenshtein dictionary expansion -> disjunction
+    from seqr_loading_pipelines_spark.query.bm25 import search_fuzzy
+
+    timed_min(
+        "bm25_fuzzy",
+        lambda: search_fuzzy(
+            spark, index, "term_00042", max_edits=1, k=10,
+        ).collect(),
+        timings,
+    )
+
+    # keyset pagination: page 2 after a fixed cursor
+    from seqr_loading_pipelines_spark.query.bm25 import search_after
+
+    _p1 = search_exact(spark, index, "sw0 sw1", k=10).collect()
+    _cursor = (_p1[-1]["score"], _p1[-1]["doc_id"]) if _p1 else None
+    timed_min(
+        "bm25_search_after",
+        lambda: search_after(
+            spark, index, "sw0 sw1", cursor=_cursor, k=10,
+        ).collect(),
+        timings,
+    )
+
+    # facets: value counts over the FULL match set
+    from seqr_loading_pipelines_spark.query.facets import facet_counts
+
+    timed_min(
+        "facet_counts",
+        lambda: facet_counts(
+            spark, index, "sw0 term_00042", "lang", top_n=10,
+        ).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline
@@ -254,6 +302,33 @@ def main() -> None:
         "near_search",
         lambda: search_near(
             spark, pos_index, "sw0 term_00042", window=6, k=10,
+        ).collect(),
+        timings,
+    )
+
+    # regex over the trigram projection (zoekt): literal-run trigram
+    # AND -> rlike/regexp_count verify on candidates only
+    from seqr_loading_pipelines_spark.query.regex import search_regex
+
+    timed_min(
+        "regex_search",
+        lambda: search_regex(
+            spark, pos_index, "sw0 term_000[0-9]2", k=10,
+        ).collect(),
+        timings,
+    )
+
+    # more-like-this: content-projection term vector -> tf*idf term
+    # selection -> one pruned disjunctive scan
+    from seqr_loading_pipelines_spark.query.mlt import more_like_this
+
+    _mlt_src = pos_index["doc_stats"].select("doc_id").orderBy(
+        "doc_id",
+    ).limit(50).collect()[-1]["doc_id"]
+    timed_min(
+        "more_like_this",
+        lambda: more_like_this(
+            spark, pos_index, doc_id=_mlt_src, k=10, max_query_terms=10,
         ).collect(),
         timings,
     )

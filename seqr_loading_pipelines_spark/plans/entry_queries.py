@@ -1916,6 +1916,78 @@ FROM hits ORDER BY n_matches DESC, doc_id LIMIT 10
 """
 
 
+MLT_SOURCE_DOC = 42
+MLT_MAX_TERMS = 5
+
+
+def q_index_mlt(spark, sf_dir):
+    """More-like-this through the REAL index path: the source doc's
+    content comes from the doc-sorted content projection (pushed
+    doc_id filter), its max_query_terms most interesting terms
+    (tf x idf, Lucene MLT) drive one pruned disjunctive posting scan,
+    the source itself excluded (query/mlt.py). Oracle: the same
+    selection + BM25 in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.mlt import more_like_this
+
+    _, index = _built_index(spark, sf_dir, "tri", trigrams=True)
+    internal = (
+        index["doc_stats"]
+        .filter(_orig_doc_id() == MLT_SOURCE_DOC)
+        .select("doc_id")
+        .collect()[0]["doc_id"]
+    )
+    topk = more_like_this(
+        spark, index, doc_id=internal, k=10, max_query_terms=MLT_MAX_TERMS,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_MLT = f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+src_tf AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest({_T}) AS term FROM documents
+        WHERE doc_id = {MLT_SOURCE_DOC})
+  GROUP BY term
+),
+alltf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN (SELECT term FROM src_tf)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM alltf GROUP BY term),
+sel AS (
+  SELECT s.term, d.df
+  FROM src_tf s JOIN dft d USING (term) CROSS JOIN stats
+  ORDER BY s.tf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           s.term ASC
+  LIMIT {MLT_MAX_TERMS}
+),
+scored AS (
+  SELECT a.doc_id,
+         sum( ln(1 + (stats.n - sel.df + 0.5) / (sel.df + 0.5))
+              * a.tf * ({K1} + 1.0)
+              / (a.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM alltf a JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE a.doc_id <> {MLT_SOURCE_DOC}
+  GROUP BY a.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_index_delete_survivors(spark, sf_dir):
     """Delete-by-predicate roundtrip, driver-gated: build -> tombstone
     every lang='de' doc (dictionary df/cf decremented exactly) -> the
@@ -2148,6 +2220,7 @@ QUERIES = {
     "index_facets": q_index_facets,
     "index_search_after": q_index_search_after,
     "index_regex_search": q_index_regex_search,
+    "index_mlt": q_index_mlt,
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
@@ -2211,6 +2284,7 @@ ORACLE_SQL = {
     "index_facets": SQL_INDEX_FACETS,
     "index_search_after": SQL_INDEX_SEARCH_AFTER,
     "index_regex_search": SQL_INDEX_REGEX_SEARCH,
+    "index_mlt": SQL_INDEX_MLT,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,

@@ -82,6 +82,7 @@ def _query_terms(index: dict, query_text: str) -> list[dict]:
         {
             "term": t,
             "term_id": int(tid),
+            "df": int(df),
             "idf": idf_fn(n_docs, int(df)),
         }
         for t, tid, df in hits

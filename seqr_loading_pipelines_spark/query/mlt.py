@@ -1,0 +1,111 @@
+"""More-like-this: find documents similar to a given document —
+Lucene's ``MoreLikeThis`` / Elasticsearch's ``more_like_this`` query,
+the "related files" / "similar documents" surface of every serving
+engine.
+
+Recipe (Lucene's, over this engine's artifacts):
+
+1. obtain the source document's term vector. The caller may pass the
+   text directly; otherwise it is read from the index's doc-sorted
+   ``content`` projection with a pushed doc_id filter (one row-group-
+   pruned scan of one row — requires ``IndexBuilder(trigrams=True)``,
+   the projection that exists precisely to serve per-doc content);
+2. select the ``max_query_terms`` most INTERESTING terms: score each
+   distinct source term by tf_in_source x corpus idf (the classic MLT
+   interestingness measure), ties broken by term asc; terms below
+   ``min_term_freq`` / ``min_doc_freq`` or absent from the dictionary
+   are dropped (stop-word-like and hapax noise control);
+3. run the standard disjunctive BM25 over the selected terms — ONE
+   pruned posting scan, identical statistics contract to
+   ``search_exact`` — excluding the source document itself.
+
+Driver-side work is one tiny content lookup plus a tokenize of ONE
+document; everything corpus-sized stays distributed.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.bm25 import (
+    _decoded_postings,
+    _empty_topk,
+    _query_terms,
+    rank_topk,
+)
+
+DEFAULT_MAX_QUERY_TERMS = 25
+
+
+def select_mlt_terms(
+    index: dict,
+    text: str,
+    max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> list[dict]:
+    """The source text's most interesting terms (tf x idf desc, term
+    asc), resolved against the dictionary, capped. Returns the same
+    term-info dicts every executor consumes."""
+    tf = Counter(tokenize_py(text))
+    infos = _query_terms(index, " ".join(sorted(tf)))
+    scored = []
+    for info in infos:
+        t = info["term"]
+        if tf[t] < min_term_freq or info["df"] < min_doc_freq:
+            continue
+        scored.append((tf[t] * info["idf"], t, info))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [info for _, _, info in scored[:max_query_terms]]
+
+
+def more_like_this(
+    spark: SparkSession,
+    index: dict,
+    doc_id: int | None = None,
+    text: str | None = None,
+    k: int = 10,
+    max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Top-k documents most similar to the source (by BM25 over its
+    most interesting terms), excluding the source itself when it is
+    identified by ``doc_id``. Exactly one of ``doc_id`` / ``text``
+    selects the source (``text`` wins if both are given — the
+    like-this-TEXT variant, with ``doc_id`` still excluded)."""
+    if text is None:
+        if doc_id is None:
+            raise ValueError("more_like_this needs doc_id or text")
+        if "content" not in index:
+            raise ValueError(
+                "index has no content projection; rebuild with "
+                "IndexBuilder(trigrams=True) or pass text= directly",
+            )
+        rows = (
+            index["content"]
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("content")
+            .collect()
+        )
+        if not rows:
+            return _empty_topk(spark)
+        text = rows[0]["content"] or ""
+    term_infos = select_mlt_terms(
+        index, text, max_query_terms, min_term_freq, min_doc_freq,
+    )
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    if doc_id is not None:
+        scored = scored.filter(F.col("doc_id") != int(doc_id))
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)

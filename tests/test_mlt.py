@@ -1,0 +1,104 @@
+"""More-like-this (query/mlt.py): term selection goldens, identity
+with search_exact over the selected term set, the content-projection
+doc_id path, knob behavior, and edges."""
+
+import math
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.query.mlt import (
+    more_like_this,
+    select_mlt_terms,
+)
+from tests.test_substring import tri_index  # noqa: F401
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 4), r["rank"]) for r in df.collect()
+    ]
+
+
+def _source_text(oracle, i=7):
+    """Reconstruct a source doc's text from the oracle's tf map (word
+    order is irrelevant to every consumer here)."""
+    return " ".join(
+        t for t, n in sorted(oracle.tf[i].items()) for _ in range(n)
+    )
+
+
+def test_select_mlt_terms_golden(index, oracle):
+    text = _source_text(oracle)
+    tf = oracle.tf[7]
+    want = sorted(
+        ((tf[t] * oracle.idf(t), t) for t in tf),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = select_mlt_terms(index, text, max_query_terms=10)
+    assert [i["term"] for i in got] == [t for _, t in want[:10]]
+    # interestingness scores agree with the oracle formula
+    for info in got:
+        assert math.isclose(info["idf"], oracle.idf(info["term"]))
+
+
+def test_mlt_equals_exact_over_selected_terms(spark, index, oracle):
+    text = _source_text(oracle)
+    sel = select_mlt_terms(index, text, max_query_terms=8)
+    got = more_like_this(spark, index, text=text, k=20, max_query_terms=8)
+    want = search_exact(
+        spark, index, " ".join(i["term"] for i in sel), k=20,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_mlt_doc_id_reads_content_and_excludes_source(spark, tri_index):  # noqa: F811
+    _, idx = tri_index
+    # d3 'ash bat ash bat' and d5 '... ash ...' share the token 'ash'
+    d3 = idx["_by_path"]["d3.py"]
+    d5 = idx["_by_path"]["d5.py"]
+    got = more_like_this(spark, idx, doc_id=d3, k=10)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert d3 not in ids
+    assert d5 in ids
+    # text variant with the same content agrees (doc_id still excluded)
+    content = (
+        idx["content"].filter(f"doc_id = {d3}").collect()[0]["content"]
+    )
+    via_text = more_like_this(spark, idx, doc_id=d3, text=content, k=10)
+    assert _rows(got) == _rows(via_text)
+    # a doc with no token overlap anywhere returns empty, not an error
+    d0 = idx["_by_path"]["d0.py"]
+    assert more_like_this(spark, idx, doc_id=d0, k=10).count() == 0
+
+
+def test_mlt_min_doc_freq_drops_hapaxes(index, oracle):
+    text = _source_text(oracle)
+    sel_all = select_mlt_terms(index, text, max_query_terms=1000)
+    sel_df2 = select_mlt_terms(
+        index, text, max_query_terms=1000, min_doc_freq=2,
+    )
+    dropped = {i["term"] for i in sel_all} - {i["term"] for i in sel_df2}
+    assert all(oracle.df[t] < 2 for t in dropped)
+    assert {i["term"] for i in sel_df2} == {
+        i["term"] for i in sel_all if oracle.df[i["term"]] >= 2
+    }
+
+
+def test_mlt_min_term_freq(index, oracle):
+    text = _source_text(oracle)
+    tf = oracle.tf[7]
+    sel = select_mlt_terms(
+        index, text, max_query_terms=1000, min_term_freq=2,
+    )
+    assert {i["term"] for i in sel} == {t for t, n in tf.items() if n >= 2}
+
+
+def test_mlt_edges(spark, index, tri_index):  # noqa: F811
+    with pytest.raises(ValueError, match="doc_id or text"):
+        more_like_this(spark, index)
+    with pytest.raises(ValueError, match="content projection"):
+        more_like_this(spark, index, doc_id=1)
+    _, idx = tri_index
+    assert more_like_this(spark, idx, doc_id=10**12).count() == 0
+    assert more_like_this(spark, index, text="").count() == 0
