@@ -134,6 +134,7 @@ class IndexBuilder:
         tokenizer: str = "arrow",
         positions: bool = False,
         trigrams: bool = False,
+        store_content: bool = False,
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -183,6 +184,13 @@ class IndexBuilder:
         # query/substring.py. Opt-in because content is stored in the
         # index; recorded in the manifest so update/compact maintain it.
         self.trigrams = trigrams
+        # stored-source projection (opt-in, implied by trigrams): the
+        # doc_id-sorted ``content/`` projection WITHOUT the trigram
+        # posting tables — the Elasticsearch stored-_source analog that
+        # query-time highlighting (query/highlight.py) point-reads for
+        # the k result docs. Recorded in the manifest so update/compact
+        # maintain it.
+        self.store_content = bool(store_content or trigrams)
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
 
@@ -472,10 +480,11 @@ class IndexBuilder:
         # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k —
         # the analog of VEP's 1000-rows-per-call discipline).
         keep = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
-        if self.trigrams:
-            # substring index: raw content rides the tokenize stage into
-            # the doc store (the content projection + trigram extraction
-            # read it back; doc_stats prunes it away at read time)
+        if self.store_content:
+            # stored source: raw content rides the tokenize stage into
+            # the doc store (the content projection — and the trigram
+            # extraction when enabled — read it back; doc_stats prunes
+            # it away at read time)
             keep.append("content")
         return self._apply_tokenizer(with_ids, keep)
 
@@ -780,17 +789,25 @@ class IndexBuilder:
             .sortWithinPartitions("tri_id", "doc_id")
         )
 
-    def _stage_trigrams(self, snap: str, tokenized: DataFrame, sum_dl: int):
-        """Substring-index stages: content projection, trigram posting
-        pairs, per-trigram df table (rarest-first probe selection in
-        query/substring.py — selection only, never correctness, so
-        post-delete staleness is benign). Each resumable on its own."""
-        content_df = self._stage(
+    def _stage_content(
+        self, snap: str, tokenized: DataFrame, sum_dl: int,
+    ) -> DataFrame:
+        """Stored-source stage: the doc_id-sorted ``content/``
+        projection (point-lookup shape for highlight snippets and the
+        substring verify pass), resumable on its own."""
+        return self._stage(
             snap, "content",
             # ~7 bytes per whitespace-separated token is the sizing
             # estimate; only file COUNT depends on it
             lambda: self._content_df(tokenized, est_bytes=sum_dl * 7),
         )
+
+    def _stage_trigrams(self, snap: str, tokenized: DataFrame, sum_dl: int):
+        """Substring-index stages: content projection, trigram posting
+        pairs, per-trigram df table (rarest-first probe selection in
+        query/substring.py — selection only, never correctness, so
+        post-delete staleness is benign). Each resumable on its own."""
+        content_df = self._stage_content(snap, tokenized, sum_dl)
         tri = self._stage(
             snap, "tri_postings",
             lambda: self._trigram_postings_df(
@@ -855,7 +872,7 @@ class IndexBuilder:
             # doc_id doesn't exist yet here — it's derived from footer
             # offsets at read time (dense_ids_view)
             keep = ["repo", "path", "commit", "lang", "sha256"]
-            if self.trigrams:
+            if self.store_content:
                 keep.append("content")
             tok = self._apply_tokenizer(df, keep)
             return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
@@ -1115,6 +1132,9 @@ class IndexBuilder:
             # trigram df), fed by the content column the tokenize stage
             # kept in the doc store
             self._stage_trigrams(snap, tokenized, sum_dl)
+        elif self.store_content:
+            # stored source only (highlighting) — no trigram tables
+            self._stage_content(snap, tokenized, sum_dl)
 
         # the lookup projections must be durable before the manifest
         # can reference this segment
@@ -1163,8 +1183,10 @@ class IndexBuilder:
                 # (a full build has exactly one); update/compact carry
                 # or clear this so phrase queries never half-cover
                 "positions": self.positions,
-                # likewise for the substring (trigram) index
+                # likewise for the substring (trigram) index and the
+                # stored-source (highlight) projection
                 "trigrams": self.trigrams,
+                "store_content": self.store_content,
                 "build_wall_s": round(time.time() - t_start, 3),
                 "metrics": self.metrics,
             },
@@ -1255,12 +1277,19 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
                 for s in manifest["segments"]
             ],
         )
+    if manifest.get("store_content") or manifest.get("trigrams"):
+        # stored-source projection (highlight point reads; also the
+        # substring verify pass), present in every segment when either
+        # flag is set
+        out["content"] = spark.read.parquet(
+            *[
+                os.path.join(root, s, "content")
+                for s in manifest["segments"]
+            ],
+        )
     if manifest.get("trigrams"):
         # substring-index projections (same every-segment contract)
         segs = manifest["segments"]
-        out["content"] = spark.read.parquet(
-            *[os.path.join(root, s, "content") for s in segs],
-        )
         out["tri_postings"] = spark.read.parquet(
             *[os.path.join(root, s, "tri_postings") for s in segs],
         )

@@ -214,7 +214,7 @@ def delete_docs(
             # exclude tombstoned docs at query time
             **{
                 k: current[k]
-                for k in ("positions", "trigrams")
+                for k in ("positions", "trigrams", "store_content")
                 if k in current
             },
             "updates": (

@@ -85,6 +85,12 @@ def update_index(
         if "trigrams" not in builder_kwargs and current.get("trigrams"):
             # same contract for the substring (trigram) index
             builder_kwargs = {**builder_kwargs, "trigrams": True}
+        if (
+            "store_content" not in builder_kwargs
+            and current.get("store_content")
+        ):
+            # same contract for the stored-source projection
+            builder_kwargs = {**builder_kwargs, "store_content": True}
     builder = IndexBuilder(spark, index_root, **builder_kwargs)
     if current is None:
         return builder.build(corpus, source_fingerprint)
@@ -143,8 +149,8 @@ def _update(
 
     def tokenize_project(df):
         keep = ["repo", "path", "commit", "lang", "sha256"]
-        if builder.trigrams:
-            keep.append("content")  # substring index, see build()
+        if builder.store_content:
+            keep.append("content")  # stored source, see build()
         tok = builder._apply_tokenizer(df, keep)
         return tok.observe(doc_obs, F.sum("doc_len").alias("sdl"))
 
@@ -376,8 +382,13 @@ def _update(
             lambda: builder._positions_df(tokenized, d, tid_type, new_sdl),
         )
     trigrams_on = builder.trigrams and bool(current.get("trigrams"))
+    content_on = builder.store_content and bool(
+        current.get("store_content") or current.get("trigrams"),
+    )
     if trigrams_on:
         builder._stage_trigrams(snap, tokenized, int(new_sdl))
+    elif content_on:
+        builder._stage_content(snap, tokenized, int(new_sdl))
 
     seg = os.path.relpath(snap, table.root)
     manifest = table.publish(
@@ -413,6 +424,7 @@ def _update(
             "dict_strategy": builder.dict_strategy,
             "positions": positions_on,
             "trigrams": trigrams_on,
+            "store_content": content_on,
             "update_wall_s": round(time.time() - t_start, 3),
             "n_new_docs": int(n_new),
             "metrics": builder.metrics,
@@ -440,6 +452,8 @@ def _carry_tombstones(current: dict) -> dict:
         out["positions"] = current["positions"]
     if "trigrams" in current:
         out["trigrams"] = current["trigrams"]
+    if "store_content" in current:
+        out["store_content"] = current["store_content"]
     return out
 
 
@@ -651,6 +665,15 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
         IndexBuilder(spark, index_root, trigrams=True)._stage_trigrams(
             snap, compacted_docs, int(current.get("sum_dl", 0)),
         )
+    elif current.get("store_content"):
+        # stored-source projection rebuilt the same way (no trigrams)
+        from seqr_loading_pipelines_spark.index.build import IndexBuilder
+
+        IndexBuilder(
+            spark, index_root, store_content=True,
+        )._stage_content(
+            snap, compacted_docs, int(current.get("sum_dl", 0)),
+        )
     seg = os.path.relpath(snap, table.root)
     return table.publish(
         snap,
@@ -679,6 +702,9 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             "dict_segment": seg,
             "positions": bool(current.get("positions")),
             "trigrams": bool(current.get("trigrams")),
+            "store_content": bool(
+                current.get("store_content") or current.get("trigrams"),
+            ),
             "compacted_from": current["segments"],
             "n_compacted_tombstones": int(current.get("n_deleted", 0)),
         },

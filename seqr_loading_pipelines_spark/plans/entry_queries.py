@@ -1469,6 +1469,145 @@ def q_index_bm25_and(spark, sf_dir):
 SQL_INDEX_BM25_AND = _sql_bm25(BM25_QUERY_TERMS, 10, require_all=True)
 
 
+def q_index_bm25_explain(spark, sf_dir):
+    """Score-explain through the REAL index path (the Elasticsearch
+    ``_explain`` analog): one row per (top-k doc, matched term) with
+    the tf / idf / BM25 contribution behind the doc's score — the
+    ranked pass unchanged, the breakdown a second pruned posting scan
+    restricted to the k winners via the vectorized inclusion mask
+    (query/bm25.py search_explain). Oracle: the same per-term algebra
+    in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_explain,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = search_explain(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    return hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"),
+        "term",
+        "tf",
+        F.round("idf", 4).alias("idf"),
+        F.round("contribution", 4).alias("contribution"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_explain(terms: list[str], k: int) -> str:
+    """Per-term breakdown rows for the BM25 top-k (mirrors
+    search_explain): same CTEs as ``_sql_bm25``, final select joins
+    the per-(doc, term) tf rows back onto the k winners."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    idf = "ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))"
+    contrib = (
+        f"{idf} * tf.tf * ({K1} + 1.0) "
+        f"/ (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
+    )
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, sum({contrib}) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, s, rank FROM (
+    SELECT doc_id, s,
+           row_number() OVER (
+             ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+)
+SELECT top.doc_id, tf.term, tf.tf::INT AS tf,
+       round({idf}, 4) AS idf,
+       round({contrib}, 4) AS contribution,
+       round(top.s, 4) AS score, top.rank
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+     JOIN top ON top.doc_id = tf.doc_id
+"""
+
+
+SQL_INDEX_BM25_EXPLAIN = _sql_bm25_explain(BM25_QUERY_TERMS, 10)
+
+
+HIGHLIGHT_BEFORE = 2
+HIGHLIGHT_WIDTH = 7
+
+
+def q_index_highlight(spark, sf_dir):
+    """Query-time highlighting through the REAL index path (the
+    plain-highlighter analog): WAND top-k, then a bounded point-read
+    of the k docs' STORED content (the ``content/`` projection the new
+    store_content flag writes without the trigram tables), JVM-side
+    re-tokenize, and a token window around the first query-term hit
+    (query/highlight.py). Oracle: the same window algebra over the
+    re-tokenized text in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.highlight import (
+        search_highlight,
+    )
+
+    _, index = _built_index(spark, sf_dir, "hl", store_content=True)
+    out = search_highlight(
+        spark, index, " ".join(BM25_QUERY_TERMS), k=10,
+        before=HIGHLIGHT_BEFORE, width=HIGHLIGHT_WIDTH,
+    )
+    return hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+        "first_pos",
+        "n_hits",
+        "snippet",
+    )
+
+
+def _sql_highlight(terms: list[str], k: int, before: int, width: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    base = _sql_bm25(terms, k)
+    # reuse the ranked CTE chain by nesting the full bm25 SQL as "top"
+    return f"""
+WITH top AS ({base}),
+tk AS (SELECT doc_id, {_T} AS toks FROM documents),
+hits AS (
+  SELECT doc_id, min(pos)::INT AS first_pos, count(*)::INT AS n_hits
+  FROM (
+    SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS pos
+    FROM tk
+  )
+  WHERE tok IN ({in_list})
+  GROUP BY doc_id
+)
+SELECT top.doc_id, top.score, top.rank, hits.first_pos, hits.n_hits,
+       array_to_string(
+         list_slice(
+           tk.toks,
+           greatest(hits.first_pos - {before}, 1),
+           greatest(hits.first_pos - {before}, 1) + {width - 1}
+         ), ' '
+       ) AS snippet
+FROM top JOIN hits USING (doc_id) JOIN tk USING (doc_id)
+"""
+
+
+SQL_INDEX_HIGHLIGHT = _sql_highlight(
+    BM25_QUERY_TERMS, 10, HIGHLIGHT_BEFORE, HIGHLIGHT_WIDTH,
+)
+
+
 BM25_EXCLUDE_TERM = "window"
 
 
@@ -2215,6 +2354,8 @@ QUERIES = {
     "index_substring_search": q_index_substring_search,
     "index_bm25_and": q_index_bm25_and,
     "index_bm25_not": q_index_bm25_not,
+    "index_bm25_explain": q_index_bm25_explain,
+    "index_highlight": q_index_highlight,
     "index_bool_search": q_index_bool_search,
     "index_fuzzy_search": q_index_fuzzy_search,
     "index_facets": q_index_facets,
@@ -2279,6 +2420,8 @@ ORACLE_SQL = {
     "index_substring_search": SQL_INDEX_SUBSTRING_SEARCH,
     "index_bm25_and": SQL_INDEX_BM25_AND,
     "index_bm25_not": SQL_INDEX_BM25_NOT,
+    "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
+    "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,
     "index_facets": SQL_INDEX_FACETS,

@@ -92,6 +92,7 @@ def _query_terms(index: dict, query_text: str) -> list[dict]:
 def _decoded_postings(
     index: dict, term_infos: list[dict], keep_ids=None,
     with_term: bool = False,
+    with_stats: bool = False,
 ) -> DataFrame:
     """Candidate blocks -> decoded (doc_id, contribution) rows.
 
@@ -149,6 +150,10 @@ def _decoded_postings(
                     cols["term_id"] = np.full(
                         len(doc_ids), int(term_id), dtype=np.int64,
                     )
+                if with_stats:
+                    # explain executor surfaces the raw tf behind each
+                    # contribution (tfs already decoded above)
+                    cols["tf"] = tfs.astype(np.int32)
                 outs.append(pd.DataFrame(cols))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -156,6 +161,8 @@ def _decoded_postings(
     schema = "doc_id long, contribution double"
     if with_term:
         schema += ", term_id long"
+    if with_stats:
+        schema += ", tf int"
     decoded = blocks.mapInPandas(decode, schema=schema)
     if gated:
         # tombstone set too large to broadcast (mass-delete between
@@ -277,6 +284,59 @@ def search_and(
     )
     k = max(1, min(k, index["manifest"]["n_docs"]))
     return rank_topk(scored, k)
+
+
+def search_explain(
+    spark: SparkSession, index: dict, query_text: str, k: int = 10,
+) -> DataFrame:
+    """Per-term score breakdown for the top-k docs — the
+    Elasticsearch ``_explain`` analog. One row per (result doc,
+    matched term): ``(doc_id, term, tf, idf, contribution, score,
+    rank)`` where sum(contribution) over a doc's rows == its score.
+
+    Shape: the ranked pass is ``search_exact``'s plan unchanged; the
+    breakdown is a SECOND pruned posting scan restricted to the k
+    winners via the vectorized inclusion mask (``keep_ids`` — the
+    filtered-search path), so the explain pass decodes only blocks of
+    the query's terms and keeps only k docs' rows. Term metadata
+    (term, idf) joins in from the driver-resolved term infos — a
+    broadcast of |query| rows."""
+    term_infos = _query_terms(index, query_text)
+    empty_schema = (
+        "doc_id long, term string, tf int, idf double, "
+        "contribution double, score double, rank int"
+    )
+    if not term_infos:
+        return spark.createDataFrame([], empty_schema)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    topk = rank_topk(scored, k)
+    top = topk.collect()
+    if not top:
+        return spark.createDataFrame([], empty_schema)
+    ids = np.sort(
+        np.array([r["doc_id"] for r in top], dtype=np.int64),
+    )
+    per = _decoded_postings(
+        index, term_infos, keep_ids=ids, with_term=True, with_stats=True,
+    )
+    tdf = spark.createDataFrame(
+        [(t["term_id"], t["term"], t["idf"]) for t in term_infos],
+        "term_id long, term string, idf double",
+    )
+    tiny = spark.createDataFrame(top, topk.schema)
+    return (
+        per.join(F.broadcast(tdf), "term_id")
+        .join(F.broadcast(tiny), "doc_id")
+        .select(
+            "doc_id", "term", "tf", "idf", "contribution",
+            "score", "rank",
+        )
+    )
 
 
 def search_not(

@@ -1,0 +1,167 @@
+"""Highlight (stored-source snippets) + score-explain surfaces.
+
+The highlighter is checked against an independent pure-python
+reference over the same corpus (tokenize_py + list slicing); explain
+is checked against the engine's own ranked executor (contributions
+must sum to the doc's score) and the python oracle's idf/tf algebra.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.query.bm25 import search_exact, search_explain
+from seqr_loading_pipelines_spark.query.highlight import search_highlight
+
+QUERY = "sw0 term_00042"
+
+
+@pytest.fixture(scope="module")
+def content_root(spark, corpus, tmp_path_factory):
+    """store_content-only index (no trigram tables) over the shared
+    test corpus."""
+    root = str(tmp_path_factory.mktemp("hl_index"))
+    IndexBuilder(spark, root, store_content=True).build(
+        corpus, source_fingerprint="hl-corpus",
+    )
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def content_index(spark, content_root):
+    return load_index(spark, content_root)
+
+
+def _content_by_doc(corpus, index):
+    ds = index["doc_stats"].select(
+        "doc_id", "repo", "path", "commit",
+    ).toPandas()
+    cp = corpus.toPandas()
+    merged = cp.merge(ds, on=["repo", "path", "commit"])
+    return dict(zip(merged["doc_id"], merged["content"]))
+
+
+def _py_highlight(content: str, terms: set, before: int, width: int):
+    toks = tokenize_py(content)
+    hits = [i + 1 for i, t in enumerate(toks) if t in terms]
+    first = hits[0]
+    start = max(first - before, 1)
+    return first, len(hits), " ".join(toks[start - 1 : start - 1 + width])
+
+
+def test_store_content_flag_writes_content_without_trigrams(content_index):
+    m = content_index["manifest"]
+    assert m["store_content"] is True
+    assert m["trigrams"] is False
+    assert "content" in content_index
+    assert "tri_postings" not in content_index
+    assert "tri_dict" not in content_index
+
+
+def test_highlight_matches_python_reference(spark, corpus, content_index):
+    by_doc = _content_by_doc(corpus, content_index)
+    terms = set(tokenize_py(QUERY))
+    rows = search_highlight(
+        spark, content_index, QUERY, k=8, before=2, width=7,
+    ).collect()
+    assert len(rows) == 8
+    ranked = search_exact(spark, content_index, QUERY, 8).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in rows) == sorted(
+        (r["doc_id"], r["rank"]) for r in ranked
+    )
+    for r in rows:
+        first, n_hits, snippet = _py_highlight(
+            by_doc[r["doc_id"]], terms, before=2, width=7,
+        )
+        assert r["first_pos"] == first
+        assert r["n_hits"] == n_hits
+        assert r["snippet"] == snippet
+
+
+def test_highlight_clamps_at_doc_start(spark, content_index, corpus):
+    """A hit in the first tokens must clamp the window to position 1
+    instead of going negative."""
+    by_doc = _content_by_doc(corpus, content_index)
+    # pick any doc and query its FIRST token: first_pos == 1
+    doc_id, content = next(iter(sorted(by_doc.items())))
+    tok0 = tokenize_py(content)[0]
+    rows = search_highlight(
+        spark, content_index, tok0, k=300, before=2, width=5,
+    ).collect()
+    mine = [r for r in rows if r["doc_id"] == doc_id]
+    assert mine and mine[0]["first_pos"] == 1
+    assert mine[0]["snippet"] == " ".join(tokenize_py(content)[:5])
+
+
+def test_highlight_requires_stored_content(spark, index):
+    with pytest.raises(ValueError, match="store_content"):
+        search_highlight(spark, index, QUERY, k=3)
+
+
+def test_explain_contributions_sum_to_score(spark, index):
+    out = search_explain(spark, index, QUERY, k=10)
+    agg = (
+        out.groupBy("doc_id", "score", "rank")
+        .agg(F.sum("contribution").alias("s"))
+        .collect()
+    )
+    assert len(agg) == 10
+    for r in agg:
+        assert abs(r["s"] - r["score"]) < 1e-9
+    ranked = search_exact(spark, index, QUERY, 10).collect()
+    assert {(r["doc_id"], r["rank"]) for r in agg} == {
+        (r["doc_id"], r["rank"]) for r in ranked
+    }
+    terms = set(tokenize_py(QUERY))
+    for r in out.collect():
+        assert r["term"] in terms
+        assert r["tf"] >= 1
+        assert r["idf"] > 0
+        assert r["contribution"] > 0
+
+
+def test_explain_against_oracle_algebra(spark, index, oracle):
+    """tf/idf per explain row must equal the python oracle's values."""
+    out = search_explain(spark, index, QUERY, k=5).collect()
+    for r in out:
+        i = oracle.doc_ids.index(r["doc_id"])
+        assert r["tf"] == oracle.tf[i][r["term"]]
+        assert abs(r["idf"] - oracle.idf(r["term"])) < 1e-12
+
+
+def test_explain_empty_and_absent_query(spark, index):
+    assert search_explain(spark, index, "", k=5).count() == 0
+    assert search_explain(spark, index, "zz_absent_zz", k=5).count() == 0
+
+
+def test_update_and_compact_preserve_store_content(
+    spark, corpus, content_root,
+):
+    """The stored-source projection must survive incremental update and
+    compaction (the manifest-flag maintenance contract)."""
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.merge import (
+        compact_segments,
+        update_index,
+    )
+
+    extra = generate_corpus(spark, 40, n_repos=2, seed=77).withColumn(
+        "repo", F.concat(F.lit("hlx_"), F.col("repo")),
+    )
+    update_index(spark, content_root, extra, source_fingerprint="hl-up1")
+    idx = load_index(spark, content_root)
+    assert idx["manifest"]["store_content"] is True
+    n_before = idx["content"].count()
+    assert n_before == idx["manifest"]["n_docs"]
+    assert search_highlight(spark, idx, QUERY, k=3).count() == 3
+
+    compact_segments(spark, content_root)
+    idx2 = load_index(spark, content_root)
+    assert idx2["manifest"]["store_content"] is True
+    assert len(idx2["manifest"]["segments"]) == 1
+    assert idx2["content"].count() == n_before
+    assert search_highlight(spark, idx2, QUERY, k=3).count() == 3
