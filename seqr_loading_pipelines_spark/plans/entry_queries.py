@@ -1608,6 +1608,155 @@ SQL_INDEX_HIGHLIGHT = _sql_highlight(
 )
 
 
+BOOST_WEIGHTS = {"spark": 2.0, "query": 1.0, "vector": 0.5}
+
+
+def q_index_bm25_boosted(spark, sf_dir):
+    """Per-term query-time boosting through the REAL index path (the
+    ``term^boost`` analog): each term's contribution is scaled by its
+    boost, folded into the driver-resolved idf so the scoring plan is
+    unchanged (query/bm25.py search_boosted). Oracle: the BM25 SQL
+    with the boost multiplied into the idf the same way."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_boosted,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_boosted(spark, index, BOOST_WEIGHTS, k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_boosted(weights: dict, k: int) -> str:
+    """BM25 with per-term boosts folded into the idf (associates the
+    multiply exactly like search_boosted: (idf*boost) first)."""
+    in_list = ", ".join(f"'{t}'" for t in weights)
+    case = "CASE tf.term " + " ".join(
+        f"WHEN '{t}' THEN {float(w)!r}" for t, w in weights.items()
+    ) + " ELSE 1.0 END"
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( (ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * {case})
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_BM25_BOOSTED = _sql_bm25_boosted(BOOST_WEIGHTS, 10)
+
+
+def q_index_match_count(spark, sf_dir):
+    """Matching-doc count through the REAL index path (the ``_count``
+    API): pruned posting scan -> distinct-doc count, no top-k, no
+    hydration (query/bm25.py match_count). Oracle: count over the
+    disjunctive token-containment predicate."""
+    from seqr_loading_pipelines_spark.query.bm25 import match_count
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return match_count(spark, index, " ".join(BM25_QUERY_TERMS))
+
+
+SQL_INDEX_MATCH_COUNT = f"""
+SELECT count(*) AS n_matches
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+"""
+
+
+def q_index_sort_by_commit(spark, sf_dir):
+    """Field-sorted retrieval through the REAL index path (the
+    ``sort`` API — "most recent commit first" in a code-search
+    engine): the match set from one pruned posting scan, ordered by a
+    doc-store metadata column via bounded TakeOrdered, score never
+    computed (query/bm25.py search_sort_by). The commit synthesized by
+    corpus_from_documents is unique per doc, so ranks are tie-free in
+    both id spaces. Oracle: the same ordering in SQL over the same
+    synthesized commit."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_sort_by,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = search_sort_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "commit",
+        ascending=False, k=10,
+    ).withColumnRenamed("commit", "commit_sha")
+    # rename before hydrate: the doc-store row carries its own commit
+    return hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"),
+        "commit_sha",
+        "rank",
+    )
+
+
+SQL_INDEX_SORT_BY_COMMIT = f"""
+SELECT doc_id, commit_sha, rank FROM (
+  SELECT doc_id,
+         substr(sha256(doc_id::VARCHAR), 1, 40) AS commit_sha,
+         row_number() OVER (
+           ORDER BY substr(sha256(doc_id::VARCHAR), 1, 40) DESC,
+                    doc_id ASC
+         ) AS rank
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+) WHERE rank <= 10
+"""
+
+
+def q_index_agg_stats(spark, sf_dir):
+    """Numeric stats aggregation under a query through the REAL index
+    path (the ``stats`` sub-aggregation, facet's numeric sibling):
+    per-lang doc_len statistics over EVERY matching doc
+    (query/facets.py stats_by). Group values are corpus metadata, so
+    no id mapping is needed. Oracle: the same GROUP BY in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import stats_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = stats_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+        value_col="doc_len",
+    )
+    return out.withColumn("avg_v", F.round("avg_v", 4))
+
+
+SQL_INDEX_AGG_STATS = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len({_T}))::BIGINT AS sum_v,
+       min(len({_T}))::BIGINT AS min_v,
+       max(len({_T}))::BIGINT AS max_v,
+       round(avg(len({_T})), 4) AS avg_v
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+GROUP BY lang
+"""
+
+
 BM25_EXCLUDE_TERM = "window"
 
 
@@ -2356,6 +2505,10 @@ QUERIES = {
     "index_bm25_not": q_index_bm25_not,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
+    "index_bm25_boosted": q_index_bm25_boosted,
+    "index_match_count": q_index_match_count,
+    "index_sort_by_commit": q_index_sort_by_commit,
+    "index_agg_stats": q_index_agg_stats,
     "index_bool_search": q_index_bool_search,
     "index_fuzzy_search": q_index_fuzzy_search,
     "index_facets": q_index_facets,
@@ -2422,6 +2575,10 @@ ORACLE_SQL = {
     "index_bm25_not": SQL_INDEX_BM25_NOT,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
+    "index_bm25_boosted": SQL_INDEX_BM25_BOOSTED,
+    "index_match_count": SQL_INDEX_MATCH_COUNT,
+    "index_sort_by_commit": SQL_INDEX_SORT_BY_COMMIT,
+    "index_agg_stats": SQL_INDEX_AGG_STATS,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,
     "index_facets": SQL_INDEX_FACETS,

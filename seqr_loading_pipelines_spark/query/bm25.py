@@ -286,6 +286,116 @@ def search_and(
     return rank_topk(scored, k)
 
 
+def search_boosted(
+    spark: SparkSession,
+    index: dict,
+    weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """Per-term query-time boosting (the Elasticsearch ``term^boost``
+    analog): each term's BM25 contribution is multiplied by its boost.
+
+    Because a term's contribution is linear in its idf, the boost
+    folds into the driver-resolved idf and the scoring plan is
+    ``search_exact``'s unchanged — no new executor, no extra pass.
+    Boosts must be positive (a zero boost is "drop the term", a
+    negative one would invert the ranking monotonicity)."""
+    for t, w in weights.items():
+        if not (float(w) > 0.0):
+            raise ValueError(f"boost for {t!r} must be > 0, got {w}")
+    term_infos = _query_terms(index, " ".join(weights))
+    if not term_infos:
+        return _empty_topk(spark)
+    by_term = {t.lower(): float(w) for t, w in weights.items()}
+    for info in term_infos:
+        info["idf"] *= by_term.get(info["term"], 1.0)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
+def match_docs(
+    index: dict, query_text: str, require_all: bool = False,
+) -> DataFrame | None:
+    """The match SET of a query (distinct doc ids containing any —
+    or, with ``require_all``, every — query term), via one pruned
+    posting scan. None when no query term is indexed (or a required
+    term is missing): the match set is provably empty without a job.
+    The shared candidate machinery behind count / sort-by / facet /
+    stats serving surfaces."""
+    q_terms = set(tokenize_py(query_text))
+    term_infos = _query_terms(index, query_text)
+    if not term_infos or (require_all and len(term_infos) < len(q_terms)):
+        return None
+    decoded = _decoded_postings(index, term_infos, with_term=require_all)
+    if require_all:
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(term_infos))
+            .select("doc_id")
+        )
+    return decoded.select("doc_id").distinct()
+
+
+def match_count(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    require_all: bool = False,
+) -> DataFrame:
+    """Matching-doc count without materializing results — the
+    Elasticsearch ``_count`` API. One row ``(n_matches)``; the only
+    work is the pruned posting scan + a distinct-count aggregate."""
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame([(0,)], "n_matches long")
+    return matches.agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def search_sort_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    sort_col: str,
+    ascending: bool = False,
+    k: int = 10,
+    require_all: bool = False,
+) -> DataFrame:
+    """Matches sorted by a doc-store metadata column instead of score
+    (the Elasticsearch ``sort`` API — e.g. "most recent commit
+    first"), doc_id as the deterministic tiebreak.
+
+    Shape: the pruned posting scan yields the match set; the
+    doc-store side reads a two-column projection and the bounded
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (partial
+    top-k per partition) — the whole-match-set sort never exists."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [], f"doc_id long, {sort_col} string, rank int",
+        )
+    rows = index["doc_stats"].select("doc_id", sort_col).join(
+        matches, "doc_id", "left_semi",
+    )
+    key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    order = [key, F.col("doc_id").asc()]
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rows.orderBy(*order).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "doc_id", sort_col, F.row_number().over(w).alias("rank"),
+    )
+
+
 def search_explain(
     spark: SparkSession, index: dict, query_text: str, k: int = 10,
 ) -> DataFrame:

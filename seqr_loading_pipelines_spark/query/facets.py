@@ -27,11 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
-from seqr_loading_pipelines_spark.query.bm25 import (
-    _decoded_postings,
-    _query_terms,
-)
+from seqr_loading_pipelines_spark.query.bm25 import match_docs
 
 # match sets at or under this size broadcast into the doc-store join;
 # above it the join shuffles (matches deletes.py:47's tombstone gate)
@@ -52,21 +48,9 @@ def facet_counts(
     Null facet values count under their own bucket (surfaced as
     NULL — hiding them would silently under-report the match set).
     """
-    term_infos = _query_terms(index, query_text)
-    if not term_infos or (
-        require_all and len(term_infos) < len(set(tokenize_py(query_text)))
-    ):
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
-    decoded = _decoded_postings(index, term_infos, with_term=require_all)
-    if require_all:
-        matches = (
-            decoded.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("_nt"))
-            .filter(F.col("_nt") == len(term_infos))
-            .select("doc_id")
-        )
-    else:
-        matches = decoded.select("doc_id").distinct()
 
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
     if matches.limit(gate + 1).count() <= gate:
@@ -81,4 +65,47 @@ def facet_counts(
     return (
         counted.orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
         .limit(top_n)
+    )
+
+
+def stats_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Numeric stats of ``value_col`` per ``group_col`` over ALL docs
+    matching a query — the Elasticsearch ``stats`` sub-aggregation
+    (the numeric sibling of ``facet_counts``). One row per group:
+    ``(group, n_docs, sum_v, min_v, max_v, avg_v)``.
+
+    Same scale shape as facets: pruned posting scan -> gated
+    broadcast/shuffle join against a three-column doc-store
+    projection -> map-side-combining hash agg whose output
+    cardinality is the group count."""
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, n_docs long, sum_v long, "
+            "min_v long, max_v long, avg_v double",
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    return (
+        index["doc_stats"]
+        .select("doc_id", group_col, value_col)
+        .join(matches, "doc_id", "inner")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.avg(value_col).alias("avg_v"),
+        )
     )

@@ -1,0 +1,156 @@
+"""Boosted queries, match count, field-sorted retrieval, and stats
+aggregations — checked against the python oracle and the engine's own
+exact executor (boost=1 must be score-identical to search_exact)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.bm25 import (
+    match_count,
+    search_boosted,
+    search_exact,
+    search_sort_by,
+)
+from seqr_loading_pipelines_spark.query.facets import stats_by
+
+QUERY = "sw0 term_00042"
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 6), r["rank"]) for r in df.collect()]
+
+
+def test_boost_of_one_is_identity(spark, index):
+    terms = tokenize_py(QUERY)
+    boosted = search_boosted(spark, index, {t: 1.0 for t in terms}, k=20)
+    assert _rows(boosted) == _rows(search_exact(spark, index, QUERY, 20))
+
+
+def test_boost_scales_contributions(spark, index, oracle):
+    """score(boosted) == sum_t boost_t * contribution_t, per doc."""
+    weights = {"sw0": 3.0, "term_00042": 0.25}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_boosted(spark, index, weights, k=300).collect()
+    }
+    assert got
+    k1, b = oracle.k1, oracle.b
+    for doc_id, score in got.items():
+        i = oracle.doc_ids.index(doc_id)
+        dl = oracle.doc_len[i]
+        want = 0.0
+        for t, w in sorted(weights.items()):
+            tf = oracle.tf[i].get(t, 0)
+            if tf:
+                want += (oracle.idf(t) * w) * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * dl / oracle.avgdl)
+                )
+        assert abs(score - want) < 1e-9
+
+
+def test_boost_changes_ranking(spark, index):
+    """An extreme boost on a common term must be able to reorder the
+    top-k relative to the unboosted ranking."""
+    base = [r["doc_id"] for r in search_exact(spark, index, QUERY, 10).collect()]
+    tilted = [
+        r["doc_id"]
+        for r in search_boosted(
+            spark, index, {"sw0": 1000.0, "term_00042": 1.0}, k=10,
+        ).collect()
+    ]
+    assert base != tilted
+
+
+def test_boost_rejects_nonpositive(spark, index):
+    with pytest.raises(ValueError, match="must be > 0"):
+        search_boosted(spark, index, {"sw0": 0.0}, k=5)
+
+
+@pytest.mark.parametrize("require_all", [False, True])
+def test_match_count_matches_oracle(spark, index, oracle, require_all):
+    terms = tokenize_py(QUERY)
+    want = 0
+    for i in range(oracle.n_docs):
+        n = sum(1 for t in terms if oracle.tf[i].get(t, 0) > 0)
+        want += (n == len(terms)) if require_all else (n > 0)
+    got = match_count(
+        spark, index, QUERY, require_all=require_all,
+    ).collect()[0]["n_matches"]
+    assert got == want > 0
+
+
+def test_match_count_absent_term(spark, index):
+    assert (
+        match_count(spark, index, "zz_nope_zz").collect()[0]["n_matches"] == 0
+    )
+    # conjunctive with one absent term: provably zero without a job
+    assert (
+        match_count(spark, index, "sw0 zz_nope_zz", require_all=True)
+        .collect()[0]["n_matches"]
+        == 0
+    )
+
+
+def test_sort_by_orders_matches_by_field(spark, index, oracle):
+    rows = search_sort_by(
+        spark, index, QUERY, "commit", ascending=False, k=8,
+    ).collect()
+    assert len(rows) == 8
+    rows = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 9))
+    commits = [r["commit"] for r in rows]
+    assert commits == sorted(commits, reverse=True)
+    # every returned doc actually matches the query
+    matched = {
+        oracle.doc_ids[i]
+        for i in range(oracle.n_docs)
+        if any(oracle.tf[i].get(t, 0) for t in tokenize_py(QUERY))
+    }
+    assert {r["doc_id"] for r in rows} <= matched
+    # ascending flips the ordering
+    asc = search_sort_by(
+        spark, index, QUERY, "commit", ascending=True, k=8,
+    ).collect()
+    assert [r["commit"] for r in asc] == sorted(c for c in (x["commit"] for x in asc))
+
+
+def test_sort_by_k_exceeds_matches(spark, index):
+    out = search_sort_by(spark, index, "zz_nope_zz", "commit", k=5)
+    assert out.count() == 0 and out.columns == ["doc_id", "commit", "rank"]
+
+
+def test_stats_by_consistent_with_facets_and_oracle(spark, index, oracle):
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    want = {}
+    for i, doc_id in enumerate(oracle.doc_ids):
+        if any(oracle.tf[i].get(t, 0) for t in terms):
+            g = want.setdefault(lang_by_doc[doc_id], [0, 0, None, None])
+            dl = oracle.doc_len[i]
+            g[0] += 1
+            g[1] += dl
+            g[2] = dl if g[2] is None else min(g[2], dl)
+            g[3] = dl if g[3] is None else max(g[3], dl)
+    rows = stats_by(spark, index, QUERY, "lang", value_col="doc_len").collect()
+    assert {r["lang"] for r in rows} == set(want)
+    for r in rows:
+        n, s, mn, mx = want[r["lang"]]
+        assert (r["n_docs"], r["sum_v"], r["min_v"], r["max_v"]) == (n, s, mn, mx)
+        assert abs(r["avg_v"] - s / n) < 1e-9
+    # forced shuffle-join path identical
+    rows2 = stats_by(
+        spark, index, QUERY, "lang", value_col="doc_len", broadcast_max=0,
+    ).collect()
+    assert sorted((r["lang"], r["n_docs"]) for r in rows2) == sorted(
+        (r["lang"], r["n_docs"]) for r in rows
+    )
+
+
+def test_stats_by_absent_term_schema(spark, index):
+    out = stats_by(spark, index, "zz_nope_zz", "lang")
+    assert out.count() == 0
+    assert out.columns == ["lang", "n_docs", "sum_v", "min_v", "max_v", "avg_v"]
