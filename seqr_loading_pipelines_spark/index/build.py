@@ -1301,7 +1301,10 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
 
 
 def lookup_docs(
-    spark: SparkSession, index: dict, doc_ids: list[int],
+    spark: SparkSession,
+    index: dict,
+    doc_ids: list[int],
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Point-lookup doc-store rows by docID with PUSHED scan filters
     (the RocksDB-point-lookup analog, test_clickhouse_schema.sql:8).
@@ -1310,7 +1313,10 @@ def lookup_docs(
     predicate is computed driver-side: doc_id -> (file partition,
     row-in-partition) via the footer offsets, i.e. the exact stored
     ``_mid`` values — parquet row-group min/max on _mid then prunes
-    the scan. Materialized segments just push doc_id IN (...)."""
+    the scan. Materialized segments just push doc_id IN (...).
+
+    ``columns`` widens/narrows the projection (default DOC_STATS_COLS
+    — e.g. term_vectors adds the stored ``terms`` struct list)."""
     from seqr_loading_pipelines_spark.index.doc_ids import (
         checkpoint_offsets,
         dense_ids_view,
@@ -1354,12 +1360,15 @@ def lookup_docs(
         parts.append(
             dense_ids_view(spark, path, start, prefiltered=stored),
         )
+    cols = columns if columns is not None else DOC_STATS_COLS
     if not parts:
-        return index["doc_stats"].filter(F.lit(False))
+        return load_docs(spark, root, manifest).select(*cols).filter(
+            F.lit(False),
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(*DOC_STATS_COLS)
+    return out.select(*cols)
 
 
 def load_docs(spark: SparkSession, root: str, manifest: dict) -> DataFrame:

@@ -2346,6 +2346,48 @@ FROM documents WHERE doc_id IN ({", ".join(str(i) for i in KEY_LOOKUP_IDS)})
 """
 
 
+def q_index_term_vectors(spark, sf_dir):
+    """Term vectors through the REAL index path (the ``_termvectors``
+    API): external identities resolve to docIDs through the key-sorted
+    lookup projection, then the stored (term, tf) struct lists
+    point-read from the doc store and explode — no posting scan, no
+    re-tokenize (query/bm25.py term_vectors). Oracle: re-tokenized
+    per-(doc, term) counts for the same ids."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.key_lookup import (
+        resolve_doc_ids,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import term_vectors
+
+    _, index = _built_index(spark, sf_dir, "q")
+    keys = [
+        (r["repo"], r["path"], r["commit"])
+        for r in corpus_from_documents(spark, sf_dir)
+        .filter(_orig_doc_id().isin(KEY_LOOKUP_IDS))
+        .select("repo", "path", "commit")
+        .collect()
+    ]
+    ids = [
+        r["doc_id"] for r in resolve_doc_ids(spark, index, keys).collect()
+    ]
+    tv = term_vectors(spark, index, ids)
+    # key the result back to the oracle's id space via the doc path
+    from seqr_loading_pipelines_spark.index.build import lookup_docs
+
+    paths = lookup_docs(spark, index, ids).select("doc_id", "path")
+    return tv.join(F.broadcast(paths), "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "term", "tf",
+    )
+
+
+SQL_INDEX_TERM_VECTORS = f"""
+SELECT doc_id, term, count(*)::INT AS tf
+FROM (SELECT doc_id, unnest({_T}) AS term FROM documents
+      WHERE doc_id IN ({", ".join(str(i) for i in KEY_LOOKUP_IDS)}))
+GROUP BY doc_id, term
+"""
+
+
 def q_index_key_lookup_bulk(spark, sf_dir):
     """The mass twin of the point lookup, driver-gated: a whole
     file-manifest DataFrame (every third document's identity) resolved
@@ -2520,6 +2562,7 @@ QUERIES = {
     "index_incremental_update": q_index_incremental_update,
     "index_key_lookup": q_index_key_lookup,
     "index_key_lookup_bulk": q_index_key_lookup_bulk,
+    "index_term_vectors": q_index_term_vectors,
 }
 
 ORACLE_SQL = {
@@ -2590,4 +2633,5 @@ ORACLE_SQL = {
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
     "index_key_lookup": SQL_INDEX_KEY_LOOKUP,
     "index_key_lookup_bulk": SQL_INDEX_KEY_LOOKUP_BULK,
+    "index_term_vectors": SQL_INDEX_TERM_VECTORS,
 }

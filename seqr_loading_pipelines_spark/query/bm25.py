@@ -396,6 +396,30 @@ def search_sort_by(
     )
 
 
+def term_vectors(
+    spark: SparkSession, index: dict, doc_ids: list[int],
+) -> DataFrame:
+    """Per-doc term vectors (the Elasticsearch ``_termvectors`` API):
+    ``(doc_id, term, tf)`` rows for a bounded docID list, read from
+    the doc store's stored (term, tf) struct list via the pushed
+    point-lookup (lookup_docs) — no posting scan, no re-tokenize.
+    Tombstoned docs are excluded (a deleted doc has no term vector)."""
+    from seqr_loading_pipelines_spark.index.build import lookup_docs
+
+    docs = lookup_docs(spark, index, doc_ids, columns=["doc_id", "terms"])
+    if index.get("tombstones") is not None:
+        docs = docs.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    return docs.select(
+        "doc_id", F.explode("terms").alias("_t"),
+    ).select(
+        "doc_id",
+        F.col("_t.term").alias("term"),
+        F.col("_t.tf").alias("tf"),
+    )
+
+
 def search_explain(
     spark: SparkSession, index: dict, query_text: str, k: int = 10,
 ) -> DataFrame:

@@ -150,6 +150,27 @@ def test_stats_by_consistent_with_facets_and_oracle(spark, index, oracle):
     )
 
 
+def test_term_vectors_match_oracle(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.bm25 import term_vectors
+
+    ids = oracle.doc_ids[:3]
+    rows = term_vectors(spark, index, ids).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+    assert set(got) == set(ids)
+    for doc_id in ids:
+        i = oracle.doc_ids.index(doc_id)
+        assert got[doc_id] == dict(oracle.tf[i])
+
+
+def test_term_vectors_empty_ids(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import term_vectors
+
+    out = term_vectors(spark, index, [])
+    assert out.count() == 0 and out.columns == ["doc_id", "term", "tf"]
+
+
 def test_stats_by_absent_term_schema(spark, index):
     out = stats_by(spark, index, "zz_nope_zz", "lang")
     assert out.count() == 0
