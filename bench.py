@@ -261,6 +261,69 @@ def main() -> None:
         timings,
     )
 
+    # score explain: ranked pass + winners-only breakdown scan
+    from seqr_loading_pipelines_spark.query.bm25 import search_explain
+
+    timed_min(
+        "bm25_explain",
+        lambda: search_explain(
+            spark, index, "sw0 term_00042", k=10,
+        ).collect(),
+        timings,
+    )
+
+    # per-term boosting: boost folded into idf, plan unchanged
+    from seqr_loading_pipelines_spark.query.bm25 import search_boosted
+
+    timed_min(
+        "bm25_boosted",
+        lambda: search_boosted(
+            spark, index, {"sw0": 2.0, "term_00042": 0.5}, k=10,
+        ).collect(),
+        timings,
+    )
+
+    # field-sorted retrieval: match set -> bounded TakeOrdered on a
+    # metadata column
+    from seqr_loading_pipelines_spark.query.bm25 import search_sort_by
+
+    timed_min(
+        "sort_by_commit",
+        lambda: search_sort_by(
+            spark, index, "sw0 term_00042", "commit", k=10,
+        ).collect(),
+        timings,
+    )
+
+    # match count: pruned posting scan -> distinct-doc count
+    from seqr_loading_pipelines_spark.query.bm25 import match_count
+
+    timed_min(
+        "match_count",
+        lambda: match_count(spark, index, "sw0 term_00042").collect(),
+        timings,
+    )
+
+    # stats aggregation under a query (facets' numeric sibling)
+    from seqr_loading_pipelines_spark.query.facets import stats_by
+
+    timed_min(
+        "stats_by_lang",
+        lambda: stats_by(
+            spark, index, "sw0 term_00042", "lang",
+        ).collect(),
+        timings,
+    )
+
+    # term vectors: stored (term, tf) lists via pushed point-lookup
+    from seqr_loading_pipelines_spark.query.bm25 import term_vectors
+
+    timed_min(
+        "term_vectors",
+        lambda: term_vectors(spark, index, [10, 20, 30]).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline
@@ -329,6 +392,20 @@ def main() -> None:
         "more_like_this",
         lambda: more_like_this(
             spark, pos_index, doc_id=_mlt_src, k=10, max_query_terms=10,
+        ).collect(),
+        timings,
+    )
+
+    # highlighting: ranked pass + bounded stored-content point-read +
+    # JVM re-tokenize (the trigram build above stores content)
+    from seqr_loading_pipelines_spark.query.highlight import (
+        search_highlight,
+    )
+
+    timed_min(
+        "highlight",
+        lambda: search_highlight(
+            spark, pos_index, "sw0 term_00042", k=10,
         ).collect(),
         timings,
     )

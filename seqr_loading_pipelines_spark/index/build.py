@@ -1358,7 +1358,9 @@ def lookup_docs(
         # min/max on the monotone _mid prunes)
         stored = df.filter(F.col("_mid").isin(mids))
         parts.append(
-            dense_ids_view(spark, path, start, prefiltered=stored),
+            dense_ids_view(
+                spark, path, start, prefiltered=stored, offsets=offsets,
+            ),
         )
     cols = columns if columns is not None else DOC_STATS_COLS
     if not parts:

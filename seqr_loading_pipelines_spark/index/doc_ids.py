@@ -128,16 +128,22 @@ def dense_ids_view(
     id_col: str = "doc_id",
     files: list[str] | None = None,
     prefiltered: DataFrame | None = None,
+    offsets: list[tuple[int, int, str]] | None = None,
 ) -> DataFrame:
     """Re-derive the dense-id view over an EXISTING keyed checkpoint —
     optionally over a subset of its part files (the unit of
     per-partition resume: a chunk re-reads only its own files, with
     offsets still computed from the full footer list so ids are
     globally identical), or over an already-filtered scan of it
-    (``prefiltered`` — point lookups push a _mid predicate)."""
+    (``prefiltered`` — point lookups push a _mid predicate).
+
+    ``offsets``: precomputed ``checkpoint_offsets`` result — callers
+    that cache footer offsets per segment (lookup_docs) pass them in
+    so a point lookup never re-reads every part-file footer."""
     import os
 
-    offsets = checkpoint_offsets(checkpoint_path, start)
+    if offsets is None:
+        offsets = checkpoint_offsets(checkpoint_path, start)
     if prefiltered is not None:
         staged = prefiltered
     elif files is not None:

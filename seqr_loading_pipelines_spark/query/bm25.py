@@ -373,7 +373,10 @@ def search_sort_by(
     Shape: the pruned posting scan yields the match set; the
     doc-store side reads a two-column projection and the bounded
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (partial
-    top-k per partition) — the whole-match-set sort never exists."""
+    top-k per partition) — the whole-match-set sort never exists.
+    Bounded match sets broadcast into the semi-join (the facets gate)
+    so the doc-store projection is scanned, never shuffled; only an
+    unboundedly-large match set pays the doc_id shuffle."""
     from seqr_loading_pipelines_spark.functions.hashing import (
         single_partition_key,
     )
@@ -383,6 +386,12 @@ def search_sort_by(
         return spark.createDataFrame(
             [], f"doc_id long, {sort_col} string, rank int",
         )
+    from seqr_loading_pipelines_spark.query.facets import (
+        MATCH_BROADCAST_MAX,
+    )
+
+    if matches.limit(MATCH_BROADCAST_MAX + 1).count() <= MATCH_BROADCAST_MAX:
+        matches = F.broadcast(matches)
     rows = index["doc_stats"].select("doc_id", sort_col).join(
         matches, "doc_id", "left_semi",
     )

@@ -102,3 +102,31 @@ def test_batched_wand_single_pushed_scan(spark, index):
     plan = _plan(df)
     assert plan.count("PushedFilters: [In(term_id") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_highlight_content_read_is_pushed_point_lookup(
+    spark, corpus, tmp_path_factory,
+):
+    """The highlighter's stored-content read must push the bounded
+    doc_id IN (...) predicate into the content-projection scan (the
+    key_lookup discipline) — never a full content pass per query."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("hl_plan_idx"))
+    try:
+        IndexBuilder(spark, root, store_content=True).build(
+            corpus, source_fingerprint="hl-plan",
+        )
+        idx = load_index(spark, root)
+        probe = idx["content"].filter(F.col("doc_id").isin([3, 7, 11]))
+        plan = _plan(probe)
+        assert "PushedFilters: [In(doc_id" in plan, plan
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
