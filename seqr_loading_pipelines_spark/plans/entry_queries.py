@@ -1757,6 +1757,35 @@ GROUP BY lang
 """
 
 
+SYNONYM_MAP = {"spark": ["vector", "table"]}
+
+
+def q_index_synonym_search(spark, sf_dir):
+    """Query-time synonym expansion through the REAL index path (the
+    synonym-graph-at-query-time analog): 'spark' expands to
+    {spark, vector, table} and the union scores as one disjunction
+    with per-variant corpus idf (query/bm25.py search_synonyms).
+    Oracle: plain BM25 SQL over the expanded term set — the expansion
+    IS the operator, the scoring contract is search_exact's."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_synonyms,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_synonyms(spark, index, "spark", SYNONYM_MAP, k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_SYNONYM_SEARCH = _sql_bm25(
+    sorted({"spark", *SYNONYM_MAP["spark"]}), 10,
+)
+
+
 BM25_EXCLUDE_TERM = "window"
 
 
@@ -2547,6 +2576,7 @@ QUERIES = {
     "index_bm25_not": q_index_bm25_not,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
+    "index_synonym_search": q_index_synonym_search,
     "index_bm25_boosted": q_index_bm25_boosted,
     "index_match_count": q_index_match_count,
     "index_sort_by_commit": q_index_sort_by_commit,
@@ -2618,6 +2648,7 @@ ORACLE_SQL = {
     "index_bm25_not": SQL_INDEX_BM25_NOT,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
+    "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
     "index_bm25_boosted": SQL_INDEX_BM25_BOOSTED,
     "index_match_count": SQL_INDEX_MATCH_COUNT,
     "index_sort_by_commit": SQL_INDEX_SORT_BY_COMMIT,

@@ -405,6 +405,42 @@ def search_sort_by(
     )
 
 
+def search_synonyms(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Query-time synonym expansion (the Elasticsearch synonym-graph
+    filter applied at query time): every query token expands to
+    itself plus its synonym list, and the union scores as one
+    disjunction — each variant contributes its own corpus idf, and a
+    doc matching several variants sums their contributions
+    (rank-identical to ``search_exact`` over the same expanded term
+    set, the ``search_prefix``/``search_fuzzy`` contract).
+
+    Query-time (not index-time) expansion is the serving-engine
+    default because the synonym map can change without a reindex;
+    the cost is bounded by the expanded term count — still ONE pruned
+    posting scan."""
+    toks = sorted(set(tokenize_py(query_text)))
+    expanded: set[str] = set(toks)
+    for t in toks:
+        for s in synonyms.get(t, []):
+            expanded.update(tokenize_py(s))
+    term_infos = _query_terms(index, " ".join(sorted(expanded)))
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
 def term_vectors(
     spark: SparkSession, index: dict, doc_ids: list[int],
 ) -> DataFrame:

@@ -150,6 +150,24 @@ def test_stats_by_consistent_with_facets_and_oracle(spark, index, oracle):
     )
 
 
+def test_synonyms_equal_exact_over_expanded_set(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_synonyms
+
+    syn = search_synonyms(
+        spark, index, "sw0", {"sw0": ["sw1", "term_00042"]}, k=15,
+    )
+    exact = search_exact(spark, index, "sw0 sw1 term_00042", 15)
+    assert _rows(syn) == _rows(exact)
+
+
+def test_synonyms_without_map_is_plain_exact(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_synonyms
+
+    assert _rows(search_synonyms(spark, index, QUERY, {}, k=10)) == _rows(
+        search_exact(spark, index, QUERY, 10),
+    )
+
+
 def test_term_vectors_match_oracle(spark, index, oracle):
     from seqr_loading_pipelines_spark.query.bm25 import term_vectors
 
