@@ -1786,6 +1786,112 @@ SQL_INDEX_SYNONYM_SEARCH = _sql_bm25(
 )
 
 
+SUGGEST_TOKEN = "spork"
+SUGGEST_MAX_EDITS = 2
+SUGGEST_N = 5
+
+
+def q_index_suggest(spark, sf_dir):
+    """Spelling suggester through the REAL index path (the ES ``term``
+    suggester analog): dictionary corrections for the misspelled token
+    'spork', ranked (distance asc, df desc, term asc), exact match
+    excluded (query/bm25.py suggest_terms). Oracle: the same ranking
+    over a dictionary recomputed from the documents table with
+    DuckDB's levenshtein."""
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_terms
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return suggest_terms(
+        index, SUGGEST_TOKEN, max_edits=SUGGEST_MAX_EDITS, n=SUGGEST_N,
+    )
+
+
+SQL_INDEX_SUGGEST = f"""
+WITH dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY term
+),
+cand AS (
+  SELECT term AS suggestion, df::BIGINT AS df,
+         levenshtein(term, '{SUGGEST_TOKEN}')::INT AS distance
+  FROM dict
+  WHERE levenshtein(term, '{SUGGEST_TOKEN}')
+        BETWEEN 1 AND {SUGGEST_MAX_EDITS}
+)
+SELECT suggestion, df, distance, rank FROM (
+  SELECT suggestion, df, distance,
+         row_number() OVER (
+           ORDER BY distance ASC, df DESC, suggestion ASC
+         ) AS rank
+  FROM cand
+) WHERE rank <= {SUGGEST_N}
+"""
+
+
+def q_index_function_score(spark, sf_dir):
+    """Function-score retrieval through the REAL index path (ES
+    ``function_score``/``field_value_factor``): BM25 over the
+    reference terms multiplied by a log1p(doc_len) static prior from
+    the doc store, ranked by the shared tie rule
+    (query/bm25.py search_function_score). Oracle: the BM25 SQL with
+    the same per-doc factor multiplied into the score."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_function_score,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_function_score(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        factor_col="doc_len", modifier="log1p", k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_function_score(terms: list[str], k: int) -> str:
+    """BM25 × log1p(doc_len) prior, mirroring search_function_score:
+    the relevance sum is per-doc multiplied by ln(1 + dl) AFTER
+    aggregation (the prior re-weights; idf/avgdl stay corpus-level)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+final AS (
+  SELECT scored.doc_id, scored.s * ln(1 + dl.dl) AS s
+  FROM scored JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM final
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_FUNCTION_SCORE = _sql_bm25_function_score(BM25_QUERY_TERMS, 10)
+
+
 BM25_EXCLUDE_TERM = "window"
 
 
@@ -2577,6 +2683,8 @@ QUERIES = {
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
+    "index_suggest": q_index_suggest,
+    "index_function_score": q_index_function_score,
     "index_bm25_boosted": q_index_bm25_boosted,
     "index_match_count": q_index_match_count,
     "index_sort_by_commit": q_index_sort_by_commit,
@@ -2649,6 +2757,8 @@ ORACLE_SQL = {
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
+    "index_suggest": SQL_INDEX_SUGGEST,
+    "index_function_score": SQL_INDEX_FUNCTION_SCORE,
     "index_bm25_boosted": SQL_INDEX_BM25_BOOSTED,
     "index_match_count": SQL_INDEX_MATCH_COUNT,
     "index_sort_by_commit": SQL_INDEX_SORT_BY_COMMIT,

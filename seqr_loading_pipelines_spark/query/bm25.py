@@ -732,6 +732,124 @@ def search_prefix(
     return rank_topk(scored, k)
 
 
+FUNCTION_SCORE_MODIFIERS = ("none", "log1p", "sqrt")
+
+
+def search_function_score(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    factor_col: str = "doc_len",
+    modifier: str = "log1p",
+    weight: float = 1.0,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Function-score retrieval (Elasticsearch ``function_score`` /
+    ``field_value_factor``): BM25 relevance multiplied by a static
+    per-document prior drawn from a doc-store column — the
+    recency/popularity/quality re-rank every serving engine offers
+    next to pure relevance (the reference's ES export carried exactly
+    such static sort fields alongside its scored hits).
+
+    ``final = bm25 * weight * modifier(factor)``, ranked by the shared
+    deterministic tie rule (quantized score desc, doc_id asc). BM25
+    statistics stay corpus-level — the prior re-weights, it never
+    touches idf/avgdl.
+
+    Scale shape: one pruned posting scan scores the match set; the
+    factor then rides a two-column doc-store projection join on
+    doc_id — the scored set is gated-broadcast into that join when
+    bounded (the facet-join pattern) and shuffles ONCE past the gate.
+    No driver materialization before the bounded top-k."""
+    if modifier not in FUNCTION_SCORE_MODIFIERS:
+        raise ValueError(f"modifier must be one of {FUNCTION_SCORE_MODIFIERS}")
+    if weight <= 0:
+        raise ValueError("weight must be positive (it scales, not flips)")
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("_bm25"))
+    )
+    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
+
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    fac = F.col(factor_col).cast("double")
+    if modifier == "log1p":
+        fac = F.log1p(fac)
+    elif modifier == "sqrt":
+        fac = F.sqrt(fac)
+    out = (
+        index["doc_stats"]
+        .select("doc_id", factor_col)
+        .join(scored, "doc_id", "inner")
+        .select(
+            "doc_id",
+            (F.col("_bm25") * F.lit(float(weight)) * fac).alias("score"),
+        )
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(out, k)
+
+
+def suggest_terms(
+    index: dict, token: str, max_edits: int = 2, n: int = 5,
+) -> DataFrame:
+    """Spelling suggester (Elasticsearch ``term`` suggester, Lucene
+    DirectSpellChecker): candidate corrections for one (possibly
+    misspelled) token from the term dictionary, ranked closest-first
+    (edit distance asc), then most-popular-first (df desc), then term
+    asc — the standard suggester order. The input term itself (edit
+    distance 0) is never suggested. Returns
+    ``(suggestion, df, distance, rank)`` with rank 1..n.
+
+    One bounded dictionary job, entirely JVM-side (the expand_fuzzy
+    scale shape): the length-band prefilter prunes the scan before any
+    distance is computed, banded ``levenshtein(.., threshold)``
+    early-exits past the threshold, and orderBy().limit(n) is a
+    TakeOrdered — at most n rows ever leave the executors. The
+    dictionary is ~1e4x smaller than the corpus."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    token = token.strip().lower()
+    if not token:
+        raise ValueError("suggest token must be non-empty")
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1")
+    cand = (
+        index["term_dict"]
+        .filter(F.abs(F.length("term") - F.lit(len(token))) <= max_edits)
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("term"), F.lit(token), max_edits),
+        )
+        # banded levenshtein returns -1 past the threshold; >= 1 drops
+        # both the over-threshold rows and the exact match
+        .filter(F.col("distance") >= 1)
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+    order = [
+        F.col("distance").asc(), F.col("df").desc(),
+        F.col("suggestion").asc(),
+    ]
+    top = cand.orderBy(*order).limit(n)
+    w = Window.partitionBy(single_partition_key(top)).orderBy(*order)
+    return top.select(
+        "suggestion", "df", "distance", F.row_number().over(w).alias("rank"),
+    )
+
+
 def quantized(score_col) -> "F.Column":
     """The shared tie rule: scores quantized to 1e-5 before ordering
     (cf. the store-side Decimal(9,5) quantization,

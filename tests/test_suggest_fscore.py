@@ -1,0 +1,124 @@
+"""Spelling suggester + function-score retrieval (round-5 serving
+surfaces): suggest_terms vs a python-DP Levenshtein golden over the
+term dictionary; search_function_score vs the product of the already
+oracle-gated search_exact scores and the doc-store prior."""
+
+import math
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.bm25 import (
+    search_exact,
+    search_function_score,
+    suggest_terms,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb),
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def _golden_suggestions(index, token, max_edits, n):
+    rows = index["term_dict"].select("term", "df").collect()
+    cand = [
+        (r["term"], int(r["df"]), _lev(r["term"], token))
+        for r in rows
+        if 1 <= _lev(r["term"], token) <= max_edits
+    ]
+    cand.sort(key=lambda x: (x[2], -x[1], x[0]))
+    return [
+        (t, df, d, i + 1) for i, (t, df, d) in enumerate(cand[:n])
+    ]
+
+
+def test_suggest_matches_python_golden(spark, index):
+    got = [
+        (r["suggestion"], r["df"], r["distance"], r["rank"])
+        for r in suggest_terms(index, "term_0004", max_edits=2, n=5).collect()
+    ]
+    assert got == _golden_suggestions(index, "term_0004", 2, 5)
+    assert got, "chosen token should have in-dictionary neighbors"
+
+
+def test_suggest_excludes_exact_match(spark, index):
+    # a token present in the dictionary is never its own suggestion
+    present = index["term_dict"].select("term").first()["term"]
+    got = suggest_terms(index, present, max_edits=2, n=10).collect()
+    assert all(r["suggestion"] != present for r in got)
+    assert all(1 <= r["distance"] <= 2 for r in got)
+
+
+def test_suggest_no_neighbors_is_empty(spark, index):
+    assert suggest_terms(index, "zzqqzzqqzzqq", max_edits=1, n=5).count() == 0
+
+
+def test_suggest_validation(spark, index):
+    with pytest.raises(ValueError):
+        suggest_terms(index, "   ")
+    with pytest.raises(ValueError):
+        suggest_terms(index, "spark", max_edits=0)
+
+
+def _expected_fscore(spark, index, text, modifier, weight, k):
+    n = index["manifest"]["n_docs"]
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_exact(spark, index, text, n).collect()
+    }
+    dl = {
+        r["doc_id"]: int(r["doc_len"])
+        for r in index["doc_stats"].select("doc_id", "doc_len").collect()
+        if r["doc_id"] in base
+    }
+    mod = {
+        "none": lambda v: v,
+        "log1p": lambda v: math.log1p(v),
+        "sqrt": math.sqrt,
+    }[modifier]
+    prod = {d: base[d] * weight * mod(dl[d]) for d in base}
+    ranked = sorted(
+        prod.items(), key=lambda kv: (-math.floor(kv[1] * 1e5 + 0.5), kv[0]),
+    )[:k]
+    return [(d, round(s, 4), i + 1) for i, (d, s) in enumerate(ranked)]
+
+
+@pytest.mark.parametrize("modifier", ["none", "log1p", "sqrt"])
+def test_function_score_matches_product_golden(spark, index, modifier):
+    text = "term_00042 sw0"
+    got = [
+        (r["doc_id"], round(r["score"], 4), r["rank"])
+        for r in search_function_score(
+            spark, index, text, modifier=modifier, k=10,
+        ).collect()
+    ]
+    assert got == _expected_fscore(spark, index, text, modifier, 1.0, 10)
+
+
+def test_function_score_unbroadcast_gate_identical(spark, index):
+    text = "term_00042 sw0"
+    a = search_function_score(spark, index, text, k=10).collect()
+    b = search_function_score(
+        spark, index, text, k=10, broadcast_max=0,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_function_score_validation(spark, index):
+    with pytest.raises(ValueError):
+        search_function_score(spark, index, "x", modifier="recip")
+    with pytest.raises(ValueError):
+        search_function_score(spark, index, "x", weight=0.0)
+
+
+def test_function_score_absent_term_empty(spark, index):
+    assert search_function_score(
+        spark, index, "zz_absent_token_zz", k=5,
+    ).count() == 0
