@@ -324,6 +324,26 @@ def main() -> None:
         timings,
     )
 
+    # spelling suggester: bounded banded-levenshtein dictionary job
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_terms
+
+    timed_min(
+        "suggest_terms",
+        lambda: suggest_terms(index, "term_0004", max_edits=2, n=5).collect(),
+        timings,
+    )
+
+    # function score: BM25 x static doc prior via gated doc-store join
+    from seqr_loading_pipelines_spark.query.bm25 import search_function_score
+
+    timed_min(
+        "bm25_function_score",
+        lambda: search_function_score(
+            spark, index, "sw0 term_00042", k=10,
+        ).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline
