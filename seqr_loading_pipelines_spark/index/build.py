@@ -1227,18 +1227,48 @@ def _partition_lineage(path: str) -> list[dict]:
         return []
 
 
-def load_index(spark: SparkSession, index_root: str) -> dict:
+def load_index(
+    spark: SparkSession, index_root: str, version: int | None = None,
+) -> dict:
     """Open the current snapshot: returns dict of DataFrames + stats.
 
     An index is a LIST of segments (LSM-style): incremental updates
     append a segment with strictly-higher docIDs instead of rewriting
     old postings; compaction (index/merge.py) folds them back into one.
     The term dictionary is global and lives in the newest segment.
+
+    ``version`` pins a PAST published snapshot (time travel — the
+    Iceberg snapshot-read analog; the manifest layer keeps every
+    version's json until ``vacuum`` prunes it, and
+    ``vacuum(keep_last=N)`` keeps the last N versions' DATA dirs).
+    Snapshot dirs are immutable, so a pinned read is a consistent
+    point-in-time view even while updates publish newer versions.
+    Raises FileNotFoundError when the version never existed or its
+    data has been vacuumed.
     """
     table = ManifestTable(index_root)
-    manifest = table.current_manifest()
-    if manifest is None:
-        raise FileNotFoundError(f"no published index at {index_root}")
+    if version is None:
+        manifest = table.current_manifest()
+        if manifest is None:
+            raise FileNotFoundError(f"no published index at {index_root}")
+    else:
+        manifest = table.manifest_at(version)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"no manifest for snapshot v{version} at {index_root} "
+                f"(published versions: {table.versions() or 'none'})",
+            )
+        missing = sorted(
+            d
+            for d in ManifestTable.referenced_dirs(manifest)
+            if not pfs.exists(os.path.join(index_root, d))
+        )
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot v{version} at {index_root} is no longer "
+                f"readable: data dirs {missing} were vacuumed "
+                "(raise vacuum's keep_last to retain more versions)",
+            )
     if "segments" not in manifest:
         raise FileNotFoundError(
             f"index at {index_root} uses an old layout; rebuild it",

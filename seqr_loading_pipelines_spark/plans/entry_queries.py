@@ -2627,6 +2627,44 @@ SELECT doc_id, lang, len({_T}) AS doc_len FROM documents
 """
 
 
+def q_index_time_travel(spark, sf_dir):
+    """Snapshot time travel behind a driver-green row (the Iceberg
+    snapshot-read analog): build over the even half of the corpus
+    (publishes v1), ``update_index`` with the full corpus (publishes
+    v2), then open the index PINNED at version=1 — the pre-update
+    point-in-time view, readable because snapshot dirs are immutable
+    and the manifest keeps every version's json until vacuum. The
+    pinned doc store must equal exactly the even half of the source
+    table. Oracle: that half."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.merge import update_index
+
+    root = _index_root(sf_dir, "tt")
+    src_fp = _source_content_fp(sf_dir)
+    full = corpus_from_documents(spark, sf_dir)
+    first = full.filter(_orig_doc_id() % 2 == 0)
+    IndexBuilder(spark, root).build(
+        first, source_fingerprint=f"tt-first:{sf_dir}:{src_fp}",
+    )
+    update_index(spark, root, full, f"tt-rest:{sf_dir}:{src_fp}")
+    pinned = load_index(spark, root, version=1)
+    return pinned["doc_stats"].select(
+        _orig_doc_id().alias("doc_id"),
+        "lang",
+        F.col("doc_len").alias("doc_len"),
+    )
+
+
+SQL_INDEX_TIME_TRAVEL = f"""
+SELECT doc_id, lang, len({_T}) AS doc_len FROM documents
+WHERE doc_id % 2 = 0
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -2698,6 +2736,7 @@ QUERIES = {
     "index_bm25_batch": q_index_bm25_batch,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
+    "index_time_travel": q_index_time_travel,
     "index_key_lookup": q_index_key_lookup,
     "index_key_lookup_bulk": q_index_key_lookup_bulk,
     "index_term_vectors": q_index_term_vectors,
@@ -2772,6 +2811,7 @@ ORACLE_SQL = {
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
+    "index_time_travel": SQL_INDEX_TIME_TRAVEL,
     "index_key_lookup": SQL_INDEX_KEY_LOOKUP,
     "index_key_lookup_bulk": SQL_INDEX_KEY_LOOKUP_BULK,
     "index_term_vectors": SQL_INDEX_TERM_VECTORS,

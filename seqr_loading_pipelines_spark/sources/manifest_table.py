@@ -143,6 +143,27 @@ class ManifestTable:
         except (FileNotFoundError, OSError):
             return None
 
+    def manifest_at(self, version: int) -> dict | None:
+        """The manifest published as version ``version``, or None if
+        that version never existed or its manifest json was pruned by
+        ``vacuum`` (time-travel read support; Iceberg's
+        snapshot-of-table-at-version analog)."""
+        return self._manifest_at(int(version))
+
+    def versions(self) -> list[int]:
+        """Published versions whose manifest json still exists,
+        ascending — the time-travel catalog (older versions' DATA may
+        still have been vacuumed; readers verify dirs on open)."""
+        out = []
+        for name, _size in fs.list_files(self.root):
+            base = posixpath.basename(name)
+            if base.startswith("v") and base.endswith(".manifest.json"):
+                try:
+                    out.append(int(base[1:-len(".manifest.json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     @staticmethod
     def referenced_dirs(manifest: dict) -> set[str]:
         """Top-level snap_* dir names a manifest's data lives in:

@@ -98,6 +98,55 @@ def test_compaction_preserves_results(spark, merged_index):
     assert compact_segments(spark, root)["version"] == m["version"]
 
 
+def test_time_travel_reads_pre_update_snapshot(spark, merged_index):
+    """load_index(version=1) is the pre-update point-in-time view:
+    200 docs, rank-identical to an oracle over batch1 alone — even
+    though v2 (and possibly a compacted v3) have published since."""
+    root, _ = merged_index
+    pinned = load_index(spark, root, version=1)
+    assert pinned["manifest"]["version"] == 1
+    assert pinned["doc_stats"].count() == 200
+    first = generate_corpus(spark, 200, n_repos=5, seed=11)
+    oracle = _oracle_for(spark, pinned, first)
+    for q in QUERIES[:2]:
+        got = [
+            (r["doc_id"], round(r["score"], 4))
+            for r in search_exact(spark, pinned, q, 10).collect()
+        ]
+        assert got == [(d, round(s, 4)) for d, s in oracle.topk(q, 10)], q
+
+
+def test_time_travel_unknown_version_raises(spark, merged_index):
+    root, _ = merged_index
+    with pytest.raises(FileNotFoundError, match="v99"):
+        load_index(spark, root, version=99)
+
+
+def test_time_travel_after_vacuum_raises(spark, tmp_path):
+    """A vacuumed version fails loudly on open (never a partial read);
+    the current version stays readable."""
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    root = str(tmp_path / "ttv")
+    c1 = generate_corpus(spark, 60, n_repos=3, seed=7)
+    c2 = generate_corpus(spark, 90, n_repos=3, seed=7)
+    IndexBuilder(spark, root).build(c1, source_fingerprint="b1")
+    update_index(spark, root, c2, source_fingerprint="b2")
+    compact_segments(spark, root)
+    t = ManifestTable(root)
+    assert t.versions() == [1, 2, 3]
+    # v2 still references v1's segment (updates append); both pinned
+    # reads work until vacuum prunes them
+    assert load_index(spark, root, version=2)["doc_stats"].count() == 90
+    t.vacuum(keep_last=1, lease_ttl_s=0)
+    for v in (1, 2):
+        with pytest.raises(FileNotFoundError):
+            load_index(spark, root, version=v)
+    assert load_index(spark, root)["manifest"]["version"] == 3
+
+
 def test_chunked_update_matches_fused(spark, tmp_path):
     """docs_chunks > 1 on the INCREMENTAL path (keying split from
     chunked tokenize + chunked postings encode, per-chunk resume) must
