@@ -433,6 +433,18 @@ def _update(
     return manifest
 
 
+def rollback_index(index_root: str, version: int) -> dict:
+    """Roll the index head back to a past published snapshot: a NEW
+    version is published whose manifest is a copy of ``version``'s
+    (same immutable segments / dictionary / tombstones), so readers
+    atomically see the old state while history stays append-only —
+    pair of ``load_index(version=)`` time travel. The reference's
+    analog is repointing the ClickHouse atomic-swap target back to a
+    retained staging clone (lib/misc/clickhouse.py:830-862); here it
+    is one pointer-file publish. Returns the new manifest."""
+    return ManifestTable(index_root).rollback(version)
+
+
 def _carry_tombstones(current: dict) -> dict:
     """Manifest fields that must survive a ledger/segment republish."""
     out = {}

@@ -2665,6 +2665,44 @@ WHERE doc_id % 2 = 0
 """
 
 
+def q_index_rollback(spark, sf_dir):
+    """Snapshot rollback behind a driver-green row (Iceberg
+    rollback-to-snapshot / ES snapshot-restore): build over the even
+    half (v1), ``update_index`` with the full corpus (v2), then
+    ``rollback_index(root, 1)`` — the head atomically repoints to
+    v1's immutable data, so the CURRENT doc store equals exactly the
+    even half again. History stays append-only (the rollback is
+    itself a new version). Oracle: the even half of the source."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.merge import (
+        rollback_index,
+        update_index,
+    )
+
+    root = _index_root(sf_dir, "rb")
+    src_fp = _source_content_fp(sf_dir)
+    full = corpus_from_documents(spark, sf_dir)
+    first = full.filter(_orig_doc_id() % 2 == 0)
+    IndexBuilder(spark, root).build(
+        first, source_fingerprint=f"rb-first:{sf_dir}:{src_fp}",
+    )
+    update_index(spark, root, full, f"rb-rest:{sf_dir}:{src_fp}")
+    rollback_index(root, 1)
+    index = load_index(spark, root)
+    return index["doc_stats"].select(
+        _orig_doc_id().alias("doc_id"),
+        "lang",
+        F.col("doc_len").alias("doc_len"),
+    )
+
+
+SQL_INDEX_ROLLBACK = SQL_INDEX_TIME_TRAVEL
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -2737,6 +2775,7 @@ QUERIES = {
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
     "index_time_travel": q_index_time_travel,
+    "index_rollback": q_index_rollback,
     "index_key_lookup": q_index_key_lookup,
     "index_key_lookup_bulk": q_index_key_lookup_bulk,
     "index_term_vectors": q_index_term_vectors,
@@ -2812,6 +2851,7 @@ ORACLE_SQL = {
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
     "index_time_travel": SQL_INDEX_TIME_TRAVEL,
+    "index_rollback": SQL_INDEX_ROLLBACK,
     "index_key_lookup": SQL_INDEX_KEY_LOOKUP,
     "index_key_lookup_bulk": SQL_INDEX_KEY_LOOKUP_BULK,
     "index_term_vectors": SQL_INDEX_TERM_VECTORS,

@@ -128,6 +128,42 @@ class ManifestTable:
             fs.delete_file(lease)
         return manifest
 
+    def rollback(self, version: int) -> dict:
+        """Publish a NEW version whose content is snapshot ``version``
+        (Iceberg's rollback-to-snapshot; the ES snapshot-restore /
+        alias-repoint analog). History is append-only: nothing is
+        rewritten or deleted — the head pointer advances to a manifest
+        that references the old version's immutable data dirs, so the
+        rollback is itself atomic, time-travelable, and re-rollbackable.
+        Raises FileNotFoundError when the target version's manifest or
+        data has been vacuumed."""
+        target = self.manifest_at(version)
+        if target is None:
+            raise FileNotFoundError(
+                f"no manifest for snapshot v{version} at {self.root} "
+                f"(published versions: {self.versions() or 'none'})",
+            )
+        missing = sorted(
+            d
+            for d in self.referenced_dirs(target)
+            if not fs.exists(fs.join(self.root, d))
+        )
+        if missing:
+            raise FileNotFoundError(
+                f"cannot roll back to v{version}: data dirs {missing} "
+                "were vacuumed",
+            )
+        metadata = {
+            k: v
+            for k, v in target.items()
+            if k not in ("version", "snapshot_dir", "published_at_unix")
+        }
+        metadata["rolled_back_to"] = version
+        metadata["rolled_back_from"] = self.current_version()
+        return self.publish(
+            fs.join(self.root, target["snapshot_dir"]), metadata,
+        )
+
     def ledger_contains(self, key: str, value) -> bool:
         """Idempotence probe: is this update already applied?"""
         m = self.current_manifest()

@@ -147,6 +147,36 @@ def test_time_travel_after_vacuum_raises(spark, tmp_path):
     assert load_index(spark, root)["manifest"]["version"] == 3
 
 
+def test_rollback_restores_old_results_append_only(spark, tmp_path):
+    """rollback_index repoints the head to a past snapshot atomically:
+    current results equal the pinned view of that version; history is
+    append-only (the superseded version stays time-travelable) and
+    updates continue on top of the rolled-back head."""
+    from seqr_loading_pipelines_spark.index.merge import rollback_index
+
+    root = str(tmp_path / "rb")
+    c1 = generate_corpus(spark, 80, n_repos=3, seed=13)
+    c2 = generate_corpus(spark, 120, n_repos=3, seed=13)
+    IndexBuilder(spark, root).build(c1, source_fingerprint="b1")
+    update_index(spark, root, c2, source_fingerprint="b2")
+    m = rollback_index(root, 1)
+    assert m["version"] == 3
+    assert m["rolled_back_to"] == 1 and m["rolled_back_from"] == 2
+    idx = load_index(spark, root)
+    assert idx["doc_stats"].count() == 80
+    pinned = load_index(spark, root, version=1)
+    q = "sw0 term_00042"
+    assert [tuple(r) for r in search_exact(spark, idx, q, 10).collect()] \
+        == [tuple(r) for r in search_exact(spark, pinned, q, 10).collect()]
+    # append-only: the superseded v2 stays readable after the rollback
+    assert load_index(spark, root, version=2)["doc_stats"].count() == 120
+    # updates continue on top of the rolled-back head
+    update_index(spark, root, c2, source_fingerprint="b2-again")
+    assert load_index(spark, root)["doc_stats"].count() == 120
+    with pytest.raises(FileNotFoundError):
+        rollback_index(root, 42)
+
+
 def test_chunked_update_matches_fused(spark, tmp_path):
     """docs_chunks > 1 on the INCREMENTAL path (keying split from
     chunked tokenize + chunked postings encode, per-chunk resume) must
