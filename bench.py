@@ -39,6 +39,7 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 SLOW_QUERY_S = 30.0  # warm-up slower than this drops to 2 reps
 
 REPS_USED: dict[str, int] = {}
+CPU_USED: dict[str, float] = {}
 
 
 def _container_cpu_s() -> float:
@@ -64,7 +65,14 @@ def timed_min(label: str, fn, timings: dict[str, float]) -> None:
     """Untimed warm-up + min of N timed reps (see module docstring).
     Sub-3s queries get extra reps: their walls are dominated by the
     ~1.5-2s per-job fixed cost whose jitter needs more samples to
-    floor out."""
+    floor out.
+
+    Each query also records the container-CPU delta of its best-wall
+    rep (``cpu_s`` in the output JSON): a wall far above the calm band
+    with CPU flat is an external host stall, not a plan regression —
+    the artifact adjudicates its own noise (VERDICT r4 #1, extended
+    from the build to every query after r5's mid-bench window
+    inflated six query minima 4-10x)."""
     t0 = time.time()
     fn()
     warm = time.time() - t0
@@ -75,12 +83,18 @@ def timed_min(label: str, fn, timings: dict[str, float]) -> None:
     else:
         reps = min(REPS, 2)
     best = float("inf")
+    best_cpu = 0.0
     for _ in range(reps):
+        cpu0 = _container_cpu_s()
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
+        wall = time.time() - t0
+        if wall < best:
+            best = wall
+            best_cpu = _container_cpu_s() - cpu0
     timings[label] = round(best, 3)
     REPS_USED[label] = reps
+    CPU_USED[label] = round(best_cpu, 1)
 
 
 def main() -> None:
@@ -295,6 +309,17 @@ def main() -> None:
         timings,
     )
 
+    # field collapsing: best doc per repo, top-k groups
+    from seqr_loading_pipelines_spark.query.bm25 import search_collapse
+
+    timed_min(
+        "bm25_collapse",
+        lambda: search_collapse(
+            spark, index, "sw0 term_00042", "repo", k=10,
+        ).collect(),
+        timings,
+    )
+
     # match count: pruned posting scan -> distinct-doc count
     from seqr_loading_pipelines_spark.query.bm25 import match_count
 
@@ -358,12 +383,14 @@ def main() -> None:
         tempfile.gettempdir(), "spark_graft_bench_posidx",
     )
     shutil.rmtree(pos_root, ignore_errors=True)
+    cpu0 = _container_cpu_s()
     t0 = time.time()
     IndexBuilder(spark, pos_root, positions=True, trigrams=True).build(
         corpus, source_fingerprint=f"bench-pos-{N_DOCS}",
     )
     timings["projections_build"] = round(time.time() - t0, 3)
     REPS_USED["projections_build"] = 1
+    CPU_USED["projections_build"] = round(_container_cpu_s() - cpu0, 1)
     pos_index = load_index(spark, pos_root)
     timed_min(
         "bm25_phrase",
@@ -494,13 +521,28 @@ def main() -> None:
         "overwrite",
     ).parquet(vecs_path)
     emb = spark.read.parquet(vecs_path)
-    t0 = time.time()
-    build_ivf(spark, emb, os.path.join(ann_root, "ivf"), n_centroids=128)
-    timings["ann_ivf_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    build_lsh(spark, emb, os.path.join(ann_root, "lsh"))
-    timings["ann_lsh_build"] = round(time.time() - t0, 3)
-    REPS_USED["ann_ivf_build"] = REPS_USED["ann_lsh_build"] = 1
+    # ANN builds: min-of-2 with container CPU, like index_build — the
+    # r5 evidence run caught a degraded window inflating these
+    # single-shots 7-16x while min-of-2 kept the index headline honest
+    for label, builder in (
+        ("ann_ivf_build", lambda p: build_ivf(spark, emb, p, n_centroids=128)),
+        ("ann_lsh_build", lambda p: build_lsh(spark, emb, p)),
+    ):
+        sub = label.split("_")[1]
+        best, best_cpu = float("inf"), 0.0
+        for rep in ("a", "b"):
+            path = os.path.join(ann_root, sub if rep == "a" else f"{sub}_b")
+            cpu0 = _container_cpu_s()
+            t0 = time.time()
+            builder(path)
+            wall = time.time() - t0
+            if wall < best:
+                best, best_cpu = wall, _container_cpu_s() - cpu0
+            if rep == "b":
+                shutil.rmtree(path, ignore_errors=True)
+        timings[label] = round(best, 3)
+        REPS_USED[label] = 2
+        CPU_USED[label] = round(best_cpu, 1)
     ivf = load_ivf(spark, os.path.join(ann_root, "ivf"))
     lsh = load_lsh(spark, os.path.join(ann_root, "lsh"))
     q_rows = emb.filter(F_col("vec_id").isin([1, 3, 5])).collect()
@@ -627,6 +669,7 @@ def main() -> None:
                     "builds single-shot)"
                 ),
                 "reps": REPS_USED,
+                "cpu_s": CPU_USED,
                 "cpus": CPUS,
             },
         ),

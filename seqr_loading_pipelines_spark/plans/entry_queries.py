@@ -1728,6 +1728,71 @@ SELECT doc_id, commit_sha, rank FROM (
 """
 
 
+def q_index_collapse(spark, sf_dir):
+    """Field collapsing through the REAL index path (the Elasticsearch
+    ``collapse`` API — one best hit per repo in code search): one
+    pruned posting scan scores the match set, the repo rides a
+    two-column doc-store projection, per-repo best via a window over
+    the collapse key, bounded TakeOrdered page
+    (query/bm25.py search_collapse). Ties inside a repo break on the
+    doc-store path (monotone in the oracle's doc_id — the id-space-
+    invariant tiebreak). Oracle: the same BM25 + per-source argmax in
+    pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_collapse,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = search_collapse(
+        spark, index, " ".join(BM25_QUERY_TERMS), "repo", k=10,
+        tiebreak_col="path",
+    ).withColumnRenamed("repo", "repo_name")
+    return hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"),
+        "repo_name",
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_COLLAPSE = f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+best AS (
+  SELECT s.doc_id, d.source AS repo_name, s.s,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY floor(s.s * 1e5 + 0.5) DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, repo_name, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, repo_name, s,
+         row_number() OVER (
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+         ) AS rank
+  FROM best WHERE rn = 1
+) WHERE rank <= 10
+"""
+
+
 def q_index_agg_stats(spark, sf_dir):
     """Numeric stats aggregation under a query through the REAL index
     path (the ``stats`` sub-aggregation, facet's numeric sibling):
@@ -2764,6 +2829,7 @@ QUERIES = {
     "index_bm25_boosted": q_index_bm25_boosted,
     "index_match_count": q_index_match_count,
     "index_sort_by_commit": q_index_sort_by_commit,
+    "index_collapse": q_index_collapse,
     "index_agg_stats": q_index_agg_stats,
     "index_bool_search": q_index_bool_search,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -2840,6 +2906,7 @@ ORACLE_SQL = {
     "index_bm25_boosted": SQL_INDEX_BM25_BOOSTED,
     "index_match_count": SQL_INDEX_MATCH_COUNT,
     "index_sort_by_commit": SQL_INDEX_SORT_BY_COMMIT,
+    "index_collapse": SQL_INDEX_COLLAPSE,
     "index_agg_stats": SQL_INDEX_AGG_STATS,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

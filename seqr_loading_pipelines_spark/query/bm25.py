@@ -405,6 +405,90 @@ def search_sort_by(
     )
 
 
+def search_collapse(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    collapse_col: str,
+    k: int = 10,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Field collapsing (the Elasticsearch ``collapse`` API): ranked
+    retrieval keeping only the BEST-scoring doc per value of a
+    doc-store column — one hit per repo in code search — returning the
+    top-k collapsed groups as ``(doc_id, <collapse_col>, score, rank)``.
+
+    Shape: one pruned posting scan scores the match set
+    (``search_exact``'s plan unchanged); the collapse column rides a
+    two-column doc-store projection joined on doc_id (bounded match
+    sets broadcast — the facets gate — so the projection is scanned,
+    never shuffled); per-group best is ``row_number`` over a window
+    partitioned by the collapse value (a REAL key whose fan-in is the
+    group's match count, e.g. one repo's matching files); the global
+    page is a bounded TakeOrdered over one row per group. The
+    whole-match-set sort never exists."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.facets import (
+        MATCH_BROADCAST_MAX,
+    )
+
+    q_terms = set(tokenize_py(query_text))
+    term_infos = _query_terms(index, query_text)
+    empty_schema = (
+        f"doc_id long, {collapse_col} string, score double, rank int"
+    )
+    if not term_infos or (require_all and len(term_infos) < len(q_terms)):
+        return spark.createDataFrame([], empty_schema)
+    decoded = _decoded_postings(index, term_infos, with_term=require_all)
+    if require_all:
+        scored = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.sum("contribution").alias("score"),
+                F.count(F.lit(1)).alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(term_infos))
+            .select("doc_id", "score")
+        )
+    else:
+        scored = decoded.groupBy("doc_id").agg(
+            F.sum("contribution").alias("score"),
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    proj = ["doc_id", collapse_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    joined = index["doc_stats"].select(*proj).join(
+        scored, "doc_id", "inner",
+    )
+    # ``tiebreak_col``: optional score-tie discipline on a doc-store
+    # column (e.g. path) instead of the engine-internal docID — docIDs
+    # are an assignment artifact, so callers comparing against an
+    # external id space need a tiebreak both spaces agree on
+    order = [quantized(F.col("score")).desc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    ) + [F.col("doc_id").asc()]
+    w = Window.partitionBy(collapse_col).orderBy(*order)
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    page = best.orderBy(*order).limit(k)
+    wk = Window.partitionBy(single_partition_key(page)).orderBy(*order)
+    return page.select(
+        "doc_id", collapse_col, "score",
+        F.row_number().over(wk).alias("rank"),
+    )
+
+
 def search_synonyms(
     spark: SparkSession,
     index: dict,

@@ -193,3 +193,74 @@ def test_stats_by_absent_term_schema(spark, index):
     out = stats_by(spark, index, "zz_nope_zz", "lang")
     assert out.count() == 0
     assert out.columns == ["lang", "n_docs", "sum_v", "min_v", "max_v", "avg_v"]
+
+
+def _full_scores(spark, index, query, n):
+    return {
+        r["doc_id"]: r["score"]
+        for r in search_exact(spark, index, query, n).collect()
+    }
+
+
+def test_collapse_keeps_best_doc_per_group(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.bm25 import search_collapse
+
+    out = sorted(
+        search_collapse(spark, index, QUERY, "repo", k=100).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out, "collapse returned nothing"
+    # one row per group, ranks dense from 1
+    repos = [r["repo"] for r in out]
+    assert len(repos) == len(set(repos))
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    # page ordered by quantized score desc
+    q = [int(r["score"] * 1e5 + 0.5) for r in out]
+    assert q == sorted(q, reverse=True)
+    # each group's winner is that group's argmax over the FULL match
+    # set (per the engine's own exact executor)
+    scores = _full_scores(spark, index, QUERY, oracle.n_docs)
+    group_of = {
+        r["doc_id"]: r["repo"]
+        for r in index["doc_stats"].select("doc_id", "repo").collect()
+    }
+    best = {}
+    for doc_id, s in scores.items():
+        g = group_of[doc_id]
+        key = (int(s * 1e5 + 0.5), -doc_id)
+        if g not in best or key > best[g][0]:
+            best[g] = (key, doc_id, s)
+    assert {r["repo"]: r["doc_id"] for r in out} == {
+        g: doc_id for g, (_, doc_id, _s) in best.items()
+    }
+
+
+def test_collapse_unbroadcast_path_identical(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_collapse
+
+    a = sorted(
+        search_collapse(spark, index, QUERY, "repo", k=10).collect(),
+    )
+    b = sorted(
+        search_collapse(
+            spark, index, QUERY, "repo", k=10, broadcast_max=0,
+        ).collect(),
+    )
+    assert a == b and a
+
+
+def test_collapse_tiebreak_col_and_absent_term(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_collapse
+
+    # path is unique per doc: adding it as tiebreak must not change
+    # a ranking whose (score, doc_id) order is already deterministic
+    # unless a quantized-score tie exists; either way ranks stay dense
+    out = search_collapse(
+        spark, index, QUERY, "repo", k=10, tiebreak_col="path",
+    ).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1),
+    )
+    empty = search_collapse(spark, index, "zz_nope_zz", "repo", k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "repo", "score", "rank"]
