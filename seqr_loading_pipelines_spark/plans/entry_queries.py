@@ -2653,6 +2653,161 @@ def _sql_bm25_batch(batch: dict[str, str], k: int) -> str:
 SQL_INDEX_BM25_BATCH = _sql_bm25_batch(BM25_BATCH, 10)
 
 
+# --------------------------------------------------------------------
+# Multi-query / multi-field retrieval (query/fields.py): dis_max and
+# BM25F-style multi_match over per-field indexes.
+# --------------------------------------------------------------------
+
+DIS_MAX_QUERIES = [" ".join(BM25_QUERY_TERMS), "table spark index"]
+DIS_MAX_TIE = 0.3
+
+MULTI_MATCH_QUERY = "spark query src13"
+MULTI_MATCH_WEIGHTS = {"content": 1.0, "repo": 2.0}
+
+
+def _sql_scored_block(sfx: str, token_expr: str, terms: list[str]) -> str:
+    """One BM25 scored-set CTE chain ``sc_<sfx>(doc_id, s)`` over
+    ``token_expr`` — the field's OWN dl/avgdl/df (BM25F per-field
+    statistics, query/fields.py)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+dl_{sfx} AS (SELECT doc_id, len({token_expr}) AS dl FROM documents),
+stats_{sfx} AS (SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT avg(dl) FROM dl_{sfx}) AS avgdl),
+tf_{sfx} AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({token_expr}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft_{sfx} AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM tf_{sfx} GROUP BY term),
+sc_{sfx} AS (
+  SELECT tf_{sfx}.doc_id AS doc_id,
+         sum( ln(1 + (stats_{sfx}.n - dft_{sfx}.df + 0.5)
+                     / (dft_{sfx}.df + 0.5))
+              * tf_{sfx}.tf * ({K1} + 1.0)
+              / (tf_{sfx}.tf + {K1} * (1.0 - {B}
+                 + {B} * dl_{sfx}.dl / stats_{sfx}.avgdl)) ) AS s
+  FROM tf_{sfx} JOIN dft_{sfx} USING (term)
+       JOIN dl_{sfx} USING (doc_id) CROSS JOIN stats_{sfx}
+  GROUP BY tf_{sfx}.doc_id
+)"""
+
+
+def q_index_dis_max(spark, sf_dir):
+    """Disjunction-max over two query strings through the REAL index
+    path (ES ``dis_max``): per doc, max(per-query BM25) + tie_breaker
+    * (sum - max), each query's scored set one term-pruned posting
+    scan (query/fields.py search_dis_max). Oracle: the same per-query
+    BM25 sets recombined in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.fields import search_dis_max
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_dis_max(
+        spark, index, DIS_MAX_QUERIES, tie_breaker=DIS_MAX_TIE, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_dis_max(queries: list[str], tie: float, k: int) -> str:
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    blocks, selects = [], []
+    for i, qtext in enumerate(queries):
+        terms = sorted(set(tokenize_py(qtext)))
+        blocks.append(_sql_scored_block(f"q{i}", _T, terms))
+        selects.append(f"SELECT doc_id, s FROM sc_q{i}")
+    return f"""
+WITH {", ".join(blocks)},
+u AS ({" UNION ALL ".join(selects)}),
+agg AS (SELECT doc_id, sum(s) AS ssum, max(s) AS smax FROM u GROUP BY doc_id)
+SELECT doc_id, round(smax + {tie} * (ssum - smax), 4) AS score, rank FROM (
+  SELECT doc_id, smax, ssum,
+         row_number() OVER (
+           ORDER BY floor((smax + {tie} * (ssum - smax)) * 1e5 + 0.5) DESC,
+                    doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_DIS_MAX = _sql_dis_max(DIS_MAX_QUERIES, DIS_MAX_TIE, 10)
+
+
+def q_index_multi_match(spark, sf_dir):
+    """BM25F-style ``multi_match`` behind a driver-green row: the
+    corpus ``repo`` field built as its OWN docID-aligned inverted
+    index (query/fields.py build_field_index), then most_fields
+    scoring — weighted sum of per-field BM25, each field scored with
+    its own df/avgdl. Returns the FULL combined scored set keyed by
+    the oracle's doc_id (no top-k: field-level score ties are real —
+    every src13-only doc scores identically — so rank would be
+    id-space-dependent; the combine math is what this row gates).
+    Oracle: both fields' BM25 recombined in pure SQL."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.query.fields import (
+        build_field_index,
+        multi_match,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    froot = _index_root(sf_dir, "frepo")
+    fidx = build_field_index(
+        spark,
+        froot,
+        corpus_from_documents(spark, sf_dir),
+        "repo",
+        source_fingerprint=f"frepo:{sf_dir}:{_source_content_fp(sf_dir)}",
+    )
+    full = multi_match(
+        spark,
+        {"content": index, "repo": fidx},
+        MULTI_MATCH_QUERY,
+        weights=MULTI_MATCH_WEIGHTS,
+        mode="most_fields",
+        k=index["manifest"]["n_docs"],
+    )
+    paths = index["doc_stats"].select("doc_id", "path")
+    return full.join(F.broadcast(paths), "doc_id").select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_multi_match(
+    qtext: str, field_exprs: dict[str, str], weights: dict[str, float],
+) -> str:
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    terms = sorted(set(tokenize_py(qtext)))
+    blocks, selects = [], []
+    for name, expr in field_exprs.items():
+        blocks.append(_sql_scored_block(name, expr, terms))
+        selects.append(
+            f"SELECT doc_id, s * {weights.get(name, 1.0)} AS s FROM sc_{name}",
+        )
+    return f"""
+WITH {", ".join(blocks)},
+u AS ({" UNION ALL ".join(selects)})
+SELECT doc_id, round(sum(s), 4) AS score FROM u GROUP BY doc_id
+"""
+
+
+_T_REPO = f"regexp_extract_all(lower(source), '{TOKEN_PATTERN}')"
+
+SQL_INDEX_MULTI_MATCH = _sql_multi_match(
+    MULTI_MATCH_QUERY,
+    {"content": _T, "repo": _T_REPO},
+    MULTI_MATCH_WEIGHTS,
+)
+
+
 def q_index_incremental_update(spark, sf_dir):
     """THE incremental path behind a driver-green row: build over the
     first half of the corpus, ``update_index`` with the FULL corpus
@@ -2838,6 +2993,8 @@ QUERIES = {
     "index_regex_search": q_index_regex_search,
     "index_mlt": q_index_mlt,
     "index_bm25_batch": q_index_bm25_batch,
+    "index_dis_max": q_index_dis_max,
+    "index_multi_match": q_index_multi_match,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
     "index_time_travel": q_index_time_travel,
@@ -2915,6 +3072,8 @@ ORACLE_SQL = {
     "index_regex_search": SQL_INDEX_REGEX_SEARCH,
     "index_mlt": SQL_INDEX_MLT,
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
+    "index_dis_max": SQL_INDEX_DIS_MAX,
+    "index_multi_match": SQL_INDEX_MULTI_MATCH,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
     "index_time_travel": SQL_INDEX_TIME_TRAVEL,

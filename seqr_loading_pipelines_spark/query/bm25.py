@@ -174,22 +174,34 @@ def _decoded_postings(
     return decoded
 
 
+def scored_matches(index: dict, query_text: str) -> DataFrame | None:
+    """The FULL scored match set ``(doc_id, score)`` for a disjunctive
+    BM25 query — every matching doc, unranked and unlimited. None when
+    no query term exists in the dictionary. This is the composable
+    core that search_exact ranks; multi-query combiners (dis_max,
+    multi-field) union several of these before their own top-k
+    (query/fields.py)."""
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return None
+    return (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+
+
 def search_exact(
     spark: SparkSession, index: dict, query_text: str, k: int = 10,
 ) -> DataFrame:
     """Exact BM25 top-k. Deterministic order: (round(score,5) desc,
     doc_id asc) — the tie rule shared with the oracle goldens."""
-    term_infos = _query_terms(index, query_text)
-    if not term_infos:
+    scored = scored_matches(index, query_text)
+    if scored is None:
         return spark.createDataFrame([], "doc_id long, score double, rank int")
     # clamp k: Spark's TakeOrderedAndProject allocates a k-sized queue,
     # so an unbounded user k (e.g. "k > corpus size") would OOM the JVM
     k = max(1, min(k, index["manifest"]["n_docs"]))
-    scored = (
-        _decoded_postings(index, term_infos)
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("score"))
-    )
     return rank_topk(scored, k)
 
 

@@ -1,0 +1,179 @@
+"""Multi-query and multi-field retrieval: dis_max scoring and
+BM25F-style ``multi_match`` over per-field inverted indexes.
+
+The reference's ES export serves multi-field documents whose fields
+are independently analyzed and queried with per-field boosts (the
+`multi_match` / `dis_max` surface of its Elasticsearch serving layer);
+its ClickHouse successor keeps one ranked stream per column family and
+merges them at query time. Spark version:
+
+- **A field IS an index.** Each searchable field is its own complete
+  inverted index (postings + dictionary + stats) built by the same
+  IndexBuilder over the same corpus keys with ``content`` swapped for
+  the field's text — Lucene's per-field term space, expressed as
+  parallel index artifacts. docIDs align across field indexes by
+  construction: dense-id assignment hashes and sorts ONLY the business
+  key (repo, path, commit) at the session's default parallelism
+  (index/doc_ids.py write_range_sorted), so the same corpus keys get
+  the same ids no matter what the content column holds. The alignment
+  is asserted, not assumed (``assert_aligned``; CI locks it in
+  tests/test_fields.py).
+- **Per-field BM25, corpus-level combine.** Each field's score uses
+  that field's own df/avgdl/n_docs (BM25F's per-field length
+  normalization); the combiner never rescales by cross-field stats.
+- **Combine modes.** ``most_fields`` = weighted sum (the BM25F-lite
+  linear combination); ``best_fields`` = dis_max across fields:
+  ``max + tie_breaker * (sum - max)``.
+
+Scale shape: each per-field scored set is one term-pruned posting scan
+(the same vectorized decode as single-field search); the combine is a
+union + one hash agg keyed on doc_id — map-side combined, output
+cardinality = matched docs, then a bounded TakeOrdered. Nothing new
+shuffles the corpus, and fields that miss every query term contribute
+no scan at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.bm25 import (
+    _empty_topk,
+    rank_topk,
+    scored_matches,
+)
+
+
+def _combined(
+    scored_sets: list[DataFrame],
+    mode: str,
+    tie_breaker: float,
+) -> DataFrame:
+    """Union per-query/per-field scored sets and fold per doc.
+
+    ``sum`` mode: weighted sum (weights already folded into each set).
+    ``dis_max`` mode: max + tie_breaker * (sum - max); a doc absent
+    from a set simply contributes nothing (ES dis_max semantics).
+    """
+    unioned = scored_sets[0]
+    for s in scored_sets[1:]:
+        unioned = unioned.unionByName(s)
+    agg = unioned.groupBy("doc_id").agg(
+        F.sum("score").alias("_sum"),
+        F.max("score").alias("_max"),
+    )
+    if mode == "sum":
+        score = F.col("_sum")
+    else:
+        score = F.col("_max") + F.lit(tie_breaker) * (
+            F.col("_sum") - F.col("_max")
+        )
+    return agg.select("doc_id", score.alias("score"))
+
+
+def search_dis_max(
+    spark: SparkSession,
+    index: dict,
+    queries: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """Disjunction-max top-k over several query strings on ONE index:
+    per doc, ``score = max(per-query BM25) + tie_breaker * (sum -
+    max)`` — ES ``dis_max`` semantics (tie_breaker=0 is pure best-
+    query; 1.0 degenerates to the plain sum). Queries with no known
+    term drop out; all-unknown returns empty."""
+    sets = [s for s in (scored_matches(index, q) for q in queries)
+            if s is not None]
+    if not sets:
+        return _empty_topk(spark)
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(_combined(sets, "dis_max", tie_breaker), k)
+
+
+def build_field_index(
+    spark: SparkSession,
+    index_root: str,
+    corpus: DataFrame,
+    field: str,
+    source_fingerprint: str,
+    **builder_kwargs,
+):
+    """Build the per-field inverted index for ``field`` (a corpus
+    column: repo, path, lang — or content itself) at ``index_root``:
+    the same corpus keys with ``content`` replaced by the field's
+    text, through the unchanged IndexBuilder (compression, dictionary,
+    WAND metadata, snapshots all come for free).
+
+    Null field values index as the empty string (zero tokens) rather
+    than being dropped — dropping would desync docIDs from the main
+    index, which is the one invariant this layout depends on."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    fcorpus = corpus.select(
+        "repo", "path", "commit", "lang",
+        F.coalesce(F.col(field).cast("string"), F.lit("")).alias("content"),
+    )
+    IndexBuilder(spark, index_root, **builder_kwargs).build(
+        fcorpus, source_fingerprint=source_fingerprint,
+    )
+    return load_index(spark, index_root)
+
+
+def assert_aligned(field_indexes: dict[str, dict]) -> None:
+    """Hard-fail unless every field index shares one docID space:
+    equal n_docs and equal doc_id high-water marks (the cheap,
+    manifest-only invariant; the per-key spot check lives in CI,
+    tests/test_fields.py)."""
+    marks = {
+        name: (idx["manifest"]["n_docs"], idx["manifest"]["max_doc_id"])
+        for name, idx in field_indexes.items()
+    }
+    if len(set(marks.values())) > 1:
+        raise ValueError(
+            f"field indexes are not docID-aligned: {marks} — build every "
+            "field from the SAME corpus keys at the same parallelism",
+        )
+
+
+def multi_match(
+    spark: SparkSession,
+    field_indexes: dict[str, dict],
+    query_text: str,
+    weights: dict[str, float] | None = None,
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over several per-field indexes for one query string.
+
+    ``most_fields``: score = sum over fields of weight_f * BM25_f
+    (each field scored with its OWN stats). ``best_fields``: dis_max
+    across the weighted per-field scores. Fields where no query term
+    exists contribute nothing (and cost nothing — no posting scan is
+    even planned for them)."""
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match mode: {mode}")
+    assert_aligned(field_indexes)
+    weights = weights or {}
+    sets = []
+    n_docs = 0
+    for name, idx in field_indexes.items():
+        n_docs = max(n_docs, idx["manifest"]["n_docs"])
+        s = scored_matches(idx, query_text)
+        if s is None:
+            continue
+        w = float(weights.get(name, 1.0))
+        sets.append(s.select(
+            "doc_id", (F.col("score") * F.lit(w)).alias("score"),
+        ))
+    if not sets:
+        return _empty_topk(spark)
+    combined = _combined(
+        sets, "sum" if mode == "most_fields" else "dis_max", tie_breaker,
+    )
+    return rank_topk(combined, max(1, min(k, n_docs)))

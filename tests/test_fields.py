@@ -1,0 +1,163 @@
+"""Multi-query / multi-field retrieval (query/fields.py): dis_max and
+BM25F-style multi_match over per-field indexes.
+
+Strategy (the house rule for composite surfaces): identities against
+the rank-identity-gated executors they generalize (dis_max of one
+query == exact; multi_match of the content field alone == exact), a
+brute-force pandas recombination golden for the genuinely-new math
+(tie_breaker folds, per-field weights), and a structural CI lock on
+the one invariant the layout depends on (docID alignment across field
+indexes built from the same corpus keys).
+"""
+
+import shutil
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.bm25 import (
+    scored_matches,
+    search_exact,
+)
+from seqr_loading_pipelines_spark.query.fields import (
+    assert_aligned,
+    build_field_index,
+    multi_match,
+    search_dis_max,
+)
+
+Q1 = "sw0 term_00042"
+Q2 = "sw1 term_00007"
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 4), r["rank"]) for r in df.collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def repo_index(spark, corpus, tmp_path_factory):
+    """Field index over the corpus 'repo' column, docID-aligned with
+    the session's main (content) index."""
+    root = str(tmp_path_factory.mktemp("fidx_repo"))
+    idx = build_field_index(
+        spark, root, corpus, "repo", source_fingerprint="test-field-repo",
+    )
+    yield idx
+    shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# dis_max
+# ---------------------------------------------------------------------
+
+
+def test_dis_max_single_query_equals_exact(spark, index):
+    got = search_dis_max(spark, index, [Q1], tie_breaker=0.7, k=15)
+    assert _rows(got) == _rows(search_exact(spark, index, Q1, k=15))
+
+
+def test_dis_max_duplicate_query_collapses(spark, index):
+    # max of two identical scored sets at tie_breaker=0 == the set
+    got = search_dis_max(spark, index, [Q1, Q1], tie_breaker=0.0, k=15)
+    assert _rows(got) == _rows(search_exact(spark, index, Q1, k=15))
+
+
+def test_dis_max_unknown_queries_drop_out(spark, index):
+    got = search_dis_max(
+        spark, index, ["zzz_not_a_term", Q1], tie_breaker=0.3, k=10,
+    )
+    assert _rows(got) == _rows(search_exact(spark, index, Q1, k=10))
+    assert search_dis_max(spark, index, ["zzz_not_a_term"], k=5).count() == 0
+
+
+def _brute_dis_max(sets, tie):
+    """pandas recombination golden: {doc -> score} per set."""
+    docs = set().union(*[s.keys() for s in sets])
+    out = {}
+    for d in docs:
+        vals = [s[d] for s in sets if d in s]
+        out[d] = max(vals) + tie * (sum(vals) - max(vals))
+    return out
+
+
+def _scored_dict(index, q):
+    pdf = scored_matches(index, q).toPandas()
+    return dict(zip(pdf["doc_id"], pdf["score"]))
+
+
+def test_dis_max_tie_breaker_math(spark, index):
+    tie = 0.3
+    got = {r["doc_id"]: r["score"]
+           for r in search_dis_max(spark, index, [Q1, Q2], tie, k=25).collect()}
+    want = _brute_dis_max(
+        [_scored_dict(index, Q1), _scored_dict(index, Q2)], tie,
+    )
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)
+    # top-k really is the global top-k of the combined map
+    top = sorted(want.items(), key=lambda kv: (-round(kv[1], 5), kv[0]))[:25]
+    assert sorted(got) == sorted(d for d, _ in top)
+
+
+# ---------------------------------------------------------------------
+# field indexes + multi_match
+# ---------------------------------------------------------------------
+
+
+def test_field_index_docids_align(index, repo_index):
+    """The invariant the whole layout rests on: same corpus keys ->
+    same docIDs, whatever the content column held."""
+    main = index["doc_stats"].select("doc_id", "repo", "path", "commit")
+    field = repo_index["doc_stats"].select("doc_id", "repo", "path", "commit")
+    assert main.exceptAll(field).count() == 0
+    assert field.exceptAll(main).count() == 0
+    assert_aligned({"content": index, "repo": repo_index})
+
+
+def test_assert_aligned_rejects_mismatch(index):
+    fake = {"manifest": {"n_docs": 1, "max_doc_id": 0}}
+    with pytest.raises(ValueError, match="not docID-aligned"):
+        assert_aligned({"content": index, "bogus": fake})
+
+
+def test_multi_match_single_field_equals_exact(spark, index):
+    got = multi_match(spark, {"content": index}, Q1, k=12)
+    assert _rows(got) == _rows(search_exact(spark, index, Q1, k=12))
+
+
+def test_multi_match_most_fields_weighted_sum(spark, index, repo_index):
+    q = "sw0 repo_0001"
+    w = {"content": 1.0, "repo": 2.5}
+    got = {r["doc_id"]: r["score"]
+           for r in multi_match(
+               spark, {"content": index, "repo": repo_index}, q,
+               weights=w, mode="most_fields", k=30,
+           ).collect()}
+    c = _scored_dict(index, q)
+    r = _scored_dict(repo_index, q)
+    for d, s in got.items():
+        want = w["content"] * c.get(d, 0.0) + w["repo"] * r.get(d, 0.0)
+        assert s == pytest.approx(want, rel=1e-9)
+    assert got  # the repo tokens must actually match something
+
+
+def test_multi_match_best_fields_is_dis_max_over_fields(
+    spark, index, repo_index,
+):
+    q = "sw1 repo_0002"
+    tie = 0.4
+    got = {r["doc_id"]: r["score"]
+           for r in multi_match(
+               spark, {"content": index, "repo": repo_index}, q,
+               mode="best_fields", tie_breaker=tie, k=30,
+           ).collect()}
+    want = _brute_dis_max([_scored_dict(index, q),
+                           _scored_dict(repo_index, q)], tie)
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)
+
+
+def test_multi_match_rejects_unknown_mode(spark, index):
+    with pytest.raises(ValueError, match="unknown multi_match mode"):
+        multi_match(spark, {"content": index}, Q1, mode="cross_fields")
