@@ -369,6 +369,47 @@ def main() -> None:
         timings,
     )
 
+    # multi-query / multi-field retrieval (query/fields.py): dis_max
+    # over two query strings on one index; BM25F multi_match over a
+    # docID-aligned per-field index (one-shot artifact build, like the
+    # ANN indexes)
+    from seqr_loading_pipelines_spark.query.fields import (
+        build_field_index,
+        multi_match,
+        search_dis_max,
+    )
+
+    timed_min(
+        "bm25_dis_max",
+        lambda: search_dis_max(
+            spark, index, ["sw0 term_00042", "sw1 term_00123"],
+            tie_breaker=0.3, k=10,
+        ).collect(),
+        timings,
+    )
+    frepo_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bench_frepo",
+    )
+    shutil.rmtree(frepo_root, ignore_errors=True)
+    cpu0 = _container_cpu_s()
+    t0 = time.time()
+    fidx = build_field_index(
+        spark, frepo_root, corpus, "repo",
+        source_fingerprint=f"bench-frepo-{N_DOCS}",
+    )
+    timings["field_index_build"] = round(time.time() - t0, 3)
+    REPS_USED["field_index_build"] = 1
+    CPU_USED["field_index_build"] = round(_container_cpu_s() - cpu0, 1)
+    timed_min(
+        "multi_match",
+        lambda: multi_match(
+            spark, {"content": index, "repo": fidx}, "sw0 repo_0001",
+            weights={"content": 1.0, "repo": 2.0}, k=10,
+        ).collect(),
+        timings,
+    )
+    shutil.rmtree(frepo_root, ignore_errors=True)
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline
