@@ -410,6 +410,31 @@ def main() -> None:
     )
     shutil.rmtree(frepo_root, ignore_errors=True)
 
+    # hybrid retrieval: reciprocal-rank fusion of two bounded top-k
+    # rankings (the ES 8 rrf retriever) — fusion cost is the union +
+    # one hash agg over <= 2k rows, independent of corpus size
+    from seqr_loading_pipelines_spark.query.hybrid import rrf_fuse
+
+    _rrf_a = search_wand(spark, index, "sw0 term_00042", k=10)
+    _rrf_b = search_wand(spark, index, "sw1 term_00123", k=10)
+    timed_min(
+        "hybrid_rrf",
+        lambda: rrf_fuse(spark, [_rrf_a, _rrf_b], k=10).collect(),
+        timings,
+    )
+
+    # histogram aggregation under a query (ES histogram agg): whole
+    # match set -> gated join -> one hash agg on the bucket key
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    timed_min(
+        "histogram_by",
+        lambda: histogram_by(
+            spark, index, "sw0 term_00042", interval=10,
+        ).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

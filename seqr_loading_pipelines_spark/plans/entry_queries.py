@@ -2808,6 +2808,73 @@ SQL_INDEX_MULTI_MATCH = _sql_multi_match(
 )
 
 
+def q_index_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval behind a driver-green row: BM25
+    WAND top-10 over the REAL index fused with brute-cosine top-10
+    over the embeddings table by reciprocal-rank fusion (the ES 8
+    ``rrf`` retriever; query/hybrid.py). Returns the FULL fused score
+    set keyed by the oracle's doc_id (no top-k: single-membership docs
+    at equal ranks tie EXACTLY, so a rank column would be
+    id-space-dependent — the reciprocal-sum math is what this row
+    gates). Oracle: the BM25 SQL top-10 and cosine SQL top-10
+    recombined in pure SQL."""
+    from seqr_loading_pipelines_spark.query.hybrid import rrf_scores
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    _, index = _built_index(spark, sf_dir, "q")
+    bm = search_wand(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    paths = index["doc_stats"].select("doc_id", "path")
+    bm = bm.join(F.broadcast(paths), "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "rank",
+    )
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    ve = _limit_then_rank(
+        S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+        .withColumnRenamed("vec_id", "doc_id"),
+        [F.col("cosine").desc(), F.col("doc_id").asc()],
+        10,
+    ).select("doc_id", "rank")
+    fused = rrf_scores([bm, ve])
+    return fused.select("doc_id", F.round("score", 6).alias("rrf_score"))
+
+
+SQL_INDEX_HYBRID_RRF = f"""
+WITH bm AS ({_sql_bm25(BM25_QUERY_TERMS, 10)}),
+vs AS ({SQL_EMBEDDING_COSINE_TOPK}),
+ve AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+       FROM vs),
+u AS (SELECT doc_id, 1.0 / (60 + rank) AS s FROM bm
+      UNION ALL SELECT doc_id, 1.0 / (60 + rank) AS s FROM ve)
+SELECT doc_id, round(sum(s), 6) AS rrf_score FROM u GROUP BY doc_id
+"""
+
+
+HIST_INTERVAL = 5
+
+
+def q_index_histogram(spark, sf_dir):
+    """ES ``histogram`` aggregation behind a driver-green row: fixed-
+    interval doc_len buckets over the WHOLE match set (query/facets.py
+    histogram_by — pruned posting scan, gated join, one hash agg).
+    Oracle: the same bucketing in pure SQL."""
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return histogram_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), interval=HIST_INTERVAL,
+    )
+
+
+SQL_INDEX_HISTOGRAM = f"""
+SELECT (len({_T}) // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*) AS n_docs
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+GROUP BY bucket
+"""
+
+
 def q_index_incremental_update(spark, sf_dir):
     """THE incremental path behind a driver-green row: build over the
     first half of the corpus, ``update_index`` with the FULL corpus
@@ -2995,6 +3062,8 @@ QUERIES = {
     "index_bm25_batch": q_index_bm25_batch,
     "index_dis_max": q_index_dis_max,
     "index_multi_match": q_index_multi_match,
+    "index_hybrid_rrf": q_index_hybrid_rrf,
+    "index_histogram": q_index_histogram,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
     "index_time_travel": q_index_time_travel,
@@ -3074,6 +3143,8 @@ ORACLE_SQL = {
     "index_bm25_batch": SQL_INDEX_BM25_BATCH,
     "index_dis_max": SQL_INDEX_DIS_MAX,
     "index_multi_match": SQL_INDEX_MULTI_MATCH,
+    "index_hybrid_rrf": SQL_INDEX_HYBRID_RRF,
+    "index_histogram": SQL_INDEX_HISTOGRAM,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
     "index_time_travel": SQL_INDEX_TIME_TRAVEL,

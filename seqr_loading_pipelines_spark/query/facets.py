@@ -68,6 +68,48 @@ def facet_counts(
     )
 
 
+def histogram_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    interval: int,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Fixed-interval histogram of ``value_col`` over ALL docs matching
+    a query — the Elasticsearch ``histogram`` aggregation. One row per
+    occupied bucket: ``(bucket, n_docs)`` with bucket = floor(value /
+    interval) * interval; empty buckets are absent (ES
+    ``min_doc_count=1`` semantics — the panel renderer fills gaps).
+
+    Same scale shape as facets: pruned posting scan -> gated
+    broadcast/shuffle join against a two-column doc-store projection
+    -> map-side-combining hash agg whose output cardinality is the
+    occupied-bucket count."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame([], "bucket long, n_docs long")
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    return (
+        index["doc_stats"]
+        .select("doc_id", value_col)
+        .join(matches, "doc_id", "inner")
+        .select(
+            (F.floor(F.col(value_col) / interval) * interval)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def stats_by(
     spark: SparkSession,
     index: dict,

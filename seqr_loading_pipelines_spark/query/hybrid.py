@@ -1,0 +1,81 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) over several
+ranked result lists — the ES 8 ``rrf`` retriever (Cormack, Clarke &
+Buettcher 2009), the standard way to combine lexical BM25 top-k with
+vector (ANN cosine) top-k without score calibration.
+
+The reference's serving layer merges independently-ranked streams per
+column family at query time; RRF is the rank-space analog: each
+retriever contributes ``1 / (k_const + rank)`` per doc, so scores
+from incomparable scales (BM25 sums vs cosine) never mix directly.
+
+Scale shape: every input ranking is already a bounded top-k (k rows,
+driver-small by contract — the output of rank_topk / cosine_topk /
+ivf_topk); fusion is a unionByName + ONE hash agg keyed on doc_id
+over at most ``len(rankings) * k`` rows, then the shared bounded
+rank_topk. Nothing rescans a corpus; the expensive work stays inside
+the retrievers being fused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.bm25 import rank_topk
+
+# the standard RRF dampening constant (Cormack et al.; ES default)
+DEFAULT_K_CONST = 60
+
+
+def rrf_scores(
+    rankings: list[DataFrame],
+    k_const: int = DEFAULT_K_CONST,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """The FULL fused score set ``(doc_id, score)``: score(d) =
+    sum over rankings r containing d of ``1 / (k_const + rank_r(d))``
+    — a doc absent from a ranking contributes nothing. Rankings are
+    ``(id, rank)`` DataFrames from ANY retriever (BM25 rank_topk, ANN
+    cosine/ivf/lsh top-k, a field sort); ids must share one space —
+    that contract is the caller's (e.g. remap index docIDs to the
+    embedding table's id space before fusing).
+    """
+    if not rankings:
+        raise ValueError("rrf_scores needs at least one ranking")
+    if k_const <= 0:
+        raise ValueError(f"k_const must be positive, got {k_const}")
+    sets = [
+        r.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col)))
+            .alias("score"),
+        )
+        for r in rankings
+    ]
+    unioned = sets[0]
+    for s in sets[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+
+def rrf_fuse(
+    spark: SparkSession,
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_const: int = DEFAULT_K_CONST,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k of the fused ranking, in the shared deterministic order
+    (quantized score desc, doc_id asc). NOTE: docs that appear in only
+    one ranking at the same rank tie EXACTLY (identical reciprocal
+    sums) — the doc_id tiebreak decides, as in every RRF
+    implementation. Empty rankings contribute nothing (no probe jobs:
+    an empty side of the union is free); all-empty fuses to an empty
+    top-k with the shared schema."""
+    del spark  # kept for the query-surface signature convention
+    scored = rrf_scores(
+        rankings, k_const=k_const, id_col=id_col, rank_col=rank_col,
+    )
+    return rank_topk(scored, max(1, k))

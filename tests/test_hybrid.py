@@ -1,0 +1,148 @@
+"""Hybrid retrieval (query/hybrid.py rrf_fuse) and the histogram
+aggregation (query/facets.py histogram_by).
+
+Strategy: identities against rank-identity-gated executors (single-
+ranking RRF preserves the input order with closed-form scores), a
+python recombination golden under the SAME quantized tie rule for the
+fused math, and python-tokenized goldens for the histogram buckets.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.query.facets import histogram_by
+from seqr_loading_pipelines_spark.query.hybrid import rrf_fuse, rrf_scores
+
+Q1 = "sw0 term_00042"
+Q2 = "sw1 term_00007"
+KC = 60
+
+
+# ---------------------------------------------------------------------
+# RRF
+# ---------------------------------------------------------------------
+
+
+def test_rrf_single_ranking_preserves_order(spark, index):
+    base = search_exact(spark, index, Q1, k=15)
+    fused = rrf_fuse(spark, [base], k=15).collect()
+    want = base.collect()
+    assert [r["doc_id"] for r in fused] == [r["doc_id"] for r in want]
+    for r, w in zip(fused, want):
+        assert r["score"] == pytest.approx(1.0 / (KC + w["rank"]), rel=1e-12)
+
+
+def _rank_map(df):
+    return {r["doc_id"]: r["rank"] for r in df.collect()}
+
+
+def test_rrf_two_rankings_python_golden(spark, index):
+    a = search_exact(spark, index, Q1, k=15)
+    b = search_exact(spark, index, Q2, k=15)
+    ra, rb = _rank_map(a), _rank_map(b)
+    want = {}
+    for d in set(ra) | set(rb):
+        want[d] = sum(
+            1.0 / (KC + r[d]) for r in (ra, rb) if d in r
+        )
+    got = rrf_fuse(spark, [a, b], k=len(want)).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["doc_id"]], rel=1e-12)
+    # order under the engine's quantized tie rule, recomputed in python
+    order = sorted(
+        want, key=lambda d: (-math.floor(want[d] * 1e5 + 0.5), d),
+    )
+    assert [r["doc_id"] for r in got] == order
+
+
+def test_rrf_overlap_beats_single_membership(spark, index):
+    # a doc in BOTH rankings at modest ranks outscores a doc that tops
+    # only one ranking: 1/(60+3)+1/(60+3) > 1/(60+1)
+    rows_a = [(100, 1), (7, 3)]
+    rows_b = [(200, 1), (7, 3)]
+    a = spark.createDataFrame(rows_a, "doc_id long, rank int")
+    b = spark.createDataFrame(rows_b, "doc_id long, rank int")
+    got = rrf_fuse(spark, [a, b], k=3).collect()
+    assert got[0]["doc_id"] == 7
+    # 100 and 200 tie exactly (same rank, single membership each):
+    # doc_id breaks the tie deterministically
+    assert [r["doc_id"] for r in got[1:]] == [100, 200]
+
+
+def test_rrf_custom_id_and_rank_cols(spark):
+    a = spark.createDataFrame([(5, 1), (6, 2)], "vec_id long, pos int")
+    got = rrf_fuse(
+        spark, [a], k=2, id_col="vec_id", rank_col="pos",
+    ).collect()
+    assert [r["doc_id"] for r in got] == [5, 6]
+
+
+def test_rrf_all_empty_and_validation(spark, index):
+    empty = spark.createDataFrame([], "doc_id long, rank int")
+    assert rrf_fuse(spark, [empty, empty], k=5).count() == 0
+    # an empty side contributes nothing, the other survives
+    a = search_exact(spark, index, Q1, k=5)
+    got = rrf_fuse(spark, [a, empty], k=5).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in a.collect()]
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_scores([])
+    with pytest.raises(ValueError, match="k_const"):
+        rrf_scores([a], k_const=0)
+
+
+# ---------------------------------------------------------------------
+# histogram aggregation
+# ---------------------------------------------------------------------
+
+
+def _python_hist(corpus, terms, interval):
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    buckets = {}
+    for row in corpus.select("content").collect():
+        toks = tokenize_py(row["content"])
+        if not set(toks) & terms:
+            continue
+        b = (len(toks) // interval) * interval
+        buckets[b] = buckets.get(b, 0) + 1
+    return buckets
+
+
+def test_histogram_matches_python_golden(spark, index, corpus):
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(spark, index, Q1, interval=10).collect()
+    }
+    want = _python_hist(corpus, set(Q1.split()), 10)
+    assert got == want
+
+
+def test_histogram_total_equals_match_count(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import match_count
+
+    hist = histogram_by(spark, index, Q1, interval=7).collect()
+    n = match_count(spark, index, Q1).collect()[0]["n_matches"]
+    assert sum(r["n_docs"] for r in hist) == n
+    # buckets are multiples of the interval, sorted ascending
+    assert all(r["bucket"] % 7 == 0 for r in hist)
+    assert [r["bucket"] for r in hist] == sorted(r["bucket"] for r in hist)
+
+
+def test_histogram_unbroadcast_path_identical(spark, index):
+    a = histogram_by(spark, index, Q1, interval=10).collect()
+    b = histogram_by(
+        spark, index, Q1, interval=10, broadcast_max=0,
+    ).collect()
+    assert a == b
+
+
+def test_histogram_absent_term_and_validation(spark, index):
+    out = histogram_by(spark, index, "zz_nope_zz", interval=5)
+    assert out.count() == 0
+    assert out.columns == ["bucket", "n_docs"]
+    with pytest.raises(ValueError, match="interval"):
+        histogram_by(spark, index, Q1, interval=0)
