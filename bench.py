@@ -408,7 +408,30 @@ def main() -> None:
         ).collect(),
         timings,
     )
+    timed_min(
+        "cross_fields",
+        lambda: multi_match(
+            spark, {"content": index, "repo": fidx}, "sw0 repo_0001",
+            weights={"content": 1.0, "repo": 2.0}, mode="cross_fields",
+            tie_breaker=0.3, k=10,
+        ).collect(),
+        timings,
+    )
     shutil.rmtree(frepo_root, ignore_errors=True)
+
+    # significant terms (ES JLH): stored-term-list explode over the
+    # match set + dictionary join — the heaviest aggregation surface
+    from seqr_loading_pipelines_spark.query.facets import (
+        significant_terms,
+    )
+
+    timed_min(
+        "significant_terms",
+        lambda: significant_terms(
+            spark, index, "sw0 term_00042", top_n=10,
+        ).collect(),
+        timings,
+    )
 
     # hybrid retrieval: reciprocal-rank fusion of two bounded top-k
     # rankings (the ES 8 rrf retriever) — fusion cost is the union +

@@ -2665,10 +2665,10 @@ MULTI_MATCH_QUERY = "spark query src13"
 MULTI_MATCH_WEIGHTS = {"content": 1.0, "repo": 2.0}
 
 
-def _sql_scored_block(sfx: str, token_expr: str, terms: list[str]) -> str:
-    """One BM25 scored-set CTE chain ``sc_<sfx>(doc_id, s)`` over
-    ``token_expr`` — the field's OWN dl/avgdl/df (BM25F per-field
-    statistics, query/fields.py)."""
+def _sql_field_base(sfx: str, token_expr: str, terms: list[str]) -> str:
+    """The shared per-field CTEs (dl/stats/tf/df) behind both the
+    per-doc (sc_) and per-term (ct_) scored blocks — the field's OWN
+    dl/avgdl/df (BM25F per-field statistics, query/fields.py)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
 dl_{sfx} AS (SELECT doc_id, len({token_expr}) AS dl FROM documents),
@@ -2681,17 +2681,38 @@ tf_{sfx} AS (
   GROUP BY doc_id, term
 ),
 dft_{sfx} AS (SELECT term, count(DISTINCT doc_id) AS df
-              FROM tf_{sfx} GROUP BY term),
-sc_{sfx} AS (
-  SELECT tf_{sfx}.doc_id AS doc_id,
-         sum( ln(1 + (stats_{sfx}.n - dft_{sfx}.df + 0.5)
+              FROM tf_{sfx} GROUP BY term)"""
+
+
+def _sql_contrib(sfx: str) -> str:
+    """The per-(doc, term) BM25 summand over the _sql_field_base CTEs."""
+    return f"""ln(1 + (stats_{sfx}.n - dft_{sfx}.df + 0.5)
                      / (dft_{sfx}.df + 0.5))
               * tf_{sfx}.tf * ({K1} + 1.0)
               / (tf_{sfx}.tf + {K1} * (1.0 - {B}
-                 + {B} * dl_{sfx}.dl / stats_{sfx}.avgdl)) ) AS s
+                 + {B} * dl_{sfx}.dl / stats_{sfx}.avgdl))"""
+
+
+def _sql_scored_block(sfx: str, token_expr: str, terms: list[str]) -> str:
+    """One BM25 scored-set CTE chain ``sc_<sfx>(doc_id, s)``."""
+    return f"""{_sql_field_base(sfx, token_expr, terms)},
+sc_{sfx} AS (
+  SELECT tf_{sfx}.doc_id AS doc_id, sum( {_sql_contrib(sfx)} ) AS s
   FROM tf_{sfx} JOIN dft_{sfx} USING (term)
        JOIN dl_{sfx} USING (doc_id) CROSS JOIN stats_{sfx}
   GROUP BY tf_{sfx}.doc_id
+)"""
+
+
+def _sql_term_block(sfx: str, token_expr: str, terms: list[str]) -> str:
+    """Per-(doc, term) contribution CTE ``ct_<sfx>(doc_id, term, c)``
+    — the decomposition cross_fields folds across fields."""
+    return f"""{_sql_field_base(sfx, token_expr, terms)},
+ct_{sfx} AS (
+  SELECT tf_{sfx}.doc_id AS doc_id, tf_{sfx}.term AS term,
+         {_sql_contrib(sfx)} AS c
+  FROM tf_{sfx} JOIN dft_{sfx} USING (term)
+       JOIN dl_{sfx} USING (doc_id) CROSS JOIN stats_{sfx}
 )"""
 
 
@@ -2806,6 +2827,133 @@ SQL_INDEX_MULTI_MATCH = _sql_multi_match(
     {"content": _T, "repo": _T_REPO},
     MULTI_MATCH_WEIGHTS,
 )
+
+
+def q_index_cross_fields(spark, sf_dir):
+    """The ES ``cross_fields`` multi_match mode behind a driver-green
+    row: TERM-centric combine over the content + repo field indexes —
+    per query term the best field's weighted contribution (dis_max at
+    the (doc, term) grain), then summed over terms, so a term matched
+    in several fields counts once (query/fields.py _cross_fields).
+    Full scored set, same id-space rationale as index_multi_match.
+    Oracle: both fields' per-(doc, term) contributions recombined in
+    pure SQL."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.query.fields import (
+        build_field_index,
+        multi_match,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    froot = _index_root(sf_dir, "frepo")
+    fidx = build_field_index(
+        spark,
+        froot,
+        corpus_from_documents(spark, sf_dir),
+        "repo",
+        source_fingerprint=f"frepo:{sf_dir}:{_source_content_fp(sf_dir)}",
+    )
+    full = multi_match(
+        spark,
+        {"content": index, "repo": fidx},
+        MULTI_MATCH_QUERY,
+        weights=MULTI_MATCH_WEIGHTS,
+        mode="cross_fields",
+        tie_breaker=0.5,
+        k=index["manifest"]["n_docs"],
+    )
+    paths = index["doc_stats"].select("doc_id", "path")
+    return full.join(F.broadcast(paths), "doc_id").select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_cross_fields(
+    qtext: str,
+    field_exprs: dict[str, str],
+    weights: dict[str, float],
+    tie: float,
+) -> str:
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    terms = sorted(set(tokenize_py(qtext)))
+    blocks, selects = [], []
+    for name, expr in field_exprs.items():
+        blocks.append(_sql_term_block(name, expr, terms))
+        selects.append(
+            f"SELECT doc_id, term, c * {weights.get(name, 1.0)} AS c "
+            f"FROM ct_{name}",
+        )
+    return f"""
+WITH {", ".join(blocks)},
+u AS ({" UNION ALL ".join(selects)}),
+pt AS (SELECT doc_id, term,
+              max(c) + {tie} * (sum(c) - max(c)) AS c
+       FROM u GROUP BY doc_id, term)
+SELECT doc_id, round(sum(c), 4) AS score FROM pt GROUP BY doc_id
+"""
+
+
+SQL_INDEX_CROSS_FIELDS = _sql_cross_fields(
+    MULTI_MATCH_QUERY,
+    {"content": _T, "repo": _T_REPO},
+    MULTI_MATCH_WEIGHTS,
+    tie=0.5,
+)
+
+
+SIG_TERMS_TOP_N = 15
+SIG_TERMS_MIN_DC = 2
+
+
+def q_index_significant_terms(spark, sf_dir):
+    """ES ``significant_terms`` (JLH) behind a driver-green row: terms
+    overrepresented in the match set vs the corpus, foreground counts
+    from the doc store's STORED term lists, background df from the
+    dictionary (query/facets.py significant_terms). Oracle: the same
+    fg/bg counting + JLH algebra in pure SQL. Order is deterministic
+    across id spaces (score desc, TERM asc — terms are shared)."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        significant_terms,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = significant_terms(
+        spark,
+        index,
+        " ".join(BM25_QUERY_TERMS),
+        top_n=SIG_TERMS_TOP_N,
+        min_doc_count=SIG_TERMS_MIN_DC,
+    )
+    return out.select(
+        "term", "fg_count", "bg_count",
+        F.round("score", 6).alias("score"),
+    )
+
+
+_SIG_JLH = (
+    "(fg_count / n.n_m - bg_count / n.n_d)"
+    " * ((fg_count / n.n_m) / (bg_count / n.n_d))"
+)
+
+SQL_INDEX_SIGNIFICANT_TERMS = f"""
+WITH m AS (SELECT doc_id FROM documents
+           WHERE list_has_any({_T},
+                 [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])),
+n AS (SELECT (SELECT count(*) FROM m) AS n_m,
+             (SELECT count(*) FROM documents) AS n_d),
+pairs AS (SELECT DISTINCT doc_id, term
+          FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)),
+fg AS (SELECT term, count(*) AS fg_count FROM pairs
+       WHERE doc_id IN (SELECT doc_id FROM m)
+       GROUP BY term HAVING count(*) >= {SIG_TERMS_MIN_DC}),
+bg AS (SELECT term, count(*) AS bg_count FROM pairs GROUP BY term)
+SELECT term, fg_count, bg_count, round({_SIG_JLH}, 6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN n
+ORDER BY {_SIG_JLH} DESC, term ASC
+LIMIT {SIG_TERMS_TOP_N}
+"""
 
 
 def q_index_hybrid_rrf(spark, sf_dir):
@@ -3064,6 +3212,8 @@ QUERIES = {
     "index_multi_match": q_index_multi_match,
     "index_hybrid_rrf": q_index_hybrid_rrf,
     "index_histogram": q_index_histogram,
+    "index_cross_fields": q_index_cross_fields,
+    "index_significant_terms": q_index_significant_terms,
     "index_delete_survivors": q_index_delete_survivors,
     "index_incremental_update": q_index_incremental_update,
     "index_time_travel": q_index_time_travel,
@@ -3145,6 +3295,8 @@ ORACLE_SQL = {
     "index_multi_match": SQL_INDEX_MULTI_MATCH,
     "index_hybrid_rrf": SQL_INDEX_HYBRID_RRF,
     "index_histogram": SQL_INDEX_HISTOGRAM,
+    "index_cross_fields": SQL_INDEX_CROSS_FIELDS,
+    "index_significant_terms": SQL_INDEX_SIGNIFICANT_TERMS,
     "index_delete_survivors": SQL_INDEX_DELETE_SURVIVORS,
     "index_incremental_update": SQL_INDEX_INCREMENTAL_UPDATE,
     "index_time_travel": SQL_INDEX_TIME_TRAVEL,

@@ -191,6 +191,25 @@ def scored_matches(index: dict, query_text: str) -> DataFrame | None:
     )
 
 
+def scored_terms(index: dict, query_text: str) -> DataFrame | None:
+    """Per-term decomposition of ``scored_matches``: ``(doc_id, term,
+    contribution)`` — the same single decode pass (with_term=True)
+    with the driver-resolved term_id -> term literal map folded into
+    the projection (|query| entries, no join). None when no query
+    term exists. Term-centric combiners (cross_fields) fold per-term
+    ACROSS fields before summing over terms (query/fields.py)."""
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return None
+    pairs = []
+    for t in term_infos:
+        pairs += [F.lit(int(t["term_id"])), F.lit(t["term"])]
+    mapping = F.create_map(*pairs)
+    return _decoded_postings(index, term_infos, with_term=True).select(
+        "doc_id", mapping[F.col("term_id")].alias("term"), "contribution",
+    )
+
+
 def search_exact(
     spark: SparkSession, index: dict, query_text: str, k: int = 10,
 ) -> DataFrame:

@@ -110,6 +110,79 @@ def histogram_by(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    top_n: int = 10,
+    min_doc_count: int = 3,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Terms statistically overrepresented in the match set vs the
+    whole corpus — the Elasticsearch ``significant_terms`` aggregation
+    with its default JLH score: ``(fgPct - bgPct) * (fgPct / bgPct)``
+    where fgPct = fg_count / n_matches and bgPct = df / n_docs.
+    One row per surviving term: ``(term, fg_count, bg_count, score)``,
+    ordered (score desc, term asc), top_n.
+
+    Foreground counts come from the doc store's STORED (term, tf)
+    lists (term_vectors' source — no re-tokenize, no posting scan over
+    the whole vocabulary); background df comes straight from the term
+    dictionary. Scale shape: pruned posting scan -> gated join against
+    the (doc_id, terms) projection -> explode (output = matched docs'
+    distinct terms) -> one hash agg on term -> dictionary join on term
+    (AQE picks broadcast when fg is small) -> bounded TakeOrdered."""
+    from seqr_loading_pipelines_spark.index.build import load_docs
+
+    if min_doc_count < 1:
+        raise ValueError(
+            f"min_doc_count must be >= 1, got {min_doc_count}",
+        )
+    if "_root" not in index:
+        raise ValueError(
+            "significant_terms needs a real index handle (load_index): "
+            "the foreground counts read the doc store's stored term "
+            "lists",
+        )
+    empty = spark.createDataFrame(
+        [], "term string, fg_count long, bg_count long, score double",
+    )
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return empty
+    n_matches = matches.count()
+    if n_matches == 0:
+        return empty
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if n_matches <= gate:
+        matches = F.broadcast(matches)
+    n_docs = index["manifest"]["n_docs"]
+    fg = (
+        load_docs(spark, index["_root"], index["manifest"])
+        .select("doc_id", "terms")
+        .join(matches, "doc_id", "inner")
+        .select(F.explode("terms.term").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(F.col("fg_count") >= min_doc_count)
+    )
+    bg = index["term_dict"].select(
+        "term", F.col("df").alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.lit(float(n_matches))
+    bg_pct = F.col("bg_count") / F.lit(float(n_docs))
+    scored = fg.join(bg, "term").select(
+        "term",
+        "fg_count",
+        "bg_count",
+        ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("term").asc(),
+    ).limit(top_n)
+
+
 def stats_by(
     spark: SparkSession,
     index: dict,

@@ -42,6 +42,7 @@ from seqr_loading_pipelines_spark.query.bm25 import (
     _empty_topk,
     rank_topk,
     scored_matches,
+    scored_terms,
 )
 
 
@@ -153,9 +154,18 @@ def multi_match(
 
     ``most_fields``: score = sum over fields of weight_f * BM25_f
     (each field scored with its OWN stats). ``best_fields``: dis_max
-    across the weighted per-field scores. Fields where no query term
-    exists contribute nothing (and cost nothing — no posting scan is
-    even planned for them)."""
+    across the weighted per-field scores. ``cross_fields``:
+    TERM-centric — per query term take the best field's weighted
+    contribution (dis_max with tie_breaker at the (doc, term) grain),
+    then sum over terms: a term matched in several fields counts
+    ONCE, so "terms spread across fields" (first/last name) isn't
+    double-counted the way most_fields would. Fields where no query
+    term exists contribute nothing (and cost nothing — no posting
+    scan is even planned for them)."""
+    if mode == "cross_fields":
+        return _cross_fields(
+            spark, field_indexes, query_text, weights, tie_breaker, k,
+        )
     if mode not in ("most_fields", "best_fields"):
         raise ValueError(f"unknown multi_match mode: {mode}")
     assert_aligned(field_indexes)
@@ -175,5 +185,51 @@ def multi_match(
         return _empty_topk(spark)
     combined = _combined(
         sets, "sum" if mode == "most_fields" else "dis_max", tie_breaker,
+    )
+    return rank_topk(combined, max(1, min(k, n_docs)))
+
+
+def _cross_fields(
+    spark: SparkSession,
+    field_indexes: dict[str, dict],
+    query_text: str,
+    weights: dict[str, float] | None,
+    tie_breaker: float,
+    k: int,
+) -> DataFrame:
+    """Term-centric combine: union the per-field ``(doc_id, term,
+    contribution)`` decompositions (one decode pass per matching
+    field), fold per (doc, term) with dis_max + tie_breaker, then ONE
+    doc_id-keyed sum over terms. Two hash aggs total; the (doc, term)
+    grain is at most |fields| x the disjunctive match set."""
+    assert_aligned(field_indexes)
+    weights = weights or {}
+    sets = []
+    n_docs = 0
+    for name, idx in field_indexes.items():
+        n_docs = max(n_docs, idx["manifest"]["n_docs"])
+        s = scored_terms(idx, query_text)
+        if s is None:
+            continue
+        w = float(weights.get(name, 1.0))
+        sets.append(s.select(
+            "doc_id", "term",
+            (F.col("contribution") * F.lit(w)).alias("c"),
+        ))
+    if not sets:
+        return _empty_topk(spark)
+    unioned = sets[0]
+    for s in sets[1:]:
+        unioned = unioned.unionByName(s)
+    per_term = unioned.groupBy("doc_id", "term").agg(
+        F.sum("c").alias("_sum"), F.max("c").alias("_max"),
+    )
+    term_score = F.col("_max") + F.lit(tie_breaker) * (
+        F.col("_sum") - F.col("_max")
+    )
+    combined = (
+        per_term.select("doc_id", term_score.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
     )
     return rank_topk(combined, max(1, min(k, n_docs)))

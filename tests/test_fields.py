@@ -160,4 +160,70 @@ def test_multi_match_best_fields_is_dis_max_over_fields(
 
 def test_multi_match_rejects_unknown_mode(spark, index):
     with pytest.raises(ValueError, match="unknown multi_match mode"):
-        multi_match(spark, {"content": index}, Q1, mode="cross_fields")
+        multi_match(spark, {"content": index}, Q1, mode="zz_fields")
+
+
+# ---------------------------------------------------------------------
+# cross_fields (term-centric combine)
+# ---------------------------------------------------------------------
+
+
+def test_cross_fields_single_field_equals_exact(spark, index):
+    got = multi_match(
+        spark, {"content": index}, Q1, mode="cross_fields",
+        tie_breaker=0.7, k=12,
+    )
+    assert _rows(got) == _rows(search_exact(spark, index, Q1, k=12))
+
+
+def test_cross_fields_counts_each_term_once(spark, index):
+    """The discriminator vs most_fields: the SAME index twice means
+    every (doc, term) contribution appears in both 'fields'; at
+    tie_breaker=0 the per-term max collapses the duplicate, so
+    cross_fields == exact while most_fields would double every
+    score."""
+    two = {"a": index, "b": index}
+    got = multi_match(
+        spark, two, Q1, mode="cross_fields", tie_breaker=0.0, k=12,
+    )
+    assert _rows(got) == _rows(search_exact(spark, index, Q1, k=12))
+    doubled = {r["doc_id"]: r["score"]
+               for r in multi_match(
+                   spark, two, Q1, mode="most_fields", k=12,
+               ).collect()}
+    single = {r["doc_id"]: r["score"]
+              for r in search_exact(spark, index, Q1, k=12).collect()}
+    for d, s in single.items():
+        assert doubled[d] == pytest.approx(2 * s, rel=1e-9)
+
+
+def _scored_terms_dict(index, q):
+    from seqr_loading_pipelines_spark.query.bm25 import scored_terms
+
+    pdf = scored_terms(index, q).toPandas()
+    out = {}
+    for _, r in pdf.iterrows():
+        out[(r["doc_id"], r["term"])] = r["contribution"]
+    return out
+
+
+def test_cross_fields_python_golden(spark, index, repo_index):
+    q = "sw0 repo_0001"
+    tie = 0.4
+    w = {"content": 1.0, "repo": 3.0}
+    got = {r["doc_id"]: r["score"]
+           for r in multi_match(
+               spark, {"content": index, "repo": repo_index}, q,
+               weights=w, mode="cross_fields", tie_breaker=tie, k=40,
+           ).collect()}
+    c = {k: v * w["content"]
+         for k, v in _scored_terms_dict(index, q).items()}
+    r = {k: v * w["repo"]
+         for k, v in _scored_terms_dict(repo_index, q).items()}
+    want = {}
+    for key in set(c) | set(r):
+        vals = [m[key] for m in (c, r) if key in m]
+        d, _ = key
+        want[d] = want.get(d, 0.0) + max(vals) + tie * (sum(vals) - max(vals))
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)

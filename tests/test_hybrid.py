@@ -146,3 +146,63 @@ def test_histogram_absent_term_and_validation(spark, index):
     assert out.columns == ["bucket", "n_docs"]
     with pytest.raises(ValueError, match="interval"):
         histogram_by(spark, index, Q1, interval=0)
+
+
+# ---------------------------------------------------------------------
+# significant_terms (ES JLH)
+# ---------------------------------------------------------------------
+
+
+def _python_significant(corpus, terms, min_doc_count, top_n):
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    docs = [set(tokenize_py(r["content"]))
+            for r in corpus.select("content").collect()]
+    matched = [d for d in docs if d & terms]
+    n_m, n_d = len(matched), len(docs)
+    fg, bg = {}, {}
+    for d in matched:
+        for t in d:
+            fg[t] = fg.get(t, 0) + 1
+    for d in docs:
+        for t in d:
+            bg[t] = bg.get(t, 0) + 1
+    rows = []
+    for t, f in fg.items():
+        if f < min_doc_count:
+            continue
+        fp, bp = f / n_m, bg[t] / n_d
+        rows.append((t, f, bg[t], (fp - bp) * (fp / bp)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:top_n]
+
+
+def test_significant_terms_python_golden(spark, index, corpus):
+    from seqr_loading_pipelines_spark.query.facets import significant_terms
+
+    got = [
+        (r["term"], r["fg_count"], r["bg_count"], r["score"])
+        for r in significant_terms(
+            spark, index, Q1, top_n=15, min_doc_count=2,
+        ).collect()
+    ]
+    want = _python_significant(corpus, set(Q1.split()), 2, 15)
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_significant_terms_edges(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import significant_terms
+
+    out = significant_terms(spark, index, "zz_nope_zz")
+    assert out.count() == 0
+    assert out.columns == ["term", "fg_count", "bg_count", "score"]
+    with pytest.raises(ValueError, match="min_doc_count"):
+        significant_terms(spark, index, Q1, min_doc_count=0)
+    with pytest.raises(ValueError, match="real index handle"):
+        significant_terms(spark, {"manifest": {}}, Q1)
+    # min_doc_count filters: a huge floor leaves nothing
+    assert significant_terms(
+        spark, index, Q1, min_doc_count=10**9,
+    ).count() == 0
