@@ -353,30 +353,22 @@ def ivf_topk(
     )
 
 
-def build_lsh(
+def _write_signatures(
     spark: SparkSession,
     emb: DataFrame,
-    out_root: str,
-    n_planes: int = 64,
-    n_bands: int = 8,
-    seed: int = 42,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> dict:
-    """Persisted banded random-hyperplane LSH signatures.
-
-    n_planes sign bits split into n_bands buckets of n_planes/n_bands
-    bits; near vectors (cos ~ 0.9) share a band bucket with high
-    probability while random pairs almost never do — candidates are a
-    bucket lookup, not a scan. The signature table is the index
-    artifact (the round-1 version recomputed signatures per query —
-    an 'ANN' that still scanned the full table)."""
-    assert n_planes % n_bands == 0
+    planes: np.ndarray,
+    n_bands: int,
+    vec_col: str,
+    id_col: str,
+    out_path: str,
+    mode: str,
+) -> None:
+    """One Arrow-batched signature pass -> (band, bucket)-clustered
+    parquet. Shared by build (overwrite) and incremental update
+    (append): the probe-side bucket lookup reads appended files
+    exactly as originals."""
+    n_planes = planes.shape[0]
     width = n_planes // n_bands
-    dim = len(emb.select(vec_col).first()[0])
-    planes = np.random.Generator(
-        np.random.Philox(key=seed * 7919),
-    ).standard_normal((n_planes, dim))
 
     def signatures(batches):
         weights = (1 << np.arange(width)).astype(np.int64)
@@ -406,8 +398,68 @@ def build_lsh(
         .mapInPandas(signatures, "vec_id long, band int, bucket long")
         .repartition(parts, "band", "bucket")
         .sortWithinPartitions("band", "bucket", "vec_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_root, "signatures"))
+        .write.mode(mode)
+        .parquet(out_path)
+    )
+
+
+def update_lsh(
+    spark: SparkSession,
+    out_root: str,
+    new_vectors: DataFrame,
+) -> dict:
+    """Incremental LSH maintenance — the signature-table sibling of
+    ``update_ivf``, but simpler: the hyperplanes are data-INDEPENDENT
+    (frozen at build by seed), so there is no quantizer to drift and
+    no retrain gate — an update is exactly one signature pass over the
+    new vectors appended as new (band, bucket)-clustered files.
+    Recall after an append is identical to a full rebuild by
+    construction (same planes => same buckets)."""
+    with open(os.path.join(out_root, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    first = new_vectors.select(meta["vec_col"]).first()
+    if first is None:
+        return meta
+    if len(first[0]) != meta["dim"]:
+        raise ValueError(
+            f"new vectors have dim {len(first[0])}, index has "
+            f"{meta['dim']}",
+        )
+    planes = np.array(meta["planes"], dtype=np.float64)
+    _write_signatures(
+        spark, new_vectors, planes, meta["n_bands"],
+        meta["vec_col"], meta["id_col"],
+        os.path.join(out_root, "signatures"), mode="append",
+    )
+    return meta
+
+
+def build_lsh(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_root: str,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Persisted banded random-hyperplane LSH signatures.
+
+    n_planes sign bits split into n_bands buckets of n_planes/n_bands
+    bits; near vectors (cos ~ 0.9) share a band bucket with high
+    probability while random pairs almost never do — candidates are a
+    bucket lookup, not a scan. The signature table is the index
+    artifact (the round-1 version recomputed signatures per query —
+    an 'ANN' that still scanned the full table)."""
+    assert n_planes % n_bands == 0
+    dim = len(emb.select(vec_col).first()[0])
+    planes = np.random.Generator(
+        np.random.Philox(key=seed * 7919),
+    ).standard_normal((n_planes, dim))
+    _write_signatures(
+        spark, emb, planes, n_bands, vec_col, id_col,
+        os.path.join(out_root, "signatures"), mode="overwrite",
     )
     meta = {
         "n_planes": n_planes,

@@ -237,6 +237,43 @@ def test_lsh_ann_persisted_recall(spark, tmp_path):
     assert recall >= 0.8, (recall, brute, approx)
 
 
+def test_update_lsh_append_equals_rebuild(spark, tmp_path):
+    """Planes are frozen at build, so append == rebuild EXACTLY: same
+    planes -> same buckets -> identical candidates and top-k."""
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_lsh,
+        generate_embeddings,
+        load_lsh,
+        lsh_topk,
+        update_lsh,
+    )
+
+    vecs = generate_embeddings(spark, 3000, dim=32, n_clusters=12, seed=5)
+    base = vecs.filter(F.col("vec_id") < 2500)
+    extra = vecs.filter(F.col("vec_id") >= 2500)
+    incr_root = str(tmp_path / "lsh_incr")
+    full_root = str(tmp_path / "lsh_full")
+    build_lsh(spark, base, incr_root, n_planes=64, n_bands=8)
+    update_lsh(spark, incr_root, extra)
+    build_lsh(spark, vecs, full_root, n_planes=64, n_bands=8)
+    incr, full = load_lsh(spark, incr_root), load_lsh(spark, full_root)
+    assert incr["signatures"].count() == full["signatures"].count()
+    # an APPENDED vector must be findable (it retrieves itself at #1)
+    q = [float(x)
+         for x in vecs.filter(F.col("vec_id") == 2700).first()["embedding"]]
+    got_i = [r["vec_id"] for r in lsh_topk(spark, incr, vecs, q, 10).collect()]
+    got_f = [r["vec_id"] for r in lsh_topk(spark, full, vecs, q, 10).collect()]
+    assert got_i == got_f
+    assert got_i[0] == 2700
+    # dim mismatch fails loudly; empty update is a no-op
+    bad = generate_embeddings(spark, 5, dim=16, n_clusters=2, seed=1)
+    with pytest.raises(ValueError, match="dim"):
+        update_lsh(spark, incr_root, bad)
+    n0 = load_lsh(spark, incr_root)["signatures"].count()
+    update_lsh(spark, incr_root, extra.filter(F.col("vec_id") < 0))
+    assert load_lsh(spark, incr_root)["signatures"].count() == n0
+
+
 def test_multimodal_real_decoders(spark):
     import struct as _struct
 
