@@ -153,12 +153,15 @@ def _sql_bm25(
     k: int,
     doc_where: str | None = None,
     require_all: bool = False,
+    min_match: int | None = None,
 ) -> str:
     """``doc_where``: optional SQL predicate over documents — filters
     CANDIDATES before ranking while idf/avgdl/n stay corpus-level
     (the filtered-search statistics contract, query/bm25.py
     search_filtered). ``require_all``: conjunctive (AND) semantics —
-    only docs matching every term (query/bm25.py search_and)."""
+    only docs matching every term (query/bm25.py search_and).
+    ``min_match``: at least N distinct terms matched (the
+    minimum_should_match gate, query/boolean.py search_bool)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     filt = (
         f"WHERE tf.doc_id IN (SELECT doc_id FROM documents"
@@ -166,11 +169,12 @@ def _sql_bm25(
         if doc_where
         else ""
     )
-    having = (
-        f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
-        if require_all
-        else ""
-    )
+    if require_all:
+        having = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
+    elif min_match is not None:
+        having = f"HAVING count(DISTINCT tf.term) >= {min_match}"
+    else:
+        having = ""
     return f"""
 WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
 stats AS (SELECT (SELECT count(*) FROM documents) AS n,
@@ -2185,6 +2189,30 @@ def q_index_bool_search(spark, sf_dir):
     )
 
 
+def q_index_min_should_match(spark, sf_dir):
+    """The ``minimum_should_match`` gate through the REAL index path
+    (the ES/Lucene msm knob, query/boolean.py search_bool): pure
+    should clauses, at least 2 of the 3 terms required — one pruned
+    posting scan with a matched-SHOULD-count HAVING. Oracle: the same
+    disjunctive BM25 with HAVING count(DISTINCT term) >= 2."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.boolean import search_bool
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_bool(
+        spark, index, should=BM25_QUERY_TERMS, minimum_should_match=2,
+        k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_MIN_SHOULD_MATCH = _sql_bm25(BM25_QUERY_TERMS, 10, min_match=2)
+
+
 def _sql_bm25_bool(
     must: list[str], should: list[str], must_not: list[str],
     filter_sql: str, k: int,
@@ -3202,6 +3230,7 @@ QUERIES = {
     "index_collapse": q_index_collapse,
     "index_agg_stats": q_index_agg_stats,
     "index_bool_search": q_index_bool_search,
+    "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
     "index_facets": q_index_facets,
     "index_search_after": q_index_search_after,
@@ -3285,6 +3314,7 @@ ORACLE_SQL = {
     "index_collapse": SQL_INDEX_COLLAPSE,
     "index_agg_stats": SQL_INDEX_AGG_STATS,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
+    "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,
     "index_facets": SQL_INDEX_FACETS,
     "index_search_after": SQL_INDEX_SEARCH_AFTER,
