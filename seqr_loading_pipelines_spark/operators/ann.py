@@ -331,6 +331,7 @@ def load_ivf(spark: SparkSession, out_root: str) -> dict:
         os.path.join(out_root, "assignments"),
     )
     meta["centroids_np"] = np.array(meta["centroids"], dtype=np.float64)
+    meta["deleted"] = _load_deleted(spark, out_root)
     return meta
 
 
@@ -346,7 +347,11 @@ def ivf_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
     sims = _normalized(ivf["centroids_np"]) @ qn
     probes = [int(i) for i in np.argsort(-sims)[: max(1, n_probe)]]
-    cand = ivf["assignments"].filter(F.col("centroid_id").isin(probes))
+    cand = _excluded(
+        ivf["assignments"].filter(F.col("centroid_id").isin(probes)),
+        ivf,
+        ivf["id_col"],
+    )
     return cosine_topk(
         cand, [float(x) for x in query], k,
         vec_col=ivf["vec_col"], id_col=ivf["id_col"],
@@ -434,6 +439,103 @@ def update_lsh(
     return meta
 
 
+def delete_vectors(
+    spark: SparkSession,
+    out_root: str,
+    vec_ids,
+) -> int:
+    """Tombstone-delete vectors from a persisted ANN index (IVF or
+    LSH root — exclusion is by id, so one API serves both): appends
+    the ids to the index's ``deleted/`` parquet. Query paths anti-join
+    CANDIDATES against the tombstones before the exact re-rank (the
+    pruned set, never the whole table), so a deleted vector can never
+    be returned; ``compact_vector_index`` folds tombstones into a
+    physical rewrite — the inverted index's tombstone + compaction
+    discipline (index/deletes.py, index/merge.py), mirrored.
+
+    Contract: re-inserting a tombstoned id via update_ivf/update_lsh
+    stays hidden until a compact clears the tombstone — delete, then
+    compact, then re-insert (asserted in tests)."""
+    if isinstance(vec_ids, DataFrame):
+        ids_df = vec_ids.select(
+            F.col(vec_ids.columns[0]).cast("long").alias("vec_id"),
+        ).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in sorted(set(vec_ids))], "vec_id long",
+        )
+    n = ids_df.count()
+    if n:
+        ids_df.write.mode("append").parquet(
+            os.path.join(out_root, "deleted"),
+        )
+    return n
+
+
+def _load_deleted(spark: SparkSession, out_root: str) -> DataFrame | None:
+    path = os.path.join(out_root, "deleted")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("vec_id").distinct()
+
+
+def _excluded(cand: DataFrame, index: dict, id_col: str) -> DataFrame:
+    """Anti-join the bounded candidate set against the tombstones (AQE
+    broadcasts the usually-tiny tombstone side at runtime)."""
+    deleted = index.get("deleted")
+    if deleted is None:
+        return cand
+    return cand.join(
+        deleted.withColumnRenamed("vec_id", id_col), id_col, "left_anti",
+    )
+
+
+def compact_vector_index(spark: SparkSession, out_root: str) -> int:
+    """Physically drop tombstoned vectors from a persisted ANN index
+    and clear the tombstones — the OPTIMIZE-FINAL analog for the ANN
+    siblings. Autodetects the index kind (ivf_meta.json /
+    lsh_meta.json). IVF centroids stay frozen (the update_ivf drift
+    gate governs retraining); the data table rewrites minus the
+    deleted ids via the same staged-swap discipline as update_ivf's
+    retrain (stage, rename old aside, rename staged live, clear).
+    Returns the number of live rows after the rewrite. No-op (0 work)
+    when no tombstones exist."""
+    import shutil as _shutil
+
+    deleted = _load_deleted(spark, out_root)
+    if deleted is None:
+        is_ivf = os.path.exists(os.path.join(out_root, "ivf_meta.json"))
+        data_dir = "assignments" if is_ivf else "signatures"
+        return spark.read.parquet(os.path.join(out_root, data_dir)).count()
+    if os.path.exists(os.path.join(out_root, "ivf_meta.json")):
+        data_dir, meta_name = "assignments", "ivf_meta.json"
+    elif os.path.exists(os.path.join(out_root, "lsh_meta.json")):
+        data_dir, meta_name = "signatures", "lsh_meta.json"
+    else:
+        raise FileNotFoundError(f"no ANN index meta under {out_root}")
+    live_path = os.path.join(out_root, data_dir)
+    with open(os.path.join(out_root, meta_name)) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"] if meta_name == "ivf_meta.json" else "vec_id"
+    staged = os.path.join(out_root, f"_{data_dir}_compact")
+    _shutil.rmtree(staged, ignore_errors=True)
+    survivors = spark.read.parquet(live_path).join(
+        deleted.withColumnRenamed("vec_id", id_col), id_col, "left_anti",
+    )
+    survivors.write.mode("overwrite").parquet(staged)
+    n_live = spark.read.parquet(staged).count()
+    old_dir = os.path.join(out_root, f"_{data_dir}_old")
+    _shutil.rmtree(old_dir, ignore_errors=True)
+    os.replace(live_path, old_dir)
+    os.replace(staged, live_path)
+    _shutil.rmtree(old_dir, ignore_errors=True)
+    _shutil.rmtree(os.path.join(out_root, "deleted"), ignore_errors=True)
+    if meta_name == "ivf_meta.json":
+        meta["n_vectors"] = n_live  # one assignment row per vector
+        _write_meta(out_root, meta_name, meta)
+    return n_live
+
+
 def build_lsh(
     spark: SparkSession,
     emb: DataFrame,
@@ -483,6 +585,7 @@ def load_lsh(spark: SparkSession, out_root: str) -> dict:
         os.path.join(out_root, "signatures"),
     )
     meta["planes_np"] = np.array(meta["planes"], dtype=np.float64)
+    meta["deleted"] = _load_deleted(spark, out_root)
     return meta
 
 
@@ -524,8 +627,12 @@ def lsh_topk(
         )
         cond = c if cond is None else (cond | c)
     id_col, vec_col = lsh["id_col"], lsh["vec_col"]
-    cand_ids = lsh["signatures"].filter(cond).select(
-        F.col("vec_id").alias(id_col),
+    cand_ids = _excluded(
+        lsh["signatures"].filter(cond).select(
+            F.col("vec_id").alias(id_col),
+        ),
+        lsh,
+        id_col,
     )
     # broadcast LEFT SEMI both dedups bucket-collision candidates and
     # avoids a distinct exchange — one job end to end (when the

@@ -274,6 +274,72 @@ def test_update_lsh_append_equals_rebuild(spark, tmp_path):
     assert load_lsh(spark, incr_root)["signatures"].count() == n0
 
 
+def test_ann_delete_and_compact(spark, tmp_path):
+    """Tombstone deletes + compaction for BOTH persisted ANN kinds —
+    the inverted index's delete discipline mirrored: a deleted vector
+    can never be returned, compaction physically rewrites and clears,
+    and results are identical before/after the physical fold."""
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_ivf,
+        build_lsh,
+        compact_vector_index,
+        delete_vectors,
+        generate_embeddings,
+        ivf_topk,
+        load_ivf,
+        load_lsh,
+        lsh_topk,
+        update_lsh,
+    )
+
+    vecs = generate_embeddings(spark, 2000, dim=32, n_clusters=8, seed=9)
+    q = [float(x)
+         for x in vecs.filter(F.col("vec_id") == 77).first()["embedding"]]
+
+    ivf_root = str(tmp_path / "ivf")
+    build_ivf(spark, vecs, ivf_root, n_centroids=8)
+    top0 = [r["vec_id"]
+            for r in ivf_topk(spark, load_ivf(spark, ivf_root), q, 5,
+                              n_probe=8).collect()]
+    assert top0[0] == 77
+    assert delete_vectors(spark, ivf_root, [77, top0[1]]) == 2
+    top1 = [r["vec_id"]
+            for r in ivf_topk(spark, load_ivf(spark, ivf_root), q, 5,
+                              n_probe=8).collect()]
+    assert 77 not in top1 and top0[1] not in top1
+    n_live = compact_vector_index(spark, ivf_root)
+    assert n_live == 1998
+    ivf2 = load_ivf(spark, ivf_root)
+    assert ivf2["deleted"] is None and ivf2["n_vectors"] == 1998
+    top2 = [r["vec_id"]
+            for r in ivf_topk(spark, ivf2, q, 5, n_probe=8).collect()]
+    assert top2 == top1
+
+    lsh_root = str(tmp_path / "lsh")
+    build_lsh(spark, vecs, lsh_root, n_planes=64, n_bands=8)
+    assert delete_vectors(
+        spark, lsh_root, vecs.filter(F.col("vec_id") == 77).select("vec_id"),
+    ) == 1
+    got = [r["vec_id"]
+           for r in lsh_topk(spark, load_lsh(spark, lsh_root), vecs, q,
+                             5).collect()]
+    assert 77 not in got
+    # delete-then-reinsert contract: hidden until compact clears
+    update_lsh(spark, lsh_root, vecs.filter(F.col("vec_id") == 77))
+    got = [r["vec_id"]
+           for r in lsh_topk(spark, load_lsh(spark, lsh_root), vecs, q,
+                             5).collect()]
+    assert 77 not in got
+    compact_vector_index(spark, lsh_root)
+    update_lsh(spark, lsh_root, vecs.filter(F.col("vec_id") == 77))
+    got = [r["vec_id"]
+           for r in lsh_topk(spark, load_lsh(spark, lsh_root), vecs, q,
+                             5).collect()]
+    assert got[0] == 77
+    # empty delete is a no-op
+    assert delete_vectors(spark, lsh_root, []) == 0
+
+
 def test_multimodal_real_decoders(spark):
     import struct as _struct
 
