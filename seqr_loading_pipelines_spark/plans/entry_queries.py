@@ -162,6 +162,25 @@ def _sql_bm25(
     only docs matching every term (query/bm25.py search_and).
     ``min_match``: at least N distinct terms matched (the
     minimum_should_match gate, query/boolean.py search_bool)."""
+    return _sql_bm25_cte(terms, doc_where, require_all, min_match) + f"""
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _sql_bm25_cte(
+    terms: list[str],
+    doc_where: str | None = None,
+    require_all: bool = False,
+    min_match: int | None = None,
+) -> str:
+    """The shared ``WITH ... scored AS (doc_id, s)`` prefix of the BM25
+    oracle — reused by every oracle that post-processes the FULL scored
+    match set instead of taking the global top-k (e.g. per-group
+    top_hits)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     filt = (
         f"WHERE tf.doc_id IN (SELECT doc_id FROM documents"
@@ -196,11 +215,6 @@ scored AS (
   GROUP BY tf.doc_id
   {having}
 )
-SELECT doc_id, round(s, 4) AS score, rank FROM (
-  SELECT doc_id, s,
-         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {k}
 """
 
 
@@ -1826,6 +1840,106 @@ GROUP BY lang
 """
 
 
+def q_index_percentiles(spark, sf_dir):
+    """ES ``percentiles`` aggregation behind a driver-green row: exact
+    interpolated doc_len quantiles per lang over the WHOLE match set
+    (query/facets.py percentiles_by — pruned posting scan, gated join,
+    one hash agg). Oracle: quantile_cont in SQL (the same linear
+    interpolation at p*(n-1); both sides interpolate integer values at
+    binary fractions, so the doubles are exact, not merely close)."""
+    from seqr_loading_pipelines_spark.query.facets import percentiles_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = percentiles_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+        value_col="doc_len", percentiles=(0.25, 0.5, 0.75),
+    )
+    return out.select(
+        "lang",
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+    )
+
+
+SQL_INDEX_PERCENTILES = f"""
+SELECT lang,
+       round(quantile_cont(len({_T}), 0.25), 4) AS p25,
+       round(quantile_cont(len({_T}), 0.50), 4) AS p50,
+       round(quantile_cont(len({_T}), 0.75), 4) AS p75
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+GROUP BY lang
+"""
+
+
+def q_index_cardinality(spark, sf_dir):
+    """ES ``cardinality`` aggregation behind a driver-green row:
+    distinct repos per lang over the WHOLE match set (query/facets.py
+    cardinality_by, exact path — the HLL sketch path is the same call
+    with approximate=True, pytest-verified within its rsd bound).
+    Oracle: count(DISTINCT source) in SQL (corpus repo == documents
+    source, corpus.py corpus_from_documents)."""
+    from seqr_loading_pipelines_spark.query.facets import cardinality_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return cardinality_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+        distinct_col="repo",
+    )
+
+
+SQL_INDEX_CARDINALITY = f"""
+SELECT lang, count(DISTINCT source) AS n_distinct
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+GROUP BY lang
+"""
+
+
+TOP_HITS_N = 2
+
+
+def q_index_top_hits(spark, sf_dir):
+    """ES ``top_hits`` sub-aggregation behind a driver-green row: the
+    top-{TOP_HITS_N} BM25-scored docs WITHIN each lang bucket for the
+    reference query (query/facets.py top_hits_by — one pruned posting
+    scan + decode for the whole match set, gated doc-store join,
+    WindowGroupLimit per-group rank; in-bucket ties break on the
+    doc-store path — monotone in the oracle's doc_id, the collapse
+    API's id-space-invariant tiebreak). Oracle: the shared scored CTE
+    + the same window partitioned by lang in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import top_hits_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = top_hits_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang", n=TOP_HITS_N,
+        tiebreak_col="path",
+    )
+    ids = index["doc_stats"].select("doc_id", "path")
+    return (
+        out.join(ids, "doc_id", "inner")
+        .select(
+            "lang",
+            _orig_doc_id().alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "hit_rank",
+        )
+    )
+
+
+SQL_INDEX_TOP_HITS = _sql_bm25_cte(BM25_QUERY_TERMS) + f"""
+SELECT lang, doc_id, round(s, 4) AS score, hit_rank FROM (
+  SELECT d.lang, scored.doc_id, scored.s,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY floor(s * 1e5 + 0.5) DESC, scored.doc_id ASC
+         ) AS hit_rank
+  FROM scored JOIN documents d USING (doc_id)
+) WHERE hit_rank <= {TOP_HITS_N}
+"""
+
+
 SYNONYM_MAP = {"spark": ["vector", "table"]}
 
 
@@ -3229,6 +3343,9 @@ QUERIES = {
     "index_sort_by_commit": q_index_sort_by_commit,
     "index_collapse": q_index_collapse,
     "index_agg_stats": q_index_agg_stats,
+    "index_percentiles": q_index_percentiles,
+    "index_cardinality": q_index_cardinality,
+    "index_top_hits": q_index_top_hits,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3313,6 +3430,9 @@ ORACLE_SQL = {
     "index_sort_by_commit": SQL_INDEX_SORT_BY_COMMIT,
     "index_collapse": SQL_INDEX_COLLAPSE,
     "index_agg_stats": SQL_INDEX_AGG_STATS,
+    "index_percentiles": SQL_INDEX_PERCENTILES,
+    "index_cardinality": SQL_INDEX_CARDINALITY,
+    "index_top_hits": SQL_INDEX_TOP_HITS,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -24,7 +24,7 @@ TakeOrdered for the top-n panel. No driver materialization anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seqr_loading_pipelines_spark.query.bm25 import match_docs
@@ -181,6 +181,177 @@ def significant_terms(
     return scored.orderBy(
         F.col("score").desc(), F.col("term").asc(),
     ).limit(top_n)
+
+
+def percentiles_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    value_col: str = "doc_len",
+    percentiles: tuple = (0.25, 0.5, 0.75),
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per ``group_col``
+    over ALL docs matching a query — the Elasticsearch ``percentiles``
+    aggregation. One row per group: ``(group, p25, p50, ...)`` with one
+    column per requested fraction, named ``p<100*fraction>``.
+
+    Exact (``F.percentile``, linear interpolation at ``p*(n-1)``), not
+    the t-digest approximation ES defaults to: the engine's correctness
+    gate hashes values against a SQL oracle, so the exact quantile is
+    the contract; the approximate sibling for corpus-scale panels is
+    ``F.percentile_approx`` with the same call shape (swap gated in a
+    follow-up if a use case needs bounded-memory sketches).
+
+    Same scale shape as facets: pruned posting scan -> gated
+    broadcast/shuffle join against a two-column doc-store projection
+    -> one map-side-combining hash agg (percentile buffers collect the
+    per-group values; output cardinality = group count, and a group's
+    value list is bounded by its match count — at web scale prefer
+    percentile_approx for stop-word-like match sets)."""
+    ps = list(percentiles)
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError(
+            f"percentiles must be fractions in [0, 1], got {percentiles}",
+        )
+    names = [f"p{round(p * 100):d}" for p in ps]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"percentiles collide after naming (p<pct>): {percentiles}",
+        )
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, "
+            + ", ".join(f"{n} double" for n in names),
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    agg = (
+        index["doc_stats"]
+        .select("doc_id", group_col, value_col)
+        .join(matches, "doc_id", "inner")
+        .groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.col(value_col), F.array(*[F.lit(float(p)) for p in ps]),
+            ).alias("_ps"),
+        )
+    )
+    return agg.select(
+        group_col,
+        *[F.col("_ps").getItem(i).alias(n) for i, n in enumerate(names)],
+    )
+
+
+def cardinality_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    distinct_col: str,
+    approximate: bool = False,
+    rsd: float = 0.05,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Distinct count of ``distinct_col`` per ``group_col`` over ALL
+    docs matching a query — the Elasticsearch ``cardinality``
+    aggregation. One row per group: ``(group, n_distinct)``.
+
+    ``approximate=True`` switches to the HyperLogLog++ sketch
+    (``F.approx_count_distinct`` with relative error ``rsd``) — the
+    bounded-memory path for web-scale distinct sets (ES cardinality is
+    ALWAYS a sketch; here exact is the default because the correctness
+    gate hashes values, and the corpus-scale caller opts into the
+    sketch). Scale shape: pruned posting scan -> gated join against a
+    three-column doc-store projection -> one hash agg; the exact path's
+    agg buffer holds each group's distinct set (fine for metadata-
+    cardinality columns like repo), the HLL path's is O(1) per group."""
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [], f"{group_col} string, n_distinct long",
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    counter = (
+        F.approx_count_distinct(distinct_col, rsd)
+        if approximate
+        else F.countDistinct(distinct_col)
+    )
+    return (
+        index["doc_stats"]
+        .select("doc_id", group_col, distinct_col)
+        .join(matches, "doc_id", "inner")
+        .groupBy(group_col)
+        .agg(counter.alias("n_distinct"))
+    )
+
+
+def top_hits_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    n: int = 3,
+    broadcast_max: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-group top-n scored hits for a disjunctive BM25 query — the
+    Elasticsearch ``top_hits`` sub-aggregation (the hits panel beside
+    each facet bucket). One row per kept hit: ``(group, doc_id, score,
+    hit_rank)`` under the engine's shared tie rule (quantized score
+    desc, doc_id asc), hit_rank 1..n within each group.
+    ``tiebreak_col`` swaps the tie column for another doc-store column
+    (e.g. ``path`` — monotone in an external id space, the collapse
+    API's id-space-invariant tiebreak).
+
+    Scale shape: ONE pruned posting scan + decode yields the full
+    scored match set (``scored_matches`` — the same composable core
+    search_exact ranks); the group column rides a two-column doc-store
+    projection through a gated broadcast/shuffle join; the per-group
+    rank filter compiles to WindowGroupLimit (Spark pushes a per-
+    partition partial top-n BEFORE the shuffle on ``group_col``), so a
+    mega-group never sorts more than n rows per input partition + n per
+    group after the exchange. No driver materialization."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        quantized,
+        scored_matches,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    scored = scored_matches(index, query_text)
+    if scored is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, doc_id long, score double, hit_rank int",
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    tie = tiebreak_col or "doc_id"
+    cols = ["doc_id", group_col] + ([tiebreak_col] if tiebreak_col else [])
+    labeled = (
+        index["doc_stats"]
+        .select(*cols)
+        .join(scored, "doc_id", "inner")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(quantized(F.col("score")).desc(), F.col(tie).asc())
+    )
+    return (
+        labeled.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= n)
+        .select(group_col, "doc_id", "score", "hit_rank")
+    )
 
 
 def stats_by(

@@ -264,3 +264,158 @@ def test_collapse_tiebreak_col_and_absent_term(spark, index):
     empty = search_collapse(spark, index, "zz_nope_zz", "repo", k=5)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "repo", "score", "rank"]
+
+
+# ---------------------------------------------------------------------
+# percentiles / cardinality / top_hits aggregations (query/facets.py)
+# ---------------------------------------------------------------------
+
+
+def _match_set(oracle, terms):
+    return [
+        i
+        for i in range(len(oracle.doc_ids))
+        if any(oracle.tf[i].get(t, 0) for t in terms)
+    ]
+
+
+def test_percentiles_by_python_golden(spark, index, oracle):
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.query.facets import percentiles_by
+
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    vals = {}
+    for i in _match_set(oracle, terms):
+        vals.setdefault(lang_by_doc[oracle.doc_ids[i]], []).append(
+            oracle.doc_len[i],
+        )
+    ps = (0.25, 0.5, 0.75)
+    rows = percentiles_by(
+        spark, index, QUERY, "lang", value_col="doc_len", percentiles=ps,
+    ).collect()
+    assert {r["lang"] for r in rows} == set(vals)
+    for r in rows:
+        want = np.percentile(vals[r["lang"]], [100 * p for p in ps])
+        got = (r["p25"], r["p50"], r["p75"])
+        assert got == tuple(want), (r["lang"], got, tuple(want))
+    # forced shuffle-join path identical
+    rows2 = percentiles_by(
+        spark, index, QUERY, "lang", value_col="doc_len",
+        percentiles=ps, broadcast_max=0,
+    ).collect()
+    assert sorted(tuple(r) for r in rows2) == sorted(tuple(r) for r in rows)
+
+
+def test_percentiles_by_validation_and_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import percentiles_by
+
+    with pytest.raises(ValueError, match="fractions"):
+        percentiles_by(spark, index, QUERY, "lang", percentiles=(1.5,))
+    with pytest.raises(ValueError, match="fractions"):
+        percentiles_by(spark, index, QUERY, "lang", percentiles=())
+    with pytest.raises(ValueError, match="collide"):
+        percentiles_by(
+            spark, index, QUERY, "lang", percentiles=(0.501, 0.502),
+        )
+    out = percentiles_by(spark, index, "zz_nope_zz", "lang")
+    assert out.count() == 0
+    assert out.columns == ["lang", "p25", "p50", "p75"]
+
+
+def test_cardinality_by_exact_and_hll(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import cardinality_by
+
+    meta = {
+        r["doc_id"]: (r["lang"], r["repo"])
+        for r in index["doc_stats"].select("doc_id", "lang", "repo").collect()
+    }
+    terms = tokenize_py(QUERY)
+    want = {}
+    for i in _match_set(oracle, terms):
+        lang, repo = meta[oracle.doc_ids[i]]
+        want.setdefault(lang, set()).add(repo)
+    rows = cardinality_by(
+        spark, index, QUERY, "lang", distinct_col="repo",
+    ).collect()
+    assert {r["lang"]: r["n_distinct"] for r in rows} == {
+        g: len(s) for g, s in want.items()
+    }
+    # the HLL sketch path lands within its declared relative error
+    # (generous 3x cushion: rsd is a standard deviation, not a bound)
+    approx = cardinality_by(
+        spark, index, QUERY, "lang", distinct_col="repo",
+        approximate=True, rsd=0.05,
+    ).collect()
+    assert {r["lang"] for r in approx} == set(want)
+    for r in approx:
+        exact = len(want[r["lang"]])
+        assert abs(r["n_distinct"] - exact) <= max(1, 0.15 * exact)
+    empty = cardinality_by(spark, index, "zz_nope_zz", "lang", "repo")
+    assert empty.count() == 0
+    assert empty.columns == ["lang", "n_distinct"]
+
+
+def test_top_hits_by_python_golden(spark, index, oracle):
+    import math
+
+    from seqr_loading_pipelines_spark.query.facets import top_hits_by
+
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    scored = {}
+    for i in _match_set(oracle, terms):
+        d = oracle.doc_ids[i]
+        scored.setdefault(lang_by_doc[d], []).append(
+            (d, oracle.score_doc(i, terms)),
+        )
+    n = 3
+    want = {}
+    for lang, pairs in scored.items():
+        pairs.sort(key=lambda p: (-math.floor(p[1] * 1e5 + 0.5), p[0]))
+        for rank, (d, s) in enumerate(pairs[:n], start=1):
+            want[(lang, d)] = (rank, s)
+    rows = top_hits_by(spark, index, QUERY, "lang", n=n).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        rank, s = want[(r["lang"], r["doc_id"])]
+        assert r["hit_rank"] == rank
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    # every group's ranks are dense from 1
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["hit_rank"])
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_top_hits_by_group_limit_plan_and_edges(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import top_hits_by
+
+    out = top_hits_by(spark, index, QUERY, "lang", n=2)
+    # the rank<=n filter must push a per-partition partial top-n below
+    # the group shuffle (WindowGroupLimit) — the property that keeps a
+    # mega-group from sorting its whole match set
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    with pytest.raises(ValueError, match="n must be"):
+        top_hits_by(spark, index, QUERY, "lang", n=0)
+    empty = top_hits_by(spark, index, "zz_nope_zz", "lang")
+    assert empty.count() == 0
+    assert empty.columns == ["lang", "doc_id", "score", "hit_rank"]
+    # unbroadcast (forced gate) path identical
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r)
+        for r in top_hits_by(
+            spark, index, QUERY, "lang", n=2, broadcast_max=0,
+        ).collect()
+    )
+    assert a == b and a
