@@ -458,6 +458,56 @@ def main() -> None:
         timings,
     )
 
+    # percentiles / cardinality / per-bucket top_hits aggregations:
+    # same gated-join shape, one hash agg (top_hits adds the
+    # WindowGroupLimit per-group rank)
+    from seqr_loading_pipelines_spark.query.facets import (
+        cardinality_by,
+        percentiles_by,
+        top_hits_by,
+    )
+
+    timed_min(
+        "percentiles_by",
+        lambda: percentiles_by(
+            spark, index, "sw0 term_00042", "lang",
+        ).collect(),
+        timings,
+    )
+    timed_min(
+        "cardinality_by",
+        lambda: cardinality_by(
+            spark, index, "sw0 term_00042", "lang", "repo",
+        ).collect(),
+        timings,
+    )
+    timed_min(
+        "top_hits_by",
+        lambda: top_hits_by(
+            spark, index, "sw0 term_00042", "lang", n=3,
+        ).collect(),
+        timings,
+    )
+
+    # percolation (reverse search): all stored queries vs all live
+    # docs in one stored-term-list scan + gated broadcast join
+    from seqr_loading_pipelines_spark.query.percolate import percolate
+
+    _stored = spark.createDataFrame(
+        [
+            (1, ["sw0", "term_00042"], True),
+            (2, ["term_00123"], False),
+            (3, ["sw0", "sw1", "sw2"], False),
+            (4, ["term_00007", "term_00042"], True),
+        ],
+        "query_id long, terms array<string>, require_all boolean",
+    )
+    timed_min(
+        "percolate",
+        lambda: percolate(spark, index, _stored).count(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

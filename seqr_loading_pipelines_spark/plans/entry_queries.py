@@ -1940,6 +1940,56 @@ SELECT lang, doc_id, round(s, 4) AS score, hit_rank FROM (
 """
 
 
+PERCOLATE_QUERIES = [
+    (1, ["spark", "vector"], True),
+    (2, ["table"], False),
+    (3, ["spark", "query", "vector"], False),
+]
+
+
+def q_index_percolate(spark, sf_dir):
+    """Percolation (the ES percolator — reverse search) behind a
+    driver-green row: three stored term queries (one conjunctive, two
+    disjunctive) evaluated against EVERY live doc in ONE pass over the
+    index's stored term lists (query/percolate.py — gated broadcast of
+    the exploded query-term table, one join + one partial-aggregating
+    groupBy). Oracle: per-query list_has_all/any + list_intersect in
+    SQL, unioned."""
+    from seqr_loading_pipelines_spark.query.percolate import percolate
+
+    _, index = _built_index(spark, sf_dir, "q")
+    queries = spark.createDataFrame(
+        PERCOLATE_QUERIES,
+        "query_id long, terms array<string>, require_all boolean",
+    )
+    out = percolate(spark, index, queries)
+    ids = index["doc_stats"].select("doc_id", "path")
+    return out.join(ids, "doc_id", "inner").select(
+        "query_id",
+        _orig_doc_id().alias("doc_id"),
+        "matched_terms",
+    )
+
+
+def _sql_percolate(stored) -> str:
+    arms = []
+    for qid, terms, require_all in stored:
+        tl = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+        pred = "list_has_all" if require_all else "list_has_any"
+        arms.append(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id, "
+            f"len(list_intersect(t, {tl}))::BIGINT AS matched_terms "
+            f"FROM toks WHERE {pred}(t, {tl})",
+        )
+    return (
+        f"WITH toks AS (SELECT doc_id, list_distinct({_T}) AS t "
+        "FROM documents)\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
+SQL_INDEX_PERCOLATE = _sql_percolate(PERCOLATE_QUERIES)
+
+
 SYNONYM_MAP = {"spark": ["vector", "table"]}
 
 
@@ -3346,6 +3396,7 @@ QUERIES = {
     "index_percentiles": q_index_percentiles,
     "index_cardinality": q_index_cardinality,
     "index_top_hits": q_index_top_hits,
+    "index_percolate": q_index_percolate,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3433,6 +3484,7 @@ ORACLE_SQL = {
     "index_percentiles": SQL_INDEX_PERCENTILES,
     "index_cardinality": SQL_INDEX_CARDINALITY,
     "index_top_hits": SQL_INDEX_TOP_HITS,
+    "index_percolate": SQL_INDEX_PERCOLATE,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -1,0 +1,124 @@
+"""Percolation — reverse search: given DOCS, find which STORED QUERIES
+match them (the Elasticsearch percolator; alerting / saved-search
+notification is the classic use). The data structure is an inverted
+index over the QUERIES (term -> query_id), the mirror image of the
+document index the rest of this engine builds.
+
+Match semantics (v1, term queries): a stored query is
+``(query_id, terms, require_all)`` — it matches a doc when the doc
+contains ANY of the terms (require_all=false, the ``should`` shape) or
+ALL of them (require_all=true, the ``must`` shape). This is exactly
+the match-set algebra of query/bm25.py match_docs, evaluated from the
+query side.
+
+Scale shape (docs >> queries, the percolator regime): the doc side is
+the index's STORED per-doc distinct-term lists (no re-tokenize, no
+posting scan over the vocabulary), tombstone-excluded then exploded —
+one row per (doc, distinct term). The query side is the exploded
+query-term table, term-clustered; it broadcasts under the gate
+(thousands of alerts = a few MB) so the whole percolation is ONE
+scan + map-side hash join + one partial-aggregating groupBy on
+(doc_id, query_id) whose fan-in per key is bounded by the query's
+term count. Past the gate the join shuffles on term — the skew there
+is stop-word-like query terms, the same salting territory as the
+forward index's posting build.
+
+The reference's analog is its serving layer's saved-search screening
+(the seqr app re-runs stored searches against new loads); the engine
+evaluates all stored queries in one pass instead of one job per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# exploded query-term rows at or under this broadcast into the doc-term
+# join; above it the join shuffles on term (the facets/tombstone gate)
+QUERY_BROADCAST_MAX = 2_000_000
+
+_EXPLODED_COLS = ["query_id", "term", "n_terms", "require_all"]
+
+
+def explode_queries(queries_df: DataFrame) -> DataFrame:
+    """``(query_id, terms, require_all)`` -> the percolation index
+    shape ``(query_id, term, n_terms, require_all)``, one row per
+    DISTINCT query term (duplicate terms in a stored query count
+    once — matching is set algebra)."""
+    for c in ("query_id", "terms", "require_all"):
+        if c not in queries_df.columns:
+            raise ValueError(
+                f"queries need (query_id, terms, require_all); got "
+                f"{queries_df.columns}",
+            )
+    dedup = F.array_distinct("terms")
+    return queries_df.select(
+        "query_id",
+        F.explode(dedup).alias("term"),
+        F.size(dedup).alias("n_terms"),
+        "require_all",
+    )
+
+
+def save_queries(queries_df: DataFrame, path: str) -> None:
+    """Persist the exploded query-term table term-clustered — the
+    percolation index for a standing alert set (registered once,
+    percolated against every new doc batch). Term clustering keeps the
+    shuffled join path co-located when the set outgrows the broadcast
+    gate."""
+    exploded = explode_queries(queries_df)
+    exploded.repartition("term").write.mode("overwrite").parquet(path)
+
+
+def load_queries(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a ``save_queries`` percolation index (exploded form)."""
+    return spark.read.parquet(path)
+
+
+def percolate(
+    spark: SparkSession,
+    index: dict,
+    queries: DataFrame,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Match every stored query against every live doc in ``index``.
+    ``queries`` is either the raw ``(query_id, terms, require_all)``
+    shape or the exploded/persisted form. Returns one row per
+    (query, doc) match: ``(query_id, doc_id, matched_terms)``.
+    Deleted docs never match (tombstone anti-join before the explode).
+    """
+    from seqr_loading_pipelines_spark.index.build import load_docs
+
+    if "_root" not in index:
+        raise ValueError(
+            "percolate needs a real index handle (load_index): the doc "
+            "side reads the stored per-doc term lists",
+        )
+    qx = (
+        queries
+        if set(_EXPLODED_COLS) <= set(queries.columns)
+        else explode_queries(queries)
+    )
+    gate = broadcast_max if broadcast_max is not None else QUERY_BROADCAST_MAX
+    if qx.limit(gate + 1).count() <= gate:
+        qx = F.broadcast(qx)
+    docs = load_docs(spark, index["_root"], index["manifest"]).select(
+        "doc_id", "terms",
+    )
+    if index.get("tombstones") is not None:
+        docs = docs.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    # stored term lists hold one entry per DISTINCT doc term (the
+    # build's (doc, term) -> tf aggregation), so the join count IS the
+    # distinct matched-term count — no extra distinct pass
+    pairs = (
+        docs.select("doc_id", F.explode("terms.term").alias("term"))
+        .join(qx, "term")
+        .groupBy("query_id", "doc_id", "n_terms", "require_all")
+        .agg(F.count(F.lit(1)).alias("matched_terms"))
+    )
+    return pairs.filter(
+        (~F.col("require_all"))
+        | (F.col("matched_terms") == F.col("n_terms")),
+    ).select("query_id", "doc_id", "matched_terms")

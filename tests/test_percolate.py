@@ -1,0 +1,131 @@
+"""Percolation (query/percolate.py): stored-query matching checked
+against a python golden over the oracle's term sets, plus the
+tombstone, persistence, gate, and validation edges."""
+
+import pytest
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.percolate import (
+    explode_queries,
+    load_queries,
+    percolate,
+    save_queries,
+)
+
+STORED = [
+    (1, ["sw0", "term_00042"], True),
+    (2, ["term_00042"], False),
+    (3, ["sw0", "sw1", "zz_nope_zz"], False),
+    (4, ["zz_nope_zz"], False),
+    (5, ["sw0", "sw0", "sw1"], True),  # duplicate term counts once
+]
+SCHEMA = "query_id long, terms array<string>, require_all boolean"
+
+
+def _golden(oracle):
+    want = set()
+    for i in range(len(oracle.doc_ids)):
+        doc_terms = set(oracle.tf[i])
+        for qid, terms, require_all in STORED:
+            tset = set(terms)
+            hit = (
+                tset <= doc_terms if require_all else bool(tset & doc_terms)
+            )
+            if hit:
+                want.add(
+                    (qid, oracle.doc_ids[i], len(tset & doc_terms)),
+                )
+    return want
+
+
+def test_percolate_python_golden(spark, index, oracle):
+    queries = spark.createDataFrame(STORED, SCHEMA)
+    got = {
+        (r["query_id"], r["doc_id"], r["matched_terms"])
+        for r in percolate(spark, index, queries).collect()
+    }
+    want = _golden(oracle)
+    assert got == want
+    # the impossible query matched nothing; the others matched something
+    assert not any(q == 4 for q, _, _ in got)
+    assert {q for q, _, _ in got} == {1, 2, 3, 5}
+
+
+def test_percolate_unbroadcast_gate_identical(spark, index, oracle):
+    queries = spark.createDataFrame(STORED, SCHEMA)
+    a = sorted(
+        tuple(r) for r in percolate(spark, index, queries).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in percolate(
+            spark, index, queries, broadcast_max=0,
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_percolate_save_load_roundtrip(spark, index, tmp_path):
+    queries = spark.createDataFrame(STORED, SCHEMA)
+    path = str(tmp_path / "alerts")
+    save_queries(queries, path)
+    via_saved = sorted(
+        tuple(r)
+        for r in percolate(spark, index, load_queries(spark, path)).collect()
+    )
+    direct = sorted(
+        tuple(r) for r in percolate(spark, index, queries).collect()
+    )
+    assert via_saved == direct and via_saved
+
+
+def test_percolate_excludes_tombstoned_docs(spark, index, oracle):
+    victims = {oracle.doc_ids[0], oracle.doc_ids[1]}
+    tombed = dict(index)
+    tombed["tombstones"] = spark.createDataFrame(
+        [(d,) for d in victims], "doc_id long",
+    )
+    queries = spark.createDataFrame(STORED, SCHEMA)
+    got_docs = {
+        r["doc_id"] for r in percolate(spark, tombed, queries).collect()
+    }
+    assert not (got_docs & victims)
+    full_docs = {
+        r["doc_id"] for r in percolate(spark, index, queries).collect()
+    }
+    assert got_docs == full_docs - victims
+
+
+def test_percolate_validation(spark, index):
+    bad = spark.createDataFrame([(1, "x")], "query_id long, term string")
+    with pytest.raises(ValueError, match="query_id, terms, require_all"):
+        explode_queries(bad)
+    with pytest.raises(ValueError, match="real index handle"):
+        percolate(
+            spark,
+            {"manifest": {}},
+            spark.createDataFrame([], SCHEMA),
+        )
+    # empty stored-query set matches nothing
+    out = percolate(spark, index, spark.createDataFrame([], SCHEMA))
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "matched_terms"]
+
+
+def test_percolate_duplicate_terms_count_once(spark, index, oracle):
+    # query 5 requires {sw0, sw1}; its n_terms must be 2, not 3 — a doc
+    # with both matches with matched_terms == 2
+    queries = spark.createDataFrame(STORED, SCHEMA)
+    rows = [
+        r
+        for r in percolate(spark, index, queries).collect()
+        if r["query_id"] == 5
+    ]
+    assert rows
+    assert all(r["matched_terms"] == 2 for r in rows)
+    both = {
+        oracle.doc_ids[i]
+        for i in range(len(oracle.doc_ids))
+        if {"sw0", "sw1"} <= set(oracle.tf[i])
+    }
+    assert {r["doc_id"] for r in rows} == both
