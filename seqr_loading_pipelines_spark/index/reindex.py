@@ -1,0 +1,75 @@
+"""Reindex — rebuild a fresh index at a new root from an existing
+index's STORED docs (the Elasticsearch ``_reindex`` API; the
+reference's analog is its re-export of a Hail table into a fresh
+ClickHouse staging table before the pointer swap). The point is
+changing index-time options without re-reading the original source:
+turn positions/trigrams on, change shard counts, or physically drop
+tombstoned docs — then cut readers over with an alias repoint
+(sources/aliases.py).
+
+Scale shape: ONE scan of the source doc store (content projection —
+parquet prunes the term lists away), tombstone anti-join, straight
+into IndexBuilder.build's normal pipeline (keyed dedup shuffle, Arrow
+tokenize, posting encode). No driver materialization; the rebuild is
+checkpoint-resumable like any build, and its ledger key derives from
+the SOURCE index's published version, so re-running a completed
+reindex is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def reindex(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    drop_deleted: bool = True,
+    source_fingerprint: str | None = None,
+    **builder_kwargs,
+) -> dict:
+    """Rebuild ``src_root``'s corpus into a fresh index at ``dst_root``
+    with new builder options. Requires the source to have been built
+    with ``store_content=True`` (or ``trigrams=True``, which implies
+    it) — without stored content there is nothing to re-analyze, and
+    silently reusing the old token lists would make option changes
+    (tokenizer, positions) lie. Returns the new index's manifest.
+
+    ``drop_deleted=True`` (default) physically excludes tombstoned
+    docs — reindex doubles as the cluster-migration-grade compaction.
+    """
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_docs,
+        load_index,
+    )
+
+    if src_root == dst_root:
+        raise ValueError(
+            "reindex needs a fresh destination root (blue/green): "
+            f"got src == dst == {src_root}",
+        )
+    src = load_index(spark, src_root)
+    manifest = src["manifest"]
+    if not (manifest.get("store_content") or manifest.get("trigrams")):
+        raise ValueError(
+            f"index at {src_root} was built without store_content; "
+            "reindex re-analyzes stored content — rebuild the source "
+            "with store_content=True first",
+        )
+    docs = load_docs(spark, src_root, manifest)
+    if drop_deleted and src.get("tombstones") is not None:
+        docs = docs.join(
+            src["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    corpus = docs.select(*CORPUS_COLS)
+    fp = source_fingerprint or (
+        f"reindex:{src_root}@v{manifest.get('version')}"
+        f":drop_deleted={drop_deleted}"
+    )
+    return IndexBuilder(spark, dst_root, **builder_kwargs).build(
+        corpus, source_fingerprint=fp,
+    )

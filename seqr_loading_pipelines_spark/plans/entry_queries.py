@@ -1940,6 +1940,35 @@ SELECT lang, doc_id, round(s, 4) AS score, hit_rank FROM (
 """
 
 
+def q_index_reindex(spark, sf_dir):
+    """Blue/green reindex + alias cutover behind a driver-green row
+    (the ES ``_reindex`` + ``_aliases`` pair): rebuild a fresh index
+    from the content-stored source's doc store (index/reindex.py — one
+    doc-store scan into the normal build pipeline, ledger-idempotent),
+    atomically repoint a serving alias at it (sources/aliases.py),
+    then answer the reference query THROUGH the alias. Oracle: the
+    same BM25 in pure SQL — reindexing must be invisible to results."""
+    from seqr_loading_pipelines_spark.index.reindex import reindex
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+    from seqr_loading_pipelines_spark.sources.aliases import (
+        load_index_by_alias,
+        set_alias,
+    )
+
+    src_root, _ = _built_index(spark, sf_dir, "hl", store_content=True)
+    dst_root = _index_root(sf_dir, "reidx")
+    reindex(spark, src_root, dst_root)
+    reg = _index_root(sf_dir, "aliasreg")
+    set_alias(reg, "serving", dst_root)
+    index = load_index_by_alias(spark, reg, "serving")
+    topk = search_exact(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
 PERCOLATE_QUERIES = [
     (1, ["spark", "vector"], True),
     (2, ["table"], False),
@@ -3397,6 +3426,7 @@ QUERIES = {
     "index_cardinality": q_index_cardinality,
     "index_top_hits": q_index_top_hits,
     "index_percolate": q_index_percolate,
+    "index_reindex": q_index_reindex,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3485,6 +3515,7 @@ ORACLE_SQL = {
     "index_cardinality": SQL_INDEX_CARDINALITY,
     "index_top_hits": SQL_INDEX_TOP_HITS,
     "index_percolate": SQL_INDEX_PERCOLATE,
+    "index_reindex": SQL_BM25_TOPK,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -1,0 +1,88 @@
+"""Index aliases — atomically-swappable named pointers to index roots
+(the Elasticsearch ``_aliases`` API; the reference's serving cutover
+analog is its ClickHouse staging->atomic-pointer-swap load,
+v03_pipeline/lib/misc/clickhouse.py staged-table swap). The classic
+use is blue/green reindex: build the replacement index at a new root,
+then repoint the alias readers resolve — one atomic rename, no reader
+ever sees a half-built index.
+
+Storage: one JSON file per alias under the registry root, written via
+``fs.write_text_atomic`` (temp + rename — the same discipline as the
+ManifestTable pointer). Works on any pyarrow filesystem the fs module
+resolves; on object stores the rename is a copy+delete, still
+last-writer-wins at file granularity, which is the alias contract.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from seqr_loading_pipelines_spark.sources import fs
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_.-]{1,128}$")
+
+
+def _alias_path(registry_root: str, name: str) -> str:
+    if not _NAME_RE.match(name or ""):
+        raise ValueError(
+            f"alias name must match {_NAME_RE.pattern}, got {name!r}",
+        )
+    return fs.join(registry_root, f"{name}.alias.json")
+
+
+def set_alias(registry_root: str, name: str, index_root: str) -> None:
+    """Point ``name`` at ``index_root`` (create or atomic repoint).
+    The target must already hold a published index — refusing dangling
+    aliases here is what makes resolve-time failures mean 'deleted
+    since', never 'never existed'."""
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    if ManifestTable(index_root).current_manifest() is None:
+        raise FileNotFoundError(
+            f"no published index at {index_root}; build before aliasing",
+        )
+    fs.makedirs(registry_root)
+    fs.write_text_atomic(
+        _alias_path(registry_root, name),
+        json.dumps({"index_root": index_root}),
+    )
+
+
+def resolve_alias(registry_root: str, name: str) -> str:
+    """The index root ``name`` currently points at."""
+    path = _alias_path(registry_root, name)
+    if not fs.exists(path):
+        raise FileNotFoundError(
+            f"alias {name!r} not found under {registry_root}",
+        )
+    return json.loads(fs.read_text(path))["index_root"]
+
+
+def drop_alias(registry_root: str, name: str) -> None:
+    path = _alias_path(registry_root, name)
+    if fs.exists(path):
+        fs.delete_file(path)
+
+
+def list_aliases(registry_root: str) -> dict[str, str]:
+    """All aliases in the registry as ``{name: index_root}``."""
+    if not fs.exists(registry_root):
+        return {}
+    out = {}
+    for rel, _size in fs.list_files(registry_root):
+        if rel.endswith(".alias.json") and "/" not in rel:
+            out[rel[: -len(".alias.json")]] = json.loads(
+                fs.read_text(fs.join(registry_root, rel)),
+            )["index_root"]
+    return out
+
+
+def load_index_by_alias(spark, registry_root: str, name: str) -> dict:
+    """``load_index`` through an alias — the reader-side entry point
+    for blue/green serving."""
+    from seqr_loading_pipelines_spark.index.build import load_index
+
+    return load_index(spark, resolve_alias(registry_root, name))

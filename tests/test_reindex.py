@@ -1,0 +1,148 @@
+"""Reindex (index/reindex.py) + alias registry (sources/aliases.py):
+the blue/green cutover pair — rebuild from stored docs, repoint the
+alias, readers never see a half-built index."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.index.reindex import reindex
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.sources.aliases import (
+    drop_alias,
+    list_aliases,
+    load_index_by_alias,
+    resolve_alias,
+    set_alias,
+)
+
+Q = "sw0 term_00042"
+
+
+@pytest.fixture(scope="module")
+def src_root(spark, corpus, tmp_path_factory):
+    """A content-stored source index (reindex's precondition)."""
+    root = str(tmp_path_factory.mktemp("reidx_src"))
+    IndexBuilder(spark, root, store_content=True).build(
+        corpus, source_fingerprint="reidx-src",
+    )
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _hits(spark, index, k=15):
+    return [
+        (r["score"], r["rank"])
+        for r in search_exact(spark, index, Q, k=k).collect()
+    ]
+
+
+def _hit_paths(spark, index, k=15):
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+
+    top = search_exact(spark, index, Q, k=k)
+    return [
+        (r["rank"], r["path"])
+        for r in hydrate(index, top).orderBy("rank").collect()
+    ]
+
+
+def test_reindex_same_options_is_rank_identical(spark, src_root, tmp_path):
+    dst = str(tmp_path / "dst")
+    m = reindex(spark, src_root, dst)
+    assert m["n_docs"] == load_index(spark, src_root)["manifest"]["n_docs"]
+    src_idx = load_index(spark, src_root)
+    dst_idx = load_index(spark, dst)
+    # doc ids are reassigned; identity is (score, rank) + hydrated path
+    assert _hits(spark, dst_idx) == _hits(spark, src_idx)
+    assert _hit_paths(spark, dst_idx) == _hit_paths(spark, src_idx)
+    # re-running a completed reindex is a ledger no-op (same manifest)
+    m2 = reindex(spark, src_root, dst)
+    assert m2["version"] == m["version"]
+
+
+def test_reindex_can_enable_positions(spark, corpus, src_root, tmp_path):
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    dst = str(tmp_path / "dst_pos")
+    m = reindex(spark, src_root, dst, positions=True)
+    assert m.get("positions")
+    idx = load_index(spark, dst)
+    assert "positions" in idx
+    # a real adjacent bigram from one doc must phrase-match that doc
+    # (skip the generator's empty/short edge-case docs)
+    rows = (
+        corpus.select("path", "content")
+        .filter(F.length("content") > 50)
+        .limit(1)
+        .collect()
+    )
+    assert rows
+    row = rows[0]
+    toks = tokenize_py(row["content"])
+    assert len(toks) >= 2
+    hits = hydrate(
+        idx, search_phrase(spark, idx, f"{toks[0]} {toks[1]}", k=50),
+    ).collect()
+    assert row["path"] in {r["path"] for r in hits}
+
+
+def test_reindex_requires_stored_content(spark, index_root, tmp_path):
+    with pytest.raises(ValueError, match="store_content"):
+        reindex(spark, index_root, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="fresh destination"):
+        reindex(spark, index_root, index_root)
+
+
+def test_reindex_drops_tombstoned_docs(spark, corpus, tmp_path):
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+
+    src = str(tmp_path / "src_del")
+    IndexBuilder(spark, src, store_content=True).build(
+        corpus, source_fingerprint="reidx-del",
+    )
+    m = delete_docs(spark, src, F.col("repo") == "repo_0000")
+    n_deleted = m["n_deleted"]
+    assert n_deleted > 0
+    # delete_docs already decrements the live n_docs; a drop_deleted
+    # reindex must land exactly there, with no tombstone files left
+    dst = str(tmp_path / "dst_del")
+    m2 = reindex(spark, src, dst)
+    assert m2["n_docs"] == m["n_docs"]
+    dst_idx = load_index(spark, dst)
+    assert dst_idx["tombstones"] is None
+    assert (
+        dst_idx["doc_stats"].filter(F.col("repo") == "repo_0000").count()
+        == 0
+    )
+    # keep_deleted path preserves them physically (n_docs = total)
+    dst_keep = str(tmp_path / "dst_keep")
+    m3 = reindex(spark, src, dst_keep, drop_deleted=False)
+    assert m3["n_docs"] == m["n_docs"] + n_deleted
+
+
+def test_alias_set_resolve_repoint_drop(spark, src_root, tmp_path):
+    reg = str(tmp_path / "reg")
+    with pytest.raises(FileNotFoundError, match="no published index"):
+        set_alias(reg, "serving", str(tmp_path / "nowhere"))
+    with pytest.raises(ValueError, match="alias name"):
+        set_alias(reg, "bad/name", src_root)
+    set_alias(reg, "serving", src_root)
+    assert resolve_alias(reg, "serving") == src_root
+    idx = load_index_by_alias(spark, reg, "serving")
+    assert idx["manifest"]["n_docs"] > 0
+    # blue/green repoint: reindex then swap
+    dst = str(tmp_path / "green")
+    reindex(spark, src_root, dst)
+    set_alias(reg, "serving", dst)
+    assert resolve_alias(reg, "serving") == dst
+    assert list_aliases(reg) == {"serving": dst}
+    drop_alias(reg, "serving")
+    assert list_aliases(reg) == {}
+    with pytest.raises(FileNotFoundError, match="alias"):
+        resolve_alias(reg, "serving")
+    drop_alias(reg, "serving")  # idempotent
