@@ -508,6 +508,24 @@ def main() -> None:
         timings,
     )
 
+    # two-stage rescore: bm25 top-100 window re-ranked by a corpus-
+    # sized secondary score table (semi-join-restricted to the window)
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.rescore import rescore_topk
+
+    _sec = index["doc_stats"].select(
+        "doc_id",
+        ((F.xxhash64("doc_id") % 1000) / 1000.0).alias("rescore"),
+    )
+    timed_min(
+        "rescore_topk",
+        lambda: rescore_topk(
+            spark, index, "sw0 term_00042", _sec, k=10, window=100,
+        ).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

@@ -1940,6 +1940,78 @@ SELECT lang, doc_id, round(s, 4) AS score, hit_rank FROM (
 """
 
 
+RESCORE_WINDOW = 50
+
+
+def q_index_rescore(spark, sf_dir):
+    """Two-stage retrieval behind a driver-green row (the ES
+    ``rescore`` API / retrieve-then-rerank): BM25 selects the
+    top-{RESCORE_WINDOW} window through the REAL index path, then
+    embedding cosine against the reference query vector re-orders it
+    (combined = bm25 + cosine, query/rescore.py — the expensive scorer
+    is semi-join-restricted to the window BEFORE evaluation). Oracle:
+    the shared scored CTE windowed, cosine-joined, re-ranked in SQL."""
+    from seqr_loading_pipelines_spark.operators.similarity import (
+        _cosine_expr,
+    )
+    from seqr_loading_pipelines_spark.query.rescore import rescore_topk
+
+    _, index = _built_index(spark, sf_dir, "q")
+    qv = _query_vec(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    ids = index["doc_stats"].select(
+        "doc_id", _orig_doc_id().alias("vec_id"),
+    )
+    secondary = emb.join(ids, "vec_id").select(
+        "doc_id",
+        F.round(_cosine_expr(F.col("embedding"), qv), 5).alias("rescore"),
+    )
+    out = rescore_topk(
+        spark, index, " ".join(BM25_QUERY_TERMS), secondary,
+        k=10, window=RESCORE_WINDOW,
+    )
+    paths = index["doc_stats"].select("doc_id", "path")
+    return out.join(paths, "doc_id", "inner").select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.round("bm25_score", 4).alias("bm25_score"),
+        F.col("rescore"),
+        "rank",
+    )
+
+
+SQL_INDEX_RESCORE = _sql_bm25_cte(BM25_QUERY_TERMS) + f"""
+, win AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {RESCORE_WINDOW}
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sec AS (
+  SELECT e.vec_id AS doc_id,
+         round(CASE WHEN {_NRM.format(col="e.embedding")} > 0
+               THEN {_DOT} / ({_NRM.format(col="e.embedding")} * {_NRM.format(col="q.embedding")})
+               ELSE 0.0 END, 5) AS rescore
+  FROM embeddings e CROSS JOIN qv q
+),
+comb AS (
+  SELECT w.doc_id,
+         w.s + coalesce(sec.rescore, 0.0) AS c,
+         w.s AS bm25,
+         coalesce(sec.rescore, 0.0) AS rescore
+  FROM win w LEFT JOIN sec USING (doc_id)
+)
+SELECT doc_id, round(c, 4) AS score, round(bm25, 4) AS bm25_score,
+       rescore, rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY floor(c * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM comb
+) WHERE rank <= 10
+"""
+
+
 def q_index_reindex(spark, sf_dir):
     """Blue/green reindex + alias cutover behind a driver-green row
     (the ES ``_reindex`` + ``_aliases`` pair): rebuild a fresh index
@@ -3427,6 +3499,7 @@ QUERIES = {
     "index_top_hits": q_index_top_hits,
     "index_percolate": q_index_percolate,
     "index_reindex": q_index_reindex,
+    "index_rescore": q_index_rescore,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3516,6 +3589,7 @@ ORACLE_SQL = {
     "index_top_hits": SQL_INDEX_TOP_HITS,
     "index_percolate": SQL_INDEX_PERCOLATE,
     "index_reindex": SQL_BM25_TOPK,
+    "index_rescore": SQL_INDEX_RESCORE,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

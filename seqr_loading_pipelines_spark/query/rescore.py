@@ -1,0 +1,109 @@
+"""Rescoring — two-stage retrieval: a cheap first-stage ranker (BM25)
+selects a bounded top-``window`` candidate set, then a more expensive
+secondary score (embedding cosine, a reranker model's output, a
+popularity prior) re-orders just that window (the Elasticsearch
+``rescore`` API; the standard retrieve-then-rerank shape of every
+modern search stack).
+
+Scale shape: stage one is ``search_exact``'s TakeOrdered plan — at
+most ``window`` rows ever exist after it. The secondary-score table
+(potentially one score per corpus doc, e.g. cosine against the whole
+embedding table) is restricted to the window FIRST via a broadcast
+semi-join on the tiny candidate id set — the expensive scorer is
+evaluated on ``window`` rows, never the corpus — and the restricted
+result (<= window rows) broadcasts back into the combine join. Both
+joins broadcast the bounded side; the corpus-sized table is scanned
+once with the candidate filter pushed into it. Final ranking is a
+window over <= ``window`` rows under the engine's shared quantized
+tie rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MODES = ("sum", "multiply", "replace")
+
+
+def rescore_topk(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    secondary: DataFrame,
+    k: int = 10,
+    window: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    mode: str = "sum",
+    rescore_col: str = "rescore",
+) -> DataFrame:
+    """Top-k after re-ranking the BM25 top-``window`` with a secondary
+    per-doc score. ``secondary`` is ``(doc_id, <rescore_col>)``; docs
+    in the window with no secondary row keep their first-stage score
+    (ES semantics: a non-matching rescore query contributes nothing).
+
+    ``mode``: combined = query_weight*bm25 + rescore_weight*rescore
+    (``sum``, the ES default ``score_mode: total``) |
+    query_weight*bm25 * rescore (``multiply``, missing rescore = 1) |
+    rescore_weight*rescore alone (``replace``; missing rescore = 0 —
+    first-stage only gates candidacy).
+
+    Returns ``(doc_id, score, bm25_score, rescore, rank)`` — the
+    combined score plus both components (the explain surface).
+    """
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        quantized,
+        search_exact,
+    )
+
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    if not (1 <= k <= window):
+        raise ValueError(f"need 1 <= k <= window, got k={k} window={window}")
+    base = search_exact(spark, index, query_text, k=window).select(
+        "doc_id", F.col("score").alias("bm25_score"),
+    )
+    # restrict the (possibly corpus-sized) scorer to the window first:
+    # broadcast the <= window candidate ids into a semi-join, then the
+    # restricted result (<= window rows) broadcasts into the combine
+    restricted = secondary.select("doc_id", rescore_col).join(
+        F.broadcast(base.select("doc_id")), "doc_id", "left_semi",
+    )
+    joined = base.join(F.broadcast(restricted), "doc_id", "left")
+    r = F.col(rescore_col).cast("double")
+    if mode == "sum":
+        combined = (
+            F.lit(float(query_weight)) * F.col("bm25_score")
+            + F.lit(float(rescore_weight)) * F.coalesce(r, F.lit(0.0))
+        )
+    elif mode == "multiply":
+        combined = (
+            F.lit(float(query_weight))
+            * F.col("bm25_score")
+            * F.coalesce(r, F.lit(1.0))
+        )
+    else:  # replace
+        combined = F.lit(float(rescore_weight)) * F.coalesce(r, F.lit(0.0))
+    scored = joined.select(
+        "doc_id",
+        combined.alias("score"),
+        "bm25_score",
+        F.coalesce(r, F.lit(0.0)).alias("rescore"),
+    )
+    ranked = scored.orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    ).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    )
+    return ranked.select(
+        "doc_id",
+        "score",
+        "bm25_score",
+        "rescore",
+        F.row_number().over(w).alias("rank"),
+    )

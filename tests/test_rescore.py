@@ -1,0 +1,115 @@
+"""Rescoring (query/rescore.py): two-stage retrieve-then-rerank
+checked against the engine's own exact executor (weight-0 identity),
+a python recombination golden, the window-gating contract, and the
+bounded-join plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.query.rescore import rescore_topk
+
+Q = "sw0 term_00042"
+
+
+def _secondary(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rescore double")
+
+
+def test_rescore_weight_zero_is_exact_identity(spark, index):
+    base = search_exact(spark, index, Q, k=10).collect()
+    sec = _secondary(
+        spark, [(r["doc_id"], 123.456) for r in base],
+    )
+    got = rescore_topk(
+        spark, index, Q, sec, k=10, window=40, rescore_weight=0.0,
+    ).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == [
+        (r["doc_id"], r["rank"]) for r in base
+    ]
+    for g, b in zip(got, base):
+        assert g["score"] == pytest.approx(b["score"], rel=1e-12)
+        assert g["bm25_score"] == pytest.approx(b["score"], rel=1e-12)
+
+
+def test_rescore_sum_python_golden_and_missing_rows(spark, index):
+    window = 25
+    base = search_exact(spark, index, Q, k=window).collect()
+    # score only half the window; the rest must keep pure bm25
+    scored_half = {
+        r["doc_id"]: 0.1 * (i + 1)
+        for i, r in enumerate(base)
+        if i % 2 == 0
+    }
+    sec = _secondary(spark, list(scored_half.items()))
+    want = sorted(
+        (
+            (d, s + scored_half.get(d, 0.0))
+            for d, s in ((r["doc_id"], r["score"]) for r in base)
+        ),
+        key=lambda p: (-math.floor(p[1] * 1e5 + 0.5), p[0]),
+    )[:10]
+    got = rescore_topk(spark, index, Q, sec, k=10, window=window).collect()
+    assert [(r["doc_id"]) for r in got] == [d for d, _ in want]
+    for r, (d, c) in zip(got, want):
+        assert r["score"] == pytest.approx(c, rel=1e-9)
+        assert r["rescore"] == pytest.approx(scored_half.get(d, 0.0))
+        assert r["rank"] == 1 + want.index((d, c))
+
+
+def test_rescore_multiply_and_replace_modes(spark, index):
+    base = search_exact(spark, index, Q, k=15).collect()
+    top = base[0]["doc_id"]
+    sec = _secondary(spark, [(top, 2.0)])
+    mult = rescore_topk(
+        spark, index, Q, sec, k=15, window=15, mode="multiply",
+    ).collect()
+    by_id = {r["doc_id"]: r for r in mult}
+    assert by_id[top]["score"] == pytest.approx(
+        2.0 * by_id[top]["bm25_score"], rel=1e-12,
+    )
+    for r in mult:
+        if r["doc_id"] != top:  # missing rescore multiplies by 1
+            assert r["score"] == pytest.approx(
+                r["bm25_score"], rel=1e-12,
+            )
+    repl = rescore_topk(
+        spark, index, Q, sec, k=15, window=15, mode="replace",
+        rescore_weight=3.0,
+    ).collect()
+    assert repl[0]["doc_id"] == top
+    assert repl[0]["score"] == pytest.approx(6.0)
+    assert all(r["score"] == 0.0 for r in repl[1:])
+
+
+def test_rescore_window_gates_candidacy(spark, index):
+    # a doc ranked below the window cannot enter, no matter the boost
+    wide = search_exact(spark, index, Q, k=50).collect()
+    assert len(wide) > 5
+    outside = wide[-1]["doc_id"]
+    sec = _secondary(spark, [(outside, 1e6)])
+    got = rescore_topk(
+        spark, index, Q, sec, k=5, window=5,
+    ).collect()
+    assert outside not in {r["doc_id"] for r in got}
+
+
+def test_rescore_validation_and_plan(spark, index):
+    sec = _secondary(spark, [(0, 1.0)])
+    with pytest.raises(ValueError, match="mode"):
+        rescore_topk(spark, index, Q, sec, mode="max")
+    with pytest.raises(ValueError, match="k <= window"):
+        rescore_topk(spark, index, Q, sec, k=20, window=10)
+    out = rescore_topk(spark, index, Q, sec, k=5, window=20)
+    # both scorer joins must broadcast the bounded side — a shuffled
+    # join here would drag the whole secondary table through a sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # absent query terms -> empty, stable schema
+    empty = rescore_topk(spark, index, "zz_nope_zz", sec)
+    assert empty.count() == 0
+    assert empty.columns == [
+        "doc_id", "score", "bm25_score", "rescore", "rank",
+    ]
