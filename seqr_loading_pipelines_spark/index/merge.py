@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from seqr_loading_pipelines_spark.index.build import (
     IndexBuilder,
     _parquet_row_count,
+    load_docs,
     load_index,
 )
 from seqr_loading_pipelines_spark.index.doc_ids import assign_dense_ids
@@ -721,3 +722,95 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             "n_compacted_tombstones": int(current.get("n_deleted", 0)),
         },
     )
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_root: str,
+    predicate,
+    transform,
+    ledger_key: str,
+    recommit: bool = True,
+    broadcast_max: int | None = None,
+) -> dict:
+    """Rewrite every LIVE doc matching ``predicate`` through
+    ``transform`` — the Elasticsearch ``_update_by_query`` API,
+    completing the mutation family (insert = update_index, delete =
+    delete_docs, transform-in-place = this). ``transform`` is a
+    DataFrame -> DataFrame callable over the corpus columns
+    (repo, path, commit, lang, content); ``recommit=True`` (default)
+    stamps each rewritten doc's commit with sha256(content)[:40] —
+    an update IS a new version in the source-repo model, and the new
+    identity is what lets the re-add flow through update_index's
+    normal anti-join as a genuinely-new doc.
+
+    Crash-safe composition (requires ``ledger_key``): the transformed
+    batch is MATERIALIZED to a lease-protected staging checkpoint
+    FIRST (computed from the pre-delete live view — a resumed run
+    must not re-derive victims after the delete has hidden them),
+    then the tombstone delete and the incremental re-add each run
+    under derived ledger keys, so a rerun after a crash at any
+    boundary replays only the missing step. Requires
+    ``store_content=True`` (there is nothing to transform otherwise).
+
+    Scale shape: one doc-store scan filtered by the predicate into
+    the staged batch; then exactly the delete and update plans the
+    engine already has — no new shuffle topology.
+    """
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+    from seqr_loading_pipelines_spark.index.reindex import CORPUS_COLS
+    from seqr_loading_pipelines_spark.sources import fs
+
+    if not ledger_key:
+        raise ValueError("update_by_query needs a ledger_key")
+    table = ManifestTable(index_root)
+    current = table.current_manifest()
+    if current is None:
+        raise FileNotFoundError(f"no published index at {index_root}")
+    if not (current.get("store_content") or current.get("trigrams")):
+        raise ValueError(
+            f"index at {index_root} was built without store_content; "
+            "update_by_query transforms stored content",
+        )
+    add_key = f"ubq-add:{ledger_key}"
+    if add_key in current.get("updates", []):
+        return current  # whole operation already applied
+
+    snap = table.staging_dir(f"ubq:{ledger_key}")
+    batch_dir = fs.join(snap, "batch")
+    if not fs.exists(fs.join(batch_dir, "_SUCCESS")):
+        index = load_index(spark, index_root)
+        docs = load_docs(spark, index_root, index["manifest"])
+        if index.get("tombstones") is not None:
+            docs = docs.join(
+                index["tombstones"].select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        victims = docs.filter(predicate).select(*CORPUS_COLS)
+        out = transform(victims)
+        missing = [c for c in CORPUS_COLS if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"transform dropped corpus columns {missing}; it must "
+                f"return at least {CORPUS_COLS}",
+            )
+        out = out.select(*CORPUS_COLS)
+        if recommit:
+            out = out.withColumn(
+                "commit", F.sha2(F.col("content"), 256).substr(1, 40),
+            )
+        out.write.mode("overwrite").parquet(batch_dir)
+
+    delete_docs(
+        spark,
+        index_root,
+        predicate,
+        ledger_key=f"ubq-del:{ledger_key}",
+        **({"broadcast_max": broadcast_max} if broadcast_max is not None else {}),
+    )
+    manifest = update_index(
+        spark, index_root, spark.read.parquet(batch_dir), add_key,
+    )
+    fs.delete_dir(snap)
+    return manifest

@@ -1940,6 +1940,55 @@ SELECT lang, doc_id, round(s, 4) AS score, hit_rank FROM (
 """
 
 
+def q_index_update_by_query(spark, sf_dir):
+    """Transform-in-place behind a driver-green row (the ES
+    ``_update_by_query`` API, completing the mutation family):
+    every live doc with lang='de' is rewritten through a content
+    transform (one appended token), staged crash-safe, tombstone-
+    deleted, and re-added through the normal incremental path with a
+    recomputed commit (index/merge.py update_by_query). The row
+    returns the LIVE doc store — the oracle is the source table with
+    the same transform applied in SQL (+1 token for 'de' docs)."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.merge import update_by_query
+
+    root = _index_root(sf_dir, "ubq")
+    src_fp = _source_content_fp(sf_dir)
+    IndexBuilder(spark, root, store_content=True).build(
+        corpus_from_documents(spark, sf_dir),
+        source_fingerprint=f"ubq:{sf_dir}:{src_fp}",
+    )
+    update_by_query(
+        spark,
+        root,
+        F.col("lang") == "de",
+        lambda df: df.withColumn(
+            "content", F.concat(F.col("content"), F.lit(" zzupdated")),
+        ),
+        ledger_key=f"ubq:{sf_dir}:{src_fp}",
+    )
+    index = load_index(spark, root)
+    live = index["doc_stats"]
+    if index.get("tombstones") is not None:
+        live = live.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    return live.select(
+        _orig_doc_id().alias("doc_id"), "lang", "doc_len",
+    )
+
+
+SQL_INDEX_UPDATE_BY_QUERY = f"""
+SELECT doc_id, lang,
+       len({_T}) + CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS doc_len
+FROM documents
+"""
+
+
 RESCORE_WINDOW = 50
 
 
@@ -3500,6 +3549,7 @@ QUERIES = {
     "index_percolate": q_index_percolate,
     "index_reindex": q_index_reindex,
     "index_rescore": q_index_rescore,
+    "index_update_by_query": q_index_update_by_query,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3590,6 +3640,7 @@ ORACLE_SQL = {
     "index_percolate": SQL_INDEX_PERCOLATE,
     "index_reindex": SQL_BM25_TOPK,
     "index_rescore": SQL_INDEX_RESCORE,
+    "index_update_by_query": SQL_INDEX_UPDATE_BY_QUERY,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -435,3 +435,105 @@ def test_update_inherits_manifest_dict_gate(spark, tmp_path):
     wider = generate_corpus(spark, 200, n_repos=3, seed=63)
     m2 = update_index(spark, root, wider, "b3", dict_partition_gate=7)
     assert m2["dict_partition_gate"] == 7
+
+
+# ---------------------------------------------------------------------
+# update_by_query (transform-in-place)
+# ---------------------------------------------------------------------
+
+
+def _live_stats(spark, root):
+    idx = load_index(spark, root)
+    live = idx["doc_stats"]
+    if idx.get("tombstones") is not None:
+        live = live.join(
+            idx["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    return idx, live
+
+
+def test_update_by_query_rewrites_matching_docs(spark, corpus, tmp_path):
+    from seqr_loading_pipelines_spark.index.merge import update_by_query
+
+    root = str(tmp_path / "ubq")
+    IndexBuilder(spark, root, store_content=True).build(
+        corpus, source_fingerprint="ubq-src",
+    )
+    _, live0 = _live_stats(spark, root)
+    before = {
+        r["path"]: (r["doc_len"], r["commit"])
+        for r in live0.select("path", "doc_len", "commit").collect()
+    }
+    victims = {
+        r["path"]
+        for r in live0.filter(F.col("repo") == "repo_0001")
+        .select("path")
+        .collect()
+    }
+    assert victims
+    m = update_by_query(
+        spark,
+        root,
+        F.col("repo") == "repo_0001",
+        lambda df: df.withColumn(
+            "content", F.concat(F.col("content"), F.lit(" zzupd")),
+        ),
+        ledger_key="ubq-1",
+    )
+    idx, live = _live_stats(spark, root)
+    after = {
+        r["path"]: (r["doc_len"], r["commit"])
+        for r in live.select("path", "doc_len", "commit").collect()
+    }
+    # live doc count unchanged; victims gained exactly one token and a
+    # new commit; everyone else is untouched
+    assert set(after) == set(before)
+    assert m["n_docs"] == len(before)
+    for p, (dl, c) in before.items():
+        dl2, c2 = after[p]
+        if p in victims:
+            assert dl2 == dl + 1 and c2 != c
+        else:
+            assert (dl2, c2) == (dl, c)
+    # the new token is searchable and matches exactly the victims
+    hits = search_exact(spark, idx, "zzupd", k=len(before))
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+
+    hit_paths = {r["path"] for r in hydrate(idx, hits).collect()}
+    assert hit_paths == victims
+    # replay with the same ledger key is a no-op
+    m2 = update_by_query(
+        spark,
+        root,
+        F.col("repo") == "repo_0001",
+        lambda df: df.withColumn(
+            "content", F.concat(F.col("content"), F.lit(" zzupd")),
+        ),
+        ledger_key="ubq-1",
+    )
+    assert m2["version"] == m["version"]
+
+
+def test_update_by_query_validation(spark, corpus, tmp_path):
+    from seqr_loading_pipelines_spark.index.merge import update_by_query
+
+    plain = str(tmp_path / "plain")
+    IndexBuilder(spark, plain).build(corpus, source_fingerprint="p")
+    with pytest.raises(ValueError, match="store_content"):
+        update_by_query(
+            spark, plain, F.lit(True), lambda df: df, ledger_key="k",
+        )
+    stored = str(tmp_path / "stored")
+    IndexBuilder(spark, stored, store_content=True).build(
+        corpus, source_fingerprint="s",
+    )
+    with pytest.raises(ValueError, match="ledger_key"):
+        update_by_query(spark, stored, F.lit(True), lambda df: df, "")
+    with pytest.raises(ValueError, match="dropped corpus columns"):
+        update_by_query(
+            spark,
+            stored,
+            F.col("repo") == "repo_0001",
+            lambda df: df.drop("content"),
+            ledger_key="bad-transform",
+        )
