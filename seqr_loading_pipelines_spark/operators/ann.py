@@ -341,8 +341,18 @@ def ivf_topk(
     query: list[float],
     k: int = 10,
     n_probe: int = 8,
+    pre_filter: DataFrame | None = None,
 ) -> DataFrame:
-    """ANN top-k: probe the n_probe nearest centroids only."""
+    """ANN top-k: probe the n_probe nearest centroids only.
+
+    ``pre_filter`` is a DataFrame of ALLOWED ids (one ``id_col``
+    column) — filtered kNN (the ES ``knn.filter`` semantics: the
+    predicate restricts candidates BEFORE the ranking, so the result
+    is the top-k of the allowed subset, never fewer survivors of an
+    unfiltered top-k). Applied to the probed candidate set via a
+    semi-join (AQE broadcasts a small filter side). Under a selective
+    filter raise ``n_probe`` — probed clusters may hold few allowed
+    vectors, the same recall knob ES turns via num_candidates."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     sims = _normalized(ivf["centroids_np"]) @ qn
@@ -352,6 +362,10 @@ def ivf_topk(
         ivf,
         ivf["id_col"],
     )
+    if pre_filter is not None:
+        cand = cand.join(
+            pre_filter.select(ivf["id_col"]), ivf["id_col"], "left_semi",
+        )
     return cosine_topk(
         cand, [float(x) for x in query], k,
         vec_col=ivf["vec_col"], id_col=ivf["id_col"],
@@ -597,6 +611,7 @@ def lsh_topk(
     k: int = 10,
     probe_flips: int = 1,
     broadcast_max: int = 2_000_000,
+    pre_filter: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via bucket lookup + multi-probe: for each band, the
     query's bucket plus (optionally) every single-bit-flip neighbor
@@ -640,6 +655,13 @@ def lsh_topk(
     # BOUNDED: limit(gate+1) only needs "is it over the line", so a
     # pathological hot bucket costs at most gate+1 rows of scan, not
     # a full count of a multi-GB candidate set
+    if pre_filter is not None:
+        # filtered kNN: restrict candidates BEFORE the re-rank (top-k
+        # OF the allowed subset); under selective filters raise
+        # probe_flips — the multi-probe recall knob
+        cand_ids = cand_ids.join(
+            pre_filter.select(id_col), id_col, "left_semi",
+        )
     n_cand = cand_ids.limit(broadcast_max + 1).count()
     if n_cand <= broadcast_max:
         cand_ids = F.broadcast(cand_ids)

@@ -740,6 +740,48 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Filtered kNN behind a driver-green row (the ES ``knn.filter``
+    semantics): the SAME persisted IVF index, candidates restricted to
+    an allowed-id set (even vec_ids) BEFORE the exact re-rank — top-k
+    OF the allowed subset, never a post-filtered unfiltered top-k.
+    Exhaustive probe keeps it an exact identity; the oracle is brute
+    cosine over the filtered population in SQL."""
+    import os
+
+    from seqr_loading_pipelines_spark.operators import ann
+
+    root = _index_root(sf_dir, "ivf", table="embeddings")
+    if not os.path.exists(os.path.join(root, "ivf_meta.json")):
+        ann.build_ivf(
+            spark, _emb_for_ann(spark, sf_dir), root,
+            n_centroids=16, iters=2,
+        )
+    ivf = ann.load_ivf(spark, root)
+    allowed = _emb_for_ann(spark, sf_dir).select("vec_id").filter(
+        F.col("vec_id") % 2 == 0,
+    )
+    return ann.ivf_topk(
+        spark, ivf, _query_vec(spark, sf_dir), k=10,
+        n_probe=int(ivf["n_centroids"]), pre_filter=allowed,
+    )
+
+
+SQL_ANN_FILTERED_TOPK = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(CASE WHEN {_NRM.format(col="e.embedding")} > 0
+               THEN {_DOT} / ({_NRM.format(col="e.embedding")} * {_NRM.format(col="q.embedding")})
+               ELSE 0.0 END, 5) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0 AND e.vec_id % 2 = 0
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Persisted banded-hyperplane-LSH ANN behind a driver-green row.
     Built with width-1 bands (n_planes == n_bands) and probed with
@@ -3503,6 +3545,7 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3594,6 +3637,7 @@ ORACLE_SQL = {
     # exhaustive-probe settings make both ANN paths exact (see the
     # query docstrings), so the brute-force oracle is a true identity
     "ann_ivf_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "ann_filtered_topk": SQL_ANN_FILTERED_TOPK,
     "ann_lsh_topk": SQL_EMBEDDING_COSINE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,

@@ -636,3 +636,65 @@ def test_update_ivf_retrain_crash_preserves_assignments(
     meta = ann.update_ivf(spark, root, vecs.filter(F.col("vec_id") >= 780))
     assert meta["n_at_train"] == 1200
     assert ann.load_ivf(spark, root)["assignments"].count() == 1200
+
+
+def test_filtered_ann_pre_filter_both_kinds(spark, tmp_path):
+    """Filtered kNN (ES knn.filter semantics): the pre_filter restricts
+    candidates BEFORE the re-rank, so exhaustive-probe IVF must equal
+    brute-force cosine over the ALLOWED subset exactly, and every LSH
+    hit must be allowed with its true cosine."""
+    from seqr_loading_pipelines_spark.operators.ann import (
+        build_ivf,
+        build_lsh,
+        generate_embeddings,
+        ivf_topk,
+        load_ivf,
+        load_lsh,
+        lsh_topk,
+    )
+    from seqr_loading_pipelines_spark.operators.similarity import cosine_topk
+
+    vecs = generate_embeddings(spark, 2000, dim=32, n_clusters=10, seed=9)
+    allowed = vecs.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    q = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    brute_allowed = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk(
+            vecs.filter(F.col("vec_id") % 2 == 0), q, 10,
+        ).collect()
+    ]
+    # vec_id 7 is odd: the filter must exclude the query's own vector
+    assert all(v % 2 == 0 for v, _ in brute_allowed)
+
+    ivf_root = str(tmp_path / "ivf")
+    build_ivf(spark, vecs, ivf_root, n_centroids=12, iters=2)
+    ivf = load_ivf(spark, ivf_root)
+    got_ivf = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(
+            spark, ivf, q, 10,
+            n_probe=int(ivf["n_centroids"]), pre_filter=allowed,
+        ).collect()
+    ]
+    assert got_ivf == brute_allowed
+
+    lsh_root = str(tmp_path / "lsh")
+    build_lsh(spark, vecs, lsh_root, n_planes=64, n_bands=8)
+    lsh = load_lsh(spark, lsh_root)
+    got_lsh = lsh_topk(
+        spark, lsh, vecs, q, 10, pre_filter=allowed,
+    ).collect()
+    assert got_lsh
+    assert all(r["vec_id"] % 2 == 0 for r in got_lsh)
+    # hits carry their true cosine (re-rank is exact on candidates)
+    truth = dict(
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk(
+            vecs.filter(F.col("vec_id") % 2 == 0), q, 2000,
+        ).collect()
+    )
+    for r in got_lsh:
+        assert r["cosine"] == pytest.approx(truth[r["vec_id"]], abs=1e-9)
