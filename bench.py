@@ -526,6 +526,20 @@ def main() -> None:
         timings,
     )
 
+    # query_string mini-language: must/should/prefix/must_not compiled
+    # onto the one-scan bool executor + one bounded dictionary job
+    from seqr_loading_pipelines_spark.query.query_string import (
+        search_query_string,
+    )
+
+    timed_min(
+        "query_string",
+        lambda: search_query_string(
+            spark, index, "+sw0 sw1 term_0004* -term_00042", k=10,
+        ).collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

@@ -2132,6 +2132,78 @@ def q_index_reindex(spark, sf_dir):
     )
 
 
+QS_EXPR = "+spark quer* vector -table"
+QS_MAX_EXP = 4
+
+
+def q_index_query_string(spark, sf_dir):
+    """The ES/Lucene ``query_string`` mini-language behind a
+    driver-green row: '{QS_EXPR}' parses into must=spark,
+    should=vector + the df-capped 'quer' prefix expansion,
+    must_not=table, and compiles onto the one-scan bool executor
+    (query/query_string.py -> query/boolean.py). Oracle: the same
+    expansion + clause algebra in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.query_string import (
+        search_query_string,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_query_string(
+        spark, index, QS_EXPR, k=10, max_expansions=QS_MAX_EXP,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_QUERY_STRING = f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+flat AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+expanded AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM flat WHERE term LIKE 'quer%' GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT {QS_MAX_EXP}
+  )
+),
+qterms AS (
+  SELECT term FROM expanded
+  UNION SELECT 'spark' UNION SELECT 'vector'
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING sum(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) >= 1
+),
+survivors AS (
+  SELECT s.* FROM scored s
+  WHERE s.doc_id NOT IN (
+    SELECT doc_id FROM flat WHERE term = 'table'
+  )
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM survivors
+) WHERE rank <= 10
+"""
+
+
 PERCOLATE_QUERIES = [
     (1, ["spark", "vector"], True),
     (2, ["table"], False),
@@ -3593,6 +3665,7 @@ QUERIES = {
     "index_reindex": q_index_reindex,
     "index_rescore": q_index_rescore,
     "index_update_by_query": q_index_update_by_query,
+    "index_query_string": q_index_query_string,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3685,6 +3758,7 @@ ORACLE_SQL = {
     "index_reindex": SQL_BM25_TOPK,
     "index_rescore": SQL_INDEX_RESCORE,
     "index_update_by_query": SQL_INDEX_UPDATE_BY_QUERY,
+    "index_query_string": SQL_INDEX_QUERY_STRING,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

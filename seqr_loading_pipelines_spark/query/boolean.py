@@ -91,8 +91,13 @@ def search_bool(
     keep_ids = None
     allowed = None
     if filter is not None:
-        pred = F.expr(filter) if isinstance(filter, str) else filter
-        allowed = index["doc_stats"].filter(pred).select("doc_id")
+        if isinstance(filter, DataFrame):
+            # pre-resolved allowed-id set (query_string phrase clauses
+            # and other id-space filters); same gating below
+            allowed = filter.select("doc_id")
+        else:
+            pred = F.expr(filter) if isinstance(filter, str) else filter
+            allowed = index["doc_stats"].filter(pred).select("doc_id")
         gate = (
             broadcast_max
             if broadcast_max is not None

@@ -1,0 +1,161 @@
+"""query_string — the ES/Lucene query-string mini-language compiled
+onto the engine's existing executors. One string expresses a whole
+bool tree:
+
+    +spark vector quer* -table -"bad phrase" "exact phrase"
+
+Grammar (v1, the widely-used core):
+
+* ``word``        — optional (should) scoring term
+* ``+word``       — required (must) scoring term
+* ``-word``       — excluded (must_not)
+* ``word*``       — prefix clause: dictionary expansion (df-descending,
+  capped) joins the SHOULD set; ``-word*`` excludes every expansion.
+  A ``+`` on a prefix is refused: "must match ANY expansion" needs a
+  per-group gate the one-scan bool executor intentionally doesn't
+  grow (use an explicit bool tree if you need it).
+* ``"a b"``       — exact phrase, evaluated on the positional
+  projection as a NON-SCORING filter (ES filter-context semantics);
+  ``-"a b"`` excludes phrase matches. Needs
+  ``IndexBuilder(positions=True)``.
+
+A phrase-only query (no scoring clause) scores by the include-phrases'
+own tokens over the phrase-filtered docs — BM25-ranked phrase
+retrieval rather than an arbitrary order.
+
+Execution inherits the component shapes: ONE pruned posting scan for
+all scoring terms (query/boolean.py), one bounded dictionary job per
+prefix (query/bm25.py expand_prefix), one positional-projection scan
+per phrase (query/phrase.py), phrase ids folded into the bool
+executor's gated inclusion mask. No new shuffle topology.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.query.bm25 import (
+    PREFIX_MAX_EXPANSIONS,
+    _empty_topk,
+    expand_prefix,
+)
+
+_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+
+
+def parse_query_string(qs: str) -> dict:
+    """Parse into clause lists: ``must`` / ``should`` / ``must_not``
+    (token strings), ``prefixes`` / ``phrases`` (lists of
+    ``(sign, text)`` with sign in ``{'', '+', '-'}``)."""
+    out = {
+        "must": [],
+        "should": [],
+        "must_not": [],
+        "prefixes": [],
+        "phrases": [],
+    }
+    for m in _CLAUSE_RE.finditer(qs or ""):
+        sign, raw, quoted = m.group(1), m.group(2), m.group(3)
+        if quoted is not None:
+            if quoted.strip():
+                out["phrases"].append((sign, quoted))
+            continue
+        if raw.endswith("*"):
+            stem = raw[:-1]
+            toks = tokenize_py(stem)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"prefix clause must be one token + '*': {raw!r}",
+                )
+            out["prefixes"].append((sign, toks[0]))
+            continue
+        toks = tokenize_py(raw)
+        if not toks:
+            continue
+        dest = {"": "should", "+": "must", "-": "must_not"}[sign]
+        out[dest] += toks
+    return out
+
+
+def _phrase_ids(spark: SparkSession, index: dict, text: str) -> DataFrame:
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    n = index["manifest"]["n_docs"]
+    return search_phrase(spark, index, text, k=max(1, n)).select("doc_id")
+
+
+def search_query_string(
+    spark: SparkSession,
+    index: dict,
+    qs: str,
+    k: int = 10,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 for a query-string expression — ``(doc_id, score,
+    rank)`` under the shared deterministic tie rule."""
+    from seqr_loading_pipelines_spark.query.boolean import search_bool
+
+    p = parse_query_string(qs)
+    must = list(p["must"])
+    should = list(p["should"])
+    must_not = list(p["must_not"])
+
+    for sign, prefix in p["prefixes"]:
+        if sign == "+":
+            raise ValueError(
+                f"'+{prefix}*' (must-match-any-expansion) is not "
+                "supported; express it as an explicit bool tree",
+            )
+        terms = [i["term"] for i in expand_prefix(index, prefix, max_expansions)]
+        if sign == "-":
+            must_not += terms
+        else:
+            should += terms
+
+    includes = [t for s, t in p["phrases"] if s != "-"]
+    excludes = [t for s, t in p["phrases"] if s == "-"]
+    allowed = None
+    if includes or excludes:
+        if "positions" not in index:
+            raise ValueError(
+                "phrase clauses need an index built with "
+                "IndexBuilder(positions=True)",
+            )
+        for t in includes:
+            ids = _phrase_ids(spark, index, t)
+            allowed = ids if allowed is None else allowed.join(
+                ids, "doc_id", "left_semi",
+            )
+        if excludes:
+            base = (
+                allowed
+                if allowed is not None
+                else index["doc_stats"].select("doc_id")
+            )
+            for t in excludes:
+                base = base.join(
+                    _phrase_ids(spark, index, t), "doc_id", "left_anti",
+                )
+            allowed = base
+
+    if not must and not should:
+        if not includes:
+            return _empty_topk(spark)
+        # phrase-only query: the phrases' own tokens score the
+        # phrase-filtered docs
+        should = [t for ph in includes for t in tokenize_py(ph)]
+
+    return search_bool(
+        spark,
+        index,
+        must=must,
+        should=should,
+        must_not=must_not,
+        filter=allowed,
+        k=k,
+        broadcast_max=broadcast_max,
+    )

@@ -1,0 +1,118 @@
+"""query_string mini-language (query/query_string.py): parser unit
+coverage, identity to the explicit bool tree, prefix-expansion parity
+with search_prefix, and phrase clauses as filters on a tiny positional
+index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_prefix
+from seqr_loading_pipelines_spark.query.boolean import search_bool
+from seqr_loading_pipelines_spark.query.query_string import (
+    parse_query_string,
+    search_query_string,
+)
+
+DOCS = [
+    ("r0", "d0.py", "c0", "python", "a b c a b"),
+    ("r0", "d1.py", "c1", "python", "a x b"),
+    ("r0", "d2.py", "c2", "python", "b a"),
+    ("r0", "d3.py", "c3", "python", "a a a"),
+    ("r1", "d4.py", "c4", "go", "z a b c"),
+    ("r1", "d5.py", "c5", "go", "q w e"),
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("qs_pos_index"))
+    corpus = spark.createDataFrame(
+        DOCS,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    IndexBuilder(spark, root, positions=True).build(corpus, "qs-pos")
+    return load_index(spark, root)
+
+
+def _paths(index, out):
+    return {r["path"] for r in hydrate(index, out).collect()}
+
+
+def test_parse_query_string_clauses():
+    p = parse_query_string('+spark quer* vector -table -"bad one" "a b"')
+    assert p["must"] == ["spark"]
+    assert p["should"] == ["vector"]
+    assert p["must_not"] == ["table"]
+    assert p["prefixes"] == [("", "quer")]
+    assert p["phrases"] == [("-", "bad one"), ("", "a b")]
+    with pytest.raises(ValueError, match="one token"):
+        parse_query_string("a.b*")
+    assert parse_query_string("") == {
+        "must": [],
+        "should": [],
+        "must_not": [],
+        "prefixes": [],
+        "phrases": [],
+    }
+
+
+def test_query_string_equals_explicit_bool_tree(spark, index):
+    qs = search_query_string(
+        spark, index, "+sw0 sw1 -term_00042", k=15,
+    ).collect()
+    tree = search_bool(
+        spark, index, must=["sw0"], should=["sw1"],
+        must_not=["term_00042"], k=15,
+    ).collect()
+    assert [tuple(r) for r in qs] == [tuple(r) for r in tree]
+    assert qs
+
+
+def test_query_string_prefix_parity_with_search_prefix(spark, index):
+    qs = search_query_string(
+        spark, index, "term_0004*", k=12, max_expansions=4,
+    ).collect()
+    direct = search_prefix(
+        spark, index, "term_0004", k=12, max_expansions=4,
+    ).collect()
+    assert [(r["doc_id"], r["rank"]) for r in qs] == [
+        (r["doc_id"], r["rank"]) for r in direct
+    ]
+    for a, b in zip(qs, direct):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+    with pytest.raises(ValueError, match="not"):
+        search_query_string(spark, index, "+term_0004*")
+
+
+def test_query_string_phrase_filters(spark, pos_index):
+    # include-phrase: docs containing the exact phrase, scored by 'c'
+    out = search_query_string(spark, pos_index, '"a b" c', k=10)
+    assert _paths(pos_index, out) == {"d0.py", "d4.py"}
+    # exclude-phrase: token 'a' docs minus phrase matches
+    out2 = search_query_string(spark, pos_index, 'a -"a b"', k=10)
+    assert _paths(pos_index, out2) == {"d1.py", "d2.py", "d3.py"}
+    # phrase-only: filtered docs scored by the phrase's own tokens
+    out3 = search_query_string(spark, pos_index, '"a b"', k=10)
+    assert _paths(pos_index, out3) == {"d0.py", "d4.py"}
+    # ranks dense from 1
+    assert [r["rank"] for r in out3.collect()] == [1, 2]
+
+
+def test_query_string_edges(spark, index, pos_index):
+    # empty / no-clause queries
+    assert search_query_string(spark, index, "").count() == 0
+    assert search_query_string(spark, index, "   ").count() == 0
+    # phrase on a positions-less index refuses loudly
+    with pytest.raises(ValueError, match="positions"):
+        search_query_string(spark, index, '"sw0 sw1"')
+    # must_not-only is not a query (nothing to score)
+    assert search_query_string(spark, index, "-sw0").count() == 0
+    # absent phrase matches nothing
+    out = search_query_string(spark, pos_index, '"q a"', k=5)
+    assert out.count() == 0
