@@ -2132,6 +2132,45 @@ def q_index_reindex(spark, sf_dir):
     )
 
 
+RANGE_EDGES = [40, 60, 80]
+
+
+def q_index_range_agg(spark, sf_dir):
+    """ES ``range`` aggregation behind a driver-green row: custom-edge
+    doc_len buckets (half-open from/to + unbounded tails) over the
+    WHOLE match set (query/facets.py range_by — folded CASE chain,
+    gated join, one hash agg). Oracle: the same CASE bucketing in
+    pure SQL."""
+    from seqr_loading_pipelines_spark.query.facets import range_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return range_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), RANGE_EDGES,
+    )
+
+
+def _sql_range_agg(edges) -> str:
+    lo_arms = [f"WHEN dl < {edges[0]} THEN NULL"]
+    hi_arms = [f"WHEN dl < {edges[0]} THEN {float(edges[0])}"]
+    for a, b in zip(edges, edges[1:]):
+        lo_arms.append(f"WHEN dl < {b} THEN {float(a)}")
+        hi_arms.append(f"WHEN dl < {b} THEN {float(b)}")
+    lo = "CASE " + " ".join(lo_arms) + f" ELSE {float(edges[-1])} END"
+    hi = "CASE " + " ".join(hi_arms) + " ELSE NULL END"
+    return f"""
+SELECT bucket_lo, bucket_hi, count(*) AS n_docs FROM (
+  SELECT {lo}::DOUBLE AS bucket_lo, {hi}::DOUBLE AS bucket_hi
+  FROM (
+    SELECT len({_T}) AS dl FROM documents
+    WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+  )
+) GROUP BY bucket_lo, bucket_hi
+"""
+
+
+SQL_INDEX_RANGE_AGG = _sql_range_agg(RANGE_EDGES)
+
+
 QS_EXPR = "+spark quer* vector -table"
 QS_MAX_EXP = 4
 
@@ -3666,6 +3705,7 @@ QUERIES = {
     "index_rescore": q_index_rescore,
     "index_update_by_query": q_index_update_by_query,
     "index_query_string": q_index_query_string,
+    "index_range_agg": q_index_range_agg,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3759,6 +3799,7 @@ ORACLE_SQL = {
     "index_rescore": SQL_INDEX_RESCORE,
     "index_update_by_query": SQL_INDEX_UPDATE_BY_QUERY,
     "index_query_string": SQL_INDEX_QUERY_STRING,
+    "index_range_agg": SQL_INDEX_RANGE_AGG,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

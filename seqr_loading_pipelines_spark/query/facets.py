@@ -110,6 +110,61 @@ def histogram_by(
     )
 
 
+def range_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    edges: list,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Custom-edge range buckets of ``value_col`` over ALL docs
+    matching a query — the Elasticsearch ``range`` aggregation.
+    ``edges = [e0, e1, ..., en]`` (strictly increasing) defines the
+    half-open buckets [e0,e1), [e1,e2), ..., [e(n-1),en) plus the two
+    unbounded tails (-inf,e0) and [en,+inf) — ES's from/to semantics.
+    One row per NON-EMPTY bucket: ``(bucket_lo, bucket_hi, n_docs)``
+    with NULL for an unbounded edge, ordered by lower edge.
+
+    Same scale shape as facets/histogram: pruned posting scan -> gated
+    broadcast/shuffle join against a two-column doc-store projection
+    -> one map-side-combining hash agg whose output cardinality is the
+    bucket count (<= len(edges)+1). The bucket assignment is a folded
+    CASE chain — whole-stage codegen, no UDF."""
+    es = [float(e) for e in edges]
+    if len(es) < 1 or any(a >= b for a, b in zip(es, es[1:])):
+        raise ValueError(
+            f"edges must be strictly increasing and non-empty: {edges}",
+        )
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [], "bucket_lo double, bucket_hi double, n_docs long",
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    v = F.col(value_col).cast("double")
+    lo = F.when(v < es[0], F.lit(None).cast("double"))
+    hi = F.when(v < es[0], F.lit(es[0]))
+    for a, b in zip(es, es[1:]):
+        cond = (v >= a) & (v < b)
+        lo = lo.when(cond, F.lit(a))
+        hi = hi.when(cond, F.lit(b))
+    lo = lo.otherwise(F.lit(es[-1]))
+    hi = hi.otherwise(F.lit(None).cast("double"))
+    return (
+        index["doc_stats"]
+        .select("doc_id", value_col)
+        .join(matches, "doc_id", "inner")
+        .select(lo.alias("bucket_lo"), hi.alias("bucket_hi"))
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("bucket_lo").asc_nulls_first())
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index: dict,

@@ -206,3 +206,48 @@ def test_significant_terms_edges(spark, index):
     assert significant_terms(
         spark, index, Q1, min_doc_count=10**9,
     ).count() == 0
+
+
+# ---------------------------------------------------------------------
+# range aggregation (custom edges)
+# ---------------------------------------------------------------------
+
+
+def test_range_by_python_golden_and_edges(spark, index, corpus):
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+    from seqr_loading_pipelines_spark.query.facets import range_by
+
+    terms = set(tokenize_py(Q1))
+    edges = [30, 55, 90]
+    want = {}
+    for row in corpus.select("content").collect():
+        toks = tokenize_py(row["content"])
+        if not set(toks) & terms:
+            continue
+        dl = len(toks)
+        if dl < 30:
+            key = (None, 30.0)
+        elif dl < 55:
+            key = (30.0, 55.0)
+        elif dl < 90:
+            key = (55.0, 90.0)
+        else:
+            key = (90.0, None)
+        want[key] = want.get(key, 0) + 1
+    rows = range_by(spark, index, Q1, edges).collect()
+    got = {(r["bucket_lo"], r["bucket_hi"]): r["n_docs"] for r in rows}
+    assert got == want
+    assert sum(got.values()) == sum(want.values())
+    # unbroadcast path identical
+    rows2 = range_by(spark, index, Q1, edges, broadcast_max=0).collect()
+    assert {
+        (r["bucket_lo"], r["bucket_hi"]): r["n_docs"] for r in rows2
+    } == want
+    # validation + empties
+    with pytest.raises(ValueError, match="strictly increasing"):
+        range_by(spark, index, Q1, [10, 10])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        range_by(spark, index, Q1, [])
+    empty = range_by(spark, index, "zz_nope_zz", edges)
+    assert empty.count() == 0
+    assert empty.columns == ["bucket_lo", "bucket_hi", "n_docs"]
