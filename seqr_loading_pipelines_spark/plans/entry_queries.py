@@ -2132,6 +2132,39 @@ def q_index_reindex(spark, sf_dir):
     )
 
 
+def q_index_restore_snapshot(spark, sf_dir):
+    """Snapshot export/restore behind a driver-green row (the ES
+    ``_snapshot`` API): the flagship index's current version is
+    exported to a portable archive (referenced immutable dirs +
+    manifest, sources/snapshots.py) and restored into a fresh root via
+    the atomic publish path; the reference query answered THROUGH the
+    restored index must be oracle-identical — backup/restore is
+    invisible to results."""
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+    from seqr_loading_pipelines_spark.sources.snapshots import (
+        export_snapshot,
+        restore_snapshot,
+    )
+
+    src_root, _ = _built_index(spark, sf_dir, "q")
+    rst = _index_root(sf_dir, "qrestored")
+    if ManifestTable(rst).current_manifest() is None:
+        arc = _index_root(sf_dir, "qarchive")
+        export_snapshot(src_root, arc)
+        restore_snapshot(arc, rst)
+    index = load_index(spark, rst)
+    topk = search_exact(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
 RANGE_EDGES = [40, 60, 80]
 
 
@@ -3706,6 +3739,7 @@ QUERIES = {
     "index_update_by_query": q_index_update_by_query,
     "index_query_string": q_index_query_string,
     "index_range_agg": q_index_range_agg,
+    "index_restore_snapshot": q_index_restore_snapshot,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3800,6 +3834,7 @@ ORACLE_SQL = {
     "index_update_by_query": SQL_INDEX_UPDATE_BY_QUERY,
     "index_query_string": SQL_INDEX_QUERY_STRING,
     "index_range_agg": SQL_INDEX_RANGE_AGG,
+    "index_restore_snapshot": SQL_BM25_TOPK,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

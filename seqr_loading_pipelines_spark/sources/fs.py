@@ -216,3 +216,15 @@ def new_run_id() -> str:
         time.strftime("%Y%m%d-%H%M%S")
         + f"-{time.time_ns():020d}-{n % 1_000_000:06d}"
     )
+
+
+@retry()
+def copy_dir(src: str, dst: str) -> None:
+    """Recursive directory copy, streaming, across any two pyarrow
+    filesystems (local, s3://, gs://, hdfs://) — the snapshot
+    export/restore primitive."""
+    sfs, sp = resolve(src)
+    dfs, dp = resolve(dst)
+    pafs.copy_files(
+        sp, dp, source_filesystem=sfs, destination_filesystem=dfs,
+    )

@@ -1,0 +1,90 @@
+"""Snapshot export / restore — portable backups of a published index
+version (the Elasticsearch ``_snapshot`` API; the reference's analog
+is copying its Hail tables between GCS buckets before a ClickHouse
+load). An export copies ONE version's referenced immutable dirs plus
+its manifest to an archive root (any pyarrow filesystem — local,
+s3://, gs://); a restore copies them into a fresh root and publishes
+atomically, yielding a fully-functional index (queries, updates,
+deletes, compaction all continue) whose history starts at v1.
+
+Everything inside a manifest is root-relative, so an archive is
+location-independent by construction; the copy is streaming
+(``fs.copy_dir`` -> pyarrow copy_files), never through the driver's
+memory, and restore reuses ``ManifestTable.publish`` so readers of the
+destination only ever see the fully-copied snapshot (pointer last).
+"""
+
+from __future__ import annotations
+
+import json
+
+from seqr_loading_pipelines_spark.sources import fs
+from seqr_loading_pipelines_spark.sources.manifest_table import ManifestTable
+
+ARCHIVE_MANIFEST = "SNAPSHOT.manifest.json"
+
+
+def export_snapshot(
+    index_root: str, archive_root: str, version: int | None = None,
+) -> dict:
+    """Copy one published version (default: current) to
+    ``archive_root``. Returns the exported manifest. Raises when the
+    version never existed or its data dirs were vacuumed."""
+    table = ManifestTable(index_root)
+    manifest = (
+        table.manifest_at(version)
+        if version is not None
+        else table.current_manifest()
+    )
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no published version "
+            f"{'v%s' % version if version is not None else ''} "
+            f"at {index_root}",
+        )
+    dirs = sorted(ManifestTable.referenced_dirs(manifest))
+    missing = [d for d in dirs if not fs.exists(fs.join(index_root, d))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot export v{manifest['version']}: data dirs "
+            f"{missing} were vacuumed",
+        )
+    fs.makedirs(archive_root)
+    for d in dirs:
+        fs.copy_dir(fs.join(index_root, d), fs.join(archive_root, d))
+    fs.write_text_atomic(
+        fs.join(archive_root, ARCHIVE_MANIFEST),
+        json.dumps(manifest, indent=2, sort_keys=True, default=str),
+    )
+    return manifest
+
+
+def restore_snapshot(archive_root: str, new_root: str) -> dict:
+    """Publish an exported archive as a fresh index at ``new_root``
+    (must not already hold a published index — restore never
+    clobbers). Returns the new v1 manifest."""
+    src = fs.join(archive_root, ARCHIVE_MANIFEST)
+    if not fs.exists(src):
+        raise FileNotFoundError(
+            f"no {ARCHIVE_MANIFEST} at {archive_root}; not an archive "
+            "produced by export_snapshot",
+        )
+    manifest = json.loads(fs.read_text(src))
+    table = ManifestTable(new_root)
+    if table.current_manifest() is not None:
+        raise FileExistsError(
+            f"{new_root} already holds a published index; restore "
+            "into a fresh root",
+        )
+    dirs = sorted(ManifestTable.referenced_dirs(manifest))
+    for d in dirs:
+        fs.copy_dir(fs.join(archive_root, d), fs.join(new_root, d))
+    metadata = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("version", "snapshot_dir", "published_at_unix")
+    }
+    metadata["restored_from_version"] = manifest["version"]
+    return table.publish(
+        fs.join(new_root, manifest["snapshot_dir"]), metadata,
+    )

@@ -1,0 +1,78 @@
+"""Snapshot export/restore (sources/snapshots.py): a restored archive
+is a fully-functional index — rank-identical, updatable — and the
+refusal edges hold."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.index.merge import update_index
+from seqr_loading_pipelines_spark.query.bm25 import search_exact
+from seqr_loading_pipelines_spark.sources.snapshots import (
+    export_snapshot,
+    restore_snapshot,
+)
+
+Q = "sw0 term_00042"
+
+
+def _rows(spark, index, k=15):
+    return [tuple(r) for r in search_exact(spark, index, Q, k=k).collect()]
+
+
+def test_export_restore_roundtrip_and_continue(spark, corpus, tmp_path):
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+
+    src = str(tmp_path / "src")
+    half = corpus.filter(F.xxhash64("path") % 2 == 0)
+    IndexBuilder(spark, src).build(half, source_fingerprint="b1")
+    update_index(spark, src, corpus, "b2")  # second segment
+    delete_docs(spark, src, F.col("repo") == "repo_0000")  # tombstones
+    src_idx = load_index(spark, src)
+    want = _rows(spark, src_idx)
+
+    arc = str(tmp_path / "arc")
+    m = export_snapshot(src, arc)
+    assert m["version"] == load_index(spark, src)["manifest"]["version"]
+
+    rst = str(tmp_path / "rst")
+    m1 = restore_snapshot(arc, rst)
+    assert m1["version"] == 1
+    assert m1["restored_from_version"] == m["version"]
+    rst_idx = load_index(spark, rst)
+    # rank identity incl. tombstone exclusion across the copy
+    assert _rows(spark, rst_idx) == want
+    assert rst_idx["manifest"]["n_docs"] == src_idx["manifest"]["n_docs"]
+    # the restored index keeps working: another incremental update
+    m2 = update_index(spark, rst, corpus, "b3-on-restore")
+    assert m2["version"] == 2
+    assert load_index(spark, rst)["manifest"]["n_docs"] >= m1["n_docs"]
+
+
+def test_export_pinned_version_is_time_travel_archive(
+    spark, corpus, tmp_path,
+):
+    src = str(tmp_path / "src2")
+    half = corpus.filter(F.xxhash64("path") % 2 == 0)
+    IndexBuilder(spark, src).build(half, source_fingerprint="b1")
+    v1_rows = _rows(spark, load_index(spark, src))
+    update_index(spark, src, corpus, "b2")
+    arc = str(tmp_path / "arc2")
+    export_snapshot(src, arc, version=1)
+    rst = str(tmp_path / "rst2")
+    restore_snapshot(arc, rst)
+    assert _rows(spark, load_index(spark, rst)) == v1_rows
+
+
+def test_snapshot_refusals(spark, corpus, tmp_path):
+    src = str(tmp_path / "src3")
+    IndexBuilder(spark, src).build(corpus, source_fingerprint="b1")
+    with pytest.raises(FileNotFoundError, match="no published version"):
+        export_snapshot(src, str(tmp_path / "x"), version=99)
+    with pytest.raises(FileNotFoundError, match="not an archive"):
+        restore_snapshot(str(tmp_path / "empty"), str(tmp_path / "y"))
+    arc = str(tmp_path / "arc3")
+    export_snapshot(src, arc)
+    # restore never clobbers a published index
+    with pytest.raises(FileExistsError, match="fresh root"):
+        restore_snapshot(arc, src)
