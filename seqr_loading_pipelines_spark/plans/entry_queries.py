@@ -2165,6 +2165,49 @@ def q_index_restore_snapshot(spark, sf_dir):
     )
 
 
+COMPOSITE_PAGE = 5
+
+
+def q_index_composite_agg(spark, sf_dir):
+    """ES ``composite`` aggregation behind a driver-green row: page 2
+    of the (lang, repo) bucket export under keyset pagination — page 1
+    via the engine, its last composite key becomes the ``after``
+    cursor, page 2 returned (query/facets.py composite_agg; the
+    after-predicate filters BEFORE the aggregation, the agg twin of
+    search_after). Oracle: the same buckets row_numbered in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import composite_agg
+
+    _, index = _built_index(spark, sf_dir, "q")
+    q = " ".join(BM25_QUERY_TERMS)
+    cols = ["lang", "repo"]
+    page1 = composite_agg(
+        spark, index, q, cols, size=COMPOSITE_PAGE,
+    ).collect()
+    cursor = (
+        tuple(page1[-1][c] for c in cols) if page1 else None
+    )
+    return composite_agg(
+        spark, index, q, cols, size=COMPOSITE_PAGE, after=cursor,
+    )
+
+
+SQL_INDEX_COMPOSITE_AGG = f"""
+WITH buckets AS (
+  SELECT lang, source AS repo, count(*) AS n_docs
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+  GROUP BY lang, source
+),
+ranked AS (
+  SELECT lang, repo, n_docs,
+         row_number() OVER (ORDER BY lang ASC, repo ASC) AS rn
+  FROM buckets
+)
+SELECT lang, repo, n_docs FROM ranked
+WHERE rn > {COMPOSITE_PAGE} AND rn <= {2 * COMPOSITE_PAGE}
+"""
+
+
 RANGE_EDGES = [40, 60, 80]
 
 
@@ -3740,6 +3783,7 @@ QUERIES = {
     "index_query_string": q_index_query_string,
     "index_range_agg": q_index_range_agg,
     "index_restore_snapshot": q_index_restore_snapshot,
+    "index_composite_agg": q_index_composite_agg,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3835,6 +3879,7 @@ ORACLE_SQL = {
     "index_query_string": SQL_INDEX_QUERY_STRING,
     "index_range_agg": SQL_INDEX_RANGE_AGG,
     "index_restore_snapshot": SQL_BM25_TOPK,
+    "index_composite_agg": SQL_INDEX_COMPOSITE_AGG,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -238,6 +238,74 @@ def significant_terms(
     ).limit(top_n)
 
 
+def composite_agg(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_cols: list,
+    size: int = 10,
+    after: tuple | None = None,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Composite aggregation — multi-key group-by with KEYSET
+    pagination (the Elasticsearch ``composite`` agg, the only ES agg
+    built for exhaustively paging ALL buckets of a high-cardinality
+    group-by, e.g. a full (repo, lang) export). One page per call:
+    ``size`` buckets strictly after the ``after`` key tuple in the
+    ascending composite key order, as ``(<group_cols...>, n_docs)``.
+
+    Scale shape: the page predicate (lexicographic > after) is a
+    pushable filter on the group columns BEFORE the aggregation, so a
+    deep page never re-aggregates earlier buckets' rows; the agg
+    output is bounded by the surviving bucket count and the page is a
+    TakeOrdered over it. O(page) per call at any depth — the agg twin
+    of ``search_after``."""
+    if not group_cols:
+        raise ValueError("composite_agg needs at least one group col")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if after is not None and len(after) != len(group_cols):
+        raise ValueError(
+            f"after cursor must have {len(group_cols)} values "
+            f"(one per group col), got {after!r}",
+        )
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            ", ".join(f"{c} string" for c in group_cols) + ", n_docs long",
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    labeled = (
+        index["doc_stats"]
+        .select("doc_id", *group_cols)
+        .join(matches, "doc_id", "inner")
+    )
+    if after is not None:
+        # lexicographic "strictly greater" unrolled: pushable per-col
+        # comparisons, no struct ordering needed
+        clause = None
+        for i, c in enumerate(group_cols):
+            eq_prefix = None
+            for p, pc in enumerate(group_cols[:i]):
+                e = F.col(pc) == F.lit(after[p])
+                eq_prefix = e if eq_prefix is None else (eq_prefix & e)
+            gt = F.col(c) > F.lit(after[i])
+            arm = gt if eq_prefix is None else (eq_prefix & gt)
+            clause = arm if clause is None else (clause | arm)
+        labeled = labeled.filter(clause)
+    page = (
+        labeled.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(*[F.col(c).asc() for c in group_cols])
+        .limit(size)
+    )
+    return page
+
+
 def percentiles_by(
     spark: SparkSession,
     index: dict,

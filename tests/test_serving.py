@@ -419,3 +419,47 @@ def test_top_hits_by_group_limit_plan_and_edges(spark, index):
         ).collect()
     )
     assert a == b and a
+
+
+def test_composite_agg_pages_tile_exactly(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import composite_agg
+
+    meta = {
+        r["doc_id"]: (r["lang"], r["repo"])
+        for r in index["doc_stats"].select("doc_id", "lang", "repo").collect()
+    }
+    terms = tokenize_py(QUERY)
+    want = {}
+    for i in _match_set(oracle, terms):
+        key = meta[oracle.doc_ids[i]]
+        want[key] = want.get(key, 0) + 1
+    full = sorted((lang, repo, n) for (lang, repo), n in want.items())
+
+    cols = ["lang", "repo"]
+    pages, cursor = [], None
+    for _ in range(100):
+        rows = composite_agg(
+            spark, index, QUERY, cols, size=3, after=cursor,
+        ).collect()
+        if not rows:
+            break
+        pages += [(r["lang"], r["repo"], r["n_docs"]) for r in rows]
+        cursor = (rows[-1]["lang"], rows[-1]["repo"])
+    # keyset pages tile the complete bucket list exactly once, in order
+    assert pages == full and full
+
+
+def test_composite_agg_validation_and_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import composite_agg
+
+    with pytest.raises(ValueError, match="at least one group col"):
+        composite_agg(spark, index, QUERY, [], size=3)
+    with pytest.raises(ValueError, match="size"):
+        composite_agg(spark, index, QUERY, ["lang"], size=0)
+    with pytest.raises(ValueError, match="after cursor"):
+        composite_agg(
+            spark, index, QUERY, ["lang", "repo"], after=("x",),
+        )
+    empty = composite_agg(spark, index, "zz_nope_zz", ["lang"])
+    assert empty.count() == 0
+    assert empty.columns == ["lang", "n_docs"]
