@@ -129,3 +129,18 @@ def test_percolate_duplicate_terms_count_once(spark, index, oracle):
         if {"sw0", "sw1"} <= set(oracle.tf[i])
     }
     assert {r["doc_id"] for r in rows} == both
+
+
+def test_percolate_plan_broadcasts_under_gate(spark, index):
+    queries = spark.createDataFrame(STORED, SCHEMA)
+    plan = (
+        percolate(spark, index, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # query side builds a broadcast hash join on term; the match count
+    # is a two-phase (map-side partial) hash aggregate — never a
+    # sort-merge join over the exploded doc-term stream
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
