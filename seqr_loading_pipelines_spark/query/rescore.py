@@ -67,6 +67,12 @@ def rescore_topk(
     base = search_exact(spark, index, query_text, k=window).select(
         "doc_id", F.col("score").alias("bm25_score"),
     )
+    # the window DataFrame feeds three plan sites (semi-join build,
+    # combine left side, final rank); localCheckpoint materializes the
+    # <= window rows ONCE so the first-stage posting scan never
+    # re-executes — without it the scan ran 3x (measured 3.2 s vs
+    # ~1.2 s at sf0.1)
+    base = base.localCheckpoint(eager=True)
     # restrict the (possibly corpus-sized) scorer to the window first:
     # broadcast the <= window candidate ids into a semi-join, then the
     # restricted result (<= window rows) broadcasts into the combine
