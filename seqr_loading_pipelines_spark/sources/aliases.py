@@ -1,7 +1,8 @@
 """Index aliases — atomically-swappable named pointers to index roots
 (the Elasticsearch ``_aliases`` API; the reference's serving cutover
 analog is its ClickHouse staging->atomic-pointer-swap load,
-v03_pipeline/lib/misc/clickhouse.py staged-table swap). The classic
+v03_pipeline/lib/misc/clickhouse.py:483-503 staging clones and
+:830-862 REPLACE PARTITION / EXCHANGE TABLES atomic swap). The classic
 use is blue/green reindex: build the replacement index at a new root,
 then repoint the alias readers resolve — one atomic rename, no reader
 ever sees a half-built index.
