@@ -540,6 +540,24 @@ def main() -> None:
         timings,
     )
 
+    # curation funnel: lang -> quality -> dedup keep-one, one scan +
+    # one fingerprint exchange over the whole corpus
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    timed_min(
+        "curate_corpus",
+        lambda: curate_corpus(
+            corpus.withColumnRenamed("content", "text").withColumn(
+                "doc_id", F.xxhash64("path"),
+            ),
+            allowed_langs=("en", "unknown"),
+            min_quality=0.2,
+        ).count(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

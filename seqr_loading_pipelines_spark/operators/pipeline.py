@@ -1,0 +1,84 @@
+"""Training-data curation — the classic LLM-corpus funnel (language
+filter -> quality gate -> exact-dedup keep-one) as ONE operator with
+per-doc drop accounting, composing the text-analysis and dedup
+primitives this package already ships.
+
+Semantics (first failing filter wins — the funnel order every
+curation pipeline reports):
+
+1. ``lang``      — heuristic language ID not in ``allowed_langs``;
+2. ``quality``   — composite quality score below ``min_quality``;
+3. ``duplicate`` — exact content duplicate (normalized-md5
+   fingerprint) of a SURVIVING doc with a smaller doc_id; the
+   smallest-id survivor of each fingerprint group is kept (dedup is
+   judged among docs that passed the cheaper filters — dropping a doc
+   for duplicating something that was itself dropped would shrink the
+   corpus for no reason);
+4. kept docs carry reason NULL.
+
+Output: ``(doc_id, pred_lang, quality, fp, reason, kept)`` for EVERY
+input doc — the audit table a curation run must emit (the kept corpus
+is ``filter(kept)``, the funnel report is ``groupBy(reason).count()``).
+
+Scale shape: ONE scan computes language, quality, and fingerprint as
+plain expressions (whole-stage codegen, no UDFs, no joins between the
+three analyses); the keep-one decision is a single min-aggregation
+window over the fingerprint key (shuffle on fp — dup groups are tiny,
+and the window needs no global sort). One scan + one keyed exchange
+for the whole funnel, regardless of how many filters are stacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.operators.text import (
+    lang_pred_expr,
+    quality_expr,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    allowed_langs: tuple = ("en",),
+    min_quality: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation audit table for ``docs`` (needs ``doc_id`` and
+    ``text_col``). See module docstring for the funnel contract."""
+    if not allowed_langs:
+        raise ValueError("allowed_langs must be non-empty")
+    if not (0.0 <= min_quality <= 1.0):
+        raise ValueError(
+            f"min_quality must be in [0, 1], got {min_quality}",
+        )
+    text = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        lang_pred_expr(text).alias("pred_lang"),
+        F.round(quality_expr(text), 5).alias("quality"),
+        F.md5(norm).alias("fp"),
+    )
+    lang_ok = F.col("pred_lang").isin([*allowed_langs])
+    qual_ok = F.col("quality") >= F.lit(float(min_quality))
+    flagged = base.withColumn("_pass", lang_ok & qual_ok)
+    # smallest surviving doc_id per fingerprint group; the window has
+    # no orderBy, so it is a partition-wide min (one exchange on fp)
+    w = Window.partitionBy("fp")
+    keep_id = F.min(F.when(F.col("_pass"), F.col("doc_id"))).over(w)
+    reason = (
+        F.when(~lang_ok, F.lit("lang"))
+        .when(~qual_ok, F.lit("quality"))
+        .when(F.col("doc_id") != keep_id, F.lit("duplicate"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return flagged.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        "fp",
+        reason.alias("reason"),
+        reason.isNull().alias("kept"),
+    )

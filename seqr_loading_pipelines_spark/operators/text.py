@@ -73,33 +73,37 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: marker-token counts per language, argmax
-    (deterministic tie order = sorted language code)."""
-    scores = [
-        (
-            lang,
-            sum(
-                (word_count(F.col(text_col), w) for w in words),
-                F.lit(0),
-            ),
-        )
+def _lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [
+        (lang, sum((word_count(text, w) for w in words), F.lit(0)))
         for lang, words in sorted(LANG_MARKERS.items())
     ]
+
+
+def lang_pred_expr(text: Column) -> Column:
+    """The language-ID prediction as a single reusable expression:
+    marker-token counts per language, argmax (deterministic tie order
+    = sorted language code), 'unknown' when no marker matches."""
+    scores = _lang_scores(text)
     # argmax via greatest + chained when (ties -> first in sorted order)
     best = F.greatest(*[s for _, s in scores])
     pred = F.lit("unknown")
     for lang, s in reversed(scores):
         pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
-    sel = [F.col("doc_id"), pred.alias("pred_lang")]
+    return pred
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-token counts per language, argmax
+    (deterministic tie order = sorted language code)."""
+    text = F.col(text_col)
+    scores = _lang_scores(text)
+    sel = [F.col("doc_id"), lang_pred_expr(text).alias("pred_lang")]
     sel += [s.alias(f"score_{lang}") for lang, s in scores]
     return docs.select(*sel)
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Document quality heuristics: length, token stats, stop-word ratio,
-    punctuation ratio, alpha ratio; composite score in [0, 1]."""
-    text = F.col(text_col)
+def _quality_parts(text: Column) -> dict:
     toks = tokenize_expr(text)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
@@ -116,6 +120,31 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.1
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "alpha_ratio": alpha_ratio,
+        "mean_tok_len": mean_tok_len,
+        "score": score,
+    }
+
+
+def quality_expr(text: Column) -> Column:
+    """The composite quality score in [0, 1] as a single reusable
+    expression (the curation pipeline folds it into a one-pass scan)."""
+    return _quality_parts(text)["score"]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality heuristics: length, token stats, stop-word ratio,
+    punctuation ratio, alpha ratio; composite score in [0, 1]."""
+    p = _quality_parts(F.col(text_col))
+    n_tokens, n_chars = p["n_tokens"], p["n_chars"]
+    stop_ratio, punct_ratio = p["stop_ratio"], p["punct_ratio"]
+    alpha_ratio, mean_tok_len = p["alpha_ratio"], p["mean_tok_len"]
+    score = p["score"]
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

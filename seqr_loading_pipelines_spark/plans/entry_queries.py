@@ -2165,6 +2165,91 @@ def q_index_restore_snapshot(spark, sf_dir):
     )
 
 
+CURATE_LANGS = ("de", "en")
+CURATE_MIN_QUALITY = 0.3
+
+
+def q_training_curation(spark, sf_dir):
+    """The LLM-corpus curation funnel behind a driver-green row
+    (operators/pipeline.py curate_corpus): language filter -> quality
+    gate -> exact-dedup keep-one over the doubled docs (guaranteed
+    duplicates), emitting the per-doc audit table (reason = first
+    failing filter, NULL = kept) in ONE scan + one fingerprint
+    exchange. Oracle: the same funnel algebra in pure SQL."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    return curate_corpus(
+        _doubled_docs(spark, sf_dir),
+        allowed_langs=CURATE_LANGS,
+        min_quality=CURATE_MIN_QUALITY,
+    )
+
+
+def _sql_training_curation() -> str:
+    langs = sorted(TX.LANG_MARKERS)
+    score_exprs = []
+    for lang, words in sorted(TX.LANG_MARKERS.items()):
+        parts = " + ".join(
+            f"len(list_filter({_T}, t -> t = '{w}'))" for w in words
+        )
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND score_{lg} = {best} THEN '{lg}' "
+    case += "ELSE 'unknown' END"
+    allowed_in = ", ".join(f"'{lg}'" for lg in CURATE_LANGS)
+    return f"""
+WITH d AS (SELECT doc_id, text FROM {_DOUBLED}),
+base AS (
+  SELECT doc_id,
+         len({_T}) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter({_T}, t -> t IN ({_STOP_IN}))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         {", ".join(score_exprs)},
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM d
+),
+scored AS (
+  SELECT doc_id, fp,
+         {case} AS pred_lang,
+         round(least(n_tokens / 100.0, 1.0) * 0.4
+               + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.3
+               + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+               + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5.0, 1.0) * 0.1, 5) AS quality
+  FROM base
+),
+flagged AS (
+  SELECT *,
+         (pred_lang IN ({allowed_in}))
+         AND (quality >= {CURATE_MIN_QUALITY}) AS pass
+  FROM scored
+),
+keepers AS (
+  SELECT fp, min(doc_id) FILTER (pass) AS keep_id
+  FROM flagged GROUP BY fp
+),
+reasons AS (
+  SELECT f.doc_id, f.pred_lang, f.quality, f.fp,
+         CASE WHEN f.pred_lang NOT IN ({allowed_in}) THEN 'lang'
+              WHEN f.quality < {CURATE_MIN_QUALITY} THEN 'quality'
+              WHEN f.doc_id != k.keep_id THEN 'duplicate'
+         END AS reason
+  FROM flagged f JOIN keepers k USING (fp)
+)
+SELECT doc_id, pred_lang, quality, fp, reason,
+       reason IS NULL AS kept
+FROM reasons
+"""
+
+
+SQL_TRAINING_CURATION = _sql_training_curation()
+
+
 COMPOSITE_PAGE = 5
 
 
@@ -3784,6 +3869,7 @@ QUERIES = {
     "index_range_agg": q_index_range_agg,
     "index_restore_snapshot": q_index_restore_snapshot,
     "index_composite_agg": q_index_composite_agg,
+    "training_curation": q_training_curation,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3880,6 +3966,7 @@ ORACLE_SQL = {
     "index_range_agg": SQL_INDEX_RANGE_AGG,
     "index_restore_snapshot": SQL_BM25_TOPK,
     "index_composite_agg": SQL_INDEX_COMPOSITE_AGG,
+    "training_curation": SQL_TRAINING_CURATION,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

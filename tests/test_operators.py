@@ -698,3 +698,78 @@ def test_filtered_ann_pre_filter_both_kinds(spark, tmp_path):
     )
     for r in got_lsh:
         assert r["cosine"] == pytest.approx(truth[r["vec_id"]], abs=1e-9)
+
+
+def test_curate_corpus_funnel_semantics(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog of the north went to "
+        "the river in the morning light with many plain words " * 3
+    )
+    spanish = "el la de que los " * 20
+    noisy = "the and of to in " + "!!!! ???? ;;;; " * 40
+    docs = spark.createDataFrame(
+        [
+            (1, good),          # kept
+            (2, good),          # exact duplicate of 1 -> 'duplicate'
+            (3, spanish),       # 'lang'
+            (4, spanish),       # duplicate of a DROPPED doc -> 'lang'
+            (5, noisy),         # lang ok but low quality -> 'quality'
+            (6, noisy + " x"),  # distinct noisy -> 'quality'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["reason"], r["kept"])
+        for r in curate_corpus(
+            docs, allowed_langs=("en",), min_quality=0.5,
+        ).collect()
+    }
+    assert len(out) == 6  # audit covers EVERY input doc
+    assert out[1] == (None, True)
+    assert out[2] == ("duplicate", False)
+    assert out[3] == ("lang", False)
+    # a duplicate of a dropped doc reports the FIRST failing filter,
+    # never 'duplicate' (dedup is judged among survivors)
+    assert out[4] == ("lang", False)
+    assert out[5] == ("quality", False)
+    assert out[6] == ("quality", False)
+
+
+def test_curate_corpus_keep_is_min_surviving_id(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    good = "the good and plain words of the morning " * 5
+    bad = "el la de que los " * 10
+    # 20 and 30 are duplicates of each other; 10 fails lang — the kept
+    # doc is the smallest id among the SURVIVORS of the earlier filters
+    docs = spark.createDataFrame(
+        [(10, bad), (20, good), (30, good)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["reason"], r["kept"])
+        for r in curate_corpus(
+            docs, allowed_langs=("en",), min_quality=0.3,
+        ).collect()
+    }
+    assert out[20] == (None, True)
+    assert out[30] == ("duplicate", False)
+    assert out[10] == ("lang", False)
+
+
+def test_curate_corpus_validation(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="allowed_langs"):
+        curate_corpus(docs, allowed_langs=())
+    with pytest.raises(ValueError, match="min_quality"):
+        curate_corpus(docs, min_quality=1.5)
