@@ -56,11 +56,14 @@ def test_kill_then_resume_matches_clean_build(spark, tmp_path):
     n = 5000
 
     # kill mid-build (after stage checkpoints start landing)
-    was_killed = _run_build(killed_root, n, kill_after=25)
-    assert load_index.__name__  # keep linters quiet about import use
-    # no manifest should have been published by the killed run
-    if was_killed:
-        assert not os.path.exists(os.path.join(killed_root, "CURRENT"))
+    was_killed = _run_build(killed_root, n, kill_after=15)
+    # publish is ATOMIC: the kill lands either before the pointer swap
+    # (no CURRENT) or after it (fully loadable index) — never between.
+    # On a fast host the whole build can finish inside the kill delay,
+    # so a published CURRENT is a legal outcome; assert loadability
+    # rather than absence.
+    if was_killed and os.path.exists(os.path.join(killed_root, "CURRENT")):
+        assert load_index(spark, killed_root)["manifest"]["n_docs"] == n
     # record which checkpoints survived the kill (path -> _SUCCESS mtime):
     # a resumed checkpoint is REUSED, so its marker must not be rewritten
     survivors = {}
