@@ -124,9 +124,63 @@ class DeleteDocsRequest(PipelineRequest):
         )
 
 
+@dataclasses.dataclass
+class UpdateByQueryRequest(PipelineRequest):
+    """Enqueue a transform-in-place of one repo's documents
+    (optionally a path subset) — the ES ``_update_by_query`` intake.
+    The transform is a bounded DECLARATIVE spec (a JSON request cannot
+    carry code): ``set_lang`` re-tags the language metadata,
+    ``append_text`` amends the stored content; at least one action is
+    required. The worker compiles the spec onto
+    ``index/merge.py::update_by_query`` (staged, ledger-keyed,
+    crash-replay-safe)."""
+
+    repo: str
+    paths: list[str] | None = None
+    set_lang: str | None = None
+    append_text: str | None = None
+    attempt_id: int = 0
+
+    def validate(self) -> None:
+        _require(
+            isinstance(self.repo, str) and bool(self.repo),
+            "repo must be a non-empty string",
+        )
+        if self.paths is not None:
+            _require(
+                isinstance(self.paths, list) and len(self.paths) >= 1,
+                "paths must be a non-empty list when given",
+            )
+            _require(
+                all(isinstance(p, str) and p for p in self.paths),
+                "paths entries must be non-empty strings",
+            )
+        _require(
+            self.set_lang is not None or self.append_text is not None,
+            "at least one of set_lang / append_text is required",
+        )
+        if self.set_lang is not None:
+            _require(
+                isinstance(self.set_lang, str) and bool(self.set_lang),
+                "set_lang must be a non-empty string when given",
+            )
+        if self.append_text is not None:
+            _require(
+                isinstance(self.append_text, str)
+                and bool(self.append_text),
+                "append_text must be a non-empty string when given",
+            )
+        _require(
+            isinstance(self.attempt_id, int)
+            and 0 <= self.attempt_id < MAX_ATTEMPTS,
+            f"attempt_id must be in [0, {MAX_ATTEMPTS})",
+        )
+
+
 REQUEST_TYPES: dict[str, type[PipelineRequest]] = {
     "IndexUpdateRequest": IndexUpdateRequest,
     "DeleteDocsRequest": DeleteDocsRequest,
+    "UpdateByQueryRequest": UpdateByQueryRequest,
 }
 
 

@@ -104,6 +104,31 @@ class QueueWorker:
                 self.spark, self.index_root, predicate,
                 ledger_key=f"queue:{name}",
             )
+        if rtype == "UpdateByQueryRequest":
+            from pyspark.sql import functions as F
+
+            from seqr_loading_pipelines_spark.index.merge import (
+                update_by_query,
+            )
+
+            predicate = F.col("repo") == request["repo"]
+            if request.get("paths"):
+                predicate = predicate & F.col("path").isin(request["paths"])
+
+            def transform(df, _req=request):
+                if _req.get("set_lang"):
+                    df = df.withColumn("lang", F.lit(_req["set_lang"]))
+                if _req.get("append_text"):
+                    df = df.withColumn(
+                        "content",
+                        F.concat(F.col("content"), F.lit(_req["append_text"])),
+                    )
+                return df
+
+            return update_by_query(
+                self.spark, self.index_root, predicate, transform,
+                ledger_key=f"queue:{name}",
+            )
         if rtype != "IndexUpdateRequest":
             raise ValueError(f"unknown request_type {rtype!r} in {name}")
         corpus = self.spark.read.schema(CORPUS_SCHEMA).parquet(

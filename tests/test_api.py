@@ -210,3 +210,88 @@ def test_http_to_worker_update_and_delete(spark, tmp_path):
         assert worker.process_one() is None  # queue drained
     finally:
         srv.shutdown()
+
+
+def test_update_by_query_request_validates():
+    from seqr_loading_pipelines_spark.api.model import parse_request
+
+    req = parse_request(
+        {
+            "request_type": "UpdateByQueryRequest",
+            "repo": "r1",
+            "append_text": " fixed",
+        },
+    )
+    assert req.request_type == "UpdateByQueryRequest"
+    with pytest.raises(ValueError, match="at least one of"):
+        parse_request(
+            {"request_type": "UpdateByQueryRequest", "repo": "r1"},
+        )
+    with pytest.raises(ValueError, match="set_lang"):
+        parse_request(
+            {
+                "request_type": "UpdateByQueryRequest",
+                "repo": "r1",
+                "set_lang": "",
+            },
+        )
+    with pytest.raises(ValueError, match="repo"):
+        parse_request(
+            {
+                "request_type": "UpdateByQueryRequest",
+                "repo": "",
+                "append_text": "x",
+            },
+        )
+
+
+def test_http_to_worker_update_by_query(spark, tmp_path):
+    """Full intake path for transform-in-place: POST an
+    UpdateByQueryRequest -> the worker rewrites the repo's live docs
+    (new content searchable, lang re-tagged, live count unchanged)."""
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+    from seqr_loading_pipelines_spark.streaming.incremental import (
+        QueueWorker,
+    )
+
+    root = str(tmp_path / "idx")
+    qdir = str(tmp_path / "queue")
+    corpus = generate_corpus(spark, 60, n_repos=3, seed=13)
+    IndexBuilder(spark, root, store_content=True).build(corpus, "seed")
+    victim_repo = "repo_0001"
+    n_victims = corpus.filter(F.col("repo") == victim_repo).count()
+    assert n_victims > 0
+
+    srv, _ = serve_background(qdir)
+    try:
+        status, _ = _post(
+            srv,
+            json.dumps(
+                {
+                    "request_type": "UpdateByQueryRequest",
+                    "repo": victim_repo,
+                    "set_lang": "tagged",
+                    "append_text": " zzmarker",
+                },
+            ).encode(),
+        )
+        assert status == 202
+        worker = QueueWorker(spark, root, qdir)
+        m = worker.process_one()
+        assert m["n_docs"] == 60  # live count unchanged
+        idx = load_index(spark, root)
+        hits = hydrate(idx, search_exact(spark, idx, "zzmarker", k=100))
+        rows = hits.collect()
+        assert len(rows) == n_victims
+        assert {r["repo"] for r in rows} == {victim_repo}
+        assert all(r["lang"] == "tagged" for r in rows)
+        assert worker.process_one() is None
+    finally:
+        srv.shutdown()
