@@ -39,6 +39,53 @@ from seqr_loading_pipelines_spark.operators.text import (
 )
 
 
+def split_corpus(
+    docs: DataFrame,
+    weights: dict | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-based corpus split — reproducible
+    train/validation/test assignment (the split every training run
+    must be able to re-derive byte-identically, on any cluster size,
+    in any engine). ``weights`` maps split name -> integer percent
+    (must sum to 100); default ``{"train": 90, "val": 5, "test": 5}``.
+
+    Assignment = md5(id || salt) first-8-hex-digits mod 100, mapped to
+    cumulative weight ranges in sorted-name order. md5 (not xxhash64)
+    so ANY engine reproduces the split bit-identically — the same
+    cross-engine-hash discipline as the dedup fingerprints
+    (operators/text.py md5_int32). Changing ``salt`` re-rolls the
+    split; changing nothing re-derives it. Pure projection: no
+    shuffle, no state, safe at any scale."""
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if not weights or any(
+        not isinstance(w, int) or w <= 0 for w in weights.values()
+    ):
+        raise ValueError(
+            f"weights must be positive integer percents: {weights}",
+        )
+    if sum(weights.values()) != 100:
+        raise ValueError(
+            f"weights must sum to 100, got {sum(weights.values())}",
+        )
+    bucket = F.pmod(
+        md5_int32(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(100),
+    )
+    expr = None
+    cum = 0
+    for name in sorted(weights):
+        cum += weights[name]
+        arm = F.when(bucket < cum, F.lit(name))
+        expr = arm if expr is None else expr.when(
+            bucket < cum, F.lit(name),
+        )
+    return docs.withColumn("split", expr)
+
+
 def curate_corpus(
     docs: DataFrame,
     allowed_langs: tuple = ("en",),

@@ -2165,6 +2165,121 @@ def q_index_restore_snapshot(spark, sf_dir):
     )
 
 
+DECAY_ORIGIN, DECAY_SCALE, DECAY = 60.0, 30.0, 0.5
+
+
+def q_index_decay_score(spark, sf_dir):
+    """ES decay scoring behind a driver-green row: BM25 x gaussian
+    decay over doc_len (prefer docs near {DECAY_ORIGIN} tokens;
+    multiplier = {DECAY} at distance {DECAY_SCALE}) through the REAL
+    index path (query/bm25.py search_decay_score — same gated-join
+    shape as function_score). Oracle: the scored CTE x the identical
+    gaussian in SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_decay_score,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_decay_score(
+        spark, index, " ".join(BM25_QUERY_TERMS), "doc_len",
+        origin=DECAY_ORIGIN, scale=DECAY_SCALE, decay=DECAY,
+        shape="gauss", k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_decay_score() -> str:
+    import math
+
+    sigma2 = -(DECAY_SCALE * DECAY_SCALE) / (2.0 * math.log(DECAY))
+    return _sql_bm25_cte(BM25_QUERY_TERMS) + f"""
+, decayed AS (
+  SELECT s.doc_id,
+         s.s * exp(-(pow(abs(len({_T}) - {DECAY_ORIGIN}), 2))
+                   / (2.0 * {sigma2!r})) AS s2
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(s2, 4) AS score, rank FROM (
+  SELECT doc_id, s2,
+         row_number() OVER (ORDER BY floor(s2 * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM decayed
+) WHERE rank <= 10
+"""
+
+
+SQL_INDEX_DECAY_SCORE = _sql_decay_score()
+
+
+SPAN_FIRST_N = 5
+
+
+def q_index_span_first(spark, sf_dir):
+    """Lucene SpanFirstQuery behind a driver-green row: docs whose
+    first 'spark' occurrence falls in the leading {SPAN_FIRST_N}
+    token positions (query/phrase.py search_span_first — one pruned
+    positions-projection scan, array_min, no shuffle), ranked
+    (first_pos asc, doc_id asc). Oracle: list_position in SQL."""
+    from seqr_loading_pipelines_spark.query.phrase import search_span_first
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_span_first(
+        spark, index, "spark", n=SPAN_FIRST_N, k=10, tiebreak_col="path",
+    )
+    ids = index["doc_stats"].select("doc_id", "path")
+    return out.join(ids, "doc_id", "inner").select(
+        _orig_doc_id().alias("doc_id"), "first_pos", "rank",
+    )
+
+
+SQL_INDEX_SPAN_FIRST = f"""
+SELECT doc_id, first_pos, rank FROM (
+  SELECT doc_id, first_pos,
+         row_number() OVER (ORDER BY first_pos ASC, doc_id ASC) AS rank
+  FROM (
+    SELECT doc_id, list_position({_T}, 'spark') - 1 AS first_pos
+    FROM documents
+    WHERE list_contains({_T}, 'spark')
+  )
+  WHERE first_pos < {SPAN_FIRST_N}
+) WHERE rank <= 10
+"""
+
+
+SPLIT_SALT = "split-v1"
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split behind a
+    driver-green row (operators/pipeline.py split_corpus): md5-range
+    assignment reproducible bit-identically in ANY engine — the oracle
+    recomputes the identical split in SQL. Pure projection, no
+    shuffle."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        split_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(docs, salt=SPLIT_SALT).select("doc_id", "split")
+
+
+SQL_CORPUS_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN b < 5 THEN 'test'
+            WHEN b < 95 THEN 'train'
+            ELSE 'val' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+"""
+
+
 CURATE_LANGS = ("de", "en")
 CURATE_MIN_QUALITY = 0.3
 
@@ -3870,6 +3985,9 @@ QUERIES = {
     "index_restore_snapshot": q_index_restore_snapshot,
     "index_composite_agg": q_index_composite_agg,
     "training_curation": q_training_curation,
+    "corpus_split": q_corpus_split,
+    "index_span_first": q_index_span_first,
+    "index_decay_score": q_index_decay_score,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -3967,6 +4085,9 @@ ORACLE_SQL = {
     "index_restore_snapshot": SQL_BM25_TOPK,
     "index_composite_agg": SQL_INDEX_COMPOSITE_AGG,
     "training_curation": SQL_TRAINING_CURATION,
+    "corpus_split": SQL_CORPUS_SPLIT,
+    "index_span_first": SQL_INDEX_SPAN_FIRST,
+    "index_decay_score": SQL_INDEX_DECAY_SCORE,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

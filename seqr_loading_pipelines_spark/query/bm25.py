@@ -1016,3 +1016,74 @@ def hydrate(index: dict, topk_df: DataFrame) -> DataFrame:
         return docs.join(F.broadcast(topk_df), "doc_id", "inner")
     tiny = spark.createDataFrame(top, topk_df.schema)
     return docs.join(F.broadcast(tiny), "doc_id", "inner")
+
+
+DECAY_SHAPES = ("gauss", "exp", "linear")
+
+
+def search_decay_score(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    field: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    shape: str = "gauss",
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Decay-function scoring (the Elasticsearch ``function_score``
+    gauss/exp/linear decay family): BM25 relevance multiplied by a
+    distance decay over a numeric doc-store field — "prefer docs near
+    this length / this recency / this location" with the exact ES
+    parameterization: the multiplier is 1 at ``origin`` and exactly
+    ``decay`` at distance ``scale``:
+
+    - gauss:  exp(-d^2 / (2*sigma^2)), sigma^2 = -scale^2 / (2 ln decay)
+    - exp:    exp(lambda * d),         lambda  = ln(decay) / scale
+    - linear: max(0, (s - d) / s),     s       = scale / (1 - decay)
+
+    with d = |field - origin|. Same plan shape as
+    ``search_function_score``: one pruned posting scan, gated
+    broadcast of the scored set into the two-column doc-store join,
+    bounded top-k under the shared tie rule."""
+    import math
+
+    if shape not in DECAY_SHAPES:
+        raise ValueError(f"shape must be one of {DECAY_SHAPES}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("_bm25"))
+    )
+    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
+
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    d = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    if shape == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif shape == "exp":
+        lam = math.log(decay) / scale
+        mult = F.exp(F.lit(lam) * d)
+    else:  # linear
+        s = scale / (1.0 - decay)
+        mult = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+    out = (
+        index["doc_stats"]
+        .select("doc_id", field)
+        .join(scored, "doc_id", "inner")
+        .select("doc_id", (F.col("_bm25") * mult).alias("score"))
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(out, k)

@@ -119,3 +119,76 @@ def search_phrase(
     return ranked.select(
         "doc_id", F.col("score").cast("int").alias("phrase_tf"), "rank",
     )
+
+
+def search_span_first(
+    spark: SparkSession,
+    index: dict,
+    token_text: str,
+    n: int,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Span-first query (Lucene ``SpanFirstQuery`` / ES
+    ``span_first``): docs whose FIRST occurrence of ``token_text``
+    falls within the first ``n`` token positions — the
+    "matches-in-the-title/header" heuristic for documents whose
+    leading tokens carry outsized signal (code: the package/class
+    header). Returns ``(doc_id, first_pos, rank)`` with 0-based
+    first_pos, ranked (first_pos asc, doc_id asc), bounded top-k.
+    ``tiebreak_col`` swaps the tie column for a doc-store column
+    (e.g. ``path`` — the id-space-invariant tiebreak the collapse and
+    top_hits APIs share; first_pos ties are COMMON: every doc whose
+    first hit is token 0 ties).
+
+    Shape: ONE pruned scan of the term-clustered positions projection
+    (pushed term_id equality -> row-group pruning), ``array_min`` over
+    each doc's position list (JVM, no explode), tombstone anti-join on
+    the already-term-restricted rows, bounded TakeOrdered. No shuffle
+    at all — the projection is already doc-grained per term."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable span queries",
+        )
+    toks = tokenize_py(token_text)
+    if len(toks) != 1:
+        raise ValueError(
+            f"span_first takes exactly one token, got {token_text!r}",
+        )
+    infos = _query_terms(index, toks[0])
+    empty = spark.createDataFrame(
+        [], "doc_id long, first_pos int, rank int",
+    )
+    if not infos:
+        return empty
+    pos = index["positions"].filter(
+        F.col("term_id") == int(infos[0]["term_id"]),
+    )
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    matched = pos.select(
+        "doc_id", F.array_min("pos").cast("int").alias("first_pos"),
+    ).filter(F.col("first_pos") < n)
+    tie = tiebreak_col or "doc_id"
+    if tiebreak_col:
+        matched = matched.join(
+            index["doc_stats"].select("doc_id", tiebreak_col),
+            "doc_id",
+            "inner",
+        )
+    order = [F.col("first_pos").asc(), F.col(tie).asc()]
+    ranked = matched.orderBy(*order).limit(max(1, k))
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "doc_id", "first_pos", F.row_number().over(w).alias("rank"),
+    )

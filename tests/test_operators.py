@@ -773,3 +773,31 @@ def test_curate_corpus_validation(spark):
         curate_corpus(docs, allowed_langs=())
     with pytest.raises(ValueError, match="min_quality"):
         curate_corpus(docs, min_quality=1.5)
+
+
+def test_split_corpus_deterministic_exhaustive_ratios(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import split_corpus
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long",
+    )
+    a = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    assert a == b  # re-derivable, not sampled
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.85 <= frac_train <= 0.95  # 90% +- hash noise at n=2000
+    # a different salt re-rolls the assignment
+    c = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs, salt="other").collect()
+    }
+    assert c != a
+    # custom weights; validation
+    d = split_corpus(docs, weights={"a": 50, "b": 50}).collect()
+    assert {r["split"] for r in d} == {"a", "b"}
+    with pytest.raises(ValueError, match="sum to 100"):
+        split_corpus(docs, weights={"a": 60, "b": 30})
+    with pytest.raises(ValueError, match="positive integer"):
+        split_corpus(docs, weights={"a": 0, "b": 100})

@@ -245,3 +245,27 @@ def test_update_delete_compact_maintain_positions(
     assert (
         idx["positions"].filter(F.col("doc_id") == by["d0.py"]).count() == 0
     )
+
+
+def test_span_first_golden_and_edges(spark, pos_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_first
+
+    _, pos_index = pos_index  # fixture returns (root, index)
+    # DOCS: d0="a b c a b" d1="a x b" d2="b a" d3="a a a" d4="z a b c"
+    # first 'b' positions: d0->1, d1->2, d2->0, d4->2
+    out = search_span_first(spark, pos_index, "b", n=2, k=10).collect()
+    got = {(r["doc_id"], r["first_pos"]) for r in out}
+    # only docs with first 'b' at position < 2 survive: d0(1), d2(0)
+    assert {p for _, p in got} == {0, 1}
+    assert len(got) == 2
+    # ranks: first_pos asc -> d2 (0) before d0 (1)
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["first_pos"] for r in by_rank] == [0, 1]
+    # wider window admits d1/d4 (first 'b' at 2)
+    assert search_span_first(spark, pos_index, "b", n=3, k=10).count() == 4
+    # absent term and validation
+    assert search_span_first(spark, pos_index, "zz", n=3).count() == 0
+    with pytest.raises(ValueError, match="one token"):
+        search_span_first(spark, pos_index, "a b", n=3)
+    with pytest.raises(ValueError, match="n must be"):
+        search_span_first(spark, pos_index, "a", n=0)

@@ -463,3 +463,57 @@ def test_composite_agg_validation_and_empty(spark, index):
     empty = composite_agg(spark, index, "zz_nope_zz", ["lang"])
     assert empty.count() == 0
     assert empty.columns == ["lang", "n_docs"]
+
+
+def test_decay_score_golden_all_shapes(spark, index, oracle):
+    import math
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_decay_score
+
+    terms = tokenize_py(QUERY)
+    origin, scale, decay = 50.0, 25.0, 0.5
+
+    def mult(dl, shape):
+        d = abs(dl - origin)
+        if shape == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+            return math.exp(-(d * d) / (2.0 * sigma2))
+        if shape == "exp":
+            return math.exp(math.log(decay) / scale * d)
+        return max(0.0, (scale / (1.0 - decay) - d) / (scale / (1.0 - decay)))
+
+    # the ES parameterization contract: 1 at origin, exactly `decay`
+    # at distance `scale`
+    for shape in ("gauss", "exp", "linear"):
+        assert mult(origin, shape) == pytest.approx(1.0)
+        assert mult(origin + scale, shape) == pytest.approx(decay)
+
+    want = {}
+    for i in _match_set(oracle, terms):
+        bm25 = oracle.score_doc(i, terms)
+        want[oracle.doc_ids[i]] = (bm25, oracle.doc_len[i])
+
+    for shape in ("gauss", "exp", "linear"):
+        rows = search_decay_score(
+            spark, index, QUERY, "doc_len",
+            origin=origin, scale=scale, decay=decay, shape=shape,
+            k=len(want),
+        ).collect()
+        assert len(rows) == len(want)
+        for r in rows:
+            bm25, dl = want[r["doc_id"]]
+            assert r["score"] == pytest.approx(
+                bm25 * mult(dl, shape), rel=1e-9,
+            ), (shape, r["doc_id"])
+
+    with pytest.raises(ValueError, match="shape"):
+        search_decay_score(
+            spark, index, QUERY, "doc_len", 50, 25, shape="cosine",
+        )
+    with pytest.raises(ValueError, match="scale"):
+        search_decay_score(spark, index, QUERY, "doc_len", 50, 0)
+    with pytest.raises(ValueError, match="decay"):
+        search_decay_score(spark, index, QUERY, "doc_len", 50, 25, decay=1.0)
+    assert search_decay_score(
+        spark, index, "zz_nope_zz", "doc_len", 50, 25,
+    ).count() == 0
