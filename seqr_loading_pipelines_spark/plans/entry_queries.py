@@ -2165,6 +2165,102 @@ def q_index_restore_snapshot(spark, sf_dir):
     )
 
 
+HIST_INTERVAL = 5
+
+PCTRANK_VALUES = [40, 80]
+
+
+def q_index_percentile_ranks(spark, sf_dir):
+    """ES ``percentile_ranks`` aggregation behind a driver-green row:
+    for each requested doc_len value, the fraction of matching docs at
+    or below it, per lang (query/facets.py percentile_ranks_by — an
+    exact indicator-average, so the oracle is a true identity unlike
+    ES's t-digest estimate). Oracle: avg(CASE) in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        percentile_ranks_by,
+    )
+
+    out = percentile_ranks_by(
+        spark,
+        _built_index(spark, sf_dir, "q")[1],
+        " ".join(BM25_QUERY_TERMS),
+        "lang",
+        values=PCTRANK_VALUES,
+    )
+    return out.select(
+        "lang",
+        *[
+            F.round(f"rank_{v}", 5).alias(f"rank_{v}")
+            for v in PCTRANK_VALUES
+        ],
+    )
+
+
+SQL_INDEX_PERCENTILE_RANKS = f"""
+SELECT lang,
+       {", ".join(
+           f"round(avg(CASE WHEN len({_T}) <= {v} THEN 1.0 ELSE 0.0 END), 5)"
+           f" AS rank_{v}"
+           for v in PCTRANK_VALUES
+       )}
+FROM documents
+WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+GROUP BY lang
+"""
+
+
+def q_index_max_bucket(spark, sf_dir):
+    """ES pipeline aggregation behind a driver-green row: max_bucket +
+    avg_bucket over the doc_len histogram (query/facets.py max_bucket
+    — the bucket table feeds a bounded second aggregate; pipeline aggs
+    never re-touch the match set). Oracle: the histogram CTE +
+    ORDER/LIMIT + scalar avg in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import max_bucket
+
+    return max_bucket(
+        spark,
+        _built_index(spark, sf_dir, "q")[1],
+        " ".join(BM25_QUERY_TERMS),
+        interval=HIST_INTERVAL,
+    )
+
+
+SQL_INDEX_MAX_BUCKET = f"""
+WITH hist AS (
+  SELECT (len({_T}) // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         count(*) AS n_docs
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+  GROUP BY bucket
+)
+SELECT bucket, n_docs,
+       round((SELECT avg(n_docs) FROM hist), 5) AS avg_bucket_docs
+FROM hist ORDER BY n_docs DESC, bucket ASC LIMIT 1
+"""
+
+
+def q_index_stats_api(spark, sf_dir):
+    """The ES ``_stats`` surface behind a driver-green row: the
+    manifest's corpus-level counters (n_docs, n_terms) exposed as a
+    one-row table and verified against SOURCE-derived truth — the
+    integrity check that the published manifest never drifts from the
+    data it describes. Oracle: count(*) + count(DISTINCT token) over
+    the source."""
+    _, index = _built_index(spark, sf_dir, "q")
+    m = index["manifest"]
+    return spark.createDataFrame(
+        [(int(m["n_docs"]), int(m["n_terms"]))],
+        "n_docs long, n_terms long",
+    )
+
+
+SQL_INDEX_STATS_API = f"""
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT t) FROM (
+          SELECT unnest({_T}) AS t FROM documents)) AS n_terms
+"""
+
+
 DECAY_ORIGIN, DECAY_SCALE, DECAY = 60.0, 30.0, 0.5
 
 
@@ -3769,9 +3865,6 @@ SELECT doc_id, round(sum(s), 6) AS rrf_score FROM u GROUP BY doc_id
 """
 
 
-HIST_INTERVAL = 5
-
-
 def q_index_histogram(spark, sf_dir):
     """ES ``histogram`` aggregation behind a driver-green row: fixed-
     interval doc_len buckets over the WHOLE match set (query/facets.py
@@ -3988,6 +4081,9 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "index_span_first": q_index_span_first,
     "index_decay_score": q_index_decay_score,
+    "index_percentile_ranks": q_index_percentile_ranks,
+    "index_max_bucket": q_index_max_bucket,
+    "index_stats_api": q_index_stats_api,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -4088,6 +4184,9 @@ ORACLE_SQL = {
     "corpus_split": SQL_CORPUS_SPLIT,
     "index_span_first": SQL_INDEX_SPAN_FIRST,
     "index_decay_score": SQL_INDEX_DECAY_SCORE,
+    "index_percentile_ranks": SQL_INDEX_PERCENTILE_RANKS,
+    "index_max_bucket": SQL_INDEX_MAX_BUCKET,
+    "index_stats_api": SQL_INDEX_STATS_API,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -110,6 +110,102 @@ def histogram_by(
     )
 
 
+def percentile_ranks_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    values: list,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Inverse percentiles per group over the match set — the
+    Elasticsearch ``percentile_ranks`` aggregation: for each requested
+    value v, the fraction of matching docs with ``value_col <= v``.
+    One row per group: ``(group, rank_<v>...)`` as fractions in
+    [0, 1], exact (avg of an indicator — a plain aggregate, so the
+    hash-checked oracle is a true identity, unlike ES's t-digest
+    estimate). Same gated-join + one-hash-agg shape as the percentile
+    sibling, but O(1) agg state per group per value."""
+    vs = [float(v) for v in values]
+    if not vs:
+        raise ValueError("values must be non-empty")
+    names = [f"rank_{v:g}".replace(".", "_").replace("-", "m") for v in vs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"values collide after naming: {values}")
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, "
+            + ", ".join(f"{n} double" for n in names),
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        matches = F.broadcast(matches)
+    col = F.col(value_col).cast("double")
+    aggs = [
+        F.avg((col <= F.lit(v)).cast("double")).alias(n)
+        for v, n in zip(vs, names)
+    ]
+    return (
+        index["doc_stats"]
+        .select("doc_id", group_col, value_col)
+        .join(matches, "doc_id", "inner")
+        .groupBy(group_col)
+        .agg(*aggs)
+    )
+
+
+def max_bucket(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    interval: int,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Pipeline aggregation over the histogram buckets — the
+    Elasticsearch ``max_bucket`` / ``avg_bucket`` sibling pair in one
+    row: the most-populated bucket (ties: lowest bucket key, ES's
+    first-in-sort) plus the mean bucket population. Output: ONE row
+    ``(bucket, n_docs, avg_bucket_docs)``.
+
+    Shape: ``histogram_by``'s plan (pruned scan, gated join, one hash
+    agg over occupied buckets) feeds a bounded second aggregate whose
+    input cardinality is the occupied-bucket count — pipeline aggs
+    post-process bucket tables, they never re-touch the match set."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    hist = histogram_by(
+        spark, index, query_text, interval,
+        value_col=value_col, require_all=require_all,
+        broadcast_max=broadcast_max,
+    )
+    # the bucket table is bounded (occupied buckets), so the declared
+    # single-partition window is a bounded op, not a table collapse
+    part = single_partition_key(hist)
+    w = Window.partitionBy(part).orderBy(
+        F.col("n_docs").desc(), F.col("bucket").asc(),
+    )
+    return (
+        hist.withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "avg_bucket_docs", F.avg("n_docs").over(Window.partitionBy(part)),
+        )
+        .filter(F.col("_r") == 1)
+        .select(
+            "bucket",
+            "n_docs",
+            F.round("avg_bucket_docs", 5).alias("avg_bucket_docs"),
+        )
+    )
+
+
 def range_by(
     spark: SparkSession,
     index: dict,

@@ -251,3 +251,63 @@ def test_range_by_python_golden_and_edges(spark, index, corpus):
     empty = range_by(spark, index, "zz_nope_zz", edges)
     assert empty.count() == 0
     assert empty.columns == ["bucket_lo", "bucket_hi", "n_docs"]
+
+
+def test_percentile_ranks_and_max_bucket(spark, index, corpus):
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+    from seqr_loading_pipelines_spark.query.facets import (
+        max_bucket,
+        percentile_ranks_by,
+    )
+
+    terms = set(tokenize_py(Q1))
+    lang_by = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    # python golden over the match set
+    by_lang = {}
+    hist = {}
+    for row in corpus.select("repo", "path", "commit", "content").collect():
+        toks = tokenize_py(row["content"])
+        if not set(toks) & terms:
+            continue
+        hist[(len(toks) // 10) * 10] = hist.get((len(toks) // 10) * 10, 0) + 1
+    # per-lang doc_lens via the engine's own doc_stats (id-joined)
+    match_ids = set()
+    from seqr_loading_pipelines_spark.query.bm25 import match_docs
+
+    match_ids = {
+        r["doc_id"] for r in match_docs(index, Q1).collect()
+    }
+    dls = {
+        r["doc_id"]: r["doc_len"]
+        for r in index["doc_stats"].select("doc_id", "doc_len").collect()
+    }
+    for d in match_ids:
+        by_lang.setdefault(lang_by[d], []).append(dls[d])
+
+    rows = percentile_ranks_by(
+        spark, index, Q1, "lang", values=[50, 100],
+    ).collect()
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        vals = by_lang[r["lang"]]
+        assert r["rank_50"] == pytest.approx(
+            sum(1 for v in vals if v <= 50) / len(vals),
+        )
+        assert r["rank_100"] == pytest.approx(
+            sum(1 for v in vals if v <= 100) / len(vals),
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        percentile_ranks_by(spark, index, Q1, "lang", values=[])
+
+    mb = max_bucket(spark, index, Q1, interval=10).collect()
+    assert len(mb) == 1
+    want_bucket = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (mb[0]["bucket"], mb[0]["n_docs"]) == want_bucket
+    assert mb[0]["avg_bucket_docs"] == pytest.approx(
+        round(sum(hist.values()) / len(hist), 5),
+    )
+    empty = max_bucket(spark, index, "zz_nope_zz", interval=10)
+    assert empty.count() == 0
