@@ -86,6 +86,96 @@ def split_corpus(
     return docs.withColumn("split", expr)
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+    broadcast_max: int = 2_000_000,
+) -> DataFrame:
+    """Eval-set decontamination — the n-gram-overlap screen every
+    serious training-data pipeline runs (the GPT-3/Pile 13-gram
+    discipline, here parameterized): train docs sharing at least
+    ``min_shared`` distinct word n-grams with any eval doc, as
+    ``(train_doc_id, eval_doc_id, n_shared)``. Callers drop or flag
+    the train side of every returned pair before training.
+
+    Scale shape: the EVAL side is small by construction (an eval set);
+    its exploded shingle table broadcasts into ONE join against the
+    streaming train shingle scan (gated — past ``broadcast_max``
+    exploded eval rows the join shuffles on shingle), then one
+    partial-aggregating groupBy on the pair key. The train corpus is
+    touched exactly once; there is NO self-join anywhere (contrast the
+    dedup pair operators, which must bound O(df^2) blowup — here the
+    pair space is train x eval, already linear in train)."""
+    from seqr_loading_pipelines_spark.operators.dedup import shingles_expr
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    tsh = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    esh = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    # materialize the small eval side ONCE: the gate probe and the join
+    # would otherwise each re-evaluate its source (expensive when eval
+    # is itself a derived/filtered view of a big table)
+    esh = esh.localCheckpoint(eager=True)
+    if esh.limit(broadcast_max + 1).count() <= broadcast_max:
+        esh = F.broadcast(esh)
+    # shingles_expr emits DISTINCT shingles per doc, so count(*) IS the
+    # distinct shared-shingle count
+    return (
+        tsh.join(esh, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sample_corpus(
+    docs: DataFrame,
+    rate_by_group: dict,
+    group_col: str = "source",
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group subsampling — dataset MIXING (upweight
+    code, downweight boilerplate-heavy sources) as a reproducible
+    hash-Bernoulli filter: a doc survives iff md5(id||salt) mod 10^6 <
+    rate * 10^6 for its group's rate. Re-running yields the identical
+    sample on any cluster; groups absent from ``rate_by_group`` get
+    ``default_rate`` (0 = drop unknown sources — the explicit-manifest
+    discipline). Pure projection + filter, no shuffle, no RNG state.
+
+    Nested property that matters for ablations: because the hash
+    doesn't depend on the rate, samples are NESTED — the 10% sample is
+    a subset of the 50% sample, so scaling-law runs compare supersets,
+    not disjoint draws."""
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    for g, r in rate_by_group.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1]")
+    rate = F.lit(float(default_rate))
+    for g in sorted(rate_by_group):
+        rate = F.when(
+            F.col(group_col) == g, F.lit(float(rate_by_group[g])),
+        ).otherwise(rate)
+    bucket = F.pmod(
+        md5_int32(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(1_000_000),
+    )
+    return docs.filter(bucket < rate * 1_000_000)
+
+
 def curate_corpus(
     docs: DataFrame,
     allowed_langs: tuple = ("en",),

@@ -2165,6 +2165,97 @@ def q_index_restore_snapshot(spark, sf_dir):
     )
 
 
+CONTAM_EVAL_MOD = 25
+CONTAM_MIN_SHARED = 2
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Eval-set decontamination behind a driver-green row
+    (operators/pipeline.py ngram_contamination — the GPT-3/Pile
+    n-gram-overlap screen): train = the documents table, eval = every
+    {CONTAM_EVAL_MOD}th doc; pairs sharing >= {CONTAM_MIN_SHARED}
+    distinct 3-grams, self-pairs dropped (here eval is carved from
+    train, so identity pairs are trivially contaminated). One gated
+    broadcast join against the streaming train shingle scan — no
+    self-join. Oracle: the same shingle join in SQL."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        ngram_contamination,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_contamination(
+        docs,
+        docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0),
+        min_shared=CONTAM_MIN_SHARED,
+    )
+    return out.filter(F.col("train_doc_id") != F.col("eval_doc_id"))
+
+
+_GRAMS3 = (
+    f"CASE WHEN len({_T}) >= 3 THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_T}) - 2), "
+    f"i -> {_T}[i] || ' ' || {_T}[i+1] || ' ' || {_T}[i+2])) "
+    f"ELSE [] END"
+)
+
+SQL_NGRAM_CONTAMINATION = f"""
+WITH tsh AS (
+  SELECT doc_id AS train_doc_id, unnest({_GRAMS3}) AS shingle
+  FROM documents
+),
+esh AS (
+  SELECT doc_id AS eval_doc_id, unnest({_GRAMS3}) AS shingle
+  FROM documents WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+)
+SELECT train_doc_id, eval_doc_id, count(*) AS n_shared
+FROM tsh JOIN esh USING (shingle)
+WHERE train_doc_id != eval_doc_id
+GROUP BY train_doc_id, eval_doc_id
+HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+MIX_DEFAULT = 0.2
+MIX_SALT = "mix-v1"
+
+
+def q_corpus_sample_mix(spark, sf_dir):
+    """Deterministic dataset mixing behind a driver-green row
+    (operators/pipeline.py sample_corpus): per-source hash-Bernoulli
+    rates (keep all of src0, half of src1, none of src2,
+    {MIX_DEFAULT} of everything else), reproducible bit-identically —
+    the oracle recomputes the identical md5 filter in SQL."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        sample_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_corpus(
+        docs, MIX_RATES, group_col="source",
+        default_rate=MIX_DEFAULT, salt=MIX_SALT,
+    )
+
+
+def _sql_sample_mix() -> str:
+    arms = " ".join(
+        f"WHEN source = '{g}' THEN {float(r)!r}"
+        for g, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || '{MIX_SALT}'), 1, 8))::BIGINT
+           % 1000000 AS b,
+         CASE {arms} ELSE {MIX_DEFAULT!r} END AS rate
+  FROM documents
+) WHERE b < rate * 1000000
+"""
+
+
+SQL_CORPUS_SAMPLE_MIX = _sql_sample_mix()
+
+
 HIST_INTERVAL = 5
 
 PCTRANK_VALUES = [40, 80]
@@ -4084,6 +4175,8 @@ QUERIES = {
     "index_percentile_ranks": q_index_percentile_ranks,
     "index_max_bucket": q_index_max_bucket,
     "index_stats_api": q_index_stats_api,
+    "ngram_contamination": q_ngram_contamination,
+    "corpus_sample_mix": q_corpus_sample_mix,
     "index_bool_search": q_index_bool_search,
     "index_min_should_match": q_index_min_should_match,
     "index_fuzzy_search": q_index_fuzzy_search,
@@ -4187,6 +4280,8 @@ ORACLE_SQL = {
     "index_percentile_ranks": SQL_INDEX_PERCENTILE_RANKS,
     "index_max_bucket": SQL_INDEX_MAX_BUCKET,
     "index_stats_api": SQL_INDEX_STATS_API,
+    "ngram_contamination": SQL_NGRAM_CONTAMINATION,
+    "corpus_sample_mix": SQL_CORPUS_SAMPLE_MIX,
     "index_bool_search": SQL_INDEX_BOOL_SEARCH,
     "index_min_should_match": SQL_INDEX_MIN_SHOULD_MATCH,
     "index_fuzzy_search": SQL_INDEX_FUZZY_SEARCH,

@@ -801,3 +801,77 @@ def test_split_corpus_deterministic_exhaustive_ratios(spark):
         split_corpus(docs, weights={"a": 60, "b": 30})
     with pytest.raises(ValueError, match="positive integer"):
         split_corpus(docs, weights={"a": 0, "b": 100})
+
+
+def test_ngram_contamination_golden_and_gate(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # shares "a b c","b c d" with eval
+            (2, "x y z w q r"),   # shares nothing
+            (3, "a b c q w e"),   # shares "a b c" only
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d z z")], "doc_id long, text string",
+    )
+    strict = {
+        (r["train_doc_id"], r["eval_doc_id"], r["n_shared"])
+        for r in ngram_contamination(train, ev, min_shared=2).collect()
+    }
+    assert strict == {(1, 100, 2)}
+    loose = {
+        (r["train_doc_id"], r["eval_doc_id"], r["n_shared"])
+        for r in ngram_contamination(train, ev, min_shared=1).collect()
+    }
+    assert loose == {(1, 100, 2), (3, 100, 1)}
+    # unbroadcast (forced gate) path identical
+    forced = {
+        (r["train_doc_id"], r["eval_doc_id"], r["n_shared"])
+        for r in ngram_contamination(
+            train, ev, min_shared=1, broadcast_max=0,
+        ).collect()
+    }
+    assert forced == loose
+    with pytest.raises(ValueError, match="min_shared"):
+        ngram_contamination(train, ev, min_shared=0)
+
+
+def test_sample_corpus_nested_deterministic(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import sample_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "s0" if i % 2 == 0 else "s1") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    full = {r["doc_id"] for r in sample_corpus(docs, {"s0": 1.0, "s1": 0.0}).collect()}
+    assert full == {i for i in range(2000) if i % 2 == 0}  # rate 1/0 exact
+    half = {
+        r["doc_id"]
+        for r in sample_corpus(docs, {"s0": 0.5, "s1": 0.5}).collect()
+    }
+    tenth = {
+        r["doc_id"]
+        for r in sample_corpus(docs, {"s0": 0.1, "s1": 0.1}).collect()
+    }
+    # nested: the 10% sample is a SUBSET of the 50% sample (hash is
+    # rate-independent) — the ablation-superset property
+    assert tenth <= half
+    assert 0.05 <= len(tenth) / 2000 <= 0.15
+    assert 0.42 <= len(half) / 2000 <= 0.58
+    # deterministic re-derivation
+    again = {
+        r["doc_id"]
+        for r in sample_corpus(docs, {"s0": 0.5, "s1": 0.5}).collect()
+    }
+    assert again == half
+    # unknown groups get default_rate
+    extra = spark.createDataFrame([(9999, "sX")], "doc_id long, source string")
+    assert sample_corpus(extra, {}, default_rate=0.0).count() == 0
+    assert sample_corpus(extra, {}, default_rate=1.0).count() == 1
+    with pytest.raises(ValueError, match="rate for"):
+        sample_corpus(docs, {"s0": 1.5})
