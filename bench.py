@@ -558,6 +558,32 @@ def main() -> None:
         timings,
     )
 
+    # decontamination + deterministic splits over the whole corpus
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        ngram_contamination,
+        split_corpus,
+    )
+
+    _tdocs = corpus.withColumnRenamed("content", "text").withColumn(
+        "doc_id", F.xxhash64("path"),
+    )
+    _eval = _tdocs.filter(F.pmod(F.col("doc_id"), 500) == 0)
+    timed_min(
+        "ngram_contamination",
+        lambda: ngram_contamination(
+            _tdocs, _eval, min_shared=3,
+        ).count(),
+        timings,
+    )
+    timed_min(
+        "corpus_split",
+        lambda: split_corpus(_tdocs.select("doc_id"))
+        .groupBy("split")
+        .count()
+        .collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

@@ -92,18 +92,32 @@ def exact_duplicates(
 
 
 def shingles_expr(text_col, n: int = 3) -> "F.Column":
-    """Word n-gram shingles (distinct) from the tokenizer contract."""
+    """Word n-gram shingles (distinct) from the tokenizer contract.
+
+    Built by zip_with-ing the token array against shifted slices of
+    itself, so the tokenizer expression appears ONLY as a direct
+    argument of zip_with/slice/size — each evaluated once per row. An
+    earlier form indexed ``element_at(toks, i+j)`` inside a transform
+    lambda; a lambda-BODY reference to a non-attribute expression is
+    re-evaluated per ELEMENT, re-tokenizing the whole document O(len)
+    times — O(len^2) per doc, ~2 s -> ~120 s going 4k -> 16k tokens on
+    one mega-repo file (the nested-HOF re-inlining trap the MinHash
+    signature path already avoids)."""
     toks = tokenize_expr(text_col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>"),
-    )
+    # grams[i] accumulates toks[i..i+j] after the j-th zip; trailing
+    # entries where the shifted slice ran out are partial grams
+    # (concat_ws skips the nulls zip_with pads with) — the final slice
+    # to size-n+1 drops them.
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)),
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat_ws(" ", a, b),
+        )
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(F.slice(grams, 1, n_grams))
 
 
 def ngram_jaccard_pairs(
