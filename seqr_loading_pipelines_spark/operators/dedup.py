@@ -135,11 +135,21 @@ def ngram_jaccard_pairs(
     DF-pre-aggregation-to-kill-skew discipline as the index build.
     """
     sh = docs.select(
-        "doc_id", F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
-    )
-    sizes = docs.select(
-        "doc_id", F.size(shingles_expr(F.col(text_col), n)).alias("n_sh"),
-    )
+        "doc_id", F.explode(shingles_expr(F.col(text_col), n)).alias("sh_str"),
+    ).select("doc_id", F.xxhash64("sh_str").alias("shingle"))
+    # The posting relation feeds FIVE plan sites (the df count and both
+    # sides of two self-joins); left lazy, every site re-tokenizes and
+    # re-shingles the whole corpus. Materialize it ONCE — hashed to
+    # int64 first, so what is stored and shuffled is 16 bytes/row, an
+    # order of magnitude under the raw shingle strings (collision odds
+    # across S distinct shingles ~ S^2/2^65: the same accepted-risk
+    # discipline as the md5->int64 dedup fingerprints).
+    sh = sh.localCheckpoint(eager=True)
+    # shingles_expr emits DISTINCT shingles per doc, so the per-doc
+    # count of the posting relation IS |shingle set| — no second
+    # corpus scan for sizes (docs with < n tokens have no shingles,
+    # hence no candidates; dropping them here is vacuous).
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
