@@ -113,14 +113,19 @@ def ngram_contamination(
 
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    # join on int64 shingle hashes, not the strings: the broadcast
+    # table carries 8-byte keys instead of n-word strings and the
+    # stream-side probe hashes once per shingle (collision odds across
+    # S distinct shingles ~ S^2/2^65 — the jaccard/fingerprint
+    # discipline)
     tsh = train.select(
         F.col("doc_id").alias("train_doc_id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
-    )
+        F.explode(shingles_expr(F.col(text_col), n)).alias("sh_str"),
+    ).select("train_doc_id", F.xxhash64("sh_str").alias("shingle"))
     esh = eval_docs.select(
         F.col("doc_id").alias("eval_doc_id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
-    )
+        F.explode(shingles_expr(F.col(text_col), n)).alias("sh_str"),
+    ).select("eval_doc_id", F.xxhash64("sh_str").alias("shingle"))
     # materialize the small eval side ONCE: the gate probe and the join
     # would otherwise each re-evaluate its source (expensive when eval
     # is itself a derived/filtered view of a big table)
