@@ -614,6 +614,17 @@ def main() -> None:
         ).collect(),
         timings,
     )
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_match_phrase_prefix,
+    )
+
+    timed_min(
+        "phrase_prefix",
+        lambda: search_match_phrase_prefix(
+            spark, pos_index, "sw0 sw", k=10,
+        ).collect(),
+        timings,
+    )
     timed_min(
         "substring_search",
         lambda: search_substring(

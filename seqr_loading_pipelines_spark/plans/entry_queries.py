@@ -2988,6 +2988,84 @@ FROM hits ORDER BY phrase_tf DESC, doc_id LIMIT {k}
 SQL_INDEX_PHRASE_SEARCH = _sql_phrase(PHRASE_QUERY.split(), 10)
 
 
+MPP_QUERY = "slow b"  # expansions at sf0.01: {batch, big} — a real
+# multi-expansion prefix, under the 64-term cap so engine == oracle
+
+
+def q_index_phrase_prefix(spark, sf_dir):
+    """Match-phrase-prefix (ES ``match_phrase_prefix``, the
+    autocomplete query) through the REAL index path: positional build,
+    df-descending prefix expansion against the term dictionary, the
+    expansions' shifted position lists merged into the final query
+    offset BEFORE the conjunctive intersect (query/phrase.py). Oracle:
+    the adjacency self-join with a LIKE on the last token. Over-fetch
+    + external-id re-rank, same tie-rule rationale as
+    q_index_phrase_search."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_match_phrase_prefix,
+    )
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_match_phrase_prefix(spark, index, MPP_QUERY, k=500)
+    hyd = hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"), "phrase_tf",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _sql_phrase_prefix(exact: list[str], prefix: str, k: int) -> str:
+    """DuckDB oracle: the phrase adjacency self-join with the LAST
+    position matched by prefix (LIKE) instead of equality."""
+    joins, conds = [], []
+    if exact:
+        conds.append(f"t0.tok = '{exact[0]}'")
+        for i in range(1, len(exact)):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i}",
+            )
+            conds.append(f"t{i}.tok = '{exact[i]}'")
+        li = len(exact)
+        joins.append(
+            f"JOIN toks t{li} ON t{li}.doc_id = t0.doc_id "
+            f"AND t{li}.pos = t0.pos + {li}",
+        )
+        conds.append(f"t{li}.tok LIKE '{prefix}%'")
+    else:
+        conds.append(f"t0.tok LIKE '{prefix}%'")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+), hits AS (
+  SELECT t0.doc_id, count(*)::INT AS phrase_tf
+  FROM toks t0 {" ".join(joins)}
+  WHERE {" AND ".join(conds)}
+  GROUP BY t0.doc_id
+)
+SELECT doc_id, phrase_tf,
+       row_number() OVER (ORDER BY phrase_tf DESC, doc_id)::INT AS rank
+FROM hits ORDER BY phrase_tf DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_INDEX_PHRASE_PREFIX = _sql_phrase_prefix(
+    MPP_QUERY.split()[:-1], MPP_QUERY.split()[-1], 10,
+)
+
+
 NEAR_QUERY = ("slow", "batch")
 NEAR_WINDOW = 2
 
@@ -4143,6 +4221,7 @@ QUERIES = {
     "index_bm25_filtered": q_index_bm25_filtered,
     "index_prefix_search": q_index_prefix_search,
     "index_phrase_search": q_index_phrase_search,
+    "index_phrase_prefix": q_index_phrase_prefix,
     "index_near_search": q_index_near_search,
     "index_substring_search": q_index_substring_search,
     "index_bm25_and": q_index_bm25_and,
@@ -4248,6 +4327,7 @@ ORACLE_SQL = {
     "index_bm25_filtered": SQL_INDEX_BM25_FILTERED,
     "index_prefix_search": SQL_INDEX_PREFIX_SEARCH,
     "index_phrase_search": SQL_INDEX_PHRASE_SEARCH,
+    "index_phrase_prefix": SQL_INDEX_PHRASE_PREFIX,
     "index_near_search": SQL_INDEX_NEAR_SEARCH,
     "index_substring_search": SQL_INDEX_SUBSTRING_SEARCH,
     "index_bm25_and": SQL_INDEX_BM25_AND,

@@ -192,3 +192,122 @@ def search_span_first(
     return ranked.select(
         "doc_id", "first_pos", F.row_number().over(w).alias("rank"),
     )
+
+
+def search_match_phrase_prefix(
+    spark: SparkSession,
+    index: dict,
+    phrase_text: str,
+    k: int = 10,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Match-phrase-prefix (ES ``match_phrase_prefix`` — the
+    autocomplete query): every token but the last must match exactly,
+    adjacent and in order; the LAST token matches any dictionary term
+    it prefixes, expanded df-descending and capped at
+    ``max_expansions`` (Lucene's MultiTermQuery rewrite discipline,
+    shared with ``search_prefix``). phrase_tf = distinct start offsets
+    where the exact head aligns and the following token is any
+    expansion; ranked (phrase_tf desc, doc_id asc), bounded top-k.
+    Requires ``IndexBuilder(positions=True)``.
+
+    Shape mirrors ``search_phrase`` with ONE extra doc-grained hash
+    agg: all expansions share the final query offset, so their shifted
+    position lists merge (flatten + distinct) per (doc, offset) BEFORE
+    the conjunctive all-offsets-present gate — without the merge a doc
+    matching two expansions would double-count the final offset and a
+    doc matching none would slip the gate. Both aggs run over rows
+    already restricted to the phrase's (pushed ``term_id IN``) terms.
+
+    Reference analog: the reference's ES export served autocomplete
+    off the same search tables its phrase/token match used
+    (test_clickhouse_schema.sql:86-120); this is that surface over the
+    positional projection.
+    """
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        PREFIX_MAX_EXPANSIONS,
+        expand_prefix,
+    )
+
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable phrase queries",
+        )
+    if max_expansions is None:
+        max_expansions = PREFIX_MAX_EXPANSIONS
+    terms = tokenize_py(phrase_text)
+    if not terms:
+        return _empty(spark)
+    *exact, prefix = terms
+    exp_tids = sorted(
+        {i["term_id"] for i in expand_prefix(index, prefix, max_expansions)},
+    )
+    if not exp_tids:
+        return _empty(spark)
+    if exact:
+        infos = _query_terms(index, " ".join(exact))
+        tid_by_term = {i["term"]: i["term_id"] for i in infos}
+        if any(t not in tid_by_term for t in exact):
+            return _empty(spark)
+        qoffs = [(qi, tid_by_term[t]) for qi, t in enumerate(exact)]
+    else:
+        qoffs = []
+    last_qi = len(terms) - 1
+    n_off = len(terms)
+    pairs = sorted(set(qoffs) | {(last_qi, tid) for tid in exp_tids})
+
+    pos = index["positions"].filter(
+        F.col("term_id").isin(sorted({tid for _, tid in pairs})),
+    )
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    qdf = spark.createDataFrame(pairs, "qi int, term_id long")
+    shifted = pos.join(F.broadcast(qdf), "term_id").select(
+        "doc_id",
+        "qi",
+        F.transform("pos", lambda p: p - F.col("qi")).alias("shifted"),
+    )
+    # merge the expansions' lists per (doc, offset): exact offsets have
+    # one row each (flatten of one list is that list), the last offset
+    # unions its expansions
+    per_off = shifted.groupBy("doc_id", "qi").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("shifted"))),
+        ).alias("shifted"),
+    )
+    grouped = (
+        per_off.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_off"),
+            F.array_sort(
+                F.collect_list(F.struct("qi", "shifted")),
+            ).alias("arrs"),
+        )
+        # conjunctive gate: every query offset must be present
+        .filter(F.col("n_off") == n_off)
+    )
+    first = F.col("arrs")[0]["shifted"]
+    if n_off == 1:
+        inter = first
+    else:
+        inter = F.aggregate(
+            F.slice("arrs", 2, n_off - 1),
+            first,
+            lambda acc, x: F.array_intersect(acc, x["shifted"]),
+        )
+    scored = grouped.select(
+        "doc_id", F.size(inter).alias("phrase_tf"),
+    ).filter(F.col("phrase_tf") > 0)
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", F.col("phrase_tf").cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", F.col("score").cast("int").alias("phrase_tf"), "rank",
+    )

@@ -269,3 +269,142 @@ def test_span_first_golden_and_edges(spark, pos_index):
         search_span_first(spark, pos_index, "a b", n=3)
     with pytest.raises(ValueError, match="n must be"):
         search_span_first(spark, pos_index, "a", n=0)
+
+
+# ---- match_phrase_prefix (autocomplete) ----------------------------
+
+MPP_DOCS = [
+    # (repo, path, commit, lang, content)
+    ("r0", "m0.py", "c0", "python", "new batch job"),
+    ("r0", "m1.py", "c1", "python", "new batcher started"),
+    ("r0", "m2.py", "c2", "python", "old batch job new bat"),
+    ("r0", "m3.py", "c3", "python", "new bath time"),
+    ("r0", "m4.py", "c4", "python", "new batch new batcher"),
+    ("r1", "m5.py", "c5", "go", "batch without the lead token"),
+    ("r1", "m6.py", "c6", "go", "new unrelated word"),
+    ("r1", "m7.py", "c7", "go", "batch batcher bat"),
+]
+
+
+def _naive_mpp(content: str, exact: list, prefix: str) -> int:
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    n = len(exact) + 1
+    return sum(
+        1
+        for i in range(len(toks) - n + 1)
+        if toks[i : i + n - 1] == exact and toks[i + n - 1].startswith(prefix)
+    )
+
+
+@pytest.fixture(scope="module")
+def mpp_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("mpp_index"))
+    corpus = spark.createDataFrame(
+        MPP_DOCS, "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    IndexBuilder(spark, root, positions=True).build(corpus, "mpp-test")
+    idx = load_index(spark, root)
+    idx["_by_path"] = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("doc_id", "path").collect()
+    }
+    return root, idx
+
+
+def _mpp(spark, idx, text, **kw):
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_match_phrase_prefix,
+    )
+
+    return {
+        r["doc_id"]: r["phrase_tf"]
+        for r in search_match_phrase_prefix(spark, idx, text, **kw).collect()
+    }
+
+
+def test_mpp_matches_naive_golden(spark, mpp_index):
+    _, idx = mpp_index
+    got = _mpp(spark, idx, "new bat")
+    by_doc = {idx["_by_path"][p]: c for _, p, _, _, c in MPP_DOCS}
+    want = {
+        d: _naive_mpp(c, ["new"], "bat")
+        for d, c in by_doc.items()
+        if _naive_mpp(c, ["new"], "bat") > 0
+    }
+    assert got == want
+    # the multi-expansion doc counts each start once (no double count)
+    assert got[idx["_by_path"]["m4.py"]] == 2
+    # 'new bath' matches via the bath expansion
+    assert idx["_by_path"]["m3.py"] in got
+    # right token, wrong left neighbor: absent
+    assert idx["_by_path"]["m5.py"] not in got
+    assert idx["_by_path"]["m6.py"] not in got
+
+
+def test_mpp_prefix_only_unions_expansions(spark, mpp_index):
+    _, idx = mpp_index
+    got = _mpp(spark, idx, "bat")
+    # every doc containing any bat* token, tf = distinct positions
+    assert got[idx["_by_path"]["m7.py"]] == 3
+    assert got[idx["_by_path"]["m2.py"]] == 2  # batch + bat
+    assert got[idx["_by_path"]["m0.py"]] == 1
+
+
+def test_mpp_full_term_is_phrase_identity(spark, mpp_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    _, idx = mpp_index
+    a = _mpp(spark, idx, "new batcher")
+    b = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in search_phrase(spark, idx, "new batcher").collect()
+    }
+    assert a == b and a  # non-empty ('batcher' has one expansion: itself)
+
+
+def test_mpp_max_expansions_caps_df_descending(spark, mpp_index):
+    _, idx = mpp_index
+    # df: batch appears in 5 docs, batcher 3, bat 2, bath 1 -> cap 1
+    # keeps only 'batch'
+    got = _mpp(spark, idx, "new bat", max_expansions=1)
+    by_path = idx["_by_path"]
+    assert by_path["m0.py"] in got and by_path["m3.py"] not in got
+
+
+def test_mpp_absent_prefix_and_absent_exact_term(spark, mpp_index):
+    _, idx = mpp_index
+    assert _mpp(spark, idx, "new zzz") == {}
+    assert _mpp(spark, idx, "zzz bat") == {}
+    assert _mpp(spark, idx, "@@@ ###") == {}
+
+
+def test_mpp_requires_positions(spark, index):
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_match_phrase_prefix,
+    )
+
+    with pytest.raises(ValueError, match="positions"):
+        search_match_phrase_prefix(spark, index, "sw0 sw")
+
+
+def test_mpp_rank_deterministic_and_bounded(spark, mpp_index):
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_match_phrase_prefix,
+    )
+
+    _, idx = mpp_index
+    rows = search_match_phrase_prefix(spark, idx, "new bat", k=3).collect()
+    assert len(rows) == 3
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    tfs = [r["phrase_tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    again = search_match_phrase_prefix(spark, idx, "new bat", k=3).collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [
+        (r["doc_id"], r["rank"]) for r in again
+    ]
