@@ -584,6 +584,27 @@ def main() -> None:
         timings,
     )
 
+    # sequence packing over the whole corpus: tokenize-count + the
+    # distributed two-level prefix sum
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    _plens = _tdocs.select(
+        "doc_id",
+        F.size(tokenize_expr(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    timed_min(
+        "sequence_packing",
+        lambda: pack_sequences(_plens, 2048)
+        .agg(F.max("pack_id"))
+        .collect(),
+        timings,
+    )
+
     # phrase + substring retrieval over the positional and trigram
     # projections: ONE build with both enabled (single-shot artifact
     # build, like the ANN indexes — timed separately so the headline

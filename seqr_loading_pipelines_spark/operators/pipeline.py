@@ -224,3 +224,113 @@ def curate_corpus(
         reason.alias("reason"),
         reason.isNull().alias("kept"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing — assign docs to fixed-capacity training
+    context windows, GPT-style (documents concatenate in ``id_col``
+    order and CUT every ``capacity`` tokens; a doc may span packs).
+    For every input doc emits ``(id, n_tokens, global_start, pack_id,
+    pack_offset, n_packs)``: its token offset in the concatenated
+    stream, the window it starts in, its offset within that window,
+    and how many windows it spans — everything a loader needs to
+    materialize any pack by reading just the docs that intersect it.
+    The assignment is a pure function of (ids, lengths, capacity):
+    bit-identical on any cluster size or engine (the reproducibility
+    contract of ``split_corpus``).
+
+    Scale shape: the global running total is a DISTRIBUTED prefix sum,
+    never a single-partition window — docs bucket by deterministic id
+    range (min/max agg, fixed-width buckets: no RangePartitioner
+    sampling, so every recomputation sees identical bucketing), each
+    bucket cumsums locally under a per-bucket window, and the
+    ``n_buckets`` bucket totals (ONE small row set) come to the driver
+    to compute the prefix offsets each bucket adds back via a
+    broadcast join. Two keyed exchanges total (the per-bucket window's
+    and the totals agg's partial), nothing global. Zero-length docs
+    occupy no tokens; they report the pack they fall at with
+    ``n_packs = 1``.
+
+    Reference analog: the reference's export path writes
+    fixed-row-group parquet for its serving loads
+    (write_new_entries_parquet.py); packing is that discipline at
+    token granularity for training loaders.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    d = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(len_col).cast("long").alias("_len"),
+    )
+    bounds = d.agg(
+        F.min("_id").alias("mn"), F.max("_id").alias("mx"),
+    ).collect()[0]
+    if bounds["mn"] is None:
+        return docs.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, {len_col} long, global_start long, "
+            "pack_id long, pack_offset long, n_packs long",
+        )
+    # bucket in DOUBLE precision: ids may span the full int64 range
+    # (hash-assigned ids), where (id - mn) overflows long under ANSI.
+    # The bucketing only has to be deterministic and MONOTONE in id
+    # (long->double cast, subtraction by a constant, division by a
+    # positive constant, and floor are all monotone) — bucket EDGES
+    # need not be exact, only stable across recomputations.
+    mn, mx = int(bounds["mn"]), int(bounds["mx"])
+    width = max(1.0, (float(mx) - float(mn) + 1.0) / n_buckets)
+    d = d.withColumn(
+        "_bucket",
+        F.floor(
+            (F.col("_id").cast("double") - F.lit(float(mn))) / F.lit(width),
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum("_len").over(w), F.lit(0))
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in d.groupBy("_bucket").agg(F.sum("_len").alias("t")).collect()
+    }
+    acc, offs = 0, []
+    for b in sorted(totals):
+        offs.append((int(b), acc))
+        acc += int(totals[b])
+    odf = docs.sparkSession.createDataFrame(offs, "_bucket long, _off long")
+    start = (local + F.col("_off")).alias("global_start")
+    out = (
+        d.join(F.broadcast(odf), "_bucket")
+        .select("_id", "_len", start)
+        .withColumn("pack_id", F.floor(F.col("global_start") / capacity))
+        .withColumn(
+            "pack_offset", F.col("global_start") % capacity,
+        )
+        .withColumn(
+            "n_packs",
+            F.floor(
+                (F.col("global_start") + F.greatest("_len", F.lit(1)) - 1)
+                / capacity,
+            )
+            - F.col("pack_id")
+            + 1,
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_len").alias(len_col),
+        "global_start",
+        "pack_id",
+        "pack_offset",
+        "n_packs",
+    )

@@ -2467,6 +2467,53 @@ FROM (
 """
 
 
+PACK_CAPACITY = 512
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (operators/pipeline.py pack_sequences):
+    GPT-style concat-and-chunk assignment of docs to fixed-capacity
+    training windows — a distributed two-level prefix sum (bucketed
+    local cumsum + driver-side bucket offsets), never a
+    single-partition window. The assignment is a pure function of
+    (ids, token counts, capacity), so the oracle recomputes it exactly
+    with a SQL window cumsum."""
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize_expr(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, PACK_CAPACITY)
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_T})::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS global_start
+  FROM t
+)
+SELECT doc_id, n_tokens, global_start,
+       (global_start // {PACK_CAPACITY})::BIGINT AS pack_id,
+       (global_start % {PACK_CAPACITY})::BIGINT AS pack_offset,
+       ((global_start + greatest(n_tokens, 1) - 1) // {PACK_CAPACITY}
+        - global_start // {PACK_CAPACITY} + 1)::BIGINT AS n_packs
+FROM s
+"""
+
+
 CURATE_LANGS = ("de", "en")
 CURATE_MIN_QUALITY = 0.3
 
@@ -4249,6 +4296,7 @@ QUERIES = {
     "index_composite_agg": q_index_composite_agg,
     "training_curation": q_training_curation,
     "corpus_split": q_corpus_split,
+    "sequence_packing": q_sequence_packing,
     "index_span_first": q_index_span_first,
     "index_decay_score": q_index_decay_score,
     "index_percentile_ranks": q_index_percentile_ranks,
@@ -4355,6 +4403,7 @@ ORACLE_SQL = {
     "index_composite_agg": SQL_INDEX_COMPOSITE_AGG,
     "training_curation": SQL_TRAINING_CURATION,
     "corpus_split": SQL_CORPUS_SPLIT,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
     "index_span_first": SQL_INDEX_SPAN_FIRST,
     "index_decay_score": SQL_INDEX_DECAY_SCORE,
     "index_percentile_ranks": SQL_INDEX_PERCENTILE_RANKS,

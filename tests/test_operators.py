@@ -875,3 +875,80 @@ def test_sample_corpus_nested_deterministic(spark):
     assert sample_corpus(extra, {}, default_rate=1.0).count() == 1
     with pytest.raises(ValueError, match="rate for"):
         sample_corpus(docs, {"s0": 1.5})
+
+
+# ---- sequence packing ------------------------------------------------
+
+
+def _naive_pack(rows, capacity):
+    out, acc = {}, 0
+    for i, n in sorted(rows):
+        first = acc // capacity
+        last = (acc + max(n, 1) - 1) // capacity
+        out[i] = (n, acc, first, acc % capacity, last - first + 1)
+        acc += n
+    return out
+
+
+def test_pack_sequences_golden_and_bucket_invariance(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    rows = [(7, 5), (1, 3), (12, 0), (3, 10), (9, 4), (42, 17), (2, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    want = _naive_pack(rows, 8)
+    got_by_buckets = []
+    for nb in (1, 3, 64):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["global_start"],
+                r["pack_id"],
+                r["pack_offset"],
+                r["n_packs"],
+            )
+            for r in pack_sequences(df, 8, n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+        got_by_buckets.append(got)
+    # the assignment is a pure function of (ids, lengths, capacity):
+    # identical at every parallelism level
+    assert got_by_buckets[0] == got_by_buckets[1] == got_by_buckets[2]
+    # a doc longer than capacity spans multiple packs
+    assert got[42] == (17, 28, 3, 4, 3)
+
+
+def test_pack_sequences_zero_len_and_empty(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 4)], "doc_id long, n_tokens long",
+    )
+    got = {
+        r["doc_id"]: (r["global_start"], r["pack_id"], r["n_packs"])
+        for r in pack_sequences(df, 4).collect()
+    }
+    # the zero-length doc occupies no tokens and reports one pack
+    assert got[1] == (0, 0, 1)
+    assert got[2] == (0, 0, 1)
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(empty, 4).count() == 0
+    assert pack_sequences(empty, 4).columns == [
+        "doc_id", "n_tokens", "global_start", "pack_id", "pack_offset",
+        "n_packs",
+    ]
+
+
+def test_pack_sequences_validation(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(df, 8, n_buckets=0)
