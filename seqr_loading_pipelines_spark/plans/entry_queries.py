@@ -2967,6 +2967,66 @@ SQL_INDEX_BM25_NOT = _sql_bm25(
 )
 
 
+NEGATIVE_BOOST = 0.5
+
+
+def q_index_bm25_boosting(spark, sf_dir):
+    """ES ``boosting`` query through the REAL index path: disjunctive
+    BM25 over the reference terms where docs containing the demoted
+    term KEEP their match but their score multiplies by negative_boost
+    (query/bm25.py search_boosting) — demotion, the middle ground
+    between must_not's hard exclusion and plain relevance. Same terms
+    and demoted term as index_bm25_not so the two rows bracket the
+    exclusion-vs-demotion contract. Oracle: the BM25 CTE plus a LEFT
+    JOIN against the demoted doc set and a conditional multiply before
+    ranking — statistics stay corpus-level on both sides."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_boosting,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_boosting(
+        spark, index, " ".join(BM25_QUERY_TERMS), BM25_EXCLUDE_TERM,
+        negative_boost=NEGATIVE_BOOST, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_boosting(
+    terms: list[str], neg_terms: list[str], negative_boost: float, k: int,
+) -> str:
+    """DuckDB oracle for the boosting query: the shared BM25 CTE, then
+    every doc holding ANY demoted term has its score multiplied by
+    ``negative_boost`` BEFORE quantized ranking (matching the engine's
+    demote-then-rank order in search_boosting)."""
+    neg_list = ", ".join(f"'{t}'" for t in sorted(set(neg_terms)))
+    return _sql_bm25_cte(terms) + f""",
+demoted AS (
+  SELECT doc_id FROM documents WHERE list_has_any({_T}, [{neg_list}])
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT scored.doc_id,
+           CASE WHEN demoted.doc_id IS NOT NULL
+                THEN scored.s * {negative_boost} ELSE scored.s END AS s
+    FROM scored LEFT JOIN demoted ON scored.doc_id = demoted.doc_id
+  )
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_BM25_BOOSTING = _sql_bm25_boosting(
+    BM25_QUERY_TERMS, [BM25_EXCLUDE_TERM], NEGATIVE_BOOST, 10,
+)
+
+
 PHRASE_QUERY = "slow hash batch"
 
 
@@ -4273,6 +4333,7 @@ QUERIES = {
     "index_substring_search": q_index_substring_search,
     "index_bm25_and": q_index_bm25_and,
     "index_bm25_not": q_index_bm25_not,
+    "index_bm25_boosting": q_index_bm25_boosting,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -4380,6 +4441,7 @@ ORACLE_SQL = {
     "index_substring_search": SQL_INDEX_SUBSTRING_SEARCH,
     "index_bm25_and": SQL_INDEX_BM25_AND,
     "index_bm25_not": SQL_INDEX_BM25_NOT,
+    "index_bm25_boosting": SQL_INDEX_BM25_BOOSTING,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

@@ -669,6 +669,62 @@ def search_not(
     return rank_topk(scored, k)
 
 
+def search_boosting(
+    spark: SparkSession,
+    index: dict,
+    positive_text: str,
+    negative_text: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """Boosting query (ES ``boosting``): disjunctive BM25 over
+    ``positive_text``; a doc containing ANY token of
+    ``negative_text`` KEEPS its match but its score multiplies by
+    ``negative_boost`` — demotion, the middle ground between
+    ``search_not``'s hard exclusion and plain relevance (ES bounds
+    negative_boost to [0, 1]; 0 ranks demoted docs last without
+    dropping them). Corpus statistics stay corpus-level, and the
+    demotion never changes WHICH docs match — only their order.
+
+    Shape mirrors ``search_not``: one pruned posting scan per side,
+    the demotion side decodes only doc ids and LEFT-joins the
+    positives (distributed, never broadcast ungated — a stop-word
+    demotion legitimately matches most of the corpus), one
+    conditional multiply, bounded top-k."""
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError(
+            f"negative_boost must be in [0, 1], got {negative_boost}",
+        )
+    term_infos = _query_terms(index, positive_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    neg_infos = _query_terms(index, negative_text)
+    if neg_infos:
+        demoted = (
+            _decoded_postings(index, neg_infos)
+            .select("doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(True))
+        )
+        scored = (
+            scored.join(demoted, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.when(
+                    F.col("_neg"), F.col("score") * negative_boost,
+                ).otherwise(F.col("score")),
+            )
+            .drop("_neg")
+        )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
 def expand_prefix(
     index: dict, prefix: str, max_expansions: int = PREFIX_MAX_EXPANSIONS,
 ) -> list[dict]:

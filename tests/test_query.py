@@ -413,3 +413,99 @@ def test_not_edge_cases(spark, index):
     assert search_not(spark, index, "", "sw0", 10).count() == 0
     # excluding every positive term -> empty (must_not wins)
     assert search_not(spark, index, "sw0", "sw0", 10).count() == 0
+
+
+# ---------------------------------------------------------------------
+# boosting / demotion (query/bm25.py search_boosting)
+# ---------------------------------------------------------------------
+
+
+def test_boosting_rank_identity_vs_oracle(spark, index, oracle):
+    """search_boosting == the oracle's exact scores with docs holding
+    the demoted term multiplied by negative_boost BEFORE the shared
+    quantize-then-rank tie rule (demotion changes order, never the
+    match set; statistics stay corpus-level)."""
+    import math
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_boosting
+
+    q, neg, nb = "sw0 term_00042", "sw1", 0.25
+    terms = sorted(set(q.split()))
+    golden = sorted(
+        (
+            (
+                oracle.doc_ids[i],
+                oracle.score_doc(i, terms)
+                * (nb if oracle.tf[i].get(neg, 0) > 0 else 1.0),
+            )
+            for i in range(oracle.n_docs)
+            if any(oracle.tf[i].get(t, 0) > 0 for t in terms)
+        ),
+        key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]),
+    )
+    assert any(
+        oracle.tf[i].get(neg, 0) > 0
+        and any(oracle.tf[i].get(t, 0) > 0 for t in terms)
+        for i in range(oracle.n_docs)
+    ), "demotion must hit at least one matching doc in the test corpus"
+    k = min(10, len(golden))
+    expect = [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(golden[:k])
+    ]
+    assert _collect(
+        search_boosting(spark, index, q, neg, negative_boost=nb, k=k),
+    ) == expect
+
+
+def test_boosting_keeps_matches_and_scales_demoted(spark, index):
+    """Same match set as search_exact; demoted scores are exactly
+    negative_boost * exact, undemoted scores untouched."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_boosting,
+        search_exact,
+    )
+
+    q, neg, nb = "sw0 sw1 term_00042", "term_00042", 0.5
+    demoted = {
+        r["doc_id"] for r in search_exact(spark, index, neg, 500).collect()
+    }
+    full = {
+        r["doc_id"]: r["score"]
+        for r in search_exact(spark, index, q, 500).collect()
+    }
+    got = search_boosting(
+        spark, index, q, neg, negative_boost=nb, k=500,
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(full)
+    for r in got:
+        want = full[r["doc_id"]] * (nb if r["doc_id"] in demoted else 1.0)
+        assert abs(r["score"] - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_boosting_edge_cases(spark, index):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_boosting,
+        search_exact,
+    )
+
+    # negative_boost=1.0 or an absent demoted term -> identical to exact
+    b = _collect(search_exact(spark, index, "sw0 term_00042", 10))
+    assert _collect(
+        search_boosting(spark, index, "sw0 term_00042", "sw1", 1.0, 10),
+    ) == b
+    assert _collect(
+        search_boosting(spark, index, "sw0 term_00042", "zz_no", 0.5, 10),
+    ) == b
+    # negative_boost=0 ranks demoted docs last (score 0) without dropping
+    n_exact = search_exact(spark, index, "sw0", 500).count()
+    zero = search_boosting(spark, index, "sw0", "sw0", 0.0, 500)
+    rows = zero.collect()
+    assert len(rows) == n_exact
+    assert all(r["score"] == 0.0 for r in rows)
+    # empty positive query -> empty result
+    assert search_boosting(spark, index, "", "sw0", 0.5, 10).count() == 0
+    # out-of-range negative_boost rejected (ES bounds it to [0, 1])
+    with _pytest.raises(ValueError):
+        search_boosting(spark, index, "sw0", "sw1", 1.5, 10)
