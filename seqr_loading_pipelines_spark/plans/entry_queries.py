@@ -269,6 +269,85 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 SQL_INDEX_PREFIX_SEARCH = _sql_bm25_prefix("s", 4, 10)
 
 
+WILDCARD_PATTERN = "?a*"
+WILDCARD_MAX_EXPANSIONS = 3
+
+
+def q_index_wildcard_search(spark, sf_dir):
+    """ES ``wildcard`` query through the REAL index path: the pattern
+    expands against the term dictionary (literal-prefix pushdown +
+    anchored regex, df-descending, capped at 3 — a BINDING rewrite
+    cap here: ?a* matches six corpus terms) -> disjunctive BM25
+    over the expanded terms (query/bm25.py search_wildcard). Oracle:
+    the same expansion + scoring in pure SQL via the shared
+    wildcard->regex translation."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_wildcard,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_wildcard(
+        spark, index, WILDCARD_PATTERN, k=10,
+        max_expansions=WILDCARD_MAX_EXPANSIONS,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_wildcard(pattern: str, max_expansions: int, k: int) -> str:
+    """Wildcard expansion + disjunctive BM25, mirroring
+    search_wildcard: expansion set = dictionary terms fully matching
+    the translated regex, ordered (df DESC, term ASC), capped at
+    max_expansions; each expanded term contributes its own
+    corpus-level idf."""
+    from seqr_loading_pipelines_spark.query.bm25 import wildcard_to_regex
+
+    regex = wildcard_to_regex(pattern)
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+flat AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE regexp_matches(term, '{regex}')
+),
+expanded AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM flat GROUP BY term
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN (SELECT term FROM expanded)
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN expanded e USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_WILDCARD_SEARCH = _sql_bm25_wildcard(
+    WILDCARD_PATTERN, WILDCARD_MAX_EXPANSIONS, 10,
+)
+
+
 def q_keyword_search_all(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     toks = tokenize_expr(F.col("text"))
@@ -4334,6 +4413,7 @@ QUERIES = {
     "index_bm25_and": q_index_bm25_and,
     "index_bm25_not": q_index_bm25_not,
     "index_bm25_boosting": q_index_bm25_boosting,
+    "index_wildcard_search": q_index_wildcard_search,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -4442,6 +4522,7 @@ ORACLE_SQL = {
     "index_bm25_and": SQL_INDEX_BM25_AND,
     "index_bm25_not": SQL_INDEX_BM25_NOT,
     "index_bm25_boosting": SQL_INDEX_BM25_BOOSTING,
+    "index_wildcard_search": SQL_INDEX_WILDCARD_SEARCH,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

@@ -903,6 +903,93 @@ def search_prefix(
     return rank_topk(scored, k)
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax -> an anchored regex: ``*`` matches any
+    run (including empty), ``?`` exactly one character, everything
+    else literal. The translation is metacharacter-safe (literals are
+    regex-escaped) and portable across Java regex and RE2 — the same
+    string drives the Spark filter and the DuckDB oracle."""
+    import re as _re
+
+    parts: list[str] = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(_re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def expand_wildcard(
+    index: dict, pattern: str, max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> list[dict]:
+    """Wildcard pattern -> the matching dictionary terms, highest-df
+    first (ties: term asc), capped at ``max_expansions`` — Lucene's
+    MultiTermQuery rewrite discipline, same cap rule as
+    ``expand_prefix``.
+
+    The literal prefix before the first wildcard becomes a
+    ``startswith`` predicate so the dictionary scan still prunes on
+    the term-sorted parquet's row-group min/max (an ES-documented
+    reason to avoid leading-``*`` patterns); the full pattern then
+    filters via an anchored regex. A pattern with no literal
+    characters at all (``*``, ``?*``…) is a full-dictionary scan, not
+    a query — refused, mirroring expand_prefix's empty-prefix rule."""
+    pattern = pattern.strip().lower()
+    if not pattern.replace("*", "").replace("?", ""):
+        raise ValueError(
+            f"wildcard pattern needs at least one literal character, "
+            f"got {pattern!r}",
+        )
+    n_docs = index["manifest"]["n_docs"]
+    scan = index["term_dict"]
+    literal_prefix = pattern.split("*", 1)[0].split("?", 1)[0]
+    if literal_prefix:
+        scan = scan.filter(F.col("term").startswith(literal_prefix))
+    rows = (
+        scan.filter(F.col("term").rlike(wildcard_to_regex(pattern)))
+        .select("term", "term_id", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [
+        {
+            "term": r["term"],
+            "term_id": int(r["term_id"]),
+            "idf": idf_fn(n_docs, int(r["df"])),
+        }
+        for r in rows
+    ]
+
+
+def search_wildcard(
+    spark: SparkSession,
+    index: dict,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = PREFIX_MAX_EXPANSIONS,
+) -> DataFrame:
+    """Wildcard query (ES ``wildcard``): expand the pattern against
+    the term dictionary (df-descending, capped), then score as the
+    disjunction of the expanded terms — rank-identical to
+    ``search_exact`` over the same expanded set, each variant
+    contributing its own corpus idf. A pattern without wildcards
+    degenerates to a single-term exact query."""
+    term_infos = expand_wildcard(index, pattern, max_expansions)
+    if not term_infos:
+        return _empty_topk(spark)
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    return rank_topk(scored, k)
+
+
 FUNCTION_SCORE_MODIFIERS = ("none", "log1p", "sqrt")
 
 

@@ -509,3 +509,85 @@ def test_boosting_edge_cases(spark, index):
     # out-of-range negative_boost rejected (ES bounds it to [0, 1])
     with _pytest.raises(ValueError):
         search_boosting(spark, index, "sw0", "sw1", 1.5, 10)
+
+
+# ---------------------------------------------------------------------
+# wildcard (query/bm25.py expand_wildcard / search_wildcard)
+# ---------------------------------------------------------------------
+
+
+def test_wildcard_rank_identity_vs_oracle(spark, index, oracle):
+    """search_wildcard == disjunctive BM25 over the dictionary terms
+    matching the translated regex, expansion capped (df desc, term
+    asc) — the Lucene MultiTermQuery rewrite discipline."""
+    import math
+    import re
+
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_wildcard,
+        wildcard_to_regex,
+    )
+
+    pat, cap, k = "term_0?04*", 3, 10
+    rx = re.compile(wildcard_to_regex(pat))
+    df = {}
+    for c in oracle.tf:
+        for t in c:
+            if rx.fullmatch(t):
+                df[t] = df.get(t, 0) + 1
+    expanded = sorted(df, key=lambda t: (-df[t], t))[:cap]
+    assert len(df) > cap, "cap must bind for this test to mean anything"
+    golden = sorted(
+        (
+            (oracle.doc_ids[i], oracle.score_doc(i, expanded))
+            for i in range(oracle.n_docs)
+            if any(oracle.tf[i].get(t, 0) > 0 for t in expanded)
+        ),
+        key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]),
+    )
+    k = min(k, len(golden))
+    expect = [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(golden[:k])
+    ]
+    assert _collect(
+        search_wildcard(spark, index, pat, k, cap),
+    ) == expect
+
+
+def test_wildcard_degenerate_and_prefix_equivalence(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_prefix,
+        search_wildcard,
+    )
+
+    # no wildcard chars -> single-term exact query
+    assert _collect(search_wildcard(spark, index, "term_00042", 10)) == (
+        _collect(search_exact(spark, index, "term_00042", 10))
+    )
+    # trailing-star == prefix query (literal-prefix pushdown branch)
+    assert _collect(search_wildcard(spark, index, "term_000*", 10, 4)) == (
+        _collect(search_prefix(spark, index, "term_000", 10, 4))
+    )
+
+
+def test_wildcard_edge_cases(spark, index):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        expand_wildcard,
+        search_wildcard,
+        wildcard_to_regex,
+    )
+
+    # all-wildcard pattern is a dictionary scan, not a query
+    for bad in ("*", "?", "*?*"):
+        with _pytest.raises(ValueError):
+            expand_wildcard(index, bad)
+    # nothing matches -> empty
+    assert search_wildcard(spark, index, "zz_absent*", 10).count() == 0
+    # ? is exactly one char: sw? hits sw0/sw1..., never bare sw-prefix
+    exp = {t["term"] for t in expand_wildcard(index, "sw?", 100)}
+    assert exp and all(len(t) == 3 and t.startswith("sw") for t in exp)
+    # regex metacharacters in the literal part stay literal
+    assert wildcard_to_regex("a.b*") == "^a\\.b.*$"
