@@ -3546,6 +3546,232 @@ LIMIT 10
 """
 
 
+_MATCH_ANY = "list_has_any({}, [{}])".format(
+    _T, ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS),
+)
+
+RARE_MAX_DOC_COUNT = 100
+
+
+def q_index_rare_terms(spark, sf_dir):
+    """ES ``rare_terms`` aggregation through the REAL index path: the
+    long-tail lang buckets (doc count <= threshold) over the whole
+    match set, count-ascending — the ordering ES refuses to serve via
+    ``terms`` because it doesn't compose from shard partials, and the
+    reason this is a distinct aggregation (query/facets.py
+    rare_terms_by). Oracle: GROUP BY + HAVING in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import rare_terms_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return rare_terms_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+        max_doc_count=RARE_MAX_DOC_COUNT,
+    )
+
+
+SQL_INDEX_RARE_TERMS = f"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE {_MATCH_ANY}
+GROUP BY lang
+HAVING count(*) <= {RARE_MAX_DOC_COUNT}
+ORDER BY n_docs ASC, lang ASC
+"""
+
+
+def q_index_multi_terms(spark, sf_dir):
+    """ES ``multi_terms`` aggregation through the REAL index path:
+    top-10 (lang, repo) compound-key buckets by doc count over the
+    match set (query/facets.py multi_terms_by) — the two-dimension
+    facet panel, distinct from composite_agg's exhaustive paginated
+    walk. Oracle: two-column GROUP BY with the full tie rule."""
+    from seqr_loading_pipelines_spark.query.facets import multi_terms_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return multi_terms_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), ["lang", "repo"],
+        top_n=10,
+    )
+
+
+SQL_INDEX_MULTI_TERMS = f"""
+SELECT lang, source AS repo, count(*) AS n_docs
+FROM documents
+WHERE {_MATCH_ANY}
+GROUP BY lang, source
+ORDER BY n_docs DESC, lang ASC, repo ASC
+LIMIT 10
+"""
+
+
+ADJACENCY_TERMS = ["batch", "spark", "vector"]
+
+
+def q_index_adjacency_matrix(spark, sf_dir):
+    """ES ``adjacency_matrix`` aggregation through the REAL index
+    path: three named single-term filters answered from the postings;
+    one bucket per filter plus one per pair intersection, keys joined
+    sorted-order with '&' — ES's exact key rule (query/facets.py
+    adjacency_matrix). Oracle: per-term match CTEs + pairwise-join
+    counts, empty buckets omitted on both sides."""
+    from seqr_loading_pipelines_spark.query.facets import adjacency_matrix
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return adjacency_matrix(
+        spark, index, {t: t for t in ADJACENCY_TERMS},
+    )
+
+
+def _sql_adjacency(terms: list[str]) -> str:
+    names = sorted(terms)
+    ctes = ",\n".join(
+        f"m_{t} AS (SELECT doc_id FROM documents "
+        f"WHERE list_contains({_T}, '{t}'))"
+        for t in names
+    )
+    singles = [
+        f"SELECT '{t}' AS key, count(*) AS doc_count FROM m_{t}"
+        for t in names
+    ]
+    pairs = [
+        f"SELECT '{a}&{b}' AS key, count(*) AS doc_count "
+        f"FROM m_{a} JOIN m_{b} USING (doc_id)"
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ]
+    body = "\nUNION ALL\n".join(singles + pairs)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT key, doc_count FROM ({body}) "
+        f"WHERE doc_count > 0 ORDER BY key"
+    )
+
+
+SQL_INDEX_ADJACENCY_MATRIX = _sql_adjacency(ADJACENCY_TERMS)
+
+
+def q_index_string_stats(spark, sf_dir):
+    """ES ``string_stats`` aggregation through the REAL index path:
+    length stats + Shannon entropy (bits, character distribution) of
+    the lang field over the match set (query/facets.py
+    string_stats_by) — ES's anomalous-field detector. Oracle: the
+    same char-frequency fold in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import string_stats_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return string_stats_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), field="lang",
+    ).select(
+        "n_docs",
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.round("avg_length", 4).alias("avg_length"),
+        F.round("entropy", 4).alias("entropy"),
+    )
+
+
+SQL_INDEX_STRING_STATS = f"""
+WITH matched AS (
+  SELECT lang FROM documents WHERE {_MATCH_ANY} AND lang IS NOT NULL
+),
+lens AS (
+  SELECT count(*) AS n_docs,
+         min(len(lang)) AS min_length,
+         max(len(lang)) AS max_length,
+         round(avg(len(lang)), 4) AS avg_length
+  FROM matched
+),
+freq AS (
+  SELECT ch, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(regexp_extract_all(lang, '.')) AS ch FROM matched)
+  GROUP BY ch
+),
+ent AS (
+  SELECT round(coalesce(-sum((c / t.s) * log2(c / t.s)), 0), 4) AS entropy
+  FROM freq, (SELECT sum(c) AS s FROM freq) t
+)
+SELECT n_docs, min_length, max_length, avg_length, entropy
+FROM lens CROSS JOIN ent
+"""
+
+
+WEIGHTED_AVG_TERM = "spark"
+
+
+def q_index_weighted_avg(spark, sf_dir):
+    """ES ``weighted_avg`` aggregation through the REAL index path:
+    doc_len weighted by the term frequency of one term, the weight
+    decoded straight off the posting (query/facets.py
+    weighted_avg_by) — no second corpus pass. Oracle: tf recomputed
+    from the token lists in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import weighted_avg_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return weighted_avg_by(spark, index, WEIGHTED_AVG_TERM).select(
+        "n_docs", F.round("weighted_avg", 4).alias("weighted_avg"),
+    )
+
+
+SQL_INDEX_WEIGHTED_AVG = f"""
+SELECT count(*) AS n_docs,
+       round(sum(dl * tf) / sum(tf), 4) AS weighted_avg
+FROM (
+  SELECT len({_T}) AS dl,
+         len(list_filter({_T}, x -> x = '{WEIGHTED_AVG_TERM}')) AS tf
+  FROM documents
+) WHERE tf > 0
+"""
+
+
+def q_date_histogram_pipeline(spark, sf_dir):
+    """ES ``date_histogram`` + the pipeline-aggregation family over
+    its bucket series: day buckets of events.ts carrying
+    ``cumulative_sum``, ``derivative`` (null first bucket — ES emits
+    no derivative there), and a 3-bucket trailing ``moving_avg``
+    (window includes the current bucket). The windows run AFTER the
+    aggregation, over the bucket series itself (cardinality = #days,
+    tiny at any corpus scale), declared single-partition via the
+    constant key — pipeline aggs are cheap by construction; only the
+    date_trunc hash agg touches the events table. Oracle: identical
+    window algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy(single_partition_key(buckets)).orderBy("bucket")
+    return buckets.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.sum("n_events")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumulative"),
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("derivative"),
+        F.round(F.avg("n_events").over(w.rowsBetween(-2, 0)), 4)
+        .alias("moving_avg"),
+    )
+
+
+SQL_DATE_HISTOGRAM_PIPELINE = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       n_events,
+       sum(n_events) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         AS cumulative,
+       n_events - lag(n_events) OVER (ORDER BY bucket) AS derivative,
+       round(avg(n_events) OVER (
+         ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
+FROM b
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -4414,6 +4640,12 @@ QUERIES = {
     "index_bm25_not": q_index_bm25_not,
     "index_bm25_boosting": q_index_bm25_boosting,
     "index_wildcard_search": q_index_wildcard_search,
+    "index_rare_terms": q_index_rare_terms,
+    "index_multi_terms": q_index_multi_terms,
+    "index_adjacency_matrix": q_index_adjacency_matrix,
+    "index_string_stats": q_index_string_stats,
+    "index_weighted_avg": q_index_weighted_avg,
+    "date_histogram_pipeline": q_date_histogram_pipeline,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -4523,6 +4755,12 @@ ORACLE_SQL = {
     "index_bm25_not": SQL_INDEX_BM25_NOT,
     "index_bm25_boosting": SQL_INDEX_BM25_BOOSTING,
     "index_wildcard_search": SQL_INDEX_WILDCARD_SEARCH,
+    "index_rare_terms": SQL_INDEX_RARE_TERMS,
+    "index_multi_terms": SQL_INDEX_MULTI_TERMS,
+    "index_adjacency_matrix": SQL_INDEX_ADJACENCY_MATRIX,
+    "index_string_stats": SQL_INDEX_STRING_STATS,
+    "index_weighted_avg": SQL_INDEX_WEIGHTED_AVG,
+    "date_histogram_pipeline": SQL_DATE_HISTOGRAM_PIPELINE,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

@@ -614,3 +614,249 @@ def stats_by(
             F.avg(value_col).alias("avg_v"),
         )
     )
+
+
+def _gated(matches: DataFrame, broadcast_max: int | None) -> DataFrame:
+    """Shared match-set join gate: small match sets broadcast into the
+    doc-store join (bounded probe), large ones shuffle once on doc_id."""
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if matches.limit(gate + 1).count() <= gate:
+        return F.broadcast(matches)
+    return matches
+
+
+def rare_terms_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    facet_col: str,
+    max_doc_count: int = 1,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``rare_terms`` aggregation: the long-tail
+    complement of ``facet_counts`` — every ``facet_col`` bucket whose
+    doc count over the match set is <= ``max_doc_count``, ordered
+    (n_docs asc, facet asc). ES motivates it as the terms-agg ordering
+    you cannot get by asking ``terms`` for count-ascending (that order
+    is unboundedly inaccurate under sharding; a <=threshold filter
+    composes exactly from per-shard partials, which is also why this
+    is one map-side-combining hash agg + a post-agg filter here).
+
+    Same scale shape as facets; output cardinality is the number of
+    rare buckets, and the HAVING prunes before any ordering."""
+    if max_doc_count < 1:
+        raise ValueError(
+            f"max_doc_count must be >= 1, got {max_doc_count}",
+        )
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    return (
+        index["doc_stats"]
+        .select("doc_id", facet_col)
+        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+        .orderBy(F.col("n_docs").asc(), F.col(facet_col).asc())
+    )
+
+
+def multi_terms_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    facet_cols: list[str],
+    top_n: int = 10,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``multi_terms`` aggregation: compound-key buckets
+    over several doc-store columns at once, top-n by doc count (ties:
+    key columns asc) — the panel ES renders when one facet dimension
+    is not selective enough (lang x repo, repo x commit). Distinct
+    from ``composite_agg``: this is a ranked TOP-N panel, composite is
+    an exhaustive paginated walk.
+
+    One hash agg on the compound key (map-side combining; output
+    cardinality = the product of realized key values, NOT n_docs),
+    then a bounded TakeOrdered for the panel."""
+    if not facet_cols or len(facet_cols) < 2:
+        raise ValueError("multi_terms needs at least two key columns")
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        schema = ", ".join(f"{c} string" for c in facet_cols)
+        return spark.createDataFrame([], f"{schema}, n_docs long")
+    return (
+        index["doc_stats"]
+        .select("doc_id", *facet_cols)
+        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .groupBy(*facet_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(
+            F.col("n_docs").desc(),
+            *[F.col(c).asc() for c in facet_cols],
+        )
+        .limit(top_n)
+    )
+
+
+def adjacency_matrix(
+    spark: SparkSession,
+    index: dict,
+    filters: dict[str, str],
+    separator: str = "&",
+) -> DataFrame:
+    """Elasticsearch ``adjacency_matrix`` aggregation: named filters
+    (here: disjunctive term queries answered from the postings), one
+    bucket per filter with its match count plus one per PAIR of
+    filters with the intersection count, keys ``a`` and ``a&b`` with
+    the pair key joining the two names in sorted order (ES's exact
+    key rule). Empty buckets are omitted (ES min_doc_count=1); output
+    is ordered key asc.
+
+    Scale shape: one pruned posting scan per filter tags matching doc
+    ids with the filter name; singles are one hash agg on the name.
+    Pairs come from a self-join on doc_id restricted to name<name —
+    the shuffle key is doc_id over the already-pruned match sets, and
+    the join fans out only where a doc genuinely sits in multiple
+    filters (bounded by |filters|^2 per doc, ES's own cost model —
+    the agg is documented as expensive and capped at ~100 filters).
+    """
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    if any(separator in name for name in filters):
+        raise ValueError(
+            f"filter names must not contain the separator {separator!r}",
+        )
+    tagged = None
+    for name in sorted(filters):
+        m = match_docs(index, filters[name])
+        if m is None:
+            continue
+        part = m.withColumn("name", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        return spark.createDataFrame([], "key string, doc_count long")
+    singles = tagged.groupBy(F.col("name").alias("key")).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.concat_ws(
+                separator, F.col("a.name"), F.col("b.name"),
+            ).alias("key"),
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return singles.unionByName(pairs).orderBy("key")
+
+
+def string_stats_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    field: str = "lang",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``string_stats`` aggregation over a doc-store
+    keyword field of the match set: one row ``(n_docs, min_length,
+    max_length, avg_length, entropy)`` where entropy is the Shannon
+    entropy (bits) of the field's CHARACTER distribution — ES's
+    signal for detecting anomalous/near-constant fields.
+
+    Scale shape: gated match join onto a two-column doc-store
+    projection; lengths reduce in one global agg. Entropy needs the
+    character frequency table: posexplode-free ``explode(split())``
+    fans each value into single chars, a hash agg counts per char
+    (output cardinality = alphabet size, tiny), and the final
+    -sum(p*log2 p) folds on the driver-side single row. Null field
+    values are excluded from both lengths and entropy (ES treats
+    missing as absent unless ``missing`` is set)."""
+    matches = match_docs(index, query_text, require_all=require_all)
+    empty_schema = (
+        "n_docs long, min_length int, max_length int, "
+        "avg_length double, entropy double"
+    )
+    if matches is None:
+        return spark.createDataFrame([], empty_schema)
+    vals = (
+        index["doc_stats"]
+        .select("doc_id", field)
+        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .filter(F.col(field).isNotNull())
+        .select(F.col(field).alias("v"))
+    )
+    lens = vals.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("v")).alias("min_length"),
+        F.max(F.length("v")).alias("max_length"),
+        F.avg(F.length("v")).alias("avg_length"),
+    )
+    freq = (
+        vals.select(
+            F.explode(F.array_remove(F.split("v", ""), "")).alias("ch"),
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = (
+        freq.withColumn(
+            "p", F.col("c") / F.sum("c").over(Window.partitionBy()),
+        )
+        .agg(
+            F.coalesce(
+                -F.sum(F.col("p") * F.log2("p")), F.lit(0.0),
+            ).alias("entropy"),
+        )
+    )
+    return lens.crossJoin(ent)
+
+
+def weighted_avg_by(
+    spark: SparkSession,
+    index: dict,
+    term: str,
+    value_col: str = "doc_len",
+) -> DataFrame:
+    """Elasticsearch ``weighted_avg`` aggregation with the term
+    frequency as the weight: sum(value * tf) / sum(tf) over every doc
+    containing ``term`` — the "how long are the docs that use this
+    term, weighted by how hard they use it" panel. One row:
+    ``(n_docs, weighted_avg)``.
+
+    Scale shape: ONE pruned posting scan decodes (doc_id, tf) for the
+    single term (the weight rides the posting — no second pass), the
+    value column joins from a two-column doc-store projection, and
+    the ratio folds in one global agg."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _decoded_postings,
+        _query_terms,
+    )
+
+    term_infos = _query_terms(index, term)
+    if not term_infos:
+        return spark.createDataFrame([], "n_docs long, weighted_avg double")
+    weights = _decoded_postings(index, term_infos, with_stats=True).select(
+        "doc_id", "tf",
+    )
+    return (
+        index["doc_stats"]
+        .select("doc_id", value_col)
+        .join(weights, "doc_id", "inner")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col(value_col) * F.col("tf")) / F.sum("tf")
+            ).alias("weighted_avg"),
+        )
+    )

@@ -517,3 +517,173 @@ def test_decay_score_golden_all_shapes(spark, index, oracle):
     assert search_decay_score(
         spark, index, "zz_nope_zz", "doc_len", 50, 25,
     ).count() == 0
+
+
+# ---------------------------------------------------------------------
+# rare_terms / multi_terms / adjacency_matrix / string_stats /
+# weighted_avg (query/facets.py)
+# ---------------------------------------------------------------------
+
+
+def _match_lang_counts(index, oracle, terms):
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    counts = {}
+    for i, doc_id in enumerate(oracle.doc_ids):
+        if any(oracle.tf[i].get(t, 0) for t in terms):
+            lang = lang_by_doc[doc_id]
+            counts[lang] = counts.get(lang, 0) + 1
+    return counts
+
+
+def test_rare_terms_python_golden(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import rare_terms_by
+
+    counts = _match_lang_counts(index, oracle, tokenize_py(QUERY))
+    threshold = sorted(counts.values())[len(counts) // 2]
+    assert any(c > threshold for c in counts.values()), (
+        "threshold must exclude at least one bucket to be a real test"
+    )
+    want = sorted(
+        ((l, c) for l, c in counts.items() if c <= threshold),
+        key=lambda lc: (lc[1], lc[0]),
+    )
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in rare_terms_by(
+            spark, index, QUERY, "lang", max_doc_count=threshold,
+        ).collect()
+    ]
+    assert got == want
+    # forced shuffle-join path identical
+    got2 = [
+        (r["lang"], r["n_docs"])
+        for r in rare_terms_by(
+            spark, index, QUERY, "lang",
+            max_doc_count=threshold, broadcast_max=0,
+        ).collect()
+    ]
+    assert got2 == want
+
+
+def test_rare_terms_validation_and_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import rare_terms_by
+
+    with pytest.raises(ValueError):
+        rare_terms_by(spark, index, QUERY, "lang", max_doc_count=0)
+    empty = rare_terms_by(spark, index, "zz_absent", "lang")
+    assert empty.columns == ["lang", "n_docs"] and empty.count() == 0
+
+
+def test_multi_terms_python_golden(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import multi_terms_by
+
+    meta = {
+        r["doc_id"]: (r["lang"], r["repo"])
+        for r in index["doc_stats"].select("doc_id", "lang", "repo").collect()
+    }
+    terms = tokenize_py(QUERY)
+    counts = {}
+    for i, doc_id in enumerate(oracle.doc_ids):
+        if any(oracle.tf[i].get(t, 0) for t in terms):
+            key = meta[doc_id]
+            counts[key] = counts.get(key, 0) + 1
+    want = sorted(
+        counts.items(), key=lambda kc: (-kc[1], kc[0][0], kc[0][1]),
+    )[:5]
+    got = [
+        ((r["lang"], r["repo"]), r["n_docs"])
+        for r in multi_terms_by(
+            spark, index, QUERY, ["lang", "repo"], top_n=5,
+        ).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        multi_terms_by(spark, index, QUERY, ["lang"])
+
+
+def test_adjacency_matrix_python_golden(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import adjacency_matrix
+
+    filters = {"q1": "sw0", "q2": "term_00042", "zz": "zz_absent"}
+    sets = {
+        name: {
+            oracle.doc_ids[i]
+            for i in range(oracle.n_docs)
+            if oracle.tf[i].get(text, 0) > 0
+        }
+        for name, text in filters.items()
+    }
+    want = []
+    names = sorted(filters)
+    for j, a in enumerate(names):
+        if sets[a]:
+            want.append((a, len(sets[a])))
+        for b in names[j + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want.append((f"{a}&{b}", inter))
+    want.sort()
+    got = [
+        (r["key"], r["doc_count"])
+        for r in adjacency_matrix(spark, index, filters).collect()
+    ]
+    assert got == want
+    assert not any(k.startswith("zz") for k, _ in got)
+    with pytest.raises(ValueError):
+        adjacency_matrix(spark, index, {})
+    with pytest.raises(ValueError):
+        adjacency_matrix(spark, index, {"a&b": "sw0"})
+
+
+def test_string_stats_python_golden(spark, index, oracle):
+    import math
+    from collections import Counter
+
+    from seqr_loading_pipelines_spark.query.facets import string_stats_by
+
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    vals = [
+        lang_by_doc[oracle.doc_ids[i]]
+        for i in range(oracle.n_docs)
+        if any(oracle.tf[i].get(t, 0) for t in terms)
+        and lang_by_doc[oracle.doc_ids[i]] is not None
+    ]
+    chars = Counter("".join(vals))
+    total = sum(chars.values())
+    entropy = -sum(
+        (c / total) * math.log2(c / total) for c in chars.values()
+    )
+    row = string_stats_by(spark, index, QUERY, field="lang").collect()[0]
+    assert row["n_docs"] == len(vals)
+    assert row["min_length"] == min(len(v) for v in vals)
+    assert row["max_length"] == max(len(v) for v in vals)
+    assert abs(row["avg_length"] - sum(map(len, vals)) / len(vals)) < 1e-9
+    assert abs(row["entropy"] - entropy) < 1e-9
+    empty = string_stats_by(spark, index, "zz_absent")
+    assert empty.count() == 0
+
+
+def test_weighted_avg_python_golden(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import weighted_avg_by
+
+    term = "term_00042"
+    num = den = n = 0
+    for i in range(oracle.n_docs):
+        tf = oracle.tf[i].get(term, 0)
+        if tf > 0:
+            num += oracle.doc_len[i] * tf
+            den += tf
+            n += 1
+    row = weighted_avg_by(spark, index, term).collect()[0]
+    assert row["n_docs"] == n
+    assert abs(row["weighted_avg"] - num / den) < 1e-9
+    empty = weighted_avg_by(spark, index, "zz_absent")
+    assert empty.columns == ["n_docs", "weighted_avg"]
+    assert empty.count() == 0
