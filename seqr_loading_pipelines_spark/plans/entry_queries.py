@@ -3772,6 +3772,167 @@ FROM b
 """
 
 
+def q_index_terms_set(spark, sf_dir):
+    """ES ``terms_set`` query through the REAL index path: docs
+    matching at least a PER-DOC number of the reference terms, the
+    threshold read from the doc store (minimum_should_match_field —
+    here a deterministic parity-derived field, 1 or 2 required
+    terms), scored as the disjunction of matched terms
+    (query/boolean.py search_terms_set). Oracle: the shared BM25 CTE
+    plus a per-doc distinct-matched-term count filtered against the
+    same parity threshold."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.boolean import search_terms_set
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_terms_set(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        required=(_orig_doc_id() % 2 + 1), k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_TERMS_SET = _sql_bm25_cte(BM25_QUERY_TERMS) + """,
+nm AS (SELECT doc_id, count(DISTINCT term) AS nm FROM tf GROUP BY doc_id)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored JOIN nm USING (doc_id)
+  WHERE nm >= (doc_id % 2) + 1
+) WHERE rank <= 10
+"""
+
+
+PINNED_ORIG_IDS = [7, 3]
+
+
+def q_index_pinned(spark, sf_dir):
+    """ES ``pinned`` query through the REAL index path: the two
+    listed docs come first in LISTED order with NULL score (pinning
+    overrides relevance; ES substitutes an artificial constant),
+    then the organic BM25 ranking with the pins excluded
+    (query/bm25.py search_pinned). The pin list arrives as external
+    keys and resolves through the doc store's pushed path filter.
+    Oracle: a literal pin page UNION'd over the BM25 CTE minus the
+    pinned ids, ranks shifted by the pin count."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_pinned,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    paths = ["doc_%08d.txt" % d for d in PINNED_ORIG_IDS]
+    by_path = {
+        r["path"]: r["doc_id"]
+        for r in index["doc_stats"]
+        .filter(F.col("path").isin(paths))
+        .select("path", "doc_id")
+        .collect()
+    }
+    pin_ids = [by_path[p] for p in paths if p in by_path]
+    topk = search_pinned(
+        spark, index, pin_ids, " ".join(BM25_QUERY_TERMS), k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_pinned(pin_ids: list[int], terms: list[str], k: int) -> str:
+    pins = "\nUNION ALL\n".join(
+        f"SELECT {d} AS doc_id, CAST(NULL AS DOUBLE) AS score, "
+        f"{i + 1} AS rank"
+        for i, d in enumerate(pin_ids)
+    )
+    not_in = ", ".join(str(d) for d in pin_ids)
+    p = len(pin_ids)
+    return _sql_bm25_cte(terms) + f"""
+SELECT doc_id, score, rank FROM (
+  {pins}
+  UNION ALL
+  SELECT doc_id, round(s, 4) AS score, rank + {p} AS rank FROM (
+    SELECT doc_id, s,
+           row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+    FROM scored WHERE doc_id NOT IN ({not_in})
+  ) WHERE rank <= {k - p}
+)
+"""
+
+
+SQL_INDEX_PINNED = _sql_pinned(PINNED_ORIG_IDS, BM25_QUERY_TERMS, 10)
+
+
+def q_index_boxplot(spark, sf_dir):
+    """ES ``boxplot`` aggregation through the REAL index path: the
+    per-lang five-number doc_len summary over the match set with
+    exact interpolated quartiles (query/facets.py boxplot_by).
+    Oracle: min/quantile_cont/max in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import boxplot_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return boxplot_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+    ).select(
+        "lang",
+        "n_docs",
+        "min_v",
+        F.round("q1", 4).alias("q1"),
+        F.round("q2", 4).alias("q2"),
+        F.round("q3", 4).alias("q3"),
+        "max_v",
+    )
+
+
+SQL_INDEX_BOXPLOT = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       min(len({_T})) AS min_v,
+       round(quantile_cont(len({_T}), 0.25), 4) AS q1,
+       round(quantile_cont(len({_T}), 0.50), 4) AS q2,
+       round(quantile_cont(len({_T}), 0.75), 4) AS q3,
+       max(len({_T})) AS max_v
+FROM documents
+WHERE {_MATCH_ANY}
+GROUP BY lang
+"""
+
+
+def q_index_mad(spark, sf_dir):
+    """ES ``median_absolute_deviation`` aggregation through the REAL
+    index path: per-lang robust dispersion of doc_len over the match
+    set, exact two-pass median-of-deviations (query/facets.py
+    mad_by). Oracle: DuckDB's mad() aggregate — the identical
+    definition with interpolated medians."""
+    from seqr_loading_pipelines_spark.query.facets import mad_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return mad_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+    ).select(
+        "lang",
+        "n_docs",
+        F.round("median_v", 4).alias("median_v"),
+        F.round("mad", 4).alias("mad"),
+    )
+
+
+SQL_INDEX_MAD = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(median(len({_T})), 4) AS median_v,
+       round(mad(len({_T})), 4) AS mad
+FROM documents
+WHERE {_MATCH_ANY}
+GROUP BY lang
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -4646,6 +4807,10 @@ QUERIES = {
     "index_string_stats": q_index_string_stats,
     "index_weighted_avg": q_index_weighted_avg,
     "date_histogram_pipeline": q_date_histogram_pipeline,
+    "index_terms_set": q_index_terms_set,
+    "index_pinned": q_index_pinned,
+    "index_boxplot": q_index_boxplot,
+    "index_mad": q_index_mad,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -4761,6 +4926,10 @@ ORACLE_SQL = {
     "index_string_stats": SQL_INDEX_STRING_STATS,
     "index_weighted_avg": SQL_INDEX_WEIGHTED_AVG,
     "date_histogram_pipeline": SQL_DATE_HISTOGRAM_PIPELINE,
+    "index_terms_set": SQL_INDEX_TERMS_SET,
+    "index_pinned": SQL_INDEX_PINNED,
+    "index_boxplot": SQL_INDEX_BOXPLOT,
+    "index_mad": SQL_INDEX_MAD,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

@@ -990,6 +990,61 @@ def search_wildcard(
     return rank_topk(scored, k)
 
 
+PINNED_MAX = 100
+
+
+def search_pinned(
+    spark: SparkSession,
+    index: dict,
+    pinned_ids: list[int],
+    query_text: str,
+    k: int = 10,
+) -> DataFrame:
+    """Pinned query (ES ``pinned``): the listed docs come first, in
+    LISTED order, then organic matches by relevance with the pinned
+    ids excluded. Pinned docs surface even when they don't match the
+    query (ES's contract — that is the point of pinning); their score
+    is NULL rather than ES's artificial huge constant, keeping the
+    relevance column honest. Ids that don't exist (or are tombstoned)
+    are skipped, ES-style.
+
+    Scale shape: the pin list is bounded (ES caps at 100), so
+    existence/tombstone validation is one pushed-filter doc-store
+    probe; the organic side is the standard pruned-postings top-k of
+    ``k - len(pins)`` with a bounded NOT IN over the pin list. No
+    unbounded driver materialization anywhere."""
+    if len(pinned_ids) != len(set(pinned_ids)):
+        raise ValueError("pinned ids must be unique (order defines rank)")
+    if len(pinned_ids) > PINNED_MAX:
+        raise ValueError(
+            f"at most {PINNED_MAX} pinned ids (ES's own cap), "
+            f"got {len(pinned_ids)}",
+        )
+    if not pinned_ids:
+        return search_exact(spark, index, query_text, k)
+    k = max(1, min(k, index["manifest"]["n_docs"] + len(pinned_ids)))
+    ids = [int(d) for d in pinned_ids]
+    probe = index["doc_stats"].filter(F.col("doc_id").isin(ids))
+    if index.get("tombstones") is not None:
+        probe = probe.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    alive = {r["doc_id"] for r in probe.select("doc_id").collect()}
+    pins = [d for d in ids if d in alive][:k]
+    pinned_df = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(pins)], "doc_id long, rank int",
+    ).select("doc_id", F.lit(None).cast("double").alias("score"), "rank")
+    organic = scored_matches(index, query_text)
+    if organic is None or k <= len(pins):
+        return pinned_df.orderBy("rank")
+    if pins:
+        organic = organic.filter(~F.col("doc_id").isin(pins))
+    ranked = rank_topk(organic, k - len(pins)).withColumn(
+        "rank", (F.col("rank") + len(pins)).cast("int"),
+    )
+    return pinned_df.unionByName(ranked).orderBy("rank")
+
+
 FUNCTION_SCORE_MODIFIERS = ("none", "log1p", "sqrt")
 
 

@@ -148,3 +148,57 @@ def search_bool(
 
     k = max(1, min(k, index["manifest"]["n_docs"]))
     return rank_topk(scored, k)
+
+
+def search_terms_set(
+    spark: SparkSession,
+    index: dict,
+    terms_text: str,
+    required,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``terms_set`` query: docs matching at least a
+    PER-DOC number of the query terms, the threshold read from the
+    doc store (ES ``minimum_should_match_field`` — "candidate holds
+    >= required_skill_count of the requested skills"). ``required``
+    is a doc-store column name or Column expression yielding the
+    per-doc threshold; matches score as the disjunction of their
+    matched terms (ES scores terms_set the same way).
+
+    Per-doc-threshold semantics vs the fixed-N ``search_bool``
+    minimum_should_match: thresholds < 1 clamp to 1 (a doc still has
+    to match SOMETHING to surface — the postings can't produce
+    non-matching docs anyway), and a threshold above the query's term
+    count can never match, both per ES's contract.
+
+    Scale shape: ONE pruned posting scan (with term ids) -> per-doc
+    hash agg counting matched terms + summing contributions -> the
+    threshold column joins from a projected doc store, gated exactly
+    like the metadata filters (small aggregated match sets broadcast;
+    stop-word-scale ones shuffle once on doc_id) -> bounded top-k."""
+    infos = _query_terms(index, terms_text)
+    if not infos:
+        return _empty_topk(spark)
+    req = F.col(required) if isinstance(required, str) else required
+    scored = (
+        _decoded_postings(index, infos, with_term=True)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contribution").alias("score"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
+    )
+    gate = broadcast_max if broadcast_max is not None else FILTER_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    thresholds = index["doc_stats"].select(
+        "doc_id", F.greatest(req.cast("int"), F.lit(1)).alias("_req"),
+    )
+    survivors = (
+        scored.join(thresholds, "doc_id", "inner")
+        .filter(F.col("_nm") >= F.col("_req"))
+        .select("doc_id", "score")
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(survivors, k)

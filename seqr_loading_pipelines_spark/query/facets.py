@@ -860,3 +860,104 @@ def weighted_avg_by(
             ).alias("weighted_avg"),
         )
     )
+
+
+def boxplot_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``boxplot`` aggregation: per-group five-number
+    summary of ``value_col`` over the match set — one row per group:
+    ``(group, n_docs, min_v, q1, q2, q3, max_v)``. Exact interpolated
+    quartiles (``F.percentile``, the same contract as
+    ``percentiles_by``; ES defaults to TDigest — the approximate
+    sibling is ``percentile_approx`` with the same call shape).
+
+    Same scale shape as facets: gated match join, ONE hash agg
+    carrying min/max/count alongside the quartile buffer."""
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, n_docs long, min_v long, q1 double, "
+            "q2 double, q3 double, max_v long",
+        )
+    agg = (
+        index["doc_stats"]
+        .select("doc_id", group_col, value_col)
+        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(value_col).alias("min_v"),
+            F.percentile(
+                F.col(value_col),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            ).alias("_q"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "min_v",
+        F.col("_q").getItem(0).alias("q1"),
+        F.col("_q").getItem(1).alias("q2"),
+        F.col("_q").getItem(2).alias("q3"),
+        "max_v",
+    )
+
+
+def mad_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``median_absolute_deviation`` aggregation: per
+    group over the match set, ``median(|v - median(v)|)`` — the
+    robust dispersion measure ES pairs with ``median``. One row per
+    group: ``(group, n_docs, median_v, mad)``. Exact (interpolated
+    medians), where ES documents its own as TDigest-approximate.
+
+    Exact MAD is irreducibly two-pass (the inner median must exist
+    before deviations do): pass one is the standard gated-facet agg
+    producing the per-group median (output cardinality = group
+    count, tiny), which BROADCASTS back onto the same projected
+    match join for the deviation median — so the doc-store scan runs
+    twice but nothing ever shuffles by more than the group key."""
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, n_docs long, "
+            "median_v double, mad double",
+        )
+    vals = (
+        index["doc_stats"]
+        .select("doc_id", group_col, value_col)
+        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+    )
+    med = vals.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("median_v"),
+    )
+    return (
+        vals.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("median_v").alias("median_v"),
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("median_v")), F.lit(0.5),
+            ).alias("mad"),
+        )
+    )

@@ -281,3 +281,68 @@ def test_facet_counts_top_n_and_gates(spark, index, oracle):
     # absent term -> empty frame with the declared schema
     empty = facet_counts(spark, index, "zz_nope_zz", "lang")
     assert empty.count() == 0 and empty.columns == ["lang", "n_docs"]
+
+
+# ---------------------------------------------------------------------
+# terms_set (query/boolean.py search_terms_set)
+# ---------------------------------------------------------------------
+
+
+def test_terms_set_python_golden(spark, index, oracle):
+    """Per-doc threshold from a doc-store expression (doc_len parity):
+    survivors are exactly the docs matching >= their own threshold,
+    scored as the disjunction of their matched terms."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.boolean import search_terms_set
+
+    q = "sw0 sw1 term_00042"
+    terms = sorted(set(q.split()))
+    golden = []
+    for i in range(oracle.n_docs):
+        nm = sum(1 for t in terms if oracle.tf[i].get(t, 0) > 0)
+        req = max(oracle.doc_len[i] % 2 + 1, 1)
+        if nm >= req and nm > 0:
+            golden.append(
+                (oracle.doc_ids[i], oracle.score_doc(i, terms)),
+            )
+    golden.sort(key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]))
+    assert golden, "terms_set must keep survivors in the test corpus"
+    k = min(10, len(golden))
+    expect = [
+        (d, round(s, 4), i + 1) for i, (d, s) in enumerate(golden[:k])
+    ]
+    got = search_terms_set(
+        spark, index, q, required=(F.col("doc_len") % 2 + 1), k=k,
+    )
+    assert [
+        (r["doc_id"], round(r["score"], 4), r["rank"]) for r in got.collect()
+    ] == expect
+
+
+def test_terms_set_edges(spark, index):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.boolean import search_terms_set
+
+    q = "sw0 term_00042"
+    # threshold above the query's term count can never match
+    assert search_terms_set(spark, index, q, F.lit(5), 10).count() == 0
+    # thresholds < 1 clamp to 1 -> identical to the plain disjunction
+    a = search_terms_set(spark, index, q, F.lit(0), 10).collect()
+    b = search_exact(spark, index, q, 10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in a] == [
+        (r["doc_id"], r["rank"]) for r in b
+    ]
+    # absent query -> empty; forced shuffle gate identical
+    assert search_terms_set(spark, index, "", F.lit(1), 10).count() == 0
+    c = search_terms_set(
+        spark, index, q, F.lit(2), 10, broadcast_max=0,
+    ).collect()
+    d = search_terms_set(spark, index, q, F.lit(2), 10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in c] == [
+        (r["doc_id"], r["rank"]) for r in d
+    ]

@@ -591,3 +591,64 @@ def test_wildcard_edge_cases(spark, index):
     assert exp and all(len(t) == 3 and t.startswith("sw") for t in exp)
     # regex metacharacters in the literal part stay literal
     assert wildcard_to_regex("a.b*") == "^a\\.b.*$"
+
+
+# ---------------------------------------------------------------------
+# pinned (query/bm25.py search_pinned)
+# ---------------------------------------------------------------------
+
+
+def test_pinned_order_and_organic_exclusion(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_pinned,
+    )
+
+    q = "sw0 term_00042"
+    organic = search_exact(spark, index, q, 12).collect()
+    # pin the 3rd organic hit plus a doc absent from the top page
+    pin_a = organic[2]["doc_id"]
+    all_ids = {r["doc_id"] for r in organic}
+    pin_b = next(
+        r["doc_id"]
+        for r in index["doc_stats"].select("doc_id").collect()
+        if r["doc_id"] not in all_ids
+    )
+    got = search_pinned(spark, index, [pin_b, pin_a], q, 10).collect()
+    # pins first, LISTED order, null scores
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in got[:2]] == [
+        (pin_b, None, 1), (pin_a, None, 2),
+    ]
+    # organic tail: the exact ranking minus the pinned ids, shifted
+    want_tail = [
+        r["doc_id"] for r in organic if r["doc_id"] not in (pin_a, pin_b)
+    ][:8]
+    assert [r["doc_id"] for r in got[2:]] == want_tail
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # pinned doc surfaces even without matching the query (pin_b may
+    # or may not match; a doc pinned under a garbage query always shows)
+    solo = search_pinned(spark, index, [pin_b], "zz_absent_zz", 5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in solo] == [(pin_b, 1)]
+
+
+def test_pinned_validation_and_skips(spark, index):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_pinned,
+    )
+
+    q = "sw0 term_00042"
+    with _pytest.raises(ValueError):
+        search_pinned(spark, index, [1, 1], q, 10)
+    with _pytest.raises(ValueError):
+        search_pinned(spark, index, list(range(101)), q, 10)
+    # empty pin list degenerates to the plain exact query
+    a = _collect(search_pinned(spark, index, [], q, 10))
+    assert a == _collect(search_exact(spark, index, q, 10))
+    # nonexistent id skipped, ES-style: the page stays k organic hits
+    got = search_pinned(spark, index, [10**12], q, 5).collect()
+    assert [r["doc_id"] for r in got] == [
+        r["doc_id"] for r in search_exact(spark, index, q, 5).collect()
+    ]

@@ -687,3 +687,61 @@ def test_weighted_avg_python_golden(spark, index, oracle):
     empty = weighted_avg_by(spark, index, "zz_absent")
     assert empty.columns == ["n_docs", "weighted_avg"]
     assert empty.count() == 0
+
+
+def test_boxplot_python_golden(spark, index, oracle):
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.query.facets import boxplot_by
+
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    by_lang = {}
+    for i, doc_id in enumerate(oracle.doc_ids):
+        if any(oracle.tf[i].get(t, 0) for t in terms):
+            by_lang.setdefault(lang_by_doc[doc_id], []).append(
+                oracle.doc_len[i],
+            )
+    rows = boxplot_by(spark, index, QUERY, "lang").collect()
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        vs = np.array(by_lang[r["lang"]], dtype=float)
+        assert r["n_docs"] == len(vs)
+        assert r["min_v"] == vs.min() and r["max_v"] == vs.max()
+        # F.percentile == numpy linear interpolation at p*(n-1)
+        for col, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+            assert abs(r[col] - np.percentile(vs, p)) < 1e-9
+    empty = boxplot_by(spark, index, "zz_absent", "lang")
+    assert empty.count() == 0
+
+
+def test_mad_python_golden(spark, index, oracle):
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.query.facets import mad_by
+
+    lang_by_doc = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    by_lang = {}
+    for i, doc_id in enumerate(oracle.doc_ids):
+        if any(oracle.tf[i].get(t, 0) for t in terms):
+            by_lang.setdefault(lang_by_doc[doc_id], []).append(
+                oracle.doc_len[i],
+            )
+    rows = mad_by(spark, index, QUERY, "lang").collect()
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        vs = np.array(by_lang[r["lang"]], dtype=float)
+        med = np.percentile(vs, 50)
+        mad = np.percentile(np.abs(vs - med), 50)
+        assert r["n_docs"] == len(vs)
+        assert abs(r["median_v"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+    empty = mad_by(spark, index, "zz_absent", "lang")
+    assert empty.count() == 0
