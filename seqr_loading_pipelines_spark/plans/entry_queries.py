@@ -3933,6 +3933,101 @@ GROUP BY lang
 """
 
 
+AUTO_DH_TARGET = 12
+AUTO_DH_LADDER = ["hour", "day", "week", "month"]
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES ``auto_date_histogram``: the engine PICKS the calendar
+    interval — the smallest unit on the hour/day/week/month ladder
+    whose occupied-bucket count fits the target (12) — then buckets
+    events.ts at that unit. Selection is one pass carrying all four
+    countDistinct aggregates at once (ES's coordinator re-buckets
+    progressively; one multi-agg pass is the batch equivalent), the
+    histogram a second hash agg at the chosen unit. The ladder walk
+    is data-driven on BOTH sides: the oracle computes the identical
+    CASE over the same distinct counts, so the correctness gate also
+    locks the selection rule."""
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.agg(
+        *[
+            F.countDistinct(F.date_trunc(u, F.col("ts"))).alias(u)
+            for u in AUTO_DH_LADDER
+        ],
+    ).collect()[0]
+    unit = next(
+        (u for u in AUTO_DH_LADDER if counts[u] <= AUTO_DH_TARGET),
+        AUTO_DH_LADDER[-1],
+    )
+    return (
+        ev.groupBy(F.date_trunc(unit, F.col("ts")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit(unit).alias("unit"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_AUTO_DATE_HISTOGRAM = f"""
+WITH c AS (
+  SELECT count(DISTINCT date_trunc('hour', ts)) AS ch,
+         count(DISTINCT date_trunc('day', ts)) AS cd,
+         count(DISTINCT date_trunc('week', ts)) AS cw
+  FROM events
+),
+u AS (
+  SELECT CASE WHEN ch <= {AUTO_DH_TARGET} THEN 'hour'
+              WHEN cd <= {AUTO_DH_TARGET} THEN 'day'
+              WHEN cw <= {AUTO_DH_TARGET} THEN 'week'
+              ELSE 'month' END AS unit
+  FROM c
+)
+SELECT unit,
+       strftime(date_trunc(unit, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS n_events
+FROM events, u
+GROUP BY unit, bucket
+ORDER BY bucket
+"""
+
+
+BUCKET_SORT_MIN_DOCS = 65
+BUCKET_SORT_OFFSET = 1
+BUCKET_SORT_SIZE = 2
+
+
+def q_index_bucket_sort(spark, sf_dir):
+    """ES ``bucket_selector`` + ``bucket_sort`` pipeline aggregations
+    through the REAL index path: the lang terms buckets over the
+    match set, buckets under the doc-count floor dropped (selector),
+    survivors ordered and paginated from/size (sort) — both binding
+    at this corpus: the floor drops one lang, the page skips the top
+    bucket (query/facets.py bucket_sort_by). Oracle: HAVING + ORDER
+    BY + LIMIT/OFFSET."""
+    from seqr_loading_pipelines_spark.query.facets import bucket_sort_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return bucket_sort_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+        min_docs=BUCKET_SORT_MIN_DOCS,
+        offset=BUCKET_SORT_OFFSET, size=BUCKET_SORT_SIZE,
+    )
+
+
+SQL_INDEX_BUCKET_SORT = f"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE {_MATCH_ANY}
+GROUP BY lang
+HAVING count(*) >= {BUCKET_SORT_MIN_DOCS}
+ORDER BY n_docs DESC, lang ASC
+LIMIT {BUCKET_SORT_SIZE} OFFSET {BUCKET_SORT_OFFSET}
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -4811,6 +4906,8 @@ QUERIES = {
     "index_pinned": q_index_pinned,
     "index_boxplot": q_index_boxplot,
     "index_mad": q_index_mad,
+    "auto_date_histogram": q_auto_date_histogram,
+    "index_bucket_sort": q_index_bucket_sort,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -4930,6 +5027,8 @@ ORACLE_SQL = {
     "index_pinned": SQL_INDEX_PINNED,
     "index_boxplot": SQL_INDEX_BOXPLOT,
     "index_mad": SQL_INDEX_MAD,
+    "auto_date_histogram": SQL_AUTO_DATE_HISTOGRAM,
+    "index_bucket_sort": SQL_INDEX_BUCKET_SORT,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

@@ -961,3 +961,53 @@ def mad_by(
             ).alias("mad"),
         )
     )
+
+
+def bucket_sort_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    facet_col: str,
+    min_docs: int = 0,
+    offset: int = 0,
+    size: int = 10,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``bucket_selector`` + ``bucket_sort`` pipeline
+    aggregations over the terms buckets: drop buckets failing the
+    doc-count predicate (selector = SQL HAVING), order the survivors
+    (n_docs desc, key asc — the terms-agg tie rule), then paginate
+    with from/size (bucket_sort's truncation). Output:
+    ``(facet, n_docs)`` for the requested page.
+
+    Pipeline aggs post-process the bucket table (cardinality =
+    distinct facet values), never re-touch the match set: one gated
+    facet agg, a post-agg filter, and a declared single-partition
+    row_number over the tiny survivor table."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    if offset < 0 or size < 1:
+        raise ValueError(f"need offset >= 0 and size >= 1, got "
+                         f"offset={offset} size={size}")
+    matches = match_docs(index, query_text, require_all=require_all)
+    if matches is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    buckets = (
+        index["doc_stats"]
+        .select("doc_id", facet_col)
+        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    order = [F.col("n_docs").desc(), F.col(facet_col).asc()]
+    page = buckets.orderBy(*order).limit(offset + size)
+    w = Window.partitionBy(single_partition_key(page)).orderBy(*order)
+    return (
+        page.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") > offset)
+        .drop("_r")
+    )

@@ -745,3 +745,32 @@ def test_mad_python_golden(spark, index, oracle):
         assert abs(r["mad"] - mad) < 1e-9
     empty = mad_by(spark, index, "zz_absent", "lang")
     assert empty.count() == 0
+
+
+def test_bucket_sort_python_golden(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import bucket_sort_by
+
+    counts = _match_lang_counts(index, oracle, tokenize_py(QUERY))
+    ordered = sorted(counts.items(), key=lambda lc: (-lc[1], lc[0]))
+    floor = ordered[len(ordered) // 2][1]  # binding selector
+    kept = [(l, c) for l, c in ordered if c >= floor]
+    want = kept[1:3]
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in bucket_sort_by(
+            spark, index, QUERY, "lang",
+            min_docs=floor, offset=1, size=2,
+        ).collect()
+    ]
+    assert got == want
+    assert len(kept) < len(ordered), "selector must drop a bucket"
+    # page past the end -> empty; validation
+    assert bucket_sort_by(
+        spark, index, QUERY, "lang", offset=10_000, size=2,
+    ).count() == 0
+    with pytest.raises(ValueError):
+        bucket_sort_by(spark, index, QUERY, "lang", offset=-1)
+    with pytest.raises(ValueError):
+        bucket_sort_by(spark, index, QUERY, "lang", size=0)
+    empty = bucket_sort_by(spark, index, "zz_absent", "lang")
+    assert empty.count() == 0 and empty.columns == ["lang", "n_docs"]
