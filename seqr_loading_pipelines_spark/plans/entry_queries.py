@@ -4028,6 +4028,123 @@ LIMIT {BUCKET_SORT_SIZE} OFFSET {BUCKET_SORT_OFFSET}
 """
 
 
+RANK_FEATURE_PIVOT = 50.0
+RANK_FEATURE_WEIGHT = 5.0
+
+
+def q_index_rank_feature(spark, sf_dir):
+    """ES ``rank_feature`` query through the REAL index path: BM25
+    plus a BOUNDED additive static-feature contribution — saturation
+    doc_len/(doc_len+pivot), the additive complement to
+    function_score's multiplicative prior (query/bm25.py
+    search_rank_feature). Oracle: the shared BM25 CTE plus the same
+    saturation algebra before quantized ranking."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_rank_feature,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_rank_feature(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        feature_col="doc_len", function="saturation",
+        pivot=RANK_FEATURE_PIVOT, weight=RANK_FEATURE_WEIGHT, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_RANK_FEATURE = _sql_bm25_cte(BM25_QUERY_TERMS) + f""",
+feat AS (SELECT doc_id, len({_T})::DOUBLE AS x FROM documents)
+SELECT doc_id, round(s2, 4) AS score, rank FROM (
+  SELECT doc_id, s2,
+         row_number() OVER (ORDER BY floor(s2 * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT scored.doc_id,
+           scored.s + {RANK_FEATURE_WEIGHT} * (x / (x + {RANK_FEATURE_PIVOT})) AS s2
+    FROM scored JOIN feat USING (doc_id)
+  )
+) WHERE rank <= 10
+"""
+
+
+CONSTANT_SCORE_BOOST = 1.5
+
+
+def q_index_constant_score(spark, sf_dir):
+    """ES ``constant_score`` query through the REAL index path: every
+    matching doc scores exactly the boost — filter-context matching
+    with no relevance math (query/bm25.py search_constant_score).
+    The row returns the FULL match set (k clamps to n_docs): with
+    every score tied, a page boundary would compare the engine's
+    internal docID order against the oracle's external ids — an
+    id-space artifact, not a semantic difference; the page-order tie
+    rule is locked in engine-id space by the unit tests. Oracle: the
+    match predicate + the constant."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_constant_score,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_constant_score(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        boost=CONSTANT_SCORE_BOOST, k=10**9,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+SQL_INDEX_CONSTANT_SCORE = f"""
+SELECT doc_id, CAST({CONSTANT_SCORE_BOOST} AS DOUBLE) AS score
+FROM documents WHERE {_MATCH_ANY}
+"""
+
+
+DIVERSIFIED_MAX_PER_REPO = 2
+
+
+def q_index_diversified_sampler(spark, sf_dir):
+    """ES ``diversified_sampler`` + ``terms`` sub-agg through the
+    REAL index path: each repo contributes at most 2 of its
+    top-scoring matches (the anti-mega-repo guard), then lang counts
+    over the diversified sample (query/facets.py
+    diversified_sampler_by). Oracle: the BM25 CTE + a per-source
+    row_number cap in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        diversified_sampler_by,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return diversified_sampler_by(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        diversity_col="repo", facet_col="lang",
+        max_docs_per_value=DIVERSIFIED_MAX_PER_REPO, top_n=10,
+    )
+
+
+SQL_INDEX_DIVERSIFIED_SAMPLER = _sql_bm25_cte(BM25_QUERY_TERMS) + f""",
+ranked AS (
+  SELECT d.lang, d.source, scored.doc_id,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY floor(scored.s * 1e5 + 0.5) DESC, scored.doc_id ASC
+         ) AS rn
+  FROM scored JOIN documents d USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs
+FROM ranked WHERE rn <= {DIVERSIFIED_MAX_PER_REPO}
+GROUP BY lang
+ORDER BY n_docs DESC, lang ASC
+LIMIT 10
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -4908,6 +5025,9 @@ QUERIES = {
     "index_mad": q_index_mad,
     "auto_date_histogram": q_auto_date_histogram,
     "index_bucket_sort": q_index_bucket_sort,
+    "index_rank_feature": q_index_rank_feature,
+    "index_constant_score": q_index_constant_score,
+    "index_diversified_sampler": q_index_diversified_sampler,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -5029,6 +5149,9 @@ ORACLE_SQL = {
     "index_mad": SQL_INDEX_MAD,
     "auto_date_histogram": SQL_AUTO_DATE_HISTOGRAM,
     "index_bucket_sort": SQL_INDEX_BUCKET_SORT,
+    "index_rank_feature": SQL_INDEX_RANK_FEATURE,
+    "index_constant_score": SQL_INDEX_CONSTANT_SCORE,
+    "index_diversified_sampler": SQL_INDEX_DIVERSIFIED_SAMPLER,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

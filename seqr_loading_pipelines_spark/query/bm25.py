@@ -990,6 +990,108 @@ def search_wildcard(
     return rank_topk(scored, k)
 
 
+RANK_FEATURE_FUNCTIONS = ("saturation", "log", "sigmoid")
+
+
+def search_rank_feature(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    feature_col: str = "doc_len",
+    function: str = "saturation",
+    pivot: float = 1.0,
+    exponent: float = 1.0,
+    scaling_factor: float = 1.0,
+    weight: float = 1.0,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Rank-feature retrieval (Elasticsearch ``rank_feature`` inside a
+    bool ``should``): BM25 relevance PLUS a bounded static-feature
+    contribution — ES's additive complement to ``function_score``'s
+    multiplicative prior. Functions are ES's own three:
+    ``saturation`` x/(x+pivot) (bounded in [0,1) — a runaway feature
+    can never drown relevance), ``log`` ln(scaling_factor + x), and
+    ``sigmoid`` x^exp/(x^exp + pivot^exp). ES derives a default pivot
+    from index statistics; here the pivot is explicit — implicit
+    corpus-derived constants would make scores irreproducible across
+    snapshots.
+
+    ``final = bm25 + weight * fn(feature)``; statistics stay
+    corpus-level. Scale shape identical to function_score: pruned
+    posting scan, gated broadcast/shuffle join onto a two-column
+    doc-store projection, bounded top-k."""
+    if function not in RANK_FEATURE_FUNCTIONS:
+        raise ValueError(
+            f"function must be one of {RANK_FEATURE_FUNCTIONS}",
+        )
+    if pivot <= 0 or exponent <= 0 or scaling_factor < 1:
+        raise ValueError(
+            "need pivot > 0, exponent > 0, scaling_factor >= 1 "
+            "(ES's own bounds)",
+        )
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("_bm25"))
+    )
+    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
+
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    x = F.col(feature_col).cast("double")
+    if function == "saturation":
+        contrib = x / (x + F.lit(float(pivot)))
+    elif function == "log":
+        contrib = F.log(F.lit(float(scaling_factor)) + x)
+    else:
+        xp = F.pow(x, F.lit(float(exponent)))
+        contrib = xp / (xp + F.lit(float(pivot) ** float(exponent)))
+    out = (
+        index["doc_stats"]
+        .select("doc_id", feature_col)
+        .join(scored, "doc_id", "inner")
+        .select(
+            "doc_id",
+            (F.col("_bm25") + F.lit(float(weight)) * contrib).alias("score"),
+        )
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(out, k)
+
+
+def search_constant_score(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """Constant-score retrieval (ES ``constant_score``): every doc in
+    the match set scores exactly ``boost`` — filter-context matching
+    with no relevance computation at all (ES's cache-friendly path
+    for yes/no clauses). Ranking degenerates to the deterministic
+    tie rule (doc_id asc), which IS the contract: constant_score
+    pages must be stable across executions and snapshots.
+
+    Scale shape: the ``match_docs`` pruned posting scan (no
+    contribution math survives the projection) -> bounded top-k."""
+    matches = match_docs(index, query_text)
+    if matches is None:
+        return _empty_topk(spark)
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(
+        matches.select(
+            "doc_id", F.lit(float(boost)).alias("score"),
+        ),
+        k,
+    )
+
+
 PINNED_MAX = 100
 
 

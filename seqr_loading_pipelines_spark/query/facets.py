@@ -1011,3 +1011,60 @@ def bucket_sort_by(
         .filter(F.col("_r") > offset)
         .drop("_r")
     )
+
+
+def diversified_sampler_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    diversity_col: str,
+    facet_col: str,
+    max_docs_per_value: int = 1,
+    top_n: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``diversified_sampler`` + a ``terms`` sub-agg:
+    cap the number of docs any one ``diversity_col`` value (repo,
+    author, domain…) contributes to the sample — the anti-mega-repo
+    guard — keeping each value's TOP-SCORING docs under the shared
+    deterministic tie rule, then count ``facet_col`` over the
+    diversified sample. Output: top-n ``(facet, n_docs)``.
+
+    Scale shape: the scored match set (one pruned posting scan +
+    per-doc hash agg) joins the diversity/facet columns from a
+    three-column doc-store projection under the broadcast gate; the
+    per-value cap is a row_number window PARTITIONED BY the diversity
+    value — the shuffle key is the diversity value itself, exactly
+    the key whose skew this sampler exists to bound (a mega value
+    fans into one partition but the window emits only its top
+    ``max_docs_per_value`` rows); the facet count then aggregates the
+    bounded sample."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        quantized,
+        scored_matches,
+    )
+
+    if max_docs_per_value < 1:
+        raise ValueError(
+            f"max_docs_per_value must be >= 1, got {max_docs_per_value}",
+        )
+    scored = scored_matches(index, query_text)
+    if scored is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if scored.limit(gate + 1).count() <= gate:
+        scored = F.broadcast(scored)
+    w = Window.partitionBy(diversity_col).orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    )
+    return (
+        index["doc_stats"]
+        .select("doc_id", diversity_col, facet_col)
+        .join(scored, "doc_id", "inner")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_docs_per_value)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+        .limit(top_n)
+    )

@@ -774,3 +774,140 @@ def test_bucket_sort_python_golden(spark, index, oracle):
         bucket_sort_by(spark, index, QUERY, "lang", size=0)
     empty = bucket_sort_by(spark, index, "zz_absent", "lang")
     assert empty.count() == 0 and empty.columns == ["lang", "n_docs"]
+
+
+# ---------------------------------------------------------------------
+# rank_feature / constant_score / diversified_sampler
+# ---------------------------------------------------------------------
+
+
+def test_rank_feature_python_golden_all_functions(spark, index, oracle):
+    import math
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_rank_feature
+
+    terms = tokenize_py(QUERY)
+    fns = {
+        "saturation": lambda x: x / (x + 20.0),
+        "log": lambda x: math.log(2.0 + x),
+        "sigmoid": lambda x: x**2 / (x**2 + 20.0**2),
+    }
+    for fn_name, fn in fns.items():
+        golden = sorted(
+            (
+                (
+                    oracle.doc_ids[i],
+                    oracle.score_doc(i, terms) + 3.0 * fn(oracle.doc_len[i]),
+                )
+                for i in range(oracle.n_docs)
+                if any(oracle.tf[i].get(t, 0) for t in terms)
+            ),
+            key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]),
+        )[:10]
+        expect = [
+            (d, round(s, 4), i + 1) for i, (d, s) in enumerate(golden)
+        ]
+        got = search_rank_feature(
+            spark, index, QUERY, "doc_len", function=fn_name,
+            pivot=20.0, exponent=2.0, scaling_factor=2.0,
+            weight=3.0, k=10,
+        )
+        assert [
+            (r["doc_id"], round(r["score"], 4), r["rank"])
+            for r in got.collect()
+        ] == expect, fn_name
+
+
+def test_rank_feature_validation_and_bounds(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_rank_feature,
+    )
+
+    with pytest.raises(ValueError):
+        search_rank_feature(spark, index, QUERY, function="nope")
+    with pytest.raises(ValueError):
+        search_rank_feature(spark, index, QUERY, pivot=0)
+    with pytest.raises(ValueError):
+        search_rank_feature(spark, index, QUERY, scaling_factor=0.5)
+    # saturation is bounded: score - bm25 stays within [0, weight)
+    full = {
+        r["doc_id"]: r["score"]
+        for r in search_exact(spark, index, QUERY, 500).collect()
+    }
+    got = search_rank_feature(
+        spark, index, QUERY, "doc_len", pivot=1.0, weight=2.0, k=500,
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(full)
+    for r in got:
+        delta = r["score"] - full[r["doc_id"]]
+        assert 0.0 <= delta < 2.0
+    assert search_rank_feature(spark, index, "zz_no", k=5).count() == 0
+
+
+def test_constant_score_page_and_scores(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        match_docs,
+        search_constant_score,
+    )
+
+    got = search_constant_score(spark, index, QUERY, boost=2.5, k=7)
+    rows = got.collect()
+    assert len(rows) == 7
+    assert all(r["score"] == 2.5 for r in rows)
+    # page order is the deterministic tie rule: doc_id asc
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
+    all_ids = sorted(
+        r["doc_id"] for r in match_docs(index, QUERY).collect()
+    )
+    assert ids == all_ids[:7]
+    assert [r["rank"] for r in rows] == list(range(1, 8))
+    assert search_constant_score(spark, index, "zz_no", 1.0, 5).count() == 0
+
+
+def test_diversified_sampler_python_golden(spark, index, oracle):
+    import math
+
+    from seqr_loading_pipelines_spark.query.facets import (
+        diversified_sampler_by,
+    )
+
+    meta = {
+        r["doc_id"]: (r["repo"], r["lang"])
+        for r in index["doc_stats"].select("doc_id", "repo", "lang").collect()
+    }
+    terms = tokenize_py(QUERY)
+    scored = sorted(
+        (
+            (oracle.doc_ids[i], oracle.score_doc(i, terms))
+            for i in range(oracle.n_docs)
+            if any(oracle.tf[i].get(t, 0) for t in terms)
+        ),
+        key=lambda ds: (-math.floor(ds[1] * 1e5 + 0.5), ds[0]),
+    )
+    cap, taken, counts = 2, {}, {}
+    for doc_id, _ in scored:
+        repo, lang = meta[doc_id]
+        if taken.get(repo, 0) < cap:
+            taken[repo] = taken.get(repo, 0) + 1
+            counts[lang] = counts.get(lang, 0) + 1
+    assert any(v > cap for v in
+               __import__("collections").Counter(
+                   meta[d][0] for d, _ in scored).values()), \
+        "cap must bind for this test to mean anything"
+    want = sorted(counts.items(), key=lambda lc: (-lc[1], lc[0]))[:10]
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in diversified_sampler_by(
+            spark, index, QUERY, "repo", "lang",
+            max_docs_per_value=cap, top_n=10,
+        ).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        diversified_sampler_by(
+            spark, index, QUERY, "repo", "lang", max_docs_per_value=0,
+        )
+    empty = diversified_sampler_by(spark, index, "zz_no", "repo", "lang")
+    assert empty.count() == 0 and empty.columns == ["lang", "n_docs"]
