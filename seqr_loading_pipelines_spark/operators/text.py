@@ -167,3 +167,118 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         md5_int64(norm).alias("fp_int64"),
     )
+
+
+# --- PII scrubbing ----------------------------------------------------
+
+# conservative patterns portable across Java regex (Spark) and RE2
+# (the DuckDB oracle): no lookaround, no backreferences
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+PII_TOKEN = "[REDACTED_{kind}]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4s / phone-shaped
+    numbers with typed redaction tokens and count each kind — the
+    pre-training hygiene pass every large-scale text pipeline runs
+    before anything else sees the bytes. One row per doc:
+    ``(doc_id, n_email, n_ipv4, n_phone, clean_sha)`` where clean_sha
+    fingerprints the scrubbed text (the scrubbed corpus itself would
+    be the pipeline's write path; the fingerprint makes the
+    transformation hash-checkable without shipping text around).
+
+    All-JVM: chained regexp_replace + regexp_count per pattern in one
+    projection — no shuffle, no UDF; scales as a pure map over any
+    partitioning."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    clean = text
+    for kind, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(
+            clean, pat, PII_TOKEN.format(kind=kind.upper()),
+        )
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.sha2(clean, 256).alias("clean_sha"),
+    )
+
+
+# --- Gopher-style repetition signals ----------------------------------
+
+REP_MIN_UNIQ_FRAC = 0.2
+REP_MAX_TOP_TOKEN_SHARE = 0.2
+REP_MAX_TOP_BIGRAM_SHARE = 0.18
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per doc (Rae et al.
+    2021 §A1.1: repetitious documents are low-quality no matter how
+    fluent): unique-token fraction, most-frequent-token share, and
+    most-frequent-bigram share, plus the composite ``keep`` verdict
+    under the module thresholds. One row per doc with >= 1 token:
+    ``(doc_id, n_tokens, uniq_frac, top_token_share,
+    top_bigram_share, keep)``.
+
+    Scale shape: explode -> (doc, gram) hash agg -> per-doc max/sum
+    re-agg, for unigrams and bigrams separately, joined on doc_id —
+    every stage a map-side-combining agg keyed by doc (+gram), no
+    driver materialization, no UDF. Bigrams come from the zip-shift
+    construction (dedup.shingles_expr's linear-time discipline, but
+    WITH multiplicity — a distinct set cannot yield a share). Docs
+    with a single token have no bigrams; their bigram share is 0
+    (nothing repeats), keeping the keep-verdict well-defined."""
+    toks = tokenize_expr(F.col(text_col))
+    bigrams = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    base = docs.select("doc_id", toks.alias("_t"), bigrams.alias("_b"))
+    uni = (
+        base.select("doc_id", F.explode("_t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("_n_uniq"),
+            F.max("c").alias("_top"),
+        )
+    )
+    big = (
+        base.select("doc_id", F.explode("_b").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("_nb"), F.max("c").alias("_topb"))
+    )
+    uniq_frac = F.col("_n_uniq") / F.col("n_tokens")
+    top_share = F.col("_top") / F.col("n_tokens")
+    big_share = F.coalesce(F.col("_topb") / F.col("_nb"), F.lit(0.0))
+    return (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            uniq_frac.alias("uniq_frac"),
+            top_share.alias("top_token_share"),
+            big_share.alias("top_bigram_share"),
+            (
+                (uniq_frac >= REP_MIN_UNIQ_FRAC)
+                & (top_share <= REP_MAX_TOP_TOKEN_SHARE)
+                & (big_share <= REP_MAX_TOP_BIGRAM_SHARE)
+            ).alias("keep"),
+        )
+    )

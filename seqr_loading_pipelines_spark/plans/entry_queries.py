@@ -4145,6 +4145,153 @@ LIMIT 10
 """
 
 
+def _pii_augment_expr():
+    """Deterministic synthetic-PII injection derived from doc_id —
+    identical algebra on both sides so the scrub row has real signal
+    over the PII-free synthetic corpus (the operator itself is
+    generic; only the fixture is synthesized)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" mail user"), d.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit(" host 10.0."), (d % 256).cast("string"),
+                F.lit(".7 up"),
+            ),
+        )
+        .when(d % 5 == 2, F.lit(" call 555-867-5309 ok"))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Training-data PII scrub (operators/text.py pii_scrub): typed
+    redaction of emails / IPv4s / phone-shaped numbers with per-kind
+    counts and a sha256 of the scrubbed text — the transformation is
+    hash-checked end to end, not just the counts. Input text carries
+    deterministic doc_id-derived synthetic PII (see
+    _pii_augment_expr). Oracle: the same injection, RE2
+    regexp_extract_all counts, the same chained global replaces, and
+    DuckDB's sha256."""
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_augment_expr().alias("text"))
+    return TX.pii_scrub(aug)
+
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text || CASE
+         WHEN doc_id % 5 = 0
+           THEN ' mail user' || doc_id || '@example.com now'
+         WHEN doc_id % 5 = 1
+           THEN ' host 10.0.' || (doc_id % 256) || '.7 up'
+         WHEN doc_id % 5 = 2 THEN ' call 555-867-5309 ok'
+         ELSE '' END AS text
+FROM documents
+"""
+
+
+def _sql_pii_scrub() -> str:
+    from seqr_loading_pipelines_spark.operators.text import (
+        PII_PATTERNS,
+        PII_TOKEN,
+    )
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    clean = "text"
+    for kind, pat in PII_PATTERNS.items():
+        tok = PII_TOKEN.format(kind=kind.upper())
+        clean = f"regexp_replace({clean}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       {counts},
+       sha256({clean}) AS clean_sha
+FROM aug
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_signals): unique-token fraction, top-token share,
+    top-bigram share, and the composite keep verdict per doc — the
+    repetition filters of Rae et al. 2021 §A1.1. Oracle: the same
+    shares from unnest-GROUP BY (unigrams) and a list_zip bigram
+    construction in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    out = TX.repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("uniq_frac", 4).alias("uniq_frac"),
+        F.round("top_token_share", 4).alias("top_token_share"),
+        F.round("top_bigram_share", 4).alias("top_bigram_share"),
+        "keep",
+    )
+
+
+def _sql_repetition() -> str:
+    from seqr_loading_pipelines_spark.operators.text import (
+        REP_MAX_TOP_BIGRAM_SHARE,
+        REP_MAX_TOP_TOKEN_SHARE,
+        REP_MIN_UNIQ_FRAC,
+    )
+
+    return f"""
+WITH tok AS (SELECT doc_id, {_T} AS t FROM documents),
+uni_c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS g FROM tok)
+  GROUP BY doc_id, g
+),
+uni AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_uniq, max(c) AS top
+  FROM uni_c GROUP BY doc_id
+),
+big_c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_zip(t[1:len(t) - 1], t[2:len(t)]),
+             x -> x[1] || ' ' || x[2])) AS g
+    FROM tok
+  )
+  GROUP BY doc_id, g
+),
+big AS (
+  SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM big_c GROUP BY doc_id
+)
+SELECT uni.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_uniq / n_tokens, 4) AS uniq_frac,
+       round(top / n_tokens, 4) AS top_token_share,
+       round(coalesce(topb / nb, 0.0), 4) AS top_bigram_share,
+       (n_uniq / n_tokens >= {REP_MIN_UNIQ_FRAC}
+        AND top / n_tokens <= {REP_MAX_TOP_TOKEN_SHARE}
+        AND coalesce(topb / nb, 0.0) <= {REP_MAX_TOP_BIGRAM_SHARE})
+         AS keep
+FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+"""
+
+
+SQL_REPETITION_SIGNALS = _sql_repetition()
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -5028,6 +5175,8 @@ QUERIES = {
     "index_rank_feature": q_index_rank_feature,
     "index_constant_score": q_index_constant_score,
     "index_diversified_sampler": q_index_diversified_sampler,
+    "pii_scrub": q_pii_scrub,
+    "repetition_signals": q_repetition_signals,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -5152,6 +5301,8 @@ ORACLE_SQL = {
     "index_rank_feature": SQL_INDEX_RANK_FEATURE,
     "index_constant_score": SQL_INDEX_CONSTANT_SCORE,
     "index_diversified_sampler": SQL_INDEX_DIVERSIFIED_SAMPLER,
+    "pii_scrub": SQL_PII_SCRUB,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

@@ -952,3 +952,70 @@ def test_pack_sequences_validation(spark):
         pack_sequences(df, 0)
     with pytest.raises(ValueError, match="n_buckets"):
         pack_sequences(df, 8, n_buckets=0)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from seqr_loading_pipelines_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, host 10.0.0.1 call 555-123-4567"),
+            (2, "no pii here at all"),
+            (3, "10.1.2.3 10.4.5.6"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 1, 1)
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 0, 0)
+    assert rows[3]["n_ipv4"] == 2
+    # the fingerprint is over the REDACTED text: same after PII swaps
+    df2 = spark.createDataFrame(
+        [(1, "mail z@y.net and q@w.dev, host 9.9.9.9 call 555-000-1111")],
+        "doc_id long, text string",
+    )
+    r2 = pii_scrub(df2).collect()[0]
+    base = spark.createDataFrame(
+        [(1, "mail [REDACTED_EMAIL] and [REDACTED_EMAIL], host "
+             "[REDACTED_IPV4] call [REDACTED_PHONE]")],
+        "doc_id long, text string",
+    ).select(F.sha2("text", 256).alias("s")).collect()[0]["s"]
+    assert r2["clean_sha"] == base
+
+
+def test_repetition_signals_python_golden(spark):
+    from collections import Counter
+
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+    from seqr_loading_pipelines_spark.operators.text import (
+        repetition_signals,
+    )
+
+    texts = {
+        1: "spam spam spam spam spam",           # degenerate repeat
+        2: "the quick brown fox jumps over it",  # healthy
+        3: "ab cd ab cd ab cd ab cd",            # bigram loop
+        4: "solo",                                # no bigrams
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(rows) == set(texts)
+    for d, text in texts.items():
+        toks = tokenize_py(text)
+        uni = Counter(toks)
+        bigs = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        r = rows[d]
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["uniq_frac"] - len(uni) / len(toks)) < 1e-9
+        assert abs(
+            r["top_token_share"] - max(uni.values()) / len(toks)
+        ) < 1e-9
+        want_big = (
+            max(bigs.values()) / sum(bigs.values()) if bigs else 0.0
+        )
+        assert abs(r["top_bigram_share"] - want_big) < 1e-9
+    assert not rows[1]["keep"] and rows[2]["keep"] and not rows[3]["keep"]
