@@ -4292,6 +4292,65 @@ FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
 SQL_REPETITION_SIGNALS = _sql_repetition()
 
 
+SPAN_NEAR_QUERY = ["slow", "hash", "batch"]
+SPAN_NEAR_SLOP = 4
+
+
+def q_index_span_near(spark, sf_dir):
+    """Ordered proximity (span_near in_order / intervals-ordered)
+    through the REAL index path: positional build, the three phrase
+    terms must appear IN ORDER within slop extra tokens — the
+    relaxation of q_index_phrase_search's slop=0 adjacency, and the
+    ordered sibling of q_index_near_search (query/phrase.py
+    search_span_near, greedy-chain minimum span). Oracle: min over
+    all order-increasing position triples in SQL — identical to the
+    greedy chain (for each start, the earliest continuation is the
+    smallest reachable end). Over-fetch + external-id re-rank, same
+    tie-rule rationale as phrase."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_span_near
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_span_near(
+        spark, index, " ".join(SPAN_NEAR_QUERY),
+        slop=SPAN_NEAR_SLOP, k=200,
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "min_gap",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("min_gap").asc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_SPAN_NEAR = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+p1 AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_NEAR_QUERY[0]}'),
+p2 AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_NEAR_QUERY[1]}'),
+p3 AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_NEAR_QUERY[2]}'),
+g AS (
+  SELECT p1.doc_id, min(p3.pos - p1.pos - 2)::INT AS min_gap
+  FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+  WHERE p2.pos > p1.pos AND p3.pos > p2.pos
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, min_gap,
+       row_number() OVER (ORDER BY min_gap, doc_id)::INT AS rank
+FROM g WHERE min_gap <= {SPAN_NEAR_SLOP}
+ORDER BY min_gap, doc_id LIMIT 10
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -5177,6 +5236,7 @@ QUERIES = {
     "index_diversified_sampler": q_index_diversified_sampler,
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
+    "index_span_near": q_index_span_near,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -5303,6 +5363,7 @@ ORACLE_SQL = {
     "index_diversified_sampler": SQL_INDEX_DIVERSIFIED_SAMPLER,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_signals": SQL_REPETITION_SIGNALS,
+    "index_span_near": SQL_INDEX_SPAN_NEAR,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

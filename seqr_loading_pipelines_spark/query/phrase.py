@@ -311,3 +311,121 @@ def search_match_phrase_prefix(
     return ranked.select(
         "doc_id", F.col("score").cast("int").alias("phrase_tf"), "rank",
     )
+
+
+SPAN_NEAR_MAX_CLAUSES = 6
+
+
+def search_span_near(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Ordered proximity query (Lucene ``SpanNearQuery(inOrder=true)``
+    / ES ``span_near`` — also the core of the ``intervals`` query's
+    ``ordered`` rule): the query tokens must appear IN ORDER with at
+    most ``slop`` non-matching tokens inside the whole span. slop=0
+    degenerates to the exact phrase; ``search_near`` is the unordered
+    sibling. Returns ``(doc_id, min_gap, rank)`` — min_gap the
+    tightest ordered span's excess length — ranked (min_gap asc,
+    doc_id asc).
+
+    Matching: for each start position p1 of the first term, the
+    greedy chain e_{j+1} = min{p in P_{j+1} : p > e_j} yields the
+    smallest possible end for that start (each step takes the
+    earliest continuation, so no ordered chain from p1 ends earlier);
+    min over starts is therefore the doc's true minimum span. The
+    fold is nested JVM ``transform``/``filter``/``array_min`` over
+    the per-term collected position lists — no Python in the loop;
+    O(starts x chain-depth x |P_j|) per doc, positions per-doc
+    bounded and candidates already conjunctively gated. Clause count
+    is capped (Lucene bounds clauses too) because the chain nests one
+    HOF level per clause.
+
+    Shape: the same ONE pruned ``term_id IN`` scan of the
+    term-clustered positions projection as phrase/NEAR, tombstones
+    anti-joined, conjunctive distinct-term gate, then the per-doc
+    fold and the shared bounded top-k."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _query_terms,
+        rank_topk,
+    )
+
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable span queries",
+        )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    terms = tokenize_py(query_text)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, min_gap int, rank int")
+    if len(terms) > SPAN_NEAR_MAX_CLAUSES:
+        raise ValueError(
+            f"span_near supports at most {SPAN_NEAR_MAX_CLAUSES} ordered "
+            f"clauses, got {len(terms)}",
+        )
+    infos = _query_terms(index, " ".join(sorted(set(terms))))
+    tid_by_term = {i["term"]: i["term_id"] for i in infos}
+    if any(t not in tid_by_term for t in set(terms)):
+        return spark.createDataFrame([], "doc_id long, min_gap int, rank int")
+    tids = [tid_by_term[t] for t in terms]
+    distinct_tids = sorted(set(tids))
+
+    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    grouped = (
+        pos.select("term_id", "doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "pos")),
+            ).alias("pmap"),
+        )
+        .filter(F.col("_nt") == len(distinct_tids))
+    )
+
+    def chain_end(prev, depth):
+        # earliest continuation of the ordered chain after position
+        # ``prev``; breaks (null) propagate through > and array_min
+        if depth == len(tids):
+            return prev
+        nxt = F.array_min(
+            F.filter(
+                F.element_at(F.col("pmap"), F.lit(tids[depth])),
+                lambda x: x > prev,
+            ),
+        )
+        return chain_end(nxt, depth + 1)
+
+    if len(tids) == 1:
+        scored = grouped.select("doc_id", F.lit(0).alias("min_gap"))
+    else:
+        gap = F.array_min(
+            F.transform(
+                F.element_at(F.col("pmap"), F.lit(tids[0])),
+                lambda p1: chain_end(p1, 1) - p1 - F.lit(len(tids) - 1),
+            ),
+        )
+        scored = (
+            grouped.select("doc_id", gap.cast("int").alias("min_gap"))
+            .filter(F.col("min_gap").isNotNull())
+            .filter(F.col("min_gap") <= slop)
+        )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", (-F.col("min_gap")).cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
+    )

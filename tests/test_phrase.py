@@ -408,3 +408,141 @@ def test_mpp_rank_deterministic_and_bounded(spark, mpp_index):
     assert [(r["doc_id"], r["rank"]) for r in rows] == [
         (r["doc_id"], r["rank"]) for r in again
     ]
+
+
+# ---------------------------------------------------------------------
+# ordered span_near (query/phrase.py search_span_near)
+# ---------------------------------------------------------------------
+
+SPAN_DOCS = [
+    ("r0", "s0.py", "c0", "python", "a b c"),
+    ("r0", "s1.py", "c1", "python", "a x b x c"),
+    ("r0", "s2.py", "c2", "python", "c b a"),
+    ("r0", "s3.py", "c3", "python", "a c b c"),
+    ("r1", "s4.py", "c4", "go", "b c a b x c"),
+    ("r1", "s5.py", "c5", "go", "a b only"),
+]
+SPAN_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def _naive_ordered_span(content, terms):
+    import itertools
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    plists = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+    if any(not p for p in plists):
+        return None
+    best = None
+    for combo in itertools.product(*plists):
+        if all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+            span = combo[-1] - combo[0] - (len(terms) - 1)
+            best = span if best is None or span < best else best
+    return best
+
+
+@pytest.fixture(scope="module")
+def span_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("span_near"))
+    corpus = spark.createDataFrame(SPAN_DOCS, SPAN_SCHEMA)
+    IndexBuilder(spark, root, positions=True).build(corpus, "span-test")
+    idx = load_index(spark, root)
+    idx["_by_path"] = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("path", "doc_id").collect()
+    }
+    return idx
+
+
+def _span(spark, idx, q, slop, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_near
+
+    return {
+        r["doc_id"]: r["min_gap"]
+        for r in search_span_near(spark, idx, q, slop, k).collect()
+    }
+
+
+def test_span_near_hand_golden(spark, span_index):
+    by = span_index["_by_path"]
+    want = {
+        p: _naive_ordered_span(c, ["a", "b", "c"])
+        for _, p, _, _, c in SPAN_DOCS
+    }
+    for slop in (0, 1, 2, 4):
+        got = _span(spark, span_index, "a b c", slop)
+        expect = {
+            by[p]: g for p, g in want.items()
+            if g is not None and g <= slop
+        }
+        assert got == expect, f"slop={slop}"
+    # ordered: reverse-order doc (s2) never matches even at huge slop
+    assert by["s2.py"] not in _span(spark, span_index, "a b c", 100)
+    # unordered NEAR does match the reversed doc — the contract split
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    near_ids = {
+        r["doc_id"]
+        for r in search_near(spark, span_index, "a b c", 100, 10).collect()
+    }
+    assert by["s2.py"] in near_ids
+
+
+def test_span_near_matches_naive_on_generated_corpus(
+    spark, corpus, tmp_path_factory,
+):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("span_gen"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "span-gen")
+    idx = load_index(spark, root)
+    terms, slop = ["sw0", "term_00042"], 8
+    key_gap = {
+        (r["repo"], r["path"], r["commit"]): _naive_ordered_span(
+            r["content"] or "", terms,
+        )
+        for r in corpus.collect()
+    }
+    expected = {}
+    for r in idx["doc_stats"].select(
+        "doc_id", "repo", "path", "commit",
+    ).collect():
+        g = key_gap[(r["repo"], r["path"], r["commit"])]
+        if g is not None and g <= slop:
+            expected[r["doc_id"]] = g
+    assert expected, "ordered pair must occur in the generated corpus"
+    got = _span(spark, idx, " ".join(terms), slop, k=len(expected))
+    topk = sorted(expected.items(), key=lambda kv: (kv[1], kv[0]))
+    assert got == dict(topk[: len(got)])
+
+
+def test_span_near_edges(spark, span_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_near
+
+    by = span_index["_by_path"]
+    # single term: every containing doc, gap 0
+    got = _span(spark, span_index, "a", 0)
+    assert set(got) == {
+        by[p] for _, p, _, _, c in SPAN_DOCS if "a" in c.split()
+    }
+    assert set(got.values()) == {0}
+    # slop=0 == exact phrase adjacency (s4 = "b c a b x c" has one too)
+    assert _span(spark, span_index, "a b", 0) == {
+        by["s0.py"]: 0, by["s4.py"]: 0, by["s5.py"]: 0,
+    }
+    # absent term -> empty; validation
+    assert _span(spark, span_index, "a zz_no", 5) == {}
+    with pytest.raises(ValueError):
+        search_span_near(spark, span_index, "a b", slop=-1)
+    with pytest.raises(ValueError):
+        search_span_near(spark, span_index, "a b c a b c a", 1)
