@@ -4351,6 +4351,60 @@ ORDER BY min_gap, doc_id LIMIT 10
 """
 
 
+SESSION_GAP = "6 hours"
+
+
+def q_session_windows(spark, sf_dir):
+    """Session-window aggregation over the events stream shape:
+    per-user sessions closed by a 6-hour inactivity gap, each with
+    its start, event count, and value sum — Spark's native
+    ``F.session_window`` (the same operator the streaming path runs
+    with a watermark; this row is its batch twin, and the reason the
+    oracle can check it). A new event extends the session while it
+    starts strictly inside (last event + gap) — identical to the
+    oracle's gap-and-islands construction (break when diff >= gap).
+    Scale shape: one shuffle on user_id, session merge inside the
+    aggregation — no self-join, no window over the raw event table."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -5237,6 +5291,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
     "index_span_near": q_index_span_near,
+    "session_windows": q_session_windows,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -5364,6 +5419,7 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "index_span_near": SQL_INDEX_SPAN_NEAR,
+    "session_windows": SQL_SESSION_WINDOWS,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

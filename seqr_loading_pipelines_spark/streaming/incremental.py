@@ -23,6 +23,7 @@ import os
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from seqr_loading_pipelines_spark.corpus import CORPUS_SCHEMA
 from seqr_loading_pipelines_spark.index.merge import update_index
@@ -225,6 +226,68 @@ def stream_index_updates(
     )
     writer = (
         reader.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_session_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "6 hours",
+    watermark: str = "1 day",
+    trigger_once: bool = True,
+):
+    """Watermarked streaming session windows: event parquet landing
+    in ``landing_dir`` folds into per-user sessions closed by a
+    ``gap`` of inactivity (``F.session_window`` — Spark's native
+    stateful merging-window operator), state bounded by the
+    ``watermark`` (events older than max-seen minus the watermark are
+    late and their state evictable). Each micro-batch publishes the
+    CURRENT session table to ``output_dir`` (complete-mode
+    ``foreachBatch`` overwrite — the sessions-so-far materialized
+    view; the file sink itself cannot express updates to still-open
+    sessions).
+
+    The batch twin (identical algebra, oracle-checkable) is
+    plans/entry_queries.py::q_session_windows; this is the streaming
+    proof for the same operator: replay-safe via the checkpoint,
+    identical output to one batch pass over the union of all landed
+    files once every session's window is past the watermark."""
+    agg = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def publish(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(output_dir)
+
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(publish)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

@@ -149,3 +149,64 @@ def test_queue_worker_vacuums_while_queue_nonempty(spark, tmp_path):
     assert w.process_one() is not None  # drain; index still answers
     idx = load_index(spark, root)
     assert idx["doc_stats"].count() == 100
+
+
+def test_stream_session_rollup_matches_batch(spark, tmp_path):
+    """Two landing batches of events -> streaming session windows
+    (watermarked session_window, complete-mode publish) == one batch
+    pass over the union — the streaming/batch twin contract behind
+    the session_windows driver row."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.streaming.incremental import (
+        EVENTS_SCHEMA,
+        stream_session_rollup,
+    )
+
+    t0 = datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(i, user, minutes, value):
+        return (i, t0 + timedelta(minutes=minutes), user, "e", value, "{}")
+
+    batch1 = [
+        ev(1, 1, 0, 1.0), ev(2, 1, 30, 2.0),       # user1 session A
+        ev(3, 2, 10, 5.0),                          # user2 session A
+    ]
+    batch2 = [
+        ev(4, 1, 60, 3.0),                          # extends user1 A
+        ev(5, 1, 60 * 9, 4.0),                      # user1 session B (>6h)
+        ev(6, 2, 10 + 60 * 7, 6.0),                 # user2 session B
+    ]
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    for i, batch in enumerate((batch1, batch2)):
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append",
+        ).parquet(landing)
+        q = stream_session_rollup(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in spark.read.parquet(out).collect()
+    )
+    want_df = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(landing)
+        .groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    want = sorted(
+        (r["user_id"], r["session_window"]["start"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in want_df.collect()
+    )
+    assert got == want
+    # semantic spot-checks: user1 has two sessions (3 + 1 events)
+    u1 = [g for g in got if g[0] == 1]
+    assert [g[2] for g in u1] == [3, 1]
