@@ -130,3 +130,64 @@ def test_highlight_content_read_is_pushed_point_lookup(
         assert "PushedFilters: [In(doc_id" in plan, plan
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_wildcard_expansion_pushes_literal_prefix(spark, index):
+    """expand_wildcard's dictionary scan must push the literal-prefix
+    StartsWith predicate to parquet (row-group pruning on the
+    term-sorted dictionary) — the structural reason leading-* wildcard
+    patterns cost more, and the gate that keeps trailing-* ones cheap."""
+    import pyspark.sql.functions as F
+
+    from seqr_loading_pipelines_spark.query.bm25 import wildcard_to_regex
+
+    scan = (
+        index["term_dict"]
+        .filter(F.col("term").startswith("term_0"))
+        .filter(F.col("term").rlike(wildcard_to_regex("term_0?04*")))
+    )
+    plan = _plan(scan)
+    assert "StringStartsWith(term,term_0" in plan, plan
+
+
+def test_terms_set_and_weighted_avg_stay_jvm_and_pruned(spark, index):
+    """The new per-doc-threshold and posting-weight executors keep the
+    pruned-scan discipline: term_id IN pushed once, no per-row
+    Python."""
+    import pyspark.sql.functions as F
+
+    from seqr_loading_pipelines_spark.query.boolean import search_terms_set
+    from seqr_loading_pipelines_spark.query.facets import weighted_avg_by
+
+    import re
+
+    for df in (
+        search_terms_set(
+            spark, index, "sw0 term_00042", F.col("doc_len") % 2 + 1, 5,
+        ),
+        weighted_avg_by(spark, index, "term_00042"),
+    ):
+        plan = _plan(df)
+        # multi-term scans push In(term_id,...); single-term ones the
+        # equivalent EqualTo — either way, exactly one pruned scan
+        pushed = re.findall(
+            r"PushedFilters: \[[^\]]*(?:In|EqualTo)\(term_id", plan,
+        )
+        assert len(pushed) == 1, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_diversified_sampler_partitions_by_diversity_value(spark, index):
+    """The per-value cap must run as a window PARTITIONED BY the
+    diversity column (distributed by that key), never a global
+    single-partition sort of the match set."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        diversified_sampler_by,
+    )
+
+    df = diversified_sampler_by(
+        spark, index, "sw0", "repo", "lang", max_docs_per_value=2,
+    )
+    plan = _plan(df)
+    assert "hashpartitioning(repo" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
