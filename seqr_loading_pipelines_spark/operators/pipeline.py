@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from seqr_loading_pipelines_spark.operators.text import (
     lang_pred_expr,
+    md5_int64,
     quality_expr,
 )
 
@@ -333,4 +334,42 @@ def pack_sequences(
         "pack_id",
         "pack_offset",
         "n_packs",
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "lang",
+    salt: str = "strat-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-COUNT stratified sampling: the first
+    ``n_per_stratum`` docs of every stratum under the hash order
+    md5(id||salt) — how eval/holdout sets get drawn from skewed
+    corpora (equal representation per language/source no matter how
+    lopsided the population; ``sample_corpus`` is the RATE sibling
+    for mixing, this is the COUNT one for benchmarks). The hash order
+    makes the draw reproducible on any cluster and INDEPENDENT of
+    input partitioning; different salts draw independent samples.
+
+    Scale shape: one row_number window partitioned by the stratum —
+    the shuffle key is the stratum; a mega stratum lands in one
+    partition but only its first n rows survive the window, and n is
+    small by construction (this is a sampler, not a splitter). Output
+    adds ``sample_rank`` (1-based position in the stratum's hash
+    order) for downstream determinism checks."""
+    if n_per_stratum < 1:
+        raise ValueError(
+            f"n_per_stratum must be >= 1, got {n_per_stratum}",
+        )
+    h = md5_int64(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(id_col).asc(),
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
     )

@@ -4405,6 +4405,39 @@ FROM s GROUP BY user_id, sid
 """
 
 
+STRATIFIED_N = 20
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic exact-count stratified sampling (operators/
+    pipeline.py stratified_sample): the first 20 docs per lang under
+    the md5(id||salt) hash order — the reproducible eval-set draw,
+    equal representation regardless of population skew; the COUNT
+    sibling of corpus_sample_mix's rate-based mixing. Oracle: the
+    identical hash order via DuckDB's md5-prefix-to-int64 idiom."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        stratified_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, STRATIFIED_N, strata_col="lang").select(
+        "doc_id", "lang", "sample_rank",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id || '|strat-v1'), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {STRATIFIED_N}
+"""
+
+
 SEARCH_AFTER_PAGE = 5
 
 
@@ -5292,6 +5325,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "index_span_near": q_index_span_near,
     "session_windows": q_session_windows,
+    "stratified_sample": q_stratified_sample,
     "index_bm25_explain": q_index_bm25_explain,
     "index_highlight": q_index_highlight,
     "index_synonym_search": q_index_synonym_search,
@@ -5420,6 +5454,7 @@ ORACLE_SQL = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "index_span_near": SQL_INDEX_SPAN_NEAR,
     "session_windows": SQL_SESSION_WINDOWS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,
     "index_highlight": SQL_INDEX_HIGHLIGHT,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,

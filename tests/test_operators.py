@@ -1019,3 +1019,42 @@ def test_repetition_signals_python_golden(spark):
         )
         assert abs(r["top_bigram_share"] - want_big) < 1e-9
     assert not rows[1]["keep"] and rows[2]["keep"] and not rows[3]["keep"]
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        stratified_sample,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    a = sorted(
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in stratified_sample(df, 5).collect()
+    )
+    # exact count per stratum
+    from collections import Counter
+
+    assert Counter(l for _, l, _ in a) == {"0": 5, "1": 5, "2": 5}
+    assert {r for *_, r in a} == {1, 2, 3, 4, 5}
+    # partitioning-invariant and rerun-stable
+    b = sorted(
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in stratified_sample(df.repartition(17), 5).collect()
+    )
+    assert a == b
+    # different salts draw (near-certainly) different members
+    c = sorted(
+        r["doc_id"] for r in stratified_sample(df, 5, salt="other").collect()
+    )
+    assert c != sorted(d for d, _, _ in a)
+    # a stratum smaller than n yields the whole stratum
+    tiny = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string",
+    )
+    got = stratified_sample(tiny, 10)
+    assert got.count() == 3
+    with pytest.raises(ValueError):
+        stratified_sample(df, 0)
