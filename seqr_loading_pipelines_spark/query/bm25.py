@@ -349,6 +349,51 @@ def search_boosted(
     return rank_topk(scored, k)
 
 
+def match_bound(term_infos: list[dict], require_all: bool = False) -> int:
+    """Driver-side UPPER BOUND on a query's match-set size, straight
+    from the dictionary dfs already resolved for scoring: a matching
+    doc must contain some query term (=> matches <= sum of dfs), or
+    every term under ``require_all`` (=> matches <= min df).
+    Tombstone exclusion and metadata masks only shrink the set, so
+    the bound stays conservative-correct.
+
+    This is the broadcast-gate decision that used to re-execute the
+    ENTIRE match plan as ``limit(gate+1).count()`` — a full posting
+    decode per gated query, at its most expensive exactly when the
+    match set was large. The df sum costs no job at all; the price is
+    conservatism (overlapping-term queries whose distinct match count
+    is under the gate but whose df sum is not now shuffle once
+    instead of broadcasting — bounded work either way)."""
+    if not term_infos:
+        return 0
+    dfs = [int(i["df"]) for i in term_infos]
+    return min(dfs) if require_all else sum(dfs)
+
+
+def match_docs_bounded(
+    index: dict, query_text: str, require_all: bool = False,
+) -> tuple[DataFrame | None, int]:
+    """``match_docs`` plus the driver-side size bound from the SAME
+    dictionary resolution: ``(matches | None, bound)`` — the shape
+    every gated consumer (facets, stats, samplers) wants, so the
+    broadcast decision never costs a job."""
+    q_terms = set(tokenize_py(query_text))
+    term_infos = _query_terms(index, query_text)
+    if not term_infos or (require_all and len(term_infos) < len(q_terms)):
+        return None, 0
+    decoded = _decoded_postings(index, term_infos, with_term=require_all)
+    if require_all:
+        m = (
+            decoded.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(term_infos))
+            .select("doc_id")
+        )
+    else:
+        m = decoded.select("doc_id").distinct()
+    return m, match_bound(term_infos, require_all)
+
+
 def match_docs(
     index: dict, query_text: str, require_all: bool = False,
 ) -> DataFrame | None:
@@ -358,19 +403,7 @@ def match_docs(
     term is missing): the match set is provably empty without a job.
     The shared candidate machinery behind count / sort-by / facet /
     stats serving surfaces."""
-    q_terms = set(tokenize_py(query_text))
-    term_infos = _query_terms(index, query_text)
-    if not term_infos or (require_all and len(term_infos) < len(q_terms)):
-        return None
-    decoded = _decoded_postings(index, term_infos, with_term=require_all)
-    if require_all:
-        return (
-            decoded.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("_nt"))
-            .filter(F.col("_nt") == len(term_infos))
-            .select("doc_id")
-        )
-    return decoded.select("doc_id").distinct()
+    return match_docs_bounded(index, query_text, require_all)[0]
 
 
 def match_count(
@@ -490,7 +523,7 @@ def search_collapse(
             F.sum("contribution").alias("score"),
         )
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
+    if match_bound(term_infos, require_all) <= gate:
         scored = F.broadcast(scored)
     proj = ["doc_id", collapse_col] + (
         [tiebreak_col] if tiebreak_col else []
@@ -1041,7 +1074,7 @@ def search_rank_feature(
     from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
 
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
+    if match_bound(term_infos) <= gate:
         scored = F.broadcast(scored)
     x = F.col(feature_col).cast("double")
     if function == "saturation":
@@ -1192,7 +1225,7 @@ def search_function_score(
     from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
 
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
+    if match_bound(term_infos) <= gate:
         scored = F.broadcast(scored)
     fac = F.col(factor_col).cast("double")
     if modifier == "log1p":
@@ -1367,7 +1400,7 @@ def search_decay_score(
     from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
 
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
+    if match_bound(term_infos) <= gate:
         scored = F.broadcast(scored)
     d = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
     if shape == "gauss":

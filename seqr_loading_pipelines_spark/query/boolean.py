@@ -53,6 +53,7 @@ from seqr_loading_pipelines_spark.query.bm25 import (
     _decoded_postings,
     _empty_topk,
     _query_terms,
+    match_bound,
     rank_topk,
 )
 
@@ -190,7 +191,7 @@ def search_terms_set(
         )
     )
     gate = broadcast_max if broadcast_max is not None else FILTER_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
+    if match_bound(infos) <= gate:
         scored = F.broadcast(scored)
     thresholds = index["doc_stats"].select(
         "doc_id", F.greatest(req.cast("int"), F.lit(1)).alias("_req"),

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.query.bm25 import match_docs
+from seqr_loading_pipelines_spark.query.bm25 import (
+    _query_terms,
+    match_bound,
+    match_docs,
+    match_docs_bounded,
+)
 
 # match sets at or under this size broadcast into the doc-store join;
 # above it the join shuffles (matches deletes.py:47's tombstone gate)
@@ -48,13 +53,13 @@ def facet_counts(
     Null facet values count under their own bucket (surfaced as
     NULL — hiding them would silently under-report the match set).
     """
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
 
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     counted = (
         index["doc_stats"]
         .select("doc_id", facet_col)
@@ -89,12 +94,12 @@ def histogram_by(
     occupied-bucket count."""
     if interval <= 0:
         raise ValueError(f"interval must be positive, got {interval}")
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame([], "bucket long, n_docs long")
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     return (
         index["doc_stats"]
         .select("doc_id", value_col)
@@ -134,16 +139,16 @@ def percentile_ranks_by(
     names = [f"rank_{v:g}".replace(".", "_").replace("-", "m") for v in vs]
     if len(set(names)) != len(names):
         raise ValueError(f"values collide after naming: {values}")
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [],
             f"{group_col} string, "
             + ", ".join(f"{n} double" for n in names),
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     col = F.col(value_col).cast("double")
     aggs = [
         F.avg((col <= F.lit(v)).cast("double")).alias(n)
@@ -233,14 +238,14 @@ def range_by(
         raise ValueError(
             f"edges must be strictly increasing and non-empty: {edges}",
         )
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [], "bucket_lo double, bucket_hi double, n_docs long",
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     v = F.col(value_col).cast("double")
     lo = F.when(v < es[0], F.lit(None).cast("double"))
     hi = F.when(v < es[0], F.lit(es[0]))
@@ -299,7 +304,9 @@ def significant_terms(
     empty = spark.createDataFrame(
         [], "term string, fg_count long, bg_count long, score double",
     )
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return empty
     n_matches = matches.count()
@@ -366,15 +373,15 @@ def composite_agg(
             f"after cursor must have {len(group_cols)} values "
             f"(one per group col), got {after!r}",
         )
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [],
             ", ".join(f"{c} string" for c in group_cols) + ", n_docs long",
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     labeled = (
         index["doc_stats"]
         .select("doc_id", *group_cols)
@@ -440,16 +447,16 @@ def percentiles_by(
         raise ValueError(
             f"percentiles collide after naming (p<pct>): {percentiles}",
         )
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [],
             f"{group_col} string, "
             + ", ".join(f"{n} double" for n in names),
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     agg = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
@@ -491,14 +498,14 @@ def cardinality_by(
     three-column doc-store projection -> one hash agg; the exact path's
     agg buffer holds each group's distinct set (fine for metadata-
     cardinality columns like repo), the HLL path's is O(1) per group."""
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [], f"{group_col} string, n_distinct long",
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     counter = (
         F.approx_count_distinct(distinct_col, rsd)
         if approximate
@@ -552,9 +559,9 @@ def top_hits_by(
             [],
             f"{group_col} string, doc_id long, score double, hit_rank int",
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
-        scored = F.broadcast(scored)
+    scored = _gated(
+        scored, broadcast_max, match_bound(_query_terms(index, query_text)),
+    )
     tie = tiebreak_col or "doc_id"
     cols = ["doc_id", group_col] + ([tiebreak_col] if tiebreak_col else [])
     labeled = (
@@ -591,16 +598,16 @@ def stats_by(
     broadcast/shuffle join against a three-column doc-store
     projection -> map-side-combining hash agg whose output
     cardinality is the group count."""
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [],
             f"{group_col} string, n_docs long, sum_v long, "
             "min_v long, max_v long, avg_v double",
         )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if matches.limit(gate + 1).count() <= gate:
-        matches = F.broadcast(matches)
+    matches = _gated(matches, broadcast_max, bound)
     return (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
@@ -616,10 +623,21 @@ def stats_by(
     )
 
 
-def _gated(matches: DataFrame, broadcast_max: int | None) -> DataFrame:
+def _gated(
+    matches: DataFrame,
+    broadcast_max: int | None,
+    bound: int | None = None,
+) -> DataFrame:
     """Shared match-set join gate: small match sets broadcast into the
-    doc-store join (bounded probe), large ones shuffle once on doc_id."""
+    doc-store join (bounded probe), large ones shuffle once on doc_id.
+    ``bound`` is the driver-side df-sum upper bound on the match size
+    (query/bm25.py match_bound) — when given, the decision costs NO
+    job; without it, the legacy limit().count() probe re-executes the
+    match plan once (kept only for callers with no dictionary bound,
+    e.g. arbitrary-DataFrame gates)."""
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if bound is not None:
+        return F.broadcast(matches) if bound <= gate else matches
     if matches.limit(gate + 1).count() <= gate:
         return F.broadcast(matches)
     return matches
@@ -649,13 +667,15 @@ def rare_terms_by(
         raise ValueError(
             f"max_doc_count must be >= 1, got {max_doc_count}",
         )
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
     return (
         index["doc_stats"]
         .select("doc_id", facet_col)
-        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") <= max_doc_count)
@@ -684,14 +704,16 @@ def multi_terms_by(
     then a bounded TakeOrdered for the panel."""
     if not facet_cols or len(facet_cols) < 2:
         raise ValueError("multi_terms needs at least two key columns")
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         schema = ", ".join(f"{c} string" for c in facet_cols)
         return spark.createDataFrame([], f"{schema}, n_docs long")
     return (
         index["doc_stats"]
         .select("doc_id", *facet_cols)
-        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
         .groupBy(*facet_cols)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(
@@ -782,7 +804,9 @@ def string_stats_by(
     -sum(p*log2 p) folds on the driver-side single row. Null field
     values are excluded from both lengths and entropy (ES treats
     missing as absent unless ``missing`` is set)."""
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     empty_schema = (
         "n_docs long, min_length int, max_length int, "
         "avg_length double, entropy double"
@@ -792,7 +816,7 @@ def string_stats_by(
     vals = (
         index["doc_stats"]
         .select("doc_id", field)
-        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
         .filter(F.col(field).isNotNull())
         .select(F.col(field).alias("v"))
     )
@@ -880,7 +904,9 @@ def boxplot_by(
 
     Same scale shape as facets: gated match join, ONE hash agg
     carrying min/max/count alongside the quartile buffer."""
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [],
@@ -890,7 +916,7 @@ def boxplot_by(
     agg = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -934,7 +960,9 @@ def mad_by(
     count, tiny), which BROADCASTS back onto the same projected
     match join for the deviation median — so the doc-store scan runs
     twice but nothing ever shuffles by more than the group key."""
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [],
@@ -944,7 +972,7 @@ def mad_by(
     vals = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
     )
     med = vals.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -992,13 +1020,15 @@ def bucket_sort_by(
     if offset < 0 or size < 1:
         raise ValueError(f"need offset >= 0 and size >= 1, got "
                          f"offset={offset} size={size}")
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
     buckets = (
         index["doc_stats"]
         .select("doc_id", facet_col)
-        .join(_gated(matches, broadcast_max), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
@@ -1051,9 +1081,9 @@ def diversified_sampler_by(
     scored = scored_matches(index, query_text)
     if scored is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if scored.limit(gate + 1).count() <= gate:
-        scored = F.broadcast(scored)
+    scored = _gated(
+        scored, broadcast_max, match_bound(_query_terms(index, query_text)),
+    )
     w = Window.partitionBy(diversity_col).orderBy(
         quantized(F.col("score")).desc(), F.col("doc_id").asc(),
     )
