@@ -5253,7 +5253,195 @@ SQL_INDEX_ROLLBACK = SQL_INDEX_TIME_TRAVEL
 # registry
 # --------------------------------------------------------------------
 
+
+FILTERS_AGG_FILTERS = {
+    "has_spark": "spark",
+    "has_vector": "vector",
+    "has_nothing": "zzzqqqnotaterm",
+}
+
+
+def q_index_filters_agg(spark, sf_dir):
+    """ES ``filters`` aggregation behind a driver-green row: named
+    term-filter buckets INCLUDING the zero bucket (has_nothing never
+    matches) and the opt-in other_bucket (live docs matching NO
+    filter) — query/facets.py filters_agg. Oracle: one scalar count
+    subquery per bucket plus the none-match count."""
+    from seqr_loading_pipelines_spark.query.facets import filters_agg
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return filters_agg(
+        spark, index, FILTERS_AGG_FILTERS, other_bucket=True,
+    )
+
+
+SQL_INDEX_FILTERS_AGG = f"""
+SELECT '_other_' AS key,
+       (SELECT count(*) FROM documents
+        WHERE NOT list_has_any({_T}, ['spark', 'vector'])) AS doc_count
+UNION ALL
+SELECT 'has_nothing' AS key, 0::BIGINT AS doc_count
+UNION ALL
+SELECT 'has_spark' AS key,
+       (SELECT count(*) FROM documents
+        WHERE list_contains({_T}, 'spark')) AS doc_count
+UNION ALL
+SELECT 'has_vector' AS key,
+       (SELECT count(*) FROM documents
+        WHERE list_contains({_T}, 'vector')) AS doc_count
+ORDER BY key
+"""
+
+
+SAMPLER_SIZE = 50
+
+
+def q_index_sampler(spark, sf_dir):
+    """ES ``sampler`` aggregation + terms sub-agg behind a driver-green
+    row: facet the TOP-``SAMPLER_SIZE``-scoring matches only (the
+    non-diversified sibling of index_diversified_sampler; one global
+    score cutoff, no per-value cap) — query/facets.py sampler_by.
+    Oracle: the BM25 CTE ordered by the shared quantized tie rule,
+    LIMIT, then the same facet count. The engine's doc_id assignment
+    is monotone in the external id (corpus_from_documents paths sort
+    identically), so the tie rule agrees across id spaces."""
+    from seqr_loading_pipelines_spark.query.facets import sampler_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return sampler_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), "lang",
+        sample_size=SAMPLER_SIZE,
+    )
+
+
+SQL_INDEX_SAMPLER = _sql_bm25_cte(BM25_QUERY_TERMS) + f""",
+sample AS (
+  SELECT doc_id FROM scored
+  ORDER BY floor(scored.s * 1e5 + 0.5) DESC, doc_id ASC
+  LIMIT {SAMPLER_SIZE}
+)
+SELECT d.lang, count(*) AS n_docs
+FROM sample JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY n_docs DESC, lang ASC
+LIMIT 10
+"""
+
+
+DENSE_HIST_BOUNDS = (0, 200)
+
+
+def q_index_dense_histogram(spark, sf_dir):
+    """ES ``histogram`` with ``min_doc_count=0`` + ``extended_bounds``
+    behind a driver-green row: the DENSE bucket series — zeros emitted
+    for every bucket between the occupied extremes widened to the
+    bounds (the time-series-panel contract; sibling of the sparse
+    index_histogram row) — query/facets.py histogram_by's grid path
+    (sequence-explode + broadcast left join, no extra corpus work).
+    Oracle: generate_series over the same extremes."""
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return histogram_by(
+        spark, index, " ".join(BM25_QUERY_TERMS), interval=HIST_INTERVAL,
+        min_doc_count=0, extended_bounds=DENSE_HIST_BOUNDS,
+    )
+
+
+SQL_INDEX_DENSE_HISTOGRAM = f"""
+WITH counted AS (
+  SELECT (len({_T}) // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         count(*) AS n
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+  GROUP BY bucket
+),
+b AS (
+  SELECT least(coalesce(min(bucket), {DENSE_HIST_BOUNDS[0]}),
+               {DENSE_HIST_BOUNDS[0]}) AS lo,
+         greatest(coalesce(max(bucket), {DENSE_HIST_BOUNDS[1]}),
+                  {DENSE_HIST_BOUNDS[1]}) AS hi
+  FROM counted
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, {HIST_INTERVAL})) AS bucket FROM b
+)
+SELECT grid.bucket, coalesce(counted.n, 0) AS n_docs
+FROM grid LEFT JOIN counted USING (bucket)
+ORDER BY bucket
+"""
+
+
+SPAN_NOT_INCLUDE = "hash"
+SPAN_NOT_EXCLUDE = "slow"
+SPAN_NOT_WINDOW = 2
+
+
+def q_index_span_not(spark, sf_dir):
+    """Span exclusion (Lucene SpanNotQuery / ES ``span_not``) through
+    the REAL index path: positional build, occurrences of the include
+    token survive unless the exclude token sits within the +/-window —
+    a doc matches when any occurrence survives (query/phrase.py
+    search_span_not, nested-HOF survival filter, no explode). Oracle:
+    NOT EXISTS over the 1-based unnest positions (the window predicate
+    is base-invariant; first_pos re-bases by -1). Over-fetch +
+    external-id re-rank, same tie-rule rationale as span_near."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_span_not
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_span_not(
+        spark, index, SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE,
+        pre=SPAN_NOT_WINDOW, post=SPAN_NOT_WINDOW,
+        k=index["manifest"]["n_docs"],
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "n_spans", "first_pos",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("n_spans").desc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_SPAN_NOT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+pa AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_NOT_INCLUDE}'),
+pb AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_NOT_EXCLUDE}'),
+surv AS (
+  SELECT pa.doc_id, pa.pos FROM pa
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pb
+    WHERE pb.doc_id = pa.doc_id
+      AND pb.pos BETWEEN pa.pos - {SPAN_NOT_WINDOW}
+                     AND pa.pos + {SPAN_NOT_WINDOW}
+  )
+),
+g AS (
+  SELECT doc_id, count(*)::INT AS n_spans,
+         (min(pos) - 1)::INT AS first_pos
+  FROM surv GROUP BY doc_id
+)
+SELECT doc_id, n_spans, first_pos,
+       row_number() OVER (ORDER BY n_spans DESC, doc_id ASC)::INT AS rank
+FROM g ORDER BY n_spans DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
+    "index_filters_agg": q_index_filters_agg,
+    "index_sampler": q_index_sampler,
+    "index_dense_histogram": q_index_dense_histogram,
+    "index_span_not": q_index_span_not,
     "doc_stats": q_doc_stats,
     "term_dictionary": q_term_dictionary,
     "top_terms": q_top_terms,
@@ -5381,6 +5569,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_filters_agg": SQL_INDEX_FILTERS_AGG,
+    "index_sampler": SQL_INDEX_SAMPLER,
+    "index_dense_histogram": SQL_INDEX_DENSE_HISTOGRAM,
+    "index_span_not": SQL_INDEX_SPAN_NOT,
     "doc_stats": SQL_DOC_STATS,
     "term_dictionary": SQL_TERM_DICTIONARY,
     "top_terms": SQL_TOP_TERMS,

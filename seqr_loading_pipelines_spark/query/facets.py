@@ -38,6 +38,11 @@ from seqr_loading_pipelines_spark.query.bm25 import (
 # above it the join shuffles (matches deletes.py:47's tombstone gate)
 MATCH_BROADCAST_MAX = 2_000_000
 
+# dense-histogram grid cap: ES's search.max_buckets default --
+# a sequence-explode past this is a misconfigured interval, not a
+# bigger panel
+MAX_BUCKETS = 65536
+
 
 def facet_counts(
     spark: SparkSession,
@@ -81,36 +86,108 @@ def histogram_by(
     value_col: str = "doc_len",
     require_all: bool = False,
     broadcast_max: int | None = None,
+    min_doc_count: int = 1,
+    extended_bounds: tuple | None = None,
 ) -> DataFrame:
     """Fixed-interval histogram of ``value_col`` over ALL docs matching
     a query — the Elasticsearch ``histogram`` aggregation. One row per
-    occupied bucket: ``(bucket, n_docs)`` with bucket = floor(value /
-    interval) * interval; empty buckets are absent (ES
-    ``min_doc_count=1`` semantics — the panel renderer fills gaps).
+    bucket: ``(bucket, n_docs)`` with bucket = floor(value / interval)
+    * interval. ``min_doc_count`` is ES's bucket floor: the default 1
+    emits occupied buckets only (the panel renderer fills gaps), >1
+    filters, and **0 emits the DENSE series** — every bucket between
+    the occupied extremes, zeros included, optionally widened to
+    ``extended_bounds=(lo, hi)`` (ES emits the empty frame even when
+    nothing matches inside it — the time-series-panel contract).
 
-    Same scale shape as facets: pruned posting scan -> gated
+    Scale shape (occupied counts): pruned posting scan -> gated
     broadcast/shuffle join against a two-column doc-store projection
     -> map-side-combining hash agg whose output cardinality is the
-    occupied-bucket count."""
+    occupied-bucket count. The dense path adds NO corpus work: a
+    single-row min/max over the bucket table, a sequence-explode of
+    the grid (bounded by ``MAX_BUCKETS``, ES's own
+    search.max_buckets default), and a left join of grid->counts that
+    AQE broadcasts (both sides are bucket-cardinality tiny)."""
     if interval <= 0:
         raise ValueError(f"interval must be positive, got {interval}")
+    if min_doc_count < 0:
+        raise ValueError(
+            f"min_doc_count must be >= 0, got {min_doc_count}",
+        )
+    if extended_bounds is not None:
+        if min_doc_count != 0:
+            raise ValueError(
+                "extended_bounds only applies with min_doc_count=0 "
+                "(ES ignores it otherwise; refusing is kinder)",
+            )
+        if len(extended_bounds) != 2 or extended_bounds[0] > extended_bounds[1]:
+            raise ValueError(
+                f"extended_bounds must be (lo, hi) with lo <= hi, "
+                f"got {extended_bounds!r}",
+            )
     matches, bound = match_docs_bounded(
         index, query_text, require_all=require_all,
     )
     if matches is None:
-        return spark.createDataFrame([], "bucket long, n_docs long")
-    matches = _gated(matches, broadcast_max, bound)
-    return (
-        index["doc_stats"]
-        .select("doc_id", value_col)
-        .join(matches, "doc_id", "inner")
-        .select(
-            (F.floor(F.col(value_col) / interval) * interval)
-            .cast("long")
-            .alias("bucket"),
+        counted = spark.createDataFrame([], "bucket long, n_docs long")
+    else:
+        matches = _gated(matches, broadcast_max, bound)
+        counted = (
+            index["doc_stats"]
+            .select("doc_id", value_col)
+            .join(matches, "doc_id", "inner")
+            .select(
+                (F.floor(F.col(value_col) / interval) * interval)
+                .cast("long")
+                .alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
         )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    if min_doc_count != 0:
+        if min_doc_count > 1:
+            counted = counted.filter(F.col("n_docs") >= min_doc_count)
+        return counted.orderBy("bucket")
+    # dense series: grid from the occupied extremes, widened to bounds
+    lo = F.min("bucket")
+    hi = F.max("bucket")
+    if extended_bounds is not None:
+        eb_lo = (extended_bounds[0] // interval) * interval
+        eb_hi = (extended_bounds[1] // interval) * interval
+        lo = F.least(F.coalesce(lo, F.lit(eb_lo)), F.lit(eb_lo))
+        hi = F.greatest(F.coalesce(hi, F.lit(eb_hi)), F.lit(eb_hi))
+    span = (hi - lo) / F.lit(interval) + F.lit(1)
+    grid = counted.agg(
+        F.when(
+            span > MAX_BUCKETS,
+            F.raise_error(
+                F.format_string(
+                    "dense histogram would emit %s buckets "
+                    f"(max {MAX_BUCKETS}); raise interval or narrow "
+                    "extended_bounds",
+                    span.cast("long").cast("string"),
+                ),
+            ).cast("long"),
+        )
+        .otherwise(lo.cast("long"))
+        .alias("_lo"),
+        hi.cast("long").alias("_hi"),
+    ).select(
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.lit(int(interval)).cast("long"),
+            ),
+        ).alias("bucket"),
+    )
+    # counted is the occupied-bucket table — bounded by MAX_BUCKETS by
+    # the guard above, so it is always the broadcast side (a static
+    # SortMergeJoin on a <=65k-row table would shuffle the grid for
+    # nothing)
+    return (
+        grid.join(F.broadcast(counted), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
         .orderBy("bucket")
     )
 
@@ -1093,6 +1170,127 @@ def diversified_sampler_by(
         .join(scored, "doc_id", "inner")
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= max_docs_per_value)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+        .limit(top_n)
+    )
+
+
+def filters_agg(
+    spark: SparkSession,
+    index: dict,
+    filters: dict,
+    other_bucket: bool = False,
+    other_bucket_key: str = "_other_",
+    require_all: bool = False,
+) -> DataFrame:
+    """Elasticsearch ``filters`` aggregation: one named bucket per
+    filter (here: term queries answered from the postings) with its
+    match count — INCLUDING zero buckets (unlike ``adjacency_matrix``,
+    ES keeps every named filter bucket; a dashboard's panel layout
+    depends on it). ``other_bucket`` adds a bucket counting live docs
+    matching NONE of the filters under ``other_bucket_key`` (ES's
+    ``other_bucket_key`` option). Output ``(key, doc_count)`` ordered
+    key asc.
+
+    Scale shape: one pruned posting scan per filter (match sets only —
+    never a corpus scan), one hash agg on the name whose output
+    cardinality is |filters|; the zero buckets come from a left join
+    against the literal name list (driver-sized). The other bucket is
+    the one genuinely corpus-shaped piece — a left-anti join of the
+    live doc ids against the union of match sets — and only runs when
+    asked for, exactly ES's cost model (other_bucket is opt-in there
+    too).
+    """
+    if not filters:
+        raise ValueError("filters_agg needs at least one filter")
+    if other_bucket and other_bucket_key in filters:
+        raise ValueError(
+            f"other_bucket_key {other_bucket_key!r} collides with a "
+            "filter name",
+        )
+    tagged = None
+    for name in sorted(filters):
+        m = match_docs(index, filters[name], require_all=require_all)
+        if m is None:
+            continue
+        part = m.withColumn("_name", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    names_df = spark.createDataFrame(
+        [(n,) for n in sorted(filters)], "key string",
+    )
+    if tagged is None:
+        counts = spark.createDataFrame([], "key string, doc_count long")
+    else:
+        counts = tagged.groupBy(F.col("_name").alias("key")).agg(
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+    out = names_df.join(counts, "key", "left").select(
+        "key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+    )
+    if other_bucket:
+        live = index["doc_stats"].select("doc_id")
+        if index.get("tombstones") is not None:
+            live = live.join(
+                index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+            )
+        if tagged is not None:
+            live = live.join(
+                tagged.select("doc_id").distinct(), "doc_id", "left_anti",
+            )
+        other = live.agg(F.count(F.lit(1)).alias("doc_count")).select(
+            F.lit(other_bucket_key).alias("key"), "doc_count",
+        )
+        out = out.unionByName(other)
+    return out.orderBy("key")
+
+
+def sampler_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    facet_col: str,
+    sample_size: int = 100,
+    top_n: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``sampler`` aggregation + a ``terms`` sub-agg:
+    restrict the facet to the ``sample_size`` TOP-SCORING matches —
+    the cheap "aggregate over the best hits only" guard for
+    low-quality-tail corpora — then count ``facet_col`` over the
+    sample. The non-diversified sibling of ``diversified_sampler_by``
+    (no per-value cap; one global score cutoff). Output: top-n
+    ``(facet, n_docs)`` ordered (n_docs desc, facet asc).
+
+    Ties at the sample boundary resolve by the shared deterministic
+    rule (quantized score desc, doc_id asc) so the sample — and every
+    aggregate over it — is reproducible across runs and partitionings.
+
+    Scale shape: scored match set (one pruned posting scan + per-doc
+    hash agg) -> bounded global TakeOrdered(sample_size) — the sample
+    lands on the driver plan as a LocalLimit/TakeOrdered, never a full
+    sort -> broadcast-sized join against the doc-store projection for
+    the facet column -> one tiny hash agg."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        quantized,
+        scored_matches,
+    )
+
+    if sample_size < 1:
+        raise ValueError(f"sample_size must be >= 1, got {sample_size}")
+    scored = scored_matches(index, query_text)
+    if scored is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    sample = scored.orderBy(
+        quantized(F.col("score")).desc(), F.col("doc_id").asc(),
+    ).limit(sample_size)
+    # the sample is <= sample_size rows by construction: always the
+    # broadcast side of the doc-store join, no gate probe needed
+    return (
+        index["doc_stats"]
+        .select("doc_id", facet_col)
+        .join(F.broadcast(sample.select("doc_id")), "doc_id", "inner")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())

@@ -429,3 +429,111 @@ def search_span_near(
     return ranked.select(
         "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
     )
+
+
+def search_span_not(
+    spark: SparkSession,
+    index: dict,
+    include_token: str,
+    exclude_token: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Span-not query (Lucene ``SpanNotQuery`` / ES ``span_not``):
+    occurrences of ``include_token`` that do NOT have an occurrence of
+    ``exclude_token`` within ``pre`` positions before or ``post``
+    positions after — "match `close` but not the `close` of
+    `close connection`". A doc matches when at least one include
+    occurrence survives the exclusion; returns ``(doc_id, n_spans,
+    first_pos, rank)`` with n_spans = surviving occurrences and
+    first_pos the earliest one (0-based), ranked (n_spans desc,
+    doc_id asc), bounded top-k. Requires
+    ``IndexBuilder(positions=True)``.
+
+    Shape: ONE pruned scan of the term-clustered positions projection
+    (pushed ``term_id IN (include, exclude)`` -> row-group pruning),
+    then a LEFT join of the include rows against the exclude rows on
+    doc_id — both sides are one row per doc, already term-restricted,
+    so the join is doc-grained over the two terms' match sets only.
+    The survival filter is a nested JVM HOF (``filter`` over include
+    positions with an inner ``exists`` over the exclude list): no
+    explode, no Python, per-doc state bounded by the doc's own token
+    count. Docs with no exclude row keep every include position.
+
+    Reference analog: the reference's serving layer has no positional
+    exclusion (hasToken-level only, test_clickhouse_schema.sql:86-120);
+    span_not completes the Lucene span family next to span_first /
+    span_near for the from-scratch engine.
+    """
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from pyspark.sql import Window
+
+    if pre < 0 or post < 0:
+        raise ValueError(f"pre/post must be >= 0, got {pre}/{post}")
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable span queries",
+        )
+    inc_toks = tokenize_py(include_token)
+    exc_toks = tokenize_py(exclude_token)
+    if len(inc_toks) != 1 or len(exc_toks) != 1:
+        raise ValueError(
+            "span_not takes exactly one include and one exclude token, "
+            f"got {include_token!r} / {exclude_token!r}",
+        )
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_spans int, first_pos int, rank int",
+    )
+    inc_infos = _query_terms(index, inc_toks[0])
+    if not inc_infos:
+        return empty
+    exc_infos = _query_terms(index, exc_toks[0])
+
+    pos = index["positions"]
+    inc = pos.filter(
+        F.col("term_id") == int(inc_infos[0]["term_id"]),
+    ).select("doc_id", F.col("pos").alias("_inc"))
+    if index.get("tombstones") is not None:
+        inc = inc.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    if exc_infos:
+        exc = pos.filter(
+            F.col("term_id") == int(exc_infos[0]["term_id"]),
+        ).select("doc_id", F.col("pos").alias("_exc"))
+        joined = inc.join(exc, "doc_id", "left")
+    else:
+        # exclude term absent from the corpus: every include span
+        # survives — degenerate to the plain span-term query, no join
+        joined = inc.withColumn("_exc", F.lit(None).cast("array<int>"))
+    surviving = F.when(F.col("_exc").isNull(), F.col("_inc")).otherwise(
+        F.filter(
+            F.col("_inc"),
+            lambda p: ~F.exists(
+                F.col("_exc"),
+                lambda q: (q >= p - F.lit(pre)) & (q <= p + F.lit(post)),
+            ),
+        ),
+    )
+    matched = (
+        joined.select("doc_id", surviving.alias("_s"))
+        .filter(F.size("_s") > 0)
+        .select(
+            "doc_id",
+            F.size("_s").cast("int").alias("n_spans"),
+            F.array_min("_s").cast("int").alias("first_pos"),
+        )
+    )
+    order = [
+        F.col("n_spans").desc(), F.col("doc_id").asc(),
+    ]
+    ranked = matched.orderBy(*order).limit(max(1, k))
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "doc_id", "n_spans", "first_pos",
+        F.row_number().over(w).alias("rank"),
+    )

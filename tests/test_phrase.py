@@ -546,3 +546,96 @@ def test_span_near_edges(spark, span_index):
         search_span_near(spark, span_index, "a b", slop=-1)
     with pytest.raises(ValueError):
         search_span_near(spark, span_index, "a b c a b c a", 1)
+
+
+# ---------------------------------------------------------------- span_not
+
+def _span_not(spark, idx, inc, exc, pre=0, post=0, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_not
+
+    return {
+        r["doc_id"]: (r["n_spans"], r["first_pos"])
+        for r in search_span_not(
+            spark, idx, inc, exc, pre=pre, post=post, k=k,
+        ).collect()
+    }
+
+
+def test_span_not_symmetric_window(spark, pos_index):
+    """pre=post=1: 'a' dies wherever 'b' is adjacent on either side."""
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _span_not(spark, idx, "a", "b", pre=1, post=1)
+    # d0 "a b c a b": both a's adjacent to a b -> dead
+    # d1 "a x b": b is 2 away -> survives; d2 "b a": adjacent -> dead
+    # d3 "a a a": no b at all -> all three survive
+    # d4 "z a b c": adjacent -> dead
+    assert got == {by["d1.py"]: (1, 0), by["d3.py"]: (3, 0)}
+
+
+def test_span_not_post_only_is_asymmetric(spark, pos_index):
+    """post=1/pre=0 kills only when the exclude FOLLOWS the include —
+    'b a' (d2) survives a post-only window, dies under pre."""
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _span_not(spark, idx, "a", "b", pre=0, post=1)
+    assert got == {
+        by["d1.py"]: (1, 0),
+        by["d2.py"]: (1, 1),
+        by["d3.py"]: (3, 0),
+    }
+    got_pre = _span_not(spark, idx, "a", "b", pre=1, post=0)
+    assert by["d2.py"] not in got_pre
+    assert got_pre == {
+        by["d0.py"]: (2, 0),
+        by["d1.py"]: (1, 0),
+        by["d3.py"]: (3, 0),
+        by["d4.py"]: (1, 1),
+    }
+
+
+def test_span_not_absent_exclude_is_span_term_identity(spark, pos_index):
+    """An unindexed exclude term degenerates to the plain span-term
+    query: every include occurrence survives, no join planned."""
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _span_not(spark, idx, "a", "zznotaterm")
+    assert got == {
+        by["d0.py"]: (2, 0),
+        by["d1.py"]: (1, 0),
+        by["d2.py"]: (1, 1),
+        by["d3.py"]: (3, 0),
+        by["d4.py"]: (1, 1),
+    }
+
+
+def test_span_not_zero_window_never_excludes(spark, pos_index):
+    """pre=post=0: the exclusion window is the include position itself,
+    which a different term can never occupy — identity with the
+    absent-exclude set."""
+    _, idx = pos_index
+    assert _span_not(spark, idx, "a", "b") == _span_not(
+        spark, idx, "a", "zznotaterm",
+    )
+
+
+def test_span_not_edges_and_validation(spark, pos_index, index):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_not
+
+    _, idx = pos_index
+    # absent include term: empty, no job beyond the dictionary probe
+    assert search_span_not(spark, idx, "zznotaterm", "a").count() == 0
+    # rank contract: n_spans desc, doc_id asc, dense from 1
+    rows = search_span_not(spark, idx, "a", "b", pre=1, post=1).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert sorted(
+        [(-r["n_spans"], r["doc_id"]) for r in rows],
+    ) == [(-r["n_spans"], r["doc_id"]) for r in rows]
+    with pytest.raises(ValueError, match="exactly one"):
+        search_span_not(spark, idx, "a b", "c")
+    with pytest.raises(ValueError, match="exactly one"):
+        search_span_not(spark, idx, "a", "b c")
+    with pytest.raises(ValueError, match="pre/post"):
+        search_span_not(spark, idx, "a", "b", pre=-1)
+    with pytest.raises(ValueError, match="positions"):
+        search_span_not(spark, index, "a", "b")

@@ -191,3 +191,46 @@ def test_diversified_sampler_partitions_by_diversity_value(spark, index):
     plan = _plan(df)
     assert "hashpartitioning(repo" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sampler_is_bounded_topk_plus_broadcast(spark, index):
+    """The sample must compile to TakeOrderedAndProject (parallel
+    partial top-k, never a global sort) and enter the doc-store join
+    as the broadcast side — it is <= sample_size rows by construction,
+    so no gate probe job is ever planned."""
+    from seqr_loading_pipelines_spark.query.facets import sampler_by
+
+    df = sampler_by(spark, index, "sw0 term_00042", "lang", sample_size=50)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dense_histogram_adds_no_corpus_rescan(spark, index):
+    """The dense grid rides the occupied-bucket table (sequence-explode
+    over its single agg row + a join back) — the underlying doc-store
+    scan must appear in the plan exactly as often as in the sparse
+    histogram's plan (the zero-fill is post-agg work, not a rescan)."""
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    sparse = _plan(histogram_by(spark, index, "sw0", interval=64))
+    dense = _plan(
+        histogram_by(
+            spark, index, "sw0", interval=64, min_doc_count=0,
+            extended_bounds=(0, 640),
+        ),
+    )
+    n_scans_sparse = sparse.count("Scan parquet")
+    n_scans_dense = dense.count("Scan parquet")
+    assert n_scans_dense == 2 * n_scans_sparse, (
+        # the dense plan references `counted` twice (grid min/max +
+        # the left join back); localCheckpoint-free reuse means the
+        # scan appears twice, but never MORE than twice
+        n_scans_sparse, n_scans_dense,
+    )
+    assert "Generate" in dense and "explode" in dense, dense
+    # the grid->counts join must broadcast the bounded bucket table,
+    # never sort-merge (which would shuffle the grid)
+    assert "SortMergeJoin" not in dense, dense
+    assert "BroadcastHashJoin" in dense, dense

@@ -911,3 +911,198 @@ def test_diversified_sampler_python_golden(spark, index, oracle):
         )
     empty = diversified_sampler_by(spark, index, "zz_no", "repo", "lang")
     assert empty.count() == 0 and empty.columns == ["lang", "n_docs"]
+
+
+# ------------------------------------------------------------- filters agg
+
+def test_filters_agg_buckets_zero_and_other(spark, index, oracle):
+    """Every named bucket appears (zeros included — the ES contract
+    adjacency_matrix deliberately does NOT share), and other_bucket is
+    exactly live-docs-minus-the-union."""
+    from seqr_loading_pipelines_spark.query.facets import filters_agg
+
+    got = {
+        r["key"]: r["doc_count"]
+        for r in filters_agg(
+            spark,
+            index,
+            {"fa": "term_00042", "fb": "sw0", "fz": "zznotaterm"},
+            other_bucket=True,
+        ).collect()
+    }
+    in_a = {
+        d for d, tf in zip(oracle.doc_ids, oracle.tf) if "term_00042" in tf
+    }
+    in_b = {d for d, tf in zip(oracle.doc_ids, oracle.tf) if "sw0" in tf}
+    assert got == {
+        "fa": len(in_a),
+        "fb": len(in_b),
+        "fz": 0,
+        "_other_": oracle.n_docs - len(in_a | in_b),
+    }
+
+
+def test_filters_agg_no_other_and_validation(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import filters_agg
+
+    out = filters_agg(spark, index, {"only": "term_00042"})
+    assert out.columns == ["key", "doc_count"]
+    assert [r["key"] for r in out.collect()] == ["only"]
+    with pytest.raises(ValueError, match="at least one"):
+        filters_agg(spark, index, {})
+    with pytest.raises(ValueError, match="collides"):
+        filters_agg(
+            spark, index, {"_other_": "sw0"}, other_bucket=True,
+        )
+
+
+# ------------------------------------------------------------ sampler agg
+
+def test_sampler_golden_vs_python(spark, index, oracle):
+    """sampler == facet over the python oracle's top-sample_size under
+    the shared quantized tie rule."""
+    import math
+    from collections import Counter
+
+    from seqr_loading_pipelines_spark.query.facets import sampler_by
+
+    sample_size = 25
+    top = oracle.topk(QUERY, k=sample_size)
+    lang_by_id = {
+        r["doc_id"]: r["lang"]
+        for r in index["doc_stats"].select("doc_id", "lang").collect()
+    }
+    want = Counter(lang_by_id[d] for d, _ in top)
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in sampler_by(
+            spark, index, QUERY, "lang", sample_size=sample_size,
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def test_sampler_large_sample_is_plain_facet(spark, index):
+    """sample_size >= match count: identical to the unsampled facet."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        facet_counts,
+        sampler_by,
+    )
+
+    got = sampler_by(
+        spark, index, QUERY, "lang", sample_size=10**6,
+    ).collect()
+    want = facet_counts(spark, index, QUERY, "lang").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="sample_size"):
+        sampler_by(spark, index, QUERY, "lang", sample_size=0)
+    assert sampler_by(spark, index, "zznotaterm", "lang").count() == 0
+
+
+# -------------------------------------------------------- dense histogram
+
+def test_histogram_dense_zero_fill_and_bounds(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    interval = 64
+    matched_lens = [
+        dl
+        for d, tf, dl in zip(oracle.doc_ids, oracle.tf, oracle.doc_len)
+        if "term_00042" in tf or "sw0" in tf
+    ]
+    occupied = {}
+    for dl in matched_lens:
+        b = (dl // interval) * interval
+        occupied[b] = occupied.get(b, 0) + 1
+    lo, hi = min(occupied), max(occupied)
+    want = {
+        b: occupied.get(b, 0) for b in range(lo, hi + 1, interval)
+    }
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(
+            spark, index, QUERY, interval=interval, min_doc_count=0,
+        ).collect()
+    }
+    assert got == want
+    assert any(v == 0 for v in got.values()) or len(got) == len(occupied)
+    # extended_bounds widen the grid with zeros on both flanks
+    got_eb = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(
+            spark, index, QUERY, interval=interval, min_doc_count=0,
+            extended_bounds=(lo - 3 * interval, hi + 2 * interval),
+        ).collect()
+    }
+    assert got_eb == {
+        b: occupied.get(b, 0)
+        for b in range(lo - 3 * interval, hi + 2 * interval + 1, interval)
+    }
+    # sparse default unchanged: occupied buckets only
+    got_sparse = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(spark, index, QUERY, interval=interval).collect()
+    }
+    assert got_sparse == occupied
+
+
+def test_histogram_dense_empty_match_emits_bounds_frame(spark, index):
+    """min_doc_count=0 + extended_bounds on a no-match query: ES emits
+    the all-zero frame (the empty-panel contract)."""
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    got = histogram_by(
+        spark, index, "zznotaterm", interval=10, min_doc_count=0,
+        extended_bounds=(0, 50),
+    ).collect()
+    assert [(r["bucket"], r["n_docs"]) for r in got] == [
+        (b, 0) for b in range(0, 51, 10)
+    ]
+    # without bounds, a no-match dense histogram has no frame to emit
+    assert (
+        histogram_by(
+            spark, index, "zznotaterm", interval=10, min_doc_count=0,
+        ).count()
+        == 0
+    )
+
+
+def test_histogram_min_doc_count_filter_and_validation(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    interval = 64
+    base = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(spark, index, QUERY, interval=interval).collect()
+    }
+    floor3 = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(
+            spark, index, QUERY, interval=interval, min_doc_count=3,
+        ).collect()
+    }
+    assert floor3 == {b: n for b, n in base.items() if n >= 3}
+    with pytest.raises(ValueError, match="min_doc_count"):
+        histogram_by(spark, index, QUERY, interval=10, min_doc_count=-1)
+    with pytest.raises(ValueError, match="extended_bounds"):
+        histogram_by(
+            spark, index, QUERY, interval=10, extended_bounds=(0, 5),
+        )
+    with pytest.raises(ValueError, match="lo <= hi"):
+        histogram_by(
+            spark, index, QUERY, interval=10, min_doc_count=0,
+            extended_bounds=(5, 0),
+        )
+
+
+def test_histogram_dense_grid_cap(spark, index):
+    """A grid wider than MAX_BUCKETS refuses at execution (raise_error
+    rides the single agg row — no corpus work happens first)."""
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    df = histogram_by(
+        spark, index, QUERY, interval=1, min_doc_count=0,
+        extended_bounds=(0, 100_000),
+    )
+    with pytest.raises(Exception, match="dense histogram would emit"):
+        df.collect()
