@@ -275,6 +275,42 @@ def main() -> None:
         timings,
     )
 
+    # filters agg: named buckets + other-bucket (left-anti corpus pass)
+    from seqr_loading_pipelines_spark.query.facets import filters_agg
+
+    timed_min(
+        "filters_agg",
+        lambda: filters_agg(
+            spark, index,
+            {"a": "sw0", "b": "term_00042", "z": "zznotaterm"},
+            other_bucket=True,
+        ).collect(),
+        timings,
+    )
+
+    # sampler agg: facet over the bounded top-scoring sample only
+    from seqr_loading_pipelines_spark.query.facets import sampler_by
+
+    timed_min(
+        "sampler_agg",
+        lambda: sampler_by(
+            spark, index, "sw0 term_00042", "lang", sample_size=100,
+        ).collect(),
+        timings,
+    )
+
+    # dense histogram: zero-filled bucket grid (sequence-explode path)
+    from seqr_loading_pipelines_spark.query.facets import histogram_by
+
+    timed_min(
+        "dense_histogram",
+        lambda: histogram_by(
+            spark, index, "sw0 term_00042", interval=64,
+            min_doc_count=0, extended_bounds=(0, 6400),
+        ).collect(),
+        timings,
+    )
+
     # score explain: ranked pass + winners-only breakdown scan
     from seqr_loading_pipelines_spark.query.bm25 import search_explain
 
@@ -659,6 +695,16 @@ def main() -> None:
         "near_search",
         lambda: search_near(
             spark, pos_index, "sw0 term_00042", window=6, k=10,
+        ).collect(),
+        timings,
+    )
+
+    from seqr_loading_pipelines_spark.query.phrase import search_span_not
+
+    timed_min(
+        "span_not",
+        lambda: search_span_not(
+            spark, pos_index, "term_00042", "sw0", pre=3, post=3, k=10,
         ).collect(),
         timings,
     )

@@ -5437,7 +5437,94 @@ FROM g ORDER BY n_spans DESC, doc_id LIMIT 10
 """
 
 
+
+RANK_EVAL_K = 10
+RANK_EVAL_REL_MIN = 2
+
+
+def q_index_rank_eval(spark, sf_dir):
+    """ES ``_rank_eval`` behind a driver-green row: precision@k /
+    recall@k / MRR / NDCG for a judged query, hits retrieved through
+    the REAL batched-WAND path (query/rank_eval.py). Judgments derive
+    deterministically from the source table (rating = how many of the
+    query's terms the doc contains; relevant at >= 2) mapped into the
+    engine id space, so the metric algebra — not a fixture file — is
+    what the oracle locks. Oracle: the BM25 CTE top-k + identical
+    rating/metric SQL."""
+    from seqr_loading_pipelines_spark.query.rank_eval import rank_eval
+
+    _, index = _built_index(spark, sf_dir, "q")
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize_expr(F.col("text"))
+    rating = sum(
+        F.array_contains(toks, t).cast("int") for t in BM25_QUERY_TERMS
+    )
+    ext = docs.select(
+        F.col("doc_id").alias("ext_id"), rating.alias("rating"),
+    )
+    dmap = index["doc_stats"].select(
+        "doc_id", _orig_doc_id().alias("ext_id"),
+    )
+    judgments = dmap.join(ext, "ext_id").select(
+        F.lit("q0").alias("query_id"), "doc_id", "rating",
+    )
+    return rank_eval(
+        spark, index, {"q0": " ".join(BM25_QUERY_TERMS)}, judgments,
+        k=RANK_EVAL_K, relevant_min=RANK_EVAL_REL_MIN,
+    )
+
+
+SQL_INDEX_RANK_EVAL = _sql_bm25_cte(BM25_QUERY_TERMS) + f""",
+topk AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {RANK_EVAL_K}
+),
+ratings AS (
+  SELECT doc_id,
+         ({" + ".join(f"list_contains({_T}, '{t}')::INT" for t in BM25_QUERY_TERMS)}) AS rating
+  FROM documents
+),
+lab AS (
+  SELECT t.rank, coalesce(r.rating, 0) AS rating
+  FROM topk t LEFT JOIN ratings r USING (doc_id)
+),
+agg AS (
+  SELECT count(*)::INT AS retrieved,
+         sum((rating >= {RANK_EVAL_REL_MIN})::INT)::INT
+           AS relevant_retrieved,
+         min(CASE WHEN rating >= {RANK_EVAL_REL_MIN} THEN rank END)
+           AS first_rel,
+         sum((pow(2, rating) - 1) / log2(rank + 1)) AS dcg
+  FROM lab
+),
+ideal AS (
+  SELECT sum((pow(2, rating) - 1) / log2(irank + 1)) AS idcg
+  FROM (
+    SELECT rating,
+           row_number() OVER (ORDER BY rating DESC, doc_id ASC) AS irank
+    FROM ratings WHERE rating > 0
+  ) WHERE irank <= {RANK_EVAL_K}
+),
+tot AS (
+  SELECT count(*) AS n_rel FROM ratings
+  WHERE rating >= {RANK_EVAL_REL_MIN}
+)
+SELECT 'q0' AS query_id, retrieved, relevant_retrieved,
+       relevant_retrieved / retrieved AS precision_k,
+       relevant_retrieved / n_rel AS recall_k,
+       coalesce(1.0 / first_rel, 0.0) AS mrr,
+       dcg / idcg AS ndcg
+FROM agg, ideal, tot
+"""
+
+
 QUERIES = {
+    "index_rank_eval": q_index_rank_eval,
     "index_filters_agg": q_index_filters_agg,
     "index_sampler": q_index_sampler,
     "index_dense_histogram": q_index_dense_histogram,
@@ -5569,6 +5656,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_rank_eval": SQL_INDEX_RANK_EVAL,
     "index_filters_agg": SQL_INDEX_FILTERS_AGG,
     "index_sampler": SQL_INDEX_SAMPLER,
     "index_dense_histogram": SQL_INDEX_DENSE_HISTOGRAM,

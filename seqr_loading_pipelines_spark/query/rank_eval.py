@@ -1,0 +1,153 @@
+"""Ranking evaluation — the Elasticsearch ``_rank_eval`` API: score a
+SET of queries against relevance judgments in one pass, emitting the
+standard IR metrics per query (precision@k, recall@k, MRR@k, NDCG@k).
+This is how a search team regression-tests ranking changes (analyzer
+swaps, boost retuning, index rebuilds) before shipping them.
+
+Metric definitions (ES's own):
+- precision@k  = relevant retrieved / retrieved (retrieved <= k);
+- recall@k     = relevant retrieved / total judged-relevant;
+- MRR@k        = 1 / rank of the first relevant hit (0 when none);
+- NDCG@k       = DCG / ideal-DCG with the exponential gain
+  ``(2^rating - 1) / log2(rank + 1)`` over the top-k, unjudged docs
+  gaining 0 (ES default gain function); ideal-DCG re-ranks the
+  query's own judgments best-first, truncated at k.
+
+Scale shape: the ENTIRE query set retrieves through ONE batched
+block-max WAND pass (``search_wand_many`` — one pruned posting scan,
+each block decoded once for every query referencing its term), so
+evaluating 10k queries costs one job, not 10k. Judgments join the hit
+table on (query_id, doc_id) — both sides bounded by |queries| x k and
+|judgments| — and every downstream aggregate is keyed on query_id
+(cardinality = the query-set size, never corpus-shaped). The ideal-DCG
+window partitions by query_id over the judgment table alone. Queries
+whose terms are all unindexed still emit a metrics row (all zeros),
+restored from the driver-sized query-id list — ES reports them too,
+and silently dropping them would inflate the suite average.
+
+Reference analog: the reference repo ships no ranking-eval harness —
+its ES export delegates search quality to the serving cluster
+(v03_pipeline exports, no query-side tests); a from-scratch engine
+must carry its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+METRICS_SCHEMA = (
+    "query_id string, retrieved int, relevant_retrieved int, "
+    "precision_k double, recall_k double, mrr double, ndcg double"
+)
+
+
+def rank_eval(
+    spark: SparkSession,
+    index: dict,
+    queries: dict,
+    judgments: DataFrame,
+    k: int = 10,
+    relevant_min: int = 1,
+) -> DataFrame:
+    """Evaluate ``queries`` (query_id -> text) against ``judgments``
+    ``(query_id, doc_id, rating int)`` — unjudged hits rate 0; a doc
+    is *relevant* when ``rating >= relevant_min``. Returns one row per
+    query: ``(query_id, retrieved, relevant_retrieved, precision_k,
+    recall_k, mrr, ndcg)`` ordered query_id asc.
+    """
+    if not queries:
+        raise ValueError("rank_eval needs at least one query")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if relevant_min < 1:
+        raise ValueError(
+            f"relevant_min must be >= 1, got {relevant_min}",
+        )
+    j = judgments.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rating").cast("int").alias("rating"),
+    )
+    hits = search_wand_many(spark, index, queries, k=k)
+    labeled = (
+        hits.join(j, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce("rating", F.lit(0)).alias("rating"),
+        )
+        .withColumn("_rel", (F.col("rating") >= relevant_min).cast("int"))
+    )
+    got = labeled.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("retrieved"),
+        F.sum("_rel").cast("int").alias("relevant_retrieved"),
+        F.min(F.when(F.col("_rel") == 1, F.col("rank"))).alias("_first"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+            / F.log2(F.col("rank") + 1.0),
+        ).alias("_dcg"),
+    )
+    # ideal DCG: the query's own judgments best-first, truncated at k;
+    # window keyed on query_id — judgment-table-sized, never corpus
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rating").desc(), F.col("doc_id").asc(),
+    )
+    ideal = (
+        j.filter(F.col("rating") > 0)
+        .withColumn("_irank", F.row_number().over(w))
+        .filter(F.col("_irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+                / F.log2(F.col("_irank") + 1.0),
+            ).alias("_idcg"),
+        )
+    )
+    totals = (
+        j.filter(F.col("rating") >= relevant_min)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_rel"))
+    )
+    # every asked query emits a row, hits or not (driver-sized list)
+    qids = spark.createDataFrame(
+        [(str(q),) for q in sorted(queries)], "query_id string",
+    )
+    out = (
+        qids.join(got, "query_id", "left")
+        .join(ideal, "query_id", "left")
+        .join(totals, "query_id", "left")
+    )
+    retrieved = F.coalesce("retrieved", F.lit(0))
+    rel_ret = F.coalesce("relevant_retrieved", F.lit(0))
+    return (
+        out.select(
+            "query_id",
+            retrieved.alias("retrieved"),
+            rel_ret.alias("relevant_retrieved"),
+            F.when(retrieved > 0, rel_ret / retrieved)
+            .otherwise(F.lit(0.0))
+            .alias("precision_k"),
+            F.when(
+                F.coalesce("_n_rel", F.lit(0)) > 0,
+                rel_ret / F.col("_n_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_k"),
+            F.when(
+                F.col("_first").isNotNull(), 1.0 / F.col("_first"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+            F.when(
+                F.coalesce("_idcg", F.lit(0.0)) > 0.0,
+                F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

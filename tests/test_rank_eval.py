@@ -1,0 +1,127 @@
+"""Ranking-evaluation harness (ES _rank_eval): python-golden metric
+algebra over the session index, batch==per-query identity, zero-hit
+and unjudged edges, validation."""
+
+import math
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.rank_eval import rank_eval
+from seqr_loading_pipelines_spark.query.wand import search_wand
+
+
+def _python_metrics(hits, ratings, k, relevant_min, n_rel_total):
+    """hits: [(doc_id, rank)] rank asc; ratings: doc_id -> int."""
+    retrieved = len(hits)
+    rel = [(d, r) for d, r in hits if ratings.get(d, 0) >= relevant_min]
+    dcg = sum(
+        (2.0 ** ratings.get(d, 0) - 1.0) / math.log2(r + 1.0)
+        for d, r in hits
+    )
+    ideal = sorted((v for v in ratings.values() if v > 0), reverse=True)[:k]
+    idcg = sum(
+        (2.0 ** v - 1.0) / math.log2(i + 2.0) for i, v in enumerate(ideal)
+    )
+    return {
+        "retrieved": retrieved,
+        "relevant_retrieved": len(rel),
+        "precision_k": len(rel) / retrieved if retrieved else 0.0,
+        "recall_k": len(rel) / n_rel_total if n_rel_total else 0.0,
+        "mrr": 1.0 / min(r for _, r in rel) if rel else 0.0,
+        "ndcg": dcg / idcg if idcg > 0 else 0.0,
+    }
+
+
+def test_rank_eval_python_golden(spark, index):
+    """Metrics match the python algebra computed over the engine's own
+    per-query top-k (the retrieval itself is rank-locked elsewhere;
+    this locks the METRIC math)."""
+    k = 10
+    queries = {"qa": "sw0 term_00042", "qb": "term_00007"}
+    # deterministic judgments: rating = doc_id % 4 (0..3) for qa,
+    # every doc_id % 3 == 0 relevant for qb
+    all_ids = [
+        r["doc_id"] for r in index["doc_stats"].select("doc_id").collect()
+    ]
+    jrows = [("qa", d, d % 4) for d in all_ids] + [
+        ("qb", d, 1) for d in all_ids if d % 3 == 0
+    ]
+    judgments = spark.createDataFrame(
+        jrows, "query_id string, doc_id long, rating int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in rank_eval(spark, index, queries, judgments, k=k).collect()
+    }
+    for qid, text in queries.items():
+        hits = [
+            (r["doc_id"], r["rank"])
+            for r in search_wand(spark, index, text, k).collect()
+        ]
+        ratings = {
+            d: rt for q, d, rt in jrows if q == qid
+        }
+        want = _python_metrics(
+            hits, ratings, k, 1, sum(1 for v in ratings.values() if v >= 1),
+        )
+        row = got[qid]
+        for key, val in want.items():
+            assert abs(row[key] - val) < 1e-9, (qid, key, row[key], val)
+
+
+def test_rank_eval_batch_equals_per_query(spark, index):
+    queries = {"a": "sw0", "b": "term_00042", "c": "sw0 term_00007"}
+    all_ids = [
+        r["doc_id"] for r in index["doc_stats"].select("doc_id").collect()
+    ]
+    judgments = spark.createDataFrame(
+        [(q, d, (d + i) % 3) for i, q in enumerate(sorted(queries))
+         for d in all_ids[::2]],
+        "query_id string, doc_id long, rating int",
+    )
+    batch = {
+        r["query_id"]: tuple(r)
+        for r in rank_eval(spark, index, queries, judgments, k=5).collect()
+    }
+    for qid in queries:
+        solo = rank_eval(
+            spark, index, {qid: queries[qid]}, judgments, k=5,
+        ).collect()
+        assert len(solo) == 1
+        assert tuple(solo[0]) == batch[qid]
+
+
+def test_rank_eval_zero_hit_and_unjudged(spark, index):
+    judgments = spark.createDataFrame(
+        [("miss", 1, 3)], "query_id string, doc_id long, rating int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in rank_eval(
+            spark, index,
+            {"miss": "zznotaterm", "nojudge": "sw0"},
+            judgments, k=5,
+        ).collect()
+    }
+    # unindexed query still emits its row, all zeros
+    m = got["miss"]
+    assert (m["retrieved"], m["precision_k"], m["mrr"], m["ndcg"]) == (
+        0, 0.0, 0.0, 0.0,
+    )
+    # judged-nothing query: hits exist but recall/ndcg have no basis
+    n = got["nojudge"]
+    assert n["retrieved"] == 5
+    assert n["relevant_retrieved"] == 0
+    assert n["recall_k"] == 0.0 and n["ndcg"] == 0.0 and n["mrr"] == 0.0
+
+
+def test_rank_eval_validation(spark, index):
+    j = spark.createDataFrame(
+        [("q", 1, 1)], "query_id string, doc_id long, rating int",
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        rank_eval(spark, index, {}, j)
+    with pytest.raises(ValueError, match="k must"):
+        rank_eval(spark, index, {"q": "sw0"}, j, k=0)
+    with pytest.raises(ValueError, match="relevant_min"):
+        rank_eval(spark, index, {"q": "sw0"}, j, relevant_min=0)
