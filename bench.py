@@ -792,6 +792,37 @@ def main() -> None:
         timings["bm25_wand_batch100_all"] / len(batch100), 4,
     )
 
+    # rank_eval: IR metrics for the whole judged batch through ONE
+    # batched-WAND pass + query_id-keyed aggregates (ES _rank_eval)
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.rank_eval import rank_eval
+
+    judged = {f"e{i}": batch100[f"b{i}"] for i in range(32)}
+    qid_df = spark.createDataFrame(
+        [(q, i) for i, q in enumerate(sorted(judged))],
+        "query_id string, qi int",
+    )
+    judgments = (
+        index["doc_stats"]
+        .select("doc_id")
+        .crossJoin(F.broadcast(qid_df))
+        .filter((F.col("doc_id") + F.col("qi")) % 7 < 2)
+        .select(
+            "query_id",
+            "doc_id",
+            ((F.col("doc_id") + F.col("qi")) % 3 + 1)
+            .cast("int")
+            .alias("rating"),
+        )
+        .localCheckpoint()
+    )
+    timed_min(
+        "rank_eval_32q",
+        lambda: rank_eval(spark, index, judged, judgments, k=10).collect(),
+        timings,
+    )
+
     # -- ANN: persisted IVF + banded-LSH indexes vs brute force ---------
     # (>=100k vectors; the sf embeddings table is tiny, so the bench
     # synthesizes a deterministic clustered vector table)
