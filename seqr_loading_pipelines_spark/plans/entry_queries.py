@@ -5523,7 +5523,96 @@ FROM agg, ideal, tot
 """
 
 
+HAS_CHILD_K = 5
+HAS_PARENT_MIN_DOCS = 20
+HAS_PARENT_TERM = "spark"
+
+
+def q_index_has_child(spark, sf_dir):
+    """ES ``has_child`` (parent-join) through the REAL index path:
+    repos ranked by the BEST BM25 child hit for the reference query
+    (score_mode=max) with the child-hit count beside it
+    (query/relations.py has_child — one pruned posting scan, gated
+    doc-store label join, map-side-combined per-parent aggregate,
+    TakeOrdered over the aggregate). Parent tie rule: quantized score
+    desc, parent asc. Oracle: the shared scored CTE joined to
+    documents.source and grouped."""
+    from seqr_loading_pipelines_spark.query.relations import has_child
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = has_child(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        score_mode="max", k=HAS_CHILD_K,
+    )
+    return out.select(
+        F.col("parent").alias("repo"),
+        F.round("score", 4).alias("score"),
+        "n_child_hits",
+        "rank",
+    )
+
+
+SQL_INDEX_HAS_CHILD = _sql_bm25_cte(BM25_QUERY_TERMS) + f""",
+parents AS (
+  SELECT d.source AS repo, max(s) AS best, count(*) AS n_child_hits
+  FROM scored JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT repo, round(best, 4) AS score, n_child_hits, rank FROM (
+  SELECT repo, best, n_child_hits,
+         row_number() OVER (
+           ORDER BY floor(best * 1e5 + 0.5) DESC, repo ASC
+         ) AS rank
+  FROM parents
+) WHERE rank <= {HAS_CHILD_K}
+"""
+
+
+def q_index_has_parent(spark, sf_dir):
+    """ES ``has_parent`` (parent-join) through the REAL index path:
+    child docs matching '{HAS_PARENT_TERM}' whose PARENT repo
+    qualifies on a parent-level predicate (n_docs >=
+    {HAS_PARENT_MIN_DOCS} — the parent "document" is derived from its
+    children, the join-field analog), ranked by the child's own BM25
+    score (query/relations.py has_parent — parent aggregate broadcast
+    semi-joined into the labeled match set). Oracle: single-term CTE
+    + a HAVING-qualified parent subquery."""
+    from seqr_loading_pipelines_spark.query.relations import has_parent
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = has_parent(
+        spark, index, HAS_PARENT_TERM,
+        F.col("n_docs") >= HAS_PARENT_MIN_DOCS, k=10,
+        tiebreak_col="path",
+    )
+    ids = index["doc_stats"].select("doc_id", "path")
+    return out.join(ids, "doc_id", "inner").select(
+        F.col("parent").alias("repo"),
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_HAS_PARENT = _sql_bm25_cte([HAS_PARENT_TERM]) + f""",
+qual AS (
+  SELECT source FROM documents
+  GROUP BY source HAVING count(*) >= {HAS_PARENT_MIN_DOCS}
+)
+SELECT repo, doc_id, round(s, 4) AS score, rank FROM (
+  SELECT d.source AS repo, doc_id, s,
+         row_number() OVER (
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+         ) AS rank
+  FROM scored JOIN documents d USING (doc_id)
+  WHERE d.source IN (SELECT source FROM qual)
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
+    "index_has_child": q_index_has_child,
+    "index_has_parent": q_index_has_parent,
     "index_rank_eval": q_index_rank_eval,
     "index_filters_agg": q_index_filters_agg,
     "index_sampler": q_index_sampler,
@@ -5656,6 +5745,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_has_child": SQL_INDEX_HAS_CHILD,
+    "index_has_parent": SQL_INDEX_HAS_PARENT,
     "index_rank_eval": SQL_INDEX_RANK_EVAL,
     "index_filters_agg": SQL_INDEX_FILTERS_AGG,
     "index_sampler": SQL_INDEX_SAMPLER,

@@ -1,0 +1,199 @@
+"""Parent-child relational search — Elasticsearch's ``has_child`` /
+``has_parent`` queries (the parent-join module) over the doc store's
+natural hierarchy (repo -> file).
+
+The reference's analog is its family/sample roll-up: child rows
+(sample entries) group under a parent key and parent-level predicates
+gate which children survive
+(v03_pipeline/lib/misc/family_entries.py:6-54 groups entries by
+family_guid; family_loading_failures.py filters families by
+aggregate properties of their samples). Here the child relation is
+the BM25 match set and the parent is any doc-store column.
+
+Scale shape: the child match set comes from ONE pruned posting scan
+(query/bm25.py scored_matches); the parent label rides a two-column
+doc-store projection through a df-sum-gated broadcast/shuffle join
+(small match sets broadcast into the store scan, large ones shuffle
+once on doc_id). ``has_child`` then partial-aggregates per parent —
+map-side combine collapses each input partition to <= |parents| rows
+before the exchange, so a mega-repo (the skew case) costs one combined
+row per partition, never a hot-key sort. ``has_parent`` evaluates the
+parent predicate on the SAME aggregate shape and semi-joins children
+to qualifying parents (broadcast while the parent set is provably
+small: it is an aggregate over the parent key, bounded by parent
+cardinality). No driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SCORE_MODES = ("max", "sum", "avg", "min")
+
+# parent sets are aggregates over the parent key; broadcast them into
+# the child join while the DISTINCT parent cardinality stays bounded.
+PARENT_BROADCAST_MAX = 2_000_000
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _labeled_matches(
+    index: dict,
+    query_text: str,
+    parent_col: str,
+    broadcast_max: int | None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame | None:
+    """(parent, doc_id, score[, extra...]) — the child match set with
+    its parent label attached through the gated doc-store join."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _query_terms,
+        match_bound,
+        scored_matches,
+    )
+    from seqr_loading_pipelines_spark.query.facets import _gated
+
+    scored = scored_matches(index, query_text)
+    if scored is None:
+        return None
+    scored = _gated(
+        scored, broadcast_max, match_bound(_query_terms(index, query_text)),
+    )
+    return (
+        index["doc_stats"]
+        .select(
+            "doc_id",
+            F.col(parent_col).alias("parent"),
+            *(extra_cols or []),
+        )
+        .join(scored, "doc_id", "inner")
+    )
+
+
+def has_child(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    parent_col: str = "repo",
+    score_mode: str = "max",
+    min_children: int = 1,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """ES ``has_child``: parents having >= ``min_children`` child docs
+    matching the BM25 query, scored by ``score_mode`` over their
+    children's scores (the parent-join score modes). Returns
+    ``(parent, score, n_child_hits, rank)``, rank 1..k under the
+    engine tie rule (quantized score desc, parent asc).
+
+    One posting scan + one keyed aggregation; the final rank runs over
+    the aggregate (<= parent cardinality rows) via TakeOrdered — never
+    a global sort of children.
+    """
+    if score_mode not in SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {SCORE_MODES}, got {score_mode!r}",
+        )
+    if min_children < 1:
+        raise ValueError(f"min_children must be >= 1, got {min_children}")
+    out_schema = "parent string, score double, n_child_hits long, rank int"
+    labeled = _labeled_matches(index, query_text, parent_col, broadcast_max)
+    if labeled is None:
+        return _empty(spark, out_schema)
+    agg = {
+        "max": F.max("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+        "min": F.min("score"),
+    }[score_mode]
+    parents = (
+        labeled.groupBy("parent")
+        .agg(
+            agg.alias("score"),
+            F.count(F.lit(1)).alias("n_child_hits"),
+        )
+        .filter(F.col("n_child_hits") >= min_children)
+    )
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import quantized
+
+    order = [quantized(F.col("score")).desc(), F.col("parent").asc()]
+    ranked = parents.orderBy(*order).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "parent", "score", "n_child_hits",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def has_parent(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    parent_predicate,
+    parent_col: str = "repo",
+    k: int = 10,
+    broadcast_max: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ES ``has_parent``: child docs matching the BM25 query whose
+    PARENT satisfies a parent-level predicate, ranked by the child's
+    own score (has_parent passes no parent score by default).
+    ``tiebreak_col`` swaps the tie column for another doc-store column
+    (e.g. ``path`` — monotone in an external id space, the collapse
+    API's id-space-invariant tiebreak).
+
+    ``parent_predicate`` is a Column over the parent aggregate
+    ``(parent, n_docs, total_len)`` — the parent "document" is derived
+    from its children (repo size, total bytes), the join-field analog
+    of a stored parent doc. Returns ``(parent, doc_id, score, rank)``.
+
+    Scale shape: the parent aggregate is ONE map-side-combined pass
+    over a two-column doc-store projection; qualifying parents
+    broadcast-semi-join into the labeled match set while their count
+    stays under PARENT_BROADCAST_MAX (an aggregate over the parent key
+    is bounded by parent cardinality — for repo-like parents that is
+    orders of magnitude under the doc count; callers with pathological
+    parent cardinality pass broadcast_max=0 to force the shuffle path).
+    """
+    out_schema = "parent string, doc_id long, score double, rank int"
+    labeled = _labeled_matches(
+        index, query_text, parent_col, broadcast_max,
+        extra_cols=[tiebreak_col] if tiebreak_col else None,
+    )
+    if labeled is None:
+        return _empty(spark, out_schema)
+    parent_stats = (
+        index["doc_stats"]
+        .select(F.col(parent_col).alias("parent"), "doc_len")
+        .groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("total_len"),
+        )
+    )
+    qualifying = parent_stats.filter(parent_predicate).select("parent")
+    gate = (
+        broadcast_max if broadcast_max is not None else PARENT_BROADCAST_MAX
+    )
+    if gate and index["manifest"]["n_docs"] <= gate:
+        # parent cardinality <= doc count: provably under the gate
+        qualifying = F.broadcast(qualifying)
+    hits = labeled.join(qualifying, "parent", "left_semi")
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import quantized
+
+    tie = tiebreak_col or "doc_id"
+    order = [quantized(F.col("score")).desc(), F.col(tie).asc()]
+    ranked = hits.orderBy(*order).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "parent", "doc_id", "score", F.row_number().over(w).alias("rank"),
+    )

@@ -1,0 +1,190 @@
+"""Parent-child relational search: query/relations.py.
+
+Covers: has_child score modes (max/sum/avg/min) against a naive
+oracle, min_children filtering, child-hit counts, rank/tie ordering on
+the parent key, has_parent predicate semantics (qualifying vs
+disqualified parents), tiebreak_col ordering, missing-term empties,
+and input validation.
+"""
+
+import math
+import re
+
+import pytest
+
+DOCS = [
+    # repoA: two docs matching "alpha", one also "beta"
+    ("repoA", "a0.py", "c0", "python", "alpha beta gamma"),
+    ("repoA", "a1.py", "c1", "python", "alpha alpha filler words"),
+    # repoB: one strong match
+    ("repoB", "b0.py", "c2", "go", "alpha alpha alpha dense"),
+    # repoC: no query terms
+    ("repoC", "c0.py", "c3", "go", "unrelated content entirely"),
+    # repoD: single weak match
+    ("repoD", "d0.py", "c4", "rust", "beta plus other tokens here"),
+]
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def rel_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("rel_index"))
+    corpus = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, root).build(corpus, "relations-test")
+    return load_index(spark, root)
+
+
+def _toks(content):
+    return re.findall(r"[a-z0-9_]+", content.lower())
+
+
+def _naive_scores(terms):
+    """doc path -> BM25 score over DOCS for the disjunction of terms."""
+    n = len(DOCS)
+    dls = {p: len(_toks(c)) for _, p, _, _, c in DOCS}
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for term in terms:
+        df = sum(1 for _, _, _, _, c in DOCS if term in _toks(c))
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for _, p, _, _, c in DOCS:
+            tf = _toks(c).count(term)
+            if tf == 0:
+                continue
+            s = idf * tf * (K1 + 1) / (
+                tf + K1 * (1 - B + B * dls[p] / avgdl)
+            )
+            out[p] = out.get(p, 0.0) + s
+    return out
+
+
+def _repo_of(path):
+    return next(r for r, p, *_ in DOCS if p == path)
+
+
+def _has_child(spark, idx, q, **kw):
+    from seqr_loading_pipelines_spark.query.relations import has_child
+
+    return has_child(spark, idx, q, **kw).collect()
+
+
+def test_has_child_max_matches_naive(spark, rel_index):
+    rows = _has_child(spark, rel_index, "alpha", score_mode="max")
+    naive = _naive_scores(["alpha"])
+    want = {}
+    for p, s in naive.items():
+        r = _repo_of(p)
+        want[r] = max(want.get(r, 0.0), s)
+    got = {r["parent"]: r["score"] for r in rows}
+    assert set(got) == set(want)
+    for repo, s in want.items():
+        assert got[repo] == pytest.approx(s, rel=1e-9)
+    # ranks ordered by score desc
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.parametrize("mode,fold", [
+    ("sum", sum),
+    ("avg", lambda xs: sum(xs) / len(xs)),
+    ("min", min),
+])
+def test_has_child_other_modes(spark, rel_index, mode, fold):
+    rows = _has_child(spark, rel_index, "alpha beta", score_mode=mode)
+    naive = _naive_scores(["alpha", "beta"])
+    per_repo = {}
+    for p, s in naive.items():
+        per_repo.setdefault(_repo_of(p), []).append(s)
+    got = {r["parent"]: r["score"] for r in rows}
+    assert set(got) == set(per_repo)
+    for repo, xs in per_repo.items():
+        assert got[repo] == pytest.approx(fold(xs), rel=1e-9)
+
+
+def test_has_child_counts_and_min_children(spark, rel_index):
+    rows = _has_child(spark, rel_index, "alpha")
+    counts = {r["parent"]: r["n_child_hits"] for r in rows}
+    assert counts == {"repoA": 2, "repoB": 1}
+    only_multi = _has_child(spark, rel_index, "alpha", min_children=2)
+    assert {r["parent"] for r in only_multi} == {"repoA"}
+
+
+def test_has_child_missing_term_empty(spark, rel_index):
+    assert _has_child(spark, rel_index, "zzz_not_there") == []
+
+
+def test_has_child_validation(spark, rel_index):
+    from seqr_loading_pipelines_spark.query.relations import has_child
+
+    with pytest.raises(ValueError, match="score_mode"):
+        has_child(spark, rel_index, "alpha", score_mode="median")
+    with pytest.raises(ValueError, match="min_children"):
+        has_child(spark, rel_index, "alpha", min_children=0)
+
+
+def test_has_parent_predicate(spark, rel_index):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.relations import has_parent
+
+    # only repoA has 2 docs; its children are the only survivors
+    rows = has_parent(
+        spark, rel_index, "alpha", F.col("n_docs") >= 2,
+    ).collect()
+    assert {r["parent"] for r in rows} == {"repoA"}
+    assert len(rows) == 2
+    naive = _naive_scores(["alpha"])
+    got = {r["doc_id"]: r["score"] for r in rows}
+    want = sorted(
+        (naive[p] for p in ("a0.py", "a1.py")), reverse=True,
+    )
+    assert sorted(got.values(), reverse=True) == pytest.approx(want)
+    # vacuous predicate keeps every matching child, ranked globally
+    all_rows = has_parent(
+        spark, rel_index, "alpha", F.col("n_docs") >= 1,
+    ).collect()
+    assert len(all_rows) == 3
+    by_rank = sorted(all_rows, key=lambda r: r["rank"])
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_has_parent_tiebreak_col(spark, rel_index):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.relations import has_parent
+
+    rows = has_parent(
+        spark, rel_index, "alpha", F.col("n_docs") >= 1,
+        tiebreak_col="path",
+    ).collect()
+    assert len(rows) == 3
+    # scores here are distinct, so order matches the plain ranking
+    plain = has_parent(
+        spark, rel_index, "alpha", F.col("n_docs") >= 1,
+    ).collect()
+    assert (
+        [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        == [r["doc_id"] for r in sorted(plain, key=lambda r: r["rank"])]
+    )
+
+
+def test_has_parent_missing_term_empty(spark, rel_index):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.relations import has_parent
+
+    out = has_parent(spark, rel_index, "zzz_not_there", F.col("n_docs") >= 1)
+    assert out.collect() == []
