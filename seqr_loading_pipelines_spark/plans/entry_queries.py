@@ -5610,7 +5610,70 @@ SELECT repo, doc_id, round(s, 4) AS score, rank FROM (
 """
 
 
+INTERVALS_STEP1 = "hash"
+INTERVALS_STEP2 = ["query", "vector"]
+INTERVALS_MAX_GAPS = 3
+
+
+def q_index_intervals(spark, sf_dir):
+    """ES ``intervals`` query (all_of ordered + any_of sources)
+    through the REAL index path: '{INTERVALS_STEP1}' followed by ANY
+    of {INTERVALS_STEP2} with at most {INTERVALS_MAX_GAPS} tokens
+    between them (query/phrase.py search_intervals — per-step
+    position-set union, greedy ordered chain, nested JVM HOFs, no
+    explode). Oracle: min over ordered position pairs of the 1-based
+    unnest positions (two steps: greedy == pairwise min). Over-fetch
+    + external-id re-rank, same tie-rule rationale as span_near."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_intervals
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_intervals(
+        spark, index,
+        [[INTERVALS_STEP1], INTERVALS_STEP2],
+        max_gaps=INTERVALS_MAX_GAPS,
+        k=index["manifest"]["n_docs"],
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "min_gap",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("min_gap").asc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_INTERVALS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+pa AS (SELECT doc_id, pos FROM toks WHERE tok = '{INTERVALS_STEP1}'),
+pb AS (
+  SELECT doc_id, pos FROM toks
+  WHERE tok IN ({", ".join(f"'{t}'" for t in INTERVALS_STEP2)})
+),
+g AS (
+  SELECT pa.doc_id, min(pb.pos - pa.pos - 1)::INT AS min_gap
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos > pa.pos
+  GROUP BY pa.doc_id
+)
+SELECT doc_id, min_gap, rank FROM (
+  SELECT doc_id, min_gap,
+         row_number() OVER (ORDER BY min_gap ASC, doc_id ASC) AS rank
+  FROM g WHERE min_gap <= {INTERVALS_MAX_GAPS}
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
+    "index_intervals": q_index_intervals,
     "index_has_child": q_index_has_child,
     "index_has_parent": q_index_has_parent,
     "index_rank_eval": q_index_rank_eval,
@@ -5745,6 +5808,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_intervals": SQL_INDEX_INTERVALS,
     "index_has_child": SQL_INDEX_HAS_CHILD,
     "index_has_parent": SQL_INDEX_HAS_PARENT,
     "index_rank_eval": SQL_INDEX_RANK_EVAL,

@@ -537,3 +537,149 @@ def search_span_not(
         "doc_id", "n_spans", "first_pos",
         F.row_number().over(w).alias("rank"),
     )
+
+
+INTERVALS_MAX_ALTERNATIVES = 16
+
+
+def search_intervals(
+    spark: SparkSession,
+    index: dict,
+    steps: list,
+    max_gaps: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``intervals`` query — the ``all_of(ordered=true, max_gaps)``
+    rule over ``match`` / ``any_of`` sources: ``steps`` is a list of
+    steps that must appear IN ORDER, each step a list of alternative
+    tokens (a one-element step is ``match``, a multi-element step is
+    ``any_of``). A doc matches when some ordered assignment — one
+    position per step, any alternative — fits with at most
+    ``max_gaps`` non-matching tokens inside the whole span. Returns
+    ``(doc_id, min_gap, rank)`` ranked (min_gap asc, doc_id asc);
+    ``search_span_near`` is the single-alternative special case.
+
+    Matching: each step's position set is the UNION of its
+    alternatives' position lists (flatten of the pmap lookups — the
+    any_of union costs one JVM array op, no extra scan); the greedy
+    chain argument of span_near then applies unchanged to the unioned
+    sets (each step takes the earliest continuation, so min over
+    starts is the true minimum span). Step count is capped like
+    span_near (one nested HOF level per step), alternatives per step
+    capped at INTERVALS_MAX_ALTERNATIVES (Lucene caps interval clause
+    expansion the same way).
+
+    Shape: ONE pruned ``term_id IN`` scan of the term-clustered
+    positions projection covering every alternative of every step,
+    tombstones anti-joined, per-step presence gate after the per-doc
+    group, then the per-doc fold and the shared bounded top-k.
+    """
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable intervals queries",
+        )
+    if max_gaps < 0:
+        raise ValueError("max_gaps must be >= 0")
+    empty = spark.createDataFrame([], "doc_id long, min_gap int, rank int")
+    if not steps:
+        return empty
+    if len(steps) > SPAN_NEAR_MAX_CLAUSES:
+        raise ValueError(
+            f"intervals supports at most {SPAN_NEAR_MAX_CLAUSES} ordered "
+            f"steps, got {len(steps)}",
+        )
+    norm_steps = []
+    for i, s in enumerate(steps):
+        alts = sorted({t for alt in s for t in tokenize_py(alt)})
+        if not alts:
+            raise ValueError(f"intervals step {i} has no tokens")
+        if len(alts) > INTERVALS_MAX_ALTERNATIVES:
+            raise ValueError(
+                f"intervals step {i} has {len(alts)} alternatives "
+                f"(max {INTERVALS_MAX_ALTERNATIVES})",
+            )
+        norm_steps.append(alts)
+    all_terms = sorted({t for s in norm_steps for t in s})
+    infos = _query_terms(index, " ".join(all_terms))
+    tid_by_term = {i["term"]: i["term_id"] for i in infos}
+    step_tids = []
+    for s in norm_steps:
+        ts = sorted(tid_by_term[t] for t in s if t in tid_by_term)
+        if not ts:
+            # a required step has no indexed alternative: nothing matches
+            return empty
+        step_tids.append(ts)
+    distinct_tids = sorted({t for ts in step_tids for t in ts})
+
+    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    grouped = (
+        pos.select("term_id", "doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "pos")),
+            ).alias("pmap"),
+        )
+    )
+
+    def step_union(i):
+        # union of the step's alternatives' position lists; absent
+        # alternatives surface as null map lookups and filter out
+        return F.flatten(
+            F.filter(
+                F.array(
+                    *[
+                        F.element_at(F.col("pmap"), F.lit(int(t)))
+                        for t in step_tids[i]
+                    ],
+                ),
+                lambda a: a.isNotNull(),
+            ),
+        )
+
+    n = len(step_tids)
+    unions = grouped.select(
+        "doc_id",
+        *[step_union(i).alias(f"_u{i}") for i in range(n)],
+    )
+    present = unions
+    for i in range(n):
+        present = present.filter(F.size(F.col(f"_u{i}")) > 0)
+
+    def chain_end(prev, depth):
+        if depth == n:
+            return prev
+        nxt = F.array_min(
+            F.filter(F.col(f"_u{depth}"), lambda x: x > prev),
+        )
+        return chain_end(nxt, depth + 1)
+
+    if n == 1:
+        scored = present.select("doc_id", F.lit(0).alias("min_gap"))
+    else:
+        gap = F.array_min(
+            F.transform(
+                F.col("_u0"),
+                lambda p1: chain_end(p1, 1) - p1 - F.lit(n - 1),
+            ),
+        )
+        scored = (
+            present.select("doc_id", gap.cast("int").alias("min_gap"))
+            .filter(F.col("min_gap").isNotNull())
+            .filter(F.col("min_gap") <= max_gaps)
+        )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", (-F.col("min_gap")).cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
+    )

@@ -639,3 +639,120 @@ def test_span_not_edges_and_validation(spark, pos_index, index):
         search_span_not(spark, idx, "a", "b", pre=-1)
     with pytest.raises(ValueError, match="positions"):
         search_span_not(spark, index, "a", "b")
+
+
+def _intervals(spark, idx, steps, max_gaps, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import search_intervals
+
+    return {
+        r["doc_id"]: r["min_gap"]
+        for r in search_intervals(spark, idx, steps, max_gaps, k).collect()
+    }
+
+
+def _naive_intervals(content, steps, max_gaps):
+    """Min total gap of an ordered assignment, brute force."""
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    sets = [
+        sorted(i for i, t in enumerate(toks) if t in set(s)) for s in steps
+    ]
+    if any(not s for s in sets):
+        return None
+    best = None
+
+    def rec(depth, prev, start):
+        nonlocal best
+        if depth == len(sets):
+            gap = prev - start - (len(sets) - 1)
+            best = gap if best is None or gap < best else best
+            return
+        for p in sets[depth]:
+            if p > prev:
+                rec(depth + 1, p, start)
+
+    for p0 in sets[0]:
+        rec(1, p0, p0)
+    if best is None or best > max_gaps:
+        return None
+    return best
+
+
+def test_intervals_any_of_union(spark, pos_index):
+    _, idx = pos_index
+    by_path = idx["_by_path"]
+    # "a" then any of {b, c}: d0 "a b c a b" gap 0; d1 "a x b" gap 1;
+    # d4 "z a b c" gap 0; d2 "b a" no ordered pair; d3 "a a a" no step2
+    got = _intervals(spark, idx, [["a"], ["b", "c"]], max_gaps=1)
+    want = {}
+    for repo, path, _, _, content in DOCS:
+        g = _naive_intervals(content, [["a"], ["b", "c"]], 1)
+        if g is not None:
+            want[by_path[path]] = g
+    assert got == want
+    assert got[by_path["d0.py"]] == 0
+    assert got[by_path["d1.py"]] == 1
+
+
+def test_intervals_single_alternative_matches_span_near(spark, pos_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_near
+
+    _, idx = pos_index
+    via_intervals = _intervals(spark, idx, [["a"], ["b"]], max_gaps=2)
+    via_span = {
+        r["doc_id"]: r["min_gap"]
+        for r in search_span_near(spark, idx, "a b", slop=2, k=10).collect()
+    }
+    assert via_intervals == via_span
+
+
+def test_intervals_three_steps_and_gap_budget(spark, pos_index):
+    _, idx = pos_index
+    # a .. b .. c ordered: d0 has a(0) b(1) c(2) -> gap 0; d4 a(1) b(2)
+    # c(3) -> gap 0; d1 lacks c
+    got = _intervals(spark, idx, [["a"], ["b"], ["c"]], max_gaps=0)
+    by_path = idx["_by_path"]
+    assert set(got) == {by_path["d0.py"], by_path["d4.py"]}
+    assert set(got.values()) == {0}
+
+
+def test_intervals_single_step_is_presence(spark, pos_index):
+    _, idx = pos_index
+    by_path = idx["_by_path"]
+    got = _intervals(spark, idx, [["q", "z"]], max_gaps=0)
+    assert set(got) == {by_path["d4.py"], by_path["d5.py"]}
+    assert set(got.values()) == {0}
+
+
+def test_intervals_missing_step_term_empty(spark, pos_index):
+    _, idx = pos_index
+    assert _intervals(spark, idx, [["a"], ["zzz_missing"]], 5) == {}
+    # but a missing ALTERNATIVE inside a step still matches via others
+    got = _intervals(spark, idx, [["a"], ["b", "zzz_missing"]], 5)
+    assert got
+
+
+def test_intervals_validation(spark, pos_index, index):
+    from seqr_loading_pipelines_spark.query.phrase import (
+        INTERVALS_MAX_ALTERNATIVES,
+        SPAN_NEAR_MAX_CLAUSES,
+        search_intervals,
+    )
+
+    _, idx = pos_index
+    with pytest.raises(ValueError, match="max_gaps"):
+        search_intervals(spark, idx, [["a"]], max_gaps=-1)
+    with pytest.raises(ValueError, match="no tokens"):
+        search_intervals(spark, idx, [["a"], ["@@@"]], 1)
+    with pytest.raises(ValueError, match="ordered"):
+        search_intervals(
+            spark, idx, [["a"]] * (SPAN_NEAR_MAX_CLAUSES + 1), 1,
+        )
+    with pytest.raises(ValueError, match="alternatives"):
+        search_intervals(
+            spark, idx,
+            [[f"t{i}" for i in range(INTERVALS_MAX_ALTERNATIVES + 1)]],
+            1,
+        )
+    with pytest.raises(ValueError, match="positional"):
+        search_intervals(spark, index, [["a"]], 1)
+    assert search_intervals(spark, idx, [], 1).collect() == []
