@@ -5672,7 +5672,53 @@ SELECT doc_id, min_gap, rank FROM (
 """
 
 
+def q_index_dfs_search(spark, sf_dir):
+    """ES multi-index ``dfs_query_then_fetch`` through REAL index
+    paths: the corpus is split by doc-id parity into TWO independent
+    indices (disjoint docID spaces, shard-local dictionaries and
+    statistics), the DFS pre-phase folds their dictionaries into
+    global (df, N, avgdl), each shard scores its own postings with
+    the global constants, and the coordinator merges path-keyed
+    per-shard top-k sets (query/federated.py search_dfs). Because the
+    shards partition the corpus, global-stats scoring must reproduce
+    the single-index ranking EXACTLY — the oracle is the plain
+    whole-corpus BM25 top-k, which a per-shard-idf merge would fail."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.federated import search_dfs
+
+    parity = F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1).cast(
+        "long",
+    ) % 2
+    indices = []
+    for tag, rem in (("feda", 0), ("fedb", 1)):
+        root = _index_root(sf_dir, tag)
+        shard = corpus_from_documents(spark, sf_dir).filter(parity == rem)
+        IndexBuilder(spark, root).build(
+            shard,
+            source_fingerprint=(
+                f"{tag}:{sf_dir}:{_source_content_fp(sf_dir)}"
+            ),
+        )
+        indices.append(load_index(spark, root))
+    out = search_dfs(spark, indices, " ".join(BM25_QUERY_TERMS), k=10)
+    return out.select(
+        F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_DFS_SEARCH = _sql_bm25(BM25_QUERY_TERMS, 10)
+
+
 QUERIES = {
+    "index_dfs_search": q_index_dfs_search,
     "index_intervals": q_index_intervals,
     "index_has_child": q_index_has_child,
     "index_has_parent": q_index_has_parent,
@@ -5808,6 +5854,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_dfs_search": SQL_INDEX_DFS_SEARCH,
     "index_intervals": SQL_INDEX_INTERVALS,
     "index_has_child": SQL_INDEX_HAS_CHILD,
     "index_has_parent": SQL_INDEX_HAS_PARENT,

@@ -1,0 +1,170 @@
+"""Federated search across several indices — Elasticsearch's
+multi-index search with ``search_type=dfs_query_then_fetch``: the DFS
+pre-phase collects GLOBAL term statistics (df, N, avgdl) across every
+shard/index, each shard then scores its own postings with the global
+stats, and the coordinator merges per-shard top candidates into one
+globally-consistent ranking. Without the DFS phase, per-shard idf
+makes the same doc score differently depending on which shard holds
+it — the classic relevance skew ES documents for small/sharded
+indices.
+
+The reference's analog is its per-project tables queried as one
+logical dataset (the ClickHouse entries/annotations tables are
+loaded per-run and unioned at query time,
+v03_pipeline/lib/misc/clickhouse.py); here each index is an
+independent posting store and the merge is rank-level.
+
+Scale shape: the DFS phase is DRIVER-side and bounded by |query| x
+|indices| — per-index dictionaries resolve the query terms exactly as
+single-index search does (cached small dicts / pushed term filter),
+and only (term, df) pairs travel. Each shard's score pass is the
+SAME one pruned posting scan + vectorized decode as single-index BM25
+(query/bm25.py _decoded_postings) with the idf/avgdl constants
+swapped for global ones — no cross-shard shuffle of postings, no
+re-decode. The merge unions k-bounded per-shard candidate sets only
+when shards share no doc-id space: results key on the EXTERNAL id
+(path), and the global top-k runs TakeOrdered over the union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.build import idf as idf_fn
+
+
+def global_term_stats(indices: list[dict], query_text: str) -> dict:
+    """The DFS pre-phase: per-term global df across ``indices`` plus
+    global N and length-weighted avgdl. Driver-side, bounded by
+    |query| x |indices| dictionary resolutions."""
+    from seqr_loading_pipelines_spark.query.bm25 import _query_terms
+
+    g_df: dict[str, int] = {}
+    per_index_tids: list[dict[str, int]] = []
+    n_total = 0
+    dl_total = 0.0
+    for idx in indices:
+        m = idx["manifest"]
+        n_total += int(m["n_docs"])
+        dl_total += float(m["avgdl"]) * int(m["n_docs"])
+        infos = _query_terms(idx, query_text)
+        tids = {}
+        for t in infos:
+            g_df[t["term"]] = g_df.get(t["term"], 0) + t["df"]
+            tids[t["term"]] = t["term_id"]
+        per_index_tids.append(tids)
+    return {
+        "df": g_df,
+        "n_docs": n_total,
+        "avgdl": (dl_total / n_total) if n_total else 0.0,
+        "per_index_tids": per_index_tids,
+    }
+
+
+def search_dfs(
+    spark: SparkSession,
+    indices: list[dict],
+    query_text: str,
+    k: int = 10,
+    index_boost: list[float] | None = None,
+) -> DataFrame:
+    """Top-k BM25 across ``indices`` under GLOBAL statistics
+    (dfs_query_then_fetch). Returns ``(index_ord, path, score, rank)``
+    — ``path`` is the external key (shards own disjoint docID spaces,
+    so internal ids cannot key the merge), ``index_ord`` the position
+    of the owning index in ``indices``. Tie rule: quantized score
+    desc, path asc. ``index_boost`` multiplies each index's scores
+    (the ES indices_boost knob); global stats are computed BEFORE
+    boosting, exactly like ES.
+
+    When the indices partition one corpus, this ranking is identical
+    to a single index built over the union — the correctness contract
+    the driver row checks.
+    """
+    if not indices:
+        raise ValueError("search_dfs needs at least one index")
+    if index_boost is not None and len(index_boost) != len(indices):
+        raise ValueError(
+            f"index_boost has {len(index_boost)} entries for "
+            f"{len(indices)} indices",
+        )
+    k1s = {(i["manifest"]["k1"], i["manifest"]["b"]) for i in indices}
+    if len(k1s) > 1:
+        raise ValueError(
+            f"indices disagree on BM25 parameters (k1, b): {sorted(k1s)}",
+        )
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _decoded_postings,
+        quantized,
+    )
+
+    g = global_term_stats(indices, query_text)
+    out_schema = "index_ord int, path string, score double, rank int"
+    if not g["df"]:
+        return spark.createDataFrame([], out_schema)
+
+    shards = []
+    for ord_, (idx, tids) in enumerate(zip(indices, g["per_index_tids"])):
+        if not tids:
+            continue  # no query term exists in this shard's dictionary
+        infos = [
+            {
+                "term": term,
+                "term_id": tid,
+                "df": g["df"][term],
+                "idf": idf_fn(g["n_docs"], g["df"][term]),
+            }
+            for term, tid in tids.items()
+        ]
+        # shallow view with the global avgdl: the decode kernel reads
+        # k1/b/avgdl from the manifest it is handed
+        view = {**idx, "manifest": {**idx["manifest"], "avgdl": g["avgdl"]}}
+        scored = (
+            _decoded_postings(view, infos)
+            .groupBy("doc_id")
+            .agg(F.sum("contribution").alias("score"))
+        )
+        if index_boost is not None and index_boost[ord_] != 1.0:
+            scored = scored.select(
+                "doc_id",
+                (F.col("score") * F.lit(float(index_boost[ord_])))
+                .alias("score"),
+            )
+        # per-shard fetch phase: label with the EXTERNAL key first
+        # (df-sum-gated doc-store join), then cut to k under the SAME
+        # total order the merge uses — a shard-local tie broken on an
+        # internal id could otherwise evict the globally-ranked doc at
+        # the shard's k boundary. The coordinator never sees more than
+        # k rows per shard.
+        from seqr_loading_pipelines_spark.query.bm25 import match_bound
+        from seqr_loading_pipelines_spark.query.facets import _gated
+
+        labeled_all = (
+            idx["doc_stats"]
+            .select("doc_id", "path")
+            .join(_gated(scored, None, match_bound(infos)), "doc_id")
+        )
+        per_shard = (
+            labeled_all.orderBy(
+                quantized(F.col("score")).desc(), F.col("path").asc(),
+            )
+            .limit(max(1, k))
+            .select(F.lit(ord_).alias("index_ord"), "path", "score")
+        )
+        shards.append(per_shard)
+    if not shards:
+        return spark.createDataFrame([], out_schema)
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    order = [quantized(F.col("score")).desc(), F.col("path").asc()]
+    ranked = merged.orderBy(*order).limit(max(1, k))
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "index_ord", "path", "score", F.row_number().over(w).alias("rank"),
+    )

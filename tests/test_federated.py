@@ -1,0 +1,121 @@
+"""Federated multi-index search (query/federated.py).
+
+Covers: global-stats (dfs) merge == single whole-corpus index ranking
+when shards partition the corpus, shard-local term absence, index
+boost, global_term_stats arithmetic, empty/unknown queries, and
+parameter validation.
+"""
+
+import pytest
+
+DOCS = [
+    ("r0", "a0.py", "c0", "python", "alpha beta gamma shared"),
+    ("r0", "a1.py", "c1", "python", "alpha alpha filler shared"),
+    ("r1", "a2.py", "c2", "go", "beta beta beta words shared"),
+    ("r1", "a3.py", "c3", "go", "alpha beta mixed bag shared"),
+    ("r2", "a4.py", "c4", "rust", "gamma only here shared"),
+    ("r2", "a5.py", "c5", "rust", "unrelated tokens entirely"),
+]
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+@pytest.fixture(scope="module")
+def fed_indices(spark, tmp_path_factory):
+    """(whole-corpus index, [shard0, shard1]) over the same docs."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    base = tmp_path_factory.mktemp("fed")
+    whole = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, str(base / "whole")).build(whole, "fed-whole")
+    shards = []
+    for i in range(2):
+        part = spark.createDataFrame(DOCS[i::2], SCHEMA)
+        root = str(base / f"shard{i}")
+        IndexBuilder(spark, root).build(part, f"fed-shard{i}")
+        shards.append(load_index(spark, root))
+    return load_index(spark, str(base / "whole")), shards
+
+
+def _dfs(spark, indices, q, **kw):
+    from seqr_loading_pipelines_spark.query.federated import search_dfs
+
+    return [
+        (r["path"], round(r["score"], 6), r["rank"])
+        for r in search_dfs(spark, indices, q, **kw).collect()
+    ]
+
+
+def _single(spark, idx, q, k=10):
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate, search_exact
+
+    rows = hydrate(idx, search_exact(spark, idx, q, k)).select(
+        "path", "score", "rank",
+    ).collect()
+    return sorted(
+        ((r["path"], round(r["score"], 6), r["rank"]) for r in rows),
+        key=lambda x: x[2],
+    )
+
+
+def test_dfs_matches_single_index(spark, fed_indices):
+    whole, shards = fed_indices
+    for q in ("alpha", "alpha beta", "gamma shared", "beta gamma alpha"):
+        assert _dfs(spark, shards, q, k=6) == _single(spark, whole, q, k=6)
+
+
+def test_dfs_term_in_one_shard_only(spark, fed_indices):
+    whole, shards = fed_indices
+    # "gamma" lives in a0 (shard0) and a4 (shard0): rebuild check —
+    # DOCS[0::2] = a0, a2, a4 so gamma is shard0-only; merge must
+    # still equal the whole-corpus ranking
+    assert _dfs(spark, shards, "gamma", k=4) == _single(
+        spark, whole, "gamma", k=4,
+    )
+
+
+def test_dfs_global_stats_arithmetic(fed_indices):
+    from seqr_loading_pipelines_spark.query.federated import (
+        global_term_stats,
+    )
+
+    whole, shards = fed_indices
+    g = global_term_stats(shards, "alpha shared")
+    assert g["n_docs"] == whole["manifest"]["n_docs"]
+    assert g["avgdl"] == pytest.approx(whole["manifest"]["avgdl"])
+    assert g["df"]["alpha"] == 3
+    assert g["df"]["shared"] == 5
+
+
+def test_dfs_index_boost(spark, fed_indices):
+    _, shards = fed_indices
+    plain = _dfs(spark, shards, "shared", k=6)
+    boosted = _dfs(spark, shards, "shared", k=6, index_boost=[1.0, 10.0])
+    # shard1's docs (a1, a3, a5) outrank every shard0 doc once boosted
+    shard1_paths = {DOCS[1][1], DOCS[3][1], DOCS[5][1]}
+    top = [p for p, _, rank in boosted if rank <= 2]
+    assert set(top) <= shard1_paths
+    assert {p for p, _, _ in plain} == {p for p, _, _ in boosted}
+
+
+def test_dfs_empty_and_unknown(spark, fed_indices):
+    _, shards = fed_indices
+    assert _dfs(spark, shards, "zzz_nowhere") == []
+    assert _dfs(spark, shards, "@@@") == []
+
+
+def test_dfs_validation(spark, fed_indices):
+    from seqr_loading_pipelines_spark.query.federated import search_dfs
+
+    _, shards = fed_indices
+    with pytest.raises(ValueError, match="at least one"):
+        search_dfs(spark, [], "alpha")
+    with pytest.raises(ValueError, match="index_boost"):
+        search_dfs(spark, shards, "alpha", index_boost=[1.0])
+    bad = {**shards[1], "manifest": {**shards[1]["manifest"], "k1": 9.9}}
+    with pytest.raises(ValueError, match="k1"):
+        search_dfs(spark, [shards[0], bad], "alpha")
