@@ -1,0 +1,119 @@
+"""Language-model quality scoring for training-data curation — the
+CCNet/Gopher-style perplexity filter: train a token-level LM on (a
+sample of) the corpus, score every document by its per-token
+cross-entropy under that LM, and gate/bucket documents on the score
+(low bits-per-token = fluent/typical text, high = boilerplate, binary
+junk, or wrong-language). CCNet buckets its corpus into head/middle/
+tail by exactly this statistic (Wenzek et al., 2020); here the LM is
+a Lidstone-smoothed unigram model — entirely expressible as two
+DataFrame aggregations, no external model artifact, and the natural
+first rung below a KenLM seam.
+
+Reference analog: the reference gates rows on corpus-derived
+aggregate statistics before export (e.g. callset validation and
+relatedness checks, v03_pipeline/lib/misc/validation.py); the LM gate
+is the text-corpus equivalent of a derived-statistic quality filter.
+
+Scale shape: training is ONE explode + hash-aggregate over the token
+stream (map-side combined on the term key — the same shape as the
+index build's document-frequency pass, so stop-word skew is already
+partial-aggregated away); the vocabulary totals ride a 1-row
+broadcast cross join, never a driver collect. Scoring is one tf
+aggregation per (doc, term) plus a term-keyed join against the LM
+table — broadcast while the vocabulary is bounded (code corpora
+vocabularies are ~1e7 << doc count), shuffle otherwise — and one
+final doc-keyed sum. Smoothing keeps out-of-vocabulary tokens finite
+when the LM was trained on a sample or an earlier snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_expr
+
+# Lidstone pseudo-count: p(t) = (c_t + a) / (N + a * (V + 1)); the +1
+# virtual type carries the unseen-token mass.
+LM_ALPHA = 0.5
+
+# vocabulary tables broadcast into the scoring join under this bound
+LM_BROADCAST_MAX = 2_000_000
+
+
+def train_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """Train the unigram LM: ``(term, log2p)`` with Lidstone
+    smoothing, plus one ``term = NULL`` row carrying the
+    out-of-vocabulary log-probability (the +1 virtual type). One
+    explode + one map-side-combined aggregate + a 1-row totals cross
+    join — no driver materialization."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = (
+        docs.select(F.explode(tokenize_expr(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"),
+    )
+    denom = F.col("n") + F.lit(alpha) * (F.col("v") + 1)
+    vocab = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log2((F.col("c") + F.lit(alpha)) / denom).alias("log2p"),
+    )
+    oov = totals.select(
+        F.lit(None).cast("string").alias("term"),
+        F.log2(F.lit(alpha) / denom).alias("log2p"),
+    )
+    return vocab.unionByName(oov)
+
+
+def doc_cross_entropy(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy under ``lm``: ``(id, n_tokens,
+    bits_per_token)`` — the mean negative log2-probability of the
+    doc's token stream (the log of its per-token perplexity).
+    Zero-token docs are dropped (no stream to score). Out-of-
+    vocabulary tokens take the LM's NULL-term mass via a left join +
+    coalesce, so scoring a NEWER corpus snapshot against an OLDER LM
+    stays finite — the incremental-curation case."""
+    gate = broadcast_max if broadcast_max is not None else LM_BROADCAST_MAX
+    vocab = lm.filter(F.col("term").isNotNull())
+    oov = lm.filter(F.col("term").isNull()).select(
+        F.col("log2p").alias("_oov_log2p"),
+    )
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokenize_expr(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # the LM row count is its vocabulary size: decide the join side
+    # from the (cheap, counted-once) vocab table, not the tf stream
+    n_vocab = vocab.limit(gate + 1).count()
+    joined = tf.join(
+        F.broadcast(vocab) if n_vocab <= gate else vocab, "term", "left",
+    ).crossJoin(F.broadcast(oov))
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (
+            -F.sum(
+                F.col("tf")
+                * F.coalesce(F.col("log2p"), F.col("_oov_log2p")),
+            )
+            / F.sum("tf")
+        ).alias("bits_per_token"),
+    )
+    return per_doc.filter(F.col("n_tokens") > 0)

@@ -17,6 +17,7 @@ from seqr_loading_pipelines_spark.functions.tokenizer import (
     tokenize_expr,
 )
 from seqr_loading_pipelines_spark.operators import dedup as D
+from seqr_loading_pipelines_spark.operators.lm import LM_ALPHA as LM_ALPHA_SQL
 from seqr_loading_pipelines_spark.operators import similarity as S
 from seqr_loading_pipelines_spark.operators import text as TX
 
@@ -5717,7 +5718,72 @@ def q_index_dfs_search(spark, sf_dir):
 SQL_INDEX_DFS_SEARCH = _sql_bm25(BM25_QUERY_TERMS, 10)
 
 
+LM_TOP_FLUENT = 10
+
+
+def q_unigram_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): train a
+    Lidstone-smoothed unigram LM on the corpus (one explode +
+    map-side-combined count agg + 1-row totals cross join), score
+    every doc's per-token cross-entropy (tf agg + broadcast-gated
+    vocab join + doc-keyed sum), and return the {LM_TOP_FLUENT} most
+    fluent/typical docs (lowest bits-per-token — CCNet's 'head'
+    bucket). Oracle: identical Lidstone algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.operators.lm import (
+        doc_cross_entropy,
+        train_unigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = train_unigram_lm(docs)
+    scored = doc_cross_entropy(docs, lm)
+    order = [
+        F.floor(F.col("bits_per_token") * 1e5 + 0.5).asc(),
+        F.col("doc_id").asc(),
+    ]
+    top = scored.orderBy(*order).limit(LM_TOP_FLUENT)
+    w = Window.partitionBy(single_partition_key(top)).orderBy(*order)
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        F.round("bits_per_token", 4).alias("bits_per_token"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+SQL_UNIGRAM_LM_QUALITY = f"""
+WITH tok AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM tok) AS n,
+               (SELECT count(*) FROM cnt) AS v),
+lp AS (
+  SELECT term,
+         ln((c + {LM_ALPHA_SQL}) / (n + {LM_ALPHA_SQL} * (v + 1)))
+           / ln(2) AS log2p
+  FROM cnt CROSS JOIN tot
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, sum(tf) AS n_tokens,
+         -sum(tf * log2p) / sum(tf) AS bpt
+  FROM tf JOIN lp USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(bpt, 4) AS bits_per_token, rank FROM (
+  SELECT doc_id, n_tokens, bpt,
+         row_number() OVER (
+           ORDER BY floor(bpt * 1e5 + 0.5) ASC, doc_id ASC
+         ) AS rank
+  FROM h WHERE n_tokens > 0
+) WHERE rank <= {LM_TOP_FLUENT}
+"""
+
+
 QUERIES = {
+    "unigram_lm_quality": q_unigram_lm_quality,
     "index_dfs_search": q_index_dfs_search,
     "index_intervals": q_index_intervals,
     "index_has_child": q_index_has_child,
@@ -5854,6 +5920,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "index_dfs_search": SQL_INDEX_DFS_SEARCH,
     "index_intervals": SQL_INDEX_INTERVALS,
     "index_has_child": SQL_INDEX_HAS_CHILD,

@@ -1,0 +1,143 @@
+"""Unigram-LM quality scoring (operators/lm.py).
+
+Covers: Lidstone probability algebra against a hand computation, LM
+table shape (one OOV row, probabilities under 0), cross-entropy vs a
+naive python oracle, OOV handling when scoring unseen text with an
+older LM, repeated-token weighting, empty-doc exclusion, validation,
+and the shuffle fallback past the broadcast gate.
+"""
+
+import math
+import re
+
+import pytest
+
+TEXTS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "completely novel words here"),
+    (3, ""),
+]
+
+
+def _toks(t):
+    return re.findall(r"[a-z0-9_]+", t.lower())
+
+
+def _naive_lm(texts, alpha):
+    stream = [t for _, txt in texts for t in _toks(txt)]
+    n, counts = len(stream), {}
+    for t in stream:
+        counts[t] = counts.get(t, 0) + 1
+    v = len(counts)
+    denom = n + alpha * (v + 1)
+    lp = {t: math.log2((c + alpha) / denom) for t, c in counts.items()}
+    oov = math.log2(alpha / denom)
+    return lp, oov
+
+
+def _naive_bpt(text, lp, oov):
+    toks = _toks(text)
+    if not toks:
+        return None
+    return -sum(lp.get(t, oov) for t in toks) / len(toks)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_lm_table_algebra(spark, docs):
+    from seqr_loading_pipelines_spark.operators.lm import (
+        LM_ALPHA,
+        train_unigram_lm,
+    )
+
+    lm = train_unigram_lm(docs).collect()
+    lp, oov = _naive_lm(TEXTS, LM_ALPHA)
+    got = {r["term"]: r["log2p"] for r in lm}
+    assert None in got  # the OOV mass row
+    assert got.pop(None) == pytest.approx(oov)
+    assert set(got) == set(lp)
+    for t, v in lp.items():
+        assert got[t] == pytest.approx(v)
+    assert all(v < 0 for v in got.values())
+
+
+def test_cross_entropy_matches_naive(spark, docs):
+    from seqr_loading_pipelines_spark.operators.lm import (
+        LM_ALPHA,
+        doc_cross_entropy,
+        train_unigram_lm,
+    )
+
+    lm = train_unigram_lm(docs)
+    rows = doc_cross_entropy(docs, lm).collect()
+    lp, oov = _naive_lm(TEXTS, LM_ALPHA)
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"]) for r in rows}
+    # doc 3 is empty: excluded
+    assert set(got) == {0, 1, 2}
+    for doc_id, text in TEXTS[:3]:
+        want = _naive_bpt(text, lp, oov)
+        assert got[doc_id][0] == len(_toks(text))
+        assert got[doc_id][1] == pytest.approx(want)
+    # common-word doc scores lower (more fluent) than the novel-word doc
+    assert got[0][1] < got[2][1]
+
+
+def test_oov_scoring_newer_snapshot(spark, docs):
+    from seqr_loading_pipelines_spark.operators.lm import (
+        LM_ALPHA,
+        doc_cross_entropy,
+        train_unigram_lm,
+    )
+
+    lm = train_unigram_lm(docs)
+    unseen = spark.createDataFrame(
+        [(9, "zzz qqq the")], "doc_id long, text string",
+    )
+    row = doc_cross_entropy(unseen, lm).collect()[0]
+    lp, oov = _naive_lm(TEXTS, LM_ALPHA)
+    assert row["bits_per_token"] == pytest.approx(
+        -(2 * oov + lp["the"]) / 3,
+    )
+
+
+def test_repeated_tokens_weight_by_tf(spark):
+    from seqr_loading_pipelines_spark.operators.lm import (
+        LM_ALPHA,
+        doc_cross_entropy,
+        train_unigram_lm,
+    )
+
+    data = [(0, "a a a b")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    lm = train_unigram_lm(df)
+    row = doc_cross_entropy(df, lm).collect()[0]
+    lp, oov = _naive_lm(data, LM_ALPHA)
+    assert row["n_tokens"] == 4
+    assert row["bits_per_token"] == pytest.approx(
+        -(3 * lp["a"] + lp["b"]) / 4,
+    )
+
+
+def test_broadcast_gate_fallback(spark, docs):
+    from seqr_loading_pipelines_spark.operators.lm import (
+        doc_cross_entropy,
+        train_unigram_lm,
+    )
+
+    lm = train_unigram_lm(docs)
+    small = doc_cross_entropy(docs, lm).collect()
+    forced = doc_cross_entropy(docs, lm, broadcast_max=0).collect()
+    assert sorted(map(tuple, small)) == pytest.approx(
+        sorted(map(tuple, forced)),
+    )
+
+
+def test_alpha_validation(spark, docs):
+    from seqr_loading_pipelines_spark.operators.lm import train_unigram_lm
+
+    with pytest.raises(ValueError, match="alpha"):
+        train_unigram_lm(docs, alpha=0)
