@@ -5782,7 +5782,69 @@ SELECT doc_id, n_tokens, round(bpt, 4) AS bits_per_token, rank FROM (
 """
 
 
+SERIAL_DIFF_LAG = 7
+
+
+def q_events_bucket_script(spark, sf_dir):
+    """The remaining ES pipeline-aggregation trio over a
+    date_histogram's bucket series (cumulative_sum/derivative/
+    moving_avg live on the date_histogram_pipeline row):
+    ``bucket_script`` (a per-bucket expression combining two
+    sub-metrics — mean value = sum/count), ``normalize`` with method
+    percent_of_sum, and ``serial_diff`` at lag {SERIAL_DIFF_LAG}
+    (null for the first {SERIAL_DIFF_LAG} buckets, like ES). Pipeline
+    aggs run AFTER the one hash aggregate, over the tiny bucket
+    series, declared single-partition via the constant key. Oracle:
+    identical window algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    w = Window.partitionBy(single_partition_key(buckets)).orderBy("bucket")
+    total = F.sum("n_events").over(
+        w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing,
+        ),
+    )
+    return buckets.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("sum_value") / F.col("n_events"), 4)
+        .alias("mean_value"),
+        F.round(F.col("n_events") * 100.0 / total, 4).alias("pct_of_total"),
+        (
+            F.col("n_events")
+            - F.lag("n_events", SERIAL_DIFF_LAG).over(w)
+        ).alias("serial_diff"),
+    )
+
+
+SQL_EVENTS_BUCKET_SCRIPT = f"""
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         count(*) AS n_events,
+         sum(value) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       n_events,
+       round(sum_value / n_events, 4) AS mean_value,
+       round(n_events * 100.0 / sum(n_events) OVER (), 4) AS pct_of_total,
+       n_events - lag(n_events, {SERIAL_DIFF_LAG}) OVER (ORDER BY bucket)
+         AS serial_diff
+FROM b
+"""
+
+
 QUERIES = {
+    "events_bucket_script": q_events_bucket_script,
     "unigram_lm_quality": q_unigram_lm_quality,
     "index_dfs_search": q_index_dfs_search,
     "index_intervals": q_index_intervals,
@@ -5920,6 +5982,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_bucket_script": SQL_EVENTS_BUCKET_SCRIPT,
     "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "index_dfs_search": SQL_INDEX_DFS_SEARCH,
     "index_intervals": SQL_INDEX_INTERVALS,
