@@ -5843,7 +5843,110 @@ FROM b
 """
 
 
+SCROLL_PAGE_SIZE = 5
+SCROLL_PAGE = 3
+
+
+def q_index_scroll(spark, sf_dir):
+    """ES ``scroll`` through the REAL index path: page {SCROLL_PAGE}
+    of {SCROLL_PAGE_SIZE} via the driver-side cursor walk over
+    search_after hops (query/bm25.py search_scroll — O(k) engine work
+    per hop, only the k-row cursor page collects). The PIT freeze is
+    the snapshot-pinned load_index (index_time_travel row); this row
+    exercises the walk. Oracle: the corresponding rank window of the
+    same BM25 SQL, renumbered page-relative."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_scroll,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    page = search_scroll(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        page_size=SCROLL_PAGE_SIZE, page=SCROLL_PAGE,
+    )
+    return hydrate(index, page).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_SCROLL = f"""
+SELECT doc_id, score,
+       (rank - {(SCROLL_PAGE - 1) * SCROLL_PAGE_SIZE})::INT AS rank
+FROM ({_sql_bm25(BM25_QUERY_TERMS, SCROLL_PAGE * SCROLL_PAGE_SIZE)})
+WHERE rank > {(SCROLL_PAGE - 1) * SCROLL_PAGE_SIZE}
+"""
+
+
+MATRIX_STATS_FIELDS = ["n_chars", "n_tokens", "n_uniq_tokens"]
+
+
+def q_index_matrix_stats(spark, sf_dir):
+    """ES ``matrix_stats`` aggregation (query/facets.py matrix_stats):
+    the pairwise covariance/correlation matrix over three per-doc
+    numeric fields (chars, tokens, distinct tokens), one algebraic
+    hash-agg pass, stack-unpivoted to matrix rows. Oracle: DuckDB
+    covar_samp/corr over identical computed fields."""
+    from seqr_loading_pipelines_spark.query.facets import matrix_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize_expr(F.col("text"))
+    fields = docs.select(
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double")
+        .alias("n_uniq_tokens"),
+    )
+    out = matrix_stats(fields, MATRIX_STATS_FIELDS)
+    return out.select(
+        "field_a",
+        "field_b",
+        F.round("covariance", 3).alias("covariance"),
+        F.round("correlation", 4).alias("correlation"),
+    )
+
+
+SQL_INDEX_MATRIX_STATS = f"""
+WITH f AS (
+  SELECT n_chars::DOUBLE AS n_chars,
+         len({_T})::DOUBLE AS n_tokens,
+         len(list_distinct({_T}))::DOUBLE AS n_uniq_tokens
+  FROM documents
+)
+SELECT field_a, field_b,
+       round(covariance, 3) AS covariance,
+       round(correlation, 4) AS correlation
+FROM (
+  SELECT 'n_chars' AS field_a, 'n_chars' AS field_b,
+         covar_samp(n_chars, n_chars) AS covariance,
+         corr(n_chars, n_chars) AS correlation FROM f
+  UNION ALL
+  SELECT 'n_chars', 'n_tokens',
+         covar_samp(n_chars, n_tokens), corr(n_chars, n_tokens) FROM f
+  UNION ALL
+  SELECT 'n_chars', 'n_uniq_tokens',
+         covar_samp(n_chars, n_uniq_tokens),
+         corr(n_chars, n_uniq_tokens) FROM f
+  UNION ALL
+  SELECT 'n_tokens', 'n_tokens',
+         covar_samp(n_tokens, n_tokens), corr(n_tokens, n_tokens) FROM f
+  UNION ALL
+  SELECT 'n_tokens', 'n_uniq_tokens',
+         covar_samp(n_tokens, n_uniq_tokens),
+         corr(n_tokens, n_uniq_tokens) FROM f
+  UNION ALL
+  SELECT 'n_uniq_tokens', 'n_uniq_tokens',
+         covar_samp(n_uniq_tokens, n_uniq_tokens),
+         corr(n_uniq_tokens, n_uniq_tokens) FROM f
+)
+"""
+
+
 QUERIES = {
+    "index_scroll": q_index_scroll,
+    "index_matrix_stats": q_index_matrix_stats,
     "events_bucket_script": q_events_bucket_script,
     "unigram_lm_quality": q_unigram_lm_quality,
     "index_dfs_search": q_index_dfs_search,
@@ -5982,6 +6085,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_scroll": SQL_INDEX_SCROLL,
+    "index_matrix_stats": SQL_INDEX_MATRIX_STATS,
     "events_bucket_script": SQL_EVENTS_BUCKET_SCRIPT,
     "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "index_dfs_search": SQL_INDEX_DFS_SEARCH,

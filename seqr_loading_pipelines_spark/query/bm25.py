@@ -911,6 +911,42 @@ def search_after(
     return rank_topk(scored, k)
 
 
+def search_scroll(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    page_size: int = 10,
+    page: int = 1,
+) -> DataFrame:
+    """Elasticsearch ``scroll`` semantics as a driver-side cursor walk
+    over ``search_after`` pages: returns page ``page`` (1-based) of
+    the ranked result set, page-relative ranks. Each hop is the O(k)
+    keyset page — the whole walk costs O(page x k) engine work and
+    collects only the k-row cursor page per hop, never the prefix.
+
+    ES scroll additionally freezes the view against concurrent
+    writes; the engine's equivalent is opening the index at a pinned
+    snapshot (``load_index(root, version=...)`` — the PIT analog) and
+    scrolling THAT handle: snapshot dirs are immutable, so every hop
+    sees the same corpus regardless of concurrent publishes.
+    """
+    if page < 1:
+        raise ValueError(f"page must be >= 1, got {page}")
+    if page_size < 1:
+        raise ValueError(f"page_size must be >= 1, got {page_size}")
+    cursor = None
+    for _ in range(page - 1):
+        rows = search_after(
+            spark, index, query_text, cursor=cursor, k=page_size,
+        ).collect()
+        if len(rows) < page_size:
+            # ran off the end of the result set: later pages are empty
+            return _empty_topk(spark)
+        last = rows[-1]
+        cursor = (last["score"], last["doc_id"])
+    return search_after(spark, index, query_text, cursor=cursor, k=page_size)
+
+
 def search_prefix(
     spark: SparkSession,
     index: dict,

@@ -1296,3 +1296,38 @@ def sampler_by(
         .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
         .limit(top_n)
     )
+
+
+def matrix_stats(df: DataFrame, fields: list) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: the pairwise covariance /
+    correlation matrix over numeric fields, as ``(field_a, field_b,
+    covariance, correlation)`` rows for the upper triangle including
+    the diagonal (cov(a,a) = variance, corr(a,a) = 1).
+
+    Scale shape: ONE aggregate pass — every pair's co-moment
+    accumulates map-side in the same hash-agg buffer
+    (``covar_samp``/``corr`` are algebraic aggregates), so the cost is
+    a single scan regardless of pair count; the unpivot to rows is a
+    ``stack`` over the 1-row result. Pair count is O(|fields|^2) agg
+    buffer slots — fields lists are small by construction (ES caps
+    matrix_stats fields too).
+    """
+    if len(fields) < 2:
+        raise ValueError(
+            f"matrix_stats needs at least 2 fields, got {len(fields)}",
+        )
+    if len(set(fields)) != len(fields):
+        raise ValueError(f"duplicate fields: {fields}")
+    pairs = [(a, b) for i, a in enumerate(fields) for b in fields[i:]]
+    exprs = []
+    for a, b in pairs:
+        exprs.append(F.covar_samp(a, b).alias(f"cov__{a}__{b}"))
+        exprs.append(F.corr(a, b).alias(f"cor__{a}__{b}"))
+    row = df.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `cov__{a}__{b}`, `cor__{a}__{b}`" for a, b in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS "
+        "(field_a, field_b, covariance, correlation)",
+    )

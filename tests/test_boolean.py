@@ -346,3 +346,44 @@ def test_terms_set_edges(spark, index):
     assert [(r["doc_id"], r["rank"]) for r in c] == [
         (r["doc_id"], r["rank"]) for r in d
     ]
+
+
+def test_search_scroll_pages_match_search_after_tiling(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_scroll
+
+    q = "sw0 sw1 term_00042"
+    full = search_exact(spark, index, q, k=15).collect()
+
+    def key(rows):
+        return [(r["doc_id"], round(r["score"], 4)) for r in rows]
+
+    for page in (1, 2, 3):
+        got = search_scroll(
+            spark, index, q, page_size=5, page=page,
+        ).collect()
+        assert key(got) == key(full[(page - 1) * 5 : page * 5])
+        assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_search_scroll_past_end_is_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_scroll
+
+    n = search_exact(spark, index, "term_00042", k=100_000).count()
+    page_size = 7
+    past = n // page_size + 2
+    assert (
+        search_scroll(
+            spark, index, "term_00042", page_size=page_size, page=past,
+        ).count()
+        == 0
+    )
+
+
+def test_search_scroll_validation(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_scroll
+
+    with pytest.raises(ValueError, match="page "):
+        search_scroll(spark, index, "sw0", page=0)
+    with pytest.raises(ValueError, match="page_size"):
+        search_scroll(spark, index, "sw0", page_size=0)
+    assert search_scroll(spark, index, "zzz_missing", page=2).count() == 0

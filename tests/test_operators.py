@@ -1058,3 +1058,48 @@ def test_stratified_sample_deterministic_and_partition_invariant(spark):
     assert got.count() == 3
     with pytest.raises(ValueError):
         stratified_sample(df, 0)
+
+
+# ---------------------------------------------------------------------
+# matrix_stats (query/facets.py)
+# ---------------------------------------------------------------------
+
+
+def test_matrix_stats_against_numpy(spark):
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.query.facets import matrix_stats
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(10, 3, 200)
+    b = 2.0 * a + rng.normal(0, 1, 200)  # strongly correlated
+    c = rng.normal(0, 1, 200)            # independent
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+        "fa double, fb double, fc double",
+    )
+    rows = matrix_stats(df, ["fa", "fb", "fc"]).collect()
+    got = {(r["field_a"], r["field_b"]): r for r in rows}
+    assert set(got) == {
+        ("fa", "fa"), ("fa", "fb"), ("fa", "fc"),
+        ("fb", "fb"), ("fb", "fc"), ("fc", "fc"),
+    }
+    cov = np.cov(np.vstack([a, b, c]))  # ddof=1, matching covar_samp
+    names = ["fa", "fb", "fc"]
+    for i, x in enumerate(names):
+        for j in range(i, 3):
+            r = got[(x, names[j])]
+            assert r["covariance"] == pytest.approx(cov[i, j], rel=1e-9)
+    assert got[("fa", "fa")]["correlation"] == pytest.approx(1.0)
+    assert got[("fa", "fb")]["correlation"] > 0.98
+    assert abs(got[("fa", "fc")]["correlation"]) < 0.2
+
+
+def test_matrix_stats_validation(spark):
+    from seqr_loading_pipelines_spark.query.facets import matrix_stats
+
+    df = spark.createDataFrame([(1.0, 2.0)], "fa double, fb double")
+    with pytest.raises(ValueError, match="at least 2"):
+        matrix_stats(df, ["fa"])
+    with pytest.raises(ValueError, match="duplicate"):
+        matrix_stats(df, ["fa", "fa"])
