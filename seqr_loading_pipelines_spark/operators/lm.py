@@ -117,3 +117,59 @@ def doc_cross_entropy(
         ).alias("bits_per_token"),
     )
     return per_doc.filter(F.col("n_tokens") > 0)
+
+
+def train_ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Corpus n-gram statistics for the phrase suggester: one table
+    ``(w1, w2, c)`` holding bigram counts (both terms set), unigram
+    counts (``w2`` NULL), and the corpus token total (both NULL) —
+    the NULL-row convention ``train_unigram_lm`` uses for its OOV
+    mass, extended one order up.
+
+    Scale shape: ONE corpus scan — each doc's token array zips with
+    its own 1-shifted self padded by a NULL sentinel (JVM
+    ``slice``/``arrays_zip``, no Python), so the exploded stream
+    carries every bigram AND the last token's (w, NULL) marginal in
+    the same pass; one map-side-combined hash-agg on (w1, w2) yields
+    the base counts, from which unigrams (w1 roll-up) and the total
+    are derived. The base agg is localCheckpointed by default
+    (bounded by vocabulary^2 rows) because three output branches hang
+    off it — without the cut each branch would re-run the corpus scan
+    (the multi-plan-site re-execution trap); pass
+    ``materialize=False`` to keep the plan lazy."""
+    toks = docs.select(tokenize_expr(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") > 0,
+    )
+    zipped = F.arrays_zip(
+        F.col("_t").alias("a"),
+        F.expr(
+            "concat(slice(_t, 2, greatest(size(_t) - 1, 0)), "
+            "array(CAST(NULL AS STRING)))",
+        ).alias("b"),
+    )
+    base = (
+        toks.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if materialize:
+        base = base.localCheckpoint()
+    # (w, NULL) base rows are the last-token marginals, NOT unigram
+    # counts; true unigram counts are the w1 roll-up over ALL rows
+    bigrams = base.filter(F.col("w2").isNotNull())
+    unigrams = (
+        base.groupBy("w1")
+        .agg(F.sum("c").alias("c"))
+        .select("w1", F.lit(None).cast("string").alias("w2"), "c")
+    )
+    total = unigrams.agg(F.sum("c").alias("c")).select(
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        "c",
+    )
+    return bigrams.unionByName(unigrams).unionByName(total)

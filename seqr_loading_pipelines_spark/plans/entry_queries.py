@@ -5944,7 +5944,82 @@ FROM (
 """
 
 
+PHRASE_SUGGEST_INPUT = "sow hash"  # 'sow': 1 edit from 'row' AND 'slow'
+
+
+def q_index_phrase_suggest(spark, sf_dir):
+    """ES ``phrase`` suggester ("did you mean") through the REAL
+    engine paths: per-position candidates from the term dictionary
+    (length-band + banded-levenshtein expand_fuzzy), candidate
+    phrases ranked under Stupid-Backoff bigram statistics trained
+    once from the corpus (operators/lm.py train_ngram_counts,
+    query/bm25.py suggest_phrase). '{PHRASE_SUGGEST_INPUT}' corrects
+    to 'row hash' vs 'slow hash' — the BIGRAM evidence decides, which
+    a per-token term suggester cannot. Oracle: identical candidate
+    band + backoff algebra in SQL (the per-position df-desc cap is
+    not binding on this corpus: 2 and 1 candidates)."""
+    from seqr_loading_pipelines_spark.operators.lm import (
+        train_ngram_counts,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_phrase
+
+    _, index = _built_index(spark, sf_dir, "q")
+    docs = _read(spark, sf_dir, "documents")
+    ngrams = train_ngram_counts(docs)
+    out = suggest_phrase(
+        spark, index, ngrams, PHRASE_SUGGEST_INPUT,
+        max_edits=1, per_position=3, n=3,
+    )
+    return out.select(
+        "suggestion", F.round("score", 4).alias("score"), "rank",
+    )
+
+
+SQL_INDEX_PHRASE_SUGGEST = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+uni AS (SELECT tok AS w, count(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+big AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w, c FROM uni
+  WHERE abs(length(w) - 3) <= 1 AND levenshtein(w, 'sow') <= 1
+),
+c2 AS (
+  SELECT w, c FROM uni
+  WHERE abs(length(w) - 4) <= 1 AND levenshtein(w, 'hash') <= 1
+),
+ph AS (
+  SELECT c1.w AS w1, c1.c AS cu1, c2.w AS w2, c2.c AS cu2
+  FROM c1 CROSS JOIN c2
+),
+s AS (
+  SELECT ph.w1 || ' ' || ph.w2 AS suggestion,
+         log2(cu1 / n)
+         + CASE WHEN b.c IS NOT NULL THEN log2(b.c::DOUBLE / cu1)
+                ELSE log2(0.4 * cu2 / n) END AS score
+  FROM ph LEFT JOIN big b ON b.w1 = ph.w1 AND b.w2 = ph.w2
+  CROSS JOIN tot
+)
+SELECT suggestion, round(score, 4) AS score, rank FROM (
+  SELECT suggestion, score,
+         row_number() OVER (
+           ORDER BY floor(score * 1e5 + 0.5) DESC, suggestion ASC
+         ) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 QUERIES = {
+    "index_phrase_suggest": q_index_phrase_suggest,
     "index_scroll": q_index_scroll,
     "index_matrix_stats": q_index_matrix_stats,
     "events_bucket_script": q_events_bucket_script,
@@ -6085,6 +6160,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_phrase_suggest": SQL_INDEX_PHRASE_SUGGEST,
     "index_scroll": SQL_INDEX_SCROLL,
     "index_matrix_stats": SQL_INDEX_MATRIX_STATS,
     "events_bucket_script": SQL_EVENTS_BUCKET_SCRIPT,

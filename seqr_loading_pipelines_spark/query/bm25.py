@@ -1456,3 +1456,113 @@ def search_decay_score(
     )
     k = max(1, min(k, index["manifest"]["n_docs"]))
     return rank_topk(out, k)
+
+
+PHRASE_SUGGEST_DISCOUNT = 0.4  # Stupid Backoff alpha (Brants et al., 2007)
+PHRASE_SUGGEST_MAX_PHRASES = 200
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    index: dict,
+    ngrams: DataFrame,
+    text: str,
+    max_edits: int = 1,
+    per_position: int = 3,
+    n: int = 3,
+    discount: float = PHRASE_SUGGEST_DISCOUNT,
+    max_phrases: int = PHRASE_SUGGEST_MAX_PHRASES,
+) -> DataFrame:
+    """Elasticsearch ``phrase`` suggester ("did you mean"): correct a
+    whole (possibly misspelled) query by generating per-position
+    candidates from the term dictionary and ranking candidate PHRASES
+    under a Stupid-Backoff bigram model over corpus statistics —
+    whole-phrase plausibility, where the ``term`` suggester scores
+    tokens in isolation. ``ngrams`` is the
+    ``operators/lm.py train_ngram_counts`` table (trained once per
+    corpus, the analyzed-shingle-field analog ES reads its bigram
+    stats from). Returns ``(suggestion, score, rank)``, the input
+    phrase itself excluded, ranked (quantized log2-score desc,
+    suggestion asc).
+
+    Scale shape: candidate generation is |tokens| bounded dictionary
+    jobs (the expand_fuzzy length-band + banded-levenshtein scan);
+    the needed statistics collect through ONE pushed filter on the
+    ngram table bounded by |candidates|^2 + |candidates| + 1 rows
+    (the point-lookup discipline — key sets are caps-bounded driver
+    constants, never data-sized); phrase enumeration and scoring run
+    driver-side over <= max_phrases tuples of those cached counts.
+    """
+    if per_position < 1:
+        raise ValueError(f"per_position must be >= 1, got {per_position}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 0 < discount <= 1:
+        raise ValueError(f"discount must be in (0, 1], got {discount}")
+    out_schema = "suggestion string, score double, rank int"
+    tokens = tokenize_py(text)
+    if not tokens:
+        return spark.createDataFrame([], out_schema)
+    cand_lists = []
+    for tok in tokens:
+        infos = expand_fuzzy(index, tok, max_edits, per_position)
+        cands = [i["term"] for i in infos]
+        if not cands:
+            # an uncorrectable position: no phrase can be formed
+            return spark.createDataFrame([], out_schema)
+        cand_lists.append(cands)
+
+    all_terms = sorted({t for c in cand_lists for t in c})
+    stat_rows = ngrams.filter(
+        F.col("w1").isNull()
+        | (
+            F.col("w1").isin(all_terms)
+            & (F.col("w2").isNull() | F.col("w2").isin(all_terms))
+        ),
+    ).collect()
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    total = 0
+    for r in stat_rows:
+        if r["w1"] is None:
+            total = int(r["c"])
+        elif r["w2"] is None:
+            uni[r["w1"]] = int(r["c"])
+        else:
+            big[(r["w1"], r["w2"])] = int(r["c"])
+    if total <= 0:
+        return spark.createDataFrame([], out_schema)
+
+    import itertools
+    import math
+
+    def log2p_first(w):
+        c = uni.get(w, 0)
+        return math.log2((c if c > 0 else discount) / total)
+
+    def log2p_next(w1, w2):
+        c12 = big.get((w1, w2), 0)
+        if c12 > 0:
+            return math.log2(c12 / uni[w1])
+        c2 = uni.get(w2, 0)
+        return math.log2(discount * (c2 if c2 > 0 else discount) / total)
+
+    original = " ".join(tokens)
+    scored = []
+    for combo in itertools.islice(
+        itertools.product(*cand_lists), max_phrases,
+    ):
+        phrase = " ".join(combo)
+        if phrase == original:
+            continue
+        s = log2p_first(combo[0])
+        for a, b in zip(combo, combo[1:]):
+            s += log2p_next(a, b)
+        scored.append((phrase, s))
+    if not scored:
+        return spark.createDataFrame([], out_schema)
+    scored.sort(key=lambda x: (-math.floor(x[1] * 1e5 + 0.5), x[0]))
+    return spark.createDataFrame(
+        [(p, s, i + 1) for i, (p, s) in enumerate(scored[:n])],
+        out_schema,
+    )

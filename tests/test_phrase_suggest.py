@@ -1,0 +1,117 @@
+"""Phrase suggester ("did you mean") unit coverage: bigram-count
+algebra of operators/lm.py train_ngram_counts vs a naive python
+count, and query/bm25.py suggest_phrase's Stupid-Backoff ranking —
+the case a per-token suggester gets wrong (higher-unigram candidate
+loses to the candidate with bigram support), original-phrase
+exclusion, uncorrectable positions, and validation."""
+
+import math
+
+import pytest
+
+from seqr_loading_pipelines_spark.operators.lm import train_ngram_counts
+from seqr_loading_pipelines_spark.query.bm25 import suggest_phrase
+
+# token stream: row x2, hash x2, slow x4, plan x1  (N = 9)
+# bigrams: (row,hash)=2, (slow,slow)=3, (slow,plan)=1
+ROWS = [
+    ("r", "a1", "c", "py", "row hash"),
+    ("r", "a2", "c", "py", "row hash"),
+    ("r", "b", "c", "py", "slow slow slow slow plan"),
+]
+UNI = {"row": 2, "hash": 2, "slow": 4, "plan": 1}
+BIG = {("row", "hash"): 2, ("slow", "slow"): 3, ("slow", "plan"): 1}
+N = 9
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        ROWS,
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    )
+
+
+@pytest.fixture(scope="module")
+def mini_index(spark, docs, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("suggest_idx"))
+    IndexBuilder(spark, root).build(docs, source_fingerprint="suggest")
+    return load_index(spark, root)
+
+
+@pytest.fixture(scope="module")
+def ngrams(spark, docs):
+    return train_ngram_counts(docs, text_col="content")
+
+
+def _as_maps(ngrams_df):
+    uni, big, total = {}, {}, None
+    for r in ngrams_df.collect():
+        if r["w1"] is None:
+            total = int(r["c"])
+        elif r["w2"] is None:
+            uni[r["w1"]] = int(r["c"])
+        else:
+            big[(r["w1"], r["w2"])] = int(r["c"])
+    return uni, big, total
+
+
+def test_ngram_counts_algebra(ngrams):
+    uni, big, total = _as_maps(ngrams)
+    assert uni == UNI
+    assert big == BIG
+    assert total == N
+
+
+def test_materialize_false_identical(spark, docs, ngrams):
+    lazy = train_ngram_counts(docs, text_col="content", materialize=False)
+    assert _as_maps(lazy) == _as_maps(ngrams)
+
+
+def test_bigram_evidence_decides(spark, mini_index, ngrams):
+    # 'sow' -> {row, slow} (1 edit each); 'hash' -> itself. A df-based
+    # per-token suggester would pick 'slow' (unigram 4 > 2); the
+    # bigram (row, hash)=2 must flip the ranking.
+    got = suggest_phrase(
+        spark, mini_index, ngrams, "sow hash", max_edits=1,
+    ).collect()
+    assert [r["suggestion"] for r in got] == ["row hash", "slow hash"]
+    assert [r["rank"] for r in got] == [1, 2]
+    want_row = math.log2(2 / N) + math.log2(2 / 2)
+    want_slow = math.log2(4 / N) + math.log2(0.4 * 2 / N)
+    assert got[0]["score"] == pytest.approx(want_row, rel=1e-9)
+    assert got[1]["score"] == pytest.approx(want_slow, rel=1e-9)
+
+
+def test_original_phrase_excluded(spark, mini_index, ngrams):
+    # 'row hash' is its own only candidate phrase -> nothing to suggest
+    assert (
+        suggest_phrase(spark, mini_index, ngrams, "row hash").count() == 0
+    )
+
+
+def test_uncorrectable_position_is_empty(spark, mini_index, ngrams):
+    assert (
+        suggest_phrase(
+            spark, mini_index, ngrams, "zzqqzzqq hash", max_edits=1,
+        ).count()
+        == 0
+    )
+    assert suggest_phrase(spark, mini_index, ngrams, "   ").count() == 0
+
+
+def test_validation(spark, mini_index, ngrams):
+    with pytest.raises(ValueError):
+        suggest_phrase(spark, mini_index, ngrams, "sow", per_position=0)
+    with pytest.raises(ValueError):
+        suggest_phrase(spark, mini_index, ngrams, "sow", n=0)
+    with pytest.raises(ValueError):
+        suggest_phrase(spark, mini_index, ngrams, "sow", discount=0.0)
+    with pytest.raises(ValueError):
+        suggest_phrase(spark, mini_index, ngrams, "sow", discount=1.5)
