@@ -6018,7 +6018,53 @@ SELECT suggestion, round(score, 4) AS score, rank FROM (
 """
 
 
+def q_index_rollover(spark, sf_dir):
+    """ES ILM rollover through REAL engine paths
+    (sources/rollover.py): the corpus arrives as three batches (doc_id
+    mod 3) ingested into one rollover target with ``max_docs=1``, so
+    every publish trips the size condition and each batch lands in its
+    own numbered GENERATION (the write slot advancing exactly like the
+    ES ``_rollover`` write alias); the read path federates every
+    published generation under dfs global statistics. Because the
+    generations partition the corpus, the ranking must be identical to
+    a single index over the union — the oracle is the plain
+    whole-corpus BM25 top-k, which per-generation idf would fail."""
+    import os
+
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.sources import rollover as ro
+
+    base = _index_root(sf_dir, "roll")
+    registry = os.path.join(base, "registry")
+    ro.rollover_init(registry, "docs", os.path.join(base, "gens"))
+    docs = corpus_from_documents(spark, sf_dir)
+    fp = _source_content_fp(sf_dir)
+    for rem in (0, 1, 2):
+        ro.ingest(
+            spark,
+            registry,
+            "docs",
+            docs.filter(_orig_doc_id() % 3 == rem),
+            source_fingerprint=f"roll{rem}:{sf_dir}:{fp}",
+            max_docs=1,
+        )
+    out = ro.search_rollover(
+        spark, registry, "docs", " ".join(BM25_QUERY_TERMS), k=10,
+    )
+    return out.select(
+        F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_ROLLOVER = _sql_bm25(BM25_QUERY_TERMS, 10)
+
+
 QUERIES = {
+    "index_rollover": q_index_rollover,
     "index_phrase_suggest": q_index_phrase_suggest,
     "index_scroll": q_index_scroll,
     "index_matrix_stats": q_index_matrix_stats,
@@ -6160,6 +6206,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_rollover": SQL_INDEX_ROLLOVER,
     "index_phrase_suggest": SQL_INDEX_PHRASE_SUGGEST,
     "index_scroll": SQL_INDEX_SCROLL,
     "index_matrix_stats": SQL_INDEX_MATRIX_STATS,

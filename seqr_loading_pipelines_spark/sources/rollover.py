@@ -1,0 +1,207 @@
+"""ILM-style index rollover — a write pointer over numbered index
+GENERATIONS plus cross-generation serving (the Elasticsearch
+``_rollover`` API + index-lifecycle write alias: docs stream into the
+current generation until a size condition trips, then a new
+generation becomes the write target; readers search all generations
+as one logical index). The reference's operational analog is its
+per-run ClickHouse table generations unioned at serve time
+(v03_pipeline/lib/misc/clickhouse.py staging clones + atomic swap);
+here each generation is a full independent index and the read path is
+the dfs_query_then_fetch federation (query/federated.py), whose
+global-statistics contract makes the split invisible to ranking.
+
+Semantics mirrored from ES exactly where they matter:
+
+- The condition is checked AFTER an ingest publishes, so a generation
+  may overshoot ``max_docs`` by the final batch — ES rollover is also
+  post-hoc (docs keep landing in the old index until the rollover
+  call). No doc is ever split across generations.
+- Rolling over creates the next generation's SLOT only; the directory
+  stays unpublished until its first ingest, and readers skip
+  unpublished slots (ES's empty write index is likewise invisible to
+  search until it holds docs).
+- Replay safety: an ingest fingerprint is checked against EVERY
+  generation's ledger, not just the write target — a re-enqueued
+  request whose docs already landed in an older generation must be a
+  no-op, never a duplicate into the current one (the same
+  at-most-once discipline as ManifestTable's per-root ledger, widened
+  to the generation set).
+
+State is one JSON per rollover target under the alias registry root
+(``<name>.rollover.json``), written with the same atomic temp+rename
+discipline as aliases and the manifest pointer. Scale shape: state is
+O(#generations) driver-side metadata; ingest is the ordinary
+build/update path on one generation; search is search_dfs, whose DFS
+phase is |query| x |generations| bounded and whose per-generation
+score pass shuffles nothing across generations.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seqr_loading_pipelines_spark.sources import fs
+from seqr_loading_pipelines_spark.sources.aliases import _NAME_RE
+
+GEN_FMT = "gen-%06d"
+_SUFFIX = ".rollover.json"
+
+
+def _state_path(registry_root: str, name: str) -> str:
+    if not _NAME_RE.match(name or ""):
+        raise ValueError(
+            f"rollover name must match {_NAME_RE.pattern}, got {name!r}",
+        )
+    return fs.join(registry_root, f"{name}{_SUFFIX}")
+
+
+def _read_state(registry_root: str, name: str) -> dict:
+    path = _state_path(registry_root, name)
+    if not fs.exists(path):
+        raise FileNotFoundError(
+            f"rollover target {name!r} not found under {registry_root}",
+        )
+    return json.loads(fs.read_text(path))
+
+
+def _write_state(registry_root: str, name: str, state: dict) -> None:
+    fs.makedirs(registry_root)
+    fs.write_text_atomic(
+        _state_path(registry_root, name), json.dumps(state),
+    )
+
+
+def rollover_init(
+    registry_root: str, name: str, base_dir: str,
+) -> None:
+    """Create (or leave untouched) the rollover target ``name`` whose
+    generation roots live under ``base_dir``. Idempotent: an existing
+    target keeps its state — callers may init unconditionally before
+    every ingest, the queue-worker idiom."""
+    path = _state_path(registry_root, name)
+    if fs.exists(path):
+        return
+    _write_state(
+        registry_root, name, {"base_dir": base_dir, "n_generations": 1},
+    )
+
+
+def generation_roots(registry_root: str, name: str) -> list[str]:
+    """Every generation root, oldest first; the last is the write
+    target (possibly still unpublished)."""
+    st = _read_state(registry_root, name)
+    return [
+        fs.join(st["base_dir"], GEN_FMT % i)
+        for i in range(1, int(st["n_generations"]) + 1)
+    ]
+
+
+def write_root(registry_root: str, name: str) -> str:
+    """The generation new docs currently land in."""
+    return generation_roots(registry_root, name)[-1]
+
+
+def rollover_status(registry_root: str, name: str) -> list[dict]:
+    """Per-generation ``{root, published, n_docs}``, oldest first."""
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    out = []
+    for root in generation_roots(registry_root, name):
+        m = ManifestTable(root).current_manifest()
+        out.append({
+            "root": root,
+            "published": m is not None,
+            "n_docs": int(m["n_docs"]) if m else 0,
+        })
+    return out
+
+
+def _ledger_hit(fp: str, roots: list[str]):
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    for root in roots:
+        m = ManifestTable(root).current_manifest()
+        if m is not None and fp in m.get("updates", []):
+            return m
+    return None
+
+
+def ingest(
+    spark: SparkSession,
+    registry_root: str,
+    name: str,
+    corpus: DataFrame,
+    source_fingerprint: str,
+    max_docs: int | None = None,
+    **builder_kwargs,
+) -> dict:
+    """Index ``corpus`` into the write generation, then roll over if
+    the generation now holds >= ``max_docs`` docs. Returns the write
+    generation's manifest. Replay-safe: a fingerprint already in ANY
+    generation's ledger is a no-op (the older manifest is returned),
+    so a retried request cannot duplicate docs into a newer
+    generation."""
+    if max_docs is not None and max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    from seqr_loading_pipelines_spark.index.merge import update_index
+
+    roots = generation_roots(registry_root, name)
+    hit = _ledger_hit(source_fingerprint, roots[:-1])
+    if hit is not None:
+        return hit
+    manifest = update_index(
+        spark, roots[-1], corpus, source_fingerprint, **builder_kwargs,
+    )
+    if max_docs is not None and int(manifest["n_docs"]) >= max_docs:
+        st = _read_state(registry_root, name)
+        # bump only if nothing rolled concurrently past this ingest's
+        # view of the write slot (last-writer-wins at file granularity,
+        # same contract as aliases)
+        if int(st["n_generations"]) == len(roots):
+            st["n_generations"] = len(roots) + 1
+            _write_state(registry_root, name, st)
+    return manifest
+
+
+def load_generations(
+    spark: SparkSession, registry_root: str, name: str,
+) -> list[dict]:
+    """load_index for every PUBLISHED generation, oldest first — the
+    reader-side view; a freshly-rolled empty write slot is skipped."""
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    return [
+        load_index(spark, root)
+        for root in generation_roots(registry_root, name)
+        if ManifestTable(root).current_manifest() is not None
+    ]
+
+
+def search_rollover(
+    spark: SparkSession,
+    registry_root: str,
+    name: str,
+    query_text: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 across every published generation under GLOBAL
+    statistics — because generations partition the logical corpus,
+    the ranking is identical to one index over the union (the
+    search_dfs contract the driver row checks)."""
+    indices = load_generations(spark, registry_root, name)
+    if not indices:
+        raise FileNotFoundError(
+            f"rollover target {name!r} has no published generation",
+        )
+    from seqr_loading_pipelines_spark.query.federated import search_dfs
+
+    return search_dfs(spark, indices, query_text, k=k)

@@ -1,0 +1,124 @@
+"""ILM-style rollover (sources/rollover.py): generation progression
+under the max_docs condition (post-hoc, overshoot allowed), replay
+safety across generations, reader view skipping the unpublished write
+slot, cross-generation search rank-identity vs a single union index,
+and validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.sources import rollover as ro
+
+
+def _mk_docs(spark, ids):
+    # distinct doc lengths (i mod 7) -> distinct BM25 scores, so the
+    # rank-identity assertion is tie-free
+    rows = [
+        (
+            "r", f"d{i:04d}.py", "c", "python",
+            "alpha " * ((i % 7) + 1) + f"token_{i:04d}",
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    )
+
+
+@pytest.fixture()
+def target(tmp_path):
+    reg = str(tmp_path / "registry")
+    ro.rollover_init(reg, "t", str(tmp_path / "gens"))
+    return reg
+
+
+def test_init_idempotent_and_validation(tmp_path, target):
+    before = ro.generation_roots(target, "t")
+    ro.rollover_init(target, "t", str(tmp_path / "elsewhere"))
+    assert ro.generation_roots(target, "t") == before
+    with pytest.raises(ValueError):
+        ro.rollover_init(target, "bad/name", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        ro.generation_roots(target, "absent")
+
+
+def test_rollover_trips_post_hoc_with_overshoot(spark, target):
+    # 5 docs against max_docs=3: ES semantics — all 5 land in gen 1
+    # (the condition is checked after publish), THEN the slot rolls
+    ro.ingest(spark, target, "t", _mk_docs(spark, range(5)), "b1",
+              max_docs=3)
+    st = ro.rollover_status(target, "t")
+    assert [g["n_docs"] for g in st] == [5, 0]
+    assert [g["published"] for g in st] == [True, False]
+    assert ro.write_root(target, "t") == st[1]["root"]
+    # under the condition: no roll
+    ro.ingest(spark, target, "t", _mk_docs(spark, range(5, 7)), "b2",
+              max_docs=3)
+    st = ro.rollover_status(target, "t")
+    assert [g["n_docs"] for g in st] == [5, 2]
+    with pytest.raises(ValueError):
+        ro.ingest(spark, target, "t", _mk_docs(spark, [9]), "b3",
+                  max_docs=0)
+
+
+def test_replay_is_noop_across_generations(spark, target):
+    ro.ingest(spark, target, "t", _mk_docs(spark, range(3)), "b1",
+              max_docs=1)
+    ro.ingest(spark, target, "t", _mk_docs(spark, range(3, 6)), "b2",
+              max_docs=1)
+    before = ro.rollover_status(target, "t")
+    # b1 landed in gen 1; its retry must not touch the new write slot
+    m = ro.ingest(spark, target, "t", _mk_docs(spark, range(3)), "b1",
+                  max_docs=1)
+    assert m["n_docs"] == 3
+    assert ro.rollover_status(target, "t") == before
+
+
+def test_search_matches_single_union_index(spark, target, tmp_path):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+
+    a, b = _mk_docs(spark, range(8)), _mk_docs(spark, range(8, 15))
+    ro.ingest(spark, target, "t", a, "b1", max_docs=1)
+    ro.ingest(spark, target, "t", b, "b2", max_docs=1)
+    union_root = str(tmp_path / "union")
+    IndexBuilder(spark, union_root).build(a.unionByName(b), "u")
+    want = [
+        (r["path"], round(r["score"], 6), r["rank"])
+        for r in (
+            search_exact(
+                spark, load_index(spark, union_root),
+                "token_0008 token_0003 token_0012", 3,
+            )
+            .join(
+                load_index(spark, union_root)["doc_stats"]
+                .select("doc_id", "path"),
+                "doc_id",
+            )
+            .orderBy("rank")
+            .collect()
+        )
+    ]
+    got = [
+        (r["path"], round(r["score"], 6), r["rank"])
+        for r in ro.search_rollover(
+            spark, target, "t", "token_0008 token_0003 token_0012", k=3,
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_unpublished_slot_skipped_and_empty_errors(spark, target):
+    with pytest.raises(FileNotFoundError):
+        ro.search_rollover(spark, target, "t", "alpha")
+    ro.ingest(spark, target, "t", _mk_docs(spark, range(4)), "b1",
+              max_docs=1)
+    # gen 2 slot exists but is unpublished: reader sees one index
+    assert len(ro.load_generations(spark, target, "t")) == 1
+    got = ro.search_rollover(spark, target, "t", "token_0002", k=3)
+    assert got.count() == 1
