@@ -1,0 +1,146 @@
+"""fastText-style hashed linear document classifier — the quality
+classifier of LLM training-data curation (GPT-3/LLaMA-lineage
+pipelines score every document with a cheap linear model over hashed
+n-gram features and keep by threshold or importance-sample by score).
+Model shape follows fastText's supervised mode: features are token
+unigrams plus adjacent bigrams, hashed into ``n_buckets`` (the
+hashing trick — no vocabulary, collisions accepted), the document
+representation is the MEAN over feature occurrences, and the score is
+a sigmoid over the linear response.
+
+Engine discipline (the reference's analog is its enum/expression
+annotation tables applied as pure column expressions,
+v03_pipeline/lib/model/*.py): the whole scorer is JVM column algebra
+— tokenize once, one explode, one map-side-combined (doc, bucket)
+agg, and either a hash-projected weight EXPRESSION (zero joins: the
+deterministic stand-in used until trained weights are supplied) or a
+broadcast-gated join against a caller-provided weight table. No
+Python touches a row. Hashing is md5-based (operators/text.py
+md5_int64) so a SQL oracle reproduces scores bit-for-bit.
+
+Scale shape: one corpus scan; the (doc, bucket) agg is map-side
+combined and bounded per doc by distinct buckets; the weight side is
+O(n_buckets) — broadcast below ``WEIGHTS_BROADCAST_MAX`` rows, an
+ordinary shuffle join past it (the tombstone-gate pattern). At 100 TB
+the expression path is embarrassingly parallel with no shuffle except
+the per-doc agg, which the doc_id key already distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_expr
+from seqr_loading_pipelines_spark.operators.text import (
+    md5_int32,
+    md5_int64,
+)
+
+DEFAULT_N_BUCKETS = 1 << 18
+WEIGHTS_BROADCAST_MAX = 2_000_000
+
+
+def hash_projected_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1] for ``bucket`` —
+    a hash projection (the LSH-hyperplane trick applied to model
+    weights): ``(md5_32(bucket) mod 2001 - 1000) / 1000``. Identical
+    in DuckDB as
+    ``((('0x'||substr(md5(b::VARCHAR),1,8))::BIGINT % 2001)-1000)/1000.0``.
+    """
+    return (
+        (md5_int32(bucket.cast("string")) % 2001 - 1000) / F.lit(1000.0)
+    )
+
+
+def _features(text: Column, bigrams: bool) -> Column:
+    """Unigram (+ adjacent-bigram) feature array from one tokenize
+    pass: the bigram stream zips the token array with its 1-shifted
+    self — pure JVM ``slice``/``zip_with``, no second scan."""
+    toks = tokenize_expr(text)
+    if not bigrams:
+        return toks
+    shifted = F.slice(
+        toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        shifted,
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bi)
+
+
+def score_hashed_linear(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    weights_broadcast_max: int = WEIGHTS_BROADCAST_MAX,
+) -> DataFrame:
+    """Per-document ``(id, n_features, prob, keep)``: the sigmoid of
+    ``bias + mean(weight[bucket(feature)])`` over all feature
+    OCCURRENCES (fastText's mean-of-embeddings reduced to 1-d), and
+    the threshold decision. Empty docs (no tokens) are excluded — a
+    classifier has no evidence either way, same contract as
+    lm.doc_cross_entropy.
+
+    ``weights``: ``(bucket int/long, w double)`` trained weights;
+    ``None`` uses the hash-projected deterministic stand-in as a pure
+    expression (no join at all).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(_features(F.col(text_col), bigrams)).alias("_f"),
+    ).select(
+        id_col,
+        (md5_int64(F.col("_f")) % F.lit(n_buckets)).alias("bucket"),
+    )
+    per_bucket = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("tf"),
+    )
+    if weights is None:
+        weighted = per_bucket.select(
+            id_col,
+            "tf",
+            (hash_projected_weight(F.col("bucket")) * F.col("tf"))
+            .alias("wtf"),
+        )
+    else:
+        w = weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("w").cast("double").alias("w"),
+        )
+        # miss = 0-weight feature (hashed models have no OOV: a miss
+        # only happens when the table under-covers the bucket space)
+        if n_buckets <= weights_broadcast_max:
+            w = F.broadcast(w)
+        weighted = (
+            per_bucket.join(w, "bucket", "left")
+            .select(
+                id_col,
+                "tf",
+                (F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf"))
+                .alias("wtf"),
+            )
+        )
+    agg = weighted.groupBy(id_col).agg(
+        F.sum("tf").alias("n_features"),
+        F.sum("wtf").alias("_sw"),
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(float(bias)) + F.col("_sw") / F.col("n_features")))
+    )
+    return agg.select(
+        id_col,
+        F.col("n_features").cast("long").alias("n_features"),
+        prob.alias("prob"),
+        (prob >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -5782,6 +5782,63 @@ SELECT doc_id, n_tokens, round(bpt, 4) AS bits_per_token, rank FROM (
 """
 
 
+CLASSIFIER_N_BUCKETS = 4096
+
+
+def q_classifier_score(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (operators/classifier.py) — the keep/drop scorer of LLM
+    training-data curation: unigram + adjacent-bigram features from
+    one tokenize pass, hashed into {CLASSIFIER_N_BUCKETS} buckets
+    (the hashing trick, collisions accepted), scored through the
+    deterministic hash-projected weight EXPRESSION (zero joins, no
+    Python), sigmoid over the per-doc feature mean. The keep flag is
+    taken on the ROUNDED probability so the boundary decision is
+    bit-stable across engines. Oracle: identical md5 bucket/weight
+    algebra in SQL."""
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = score_hashed_linear(docs, n_buckets=CLASSIFIER_N_BUCKETS)
+    p4 = F.round("prob", 4)
+    return scored.select(
+        "doc_id",
+        "n_features",
+        p4.alias("prob"),
+        (p4 >= F.lit(0.5)).alias("keep"),
+    )
+
+
+SQL_CLASSIFIER_SCORE = f"""
+WITH tok AS (SELECT doc_id, {_T} AS t FROM documents),
+feats AS (
+  SELECT doc_id,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])) AS f
+  FROM tok
+),
+pb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT
+           % {CLASSIFIER_N_BUCKETS} AS bucket,
+         count(*) AS tf
+  FROM feats GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_features,
+         sum(((('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT
+               % 2001) - 1000) / 1000.0 * tf) AS sw
+  FROM pb GROUP BY doc_id
+)
+SELECT doc_id, n_features,
+       round(1.0 / (1.0 + exp(-(sw / n_features))), 4) AS prob,
+       round(1.0 / (1.0 + exp(-(sw / n_features))), 4) >= 0.5 AS keep
+FROM agg
+"""
+
+
 SERIAL_DIFF_LAG = 7
 
 
@@ -6064,6 +6121,7 @@ SQL_INDEX_ROLLOVER = _sql_bm25(BM25_QUERY_TERMS, 10)
 
 
 QUERIES = {
+    "classifier_score": q_classifier_score,
     "index_rollover": q_index_rollover,
     "index_phrase_suggest": q_index_phrase_suggest,
     "index_scroll": q_index_scroll,
@@ -6206,6 +6264,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "classifier_score": SQL_CLASSIFIER_SCORE,
     "index_rollover": SQL_INDEX_ROLLOVER,
     "index_phrase_suggest": SQL_INDEX_PHRASE_SUGGEST,
     "index_scroll": SQL_INDEX_SCROLL,

@@ -1,0 +1,196 @@
+"""fastText-style hashed linear classifier (operators/classifier.py).
+
+Covers: feature construction (unigrams + adjacent bigrams from one
+tokenize pass), the hashing trick against a naive python oracle,
+trained-weight scoring with miss-as-zero, the broadcast gate and its
+shuffle fallback, empty-doc exclusion, threshold semantics, the
+zero-join expression path, and validation.
+"""
+
+import hashlib
+import math
+import re
+
+import pytest
+
+TEXTS = [
+    (0, "the cat sat on the mat"),
+    (1, "sat"),
+    (2, "a completely different document about spark query engines"),
+    (3, ""),
+    (4, "the cat sat on the mat"),
+]
+
+
+def _toks(t):
+    return re.findall(r"[a-z0-9_]+", t.lower())
+
+
+def _feats(t):
+    toks = _toks(t)
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket(f, n_buckets):
+    return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def _hash_weight(bucket):
+    h = int(hashlib.md5(str(bucket).encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _naive_score(text, n_buckets, weights=None, bias=0.0):
+    feats = _feats(text)
+    if not feats:
+        return None
+    if weights is None:
+        sw = sum(_hash_weight(_bucket(f, n_buckets)) for f in feats)
+    else:
+        sw = sum(weights.get(_bucket(f, n_buckets), 0.0) for f in feats)
+    return 1.0 / (1.0 + math.exp(-(bias + sw / len(feats))))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def test_feature_counts_and_empty_doc_excluded(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in score_hashed_linear(docs, n_buckets=1 << 18).collect()
+    }
+    # empty doc has no evidence -> excluded, not scored 0.5
+    assert 3 not in rows
+    # "the cat sat on the mat": 6 unigrams + 5 bigrams
+    assert rows[0]["n_features"] == 11
+    # single token -> no bigrams
+    assert rows[1]["n_features"] == 1
+    # identical text -> identical score
+    assert rows[0]["prob"] == rows[4]["prob"]
+
+
+def test_hash_projected_scores_match_naive_oracle(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    n_buckets = 4096  # small enough to force some collisions
+    rows = {
+        r["doc_id"]: r["prob"]
+        for r in score_hashed_linear(docs, n_buckets=n_buckets).collect()
+    }
+    for doc_id, text in TEXTS:
+        want = _naive_score(text, n_buckets)
+        if want is None:
+            assert doc_id not in rows
+        else:
+            assert rows[doc_id] == pytest.approx(want, abs=1e-12)
+
+
+def test_trained_weights_and_miss_as_zero(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    n_buckets = 1 << 16
+    # train: "cat"-ish buckets positive, "spark"-ish negative; every
+    # other bucket missing from the table -> contributes 0.
+    w = {
+        _bucket("cat", n_buckets): 2.0,
+        _bucket("the cat", n_buckets): 1.0,
+        _bucket("spark", n_buckets): -3.0,
+    }
+    weights = spark.createDataFrame(
+        list(w.items()), "bucket long, w double",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in score_hashed_linear(
+            docs, weights=weights, n_buckets=n_buckets,
+        ).collect()
+    }
+    for doc_id, text in TEXTS:
+        want = _naive_score(text, n_buckets, weights=w)
+        if want is None:
+            assert doc_id not in rows
+        else:
+            assert rows[doc_id]["prob"] == pytest.approx(want, abs=1e-12)
+    # doc 0 leans positive, doc 2 negative, doc 1 all-miss -> exactly 0.5
+    assert rows[0]["keep"] and rows[0]["prob"] > 0.5
+    assert not rows[2]["keep"] and rows[2]["prob"] < 0.5
+    assert rows[1]["prob"] == pytest.approx(0.5)
+    assert rows[1]["keep"]  # >= threshold
+
+
+def test_bias_and_threshold(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    empty_w = spark.createDataFrame([], "bucket long, w double")
+    # all-miss weights + bias: prob = sigmoid(bias) for every doc
+    rows = score_hashed_linear(
+        docs, weights=empty_w, bias=1.0, threshold=0.9,
+    ).collect()
+    want = 1.0 / (1.0 + math.exp(-1.0))
+    for r in rows:
+        assert r["prob"] == pytest.approx(want, abs=1e-12)
+        assert not r["keep"]  # 0.731 < 0.9
+
+
+def test_expression_path_has_no_join(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    plan = score_hashed_linear(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_broadcast_gate_and_shuffle_fallback(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    weights = spark.createDataFrame(
+        [(int(b), 0.5) for b in range(64)], "bucket long, w double",
+    )
+    small = score_hashed_linear(docs, weights=weights, n_buckets=64)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    big = score_hashed_linear(
+        docs, weights=weights, n_buckets=64, weights_broadcast_max=8,
+    )
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    # identical results through either join strategy
+    assert sorted(small.collect()) == sorted(big.collect())
+
+
+def test_unigram_only_mode(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    rows = {
+        r["doc_id"]: r["n_features"]
+        for r in score_hashed_linear(docs, bigrams=False).collect()
+    }
+    assert rows[0] == 6  # unigrams only
+
+
+def test_validation(spark, docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        score_hashed_linear(docs, n_buckets=1)
