@@ -52,6 +52,49 @@ def tokenize_expr(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
+# code-identifier boundary rules, applied IN ORDER (the order is part
+# of the analyzer contract — oracles must mirror it exactly):
+# camelCase, ACRONYMTail, letter-digit, digit-letter, snake_case.
+CODE_BOUNDARY_RULES = [
+    ("([a-z0-9])([A-Z])", "$1 $2"),
+    ("([A-Z]+)([A-Z][a-z])", "$1 $2"),
+    ("([a-zA-Z])([0-9])", "$1 $2"),
+    ("([0-9])([a-zA-Z])", "$1 $2"),
+    ("_", " "),
+]
+
+
+def code_subtokens_expr(col: Column) -> Column:
+    """Code-search analyzer (zoekt/Sourcegraph-style identifier
+    splitting): break camelCase / PascalCase / ACRONYMTail /
+    snake_case / letter-digit identifiers into lowercase subtokens,
+    so the query ``parse config`` matches ``parseConfig``,
+    ``parse_config``, ``ParseConfig2`` and ``HTTPConfig`` alike.
+
+    Pure JVM regexp algebra (whole-stage codegen, no Python): insert
+    spaces at each identifier boundary (CODE_BOUNDARY_RULES, in
+    order), then apply the standard tokenizer. The reference's analog
+    is its search-field normalization done at export time
+    (v03_pipeline/lib/tasks/exports/misc.py:22-34); here it is an
+    alternate ANALYZER usable both index-side (index the subtoken
+    stream) and query-side."""
+    s = col
+    for pat, rep in CODE_BOUNDARY_RULES:
+        s = F.regexp_replace(s, pat, rep)
+    return tokenize_expr(s)
+
+
+def code_subtokens_sql(expr: str) -> str:
+    """The DuckDB mirror of ``code_subtokens_expr`` over the SQL
+    expression ``expr`` — identical rules in identical order ('g'
+    flag; RE2 backrefs are ``\\1``-style where Spark's are ``$1``)."""
+    s = expr
+    for pat, rep in CODE_BOUNDARY_RULES:
+        duck_rep = rep.replace("$1", "\\1").replace("$2", "\\2")
+        s = f"regexp_replace({s}, '{pat}', '{duck_rep}', 'g')"
+    return f"regexp_extract_all(lower({s}), '{TOKEN_PATTERN}')"
+
+
 TERM_COUNTS_TYPE = T.StructType(
     [
         T.StructField(

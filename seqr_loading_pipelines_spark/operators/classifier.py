@@ -71,6 +71,123 @@ def _features(text: Column, bigrams: bool) -> Column:
     return F.concat(toks, bi)
 
 
+def train_hashed_linear(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    epochs: int = 2,
+    lr: float = 1.0,
+    weights_broadcast_max: int = WEIGHTS_BROADCAST_MAX,
+) -> tuple[DataFrame, float]:
+    """Distributed full-batch logistic-regression training of the
+    hashed linear classifier (fastText supervised mode): per epoch ONE
+    pass over the persisted ``(doc, bucket, tf)`` feature relation —
+    margins via a broadcast-gated weight join, the per-bucket gradient
+    via a map-side-combined aggregate keyed on bucket (bounded by
+    ``n_buckets``), the bias gradient via a 1-row action. Weights stay
+    a DataFrame end to end (localCheckpoint per epoch truncates the
+    iterative lineage, the Lloyd-iteration discipline of
+    operators/ann.py); nothing driver-side ever holds O(corpus).
+
+    Model/gradient algebra (mean-of-occurrences features x = tf/nf):
+    ``p = sigmoid(bias + sum_b w_b tf_b / nf)``;
+    ``grad_b = mean_d((p_d - y_d) tf_db / nf_d)``;
+    ``grad_bias = mean_d(p_d - y_d)`` — means over the N non-empty
+    docs. Returns ``(weights DataFrame (bucket, w), bias)`` for
+    ``score_hashed_linear(docs, weights=..., bias=...)``.
+
+    Empty docs carry no features and are excluded from training, the
+    same contract as scoring.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(_features(F.col(text_col), bigrams)).alias("_f"),
+    ).select(
+        id_col,
+        (md5_int64(F.col("_f")) % F.lit(n_buckets)).alias("bucket"),
+    )
+    pb = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    nf = pb.groupBy(id_col).agg(F.sum("tf").alias("nf"))
+    labeled = nf.join(
+        docs.select(id_col, F.col(label_col).cast("double").alias("y")),
+        id_col,
+    ).persist()
+    n_train = labeled.count()
+    if n_train == 0:
+        raise ValueError("no non-empty documents to train on")
+
+    spark = docs.sparkSession
+    weights = spark.createDataFrame([], "bucket long, w double")
+    bias = 0.0
+    try:
+        for _ in range(epochs):
+            w = weights
+            if n_buckets <= weights_broadcast_max:
+                w = F.broadcast(w)
+            margins = (
+                pb.join(w, "bucket", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf"),
+                    ).alias("sw"),
+                )
+                .join(labeled, id_col)
+            )
+            resid = margins.select(
+                id_col,
+                "nf",
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(F.lit(float(bias)) + F.col("sw") / F.col("nf")),
+                        )
+                    )
+                    - F.col("y")
+                ).alias("r"),
+            )
+            bias_grad = resid.agg(F.avg("r").alias("g")).first()["g"]
+            grad = (
+                pb.join(resid, id_col)
+                .groupBy("bucket")
+                .agg(
+                    (
+                        F.sum(F.col("r") * F.col("tf") / F.col("nf"))
+                        / F.lit(float(n_train))
+                    ).alias("g"),
+                )
+            )
+            weights = (
+                weights.join(grad, "bucket", "full")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0))
+                        - F.lit(float(lr)) * F.coalesce(F.col("g"), F.lit(0.0))
+                    ).alias("w"),
+                )
+                .localCheckpoint()
+            )
+            bias -= lr * float(bias_grad)
+    finally:
+        pb.unpersist()
+        labeled.unpersist()
+    return weights, bias
+
+
 def score_hashed_linear(
     docs: DataFrame,
     weights: DataFrame | None = None,

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from seqr_loading_pipelines_spark import B, K1
 from seqr_loading_pipelines_spark.functions.tokenizer import (
     TOKEN_PATTERN,
+    code_subtokens_expr,
+    code_subtokens_sql,
     tokenize_expr,
 )
 from seqr_loading_pipelines_spark.operators import dedup as D
@@ -5839,6 +5841,326 @@ FROM agg
 """
 
 
+CODE_SEARCH_TERMS = ["hash", "value"]
+CODE_SEARCH_K = 10
+
+
+def q_code_subtoken_search(spark, sf_dir):
+    """Code-identifier search (functions/tokenizer.py
+    code_subtokens_expr — the zoekt/Sourcegraph identifier-splitting
+    analyzer): camelCase identifiers are synthesized deterministically
+    from each document's adjacent token pairs (``hash value`` ->
+    ``hashValue``), run through the subtoken analyzer, and the query
+    {CODE_SEARCH_TERMS} is BM25-ranked over the SUBTOKEN stream — so
+    it matches identifiers whose parts were glued together, the thing
+    a plain-term index cannot do. Oracle: identical identifier
+    synthesis + boundary-rule algebra in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize_expr(F.col("text")).alias("t"),
+    )
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    ident_text = F.array_join(
+        F.zip_with(
+            F.slice("t", 1, n1),
+            F.slice("t", 2, n1),
+            lambda a, b: F.concat(
+                a,
+                F.upper(F.substring(b, 1, 1)),
+                F.substring(b, 2, 1 << 20),
+            ),
+        ),
+        " ",
+    )
+    sub = toks.select(
+        "doc_id", code_subtokens_expr(ident_text).alias("t"),
+    )
+    dl = sub.select("doc_id", F.size("t").alias("dl"))
+    srow = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = srow["n"], srow["avgdl"]
+    flat = (
+        sub.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(CODE_SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = flat.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+    )
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+    )
+    scored = (
+        flat.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contribution",
+            idf
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("s"))
+    )
+    order = [F.floor(F.col("s") * 1e5 + 0.5).desc(), F.col("doc_id").asc()]
+    return _limit_then_rank(scored, order, CODE_SEARCH_K).select(
+        "doc_id", F.round("s", 4).alias("score"), "rank",
+    )
+
+
+_CODE_IN_LIST = ", ".join(f"'{t}'" for t in CODE_SEARCH_TERMS)
+
+SQL_CODE_SUBTOKEN_SEARCH = f"""
+WITH tok AS (SELECT doc_id, {_T} AS t FROM documents),
+ident AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, len(t)),
+                          i -> t[i] || upper(t[i+1][1]) || t[i+1][2:]),
+           ' ') AS s
+  FROM tok
+),
+sub AS (SELECT doc_id, {code_subtokens_sql('s')} AS t FROM ident),
+dl AS (SELECT doc_id, len(t) AS dl FROM sub),
+stats AS (SELECT (SELECT count(*) FROM sub) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM sub)
+  WHERE term IN ({_CODE_IN_LIST})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= {CODE_SEARCH_K}
+"""
+
+
+def q_classifier_sample(spark, sf_dir):
+    """Classifier-guided importance sampling (the GPT-3 curation
+    recipe: keep a document iff a uniform draw falls under its
+    quality score, so high-quality docs are kept with probability ~=
+    score). The uniform draw is a DETERMINISTIC md5 hash of the doc
+    key (functions/hashing.py discipline — re-runs keep the same
+    docs), and the comparison uses the ROUNDED probability so the
+    decision is bit-stable across engines. Returns the kept set.
+    Oracle: identical hash/compare algebra in SQL."""
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+    )
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = score_hashed_linear(docs, n_buckets=CLASSIFIER_N_BUCKETS)
+    p4 = F.round("prob", 4)
+    u = (
+        md5_int32(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+        / F.lit(float(1 << 32))
+    )
+    return (
+        scored.select("doc_id", p4.alias("prob"), u.alias("u"))
+        .filter(F.col("u") < F.col("prob"))
+        .select("doc_id", "prob", F.round("u", 6).alias("u"))
+    )
+
+
+SQL_CLASSIFIER_SAMPLE = f"""
+WITH tok AS (SELECT doc_id, {_T} AS t FROM documents),
+feats AS (
+  SELECT doc_id,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])) AS f
+  FROM tok
+),
+pb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT
+           % {CLASSIFIER_N_BUCKETS} AS bucket,
+         count(*) AS tf
+  FROM feats GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         sum(((('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT
+               % 2001) - 1000) / 1000.0 * tf) / sum(tf) AS m
+  FROM pb GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-m)), 4) AS prob,
+         ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM agg
+)
+SELECT doc_id, prob, round(u, 6) AS u FROM s WHERE u < prob
+"""
+
+
+CLF_TRAIN_LR = 4.0
+CLF_TRAIN_LABEL_TERM = "spark"
+
+
+def q_classifier_train(spark, sf_dir):
+    """Distributed logistic-regression TRAINING of the hashed linear
+    classifier (operators/classifier.py train_hashed_linear): labels
+    are derived in-plan (does the doc contain
+    '{CLF_TRAIN_LABEL_TERM}'), two full-batch gradient epochs run as
+    per-epoch distributed aggregates (per-bucket gradient keyed on
+    bucket, 1-row bias action, weights a localCheckpointed DataFrame
+    throughout), then every doc is scored with the learned weights.
+    Oracle: the SAME two epochs UNROLLED as pure SQL — epoch-1
+    gradient from sigmoid(0)=0.5 residuals, epoch-2 from epoch-1
+    margins — probabilities rounded to 4 so the comparison is
+    bit-stable."""
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "y",
+        F.array_contains(
+            tokenize_expr(F.col("text")), CLF_TRAIN_LABEL_TERM,
+        ).cast("double"),
+    )
+    w, bias = train_hashed_linear(
+        labeled,
+        "y",
+        n_buckets=CLASSIFIER_N_BUCKETS,
+        epochs=2,
+        lr=CLF_TRAIN_LR,
+    )
+    scored = score_hashed_linear(
+        labeled, weights=w, n_buckets=CLASSIFIER_N_BUCKETS, bias=bias,
+    )
+    p4 = F.round("prob", 4)
+    return scored.join(labeled.select("doc_id", "y"), "doc_id").select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        p4.alias("prob"),
+        (p4 >= F.lit(0.5)).cast("int").alias("pred"),
+    )
+
+
+SQL_CLASSIFIER_TRAIN = f"""
+WITH tok AS (SELECT doc_id, {_T} AS t FROM documents),
+yl AS (SELECT doc_id,
+              CASE WHEN list_contains(t, '{CLF_TRAIN_LABEL_TERM}')
+                   THEN 1.0 ELSE 0.0 END AS y
+       FROM tok),
+feats AS (
+  SELECT doc_id,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])) AS f
+  FROM tok
+),
+pb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT
+           % {CLASSIFIER_N_BUCKETS} AS bucket,
+         count(*) AS tf
+  FROM feats GROUP BY 1, 2
+),
+nf AS (SELECT doc_id, sum(tf)::DOUBLE AS nf FROM pb GROUP BY doc_id),
+nn AS (SELECT count(*) AS n FROM nf),
+r1 AS (SELECT nf.doc_id, nf.nf, 0.5 - yl.y AS r
+       FROM nf JOIN yl USING (doc_id)),
+b1v AS (SELECT -{CLF_TRAIN_LR} * avg(r) AS b1 FROM r1),
+w1 AS (SELECT pb.bucket,
+              -{CLF_TRAIN_LR} * sum(r1.r * pb.tf / r1.nf) / nn.n AS w
+       FROM pb JOIN r1 USING (doc_id) CROSS JOIN nn
+       GROUP BY pb.bucket, nn.n),
+m2 AS (SELECT pb.doc_id, sum(w1.w * pb.tf) AS sw
+       FROM pb JOIN w1 USING (bucket) GROUP BY pb.doc_id),
+r2 AS (SELECT nf.doc_id, nf.nf,
+              1.0 / (1.0 + exp(-(b1v.b1 + m2.sw / nf.nf))) - yl.y AS r
+       FROM nf JOIN yl USING (doc_id) JOIN m2 USING (doc_id)
+       CROSS JOIN b1v),
+b2v AS (SELECT b1v.b1 - {CLF_TRAIN_LR} * avg(r2.r) AS b2
+        FROM r2 CROSS JOIN b1v GROUP BY b1v.b1),
+g2 AS (SELECT pb.bucket, sum(r2.r * pb.tf / r2.nf) / nn.n AS g
+       FROM pb JOIN r2 USING (doc_id) CROSS JOIN nn
+       GROUP BY pb.bucket, nn.n),
+w2 AS (SELECT w1.bucket, w1.w - {CLF_TRAIN_LR} * g2.g AS w
+       FROM w1 JOIN g2 USING (bucket)),
+sc AS (SELECT pb.doc_id, sum(w2.w * pb.tf) / nf.nf AS m
+       FROM pb JOIN w2 USING (bucket) JOIN nf USING (doc_id)
+       GROUP BY pb.doc_id, nf.nf),
+p AS (SELECT sc.doc_id,
+             round(1.0 / (1.0 + exp(-(b2v.b2 + sc.m))), 4) AS prob
+      FROM sc CROSS JOIN b2v)
+SELECT p.doc_id, yl.y::INTEGER AS y, p.prob,
+       (p.prob >= 0.5)::INTEGER AS pred
+FROM p JOIN yl USING (doc_id)
+"""
+
+
+def q_tokenizer_stats(spark, sf_dir):
+    """Tokenizer fertility report per corpus source — the
+    training-data health metric (chars per token ~ BPE fertility;
+    regex-vs-whitespace token ratio flags unsegmented text): one scan,
+    one map-side-combined aggregate. Oracle: identical algebra in
+    SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "n_chars",
+        TX.token_count_expr(F.col("text")).alias("nt"),
+        TX.whitespace_token_count_expr(F.col("text")).alias("nw"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("nt"), 4,
+            ).alias("chars_per_token"),
+            F.round(F.sum("nt") / F.sum("nw"), 4).alias("regex_ws_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TOKENIZER_STATS = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(nt)::BIGINT AS total_tokens,
+       round(avg(nt), 4) AS avg_tokens,
+       round(sum(n_chars) / sum(nt), 4) AS chars_per_token,
+       round(sum(nt)::DOUBLE / sum(nw), 4) AS regex_ws_ratio
+FROM (
+  SELECT source, n_chars, len({_T}) AS nt,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS nw
+  FROM documents
+)
+GROUP BY source ORDER BY source
+"""
+
+
 SERIAL_DIFF_LAG = 7
 
 
@@ -6122,6 +6444,10 @@ SQL_INDEX_ROLLOVER = _sql_bm25(BM25_QUERY_TERMS, 10)
 
 QUERIES = {
     "classifier_score": q_classifier_score,
+    "classifier_sample": q_classifier_sample,
+    "classifier_train": q_classifier_train,
+    "code_subtoken_search": q_code_subtoken_search,
+    "tokenizer_stats": q_tokenizer_stats,
     "index_rollover": q_index_rollover,
     "index_phrase_suggest": q_index_phrase_suggest,
     "index_scroll": q_index_scroll,
@@ -6265,6 +6591,10 @@ QUERIES = {
 
 ORACLE_SQL = {
     "classifier_score": SQL_CLASSIFIER_SCORE,
+    "classifier_sample": SQL_CLASSIFIER_SAMPLE,
+    "classifier_train": SQL_CLASSIFIER_TRAIN,
+    "code_subtoken_search": SQL_CODE_SUBTOKEN_SEARCH,
+    "tokenizer_stats": SQL_TOKENIZER_STATS,
     "index_rollover": SQL_INDEX_ROLLOVER,
     "index_phrase_suggest": SQL_INDEX_PHRASE_SUGGEST,
     "index_scroll": SQL_INDEX_SCROLL,

@@ -194,3 +194,124 @@ def test_validation(spark, docs):
 
     with pytest.raises(ValueError, match="n_buckets"):
         score_hashed_linear(docs, n_buckets=1)
+
+
+# ---------------------------------------------------------------------
+# train_hashed_linear
+
+
+def _naive_train(texts, labels, n_buckets, epochs, lr):
+    """Full-batch logistic GD replicated in plain python."""
+    docs = [
+        (i, _feats(t), labels[i]) for i, t in texts if _feats(t)
+    ]
+    n = len(docs)
+    w, bias = {}, 0.0
+    for _ in range(epochs):
+        grad, bgrad = {}, 0.0
+        for _i, feats, y in docs:
+            nf = len(feats)
+            sw = sum(w.get(_bucket(f, n_buckets), 0.0) for f in feats)
+            p = 1.0 / (1.0 + math.exp(-(bias + sw / nf)))
+            r = p - y
+            bgrad += r / n
+            for f in feats:
+                b = _bucket(f, n_buckets)
+                grad[b] = grad.get(b, 0.0) + r / nf / n
+        for b, g in grad.items():
+            w[b] = w.get(b, 0.0) - lr * g
+        bias -= lr * bgrad
+    return w, bias
+
+
+TRAIN_TEXTS = [
+    (0, "good clean prose with structure and meaning"),
+    (1, "good thoughtful writing here"),
+    (2, "spam spam click here spam"),
+    (3, "click spam buy now"),
+    (4, "good essay about meaning"),
+    (5, "spam click click"),
+    (6, ""),
+]
+TRAIN_LABELS = {0: 1.0, 1: 1.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: 0.0, 6: 1.0}
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark):
+    rows = [(i, t, TRAIN_LABELS[i]) for i, t in TRAIN_TEXTS]
+    return spark.createDataFrame(rows, "doc_id long, text string, y double")
+
+
+def test_train_matches_naive_gd_exactly(spark, labeled_docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    n_buckets = 4096
+    w_df, bias = train_hashed_linear(
+        labeled_docs, "y", n_buckets=n_buckets, epochs=2, lr=2.0,
+    )
+    want_w, want_b = _naive_train(TRAIN_TEXTS, TRAIN_LABELS, n_buckets, 2, 2.0)
+    assert bias == pytest.approx(want_b, abs=1e-12)
+    got_w = {r["bucket"]: r["w"] for r in w_df.collect()}
+    assert set(got_w) == set(want_w)
+    for b, wv in want_w.items():
+        assert got_w[b] == pytest.approx(wv, abs=1e-12)
+
+
+def test_train_separates_classes(spark, labeled_docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+
+    w_df, bias = train_hashed_linear(
+        labeled_docs, "y", n_buckets=1 << 16, epochs=8, lr=8.0,
+    )
+    probs = {
+        r["doc_id"]: r["prob"]
+        for r in score_hashed_linear(
+            labeled_docs, weights=w_df, n_buckets=1 << 16, bias=bias,
+        ).collect()
+    }
+    assert 6 not in probs  # empty doc: excluded from train AND score
+    for i, p in probs.items():
+        if TRAIN_LABELS[i] == 1.0:
+            assert p > 0.5, (i, p)
+        else:
+            assert p < 0.5, (i, p)
+
+
+def test_train_loss_decreases(spark, labeled_docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+
+    def loss(epochs):
+        w_df, bias = train_hashed_linear(
+            labeled_docs, "y", n_buckets=1 << 16, epochs=epochs, lr=4.0,
+        )
+        rows = score_hashed_linear(
+            labeled_docs, weights=w_df, n_buckets=1 << 16, bias=bias,
+        ).collect()
+        return -sum(
+            math.log(r["prob"]) if TRAIN_LABELS[r["doc_id"]] == 1.0
+            else math.log(1.0 - r["prob"])
+            for r in rows
+        ) / len(rows)
+
+    l1, l4 = loss(1), loss(4)
+    assert l4 < l1
+
+
+def test_train_validation(spark, labeled_docs):
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        train_hashed_linear,
+    )
+
+    with pytest.raises(ValueError, match="epochs"):
+        train_hashed_linear(labeled_docs, "y", epochs=0)
+    empty = labeled_docs.filter("text = ''")
+    with pytest.raises(ValueError, match="non-empty"):
+        train_hashed_linear(empty, "y")

@@ -1,0 +1,72 @@
+"""Code-identifier analyzer (functions/tokenizer.py
+code_subtokens_expr): identifier splitting and the DuckDB mirror.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+CASES = [
+    ("parseConfig", ["parse", "config"]),
+    ("parse_config", ["parse", "config"]),
+    ("ParseConfig2", ["parse", "config", "2"]),
+    ("HTTPConfig", ["http", "config"]),
+    ("getHTTPResponse2xx", ["get", "http", "response", "2", "xx"]),
+    ("my_var_2", ["my", "var", "2"]),
+    ("plain lower words", ["plain", "lower", "words"]),
+    ("x", ["x"]),
+    ("", []),
+    ("SCREAMING_SNAKE", ["screaming", "snake"]),
+]
+
+
+def test_subtoken_splitting(spark):
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        code_subtokens_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(CASES)], "i long, s string",
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", code_subtokens_expr(F.col("s")).alias("t"),
+        ).collect()
+    }
+    for i, (s, want) in enumerate(CASES):
+        assert got[i] == want, s
+
+
+def test_duckdb_mirror_is_identical(spark):
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        code_subtokens_expr,
+        code_subtokens_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(CASES)], "i long, s string",
+    )
+    spark_rows = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", code_subtokens_expr(F.col("s")).alias("t"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (s, _) in enumerate(CASES):
+        (duck,) = con.execute(
+            f"SELECT {code_subtokens_sql('?')}", [s],
+        ).fetchone()
+        assert list(duck) == spark_rows[i], s
+
+
+def test_pure_jvm_plan(spark):
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        code_subtokens_expr,
+    )
+
+    df = spark.createDataFrame([(1, "aB")], "i long, s string")
+    out = df.select(code_subtokens_expr(F.col("s")).alias("t"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
