@@ -952,6 +952,7 @@ def main() -> None:
         "minhash_lsh_candidates", "dedup_clusters", "simhash_dedup",
         "embedding_cosine_topk", "pricing_summary", "shipping_priority",
         "range_join_ship_window", "events_rollup", "quality_score",
+        "classifier_score", "code_subtoken_search",
     ]
     for name in headline:
         timed_min(

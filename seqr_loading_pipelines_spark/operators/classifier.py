@@ -219,17 +219,19 @@ def score_hashed_linear(
         id_col,
         (md5_int64(F.col("_f")) % F.lit(n_buckets)).alias("bucket"),
     )
-    per_bucket = feats.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("tf"),
-    )
     if weights is None:
-        weighted = per_bucket.select(
+        # expression path: the weight is a pure function of the
+        # bucket, so skip the per-(doc, bucket) pre-aggregation and
+        # fold straight to the doc key — ONE shuffle instead of two
+        weighted = feats.select(
             id_col,
-            "tf",
-            (hash_projected_weight(F.col("bucket")) * F.col("tf"))
-            .alias("wtf"),
+            F.lit(1).alias("tf"),
+            hash_projected_weight(F.col("bucket")).alias("wtf"),
         )
     else:
+        per_bucket = feats.groupBy(id_col, "bucket").agg(
+            F.count(F.lit(1)).alias("tf"),
+        )
         w = weights.select(
             F.col("bucket").cast("long").alias("bucket"),
             F.col("w").cast("double").alias("w"),

@@ -152,6 +152,9 @@ def test_expression_path_has_no_join(spark, docs):
     plan = score_hashed_linear(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+    # one shuffle only: partial-agg straight to the doc key (the
+    # per-bucket pre-aggregation exists only on the weight-join path)
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_broadcast_gate_and_shuffle_fallback(spark, docs):
