@@ -8,6 +8,8 @@ sorting columns by name); floats are rounded identically on both sides.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5872,19 +5874,28 @@ def q_code_subtoken_search(spark, sf_dir):
         ),
         " ",
     )
-    sub = toks.select(
-        "doc_id", code_subtokens_expr(ident_text).alias("t"),
-    )
-    dl = sub.select("doc_id", F.size("t").alias("dl"))
-    srow = dl.agg(
+    # analyzer runs ONCE: reduce to (doc_id, dl, matched-terms array)
+    # and localCheckpoint the tiny relation — it feeds three plan
+    # sites (stats action, df agg, scoring) that would otherwise each
+    # re-run the 5-rule regexp chain over the full corpus
+    per_doc = toks.select(
+        "doc_id",
+        code_subtokens_expr(ident_text).alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.filter(
+            "t", lambda x: x.isin(*CODE_SEARCH_TERMS),
+        ).alias("mt"),
+    ).localCheckpoint()
+    srow = per_doc.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
     ).first()
     n_docs, avgdl = srow["n"], srow["avgdl"]
     flat = (
-        sub.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(CODE_SEARCH_TERMS))
+        per_doc.select("doc_id", "dl", F.explode("mt").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     dft = flat.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"),
@@ -5894,7 +5905,6 @@ def q_code_subtoken_search(spark, sf_dir):
     )
     scored = (
         flat.join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
         .withColumn(
             "contribution",
             idf
@@ -6012,6 +6022,56 @@ s AS (
   FROM agg
 )
 SELECT doc_id, prob, round(u, 6) AS u FROM s WHERE u < prob
+"""
+
+
+TRENDING_HALF_LIFE_S = 7 * 24 * 3600.0
+_TRENDING_LAM = math.log(2.0) / TRENDING_HALF_LIFE_S
+
+
+def q_trending_events(spark, sf_dir):
+    """Exponentially-decayed trending counts per event_type
+    (streaming/trending.py decayed_counts — the batch twin of the
+    applyInPandasWithState stateful streaming operator): one hash
+    aggregate with global-max-shifted exponents (never positive, no
+    overflow at any corpus age), score = each key's decayed count at
+    its own latest event. Oracle: identical shifted-exponent algebra
+    in SQL (epoch seconds keep microseconds in both engines)."""
+    from seqr_loading_pipelines_spark.streaming.trending import (
+        decayed_counts,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    out = decayed_counts(
+        events,
+        key_col="event_type",
+        half_life_s=TRENDING_HALF_LIFE_S,
+    )
+    return out.select(
+        "key",
+        F.round("score", 4).alias("score"),
+        F.round("last_sec", 6).alias("last_sec"),
+        "n_events",
+    ).orderBy("key")
+
+
+SQL_TRENDING_EVENTS = f"""
+WITH per AS (SELECT event_type AS key, epoch(ts) AS sec FROM events),
+t0 AS (SELECT max(sec) AS t0 FROM per),
+agg AS (
+  SELECT key,
+         sum(exp({_TRENDING_LAM!r} * (sec - t0.t0))) AS s0,
+         max(sec) AS m,
+         count(*) AS n_events
+  FROM per CROSS JOIN t0
+  GROUP BY key, t0.t0
+)
+SELECT key,
+       round(s0 * exp({_TRENDING_LAM!r} * ((SELECT t0 FROM t0) - m)), 4)
+         AS score,
+       round(m, 6) AS last_sec,
+       n_events
+FROM agg ORDER BY key
 """
 
 
@@ -6446,6 +6506,7 @@ QUERIES = {
     "classifier_score": q_classifier_score,
     "classifier_sample": q_classifier_sample,
     "classifier_train": q_classifier_train,
+    "trending_events": q_trending_events,
     "code_subtoken_search": q_code_subtoken_search,
     "tokenizer_stats": q_tokenizer_stats,
     "index_rollover": q_index_rollover,
@@ -6593,6 +6654,7 @@ ORACLE_SQL = {
     "classifier_score": SQL_CLASSIFIER_SCORE,
     "classifier_sample": SQL_CLASSIFIER_SAMPLE,
     "classifier_train": SQL_CLASSIFIER_TRAIN,
+    "trending_events": SQL_TRENDING_EVENTS,
     "code_subtoken_search": SQL_CODE_SUBTOKEN_SEARCH,
     "tokenizer_stats": SQL_TOKENIZER_STATS,
     "index_rollover": SQL_INDEX_ROLLOVER,

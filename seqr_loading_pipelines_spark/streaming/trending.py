@@ -1,0 +1,199 @@
+"""Exponentially-decayed trending counters — the engine's CUSTOM
+stateful streaming operator (``applyInPandasWithState``), the shape
+Spark's built-in windowed aggregations cannot express (a decayed
+count has no window boundary: every past event contributes, weighted
+by age).
+
+Math contract. The decayed count of a key at reference time ``T`` is
+``S(T) = sum_i exp(-lam * (T - ts_i))`` with
+``lam = ln(2) / half_life_s`` (each event's weight halves every
+half-life). The fold is ASSOCIATIVE: carrying state ``(S, T_ref)``
+and folding a micro-batch ``B`` as::
+
+    T'  = max(T_ref, max ts in B)
+    S'  = S * exp(-lam * (T' - T_ref)) + sum_B exp(-lam * (T' - ts))
+
+yields exactly ``S(T')`` no matter how events are micro-batched — so
+the streaming operator and the one-pass batch twin
+(``decayed_counts``) are value-identical, which the tests and the
+``trending_events`` driver row rely on.
+
+Scale shape: streaming state is O(distinct keys) (two doubles + a
+count per key), the batch twin is one map-side-combined hash
+aggregate plus a 1-row constants action (the global-max shift that
+keeps ``exp`` arguments non-positive — no overflow at any corpus
+age). The reference's analog is its materialized-view sign-collapse
+maintenance (the incremental aggregate family,
+v03_pipeline/lib/misc/clickhouse.py); the decay makes it the
+trending/alerting variant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from seqr_loading_pipelines_spark.streaming.incremental import EVENTS_SCHEMA
+
+DEFAULT_HALF_LIFE_S = 7 * 24 * 3600.0
+
+_OUT_SCHEMA = "key string, score double, last_sec double, n_events long"
+_STATE_SCHEMA = "s double, t_ref double, n long"
+
+
+def _epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch seconds (microsecond fraction kept) from either timestamp
+    flavor: TIMESTAMP_NTZ (parquet naive — e.g. the driver testdata)
+    is pinned through LTZ first, exact because the session timezone is
+    UTC (session.py); a direct NTZ->double cast is unsupported."""
+    tcol = F.col(ts_col)
+    if "ntz" in df.schema[ts_col].dataType.typeName():
+        tcol = tcol.cast("timestamp")
+    return tcol.cast("double")
+
+
+def decay_lambda(half_life_s: float) -> float:
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+    return math.log(2.0) / half_life_s
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_s: float = DEFAULT_HALF_LIFE_S,
+) -> DataFrame:
+    """Batch twin: per-key ``(key, score, last_sec, n_events)`` where
+    score is the decayed count at the KEY's own latest event time.
+    One hash aggregate; exponents are shifted by the global max so
+    they are never positive (no overflow however old the corpus)."""
+    lam = decay_lambda(half_life_s)
+    per = df.select(
+        F.col(key_col).alias("key"), _epoch_seconds(df, ts_col).alias("sec"),
+    )
+    t0 = per.agg(F.max("sec").alias("t0")).first()["t0"]
+    if t0 is None:
+        return per.select(
+            "key",
+            F.lit(0.0).alias("score"),
+            F.lit(0.0).alias("last_sec"),
+            F.lit(0).cast("long").alias("n_events"),
+        ).limit(0)
+    agg = per.groupBy("key").agg(
+        F.sum(F.exp(F.lit(lam) * (F.col("sec") - F.lit(float(t0))))).alias(
+            "s0",
+        ),
+        F.max("sec").alias("m"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "key",
+        (
+            F.col("s0") * F.exp(F.lit(lam) * (F.lit(float(t0)) - F.col("m")))
+        ).alias("score"),
+        F.col("m").alias("last_sec"),
+        "n_events",
+    )
+
+
+def stream_trending(
+    spark: SparkSession,
+    landing_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    half_life_s: float = DEFAULT_HALF_LIFE_S,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 64,
+):
+    """Streaming decayed trending counts over event parquet landing in
+    ``landing_dir``: per-key state ``(S, T_ref, n)`` folded with the
+    associative decay rule by ``applyInPandasWithState`` (update
+    mode, no timeout — a key's state is two doubles and a count, so
+    state stays O(distinct keys) without eviction). Each micro-batch
+    appends the TOUCHED keys' current rows to ``output_dir`` tagged
+    with the batch id; ``latest_trending`` reads back the newest row
+    per key. Replay-safe via the checkpoint: a second run over the
+    same landing dir is a no-op, new files fold INTO the carried
+    state (test-locked against the batch twin over the union)."""
+    lam = decay_lambda(half_life_s)
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            s, t_ref, n = state.get
+        else:
+            s, t_ref, n = 0.0, None, 0
+        for pdf in pdfs:
+            secs = pdf["sec"].to_numpy(dtype="float64")
+            if len(secs) == 0:
+                continue
+            bmax = float(secs.max())
+            t_new = bmax if t_ref is None else max(t_ref, bmax)
+            carried = (
+                0.0 if t_ref is None else s * math.exp(-lam * (t_new - t_ref))
+            )
+            import numpy as np
+
+            s = carried + float(np.exp(-lam * (t_new - secs)).sum())
+            t_ref = t_new
+            n += int(len(secs))
+        state.update((s, t_ref, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "score": s,
+                    "last_sec": t_ref,
+                    "n_events": n,
+                },
+            ],
+        )
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("ts").cast("double").alias("sec"),
+        )
+    )
+    out = events.groupBy("key").applyInPandasWithState(
+        fold,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def publish(batch_df, batch_id: int):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append",
+        ).parquet(output_dir)
+
+    writer = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_trending(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Newest published row per key from a ``stream_trending`` output
+    dir (keys untouched since an earlier batch keep that batch's
+    row — their state did not change)."""
+    out = spark.read.parquet(output_dir)
+    w = Window.partitionBy("key").orderBy(F.col("batch_id").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("key", "score", "last_sec", "n_events")
+    )

@@ -1,0 +1,157 @@
+"""Decayed trending counters (streaming/trending.py): the
+applyInPandasWithState stateful operator vs its batch twin vs a naive
+python fold.
+"""
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+HL = 3600.0  # 1h half-life
+T0 = datetime(2024, 3, 1, 8, 0, 0)
+
+
+def ev(i, etype, minutes, user=1, value=1.0):
+    return (i, T0 + timedelta(minutes=minutes), user, etype, value, "{}")
+
+
+BATCH1 = [
+    ev(1, "click", 0),
+    ev(2, "click", 30),
+    ev(3, "view", 10),
+    ev(4, "view", 10),  # duplicate timestamp
+]
+BATCH2 = [
+    ev(5, "click", 240),  # 4h later: earlier clicks decayed ~16x
+    ev(6, "error", 250),
+    ev(7, "view", 260),
+]
+
+
+def _naive(rows, half_life_s=HL):
+    """Exact decayed counts per key at each key's own max ts."""
+    lam = math.log(2.0) / half_life_s
+    by_key = {}
+    for _i, ts, _u, k, _v, _p in rows:
+        by_key.setdefault(k, []).append(ts.timestamp())
+    out = {}
+    for k, secs in by_key.items():
+        m = max(secs)
+        out[k] = (
+            sum(math.exp(-lam * (m - s)) for s in secs),
+            m,
+            len(secs),
+        )
+    return out
+
+
+def _events_df(spark, rows):
+    from seqr_loading_pipelines_spark.streaming.incremental import (
+        EVENTS_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def test_batch_twin_matches_naive(spark):
+    from seqr_loading_pipelines_spark.streaming.trending import (
+        decayed_counts,
+    )
+
+    got = {
+        r["key"]: (r["score"], r["last_sec"], r["n_events"])
+        for r in decayed_counts(
+            _events_df(spark, BATCH1 + BATCH2), half_life_s=HL,
+        ).collect()
+    }
+    want = _naive(BATCH1 + BATCH2)
+    assert set(got) == set(want)
+    for k, (s, m, n) in want.items():
+        assert got[k][0] == pytest.approx(s, rel=1e-12), k
+        assert got[k][1] == pytest.approx(m, abs=1e-6)
+        assert got[k][2] == n
+    # clicks at t=0 and t=30min seen from t=4h: 4 and 3.5 half-lives
+    assert got["click"][0] == pytest.approx(
+        1.0 + 2.0 ** -4.0 + 2.0 ** -3.5, rel=1e-9,
+    )
+
+
+def test_streaming_two_runs_fold_state_and_match_batch(spark, tmp_path):
+    """Run 1 over batch1, run 2 after batch2 lands (same checkpoint):
+    the carried state must fold so the final table equals the batch
+    twin over the UNION — the associativity contract."""
+    from seqr_loading_pipelines_spark.streaming.trending import (
+        decayed_counts,
+        latest_trending,
+        stream_trending,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "trending")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in (BATCH1, BATCH2):
+        _events_df(spark, rows).coalesce(1).write.mode("append").parquet(
+            landing,
+        )
+        q = stream_trending(
+            spark, landing, out, ckpt, half_life_s=HL,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+    got = {
+        r["key"]: (r["score"], r["last_sec"], r["n_events"])
+        for r in latest_trending(spark, out).collect()
+    }
+    want = {
+        r["key"]: (r["score"], r["last_sec"], r["n_events"])
+        for r in decayed_counts(
+            _events_df(spark, BATCH1 + BATCH2), half_life_s=HL,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-9), k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+        assert got[k][2] == want[k][2]
+
+
+def test_streaming_rerun_is_noop(spark, tmp_path):
+    from seqr_loading_pipelines_spark.streaming.trending import (
+        latest_trending,
+        stream_trending,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "trending")
+    ckpt = str(tmp_path / "ckpt")
+    _events_df(spark, BATCH1).coalesce(1).write.parquet(landing)
+    for _ in range(2):  # second run: no new files -> no state change
+        q = stream_trending(spark, landing, out, ckpt, half_life_s=HL)
+        q.awaitTermination(120)
+    rows = latest_trending(spark, out).collect()
+    assert {r["key"]: r["n_events"] for r in rows} == {"click": 2, "view": 2}
+
+
+def test_batching_is_order_independent(spark):
+    """Associativity: any split of the same events gives the same
+    decayed counts (here: swapped batch order through the twin)."""
+    from seqr_loading_pipelines_spark.streaming.trending import (
+        decayed_counts,
+    )
+
+    a = decayed_counts(_events_df(spark, BATCH1 + BATCH2), half_life_s=HL)
+    b = decayed_counts(_events_df(spark, BATCH2 + BATCH1), half_life_s=HL)
+    rows_a = sorted((r["key"], round(r["score"], 9)) for r in a.collect())
+    rows_b = sorted((r["key"], round(r["score"], 9)) for r in b.collect())
+    assert rows_a == rows_b
+
+
+def test_empty_and_validation(spark):
+    from seqr_loading_pipelines_spark.streaming.trending import (
+        decayed_counts,
+    )
+
+    assert decayed_counts(_events_df(spark, []), half_life_s=HL).count() == 0
+    with pytest.raises(ValueError, match="half_life_s"):
+        decayed_counts(_events_df(spark, BATCH1), half_life_s=0.0)
