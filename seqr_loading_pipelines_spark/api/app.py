@@ -83,8 +83,33 @@ class _Handler(BaseHTTPRequestHandler):
                     "limit": self.queue.limit,
                 },
             )
+        elif self.path.startswith("/analyze"):
+            self._analyze()
         else:
             self._respond(404, {"error": f"unknown path {self.path}"})
+
+    def _analyze(self) -> None:
+        """ES ``_analyze``: tokens a text produces under an analyzer —
+        the debug surface for 'why does/doesn't this match'. Pure
+        driver-side python (functions/tokenizer.py analyze_text,
+        contract-locked to the engine's column expressions); no job."""
+        from urllib.parse import parse_qs, urlparse
+
+        from seqr_loading_pipelines_spark.functions.tokenizer import (
+            analyze_text,
+        )
+
+        q = parse_qs(urlparse(self.path).query)
+        text = (q.get("text") or [""])[0]
+        analyzer = (q.get("analyzer") or ["standard"])[0]
+        try:
+            tokens = analyze_text(text, analyzer)
+        except ValueError as exc:
+            self._respond(400, {"error": str(exc)})
+            return
+        self._respond(
+            200, {"analyzer": analyzer, "tokens": tokens},
+        )
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         # error middleware analog (app.py:25-35): HTTP-mapped errors

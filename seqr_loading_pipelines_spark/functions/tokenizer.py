@@ -84,6 +84,23 @@ def code_subtokens_expr(col: Column) -> Column:
     return tokenize_expr(s)
 
 
+def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
+    """Driver-side python mirror of the engine's analyzers — the ES
+    ``_analyze`` debug surface (api/app.py GET /analyze): no Spark
+    session, no job; parity with the column expressions is
+    contract-locked by tests/test_code_analyzer.py."""
+    if analyzer == "standard":
+        return _TOKEN_RE.findall(text.lower())
+    if analyzer == "code":
+        s = text
+        for pat, rep in CODE_BOUNDARY_RULES:
+            s = re.sub(pat, rep.replace("$1", r"\1").replace("$2", r"\2"), s)
+        return _TOKEN_RE.findall(s.lower())
+    raise ValueError(
+        f"unknown analyzer {analyzer!r} (expected 'standard' or 'code')",
+    )
+
+
 def code_subtokens_sql(expr: str) -> str:
     """The DuckDB mirror of ``code_subtokens_expr`` over the SQL
     expression ``expr`` — identical rules in identical order ('g'

@@ -6025,6 +6025,88 @@ SELECT doc_id, prob, round(u, 6) AS u FROM s WHERE u < prob
 """
 
 
+COMPLETION_PREFIX = "s"
+COMPLETION_N = 5
+
+
+def q_index_completion(spark, sf_dir):
+    """ES ``completion`` suggester through the REAL index path
+    (query/bm25.py suggest_completion): dictionary terms extending
+    '{COMPLETION_PREFIX}', most-popular-first (df desc, term asc),
+    StartsWith pushed to the dictionary scan, TakeOrdered top-n.
+    Oracle: same ranking over a dictionary recomputed from the
+    documents table."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        suggest_completion,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return suggest_completion(index, COMPLETION_PREFIX, n=COMPLETION_N)
+
+
+SQL_INDEX_COMPLETION = f"""
+WITH dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  GROUP BY term
+)
+SELECT suggestion, df, 0 AS fuzzy, rank FROM (
+  SELECT term AS suggestion, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+  FROM dict WHERE term LIKE '{COMPLETION_PREFIX}%'
+) WHERE rank <= {COMPLETION_N}
+"""
+
+
+T_TEST_GROUPS = ("click", "error")
+
+
+def q_events_t_test(spark, sf_dir):
+    """ES ``t_test`` aggregation (Welch's unpaired two-sample t over
+    a metric between two filtered populations — here event value for
+    {T_TEST_GROUPS}): one map-side-combined aggregate computes both
+    groups' (n, mean, var) via conditional aggregation — no second
+    scan, no join — then the t statistic is pure column algebra.
+    Oracle: identical Welch algebra in SQL."""
+    events = _read(spark, sf_dir, "events")
+    a, b = T_TEST_GROUPS
+    is_a = F.col("event_type") == a
+    is_b = F.col("event_type") == b
+    va = F.when(is_a, F.col("value"))
+    vb = F.when(is_b, F.col("value"))
+    agg = events.agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("m_a"),
+        F.var_samp(va).alias("v_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("m_b"),
+        F.var_samp(vb).alias("v_b"),
+    )
+    se = F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / se, 4).alias("t_stat"),
+    )
+
+
+SQL_EVENTS_T_TEST = f"""
+SELECT n_a, round(m_a, 4) AS mean_a, n_b, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat
+FROM (
+  SELECT count(va) AS n_a, avg(va) AS m_a, var_samp(va) AS v_a,
+         count(vb) AS n_b, avg(vb) AS m_b, var_samp(vb) AS v_b
+  FROM (
+    SELECT CASE WHEN event_type = '{T_TEST_GROUPS[0]}' THEN value END AS va,
+           CASE WHEN event_type = '{T_TEST_GROUPS[1]}' THEN value END AS vb
+    FROM events
+  )
+)
+"""
+
+
 TRENDING_HALF_LIFE_S = 7 * 24 * 3600.0
 _TRENDING_LAM = math.log(2.0) / TRENDING_HALF_LIFE_S
 
@@ -6507,6 +6589,8 @@ QUERIES = {
     "classifier_sample": q_classifier_sample,
     "classifier_train": q_classifier_train,
     "trending_events": q_trending_events,
+    "index_completion": q_index_completion,
+    "events_t_test": q_events_t_test,
     "code_subtoken_search": q_code_subtoken_search,
     "tokenizer_stats": q_tokenizer_stats,
     "index_rollover": q_index_rollover,
@@ -6655,6 +6739,8 @@ ORACLE_SQL = {
     "classifier_sample": SQL_CLASSIFIER_SAMPLE,
     "classifier_train": SQL_CLASSIFIER_TRAIN,
     "trending_events": SQL_TRENDING_EVENTS,
+    "index_completion": SQL_INDEX_COMPLETION,
+    "events_t_test": SQL_EVENTS_T_TEST,
     "code_subtoken_search": SQL_CODE_SUBTOKEN_SEARCH,
     "tokenizer_stats": SQL_TOKENIZER_STATS,
     "index_rollover": SQL_INDEX_ROLLOVER,

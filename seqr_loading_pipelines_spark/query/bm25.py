@@ -1462,6 +1462,73 @@ PHRASE_SUGGEST_DISCOUNT = 0.4  # Stupid Backoff alpha (Brants et al., 2007)
 PHRASE_SUGGEST_MAX_PHRASES = 200
 
 
+def suggest_completion(
+    index: dict,
+    prefix: str,
+    n: int = 5,
+    fuzzy: bool = False,
+) -> DataFrame:
+    """Elasticsearch ``completion`` suggester (autocomplete): terms
+    EXTENDING ``prefix`` from the term dictionary, most-popular-first
+    (df desc, term asc) — the search-box surface next to the ``term``
+    (suggest_terms) and ``phrase`` (suggest_phrase) suggesters. The
+    prefix itself, if it is a complete term, is returned too (rank by
+    popularity like everything else) — ES behaviour.
+
+    ``fuzzy=True`` adds Lucene FuzzyCompletionQuery semantics as a
+    FALLBACK: only when no term extends the prefix exactly, terms
+    whose leading ``len(prefix)`` chars are within 1 edit are
+    suggested instead (distance surfaces in the ``fuzzy`` column).
+
+    Scale shape: one bounded dictionary job — ``startswith`` compiles
+    to a StringStartsWith pushed filter on the dictionary scan, the
+    fuzzy fallback prunes with the same length band as suggest_terms
+    before any distance is computed, and orderBy().limit(n) is a
+    TakeOrdered (at most n rows leave the executors). Returns
+    ``(suggestion, df, fuzzy, rank)``.
+    """
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    prefix = prefix.strip().lower()
+    if not prefix:
+        raise ValueError("completion prefix must be non-empty")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    dict_df = index["term_dict"]
+    exact = dict_df.filter(F.col("term").startswith(prefix)).select(
+        F.col("term").alias("suggestion"),
+        F.col("df").cast("long").alias("df"),
+        F.lit(0).alias("fuzzy"),
+    )
+    order = [
+        F.col("fuzzy").asc(), F.col("df").desc(), F.col("suggestion").asc(),
+    ]
+    cand = exact
+    if fuzzy and exact.limit(1).count() == 0:
+        cand = (
+            dict_df.filter(F.length("term") >= len(prefix) - 1)
+            .withColumn(
+                "fuzzy",
+                F.levenshtein(
+                    F.substring("term", 1, len(prefix)), F.lit(prefix), 1,
+                ),
+            )
+            .filter(F.col("fuzzy") == 1)
+            .select(
+                F.col("term").alias("suggestion"),
+                F.col("df").cast("long").alias("df"),
+                "fuzzy",
+            )
+        )
+    top = cand.orderBy(*order).limit(n)
+    w = Window.partitionBy(single_partition_key(top)).orderBy(*order)
+    return top.select(
+        "suggestion", "df", "fuzzy", F.row_number().over(w).alias("rank"),
+    )
+
+
 def suggest_phrase(
     spark: SparkSession,
     index: dict,

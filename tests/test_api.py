@@ -295,3 +295,28 @@ def test_http_to_worker_update_by_query(spark, tmp_path):
         assert worker.process_one() is None
     finally:
         srv.shutdown()
+
+
+def test_http_analyze_endpoint(server):
+    srv, _ = server
+    from urllib.parse import quote
+
+    status, body = _get(
+        srv, "/analyze?text=" + quote("getHTTPResponse2xx parse_config"),
+    )
+    assert status == 200
+    assert body["analyzer"] == "standard"
+    assert body["tokens"] == ["gethttpresponse2xx", "parse_config"]
+
+    status, body = _get(
+        srv,
+        "/analyze?analyzer=code&text="
+        + quote("getHTTPResponse2xx parse_config"),
+    )
+    assert status == 200
+    assert body["tokens"] == [
+        "get", "http", "response", "2", "xx", "parse", "config",
+    ]
+
+    status, body = _get(srv, "/analyze?analyzer=nope&text=x")
+    assert status == 400 and "unknown analyzer" in body["error"]

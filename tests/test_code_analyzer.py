@@ -70,3 +70,26 @@ def test_pure_jvm_plan(spark):
     out = df.select(code_subtokens_expr(F.col("s")).alias("t"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_python_mirror_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        analyze_text,
+        code_subtokens_expr,
+        tokenize_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(CASES)], "i long, s string",
+    )
+    rows = df.select(
+        "i",
+        tokenize_expr(F.col("s")).alias("std"),
+        code_subtokens_expr(F.col("s")).alias("code"),
+    ).collect()
+    for r in rows:
+        s = CASES[r["i"]][0]
+        assert analyze_text(s, "standard") == r["std"], s
+        assert analyze_text(s, "code") == r["code"], s

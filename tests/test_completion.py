@@ -1,0 +1,64 @@
+"""Completion suggester (query/bm25.py suggest_completion)."""
+
+import pytest
+
+
+def _dict_rows(index):
+    return [
+        (r["term"], r["df"])
+        for r in index["term_dict"].select("term", "df").collect()
+    ]
+
+
+def test_prefix_completion_ranked_by_popularity(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_completion
+
+    prefix = "term_000"
+    want = sorted(
+        [(t, d) for t, d in _dict_rows(index) if t.startswith(prefix)],
+        key=lambda td: (-td[1], td[0]),
+    )[:5]
+    got = suggest_completion(index, prefix, n=5).collect()
+    assert [(r["suggestion"], r["df"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(r["fuzzy"] == 0 for r in got)
+
+
+def test_whole_term_prefix_includes_itself(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_completion
+
+    term, _ = max(_dict_rows(index), key=lambda td: td[1])
+    got = suggest_completion(index, term, n=3).collect()
+    assert term in [r["suggestion"] for r in got]
+
+
+def test_fuzzy_fallback_only_when_no_exact(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_completion
+
+    # corpus vocabulary is term_XXXXX / swN: 'tern_0' extends nothing
+    assert suggest_completion(index, "tern_0", n=5).count() == 0
+    got = suggest_completion(index, "tern_0", n=5, fuzzy=True).collect()
+    assert len(got) > 0
+    assert all(r["fuzzy"] == 1 for r in got)
+    assert all(r["suggestion"].startswith("term_0") for r in got)
+
+    # exact hits exist -> fuzzy flag never kicks in
+    exact = suggest_completion(index, "term_0", n=5, fuzzy=True).collect()
+    assert all(r["fuzzy"] == 0 for r in exact)
+
+
+def test_prefix_filter_is_pushed_to_scan(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_completion
+
+    out = suggest_completion(index, "term_000", n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_validation(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import suggest_completion
+
+    with pytest.raises(ValueError, match="prefix"):
+        suggest_completion(index, "   ")
+    with pytest.raises(ValueError, match="n must"):
+        suggest_completion(index, "term", n=0)
