@@ -204,8 +204,33 @@ def tokenize_py(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
+def index_tokenize(index: dict, text: str) -> list[str]:
+    """Driver-side tokenizer for query text against a SPECIFIC opened
+    index: applies the analyzer the index was BUILT with
+    (manifest-recorded), so an identifier-analyzed index
+    (``IndexBuilder(analyzer='code')``) splits the query the same way
+    it split the documents — the search-analyzer == index-analyzer
+    default of ES."""
+    analyzer = (index.get("manifest") or {}).get("analyzer", "standard")
+    return analyze_text(text or "", analyzer)
+
+
+def _apply_code_boundaries_arrow(arr: pa.Array) -> pa.Array:
+    """The code-identifier boundary rules (CODE_BOUNDARY_RULES, same
+    order) applied Arrow-natively — RE2 GlobalReplace in C++, no
+    Python string ever materializes; the build-path twin of
+    ``code_subtokens_expr``."""
+    for pat, rep in CODE_BOUNDARY_RULES:
+        arr = pc.replace_substring_regex(
+            arr,
+            pattern=pat,
+            replacement=rep.replace("$1", r"\1").replace("$2", r"\2"),
+        )
+    return arr
+
+
 def _term_counts_arrow(
-    arr: pa.Array, with_positions: bool = False,
+    arr: pa.Array, with_positions: bool = False, analyzer: str = "standard",
 ) -> tuple[pa.ListArray, pa.Int32Array]:
     """Arrow-native term counting for one record batch's content
     column — zero Python objects in the hot path:
@@ -222,7 +247,10 @@ def _term_counts_arrow(
        survivors).
     """
     n = len(arr)
-    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    filled = pc.fill_null(arr, "")
+    if analyzer == "code":
+        filled = _apply_code_boundaries_arrow(filled)
+    low = pc.utf8_lower(filled)
     parts = pc.split_pattern_regex(low, "[^a-z0-9_]+")
     tokens = pc.list_flatten(parts)
     cnts = pc.list_value_length(parts).to_numpy(
@@ -288,6 +316,7 @@ def term_counts_arrow_project(
     df: DataFrame,
     keep_cols: tuple[str, ...] = TOKENIZE_KEEP_COLS,
     with_positions: bool = False,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """content -> (terms, doc_len) via ``mapInArrow``: batches stay in
     Arrow end to end (north rule: vectorized Arrow UDFs, no per-row
@@ -312,7 +341,7 @@ def term_counts_arrow_project(
         for rb in batches:
             content = rb.column(rb.schema.get_field_index("content"))
             lists, dls = _term_counts_arrow(
-                content, with_positions=with_positions,
+                content, with_positions=with_positions, analyzer=analyzer,
             )
             cols = [
                 rb.column(rb.schema.get_field_index(c)) for c in keep_cols

@@ -135,6 +135,7 @@ class IndexBuilder:
         positions: bool = False,
         trigrams: bool = False,
         store_content: bool = False,
+        analyzer: str = "standard",
     ):
         self.spark = spark
         self.table = ManifestTable(index_root)
@@ -191,6 +192,22 @@ class IndexBuilder:
         # the k result docs. Recorded in the manifest so update/compact
         # maintain it.
         self.store_content = bool(store_content or trigrams)
+        # index-time analyzer: 'standard' (the default token contract)
+        # or 'code' (identifier splitting, Arrow-native in the build
+        # kernel). Recorded in the manifest so update/compact keep it
+        # and the query side tokenizes symmetrically (index_tokenize).
+        if analyzer not in ("standard", "code"):
+            raise ValueError(
+                f"unknown analyzer {analyzer!r} "
+                "(expected 'standard' or 'code')",
+            )
+        if analyzer != "standard" and tokenizer != "arrow":
+            raise ValueError(
+                "analyzer='code' requires the arrow tokenizer "
+                "(the loop fallback implements only the standard "
+                "analyzer)",
+            )
+        self.analyzer = analyzer
         self.metrics: dict = {"stages": {}}
         self._orig_split_size: str | None = None
 
@@ -203,7 +220,10 @@ class IndexBuilder:
 
         if self.tokenizer == "arrow":
             return term_counts_arrow_project(
-                df, tuple(keep_cols), with_positions=self.positions,
+                df,
+                tuple(keep_cols),
+                with_positions=self.positions,
+                analyzer=self.analyzer,
             )
         udf = term_counts_pos_udf if self.positions else term_counts_udf
         return df.withColumn(
@@ -1187,6 +1207,10 @@ class IndexBuilder:
                 # stored-source (highlight) projection
                 "trigrams": self.trigrams,
                 "store_content": self.store_content,
+                # index-time analyzer: queries on this index tokenize
+                # with the SAME analyzer (functions/tokenizer.py
+                # index_tokenize), update/compact inherit it
+                "analyzer": self.analyzer,
                 "build_wall_s": round(time.time() - t_start, 3),
                 "metrics": self.metrics,
             },

@@ -214,7 +214,9 @@ def delete_docs(
             # exclude tombstoned docs at query time
             **{
                 k: current[k]
-                for k in ("positions", "trigrams", "store_content")
+                for k in (
+                    "positions", "trigrams", "store_content", "analyzer",
+                )
                 if k in current
             },
             "updates": (

@@ -79,6 +79,11 @@ def update_index(
                 **builder_kwargs,
                 "dict_strategy": current["dict_strategy"],
             }
+        if "analyzer" not in builder_kwargs and current.get("analyzer"):
+            builder_kwargs = {
+                **builder_kwargs,
+                "analyzer": current["analyzer"],
+            }
         if "positions" not in builder_kwargs and current.get("positions"):
             # a positions-enabled index must stay phrase-queryable:
             # every appended segment needs its own positions projection
@@ -193,6 +198,11 @@ def _update(
                     "n_terms", "n_blocks", "avgdl", "sum_dl", "k1", "b",
                     "shard_size",
                 )},
+                **(
+                    {"analyzer": current["analyzer"]}
+                    if "analyzer" in current
+                    else {}
+                ),
                 **_carry_tombstones(current),
                 "updates": [*current["updates"], source_fingerprint],
                 "n_invalid_content": n_invalid,
@@ -423,6 +433,7 @@ def _update(
             # the 5M/'fused' defaults after the first update)
             "dict_partition_gate": builder.dict_partition_gate,
             "dict_strategy": builder.dict_strategy,
+            "analyzer": builder.analyzer,
             "positions": positions_on,
             "trigrams": trigrams_on,
             "store_content": content_on,
@@ -713,6 +724,11 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
             "n_blocks": int(n_blocks),
             "segments": [seg],
             "dict_segment": seg,
+            **(
+                {"analyzer": current["analyzer"]}
+                if "analyzer" in current
+                else {}
+            ),
             "positions": bool(current.get("positions")),
             "trigrams": bool(current.get("trigrams")),
             "store_content": bool(

@@ -5965,6 +5965,55 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 """
 
 
+def q_index_code_search(spark, sf_dir):
+    """Identifier search through the REAL index path: the corpus is
+    the camelCase identifier text synthesized from adjacent token
+    pairs (the code_subtoken_search synthesis), the index is built
+    with ``IndexBuilder(analyzer='code')`` — identifier splitting runs
+    ARROW-NATIVE inside the build kernel, the manifest records the
+    analyzer — and the GLUED identifier query 'hashValue' tokenizes
+    through the manifest analyzer (index_tokenize) into
+    {CODE_SEARCH_TERMS} before block-max WAND. Oracle: the declarative
+    subtoken BM25 SQL (same algebra the expression-path row locks)."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    base = corpus_from_documents(spark, sf_dir)
+    toks = tokenize_expr(F.col("content"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    ident = F.array_join(
+        F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat(
+                a,
+                F.upper(F.substring(b, 1, 1)),
+                F.substring(b, 2, 1 << 20),
+            ),
+        ),
+        " ",
+    )
+    corpus = base.withColumn("content", ident)
+    root = _index_root(sf_dir, "code")
+    IndexBuilder(spark, root, analyzer="code").build(
+        corpus,
+        source_fingerprint=f"code:{sf_dir}:{_source_content_fp(sf_dir)}",
+    )
+    index = load_index(spark, root)
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+
+    out = search_wand(spark, index, "hashValue", k=CODE_SEARCH_K)
+    return hydrate(index, out).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
 def q_classifier_sample(spark, sf_dir):
     """Classifier-guided importance sampling (the GPT-3 curation
     recipe: keep a document iff a uniform draw falls under its
@@ -6592,6 +6641,7 @@ QUERIES = {
     "index_completion": q_index_completion,
     "events_t_test": q_events_t_test,
     "code_subtoken_search": q_code_subtoken_search,
+    "index_code_search": q_index_code_search,
     "tokenizer_stats": q_tokenizer_stats,
     "index_rollover": q_index_rollover,
     "index_phrase_suggest": q_index_phrase_suggest,
@@ -6742,6 +6792,7 @@ ORACLE_SQL = {
     "index_completion": SQL_INDEX_COMPLETION,
     "events_t_test": SQL_EVENTS_T_TEST,
     "code_subtoken_search": SQL_CODE_SUBTOKEN_SEARCH,
+    "index_code_search": SQL_CODE_SUBTOKEN_SEARCH,
     "tokenizer_stats": SQL_TOKENIZER_STATS,
     "index_rollover": SQL_INDEX_ROLLOVER,
     "index_phrase_suggest": SQL_INDEX_PHRASE_SUGGEST,

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.functions.tokenizer import index_tokenize
 from seqr_loading_pipelines_spark.index.build import idf as idf_fn
 
 
@@ -56,7 +56,7 @@ def _query_terms(index: dict, query_text: str) -> list[dict]:
     Small dictionaries cache as one python map on the opened index
     (amortized over every subsequent query on this index handle);
     large ones stay distributed with a pushed-down term filter."""
-    terms = sorted(set(tokenize_py(query_text)))
+    terms = sorted(set(index_tokenize(index, query_text)))
     if not terms:
         return []
     n_docs = index["manifest"]["n_docs"]
@@ -298,7 +298,7 @@ def search_and(
     entry of exactly one segment (dense doc ids never repeat across
     segments). A query term absent from the dictionary short-circuits
     to empty (nothing can contain it)."""
-    q_terms = set(tokenize_py(query_text))
+    q_terms = set(index_tokenize(index, query_text))
     term_infos = _query_terms(index, query_text)
     if not term_infos or len(term_infos) < len(q_terms):
         return _empty_topk(spark)
@@ -377,7 +377,7 @@ def match_docs_bounded(
     dictionary resolution: ``(matches | None, bound)`` — the shape
     every gated consumer (facets, stats, samplers) wants, so the
     broadcast decision never costs a job."""
-    q_terms = set(tokenize_py(query_text))
+    q_terms = set(index_tokenize(index, query_text))
     term_infos = _query_terms(index, query_text)
     if not term_infos or (require_all and len(term_infos) < len(q_terms)):
         return None, 0
@@ -500,7 +500,7 @@ def search_collapse(
         MATCH_BROADCAST_MAX,
     )
 
-    q_terms = set(tokenize_py(query_text))
+    q_terms = set(index_tokenize(index, query_text))
     term_infos = _query_terms(index, query_text)
     empty_schema = (
         f"doc_id long, {collapse_col} string, score double, rank int"
@@ -572,11 +572,11 @@ def search_synonyms(
     default because the synonym map can change without a reindex;
     the cost is bounded by the expanded term count — still ONE pruned
     posting scan."""
-    toks = sorted(set(tokenize_py(query_text)))
+    toks = sorted(set(index_tokenize(index, query_text)))
     expanded: set[str] = set(toks)
     for t in toks:
         for s in synonyms.get(t, []):
-            expanded.update(tokenize_py(s))
+            expanded.update(index_tokenize(index, s))
     term_infos = _query_terms(index, " ".join(sorted(expanded)))
     if not term_infos:
         return _empty_topk(spark)
@@ -857,7 +857,7 @@ def search_fuzzy(
     (rank-identical to ``search_exact`` over the same expanded term
     set). The typo-tolerant retrieval mode of every serving engine."""
     expanded: dict[int, dict] = {}
-    for tok in sorted(set(tokenize_py(query_text))):
+    for tok in sorted(set(index_tokenize(index, query_text))):
         for info in expand_fuzzy(index, tok, max_edits, max_expansions):
             expanded[info["term_id"]] = info
     if not expanded:
@@ -1567,7 +1567,7 @@ def suggest_phrase(
     if not 0 < discount <= 1:
         raise ValueError(f"discount must be in (0, 1], got {discount}")
     out_schema = "suggestion string, score double, rank int"
-    tokens = tokenize_py(text)
+    tokens = index_tokenize(index, text)
     if not tokens:
         return spark.createDataFrame([], out_schema)
     cand_lists = []

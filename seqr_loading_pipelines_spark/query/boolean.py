@@ -47,7 +47,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.functions.tokenizer import index_tokenize
 from seqr_loading_pipelines_spark.query.bm25 import (
     FILTER_BROADCAST_MAX,
     _decoded_postings,
@@ -72,8 +72,12 @@ def search_bool(
     """Top-k BM25 over a bool clause tree; returns
     ``(doc_id, score, rank)`` under the shared deterministic tie rule
     (quantized score desc, doc_id asc)."""
-    must_terms = sorted({t for c in (must or []) for t in tokenize_py(c)})
-    should_terms = sorted({t for c in (should or []) for t in tokenize_py(c)})
+    must_terms = sorted(
+        {t for c in (must or []) for t in index_tokenize(index, c)},
+    )
+    should_terms = sorted(
+        {t for c in (should or []) for t in index_tokenize(index, c)},
+    )
     if not must_terms and not should_terms:
         return _empty_topk(spark)
     if minimum_should_match is None:
@@ -137,7 +141,7 @@ def search_bool(
 
     # ---- must_not: second pruned scan, distributed anti-join --------
     not_terms = sorted(
-        {t for c in (must_not or []) for t in tokenize_py(c)},
+        {t for c in (must_not or []) for t in index_tokenize(index, c)},
     )
     if not_terms:
         ex_infos = _query_terms(index, " ".join(not_terms))

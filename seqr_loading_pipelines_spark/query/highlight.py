@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seqr_loading_pipelines_spark.functions.tokenizer import (
+    code_subtokens_expr,
+    index_tokenize,
     tokenize_expr,
-    tokenize_py,
 )
 from seqr_loading_pipelines_spark.query.wand import search_wand
 
@@ -72,7 +73,13 @@ def highlight_docs(
             },
         ).filter(F.lit(False))
     content = index["content"].filter(F.col("doc_id").isin(ids))
-    toks = tokenize_expr(F.col("content"))
+    # content re-tokenizes under the INDEX's analyzer so offsets line
+    # up with the matched terms (a code-analyzed index highlights the
+    # subtokens a query actually hit)
+    if index["manifest"].get("analyzer") == "code":
+        toks = code_subtokens_expr(F.col("content"))
+    else:
+        toks = tokenize_expr(F.col("content"))
     # 1-based offsets of query-term hits, entirely JVM-side: mark each
     # matching token with its position, drop the rest
     hits = F.filter(
@@ -108,7 +115,7 @@ def search_highlight(
 ) -> DataFrame:
     """Top-k BM25 (WAND executor) with highlight columns:
     ``(doc_id, score, rank, first_pos, n_hits, snippet)``."""
-    terms = sorted(set(tokenize_py(query_text)))
+    terms = sorted(set(index_tokenize(index, query_text)))
     topk = search_wand(spark, index, query_text, k=k)
     top_rows = topk.collect()
     tiny = spark.createDataFrame(top_rows, topk.schema)

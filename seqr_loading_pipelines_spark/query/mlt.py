@@ -30,7 +30,7 @@ from collections import Counter
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.functions.tokenizer import index_tokenize
 from seqr_loading_pipelines_spark.query.bm25 import (
     _decoded_postings,
     _empty_topk,
@@ -51,7 +51,7 @@ def select_mlt_terms(
     """The source text's most interesting terms (tf x idf desc, term
     asc), resolved against the dictionary, capped. Returns the same
     term-info dicts every executor consumes."""
-    tf = Counter(tokenize_py(text))
+    tf = Counter(index_tokenize(index, text))
     infos = _query_terms(index, " ".join(sorted(tf)))
     scored = []
     for info in infos:

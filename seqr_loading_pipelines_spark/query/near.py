@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.functions.tokenizer import index_tokenize
 from seqr_loading_pipelines_spark.query.bm25 import _query_terms, rank_topk
 
 
@@ -59,7 +59,7 @@ def search_near(
         )
     if window < 0:
         raise ValueError("window must be >= 0")
-    terms = sorted(set(tokenize_py(query_text)))
+    terms = sorted(set(index_tokenize(index, query_text)))
     if not terms:
         return _empty(spark)
     infos = _query_terms(index, query_text)

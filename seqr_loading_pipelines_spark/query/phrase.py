@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.functions.tokenizer import index_tokenize
 from seqr_loading_pipelines_spark.query.bm25 import _query_terms, rank_topk
 
 
@@ -57,7 +57,7 @@ def search_phrase(
             "index was built without positional postings; rebuild with "
             "IndexBuilder(positions=True) to enable phrase queries",
         )
-    terms = tokenize_py(phrase_text)
+    terms = index_tokenize(index, phrase_text)
     if not terms:
         return _empty(spark)
     infos = _query_terms(index, phrase_text)
@@ -158,7 +158,7 @@ def search_span_first(
             "index was built without positional postings; rebuild with "
             "IndexBuilder(positions=True) to enable span queries",
         )
-    toks = tokenize_py(token_text)
+    toks = index_tokenize(index, token_text)
     if len(toks) != 1:
         raise ValueError(
             f"span_first takes exactly one token, got {token_text!r}",
@@ -236,7 +236,7 @@ def search_match_phrase_prefix(
         )
     if max_expansions is None:
         max_expansions = PREFIX_MAX_EXPANSIONS
-    terms = tokenize_py(phrase_text)
+    terms = index_tokenize(index, phrase_text)
     if not terms:
         return _empty(spark)
     *exact, prefix = terms
@@ -360,7 +360,7 @@ def search_span_near(
         )
     if slop < 0:
         raise ValueError("slop must be >= 0")
-    terms = tokenize_py(query_text)
+    terms = index_tokenize(index, query_text)
     if not terms:
         return spark.createDataFrame([], "doc_id long, min_gap int, rank int")
     if len(terms) > SPAN_NEAR_MAX_CLAUSES:
@@ -478,8 +478,8 @@ def search_span_not(
             "index was built without positional postings; rebuild with "
             "IndexBuilder(positions=True) to enable span queries",
         )
-    inc_toks = tokenize_py(include_token)
-    exc_toks = tokenize_py(exclude_token)
+    inc_toks = index_tokenize(index, include_token)
+    exc_toks = index_tokenize(index, exclude_token)
     if len(inc_toks) != 1 or len(exc_toks) != 1:
         raise ValueError(
             "span_not takes exactly one include and one exclude token, "
@@ -591,7 +591,9 @@ def search_intervals(
         )
     norm_steps = []
     for i, s in enumerate(steps):
-        alts = sorted({t for alt in s for t in tokenize_py(alt)})
+        alts = sorted(
+            {t for alt in s for t in index_tokenize(index, alt)},
+        )
         if not alts:
             raise ValueError(f"intervals step {i} has no tokens")
         if len(alts) > INTERVALS_MAX_ALTERNATIVES:

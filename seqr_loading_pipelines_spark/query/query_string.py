@@ -36,7 +36,10 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+from seqr_loading_pipelines_spark.functions.tokenizer import (
+    index_tokenize,
+    tokenize_py,
+)
 from seqr_loading_pipelines_spark.query.bm25 import (
     PREFIX_MAX_EXPANSIONS,
     _empty_topk,
@@ -46,10 +49,13 @@ from seqr_loading_pipelines_spark.query.bm25 import (
 _CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
 
 
-def parse_query_string(qs: str) -> dict:
+def parse_query_string(qs: str, tokenize=tokenize_py) -> dict:
     """Parse into clause lists: ``must`` / ``should`` / ``must_not``
     (token strings), ``prefixes`` / ``phrases`` (lists of
-    ``(sign, text)`` with sign in ``{'', '+', '-'}``)."""
+    ``(sign, text)`` with sign in ``{'', '+', '-'}``). ``tokenize``:
+    the token splitter for bare clauses — search_query_string passes
+    the INDEX's analyzer (index_tokenize) so clause tokens match the
+    indexed terms."""
     out = {
         "must": [],
         "should": [],
@@ -65,14 +71,14 @@ def parse_query_string(qs: str) -> dict:
             continue
         if raw.endswith("*"):
             stem = raw[:-1]
-            toks = tokenize_py(stem)
+            toks = tokenize(stem)
             if len(toks) != 1:
                 raise ValueError(
                     f"prefix clause must be one token + '*': {raw!r}",
                 )
             out["prefixes"].append((sign, toks[0]))
             continue
-        toks = tokenize_py(raw)
+        toks = tokenize(raw)
         if not toks:
             continue
         dest = {"": "should", "+": "must", "-": "must_not"}[sign]
@@ -99,7 +105,9 @@ def search_query_string(
     rank)`` under the shared deterministic tie rule."""
     from seqr_loading_pipelines_spark.query.boolean import search_bool
 
-    p = parse_query_string(qs)
+    p = parse_query_string(
+        qs, tokenize=lambda s: index_tokenize(index, s),
+    )
     must = list(p["must"])
     should = list(p["should"])
     must_not = list(p["must_not"])
@@ -147,7 +155,9 @@ def search_query_string(
             return _empty_topk(spark)
         # phrase-only query: the phrases' own tokens score the
         # phrase-filtered docs
-        should = [t for ph in includes for t in tokenize_py(ph)]
+        should = [
+            t for ph in includes for t in index_tokenize(index, ph)
+        ]
 
     return search_bool(
         spark,

@@ -1,0 +1,140 @@
+"""Code-identifier analyzer as an INDEX option
+(IndexBuilder(analyzer='code')): Arrow-native identifier splitting in
+the build kernel, manifest-recorded, query-side symmetric tokenization
+(index_tokenize), inherited by incremental update.
+"""
+
+import pytest
+
+DOCS = [
+    ("r1", "a.py", "c1", "py", "def parseConfig(path): return HTTPConfig"),
+    ("r1", "b.py", "c2", "py", "parse_config = load(CONFIG_PATH)"),
+    ("r1", "c.go", "c3", "go", "func ServeRequest2xx(w ResponseWriter)"),
+    ("r2", "d.rs", "c4", "rs", "totally unrelated words here"),
+]
+
+
+def _corpus(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    return df.withColumn("sha256", F.sha2(F.col("content"), 256))
+
+
+@pytest.fixture(scope="module")
+def code_index(spark, tmp_path_factory):
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("code_idx"))
+    IndexBuilder(
+        spark, root, analyzer="code", positions=True, store_content=True,
+    ).build(
+        _corpus(spark, DOCS), source_fingerprint="code-v1",
+    )
+    return root, load_index(spark, root)
+
+
+def _paths(index, rows):
+    ds = {r["doc_id"]: r["path"] for r in index["doc_stats"].collect()}
+    return [ds[r["doc_id"]] for r in rows]
+
+
+def test_subtokens_are_indexed_and_query_splits_identically(
+    spark, code_index,
+):
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+
+    _, index = code_index
+    assert index["manifest"]["analyzer"] == "code"
+    # 'parseConfig' as a QUERY must split into parse+config and match
+    # BOTH the camelCase and the snake_case doc
+    got = _paths(index, search_exact(spark, index, "parseConfig", 10).collect())
+    assert set(got) == {"a.py", "b.py"}
+    # dictionary holds subtokens, not glued identifiers
+    terms = {r["term"] for r in index["term_dict"].collect()}
+    assert {"parse", "config", "http", "serve", "request", "2", "xx"} <= terms
+    assert "parseconfig" not in terms
+
+
+def test_exact_equals_wand_on_code_index(spark, code_index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    _, index = code_index
+    e = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, index, "ServeRequest2xx config", 4).collect()
+    ]
+    w = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_wand(spark, index, "ServeRequest2xx config", 4).collect()
+    ]
+    assert e == w and len(e) >= 2
+
+
+def test_phrase_matches_inside_identifier(spark, code_index):
+    """Subtoken positions are adjacent inside an identifier, so the
+    phrase "parse config" matches BOTH parseConfig and parse_config —
+    the code-search killer feature a standard index cannot express."""
+    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+
+    _, index = code_index
+    got = _paths(index, search_phrase(spark, index, "parse config", 10).collect())
+    assert set(got) == {"a.py", "b.py"}
+
+
+def test_highlight_offsets_follow_the_analyzer(spark, code_index):
+    """Snippets re-tokenize stored content under the INDEX analyzer,
+    so a hit INSIDE an identifier highlights at the subtoken offset."""
+    from seqr_loading_pipelines_spark.query.highlight import (
+        search_highlight,
+    )
+
+    _, index = code_index
+    rows = search_highlight(spark, index, "http config", k=4).collect()
+    assert rows, "expected highlighted hits"
+    for r in rows:
+        assert r["n_hits"] >= 1
+        assert "config" in r["snippet"] or "http" in r["snippet"]
+
+
+def test_update_inherits_analyzer(spark, code_index, tmp_path):
+    import shutil
+
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.index.merge import update_index
+    from seqr_loading_pipelines_spark.query.bm25 import search_exact
+
+    root, _ = code_index
+    root2 = str(tmp_path / "idx2")
+    shutil.copytree(root, root2)
+    new = [("r3", "e.py", "c5", "py", "class ConfigParserV2: pass")]
+    m = update_index(spark, root2, _corpus(spark, new), "code-v2")
+    assert m["analyzer"] == "code"
+    index = load_index(spark, root2)
+    got = _paths(index, search_exact(spark, index, "parser v 2", 10).collect())
+    assert "e.py" in got
+
+
+def test_validation(spark, tmp_path):
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        IndexBuilder(spark, str(tmp_path / "x"), analyzer="nope")
+    with pytest.raises(ValueError, match="arrow tokenizer"):
+        IndexBuilder(
+            spark, str(tmp_path / "y"), analyzer="code", tokenizer="loop",
+        )
+
+
+def test_standard_default_manifest_and_build_unchanged(spark, index):
+    # the session index was built with defaults: analyzer recorded as
+    # standard, nothing else moved (the bit-identity lock for the
+    # default build lives in test_build.py)
+    assert index["manifest"]["analyzer"] == "standard"
