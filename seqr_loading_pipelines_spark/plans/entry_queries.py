@@ -6633,7 +6633,290 @@ def q_index_rollover(spark, sf_dir):
 SQL_INDEX_ROLLOVER = _sql_bm25(BM25_QUERY_TERMS, 10)
 
 
+TOP_METRICS_SIZE = 3
+
+
+def q_index_top_metrics(spark, sf_dir):
+    """ES ``top_metrics`` aggregation behind a driver-green row: the
+    metric columns (lang, repo) carried by the {TOP_METRICS_SIZE}
+    longest docs of the match set, sorted on doc_len desc with the
+    doc-store path as the id-space-stable tiebreak (query/facets.py
+    top_metrics_by — pruned posting scan, gated doc-store join,
+    TakeOrdered; the corpus never sorts globally). Oracle: the same
+    window over the matching documents in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import top_metrics_by
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = top_metrics_by(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        sort_col="doc_len", metric_cols=["lang", "repo"],
+        size=TOP_METRICS_SIZE,
+    )
+    return out.select(
+        "rank", "doc_len", "lang", "repo",
+        _orig_doc_id().alias("doc_id"),
+    )
+
+
+SQL_INDEX_TOP_METRICS = f"""
+SELECT rank, doc_len, lang, repo, doc_id FROM (
+  SELECT len({_T}) AS doc_len, lang, source AS repo, doc_id,
+         row_number() OVER (
+           ORDER BY len({_T}) DESC, doc_id ASC
+         ) AS rank
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+) WHERE rank <= {TOP_METRICS_SIZE}
+"""
+
+
+def q_index_stats_bucket(spark, sf_dir):
+    """ES ``stats_bucket`` sibling pipeline aggregation (sum_bucket /
+    min_bucket folded in as projections of the same stats) behind a
+    driver-green row: count/min/max/avg/sum over the doc_len
+    histogram's per-bucket doc counts (query/facets.py stats_bucket —
+    the bucket table feeds one bounded global aggregate; pipeline
+    aggs never re-touch the match set). Oracle: the histogram CTE +
+    the same scalar aggregate in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import stats_bucket
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return stats_bucket(
+        spark, index, " ".join(BM25_QUERY_TERMS), interval=HIST_INTERVAL,
+    )
+
+
+SQL_INDEX_STATS_BUCKET = f"""
+WITH hist AS (
+  SELECT (len({_T}) // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+         count(*) AS n_docs
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+  GROUP BY bucket
+)
+SELECT count(*) AS n_buckets, min(n_docs) AS min_docs,
+       max(n_docs) AS max_docs, round(avg(n_docs), 5) AS avg_docs,
+       sum(n_docs) AS sum_docs
+FROM hist
+"""
+
+
+def q_index_children_agg(spark, sf_dir):
+    """ES ``children`` aggregation (parent-join step-down) behind a
+    driver-green row: repos qualify when any of their docs match the
+    BM25 query, then ALL children of qualifying repos bucket by lang —
+    not just the matching children, which is what distinguishes the
+    join-field step from a plain facet (query/relations.py
+    children_agg — distinct parent keys broadcast-semi-join back into
+    a two-column doc-store projection, one hash agg on the facet).
+    Oracle: DISTINCT qualifying sources rejoined to documents in SQL."""
+    from seqr_loading_pipelines_spark.query.relations import children_agg
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return children_agg(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        parent_col="repo", facet_col="lang",
+    )
+
+
+SQL_INDEX_CHILDREN_AGG = f"""
+WITH p AS (
+  SELECT DISTINCT source FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+)
+SELECT d.lang AS facet, count(*) AS n_docs
+FROM documents d JOIN p USING (source)
+GROUP BY d.lang
+ORDER BY n_docs DESC, facet ASC
+"""
+
+
+def q_events_cumulative_cardinality(spark, sf_dir):
+    """ES ``cumulative_cardinality`` pipeline aggregation: per day
+    bucket, the running count of DISTINCT users seen so far — exact,
+    not HLL, via the first-seen decomposition: min(day) per user (one
+    map-side-combined pass over events, output cardinality = distinct
+    users), new-user counts per bucket (bounded by #days), then a
+    running sum over the bucket series (single-partition window over
+    the tiny bucket table — the pipeline-agg discipline). ES motivates
+    the agg as "total distinct so far" for retention panels; the
+    incremental new_users column is its documented derivative twin.
+    Oracle: identical first-seen algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("bucket"),
+    )
+    new_users = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_users"),
+    )
+    joined = days.join(new_users, "bucket", "left").select(
+        "bucket", "n_events",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    w = Window.partitionBy(single_partition_key(joined)).orderBy("bucket")
+    return joined.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "new_users",
+        F.sum("new_users")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_users"),
+    )
+
+
+SQL_EVENTS_CUMULATIVE_CARDINALITY = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+fs AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS bucket
+  FROM events GROUP BY 1
+),
+nu AS (SELECT bucket, count(*) AS new_users FROM fs GROUP BY 1)
+SELECT strftime(b.bucket, '%Y-%m-%d') AS day,
+       n_events,
+       coalesce(new_users, 0) AS new_users,
+       sum(coalesce(new_users, 0)) OVER (
+         ORDER BY b.bucket ROWS UNBOUNDED PRECEDING
+       ) AS cum_users
+FROM b LEFT JOIN nu USING (bucket)
+"""
+
+
+def q_events_moving_fn(spark, sf_dir):
+    """ES ``moving_fn`` pipeline aggregation: arbitrary window
+    functions over the bucket series — here 3-bucket trailing
+    max/min/sum over the daily value totals (MovingFunctions.max /
+    .min / .sum in ES's shipped set). Windows run AFTER the one hash
+    agg, over the bucket table itself (cardinality = #days), declared
+    single-partition via the constant key. Oracle: identical frame
+    algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy(single_partition_key(b))
+        .orderBy("bucket")
+        .rowsBetween(-2, 0)
+    )
+    return b.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round(F.max("v").over(w), 4).alias("mov_max"),
+        F.round(F.min("v").over(w), 4).alias("mov_min"),
+        F.round(F.sum("v").over(w), 4).alias("mov_sum"),
+    )
+
+
+SQL_EVENTS_MOVING_FN = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       round(max(v) OVER w, 4) AS mov_max,
+       round(min(v) OVER w, 4) AS mov_min,
+       round(sum(v) OVER w, 4) AS mov_sum
+FROM b
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+VW_BUCKETS = 5
+
+
+def q_docs_vw_histogram(spark, sf_dir):
+    """ES ``variable_width_histogram`` with deterministic semantics:
+    {VW_BUCKETS} equal-count buckets over the doc token-length
+    distribution — bucket id = floor(cum_count_before * N / total) on
+    the VALUE-grouped distribution, so every distinct value lands
+    wholly in one bucket and the result is partition-order-free
+    (ES's online-clustering version is explicitly approximate and
+    shard-order-dependent; an engine whose results feed a correctness
+    gate wants the reproducible definition). Per bucket: min/max
+    value, doc count, weighted mean.
+
+    Scale shape: ONE map-side-combining hash agg collapses the corpus
+    to its value distribution (cardinality = distinct lengths, bounded
+    by the clamp range — thousands, not corpus-sized); the cumulative
+    window + rebucketing run over that bounded table under the
+    declared constant partition key. Oracle: identical algebra in
+    SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        F.size(tokenize_expr(F.col("text"))).alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    part = single_partition_key(counts)
+    wv = Window.partitionBy(part).orderBy("v")
+    labeled = counts.select(
+        "v", "c",
+        F.coalesce(
+            F.sum("c").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("c").over(Window.partitionBy(part)).alias("total"),
+    ).select(
+        "v", "c",
+        F.floor(
+            F.col("cum_before") * float(VW_BUCKETS) / F.col("total"),
+        ).alias("bucket"),
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("c").alias("n_docs"),
+            F.round(F.sum(F.col("v") * F.col("c")) / F.sum("c"), 4)
+            .alias("avg_v"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_DOCS_VW_HISTOGRAM = f"""
+WITH counts AS (
+  SELECT len({_T}) AS v, count(*) AS c FROM documents GROUP BY 1
+),
+cb AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before,
+         sum(c) OVER () AS total
+  FROM counts
+)
+SELECT CAST(floor(cum_before * {float(VW_BUCKETS)!r} / total) AS BIGINT)
+         AS bucket,
+       min(v) AS min_v, max(v) AS max_v, sum(c) AS n_docs,
+       round(sum(v * c) * 1.0 / sum(c), 4) AS avg_v
+FROM cb GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "index_top_metrics": q_index_top_metrics,
+    "index_stats_bucket": q_index_stats_bucket,
+    "index_children_agg": q_index_children_agg,
+    "events_cumulative_cardinality": q_events_cumulative_cardinality,
+    "events_moving_fn": q_events_moving_fn,
+    "docs_vw_histogram": q_docs_vw_histogram,
     "classifier_score": q_classifier_score,
     "classifier_sample": q_classifier_sample,
     "classifier_train": q_classifier_train,
@@ -6785,6 +7068,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_top_metrics": SQL_INDEX_TOP_METRICS,
+    "index_stats_bucket": SQL_INDEX_STATS_BUCKET,
+    "index_children_agg": SQL_INDEX_CHILDREN_AGG,
+    "events_cumulative_cardinality": SQL_EVENTS_CUMULATIVE_CARDINALITY,
+    "events_moving_fn": SQL_EVENTS_MOVING_FN,
+    "docs_vw_histogram": SQL_DOCS_VW_HISTOGRAM,
     "classifier_score": SQL_CLASSIFIER_SCORE,
     "classifier_sample": SQL_CLASSIFIER_SAMPLE,
     "classifier_train": SQL_CLASSIFIER_TRAIN,

@@ -1331,3 +1331,96 @@ def matrix_stats(df: DataFrame, fields: list) -> DataFrame:
         f"stack({len(pairs)}, {stack_args}) AS "
         "(field_a, field_b, covariance, correlation)",
     )
+
+
+def top_metrics_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    sort_col: str,
+    metric_cols: list[str],
+    size: int = 1,
+    descending: bool = True,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``top_metrics`` aggregation: the metric columns
+    from the ``size`` docs holding the extreme ``sort_col`` values
+    over the match set (ES ships it as the cheap scalar cousin of
+    top_hits — sort value + metrics only, no hydrated hit). Ties
+    break on ``path`` ascending (the doc-store business key, stable
+    across id spaces). Output: ``(rank, <sort_col>, <metrics...>,
+    path)``, rank 1..size.
+
+    Scale shape: pruned posting scan -> gated broadcast/shuffle join
+    against a (1 + |metrics|)-column doc-store projection ->
+    TakeOrdered(size) — the corpus never sorts globally; only
+    ``size`` rows survive to the single-partition rank window."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if sort_col in metric_cols:
+        raise ValueError(
+            f"sort_col {sort_col!r} duplicated in metric_cols",
+        )
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    out_cols = [sort_col, *metric_cols, "path"]
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
+    if matches is None:
+        return (
+            spark.createDataFrame(
+                [], index["doc_stats"].select(*out_cols).schema,
+            )
+            .withColumn("rank", F.lit(0).cast("int"))
+            .select("rank", *out_cols)
+        )
+    sort = F.col(sort_col).desc() if descending else F.col(sort_col).asc()
+    order = [sort, F.col("path").asc()]
+    picked = (
+        index["doc_stats"]
+        .select("doc_id", *out_cols)
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .orderBy(*order)
+        .limit(size)
+    )
+    w = Window.partitionBy(single_partition_key(picked)).orderBy(*order)
+    return picked.select(
+        F.row_number().over(w).alias("rank"), *out_cols,
+    )
+
+
+def stats_bucket(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    interval: int,
+    value_col: str = "doc_len",
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``stats_bucket`` sibling pipeline aggregation
+    (with ``sum_bucket`` / ``min_bucket`` folded in — they are
+    projections of the same stats): count/min/max/avg/sum over the
+    sibling histogram's per-bucket doc counts. ONE row:
+    ``(n_buckets, min_docs, max_docs, avg_docs, sum_docs)``.
+
+    Shape: ``histogram_by``'s plan feeds a global aggregate whose
+    input cardinality is the occupied-bucket count — like
+    ``max_bucket``, pipeline aggs post-process the bucket table and
+    never re-touch the match set."""
+    hist = histogram_by(
+        spark, index, query_text, interval,
+        value_col=value_col, require_all=require_all,
+        broadcast_max=broadcast_max,
+    )
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        F.round(F.avg("n_docs"), 5).alias("avg_docs"),
+        F.sum("n_docs").alias("sum_docs"),
+    )

@@ -197,3 +197,47 @@ def has_parent(
     return ranked.select(
         "parent", "doc_id", "score", F.row_number().over(w).alias("rank"),
     )
+
+
+def children_agg(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    parent_col: str = "repo",
+    facet_col: str = "lang",
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """ES ``children`` aggregation: from the parents selected by the
+    query context, step DOWN to their child docs and bucket those
+    children by ``facet_col`` — ALL children of qualifying parents
+    count, not just the children that matched the query (that is the
+    point of the join-field step; a plain facet over the match set is
+    ``facet_counts``). A parent qualifies when at least one of its
+    children matches the BM25 query. Returns ``(facet, n_docs)``
+    ordered (n_docs desc, facet asc).
+
+    Scale shape: labeled match set -> DISTINCT parent keys (bounded by
+    parent cardinality — an aggregate, never corpus-shaped) ->
+    broadcast semi-join back into a two-column doc-store projection ->
+    one map-side-combining hash agg on the facet value. The corpus is
+    touched by exactly two column-pruned scans (match labeling +
+    children scan); nothing corpus-sized shuffles."""
+    out_schema = "facet string, n_docs long"
+    labeled = _labeled_matches(index, query_text, parent_col, broadcast_max)
+    if labeled is None:
+        return _empty(spark, out_schema)
+    parents = labeled.select("parent").distinct()
+    gate = (
+        broadcast_max if broadcast_max is not None else PARENT_BROADCAST_MAX
+    )
+    if gate and index["manifest"]["n_docs"] <= gate:
+        # distinct parents <= doc count: provably under the gate
+        parents = F.broadcast(parents)
+    return (
+        index["doc_stats"]
+        .select(F.col(parent_col).alias("parent"), F.col(facet_col))
+        .join(parents, "parent", "left_semi")
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
+    )

@@ -188,3 +188,39 @@ def test_has_parent_missing_term_empty(spark, rel_index):
 
     out = has_parent(spark, rel_index, "zzz_not_there", F.col("n_docs") >= 1)
     assert out.collect() == []
+
+
+# children aggregation (query/relations.py children_agg)
+# ---------------------------------------------------------------------
+
+
+def test_children_agg_counts_all_children_of_matching_parents(
+    spark, rel_index,
+):
+    from seqr_loading_pipelines_spark.query.relations import children_agg
+
+    # "beta" matches a0.py (repoA) and d0.py (repoD); the aggregation
+    # then counts ALL docs of repoA (2) and repoD (1) by lang — a1.py
+    # counts even though it does not match "beta" (the step-down
+    # contract that distinguishes children from a plain facet)
+    rows = children_agg(
+        spark, rel_index, "beta", parent_col="repo", facet_col="lang",
+    ).collect()
+    assert [(r["facet"], r["n_docs"]) for r in rows] == [
+        ("python", 2), ("rust", 1),
+    ]
+
+
+def test_children_agg_gate_path_identical_and_empty(spark, rel_index):
+    from seqr_loading_pipelines_spark.query.relations import children_agg
+
+    a = [tuple(r) for r in children_agg(
+        spark, rel_index, "alpha", facet_col="lang",
+    ).collect()]
+    b = [tuple(r) for r in children_agg(
+        spark, rel_index, "alpha", facet_col="lang", broadcast_max=0,
+    ).collect()]
+    assert a == b and a
+    empty = children_agg(spark, rel_index, "zz_nope_zz")
+    assert empty.count() == 0
+    assert empty.columns == ["facet", "n_docs"]

@@ -1106,3 +1106,78 @@ def test_histogram_dense_grid_cap(spark, index):
     )
     with pytest.raises(Exception, match="dense histogram would emit"):
         df.collect()
+
+
+# top_metrics / stats_bucket (query/facets.py)
+# ---------------------------------------------------------------------
+
+
+def test_top_metrics_python_golden(spark, index, oracle):
+    from seqr_loading_pipelines_spark.query.facets import top_metrics_by
+
+    meta = {
+        r["doc_id"]: (r["doc_len"], r["lang"], r["repo"], r["path"])
+        for r in index["doc_stats"]
+        .select("doc_id", "doc_len", "lang", "repo", "path")
+        .collect()
+    }
+    terms = tokenize_py(QUERY)
+    matched = [oracle.doc_ids[i] for i in _match_set(oracle, terms)]
+    want = sorted(
+        (meta[d] for d in matched), key=lambda m: (-m[0], m[3]),
+    )[:4]
+    rows = top_metrics_by(
+        spark, index, QUERY, "doc_len", ["lang", "repo"], size=4,
+    ).collect()
+    assert [(r["doc_len"], r["lang"], r["repo"], r["path"]) for r in rows] \
+        == want
+    assert [r["rank"] for r in rows] == list(range(1, len(want) + 1))
+    # ascending flips the extreme
+    asc = top_metrics_by(
+        spark, index, QUERY, "doc_len", ["lang"], size=1, descending=False,
+    ).collect()
+    assert asc[0]["doc_len"] == min(m[0] for m in (meta[d] for d in matched))
+
+
+def test_top_metrics_validation_and_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import top_metrics_by
+
+    with pytest.raises(ValueError, match="size must be"):
+        top_metrics_by(spark, index, QUERY, "doc_len", ["lang"], size=0)
+    with pytest.raises(ValueError, match="duplicated"):
+        top_metrics_by(spark, index, QUERY, "doc_len", ["doc_len"])
+    empty = top_metrics_by(spark, index, "zz_nope_zz", "doc_len", ["lang"])
+    assert empty.count() == 0
+    assert empty.columns == ["rank", "doc_len", "lang", "path"]
+    # forced-shuffle gate path identical
+    a = [tuple(r) for r in top_metrics_by(
+        spark, index, QUERY, "doc_len", ["lang"], size=3,
+    ).collect()]
+    b = [tuple(r) for r in top_metrics_by(
+        spark, index, QUERY, "doc_len", ["lang"], size=3, broadcast_max=0,
+    ).collect()]
+    assert a == b and a
+
+
+def test_stats_bucket_consistent_with_histogram(spark, index):
+    from seqr_loading_pipelines_spark.query.facets import (
+        histogram_by,
+        stats_bucket,
+    )
+
+    hist = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_by(spark, index, QUERY, 5).collect()
+    }
+    row = stats_bucket(spark, index, QUERY, 5).collect()[0]
+    counts = list(hist.values())
+    assert row["n_buckets"] == len(counts)
+    assert row["min_docs"] == min(counts)
+    assert row["max_docs"] == max(counts)
+    assert row["sum_docs"] == sum(counts)
+    assert row["avg_docs"] == pytest.approx(
+        round(sum(counts) / len(counts), 5),
+    )
+    # absent term: the empty bucket table aggregates to the zero row
+    z = stats_bucket(spark, index, "zz_nope_zz", 5).collect()[0]
+    assert z["n_buckets"] == 0 and z["sum_docs"] is None
