@@ -143,6 +143,65 @@ def ngram_contamination(
     )
 
 
+def dup_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Duplicate-span diagnostic — the intra-corpus cousin of
+    ``ngram_contamination`` and the per-doc signal behind
+    substring-level dedup (the "deduplicating training data" recipe:
+    docs whose spans repeat verbatim across the corpus memorize and
+    regurgitate): for EVERY doc, how many of its distinct word
+    ``n``-grams also appear in at least one OTHER doc, as
+    ``(doc_id, n_shingles, n_dup, dup_frac)``. Docs too short to form
+    a single n-gram report (0, 0, 0.0) — curation treats them by
+    length rules, not span rules, but dropping them here would
+    silently shrink the corpus accounting.
+
+    Scale shape: one shingle explode (int64 hashes, the contamination
+    discipline) -> ONE map-side-combining count on shingle (a
+    stop-shingle's partials collapse per partition before the
+    exchange — the skew story is the DF pre-aggregation one, not a
+    hot sort) -> join back on shingle -> one count keyed on doc.
+    Output cardinality is the doc count; nothing quadratic anywhere
+    (contrast the pair operators: this is the linear-cost signal you
+    run corpus-wide BEFORE deciding which pair op to afford)."""
+    from seqr_loading_pipelines_spark.operators.dedup import shingles_expr
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("sh_str"),
+    ).select("doc_id", F.xxhash64("sh_str").alias("shingle"))
+    # shingles_expr is per-doc DISTINCT, so count(*) = docs holding it
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                5,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def sample_corpus(
     docs: DataFrame,
     rate_by_group: dict,

@@ -6910,7 +6910,181 @@ FROM cb GROUP BY 1 ORDER BY 1
 """
 
 
+SLICE_MAX = 3
+
+
+def q_index_sliced_scroll(spark, sf_dir):
+    """ES sliced scroll behind a driver-green row: the match set
+    partitions into {SLICE_MAX} deterministic md5 slices on the
+    doc-store path (query/bm25.py search_sliced — the cross-engine
+    hash, so the slice assignment is recomputable outside the JVM);
+    each slice retrieves its own top-3 independently (the parallel
+    scroll-worker contract: slices are disjoint, their union is the
+    unsliced set). Oracle: the shared scored CTE + identical md5
+    bucket algebra + a per-slice rank window."""
+    from seqr_loading_pipelines_spark.query.bm25 import search_sliced
+
+    _, index = _built_index(spark, sf_dir, "q")
+    parts = [
+        search_sliced(
+            spark, index, " ".join(BM25_QUERY_TERMS), i, SLICE_MAX, k=3,
+        ).withColumn("slice_id", F.lit(i))
+        for i in range(SLICE_MAX)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "slice_id",
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_SLICED_SCROLL = _sql_bm25_cte(BM25_QUERY_TERMS) + f""",
+sl AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(printf('doc_%08d.txt', doc_id)), 1, 8))::BIGINT
+           % {SLICE_MAX} AS slice_id
+  FROM scored
+)
+SELECT slice_id, doc_id, round(s, 4) AS score, rank FROM (
+  SELECT slice_id, doc_id, s,
+         row_number() OVER (
+           PARTITION BY slice_id
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+         ) AS rank
+  FROM sl
+) WHERE rank <= 3
+"""
+
+
+def q_index_combined_fields(spark, sf_dir):
+    """ES ``combined_fields`` (principled term-centric BM25F) behind a
+    driver-green row: content + repo field indexes scored as ONE
+    combined field — tf recombined across fields BEFORE saturation,
+    combined dl/avgdl, idf from the any-field df (query/fields.py
+    combined_fields). This is the scoring multi_match modes cannot
+    express: most_fields saturates per field THEN sums. Full scored
+    set (the multi_match id-space rationale). Oracle: the identical
+    BM25F algebra in pure SQL over both token streams."""
+    from seqr_loading_pipelines_spark.corpus import corpus_from_documents
+    from seqr_loading_pipelines_spark.query.fields import (
+        build_field_index,
+        combined_fields,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    froot = _index_root(sf_dir, "frepo")
+    fidx = build_field_index(
+        spark,
+        froot,
+        corpus_from_documents(spark, sf_dir),
+        "repo",
+        source_fingerprint=f"frepo:{sf_dir}:{_source_content_fp(sf_dir)}",
+    )
+    full = combined_fields(
+        spark,
+        {"content": index, "repo": fidx},
+        MULTI_MATCH_QUERY,
+        weights=MULTI_MATCH_WEIGHTS,
+    )
+    paths = index["doc_stats"].select("doc_id", "path")
+    return full.join(F.broadcast(paths), "doc_id").select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_combined_fields(
+    qtext: str, field_exprs: dict[str, str], weights: dict[str, float],
+) -> str:
+    from seqr_loading_pipelines_spark.functions.tokenizer import tokenize_py
+
+    terms = sorted(set(tokenize_py(qtext)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_blocks, dl_terms = [], []
+    for name, expr in field_exprs.items():
+        w = float(weights.get(name, 1.0))
+        tf_blocks.append(f"""
+  SELECT doc_id, t AS term, count(*) * {w!r} AS wtf
+  FROM (SELECT doc_id, unnest({expr}) AS t FROM documents)
+  WHERE t IN ({in_list}) GROUP BY doc_id, t""")
+        dl_terms.append(f"{w!r} * len({expr})")
+    return f"""
+WITH tfc AS (
+  SELECT doc_id, term, sum(wtf) AS tfc FROM ({" UNION ALL ".join(tf_blocks)})
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, {" + ".join(dl_terms)} AS dlc FROM documents),
+consts AS (SELECT count(*) AS n, avg(dlc) AS avgdl FROM dl),
+dfc AS (SELECT term, count(*) AS dfc FROM tfc GROUP BY term)
+SELECT doc_id, round(sum(
+  ln(1 + (n - dfc + 0.5) / (dfc + 0.5))
+  * tfc * ({K1!r} + 1) / (tfc + {K1!r} * (1 - {B!r} + {B!r} * dlc / avgdl))
+), 4) AS score
+FROM tfc JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+GROUP BY doc_id
+"""
+
+
+SQL_INDEX_COMBINED_FIELDS = _sql_combined_fields(
+    MULTI_MATCH_QUERY,
+    {"content": _T, "repo": _T_REPO},
+    MULTI_MATCH_WEIGHTS,
+)
+
+
+DUP_N = 5
+_GRAMS5 = (
+    f"CASE WHEN len({_T}) >= {DUP_N} THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_T}) - {DUP_N - 1}), "
+    f"i -> " + " || ' ' || ".join(f"{_T}[i+{j}]" for j in range(DUP_N)) + ")) "
+    f"ELSE [] END"
+)
+
+
+def q_dup_ngram_spans(spark, sf_dir):
+    """Duplicate-span diagnostic behind a driver-green row
+    (operators/pipeline.py dup_ngram_spans — the per-doc signal behind
+    substring-level training-data dedup): for every doc, its distinct
+    {DUP_N}-gram count and how many of those n-grams appear in at
+    least one OTHER doc. Linear in the corpus (shingle explode, one
+    map-side-combined count on shingle, one count keyed on doc — no
+    pair space anywhere). Oracle: the identical shingle algebra in
+    SQL, joined on the shingle STRINGS (the engine joins int64
+    hashes — the contamination-row precedent: equality up to 2^-65
+    collision odds)."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        dup_ngram_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_ngram_spans(docs, n=DUP_N)
+
+
+SQL_DUP_NGRAM_SPANS = f"""
+WITH sh AS (SELECT doc_id, unnest({_GRAMS5}) AS shingle FROM documents),
+c AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle),
+per AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN c USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_shingles, 0) AS n_shingles,
+       coalesce(n_dup, 0) AS n_dup,
+       round(coalesce(n_dup, 0) * 1.0
+             / greatest(coalesce(n_shingles, 0), 1), 5) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
+    "index_sliced_scroll": q_index_sliced_scroll,
+    "index_combined_fields": q_index_combined_fields,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "index_top_metrics": q_index_top_metrics,
     "index_stats_bucket": q_index_stats_bucket,
     "index_children_agg": q_index_children_agg,
@@ -7068,6 +7242,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_sliced_scroll": SQL_INDEX_SLICED_SCROLL,
+    "index_combined_fields": SQL_INDEX_COMBINED_FIELDS,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "index_top_metrics": SQL_INDEX_TOP_METRICS,
     "index_stats_bucket": SQL_INDEX_STATS_BUCKET,
     "index_children_agg": SQL_INDEX_CHILDREN_AGG,

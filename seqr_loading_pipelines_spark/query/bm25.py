@@ -210,6 +210,89 @@ def scored_terms(index: dict, query_text: str) -> DataFrame | None:
     )
 
 
+def raw_term_postings(index: dict, query_text: str) -> DataFrame | None:
+    """``(doc_id, term, tf)`` for the query's terms — the raw pruned
+    posting decode WITHOUT per-field scoring. combined_fields (BM25F,
+    query/fields.py) recombines tf ACROSS fields before any
+    saturation, so it needs the pre-saturation counts; everything else
+    about the decode (vectorized codec, tombstone exclusion) is the
+    standard path. None when no query term exists in the dictionary."""
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return None
+    pairs = []
+    for t in term_infos:
+        pairs += [F.lit(int(t["term_id"])), F.lit(t["term"])]
+    mapping = F.create_map(*pairs)
+    return _decoded_postings(
+        index, term_infos, with_term=True, with_stats=True,
+    ).select(
+        "doc_id", mapping[F.col("term_id")].alias("term"), "tf",
+    )
+
+
+def search_sliced(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    slice_id: int,
+    slice_max: int,
+    slice_field: str = "path",
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch sliced scroll: deterministic partition of the doc
+    space on a doc-store field so independent workers scroll disjoint
+    slices in parallel; the union over all slices is exactly the
+    unsliced result set. Membership = md5-bucket of the field value
+    (``operators/text.py md5_int32`` — the engine's cross-engine hash,
+    NOT xxhash: the slice assignment is part of the result contract
+    and must be recomputable outside the JVM) mod ``slice_max``.
+
+    Rank runs WITHIN the slice under (quantized score desc,
+    ``slice_field`` asc) — the field tiebreak keeps slice pages stable
+    across id spaces (the has_parent/collapse discipline). Returns
+    ``(doc_id, score, rank)`` plus the tiebreak field.
+
+    Scale shape: one pruned posting scan; the slice filter rides a
+    two-column doc-store projection (a pushable scan predicate — md5
+    evaluates JVM-side per row, no corpus shuffle); the match set
+    gated-broadcasts into it; TakeOrdered bounds the page."""
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+    from seqr_loading_pipelines_spark.query.facets import _gated
+
+    if slice_max < 1:
+        raise ValueError(f"slice_max must be >= 1, got {slice_max}")
+    if not (0 <= slice_id < slice_max):
+        raise ValueError(
+            f"slice_id must be in [0, {slice_max}), got {slice_id}",
+        )
+    scored = scored_matches(index, query_text)
+    if scored is None:
+        return spark.createDataFrame(
+            [], f"doc_id long, {slice_field} string, score double, rank int",
+        )
+    member = index["doc_stats"].select("doc_id", slice_field).filter(
+        F.pmod(md5_int32(F.col(slice_field)), F.lit(slice_max))
+        == F.lit(slice_id),
+    )
+    scored = _gated(
+        scored, broadcast_max, match_bound(_query_terms(index, query_text)),
+    )
+    hits = member.join(scored, "doc_id", "inner")
+    order = [quantized(F.col("score")).desc(), F.col(slice_field).asc()]
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = hits.orderBy(*order).limit(k)
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "doc_id", slice_field, "score", F.row_number().over(w).alias("rank"),
+    )
+
+
 def search_exact(
     spark: SparkSession, index: dict, query_text: str, k: int = 10,
 ) -> DataFrame:

@@ -233,3 +233,101 @@ def _cross_fields(
         .agg(F.sum("c").alias("score"))
     )
     return rank_topk(combined, max(1, min(k, n_docs)))
+
+
+def combined_fields(
+    spark: SparkSession,
+    field_indexes: dict[str, dict],
+    query_text: str,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Elasticsearch ``combined_fields``: principled term-centric BM25F
+    (Robertson's simple BM25F — the scoring ES documents for the query)
+    treating the fields as ONE combined field, unlike multi_match's
+    per-field-scores-then-combine modes:
+
+    - tf~(t,d)  = sum_f w_f * tf_f(t,d)   (recombined BEFORE saturation)
+    - dl~(d)    = sum_f w_f * dl_f(d),  avgdl~ = sum_f w_f * avgdl_f
+      (mean of a weighted sum == weighted sum of the means, so avgdl~
+      folds from the per-field manifests — no extra corpus pass)
+    - idf from df~(t) = |{d : t in ANY field}| — computed exactly from
+      the unioned pruned postings (cardinality: matched docs, never
+      corpus-shaped)
+    - score(d) = sum_t idf(t) * tf~ * (k1+1) / (tf~ + k1*(1-b+b*dl~/avgdl~))
+
+    ES requires combined_fields' fields to share one analyzer (the tf
+    recombination is meaningless across term spaces); enforced here
+    against the manifests. Returns the FULL combined scored set
+    ``(doc_id, score)`` — rank is the caller's k-bounded step
+    (``rank_topk``) when wanted.
+
+    Scale shape: one pruned posting scan per field that contains any
+    query term; union + hash agg at the (doc, term) grain (match-set
+    cardinality x |query|); df~ is a bounded second agg on term; the
+    dl~ relation is a column-pruned doc-store projection joined once
+    on doc_id (the hydrate join shape). Nothing corpus-sized shuffles.
+    """
+    from seqr_loading_pipelines_spark.query.bm25 import raw_term_postings
+
+    assert_aligned(field_indexes)
+    analyzers = {
+        idx["manifest"].get("analyzer", "standard")
+        for idx in field_indexes.values()
+    }
+    if len(analyzers) > 1:
+        raise ValueError(
+            f"combined_fields requires one shared analyzer, got "
+            f"{sorted(analyzers)} (ES refuses mixed-analyzer fields too)",
+        )
+    weights = weights or {}
+    first = next(iter(field_indexes.values()))["manifest"]
+    k1, b = first["k1"], first["b"]
+    n_docs = first["n_docs"]
+    avgdl_c = 0.0
+    parts = []
+    dl_rel = None
+    for name, idx in field_indexes.items():
+        w = float(weights.get(name, 1.0))
+        avgdl_c += w * float(idx["manifest"]["avgdl"])
+        rp = raw_term_postings(idx, query_text)
+        if rp is not None:
+            parts.append(rp.select(
+                "doc_id", "term", (F.col("tf") * F.lit(w)).alias("wtf"),
+            ))
+        fdl = idx["doc_stats"].select(
+            "doc_id", (F.col("doc_len") * F.lit(w)).alias("wdl"),
+        )
+        dl_rel = fdl if dl_rel is None else (
+            dl_rel.unionByName(fdl)
+        )
+    if not parts:
+        from seqr_loading_pipelines_spark.query.bm25 import _empty_topk
+
+        return _empty_topk(spark).select("doc_id", "score")
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    tfc = unioned.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tfc"))
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    dlc = dl_rel.groupBy("doc_id").agg(F.sum("wdl").alias("dlc"))
+    idf_col = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    contribution = (
+        idf_col
+        * F.col("tfc")
+        * (k1 + 1.0)
+        / (
+            F.col("tfc")
+            + k1 * (1.0 - b + b * F.col("dlc") / F.lit(float(avgdl_c)))
+        )
+    )
+    return (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(dlc, "doc_id")
+        .withColumn("contribution", contribution)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )

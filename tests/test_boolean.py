@@ -387,3 +387,42 @@ def test_search_scroll_validation(spark, index):
     with pytest.raises(ValueError, match="page_size"):
         search_scroll(spark, index, "sw0", page_size=0)
     assert search_scroll(spark, index, "zzz_missing", page=2).count() == 0
+
+
+# sliced scroll (query/bm25.py search_sliced)
+# ---------------------------------------------------------------------
+
+
+def test_search_sliced_slices_tile_the_match_set(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_exact,
+        search_sliced,
+    )
+
+    q = "sw0 term_00042"
+    n = index["manifest"]["n_docs"]
+    full = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in search_exact(spark, index, q, k=n).collect()
+    }
+    seen = {}
+    for i in range(3):
+        rows = search_sliced(spark, index, q, i, 3, k=n).collect()
+        # within-slice ranks dense from 1
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["doc_id"] not in seen, "slices must be disjoint"
+            seen[r["doc_id"]] = round(r["score"], 6)
+    assert seen == full  # union of slices == unsliced result set
+
+
+def test_search_sliced_validation_and_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_sliced
+
+    with pytest.raises(ValueError, match="slice_max"):
+        search_sliced(spark, index, "sw0", 0, 0)
+    with pytest.raises(ValueError, match="slice_id"):
+        search_sliced(spark, index, "sw0", 3, 3)
+    empty = search_sliced(spark, index, "zz_nope_zz", 0, 2)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "path", "score", "rank"]

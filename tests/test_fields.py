@@ -227,3 +227,89 @@ def test_cross_fields_python_golden(spark, index, repo_index):
         want[d] = want.get(d, 0.0) + max(vals) + tie * (sum(vals) - max(vals))
     for d, s in got.items():
         assert s == pytest.approx(want[d], rel=1e-9)
+
+
+# combined_fields (term-centric BM25F)
+# ---------------------------------------------------------------------
+
+
+def test_combined_fields_single_field_degenerates_to_exact(spark, index):
+    from seqr_loading_pipelines_spark.query.fields import combined_fields
+
+    # one field at weight 1.0: tf~=tf, dl~=dl, avgdl~=avgdl, df~=df —
+    # BM25F collapses to plain BM25, so the full scored set must equal
+    # the exact executor's
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields(spark, {"content": index}, Q1).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in scored_matches(index, Q1).collect()
+    }
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_combined_fields_pandas_golden(spark, index, repo_index, corpus):
+    import math
+    import re
+
+    from seqr_loading_pipelines_spark.query.fields import combined_fields
+
+    q = "sw0 repo_0001"
+    weights = {"content": 1.0, "repo": 2.0}
+    ds = index["doc_stats"].select(
+        "doc_id", "repo", "path", "commit",
+    ).toPandas()
+    cp = corpus.toPandas().merge(ds, on=["repo", "path", "commit"])
+    toks = {
+        r.doc_id: (
+            re.findall(r"[a-z0-9_]+", (r.content or "").lower()),
+            re.findall(r"[a-z0-9_]+", r.repo.lower()),
+        )
+        for r in cp.itertuples()
+    }
+    n = len(toks)
+    k1, b = index["manifest"]["k1"], index["manifest"]["b"]
+    dlc = {
+        d: 1.0 * len(tc) + 2.0 * len(tr) for d, (tc, tr) in toks.items()
+    }
+    avgdl = sum(dlc.values()) / n
+    terms = ["sw0", "repo_0001"]
+    tfc = {
+        (d, t): 1.0 * tc.count(t) + 2.0 * tr.count(t)
+        for d, (tc, tr) in toks.items()
+        for t in terms
+        if tc.count(t) or tr.count(t)
+    }
+    dfc = {t: sum(1 for (d2, t2) in tfc if t2 == t) for t in terms}
+    want = {}
+    for (d, t), tf in tfc.items():
+        idf = math.log(1 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+        want[d] = want.get(d, 0.0) + idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dlc[d] / avgdl)
+        )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields(
+            spark, {"content": index, "repo": repo_index}, q,
+            weights=weights,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_combined_fields_validation_and_empty(spark, index, repo_index):
+    from seqr_loading_pipelines_spark.query.fields import combined_fields
+
+    fake = {**repo_index, "manifest": {**repo_index["manifest"],
+                                       "analyzer": "code"}}
+    with pytest.raises(ValueError, match="analyzer"):
+        combined_fields(spark, {"content": index, "repo": fake}, Q1)
+    empty = combined_fields(spark, {"content": index}, "zz_nope_zz")
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "score"]

@@ -1103,3 +1103,40 @@ def test_matrix_stats_validation(spark):
         matrix_stats(df, ["fa"])
     with pytest.raises(ValueError, match="duplicate"):
         matrix_stats(df, ["fa", "fa"])
+
+
+def test_dup_ngram_spans_golden_and_edges(spark):
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        dup_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # 3 distinct 3-grams, "a b c"/"b c d" shared with 2
+            (2, "a b c d x"),      # shares "a b c","b c d" with 1
+            (3, "q w e r t y"),    # 4 distinct 3-grams, none shared
+            (4, "a b"),            # too short: zero 3-grams
+            (5, None),             # null text: zero 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+        for r in dup_ngram_spans(docs, n=3).collect()
+    }
+    assert got == {
+        1: (3, 2, round(2 / 3, 5)),
+        2: (3, 2, round(2 / 3, 5)),
+        3: (4, 0, 0.0),
+        4: (0, 0, 0.0),
+        5: (0, 0, 0.0),
+    }
+    # a doc repeating its own shingle does NOT self-duplicate
+    # (shingles are per-doc distinct; nd counts DOCS holding it)
+    solo = spark.createDataFrame(
+        [(7, "m n o m n o")], "doc_id long, text string",
+    )
+    row = dup_ngram_spans(solo, n=3).collect()[0]
+    assert (row["n_shingles"], row["n_dup"]) == (3, 0)
+    with pytest.raises(ValueError, match="n must be"):
+        dup_ngram_spans(docs, n=1)
