@@ -7081,7 +7081,80 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+RANDOM_SEED = 7
+
+
+def q_index_random_score(spark, sf_dir):
+    """ES ``random_score`` (function_score) behind a driver-green row:
+    the match set ordered by a seeded deterministic pseudo-random
+    score — md5(path ":seed") bucketed to [0,1) (query/bm25.py
+    search_random_score), the stable shuffled-sampling page ES
+    documents. Oracle: identical md5 algebra over the reconstructed
+    path in SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import search_random_score
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = search_random_score(
+        spark, index, " ".join(BM25_QUERY_TERMS), seed=RANDOM_SEED, k=10,
+    )
+    return out.select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_RANDOM_SCORE = f"""
+WITH m AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(printf('doc_%08d.txt', doc_id)
+            || ':{RANDOM_SEED}'), 1, 8))::BIGINT % 1000000) / 1e6 AS s
+  FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+)
+SELECT doc_id, round(s, 6) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM m
+) WHERE rank <= 10
+"""
+
+
+def q_events_runtime_field(spark, sf_dir):
+    """ES runtime fields (``runtime_mappings`` — fields computed at
+    query time from stored source, never indexed) behind a
+    driver-green row: extract ``props.k`` from the JSON blob per
+    event and aggregate it by event_type in the SAME pass — one scan,
+    one map-side-combined hash agg, the extraction riding the
+    projection (whole-stage-codegen JVM JSON path, no UDF). Oracle:
+    DuckDB json_extract over the identical blob."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+SQL_EVENTS_RUNTIME_FIELD = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+         AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "index_random_score": q_index_random_score,
+    "events_runtime_field": q_events_runtime_field,
     "index_sliced_scroll": q_index_sliced_scroll,
     "index_combined_fields": q_index_combined_fields,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -7242,6 +7315,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_random_score": SQL_INDEX_RANDOM_SCORE,
+    "events_runtime_field": SQL_EVENTS_RUNTIME_FIELD,
     "index_sliced_scroll": SQL_INDEX_SLICED_SCROLL,
     "index_combined_fields": SQL_INDEX_COMBINED_FIELDS,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,

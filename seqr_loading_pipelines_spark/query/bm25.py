@@ -1244,6 +1244,65 @@ def search_constant_score(
     )
 
 
+def search_random_score(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    seed: int,
+    k: int = 10,
+    field: str = "path",
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """ES ``function_score`` ``random_score`` with seed + field:
+    deterministic pseudo-random ordering of the match set — score =
+    md5(field_value ":" seed) mod 1e6 / 1e6 in [0, 1), reproducible
+    across engines and id spaces (ES itself requires a field for
+    consistent scoring; md5 over a business key is the engine's
+    cross-engine hash discipline, operators/pipeline.py
+    sample_corpus). The use case ES documents: randomly sampled /
+    shuffled result pages that stay STABLE for a given seed —
+    re-rolls change the seed, not the algebra.
+
+    Scale shape: pruned posting scan (filter context — no relevance
+    math survives the projection), gated join against a two-column
+    doc-store projection, bounded top-k. Tie rule: score desc, field
+    asc."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+    from seqr_loading_pipelines_spark.query.facets import _gated
+
+    matches = match_docs(index, query_text)
+    if matches is None:
+        return spark.createDataFrame(
+            [], f"doc_id long, {field} string, score double, rank int",
+        )
+    matches = _gated(
+        matches, broadcast_max, match_bound(_query_terms(index, query_text)),
+    )
+    score = (
+        F.pmod(
+            md5_int32(F.concat(F.col(field), F.lit(f":{int(seed)}"))),
+            F.lit(1_000_000),
+        )
+        / 1e6
+    ).alias("score")
+    hits = (
+        index["doc_stats"]
+        .select("doc_id", field)
+        .join(matches, "doc_id", "inner")
+        .select("doc_id", field, score)
+    )
+    order = [F.col("score").desc(), F.col(field).asc()]
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = hits.orderBy(*order).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "doc_id", field, "score", F.row_number().over(w).alias("rank"),
+    )
+
+
 PINNED_MAX = 100
 
 

@@ -426,3 +426,29 @@ def test_search_sliced_validation_and_empty(spark, index):
     empty = search_sliced(spark, index, "zz_nope_zz", 0, 2)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "path", "score", "rank"]
+
+
+def test_random_score_deterministic_and_seed_sensitive(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        match_count,
+        search_random_score,
+    )
+
+    q = "sw0 term_00042"
+    a = [tuple(r) for r in search_random_score(spark, index, q, 7).collect()]
+    b = [tuple(r) for r in search_random_score(spark, index, q, 7).collect()]
+    assert a == b and a  # same seed: bit-stable page
+    c = [tuple(r) for r in search_random_score(spark, index, q, 8).collect()]
+    assert [t[0] for t in a] != [t[0] for t in c]  # re-roll reorders
+    for rows in (a, c):
+        assert all(0.0 <= t[2] < 1.0 for t in rows)
+        assert [t[3] for t in rows] == list(range(1, len(rows) + 1))
+    # scores only touch ordering: the page is drawn from the match set
+    n = index["manifest"]["n_docs"]
+    full = {
+        r["doc_id"]
+        for r in search_random_score(spark, index, q, 7, k=n).collect()
+    }
+    assert len(full) == match_count(spark, index, q).collect()[0]["n_matches"]
+    empty = search_random_score(spark, index, "zz_nope_zz", 7)
+    assert empty.count() == 0
