@@ -7152,7 +7152,73 @@ GROUP BY event_type
 """
 
 
+SPAN_OR_CLAUSES = [["slow", "fast"], ["hash"], ["batch", "merge"]]
+
+
+def q_index_span_or_near(spark, sf_dir):
+    """span_near over span_or clauses (Lucene SpanNear(SpanOr...) /
+    intervals ordered-over-any_of) through the REAL index path:
+    (slow|fast) .. hash .. (batch|merge) in order within slop
+    {SPAN_NEAR_SLOP} (query/phrase.py search_span_or_near — clause
+    positions are the union of the alternatives' lists, the greedy
+    chain unchanged). Oracle: min over order-increasing triples with
+    IN-list position sets. Over-fetch + external-id re-rank, the
+    span_near rationale."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_span_or_near
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_span_or_near(
+        spark, index, SPAN_OR_CLAUSES, slop=SPAN_NEAR_SLOP, k=200,
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "min_gap",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("min_gap").asc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _sql_span_or_near(clauses, slop, k):
+    sets = [
+        "(" + ", ".join(f"'{t}'" for t in sorted(alts)) + ")"
+        for alts in clauses
+    ]
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+p1 AS (SELECT doc_id, pos FROM toks WHERE tok IN {sets[0]}),
+p2 AS (SELECT doc_id, pos FROM toks WHERE tok IN {sets[1]}),
+p3 AS (SELECT doc_id, pos FROM toks WHERE tok IN {sets[2]}),
+g AS (
+  SELECT p1.doc_id, min(p3.pos - p1.pos - 2)::INT AS min_gap
+  FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+  WHERE p2.pos > p1.pos AND p3.pos > p2.pos
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, min_gap,
+       row_number() OVER (ORDER BY min_gap, doc_id)::INT AS rank
+FROM g WHERE min_gap <= {slop}
+ORDER BY min_gap, doc_id LIMIT {k}
+"""
+
+
+SQL_INDEX_SPAN_OR_NEAR = _sql_span_or_near(
+    SPAN_OR_CLAUSES, SPAN_NEAR_SLOP, 10,
+)
+
+
 QUERIES = {
+    "index_span_or_near": q_index_span_or_near,
     "index_random_score": q_index_random_score,
     "events_runtime_field": q_events_runtime_field,
     "index_sliced_scroll": q_index_sliced_scroll,
@@ -7315,6 +7381,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_span_or_near": SQL_INDEX_SPAN_OR_NEAR,
     "index_random_score": SQL_INDEX_RANDOM_SCORE,
     "events_runtime_field": SQL_EVENTS_RUNTIME_FIELD,
     "index_sliced_scroll": SQL_INDEX_SLICED_SCROLL,

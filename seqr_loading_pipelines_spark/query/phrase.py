@@ -685,3 +685,135 @@ def search_intervals(
     return ranked.select(
         "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
     )
+
+
+def search_span_or_near(
+    spark: SparkSession,
+    index: dict,
+    clauses: list[list[str]],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Ordered proximity over span_or clauses (Lucene
+    ``SpanNearQuery`` whose clauses are ``SpanOrQuery``s / ES
+    ``span_near`` + ``span_or`` — also the intervals query's
+    ``ordered`` rule over ``any_of`` sources): clause i matches at
+    ANY of its alternative tokens' positions, the clauses must land
+    IN ORDER within ``slop`` excess tokens. ``search_span_near`` is
+    the single-token-per-clause special case and the semantics
+    contract: this function with singleton clauses is
+    result-identical to it (CI-locked). Returns ``(doc_id, min_gap,
+    rank)`` ranked (min_gap asc, doc_id asc).
+
+    Matching: clause positions are the UNION of the clause's tokens'
+    position lists; the greedy chain argument from search_span_near
+    holds unchanged over the merged lists (min over a union is still
+    the earliest continuation). Alternatives missing from the
+    dictionary contribute the empty list; a clause with NO surviving
+    alternative can never match and short-circuits to empty.
+
+    Shape: identical to span_near — ONE pruned ``term_id IN`` scan of
+    the term-clustered positions projection (all alternatives in the
+    same pushed filter), tombstone anti-join, one groupBy(doc)
+    collecting the per-term map, clause union + greedy fold as nested
+    JVM HOFs, bounded top-k. The union adds NO shuffle: it is a
+    ``concat`` in the projection."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _query_terms,
+        rank_topk,
+    )
+
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable span queries",
+        )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not clauses:
+        raise ValueError("span_or_near needs at least one clause")
+    if len(clauses) > SPAN_NEAR_MAX_CLAUSES:
+        raise ValueError(
+            f"span_or_near supports at most {SPAN_NEAR_MAX_CLAUSES} "
+            f"ordered clauses, got {len(clauses)}",
+        )
+    empty = spark.createDataFrame([], "doc_id long, min_gap int, rank int")
+    norm: list[list[str]] = []
+    for alts in clauses:
+        toks: list[str] = []
+        for a in alts:
+            toks += index_tokenize(index, a)
+        if not toks:
+            raise ValueError(f"clause {alts!r} tokenizes to nothing")
+        norm.append(sorted(set(toks)))
+    all_terms = sorted({t for alts in norm for t in alts})
+    infos = _query_terms(index, " ".join(all_terms))
+    tid_by_term = {i["term"]: i["term_id"] for i in infos}
+    clause_tids = [
+        [tid_by_term[t] for t in alts if t in tid_by_term] for alts in norm
+    ]
+    if any(not tids for tids in clause_tids):
+        return empty  # a clause with no known alternative never matches
+    distinct_tids = sorted({t for tids in clause_tids for t in tids})
+
+    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    grouped = (
+        pos.select("term_id", "doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "pos")),
+            ).alias("pmap"),
+        )
+    )
+
+    def clause_pos(ci: int):
+        parts = [
+            F.coalesce(
+                F.element_at(F.col("pmap"), F.lit(int(tid))),
+                F.array().cast("array<int>"),
+            )
+            for tid in clause_tids[ci]
+        ]
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    # every clause must land at least once (the conjunctive gate —
+    # by-size here because presence is per-CLAUSE, not per-term)
+    for ci in range(len(clause_tids)):
+        grouped = grouped.filter(F.size(clause_pos(ci)) > 0)
+
+    def chain_end(prev, depth):
+        if depth == len(clause_tids):
+            return prev
+        nxt = F.array_min(F.filter(clause_pos(depth), lambda x: x > prev))
+        return chain_end(nxt, depth + 1)
+
+    n = len(clause_tids)
+    if n == 1:
+        scored = grouped.select("doc_id", F.lit(0).alias("min_gap"))
+    else:
+        gap = F.array_min(
+            F.transform(
+                clause_pos(0),
+                lambda p1: chain_end(p1, 1) - p1 - F.lit(n - 1),
+            ),
+        )
+        scored = (
+            grouped.select("doc_id", gap.cast("int").alias("min_gap"))
+            .filter(F.col("min_gap").isNotNull())
+            .filter(F.col("min_gap") <= slop)
+        )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", (-F.col("min_gap")).cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
+    )

@@ -756,3 +756,77 @@ def test_intervals_validation(spark, pos_index, index):
     with pytest.raises(ValueError, match="positional"):
         search_intervals(spark, index, [["a"]], 1)
     assert search_intervals(spark, idx, [], 1).collect() == []
+
+
+# span_near over span_or clauses (search_span_or_near)
+# ---------------------------------------------------------------------
+
+
+def _naive_or_span(content, clauses):
+    import itertools
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    plists = [
+        [i for i, t in enumerate(toks) if t in alts] for alts in clauses
+    ]
+    if any(not p for p in plists):
+        return None
+    best = None
+    for combo in itertools.product(*plists):
+        if all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+            span = combo[-1] - combo[0] - (len(clauses) - 1)
+            best = span if best is None or span < best else best
+    return best
+
+
+def _or_span(spark, idx, clauses, slop, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_or_near
+
+    return {
+        r["doc_id"]: r["min_gap"]
+        for r in search_span_or_near(spark, idx, clauses, slop, k).collect()
+    }
+
+
+def test_span_or_near_singleton_clauses_equal_span_near(spark, span_index):
+    for slop in (0, 2, 5):
+        assert _or_span(
+            spark, span_index, [["a"], ["b"], ["c"]], slop,
+        ) == _span(spark, span_index, "a b c", slop)
+
+
+def test_span_or_near_hand_golden(spark, span_index):
+    by = span_index["_by_path"]
+    clauses = [["a", "c"], ["b"]]
+    want = {
+        by[p]: g
+        for _, p, _, _, c in SPAN_DOCS
+        if (g := _naive_or_span(c, [{"a", "c"}, {"b"}])) is not None
+    }
+    for slop in (0, 1, 3):
+        got = _or_span(spark, span_index, clauses, slop)
+        assert got == {d: g for d, g in want.items() if g <= slop}, (
+            f"slop={slop}"
+        )
+    # alternation widens the match set vs the singleton clause:
+    # s2.py ("c b a") matches (a|c)..b ordered but never a..b
+    assert by["s2.py"] in _or_span(spark, span_index, clauses, 0)
+    assert by["s2.py"] not in _span(spark, span_index, "a b", 100)
+
+
+def test_span_or_near_edges_and_validation(spark, span_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_or_near
+
+    # unknown alternative inside a clause is dropped, not fatal
+    assert _or_span(
+        spark, span_index, [["a", "zz_no"], ["b"]], 0,
+    ) == _or_span(spark, span_index, [["a"], ["b"]], 0)
+    # clause with NO known alternative -> empty
+    assert _or_span(spark, span_index, [["zz_no"], ["b"]], 5) == {}
+    with pytest.raises(ValueError, match="at least one clause"):
+        search_span_or_near(spark, span_index, [], 0)
+    with pytest.raises(ValueError, match="slop"):
+        search_span_or_near(spark, span_index, [["a"]], -1)
+    with pytest.raises(ValueError, match="tokenizes to nothing"):
+        search_span_or_near(spark, span_index, [["a"], ["@@@"]], 0)
