@@ -525,6 +525,29 @@ def main() -> None:
         timings,
     )
 
+    # top_metrics (TakeOrdered over the gated join) and extended_stats
+    # (all moments in the one hash agg)
+    from seqr_loading_pipelines_spark.query.facets import (
+        extended_stats_by,
+        top_metrics_by,
+    )
+
+    timed_min(
+        "top_metrics",
+        lambda: top_metrics_by(
+            spark, index, "sw0 term_00042", "doc_len", ["lang", "repo"],
+            size=3,
+        ).collect(),
+        timings,
+    )
+    timed_min(
+        "extended_stats",
+        lambda: extended_stats_by(
+            spark, index, "sw0 term_00042", "lang",
+        ).collect(),
+        timings,
+    )
+
     # percolation (reverse search): all stored queries vs all live
     # docs in one stored-term-list scan + gated broadcast join
     from seqr_loading_pipelines_spark.query.percolate import percolate

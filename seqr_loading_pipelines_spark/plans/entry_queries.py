@@ -7217,7 +7217,133 @@ SQL_INDEX_SPAN_OR_NEAR = _sql_span_or_near(
 )
 
 
+EXT_STATS_SIGMA = 2.0
+
+
+def q_index_extended_stats(spark, sf_dir):
+    """ES ``extended_stats`` aggregation behind a driver-green row:
+    per-lang doc_len stats over the match set PLUS sum of squares,
+    population variance (E[x²]−E[x]², ES's definition), std deviation
+    and the ±{EXT_STATS_SIGMA}σ bounds — all moments from ONE
+    map-side-combining hash agg (query/facets.py extended_stats_by).
+    Oracle: the identical moment algebra in SQL (not var_pop — the
+    algebra is the contract)."""
+    from seqr_loading_pipelines_spark.query.facets import extended_stats_by
+
+    out = extended_stats_by(
+        spark,
+        _built_index(spark, sf_dir, "q")[1],
+        " ".join(BM25_QUERY_TERMS),
+        "lang",
+        sigma=EXT_STATS_SIGMA,
+    )
+    return out.select(
+        "lang", "n_docs", "sum_v",
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("sum_sq", 4).alias("sum_sq"),
+        F.round("variance", 4).alias("variance"),
+        F.round("std_dev", 4).alias("std_dev"),
+        F.round("upper", 4).alias("upper"),
+        F.round("lower", 4).alias("lower"),
+    )
+
+
+SQL_INDEX_EXTENDED_STATS = f"""
+WITH m AS (
+  SELECT lang, len({_T}) AS v FROM documents
+  WHERE list_has_any({_T}, [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs, sum(v) AS sum_v,
+         avg(v * 1.0) AS avg_v, sum(v * 1.0 * v) AS sum_sq
+  FROM m GROUP BY lang
+)
+SELECT lang, n_docs, sum_v,
+       round(avg_v, 4) AS avg_v,
+       round(sum_sq, 4) AS sum_sq,
+       round(greatest(sum_sq / n_docs - (sum_v * 1.0 / n_docs) ^ 2, 0.0), 4)
+         AS variance,
+       round(sqrt(greatest(sum_sq / n_docs - (sum_v * 1.0 / n_docs) ^ 2,
+                           0.0)), 4) AS std_dev,
+       round(avg_v + {EXT_STATS_SIGMA!r}
+             * sqrt(greatest(sum_sq / n_docs
+                             - (sum_v * 1.0 / n_docs) ^ 2, 0.0)), 4)
+         AS upper,
+       round(avg_v - {EXT_STATS_SIGMA!r}
+             * sqrt(greatest(sum_sq / n_docs
+                             - (sum_v * 1.0 / n_docs) ^ 2, 0.0)), 4)
+         AS lower
+FROM agg
+"""
+
+
+DATE_RANGES = [
+    (None, "2024-01-08"),
+    ("2024-01-08", "2024-01-16"),
+    ("2024-01-16", "2024-01-24"),
+    ("2024-01-24", None),
+    ("2025-06-01", None),  # empty bucket: ES still emits it
+]
+
+
+def q_events_date_range(spark, sf_dir):
+    """ES ``date_range`` aggregation: user-defined [from, to) time
+    buckets over events.ts — buckets may overlap or be empty and are
+    emitted in DEFINITION order regardless (the ES contract a GROUP BY
+    cannot give). ONE conditional-aggregate pass: every bucket's count
+    and value sum accumulate as separate agg columns in the same
+    map-side-combined buffer (bucket count is tiny and fixed), then a
+    ``stack`` unpivot over the 1-row result — the matrix_stats
+    discipline. Oracle: identical conditional sums in SQL."""
+    ev = _read(spark, sf_dir, "events")
+    exprs = []
+    for i, (lo, hi) in enumerate(DATE_RANGES):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        flag = cond.cast("long")
+        exprs.append(F.sum(flag).alias(f"n__{i}"))
+        exprs.append(
+            F.round(F.sum(F.col("value") * flag), 4).alias(f"s__{i}"),
+        )
+    row = ev.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{(lo or '*')}..{(hi or '*')}', {i}L, `n__{i}`, `s__{i}`"
+        for i, (lo, hi) in enumerate(DATE_RANGES)
+    )
+    return row.selectExpr(
+        f"stack({len(DATE_RANGES)}, {stack_args}) AS "
+        "(range_key, bucket_ord, n_events, sum_value)",
+    )
+
+
+def _sql_date_range() -> str:
+    selects = []
+    for i, (lo, hi) in enumerate(DATE_RANGES):
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        cond = " AND ".join(conds) or "TRUE"
+        key = f"{lo or '*'}..{hi or '*'}"
+        selects.append(
+            f"SELECT '{key}' AS range_key, {i} AS bucket_ord,\n"
+            f"       sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS n_events,\n"
+            f"       round(sum(CASE WHEN {cond} THEN value ELSE 0 END), 4)"
+            f" AS sum_value\nFROM events",
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_EVENTS_DATE_RANGE = _sql_date_range()
+
+
 QUERIES = {
+    "events_date_range": q_events_date_range,
+    "index_extended_stats": q_index_extended_stats,
     "index_span_or_near": q_index_span_or_near,
     "index_random_score": q_index_random_score,
     "events_runtime_field": q_events_runtime_field,
@@ -7381,6 +7507,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_date_range": SQL_EVENTS_DATE_RANGE,
+    "index_extended_stats": SQL_INDEX_EXTENDED_STATS,
     "index_span_or_near": SQL_INDEX_SPAN_OR_NEAR,
     "index_random_score": SQL_INDEX_RANDOM_SCORE,
     "events_runtime_field": SQL_EVENTS_RUNTIME_FIELD,

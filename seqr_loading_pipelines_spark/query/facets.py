@@ -1424,3 +1424,63 @@ def stats_bucket(
         F.round(F.avg("n_docs"), 5).alias("avg_docs"),
         F.sum("n_docs").alias("sum_docs"),
     )
+
+
+def extended_stats_by(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    group_col: str,
+    value_col: str = "doc_len",
+    sigma: float = 2.0,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``extended_stats`` aggregation: ``stats_by`` plus
+    sum_of_squares, POPULATION variance (ES's definition: E[x²]-E[x]²),
+    std_deviation, and the ±``sigma`` std bounds. One row per group.
+
+    All moments accumulate in the SAME single map-side-combining hash
+    agg as stats (sum, sum of squares, count are algebraic); the
+    derived columns are projections over the aggregate — the second
+    moment costs no extra pass, which is ES's own pitch for the agg."""
+    if sigma < 0:
+        raise ValueError(f"sigma must be >= 0, got {sigma}")
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
+    if matches is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, n_docs long, sum_v long, avg_v double, "
+            "sum_sq double, variance double, std_dev double, "
+            "upper double, lower double",
+        )
+    matches = _gated(matches, broadcast_max, bound)
+    v = F.col(value_col).cast("double")
+    agg = (
+        index["doc_stats"]
+        .select("doc_id", group_col, value_col)
+        .join(matches, "doc_id", "inner")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(value_col).alias("sum_v"),
+            F.avg(value_col).alias("avg_v"),
+            F.sum(v * v).alias("sum_sq"),
+        )
+    )
+    variance = (
+        F.col("sum_sq") / F.col("n_docs")
+        - (F.col("sum_v") / F.col("n_docs")) ** 2
+    )
+    # float algebra can dip epsilon-negative on constant groups
+    variance = F.greatest(variance, F.lit(0.0))
+    std = F.sqrt(variance)
+    return agg.select(
+        group_col, "n_docs", "sum_v", "avg_v", "sum_sq",
+        variance.alias("variance"),
+        std.alias("std_dev"),
+        (F.col("avg_v") + F.lit(float(sigma)) * std).alias("upper"),
+        (F.col("avg_v") - F.lit(float(sigma)) * std).alias("lower"),
+    )

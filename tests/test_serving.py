@@ -1181,3 +1181,43 @@ def test_stats_bucket_consistent_with_histogram(spark, index):
     # absent term: the empty bucket table aggregates to the zero row
     z = stats_bucket(spark, index, "zz_nope_zz", 5).collect()[0]
     assert z["n_buckets"] == 0 and z["sum_docs"] is None
+
+
+def test_extended_stats_python_golden(spark, index, oracle):
+    import math
+
+    from seqr_loading_pipelines_spark.query.facets import extended_stats_by
+
+    meta = {
+        r["doc_id"]: (r["lang"], r["doc_len"])
+        for r in index["doc_stats"].select(
+            "doc_id", "lang", "doc_len",
+        ).collect()
+    }
+    terms = tokenize_py(QUERY)
+    groups = {}
+    for i in _match_set(oracle, terms):
+        lang, dl = meta[oracle.doc_ids[i]]
+        groups.setdefault(lang, []).append(dl)
+    rows = extended_stats_by(spark, index, QUERY, "lang", sigma=1.5)
+    got = {r["lang"]: r for r in rows.collect()}
+    assert set(got) == set(groups)
+    for lang, vals in groups.items():
+        r = got[lang]
+        n, s = len(vals), sum(vals)
+        ssq = sum(float(v) * v for v in vals)
+        var = max(ssq / n - (s / n) ** 2, 0.0)
+        assert r["n_docs"] == n and r["sum_v"] == s
+        assert r["sum_sq"] == pytest.approx(ssq, rel=1e-12)
+        assert r["variance"] == pytest.approx(var, rel=1e-9, abs=1e-9)
+        assert r["std_dev"] == pytest.approx(math.sqrt(var), abs=1e-9)
+        assert r["upper"] == pytest.approx(
+            s / n + 1.5 * math.sqrt(var), rel=1e-9,
+        )
+        assert r["lower"] == pytest.approx(
+            s / n - 1.5 * math.sqrt(var), rel=1e-9,
+        )
+    with pytest.raises(ValueError, match="sigma"):
+        extended_stats_by(spark, index, QUERY, "lang", sigma=-1)
+    empty = extended_stats_by(spark, index, "zz_nope_zz", "lang")
+    assert empty.count() == 0
