@@ -7341,7 +7341,69 @@ def _sql_date_range() -> str:
 SQL_EVENTS_DATE_RANGE = _sql_date_range()
 
 
+SPAN_WITHIN = {"little": "hash", "first": "slow", "last": "batch", "slop": 6}
+
+
+def q_index_span_within(spark, sf_dir):
+    """Span containment (span_within / span_containing) through the
+    REAL index path: occurrences of '{little}' enclosed by SOME
+    ordered ('{first}' .. '{last}') span with at most {slop} tokens
+    between the boundaries — ANY enclosing span qualifies, the
+    containment contract that distinguishes within from span_near's
+    minimum-gap scoring (query/phrase.py search_span_within, nested
+    exists HOFs over the positions projection). Oracle: the distinct
+    enclosed positions via a three-way position join in SQL (1-based
+    subscripts shifted to the engine's 0-based). Over-fetch +
+    external-id re-rank, the span-family rationale."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_span_within
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_span_within(
+        spark, index, SPAN_WITHIN["little"], SPAN_WITHIN["first"],
+        SPAN_WITHIN["last"], slop=SPAN_WITHIN["slop"], k=200,
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "n_within", "first_pos",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("n_within").desc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_SPAN_WITHIN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+pl AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_WITHIN["little"]}'),
+pa AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_WITHIN["first"]}'),
+pb AS (SELECT doc_id, pos FROM toks WHERE tok = '{SPAN_WITHIN["last"]}'),
+w AS (
+  SELECT DISTINCT pl.doc_id, pl.pos
+  FROM pl JOIN pa USING (doc_id) JOIN pb USING (doc_id)
+  WHERE pa.pos <= pl.pos AND pb.pos >= pl.pos
+    AND pb.pos > pa.pos AND pb.pos - pa.pos - 1 <= {SPAN_WITHIN["slop"]}
+),
+g AS (
+  SELECT doc_id, count(*)::INT AS n_within, (min(pos) - 1)::INT AS first_pos
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_within, first_pos,
+       row_number() OVER (ORDER BY n_within DESC, doc_id)::INT AS rank
+FROM g ORDER BY n_within DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
+    "index_span_within": q_index_span_within,
     "events_date_range": q_events_date_range,
     "index_extended_stats": q_index_extended_stats,
     "index_span_or_near": q_index_span_or_near,
@@ -7507,6 +7569,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_span_within": SQL_INDEX_SPAN_WITHIN,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "index_extended_stats": SQL_INDEX_EXTENDED_STATS,
     "index_span_or_near": SQL_INDEX_SPAN_OR_NEAR,

@@ -1362,6 +1362,11 @@ def top_metrics_by(
         raise ValueError(
             f"sort_col {sort_col!r} duplicated in metric_cols",
         )
+    if "path" in metric_cols or sort_col == "path":
+        raise ValueError(
+            "path is the implicit tiebreak column and is always "
+            "returned; don't list it as sort_col/metric_cols",
+        )
     from seqr_loading_pipelines_spark.functions.hashing import (
         single_partition_key,
     )

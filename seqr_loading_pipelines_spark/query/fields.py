@@ -241,6 +241,7 @@ def combined_fields(
     query_text: str,
     weights: dict[str, float] | None = None,
     k: int = 10,
+    broadcast_max: int | None = None,
 ) -> DataFrame:
     """Elasticsearch ``combined_fields``: principled term-centric BM25F
     (Robertson's simple BM25F — the scoring ES documents for the query)
@@ -264,9 +265,12 @@ def combined_fields(
 
     Scale shape: one pruned posting scan per field that contains any
     query term; union + hash agg at the (doc, term) grain (match-set
-    cardinality x |query|); df~ is a bounded second agg on term; the
-    dl~ relation is a column-pruned doc-store projection joined once
-    on doc_id (the hydrate join shape). Nothing corpus-sized shuffles.
+    cardinality x |query|); df~ is a bounded second agg on term; dl~
+    attaches through one gated broadcast join per field against that
+    field's column-pruned doc-store projection (the facet-join
+    discipline — the match-sized side broadcasts under the summed
+    df bound, so the corpus streams map-side and never shuffles;
+    past the gate the joins shuffle once on doc_id).
     """
     from seqr_loading_pipelines_spark.query.bm25 import raw_term_postings
 
@@ -280,27 +284,28 @@ def combined_fields(
             f"combined_fields requires one shared analyzer, got "
             f"{sorted(analyzers)} (ES refuses mixed-analyzer fields too)",
         )
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _query_terms,
+        match_bound,
+    )
+    from seqr_loading_pipelines_spark.query.facets import _gated
+
     weights = weights or {}
     first = next(iter(field_indexes.values()))["manifest"]
     k1, b = first["k1"], first["b"]
     n_docs = first["n_docs"]
     avgdl_c = 0.0
     parts = []
-    dl_rel = None
+    bound = 0
     for name, idx in field_indexes.items():
         w = float(weights.get(name, 1.0))
         avgdl_c += w * float(idx["manifest"]["avgdl"])
+        bound += match_bound(_query_terms(idx, query_text))
         rp = raw_term_postings(idx, query_text)
         if rp is not None:
             parts.append(rp.select(
                 "doc_id", "term", (F.col("tf") * F.lit(w)).alias("wtf"),
             ))
-        fdl = idx["doc_stats"].select(
-            "doc_id", (F.col("doc_len") * F.lit(w)).alias("wdl"),
-        )
-        dl_rel = fdl if dl_rel is None else (
-            dl_rel.unionByName(fdl)
-        )
     if not parts:
         from seqr_loading_pipelines_spark.query.bm25 import _empty_topk
 
@@ -310,7 +315,25 @@ def combined_fields(
         unioned = unioned.unionByName(p)
     tfc = unioned.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tfc"))
     dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
-    dlc = dl_rel.groupBy("doc_id").agg(F.sum("wdl").alias("dlc"))
+    # dl~ attaches per FIELD through the gated facet-join discipline:
+    # the match-sized tfc relation (bounded by the fields' df sums)
+    # broadcasts into each field's column-pruned doc-store projection,
+    # so the corpus is never shuffled — a naive
+    # union-then-groupBy(doc_id) over the per-field dl relations would
+    # shuffle 2x the corpus for ANY query size
+    scored = tfc.join(F.broadcast(dfc), "term")
+    dlc_expr = F.lit(0.0)
+    for name, idx in field_indexes.items():
+        w = float(weights.get(name, 1.0))
+        fdl = idx["doc_stats"].select(
+            "doc_id", (F.col("doc_len") * F.lit(w)).alias(f"_wdl_{name}"),
+        )
+        # re-hint per join: a broadcast hint does not survive the
+        # previous round's join result
+        scored = fdl.join(
+            _gated(scored, broadcast_max, bound), "doc_id", "inner",
+        )
+        dlc_expr = dlc_expr + F.col(f"_wdl_{name}")
     idf_col = F.log(
         1.0
         + (F.lit(float(n_docs)) - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
@@ -321,13 +344,11 @@ def combined_fields(
         * (k1 + 1.0)
         / (
             F.col("tfc")
-            + k1 * (1.0 - b + b * F.col("dlc") / F.lit(float(avgdl_c)))
+            + k1 * (1.0 - b + b * dlc_expr / F.lit(float(avgdl_c)))
         )
     )
     return (
-        tfc.join(F.broadcast(dfc), "term")
-        .join(dlc, "doc_id")
-        .withColumn("contribution", contribution)
+        scored.withColumn("contribution", contribution)
         .groupBy("doc_id")
         .agg(F.sum("contribution").alias("score"))
     )

@@ -817,3 +817,129 @@ def search_span_or_near(
     return ranked.select(
         "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
     )
+
+
+def search_span_within(
+    spark: SparkSession,
+    index: dict,
+    little_token: str,
+    big_first: str,
+    big_last: str,
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Span containment (Lucene ``SpanWithinQuery`` / ES
+    ``span_within``, and — boundaries swapped — ``span_containing``):
+    occurrences of ``little_token`` that lie INSIDE some matching big
+    span, where the big span is the ordered pair (``big_first`` ..
+    ``big_last``) with at most ``slop`` tokens between them — "match
+    `close` only inside a `try .. finally` window". Containment is
+    Lucene's: little.start >= big.start and little.end <= big.end,
+    and ANY enclosing big span qualifies (not just the minimal one —
+    the within contract differs from span_near's minimum-gap scoring
+    here). Returns ``(doc_id, n_within, first_pos, rank)`` — n_within
+    the count of enclosed little occurrences, first_pos the earliest —
+    ranked (n_within desc, doc_id asc). Requires
+    ``IndexBuilder(positions=True)``.
+
+    Shape: ONE pruned scan of the term-clustered positions projection
+    (all three term_ids in the same pushed IN filter), tombstone
+    anti-join, one groupBy(doc) collecting the per-term map, then the
+    containment test as nested JVM HOFs (exists over big starts with
+    an inner exists over big ends) — no explode, no Python, per-doc
+    cost bounded by the doc's own occurrence counts exactly like
+    span_near's greedy fold."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import _query_terms
+    from pyspark.sql import Window
+
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable span queries",
+        )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    toks = []
+    for name, raw in (
+        ("little_token", little_token),
+        ("big_first", big_first),
+        ("big_last", big_last),
+    ):
+        t = index_tokenize(index, raw)
+        if len(t) != 1:
+            raise ValueError(
+                f"{name} must be exactly one token, got {raw!r}",
+            )
+        toks.append(t[0])
+    little, first, last = toks
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_within int, first_pos int, rank int",
+    )
+    infos = _query_terms(index, " ".join(sorted(set(toks))))
+    tid_by_term = {i["term"]: i["term_id"] for i in infos}
+    if any(t not in tid_by_term for t in toks):
+        return empty
+    tid_l, tid_f, tid_b = (tid_by_term[t] for t in toks)
+
+    pos = index["positions"].filter(
+        F.col("term_id").isin(sorted({tid_l, tid_f, tid_b})),
+    )
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    grouped = (
+        pos.select("term_id", "doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "pos")),
+            ).alias("pmap"),
+        )
+    )
+
+    def plist(tid):
+        return F.coalesce(
+            F.element_at(F.col("pmap"), F.lit(int(tid))),
+            F.array().cast("array<int>"),
+        )
+
+    # pt is within SOME ordered (pa, pb) pair (pa <= pt <= pb,
+    # pb - pa - 1 <= slop) iff the TIGHTEST pair around pt satisfies
+    # the slop: pa* = max{pa <= pt}, pb* = min{pb >= pt} minimize the
+    # width, and pb* > pa* always (distinct terms never share a
+    # position). The reduction matters: the naive exists-over-pairs
+    # form is O(|T| x |A| x |B|) per doc and never finishes on a
+    # mega-doc where all three are stop-word-dense (measured: a 25k-
+    # token doc with ~2k occurrences of each term = 8e9 lambda evals);
+    # this form is O(|T| x (|A| + |B|)). A missing side yields NULL,
+    # which coalesces to not-enclosed.
+    def tight_ok(pt):
+        pa_star = F.array_max(F.filter(plist(tid_f), lambda pa: pa <= pt))
+        pb_star = F.array_min(F.filter(plist(tid_b), lambda pb: pb >= pt))
+        return F.coalesce(
+            pb_star - pa_star - 1 <= F.lit(int(slop)), F.lit(False),
+        )
+
+    enclosed = F.filter(plist(tid_l), tight_ok)
+    scored = (
+        grouped.select(
+            "doc_id",
+            F.size(enclosed).cast("int").alias("n_within"),
+            F.array_min(enclosed).cast("int").alias("first_pos"),
+        )
+        .filter(F.col("n_within") > 0)
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    # limit-then-rank inline (rank_topk's shape, keeping the extra
+    # first_pos column it would drop)
+    order = [F.col("n_within").desc(), F.col("doc_id").asc()]
+    ranked = scored.orderBy(*order).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        "doc_id", "n_within", "first_pos",
+        F.row_number().over(w).alias("rank"),
+    )

@@ -313,3 +313,32 @@ def test_combined_fields_validation_and_empty(spark, index, repo_index):
     empty = combined_fields(spark, {"content": index}, "zz_nope_zz")
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "score"]
+
+
+def test_combined_fields_dl_joins_broadcast_under_gate(
+    spark, index, repo_index,
+):
+    from seqr_loading_pipelines_spark.query.fields import combined_fields
+
+    out = combined_fields(
+        spark, {"content": index, "repo": repo_index}, "sw0 repo_0001",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the match-sized side broadcasts into BOTH per-field doc-store
+    # projections — a SortMergeJoin here would shuffle the corpus for
+    # every query (the r5 rewrite this test locks)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # forced past the gate: same values through the shuffle path
+    a = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in out.collect()
+    }
+    b = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in combined_fields(
+            spark, {"content": index, "repo": repo_index}, "sw0 repo_0001",
+            broadcast_max=0,
+        ).collect()
+    }
+    assert a == b and a

@@ -830,3 +830,113 @@ def test_span_or_near_edges_and_validation(spark, span_index):
         search_span_or_near(spark, span_index, [["a"]], -1)
     with pytest.raises(ValueError, match="tokenizes to nothing"):
         search_span_or_near(spark, span_index, [["a"], ["@@@"]], 0)
+
+
+# span_within (search_span_within)
+# ---------------------------------------------------------------------
+
+
+def _naive_within(content, little, first, last, slop):
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", content.lower())
+    pl = [i for i, t in enumerate(toks) if t == little]
+    pa = [i for i, t in enumerate(toks) if t == first]
+    pb = [i for i, t in enumerate(toks) if t == last]
+    hits = sorted(
+        pt
+        for pt in pl
+        if any(
+            a <= pt <= b and b > a and b - a - 1 <= slop
+            for a in pa
+            for b in pb
+        )
+    )
+    return (len(hits), hits[0]) if hits else None
+
+
+def _within(spark, idx, little, first, last, slop, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_within
+
+    return {
+        r["doc_id"]: (r["n_within"], r["first_pos"])
+        for r in search_span_within(
+            spark, idx, little, first, last, slop=slop, k=k,
+        ).collect()
+    }
+
+
+def test_span_within_hand_golden(spark, span_index):
+    by = span_index["_by_path"]
+    for slop in (0, 1, 2, 3):
+        want = {
+            by[p]: g
+            for _, p, _, _, c in SPAN_DOCS
+            if (g := _naive_within(c, "b", "a", "c", slop)) is not None
+        }
+        assert _within(spark, span_index, "b", "a", "c", slop) == want, (
+            f"slop={slop}"
+        )
+    # s0 ("a b c") encloses b at slop 1 but not 0; s2 ("c b a") never
+    # has an ordered (a .. c) span at all
+    assert by["s0.py"] in _within(spark, span_index, "b", "a", "c", 1)
+    assert by["s0.py"] not in _within(spark, span_index, "b", "a", "c", 0)
+    assert by["s2.py"] not in _within(spark, span_index, "b", "a", "c", 100)
+
+
+def test_span_within_any_enclosing_span_counts(spark, span_index):
+    by = span_index["_by_path"]
+    # s3 = "a c b c": the MINIMAL (a..c) span (a0,c1) misses b2, but the
+    # wider (a0,c3) encloses it — ANY enclosing span qualifies, the
+    # contract split from span_near's minimum-gap semantics
+    got = _within(spark, span_index, "b", "a", "c", 2)
+    assert got.get(by["s3.py"]) == (1, 2)
+
+
+def test_span_within_validation_and_edges(spark, span_index):
+    from seqr_loading_pipelines_spark.query.phrase import search_span_within
+
+    assert _within(spark, span_index, "zz_no", "a", "c", 5) == {}
+    with pytest.raises(ValueError, match="slop"):
+        search_span_within(spark, span_index, "b", "a", "c", slop=-1)
+    with pytest.raises(ValueError, match="exactly one token"):
+        search_span_within(spark, span_index, "b b", "a", "c")
+    empty = search_span_within(spark, span_index, "b", "zz_no", "c")
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_within", "first_pos", "rank"]
+
+
+def test_span_within_dense_stopword_doc_completes(
+    spark, tmp_path_factory,
+):
+    """The r5 blowup lock: a doc where all three terms are stop-word-
+    dense (thousands of positions each) must answer in seconds — the
+    naive exists-over-pairs containment is O(|T|·|A|·|B|) and never
+    returns on it; the tightest-pair reduction is O(|T|·(|A|+|B|))."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import search_span_within
+
+    dense = "a b c " * 2000  # 2000 positions of each term
+    corpus = spark.createDataFrame(
+        [
+            ("r", "dense.py", "c0", "python", dense),
+            ("r", "tiny.py", "c1", "python", "x a b c"),
+            ("r", "none.py", "c2", "python", "b only here"),
+        ],
+        SPAN_SCHEMA,
+    )
+    root = str(tmp_path_factory.mktemp("span_dense"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "span-dense")
+    idx = load_index(spark, root)
+    got = _within(spark, idx, "b", "a", "c", 1)
+    by = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("path", "doc_id").collect()
+    }
+    # every b in the dense doc sits inside an adjacent (a .. c) triple
+    assert got[by["dense.py"]] == (2000, 1)
+    assert got[by["tiny.py"]] == (1, 2)
+    assert by["none.py"] not in got
