@@ -152,3 +152,35 @@ def near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_embeddings(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-level dedup keep-set (the SemDeDup recipe: cluster
+    the embedding space, drop all but one of each within-cluster
+    near-duplicate group): keep a vector iff NO near-duplicate with a
+    LOWER id exists in its block — the deterministic keep-lowest
+    policy, identical whether evaluated pairwise or per-group, and
+    exactly expressible as a SQL NOT EXISTS (the oracle contract).
+    Note the policy is pair-based, not transitive-closure-based: in a
+    chain 1~2~3 with 1!~3, both 2 and 3 drop — SemDeDup's per-cluster
+    epsilon-groups behave the same way under its fixed ordering.
+
+    Scale shape: ``near_dup_pairs``'s blocked self-join (block =
+    cluster/LSH bucket at scale — pair expansion stays linear-ish),
+    one distinct over the dropped side (cardinality <= dropped
+    vectors), one anti-join back to the population. Nothing beyond
+    the pair op's cost."""
+    pairs = near_dup_pairs(
+        emb, threshold=threshold, vec_col=vec_col,
+        id_col=id_col, block_col=block_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti").select(
+        id_col, *([block_col] if block_col else []),
+    )

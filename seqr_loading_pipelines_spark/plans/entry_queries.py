@@ -7402,7 +7402,33 @@ FROM g ORDER BY n_within DESC, doc_id LIMIT 10
 """
 
 
+def q_embedding_dedup_keep(spark, sf_dir):
+    """SemDeDup-style embedding dedup behind a driver-green row
+    (operators/similarity.py dedup_embeddings): within each block
+    (label here; an IVF cluster / LSH bucket at scale), drop every
+    vector that has a near-duplicate (cosine >= 0.4, the corpus's
+    near-dup band) with a LOWER id — the deterministic keep-lowest
+    policy. Oracle: the identical NOT-EXISTS in SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.dedup_embeddings(emb, threshold=0.4)
+
+
+SQL_EMBEDDING_DEDUP_KEEP = f"""
+SELECT v.vec_id, v.label FROM embeddings v
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings u
+  WHERE u.label = v.label AND u.vec_id < v.vec_id
+    AND round(
+      (list_sum(list_transform(list_zip(u.embedding, v.embedding),
+                               x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+      / ({_NRM.format(col="u.embedding")} * {_NRM.format(col="v.embedding")}),
+      5) >= 0.4
+)
+"""
+
+
 QUERIES = {
+    "embedding_dedup_keep": q_embedding_dedup_keep,
     "index_span_within": q_index_span_within,
     "events_date_range": q_events_date_range,
     "index_extended_stats": q_index_extended_stats,
@@ -7569,6 +7595,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_dedup_keep": SQL_EMBEDDING_DEDUP_KEEP,
     "index_span_within": SQL_INDEX_SPAN_WITHIN,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
     "index_extended_stats": SQL_INDEX_EXTENDED_STATS,

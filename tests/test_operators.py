@@ -1140,3 +1140,34 @@ def test_dup_ngram_spans_golden_and_edges(spark):
     assert (row["n_shingles"], row["n_dup"]) == (3, 0)
     with pytest.raises(ValueError, match="n must be"):
         dup_ngram_spans(docs, n=1)
+
+
+def test_dedup_embeddings_keep_lowest_policy(spark):
+    from seqr_loading_pipelines_spark.operators.similarity import (
+        dedup_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            # block 0: 1 ~ 2 ~ 3 chain where 1 !~ 3 (2 and 3 both drop:
+            # each has a lower near-dup — the pair-based policy)
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.436], 0),       # cos(1,2) ~ .90
+            (3, [0.62, 0.785], 0),      # cos(2,3) ~ .90, cos(1,3) ~ .62
+            # block 1: same direction as 1 but different block -> kept
+            (4, [1.0, 0.0], 1),
+            # block 0 orthogonal: kept
+            (5, [0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kept = {
+        r["vec_id"]
+        for r in dedup_embeddings(emb, threshold=0.85).collect()
+    }
+    assert kept == {1, 4, 5}
+    # threshold high enough: everything kept
+    all_kept = {
+        r["vec_id"] for r in dedup_embeddings(emb, threshold=0.999).collect()
+    }
+    assert all_kept == {1, 2, 3, 4, 5}
