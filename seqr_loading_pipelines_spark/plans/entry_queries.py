@@ -7427,7 +7427,188 @@ WHERE NOT EXISTS (
 """
 
 
+def q_events_derivative(spark, sf_dir):
+    """ES ``derivative`` + ``serial_diff`` pipeline aggregations over a
+    date_histogram parent: daily value totals, first and second
+    derivative (ES nests a derivative-of-derivative for the latter),
+    and a lag-7 serial difference (the documented deseasonalization
+    use). All four windows share ONE sort over the bucket table
+    (cardinality = #days, single-partition by the constant key), after
+    ONE map-side-combining hash agg over events. Oracle: identical
+    lag algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy(single_partition_key(b)).orderBy("bucket")
+    d1 = F.col("v") - F.lag("v", 1).over(w)
+    b2 = b.select(
+        "bucket", "v", d1.alias("d1"),
+    )
+    w2 = Window.partitionBy(single_partition_key(b2)).orderBy("bucket")
+    return b2.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round("v", 4).alias("v"),
+        F.round("d1", 4).alias("deriv"),
+        F.round(F.col("d1") - F.lag("d1", 1).over(w2), 4).alias("deriv2"),
+        F.round(F.col("v") - F.lag("v", 7).over(w2), 4).alias("serial_diff7"),
+    )
+
+
+SQL_EVENTS_DERIVATIVE = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1
+), d AS (
+  SELECT bucket, v, v - lag(v, 1) OVER (ORDER BY bucket) AS d1,
+         v - lag(v, 7) OVER (ORDER BY bucket) AS sd7
+  FROM b
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       round(v, 4) AS v,
+       round(d1, 4) AS deriv,
+       round(d1 - lag(d1, 1) OVER (ORDER BY bucket), 4) AS deriv2,
+       round(sd7, 4) AS serial_diff7
+FROM d
+"""
+
+
+BUCKET_SELECTOR = {"min_avg": 50.0, "min_n": 8}
+
+
+def q_events_bucket_selector(spark, sf_dir):
+    """ES ``bucket_selector`` pipeline aggregation: a per-bucket script
+    predicate prunes date_histogram buckets AFTER aggregation —
+    ``params.avg_v > 50 && params.n >= 8`` here (the avg predicate is
+    scale-free, so the row stays selective at every SF the driver
+    runs). The filter runs on the bucket table (cardinality = #days),
+    not the event stream, so it's a post-agg filter Catalyst keeps
+    above the hash agg — exactly ES's evaluation order. Oracle:
+    HAVING in SQL."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(
+            F.avg("value").alias("avg_v"),
+            F.count("*").alias("n"),
+        )
+        .filter(
+            (F.col("avg_v") > BUCKET_SELECTOR["min_avg"])
+            & (F.col("n") >= BUCKET_SELECTOR["min_n"]),
+        )
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+            F.round("avg_v", 4).alias("avg_v"),
+            "n",
+        )
+    )
+
+
+SQL_EVENTS_BUCKET_SELECTOR = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       round(avg(value), 4) AS avg_v,
+       count(*) AS n
+FROM events
+GROUP BY date_trunc('day', ts)
+HAVING avg(value) > {BUCKET_SELECTOR["min_avg"]}
+   AND count(*) >= {BUCKET_SELECTOR["min_n"]}
+"""
+
+
+def q_events_sibling_buckets(spark, sf_dir):
+    """ES sibling pipeline aggregations — ``sum_bucket`` /
+    ``avg_bucket`` / ``min_bucket`` / ``percentiles_bucket`` — reduce
+    the whole bucket series of a date_histogram to scalars beside it.
+    One hash agg to daily buckets, then a single global agg over that
+    bounded table (two rows shuffled per partition, nothing
+    corpus-sized). min_bucket reports the bucket KEY(s) holding the
+    minimum alongside the value, per ES's response shape — here the
+    first such day. Oracle: the same two-level aggregate in SQL."""
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    return b.agg(
+        F.round(F.sum("v"), 4).alias("sum_bucket"),
+        F.round(F.avg("v"), 4).alias("avg_bucket"),
+        F.round(F.min("v"), 4).alias("min_bucket"),
+        F.date_format(
+            F.min_by("bucket", F.col("v")), "yyyy-MM-dd",
+        ).alias("min_bucket_key"),
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50_bucket"),
+    )
+
+
+SQL_EVENTS_SIBLING_BUCKETS = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT round(sum(v), 4) AS sum_bucket,
+       round(avg(v), 4) AS avg_bucket,
+       round(min(v), 4) AS min_bucket,
+       strftime(min_by(bucket, v), '%Y-%m-%d') AS min_bucket_key,
+       round(quantile_cont(v, 0.5), 4) AS p50_bucket
+FROM b
+"""
+
+
+def q_events_normalize(spark, sf_dir):
+    """ES ``normalize`` pipeline aggregation: per-bucket rescaling of
+    the date_histogram series — methods ``rescale_0_1``,
+    ``percent_of_sum``, and ``z-score`` (value minus series mean over
+    series stddev; ES uses the population stddev its stats agg
+    reports). Series-level moments come from ONE unbounded window over
+    the bounded bucket table under the declared constant partition
+    key. Oracle: identical window algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy(single_partition_key(b))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rng = F.max("v").over(w) - F.min("v").over(w)
+    return b.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round((F.col("v") - F.min("v").over(w)) / rng, 6).alias(
+            "rescale_0_1",
+        ),
+        F.round(F.col("v") / F.sum("v").over(w), 6).alias("percent_of_sum"),
+        F.round(
+            (F.col("v") - F.avg("v").over(w)) / F.stddev_pop("v").over(w), 6,
+        ).alias("z_score"),
+    )
+
+
+SQL_EVENTS_NORMALIZE = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       round((v - min(v) OVER ()) / (max(v) OVER () - min(v) OVER ()), 6)
+         AS rescale_0_1,
+       round(v / sum(v) OVER (), 6) AS percent_of_sum,
+       round((v - avg(v) OVER ()) / stddev_pop(v) OVER (), 6) AS z_score
+FROM b
+"""
+
+
 QUERIES = {
+    "events_derivative": q_events_derivative,
+    "events_bucket_selector": q_events_bucket_selector,
+    "events_sibling_buckets": q_events_sibling_buckets,
+    "events_normalize": q_events_normalize,
     "embedding_dedup_keep": q_embedding_dedup_keep,
     "index_span_within": q_index_span_within,
     "events_date_range": q_events_date_range,
@@ -7595,6 +7776,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_derivative": SQL_EVENTS_DERIVATIVE,
+    "events_bucket_selector": SQL_EVENTS_BUCKET_SELECTOR,
+    "events_sibling_buckets": SQL_EVENTS_SIBLING_BUCKETS,
+    "events_normalize": SQL_EVENTS_NORMALIZE,
     "embedding_dedup_keep": SQL_EMBEDDING_DEDUP_KEEP,
     "index_span_within": SQL_INDEX_SPAN_WITHIN,
     "events_date_range": SQL_EVENTS_DATE_RANGE,
