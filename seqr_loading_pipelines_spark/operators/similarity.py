@@ -184,3 +184,57 @@ def dedup_embeddings(
     return emb.join(dropped, id_col, "left_anti").select(
         id_col, *([block_col] if block_col else []),
     )
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantized ANN with exact rescore (the ES/Lucene
+    ``int8_hnsw`` storage story, minus the graph): each vector stores
+    an int8 code ``q_i = trunc(x_i / s)`` under its own symmetric
+    scale ``s = max|x| / 127`` — truncation, not rounding, because
+    toward-zero is the one tie-free semantics every engine (JVM cast,
+    numpy, SQL trunc) agrees on. Candidate score is the dequantized
+    dot ``s_doc * s_query * sum(qd_i * qq_i)``; the top ``shortlist``
+    candidates rescore with EXACT float cosine and the final top-k
+    ranks on that (the two-phase quantized-then-rescore recipe).
+
+    Scale shape: the quantization is a per-row projection (at scale
+    the codes persist as a byte-array column, 4x smaller scans); the
+    candidate pass is one scan + TakeOrdered(shortlist); the rescore
+    touches ``shortlist`` rows. Deterministic ties: (score desc, id
+    asc) at both phases."""
+    if shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    s_q = max(abs(float(x)) for x in query) / 127.0
+    if s_q == 0.0:
+        raise ValueError("query vector is all zeros")
+    qq = [float(int(float(x) / s_q)) for x in query]  # trunc toward zero
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s_doc = F.array_max(F.transform(dvec, F.abs)) / F.lit(127.0)
+    qd = F.transform(dvec, lambda x: (x / s_doc).cast("long").cast("double"))
+    qlit = F.array(*[F.lit(x) for x in qq])
+    int_dot = F.aggregate(
+        F.zip_with(qd, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = (s_doc * F.lit(s_q) * int_dot).alias("approx")
+    cand = (
+        emb.select(F.col(id_col), F.col(vec_col), approx)
+        .orderBy(F.col("approx").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    rescored = cand.select(
+        id_col,
+        F.round("approx", 5).alias("approx"),
+        F.round(_cosine_expr(F.col(vec_col), query), 5).alias("cosine"),
+    )
+    return rescored.orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc(),
+    ).limit(k)

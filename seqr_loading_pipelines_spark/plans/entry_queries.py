@@ -7604,7 +7604,217 @@ FROM b
 """
 
 
+SPARSE_WEIGHTS = {
+    "spark": 2.0,
+    "query": 1.2,
+    "vector": 0.8,
+    "join": 0.5,
+    "zzz_absent_token": 3.0,  # pruned at the dictionary, like ES
+}
+
+
+def q_index_sparse_vector(spark, sf_dir):
+    """ES ``sparse_vector`` / ``text_expansion`` (ELSER) retrieval
+    through the REAL index path (query/bm25.py search_sparse): the
+    query is an explicit (token -> weight) map; per-doc score =
+    sum(query_weight * log1p(tf)) over matching tokens, doc weights
+    read from the posting payload by the standard vectorized decode.
+    One weight's token is absent from the corpus — the dictionary
+    prunes it exactly like ES drops unexpanded tokens. Oracle: the
+    same weighted-sum algebra in SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_sparse,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_sparse(spark, index, SPARSE_WEIGHTS, k=10)
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_sparse(weights: dict[str, float], k: int) -> str:
+    present = {t: w for t, w in weights.items()}
+    cases = " ".join(
+        f"WHEN '{t}' THEN {w!r}" for t, w in sorted(present.items())
+    )
+    toks = ", ".join(f"'{t}'" for t in sorted(present))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({toks})
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT doc_id,
+         sum((CASE term {cases} END) * ln(1 + tf)) AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_SPARSE_VECTOR = _sql_sparse(SPARSE_WEIGHTS, 10)
+
+
+TERMS_LOOKUP_DOC = 7
+
+
+def q_index_terms_lookup(spark, sf_dir):
+    """ES terms-lookup query through the REAL index path
+    (query/bm25.py search_terms_lookup): fetch the term set from a
+    field of ANOTHER document (one row-group-pruned doc-store point
+    lookup reading the STORED analyzed terms, the ES GET), rewrite to
+    a terms query, rank other docs by matched-term count with the
+    path-field tiebreak (term-lookup pages tie heavily; the field
+    tiebreak is the stable public ordering). Oracle: the same rewrite
+    in SQL over the documents table."""
+    from seqr_loading_pipelines_spark.query.bm25 import search_terms_lookup
+
+    _, index = _built_index(spark, sf_dir, "q")
+    lookup_id = (
+        index["doc_stats"]
+        .filter(F.col("path") == f"doc_{TERMS_LOOKUP_DOC:08d}.txt")
+        .select("doc_id")
+        .first()["doc_id"]
+    )
+    topk = search_terms_lookup(
+        spark, index, int(lookup_id), k=10, tiebreak_field="path",
+    )
+    return topk.select(
+        _orig_doc_id().alias("doc_id"),
+        "n_matched",
+        "rank",
+    )
+
+
+SQL_INDEX_TERMS_LOOKUP = f"""
+WITH lk AS (
+  SELECT DISTINCT unnest({_T}) AS term
+  FROM documents WHERE doc_id = {TERMS_LOOKUP_DOC}
+),
+matched AS (
+  SELECT d.doc_id, count(DISTINCT t.term)::INT AS n_matched
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents
+        WHERE doc_id <> {TERMS_LOOKUP_DOC}) d
+  JOIN lk t USING (term)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_matched, rank FROM (
+  SELECT doc_id, n_matched,
+         row_number() OVER (ORDER BY n_matched DESC, doc_id ASC) AS rank
+  FROM matched
+) WHERE rank <= 10
+"""
+
+
+def q_ann_quantized_topk(spark, sf_dir):
+    """Scalar-quantized ANN + exact rescore (operators/similarity.py
+    cosine_topk_quantized — the int8-storage two-phase recipe):
+    candidates ranked by the dequantized int8 dot product, the top-50
+    shortlist rescored with exact float cosine. Oracle: the identical
+    trunc-quantization arithmetic in SQL."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.cosine_topk_quantized(
+        emb, _query_vec(spark, sf_dir), k=10, shortlist=50,
+    )
+
+
+_SABS = "list_max(list_transform({col}, x -> abs(x::DOUBLE))) / 127.0"
+
+SQL_ANN_QUANTIZED_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qq AS (
+  SELECT qe, {_SABS.format(col="qe")} AS sq,
+         list_transform(qe,
+           x -> trunc(x::DOUBLE / ({_SABS.format(col="qe")}))) AS qcode
+  FROM q
+),
+cand AS (
+  SELECT vec_id, embedding, {_SABS.format(col="embedding")} AS sd
+  FROM embeddings WHERE vec_id <> 0
+),
+approx AS (
+  SELECT vec_id, embedding,
+         sd * qq.sq * list_sum(list_transform(
+           list_zip(list_transform(embedding,
+                      x -> trunc(x::DOUBLE / sd)), qq.qcode),
+           p -> p[1] * p[2])) AS approx
+  FROM cand, qq
+),
+short AS (
+  SELECT * FROM approx ORDER BY approx DESC, vec_id ASC LIMIT 50
+)
+SELECT vec_id, round(approx, 5) AS approx,
+       round(
+         (list_sum(list_transform(list_zip(s.embedding, qq.qe),
+                                  x -> x[1]::DOUBLE * x[2]::DOUBLE)))
+         / ({_NRM.format(col="s.embedding")} * {_NRM.format(col="qq.qe")}),
+         5) AS cosine
+FROM short s, qq
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+CATEGORIZE_KEY_TOKENS = 3
+
+
+def q_docs_categorize_text(spark, sf_dir):
+    """ES ``categorize_text`` aggregation, deterministic flavor: the
+    category key is the doc's leading {CATEGORIZE_KEY_TOKENS} tokens
+    with digit runs collapsed to '#' (the log-template trick), then
+    count + earliest example per category, top 10. ES's incremental
+    tree clusterer is shard-order-dependent; a correctness-gated
+    engine wants the reproducible definition. Scale shape: per-row
+    projection, ONE map-side-combining hash agg (cardinality =
+    #templates), bounded top-k."""
+    docs = _read(spark, sf_dir, "documents")
+    key = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(tokenize_expr(F.col("text")), 1, CATEGORIZE_KEY_TOKENS),
+            lambda t: F.regexp_replace(t, "[0-9]+", "#"),
+        ),
+    )
+    return (
+        docs.select(key.alias("category"), "doc_id")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy(F.col("n").desc(), F.col("category").asc())
+        .limit(10)
+    )
+
+
+SQL_DOCS_CATEGORIZE_TEXT = f"""
+SELECT array_to_string(
+         list_transform({_T}[1:{CATEGORIZE_KEY_TOKENS}],
+                        t -> regexp_replace(t, '[0-9]+', '#', 'g')),
+         ' ') AS category,
+       count(*) AS n,
+       min(doc_id) AS example_doc
+FROM documents
+GROUP BY 1
+ORDER BY n DESC, category ASC LIMIT 10
+"""
+
+
 QUERIES = {
+    "index_sparse_vector": q_index_sparse_vector,
+    "index_terms_lookup": q_index_terms_lookup,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "docs_categorize_text": q_docs_categorize_text,
     "events_derivative": q_events_derivative,
     "events_bucket_selector": q_events_bucket_selector,
     "events_sibling_buckets": q_events_sibling_buckets,
@@ -7776,6 +7986,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_sparse_vector": SQL_INDEX_SPARSE_VECTOR,
+    "index_terms_lookup": SQL_INDEX_TERMS_LOOKUP,
+    "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
+    "docs_categorize_text": SQL_DOCS_CATEGORIZE_TEXT,
     "events_derivative": SQL_EVENTS_DERIVATIVE,
     "events_bucket_selector": SQL_EVENTS_BUCKET_SELECTOR,
     "events_sibling_buckets": SQL_EVENTS_SIBLING_BUCKETS,

@@ -231,6 +231,123 @@ def raw_term_postings(index: dict, query_text: str) -> DataFrame | None:
     )
 
 
+def search_sparse(
+    spark: SparkSession,
+    index: dict,
+    weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``sparse_vector`` / ``text_expansion`` query (the ELSER
+    learned-sparse retrieval shape): the query arrives as an explicit
+    (token -> weight) map produced by the expansion model; each doc
+    scores sum over matching tokens of ``query_weight * doc_weight``.
+    The doc-side weight here is the ``log1p(tf)`` surrogate — the
+    index stores tf in the posting payload, and a learned-weight
+    deployment would write the model's doc weight into that same slot,
+    leaving this executor unchanged.
+
+    Scale shape: identical to disjunctive BM25 — dictionary-pruned
+    posting scan (only the |query| terms' blocks decode), the weight
+    map folded in as a |query|-entry literal projection (no join), one
+    map-side-combining hash agg, TakeOrdered top-k. Negative or zero
+    weights are legal (ES allows them post-pruning); token order is
+    irrelevant.
+    """
+    if not weights:
+        return _empty_topk(spark)
+    rel = raw_term_postings(index, " ".join(weights))
+    if rel is None:
+        return _empty_topk(spark)
+    pairs: list = []
+    for t, w in weights.items():
+        pairs += [F.lit(t), F.lit(float(w))]
+    wmap = F.create_map(*pairs)
+    scored = (
+        rel.select(
+            "doc_id",
+            (wmap[F.col("term")] * F.log1p(F.col("tf").cast("double"))).alias(
+                "c",
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(scored, k)
+
+
+def search_terms_lookup(
+    spark: SparkSession,
+    index: dict,
+    lookup_doc_id: int,
+    k: int = 10,
+    max_terms: int = 64,
+    tiebreak_field: str | None = None,
+) -> DataFrame:
+    """ES terms-lookup query: fetch the terms from a FIELD OF ANOTHER
+    DOCUMENT, then match docs containing any of them — ES literally
+    GETs the lookup doc and rewrites to a terms query, and so do we:
+    one doc-store point lookup (row-group-pruned via lookup_docs)
+    reading the STORED analyzed term list (no re-tokenize — the same
+    stored-field read term_vectors uses), then the standard
+    match executor counts matched terms per doc. The lookup doc itself
+    is excluded from results (it trivially matches everything).
+    Returns ``(doc_id, n_matched, rank)`` ranked by matched-term count
+    (desc, doc_id asc) — or, with ``tiebreak_field``, by a doc-store
+    FIELD instead of the internal docID (the search_sliced discipline:
+    term-lookup results tie heavily, and a field tiebreak keeps the
+    page stable across id-assignment orders; the field column rides
+    the result). ``max_terms`` mirrors ES's ``index.max_terms_count``
+    guard: the rewrite hard-fails past it rather than exploding the
+    posting scan."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.index.build import lookup_docs
+
+    row = (
+        lookup_docs(
+            spark, index, [int(lookup_doc_id)], columns=["doc_id", "terms"],
+        )
+        .select("terms")
+        .first()
+    )
+    if row is None:
+        return spark.createDataFrame([], "doc_id long, n_matched int, rank int")
+    terms = sorted({t["term"] for t in row["terms"]})
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"terms lookup expanded to {len(terms)} terms"
+            f" > max_terms={max_terms} (raise the cap explicitly)",
+        )
+    term_infos = _query_terms(index, " ".join(terms))
+    if not term_infos:
+        return spark.createDataFrame([], "doc_id long, n_matched int, rank int")
+    matched = (
+        _decoded_postings(index, term_infos, with_term=True)
+        .filter(F.col("doc_id") != int(lookup_doc_id))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term_id").cast("int").alias("n_matched"))
+    )
+    cols = ["doc_id", "n_matched"]
+    if tiebreak_field:
+        matched = matched.join(
+            index["doc_stats"].select("doc_id", tiebreak_field),
+            "doc_id",
+            "inner",
+        )
+        order = [F.col("n_matched").desc(), F.col(tiebreak_field).asc()]
+        cols = ["doc_id", tiebreak_field, "n_matched"]
+    else:
+        order = [F.col("n_matched").desc(), F.col("doc_id").asc()]
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = matched.orderBy(*order).limit(k)
+    w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
+    return ranked.select(
+        *cols, F.row_number().over(w).alias("rank"),
+    )
+
+
 def search_sliced(
     spark: SparkSession,
     index: dict,

@@ -1171,3 +1171,48 @@ def test_dedup_embeddings_keep_lowest_policy(spark):
         r["vec_id"] for r in dedup_embeddings(emb, threshold=0.999).collect()
     }
     assert all_kept == {1, 2, 3, 4, 5}
+
+
+def test_cosine_topk_quantized_equals_exact_when_shortlist_covers(spark):
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    query = [float(x) for x in rng.standard_normal(8)]
+    # shortlist covers the whole table -> the exact rescore decides
+    # everything, so the result must EQUAL brute-force cosine top-k
+    got = cosine_topk_quantized(emb, query, k=5, shortlist=40).collect()
+    want = cosine_topk(emb, query, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    # approx rides along and is a real dequantized dot (same sign,
+    # within int8 quantization error of the true dot)
+    for r in got:
+        true_dot = float(np.dot(vecs[r["vec_id"]], query))
+        assert abs(r["approx"] - true_dot) < 0.1 * max(1.0, abs(true_dot))
+
+
+def test_cosine_topk_quantized_guards(spark):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="shortlist"):
+        cosine_topk_quantized(emb, [1.0, 0.0], k=5, shortlist=3)
+    with _pytest.raises(ValueError, match="zeros"):
+        cosine_topk_quantized(emb, [0.0, 0.0], k=1, shortlist=1)

@@ -652,3 +652,80 @@ def test_pinned_validation_and_skips(spark, index):
     assert [r["doc_id"] for r in got] == [
         r["doc_id"] for r in search_exact(spark, index, q, 5).collect()
     ]
+
+
+# ---------------------------------------------------------------- sparse
+
+
+def test_sparse_vector_matches_manual(spark, index, oracle):
+    import math
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_sparse
+
+    weights = {"sw0": 1.5, "term_00042": 2.0, "zzz_absent": 9.9}
+    got = [
+        (r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in search_sparse(spark, index, weights, k=10).collect()
+    ]
+    scored = []
+    for doc_id, tf in zip(oracle.doc_ids, oracle.tf):
+        s = sum(
+            w * math.log1p(tf[t]) for t, w in weights.items() if tf[t] > 0
+        )
+        if s != 0.0:
+            scored.append((doc_id, s))
+    scored.sort(key=lambda p: (-math.floor(p[1] * 1e5 + 0.5), p[0]))
+    want = [
+        (d, round(s, 6), i + 1) for i, (d, s) in enumerate(scored[:10])
+    ]
+    assert got == want
+
+
+def test_sparse_vector_edges(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import search_sparse
+
+    assert search_sparse(spark, index, {}, k=5).count() == 0
+    assert search_sparse(spark, index, {"zzz_nope": 1.0}, k=5).count() == 0
+    # a negative weight is legal and pushes matching docs DOWN
+    pos = search_sparse(spark, index, {"sw0": 1.0}, k=5).collect()
+    neg = search_sparse(spark, index, {"sw0": -1.0}, k=5).collect()
+    assert all(r["score"] > 0 for r in pos)
+    assert all(r["score"] < 0 for r in neg)
+
+
+# ----------------------------------------------------------- terms lookup
+
+
+def test_terms_lookup_excludes_self_and_counts(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_terms_lookup,
+        term_vectors,
+    )
+
+    lid = 3
+    n_lookup_terms = term_vectors(spark, index, [lid]).count()
+    out = search_terms_lookup(spark, index, lid, k=8, max_terms=512)
+    rows = out.collect()
+    assert rows, "terms lookup should match something in the test corpus"
+    assert all(r["doc_id"] != lid for r in rows)
+    assert all(1 <= r["n_matched"] <= n_lookup_terms for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # descending by n_matched, doc_id tiebreak
+    keys = [(-r["n_matched"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_terms_lookup_max_terms_guard_and_field_tiebreak(spark, index):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.bm25 import search_terms_lookup
+
+    with _pytest.raises(ValueError, match="max_terms"):
+        search_terms_lookup(spark, index, 3, k=5, max_terms=1)
+    out = search_terms_lookup(
+        spark, index, 3, k=8, max_terms=512, tiebreak_field="path",
+    )
+    rows = out.collect()
+    assert "path" in out.columns
+    keys = [(-r["n_matched"], r["path"]) for r in rows]
+    assert keys == sorted(keys)
