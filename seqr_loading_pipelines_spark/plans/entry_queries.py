@@ -7810,7 +7810,226 @@ ORDER BY n DESC, category ASC LIMIT 10
 """
 
 
+LINEAR_WEIGHTS = {"bm25": 0.7, "vector": 0.3}
+
+
+def q_index_hybrid_linear(spark, sf_dir):
+    """The ES ``linear`` retriever behind a driver-green row
+    (query/hybrid.py linear_fuse): BM25 WAND top-10 over the REAL
+    index and brute-cosine top-10 over the embeddings table, each
+    min-max normalized to [0,1] over its own k rows, then weighted-sum
+    fused (0.7 lexical / 0.3 vector) — the score-space alternative to
+    RRF. Scores quantize to the oracle's precision (4dp BM25 / 5dp
+    cosine) BEFORE normalizing so both sides run identical arithmetic.
+    Oracle: the same normalize-and-mix algebra in SQL."""
+    from seqr_loading_pipelines_spark.query.hybrid import linear_fuse
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    _, index = _built_index(spark, sf_dir, "q")
+    bm = search_wand(spark, index, " ".join(BM25_QUERY_TERMS), k=10)
+    paths = index["doc_stats"].select("doc_id", "path")
+    bm = bm.join(F.broadcast(paths), "doc_id").select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    ve = S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"),
+    )
+    fused = linear_fuse(
+        spark,
+        [(bm, LINEAR_WEIGHTS["bm25"]), (ve, LINEAR_WEIGHTS["vector"])],
+        k=10,
+    )
+    return fused.select(
+        "doc_id", F.round("score", 6).alias("linear_score"), "rank",
+    )
+
+
+SQL_INDEX_HYBRID_LINEAR = f"""
+WITH bm AS ({_sql_bm25(BM25_QUERY_TERMS, 10)}),
+vs AS ({SQL_EMBEDDING_COSINE_TOPK}),
+bn AS (
+  SELECT doc_id,
+         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ())
+                   / (max(score) OVER () - min(score) OVER ()) END AS ns
+  FROM bm
+),
+vn AS (
+  SELECT vec_id AS doc_id,
+         CASE WHEN max(cosine) OVER () = min(cosine) OVER () THEN 1.0
+              ELSE (cosine - min(cosine) OVER ())
+                   / (max(cosine) OVER () - min(cosine) OVER ()) END AS ns
+  FROM vs
+),
+u AS (SELECT doc_id, {LINEAR_WEIGHTS["bm25"]} * ns AS s FROM bn
+      UNION ALL SELECT doc_id, {LINEAR_WEIGHTS["vector"]} * ns AS s FROM vn),
+scored AS (SELECT doc_id, sum(s) AS s FROM u GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS linear_score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_docs_frequent_item_sets(spark, sf_dir):
+    """ES ``frequent_item_sets`` aggregation (size-2 itemsets): term
+    pairs co-occurring in the most documents, support = co-doc count /
+    corpus size. Pipeline: distinct (doc, term) pairs (one hash agg),
+    per-doc self-join with ``term_a < term_b`` (the canonical-pair
+    trick halves the expansion), one counting agg, bounded top-10 by
+    (count desc, pair asc).
+
+    Scale shape: the self-join key is doc_id — co-partitioned, no
+    replication; pair expansion is quadratic in per-doc DISTINCT terms
+    only (bounded by vocabulary/field cardinality, the same bound ES's
+    transaction-based miner relies on). At open-vocabulary scale the
+    standard df-band prefilter (drop stopword-frequency and
+    singleton-df terms from the pair domain) rides the same first
+    agg."""
+    docs = _read(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"),
+        )
+        .distinct()
+    )
+    n_docs = docs.count()
+    pairs = (
+        dt.alias("a")
+        .join(dt.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        pairs.select(
+            "term_a",
+            "term_b",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(n_docs)), 6).alias(
+                "support",
+            ),
+        )
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("term_a").asc(),
+            F.col("term_b").asc(),
+        )
+        .limit(10)
+    )
+
+
+SQL_DOCS_FREQUENT_ITEM_SETS = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+  FROM dt a JOIN dt b USING (doc_id)
+  WHERE a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_docs,
+       round(n_docs / (SELECT count(*)::DOUBLE FROM documents), 6) AS support
+FROM pairs
+ORDER BY n_docs DESC, term_a ASC, term_b ASC LIMIT 10
+"""
+
+
+SHUFFLE_SEED = "ep0"
+SHUFFLE_SHARDS = 4
+
+
+def q_corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle + shard assignment
+    (the training-export step after curation: every epoch needs a
+    reproducible random order, sharded so N data-loader workers read
+    disjoint files): shard = md5(doc_id # seed) mod {SHUFFLE_SHARDS},
+    within-shard position = rank of the same hash (doc_id tiebreak for
+    the theoretical collision). md5, not xxhash — the order is part of
+    the data contract and must be recomputable outside the JVM (the
+    sliced-scroll discipline).
+
+    Scale shape: ONE hash-partition shuffle keyed on shard, per-shard
+    sort (Spark's sortWithinPartitions physical shape under the rank
+    window, partitioned by shard — no global sort, no driver
+    collect); re-running with a new seed re-shuffles with zero state.
+    Oracle: identical md5 arithmetic in SQL."""
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    docs = _read(spark, sf_dir, "documents")
+    h = md5_int32(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(SHUFFLE_SEED)),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc(),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(h, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id", "shard", F.row_number().over(w).alias("position"),
+        )
+    )
+
+
+SQL_CORPUS_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#{SHUFFLE_SEED}'), 1, 8))
+           ::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, (h % {SHUFFLE_SHARDS})::INT AS shard,
+       row_number() OVER (
+         PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h ASC, doc_id ASC
+       )::INT AS position
+FROM h
+"""
+
+
+def q_events_rate_agg(spark, sf_dir):
+    """ES ``rate`` aggregation (requires a date_histogram parent):
+    weekly buckets over events reporting the per-DAY rate — sum(value)
+    and count normalized by the rate unit (7 days/bucket), ES's
+    calendar-rescaling semantics. One map-side-combining hash agg;
+    bucket table is #weeks rows. Oracle: identical algebra in SQL."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("week", F.col("ts")).alias("bucket"))
+        .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("week"),
+            F.round(F.col("v") / F.lit(7.0), 4).alias("value_per_day"),
+            F.round(F.col("n") / F.lit(7.0), 4).alias("events_per_day"),
+        )
+    )
+
+
+SQL_EVENTS_RATE_AGG = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       round(sum(value) / 7.0, 4) AS value_per_day,
+       round(count(*) / 7.0, 4) AS events_per_day
+FROM events GROUP BY date_trunc('week', ts)
+"""
+
+
 QUERIES = {
+    "index_hybrid_linear": q_index_hybrid_linear,
+    "docs_frequent_item_sets": q_docs_frequent_item_sets,
+    "corpus_shuffle_shards": q_corpus_shuffle_shards,
+    "events_rate_agg": q_events_rate_agg,
     "index_sparse_vector": q_index_sparse_vector,
     "index_terms_lookup": q_index_terms_lookup,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -7986,6 +8205,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_hybrid_linear": SQL_INDEX_HYBRID_LINEAR,
+    "docs_frequent_item_sets": SQL_DOCS_FREQUENT_ITEM_SETS,
+    "corpus_shuffle_shards": SQL_CORPUS_SHUFFLE_SHARDS,
+    "events_rate_agg": SQL_EVENTS_RATE_AGG,
     "index_sparse_vector": SQL_INDEX_SPARSE_VECTOR,
     "index_terms_lookup": SQL_INDEX_TERMS_LOOKUP,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,

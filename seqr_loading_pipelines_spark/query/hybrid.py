@@ -79,3 +79,72 @@ def rrf_fuse(
         rankings, k_const=k_const, id_col=id_col, rank_col=rank_col,
     )
     return rank_topk(scored, max(1, k))
+
+
+def minmax_normalized(
+    ranking: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Min-max normalize a bounded top-k ranking's scores to [0, 1]
+    (the ES ``linear`` retriever's ``minmax`` normalizer): (s - min) /
+    (max - min) over the ranking's OWN k rows; a degenerate ranking
+    (all scores equal) normalizes to 1.0 everywhere, like a
+    single-document list. The window is declared single-partition via
+    the constant key — the input is k rows by contract."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(single_partition_key(ranking))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    s = F.col(score_col)
+    lo, hi = F.min(s).over(w), F.max(s).over(w)
+    norm = F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
+    return ranking.select(
+        F.col(id_col).cast("long").alias("doc_id"), norm.alias("score"),
+    )
+
+
+def linear_fuse(
+    spark: SparkSession,
+    weighted_rankings: list[tuple[DataFrame, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    normalizer: str = "minmax",
+) -> DataFrame:
+    """The ES ``linear`` retriever: fused(d) = sum over retrievers of
+    ``weight_i * norm_i(score_i(d))`` — unlike RRF it mixes SCORE
+    magnitudes, so each retriever's scores are min-max normalized to
+    [0, 1] first (``normalizer='none'`` trusts raw scores, ES's other
+    option). Docs absent from a ranking contribute nothing. Same scale
+    shape as rrf_fuse: all inputs are bounded top-k's, fusion is a
+    union + one hash agg over <= sum(k_i) rows, then the shared
+    bounded rank_topk."""
+    if not weighted_rankings:
+        raise ValueError("linear_fuse needs at least one ranking")
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(f"unknown normalizer {normalizer!r}")
+    sets = []
+    for df, weight in weighted_rankings:
+        if normalizer == "minmax":
+            df = minmax_normalized(df, id_col=id_col, score_col=score_col)
+        else:
+            df = df.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(score_col).cast("double").alias("score"),
+            )
+        sets.append(
+            df.select(
+                "doc_id", (F.lit(float(weight)) * F.col("score")).alias("score"),
+            ),
+        )
+    unioned = sets[0]
+    for s in sets[1:]:
+        unioned = unioned.unionByName(s)
+    scored = unioned.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return rank_topk(scored, max(1, k))

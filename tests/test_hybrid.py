@@ -311,3 +311,53 @@ def test_percentile_ranks_and_max_bucket(spark, index, corpus):
     )
     empty = max_bucket(spark, index, "zz_nope_zz", interval=10)
     assert empty.count() == 0
+
+
+def test_linear_fuse_weighted_minmax(spark):
+    from seqr_loading_pipelines_spark.query.hybrid import linear_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 6.0, 2), (3, 2.0, 3)],
+        "doc_id long, score double, rank int",
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9, 1), (1, 0.5, 2)], "doc_id long, score double, rank int",
+    )
+    got = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in linear_fuse(spark, [(a, 0.7), (b, 0.3)], k=10).collect()
+    }
+    # a: minmax over (10,6,2) -> (1.0, 0.5, 0.0); b: (0.9,0.5) -> (1.0, 0.0)
+    assert got == {1: 0.7, 2: round(0.7 * 0.5, 6), 3: 0.3}
+
+
+def test_linear_fuse_degenerate_and_none_normalizer(spark):
+    from seqr_loading_pipelines_spark.query.hybrid import linear_fuse
+
+    tied = spark.createDataFrame(
+        [(1, 5.0, 1), (2, 5.0, 2)], "doc_id long, score double, rank int",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in linear_fuse(spark, [(tied, 2.0)], k=5).collect()
+    }
+    assert got == {1: 2.0, 2: 2.0}  # all-equal scores normalize to 1.0
+    raw = {
+        r["doc_id"]: r["score"]
+        for r in linear_fuse(
+            spark, [(tied, 2.0)], k=5, normalizer="none",
+        ).collect()
+    }
+    assert raw == {1: 10.0, 2: 10.0}
+
+
+def test_linear_fuse_guards(spark):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.hybrid import linear_fuse
+
+    with _pytest.raises(ValueError, match="at least one"):
+        linear_fuse(spark, [])
+    df = spark.createDataFrame([(1, 1.0, 1)], "doc_id long, score double, rank int")
+    with _pytest.raises(ValueError, match="normalizer"):
+        linear_fuse(spark, [(df, 1.0)], normalizer="softmax")
