@@ -1449,3 +1449,39 @@ def load_docs(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def field_caps(index: dict) -> list[dict]:
+    """The ES ``_field_caps`` analog: per-field capability metadata for
+    an opened index, driver-side (it's catalog metadata, not a query —
+    no job runs). ``content`` is the analyzed full-text field
+    (searchable through the inverted index, not aggregatable, and it
+    reports the index's analyzer); doc-store columns are keyword /
+    numeric fields (exact-filterable and aggregatable via the stored
+    projections); capability flags extend with what the build enabled
+    (positions -> phrase/span queries, trigrams -> substring/regex,
+    key_lookup -> external-key point lookups)."""
+    manifest = index["manifest"]
+    type_map = {"string": "keyword", "bigint": "long", "int": "integer"}
+    caps = [
+        {
+            "field": "content",
+            "type": "text",
+            "searchable": True,
+            "aggregatable": False,
+            "analyzer": manifest.get("analyzer", "standard"),
+            "phrase_queries": bool(manifest.get("positions")),
+            "substring_queries": bool(manifest.get("trigrams")),
+        },
+    ]
+    for f in index["doc_stats"].schema.fields:
+        caps.append(
+            {
+                "field": f.name,
+                "type": type_map.get(f.dataType.simpleString(),
+                                     f.dataType.simpleString()),
+                "searchable": True,  # exact-match filterable
+                "aggregatable": True,
+            },
+        )
+    return caps

@@ -8025,7 +8025,102 @@ FROM events GROUP BY date_trunc('week', ts)
 """
 
 
+SEARCH_TEMPLATE = "+{{req}} {{opt1}} {{opt2}} -{{excl}}"
+SEARCH_TEMPLATE_PARAMS = {
+    "req": "query",
+    "opt1": "spark",
+    "opt2": "merge",
+    "excl": "hash",
+}
+
+
+def q_index_search_template(spark, sf_dir):
+    """ES ``_search/template`` behind a driver-green row
+    (query/query_string.py search_template): the mustache template
+    renders to '+query spark merge -hash', then executes through the
+    standard query-string -> bool pipeline on the REAL index. Oracle:
+    the rendered bool tree's algebra in SQL (must=query,
+    should=spark+merge, must_not=hash)."""
+    from seqr_loading_pipelines_spark.query.bm25 import hydrate
+    from seqr_loading_pipelines_spark.query.query_string import (
+        search_template,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_template(
+        spark, index, SEARCH_TEMPLATE, SEARCH_TEMPLATE_PARAMS, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+SQL_INDEX_SEARCH_TEMPLATE = _sql_bm25_bool(
+    ["query"], ["spark", "merge"], ["hash"], "TRUE", 10,
+)
+
+
+MIX_ALPHA = 0.5
+
+
+def q_corpus_mix_weights(spark, sf_dir):
+    """Temperature-based domain-mixing weights (the multinomial
+    alpha-sampling recipe used to flatten source skew when assembling
+    a training mixture): per source, token mass share, the
+    alpha-tempered sampling probability p_i proportional to
+    tokens_i^{MIX_ALPHA} (normalized), and the oversample factor
+    p_i / share_i that a sampler applies per source. ONE hash agg to
+    per-source totals (cardinality = #sources), then window
+    normalization over that bounded table under the declared constant
+    key. Oracle: identical algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize_expr(F.col("text"))))
+        .cast("double")
+        .alias("tokens"),
+    )
+    w = (
+        Window.partitionBy(single_partition_key(per))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tempered = F.pow(F.col("tokens"), F.lit(MIX_ALPHA))
+    share = F.col("tokens") / F.sum("tokens").over(w)
+    p = tempered / F.sum(tempered).over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("token_share"),
+        F.round(p, 6).alias("p_sample"),
+        F.round(p / share, 6).alias("oversample"),
+    )
+
+
+SQL_CORPUS_MIX_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_T}))::DOUBLE AS tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       round(tokens / sum(tokens) OVER (), 6) AS token_share,
+       round(pow(tokens, {MIX_ALPHA}) / sum(pow(tokens, {MIX_ALPHA})) OVER (),
+             6) AS p_sample,
+       round((pow(tokens, {MIX_ALPHA}) / sum(pow(tokens, {MIX_ALPHA})) OVER ())
+             / (tokens / sum(tokens) OVER ()), 6) AS oversample
+FROM per
+"""
+
+
 QUERIES = {
+    "index_search_template": q_index_search_template,
+    "corpus_mix_weights": q_corpus_mix_weights,
     "index_hybrid_linear": q_index_hybrid_linear,
     "docs_frequent_item_sets": q_docs_frequent_item_sets,
     "corpus_shuffle_shards": q_corpus_shuffle_shards,
@@ -8205,6 +8300,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_search_template": SQL_INDEX_SEARCH_TEMPLATE,
+    "corpus_mix_weights": SQL_CORPUS_MIX_WEIGHTS,
     "index_hybrid_linear": SQL_INDEX_HYBRID_LINEAR,
     "docs_frequent_item_sets": SQL_DOCS_FREQUENT_ITEM_SETS,
     "corpus_shuffle_shards": SQL_CORPUS_SHUFFLE_SHARDS,

@@ -169,3 +169,42 @@ def search_query_string(
         k=k,
         broadcast_max=broadcast_max,
     )
+
+
+_TEMPLATE_PARAM_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+def render_template(source: str, params: dict) -> str:
+    """Render an ES search-template source (the mustache subset that
+    covers real usage: ``{{param}}`` substitution) against ``params``.
+    Unknown placeholders hard-fail — ES renders them to empty strings,
+    which silently changes query semantics; an engine whose results
+    feed a correctness gate wants the loud version. Non-string param
+    values are stringified (numbers in templates are routine)."""
+    missing = sorted(
+        {m.group(1) for m in _TEMPLATE_PARAM_RE.finditer(source)}
+        - set(params),
+    )
+    if missing:
+        raise ValueError(f"unbound template params: {missing}")
+    return _TEMPLATE_PARAM_RE.sub(
+        lambda m: str(params[m.group(1)]), source,
+    )
+
+
+def search_template(
+    spark: SparkSession,
+    index: dict,
+    source: str,
+    params: dict,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """ES ``_search/template``: render the stored/inline template, then
+    execute the rendered query_string through the standard one-scan
+    bool pipeline (search_query_string). The template layer is pure
+    driver-side string work — the executed plan is identical to the
+    rendered query's."""
+    return search_query_string(
+        spark, index, render_template(source, params), k=k, **kwargs,
+    )

@@ -413,3 +413,20 @@ def test_arrow_and_loop_tokenizers_build_identical_indexes(spark, tmp_path):
             ),
         )
     assert got["arrow"] == got["loop"]
+
+
+def test_field_caps_reports_capabilities(index):
+    from seqr_loading_pipelines_spark.index.build import field_caps
+
+    caps = {c["field"]: c for c in field_caps(index)}
+    content = caps["content"]
+    assert content["type"] == "text"
+    assert content["searchable"] and not content["aggregatable"]
+    assert content["analyzer"] == "standard"
+    # the session index is built without positions/trigrams
+    assert content["phrase_queries"] is False
+    assert content["substring_queries"] is False
+    for f in ("repo", "path", "lang", "sha256"):
+        assert caps[f]["type"] == "keyword" and caps[f]["aggregatable"]
+    assert caps["doc_id"]["type"] == "long"
+    assert caps["doc_len"]["type"] == "integer"

@@ -116,3 +116,34 @@ def test_query_string_edges(spark, index, pos_index):
     # absent phrase matches nothing
     out = search_query_string(spark, pos_index, '"q a"', k=5)
     assert out.count() == 0
+
+
+def test_render_template_substitutes_and_fails_loud():
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.query.query_string import (
+        render_template,
+    )
+
+    assert (
+        render_template("+{{a}} {{ b }} -{{a}}", {"a": "x", "b": 3})
+        == "+x 3 -x"
+    )
+    with _pytest.raises(ValueError, match=r"unbound.*\['b', 'c'\]"):
+        render_template("{{a}} {{b}} {{c}}", {"a": "x"})
+
+
+def test_search_template_equals_rendered_query(spark, index):
+    from seqr_loading_pipelines_spark.query.query_string import (
+        search_query_string,
+        search_template,
+    )
+
+    tpl = "+{{must}} {{opt}} -{{excl}}"
+    params = {"must": "sw0", "opt": "term_00042", "excl": "sw1"}
+    got = search_template(spark, index, tpl, params, k=8).collect()
+    want = search_query_string(
+        spark, index, "+sw0 term_00042 -sw1", k=8,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got, "template search should match docs in the test corpus"
