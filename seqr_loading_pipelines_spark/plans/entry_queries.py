@@ -8118,7 +8118,267 @@ FROM per
 """
 
 
+MBP_QUERY = "vector quer"
+MBP_MAX_EXP = 3
+
+
+def q_index_match_bool_prefix(spark, sf_dir):
+    """ES ``match_bool_prefix`` (search-as-you-type) through the REAL
+    index path (query/bm25.py search_match_bool_prefix): 'vector'
+    matches as a term, the trailing 'quer' expands df-descending
+    (capped at {MBP_MAX_EXP}), all clauses disjunctive. Oracle: the
+    same expansion + disjunctive BM25 in SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_match_bool_prefix,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_match_bool_prefix(
+        spark, index, MBP_QUERY, k=10, max_expansions=MBP_MAX_EXP,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_match_bool_prefix(
+    full_terms: list[str], prefix: str, max_expansions: int, k: int,
+) -> str:
+    full_list = ", ".join(f"'{t}'" for t in sorted(set(full_terms)))
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+flat AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+expanded AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM flat WHERE term LIKE '{prefix}%'
+    GROUP BY term ORDER BY df DESC, term ASC LIMIT {max_expansions}
+  )
+),
+qterms AS (
+  SELECT term FROM expanded
+  UNION SELECT unnest([{full_list}]) AS term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_MATCH_BOOL_PREFIX = _sql_match_bool_prefix(
+    ["vector"], "quer", MBP_MAX_EXP, 10,
+)
+
+
+def q_events_moving_percentiles(spark, sf_dir):
+    """ES ``moving_percentiles`` pipeline aggregation: exact
+    interpolated p50/p90 over a 5-bucket trailing window of the daily
+    value totals (ES moves its TDigest sketch across the window; at
+    bucket-table cardinality the exact quantile IS the right
+    computation — sketches buy nothing over 30 rows). Window runs on
+    the bucket table under the declared constant partition key.
+    Oracle: quantile_cont over the identical frame in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy(single_partition_key(b))
+        .orderBy("bucket")
+        .rowsBetween(-4, 0)
+    )
+    return b.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round(F.expr("percentile(v, 0.5)").over(w), 4).alias("mov_p50"),
+        F.round(F.expr("percentile(v, 0.9)").over(w), 4).alias("mov_p90"),
+    )
+
+
+SQL_EVENTS_MOVING_PERCENTILES = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS day,
+       round(quantile_cont(v, 0.5) OVER w, 4) AS mov_p50,
+       round(quantile_cont(v, 0.9) OVER w, 4) AS mov_p90
+FROM b
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+SAMPLER_PROB_MILLE = 100  # p = 0.1 as an integer hash gate
+SAMPLER_SALT = "rs1"
+
+
+def q_events_random_sampler(spark, sf_dir):
+    """ES ``random_sampler`` aggregation, deterministic flavor: child
+    aggs run on a p=0.1 hash-sample of the events (md5(event_id#salt)
+    mod 1000 < 100 — reproducible across engines and runs, unlike ES's
+    per-shard RNG) and the estimates scale back by 1/p. Per event_type:
+    sampled count, estimated total count, estimated value sum. The
+    sample predicate is a pushable per-row filter — the agg touches
+    ~p of the data, which is the entire point at corpus scale.
+    Oracle: identical hash arithmetic in SQL."""
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    ev = _read(spark, sf_dir, "events")
+    gate = F.pmod(
+        md5_int32(
+            F.concat_ws(
+                "#", F.col("event_id").cast("string"), F.lit(SAMPLER_SALT),
+            ),
+        ),
+        F.lit(1000),
+    ) < F.lit(SAMPLER_PROB_MILLE)
+    p = SAMPLER_PROB_MILLE / 1000.0
+    return (
+        ev.filter(gate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("sampled_n"), F.sum("value").alias("sv"))
+        .select(
+            "event_type",
+            "sampled_n",
+            F.round(F.col("sampled_n") / F.lit(p), 4).alias("est_count"),
+            F.round(F.col("sv") / F.lit(p), 4).alias("est_value_sum"),
+        )
+    )
+
+
+SQL_EVENTS_RANDOM_SAMPLER = f"""
+SELECT event_type, count(*) AS sampled_n,
+       round(count(*) / {SAMPLER_PROB_MILLE / 1000.0}, 4) AS est_count,
+       round(sum(value) / {SAMPLER_PROB_MILLE / 1000.0}, 4) AS est_value_sum
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR || '#{SAMPLER_SALT}'), 1, 8))
+      ::BIGINT % 1000 < {SAMPLER_PROB_MILLE}
+GROUP BY event_type
+"""
+
+
+def q_events_change_point(spark, sf_dir):
+    """ES ``change_point`` aggregation, deterministic flavor: find the
+    split of the daily-total series maximizing the scaled mean shift
+    ``|mean_left - mean_right| * sqrt(n_l * n_r / n)`` (the two-sample
+    CUSUM statistic ES's ML change-point test builds on; ES's
+    p-value machinery is approximate — the argmax location is the
+    contract). Cumulative-sum windows over the bucket table give every
+    split's statistic in one pass; max_by picks the argmax (earliest
+    day on exact ties via the quantized tiebreak). Oracle: identical
+    window algebra in SQL."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.sum("value").alias("v"))
+    key = single_partition_key(b)
+    wc = Window.partitionBy(key).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1,
+    )
+    wa = Window.partitionBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing,
+    )
+    stats = b.select(
+        "bucket",
+        F.count("*").over(wc).alias("n_l"),
+        F.avg("v").over(wc).alias("m_l"),
+        F.sum("v").over(wa).alias("tot"),
+        F.count("*").over(wa).alias("n"),
+    ).filter(F.col("n_l") >= 1)
+    m_r = (F.col("tot") - F.col("n_l") * F.col("m_l")) / (
+        F.col("n") - F.col("n_l")
+    )
+    scored = stats.filter(F.col("n_l") < F.col("n")).select(
+        "bucket",
+        (
+            F.abs(F.col("m_l") - m_r)
+            * F.sqrt(F.col("n_l") * (F.col("n") - F.col("n_l")) / F.col("n"))
+        ).alias("stat"),
+        "m_l",
+        m_r.alias("m_r"),
+    )
+    wr = Window.partitionBy(single_partition_key(scored)).orderBy(
+        F.floor(F.col("stat") * 1e5 + 0.5).desc(), F.col("bucket").asc(),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("change_day"),
+            F.round("stat", 4).alias("stat"),
+            F.round("m_l", 4).alias("mean_before"),
+            F.round("m_r", 4).alias("mean_after"),
+        )
+    )
+
+
+SQL_EVENTS_CHANGE_POINT = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT bucket,
+         count(*) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_l,
+         avg(v) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_l,
+         sum(v) OVER () AS tot,
+         count(*) OVER () AS n
+  FROM b
+),
+scored AS (
+  SELECT bucket, m_l,
+         (tot - n_l * m_l) / (n - n_l) AS m_r,
+         abs(m_l - (tot - n_l * m_l) / (n - n_l))
+           * sqrt(n_l * (n - n_l) / n) AS stat
+  FROM s WHERE n_l >= 1 AND n_l < n
+)
+SELECT strftime(bucket, '%Y-%m-%d') AS change_day,
+       round(stat, 4) AS stat,
+       round(m_l, 4) AS mean_before,
+       round(m_r, 4) AS mean_after
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY floor(stat * 1e5 + 0.5) DESC, bucket ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "index_match_bool_prefix": q_index_match_bool_prefix,
+    "events_moving_percentiles": q_events_moving_percentiles,
+    "events_random_sampler": q_events_random_sampler,
+    "events_change_point": q_events_change_point,
     "index_search_template": q_index_search_template,
     "corpus_mix_weights": q_corpus_mix_weights,
     "index_hybrid_linear": q_index_hybrid_linear,
@@ -8300,6 +8560,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_match_bool_prefix": SQL_INDEX_MATCH_BOOL_PREFIX,
+    "events_moving_percentiles": SQL_EVENTS_MOVING_PERCENTILES,
+    "events_random_sampler": SQL_EVENTS_RANDOM_SAMPLER,
+    "events_change_point": SQL_EVENTS_CHANGE_POINT,
     "index_search_template": SQL_INDEX_SEARCH_TEMPLATE,
     "corpus_mix_weights": SQL_CORPUS_MIX_WEIGHTS,
     "index_hybrid_linear": SQL_INDEX_HYBRID_LINEAR,

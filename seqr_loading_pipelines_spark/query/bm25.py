@@ -348,6 +348,45 @@ def search_terms_lookup(
     )
 
 
+def search_match_bool_prefix(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    k: int = 10,
+    max_expansions: int = 4,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` (the search-as-you-type query): every
+    token but the last matches as a normal term; the LAST token is a
+    prefix still being typed, expanded against the dictionary
+    (df-descending, capped at ``max_expansions`` — the shared rewrite
+    cap) — all clauses disjunctive (should), each expanded term
+    scoring with its own corpus idf. Unlike phrase_prefix, no
+    positions are consulted: it's the bool-should counterpart.
+
+    Scale shape: one dictionary range probe for the expansion +
+    the standard pruned posting scan over (full terms) union
+    (expansions) — identical to a |q|+|expansions|-term disjunction."""
+    toks = index_tokenize(index, query_text)
+    if not toks:
+        return _empty_topk(spark)
+    *full, prefix = toks
+    term_infos = _query_terms(index, " ".join(full)) if full else []
+    seen = {t["term"] for t in term_infos}
+    term_infos += [
+        t
+        for t in expand_prefix(index, prefix, max_expansions)
+        if t["term"] not in seen
+    ]
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    return rank_topk(scored, max(1, min(k, index["manifest"]["n_docs"])))
+
+
 def search_sliced(
     spark: SparkSession,
     index: dict,

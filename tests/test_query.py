@@ -729,3 +729,39 @@ def test_terms_lookup_max_terms_guard_and_field_tiebreak(spark, index):
     assert "path" in out.columns
     keys = [(-r["n_matched"], r["path"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# ------------------------------------------------------- match_bool_prefix
+
+
+def test_match_bool_prefix_equals_expanded_disjunction(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        expand_prefix,
+        search_exact,
+        search_match_bool_prefix,
+    )
+
+    got = search_match_bool_prefix(
+        spark, index, "sw0 term_0004", k=10, max_expansions=3,
+    ).collect()
+    expanded = [i["term"] for i in expand_prefix(index, "term_0004", 3)]
+    want = search_exact(
+        spark, index, " ".join(["sw0"] + expanded), k=10,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got
+
+
+def test_match_bool_prefix_edges(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_match_bool_prefix,
+    )
+
+    assert search_match_bool_prefix(spark, index, "", k=5).count() == 0
+    # prefix with no expansion and no full terms -> empty, no error
+    assert (
+        search_match_bool_prefix(spark, index, "zzqx", k=5).count() == 0
+    )
+    # a full term that is ALSO an expansion of the prefix dedupes
+    one = search_match_bool_prefix(spark, index, "sw0 sw0", k=5).collect()
+    assert all(r["score"] > 0 for r in one)
