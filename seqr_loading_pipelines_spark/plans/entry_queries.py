@@ -8374,7 +8374,80 @@ FROM (
 """
 
 
+ESQL_EVENTS = """
+FROM events
+| WHERE event_type != "error" AND value >= 10
+| EVAL boosted = value * 1.5 + 2
+| STATS n = COUNT(*), total = SUM(boosted),
+        p90 = PERCENTILE(value, 0.9), users = COUNT_DISTINCT(user_id)
+  BY event_type
+| EVAL total = ROUND(total, 4), p90 = ROUND(p90, 4)
+| SORT event_type ASC
+"""
+
+
+def q_esql_events_stats(spark, sf_dir):
+    """The ES|QL piped query language (the ES 8.11 ``_query`` endpoint)
+    behind a driver-green row: WHERE -> EVAL -> multi-agg STATS BY ->
+    EVAL -> SORT compiled by query/esql.py into ONE declarative plan
+    (filter pushes into the scan, STATS is a single
+    map-side-combining hash agg, post-STATS EVAL/SORT run on the
+    bucket table). Oracle: the equivalent SQL."""
+    from seqr_loading_pipelines_spark.query.esql import esql
+
+    return esql(
+        spark, ESQL_EVENTS, {"events": _read(spark, sf_dir, "events")},
+    )
+
+
+SQL_ESQL_EVENTS_STATS = """
+SELECT event_type, count(*) AS n,
+       round(sum(value * 1.5 + 2), 4) AS total,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       count(DISTINCT user_id) AS users
+FROM events
+WHERE event_type != 'error' AND value >= 10
+GROUP BY event_type
+ORDER BY event_type ASC
+"""
+
+
+ESQL_DOCS = """
+FROM documents
+| EVAL nch = LENGTH(text)
+| WHERE lang IN ("en", "de") AND source LIKE "src1*" AND nch % 7 != 0
+| EVAL lang_u = UPPER(lang)
+| KEEP doc_id, lang_u, nch
+| SORT nch DESC, doc_id ASC
+| LIMIT 15
+"""
+
+
+def q_esql_docs_pipeline(spark, sf_dir):
+    """A second ES|QL pipeline exercising the row-wise half of the
+    language: EVAL before WHERE (computed columns are filterable), IN
+    + LIKE-glob + modulo predicates, KEEP projection, compound SORT
+    with LIMIT (TakeOrderedAndProject — no global sort). Oracle: the
+    equivalent SQL."""
+    from seqr_loading_pipelines_spark.query.esql import esql
+
+    return esql(
+        spark, ESQL_DOCS, {"documents": _read(spark, sf_dir, "documents")},
+    )
+
+
+SQL_ESQL_DOCS_PIPELINE = """
+SELECT doc_id, upper(lang) AS lang_u, length(text) AS nch
+FROM documents
+WHERE lang IN ('en', 'de') AND regexp_matches(source, '^src1.*$')
+  AND length(text) % 7 != 0
+ORDER BY nch DESC, doc_id ASC LIMIT 15
+"""
+
+
 QUERIES = {
+    "esql_events_stats": q_esql_events_stats,
+    "esql_docs_pipeline": q_esql_docs_pipeline,
     "index_match_bool_prefix": q_index_match_bool_prefix,
     "events_moving_percentiles": q_events_moving_percentiles,
     "events_random_sampler": q_events_random_sampler,
@@ -8560,6 +8633,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "esql_events_stats": SQL_ESQL_EVENTS_STATS,
+    "esql_docs_pipeline": SQL_ESQL_DOCS_PIPELINE,
     "index_match_bool_prefix": SQL_INDEX_MATCH_BOOL_PREFIX,
     "events_moving_percentiles": SQL_EVENTS_MOVING_PERCENTILES,
     "events_random_sampler": SQL_EVENTS_RANDOM_SAMPLER,

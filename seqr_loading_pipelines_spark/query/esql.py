@@ -1,0 +1,423 @@
+"""A compiler for the ES|QL piped query language (Elasticsearch
+8.11's ``_query`` endpoint) onto Spark DataFrames.
+
+Supported pipeline commands (the core analytical subset):
+
+    FROM <table>
+    | WHERE <boolean expression>
+    | EVAL <name> = <expression> [, <name> = <expression> ...]
+    | STATS <name> = <agg>(<expr>) [, ...] [BY <col> [, <col> ...]]
+    | SORT <col> [ASC|DESC] [, ...]
+    | LIMIT <n>
+    | KEEP <col> [, ...]
+    | DROP <col> [, ...]
+    | RENAME <old> AS <new> [, ...]
+
+Expressions: column refs, string/number literals, arithmetic
+(+ - * / %), comparisons (== != > >= < <=), boolean AND/OR/NOT,
+parentheses, IN (v, ...), LIKE "glob*" (``*``/``?`` wildcards, the
+ES|QL semantics), and the scalar functions ROUND(x[, d]), ABS(x),
+LENGTH(s), LOWER(s), UPPER(s), DATE_TRUNC(unit, ts), LOG1P(x),
+SQRT(x), CONCAT(a, b, ...). Aggregations: SUM, AVG, MIN, MAX,
+COUNT(*), COUNT(expr), COUNT_DISTINCT(expr), MEDIAN(expr) — the exact
+interpolated median (ES's is TDigest-approximate; a correctness-gated
+engine wants the reproducible definition), PERCENTILE(expr, p).
+
+Design: the compiler is pure plan construction — each command appends
+declarative DataFrame operations (filter/withColumns/groupBy/
+orderBy/limit/select), so Catalyst sees ONE logical plan per query:
+WHERE clauses land before aggregation and push down into the scan,
+STATS becomes a single map-side-combining hash aggregate, SORT+LIMIT
+after STATS runs over the bucket table, and SORT+LIMIT without STATS
+compiles to TakeOrderedAndProject. No per-row Python anywhere.
+
+Errors are loud: unknown commands, unknown functions, trailing
+tokens, and unbalanced parens raise EsqlError with position context.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EsqlError(ValueError):
+    """Malformed ES|QL — message carries the offending token."""
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d+|\d+)
+      | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<op>==|!=|>=|<=|[><=+\-*/%(),])
+    )""",
+    re.VERBOSE,
+)
+
+_FUNCS = {
+    "ROUND": lambda a: F.round(a[0], 0) if len(a) == 1 else F.round(*a),
+    "ABS": lambda a: F.abs(a[0]),
+    "LENGTH": lambda a: F.length(a[0]),
+    "LOWER": lambda a: F.lower(a[0]),
+    "UPPER": lambda a: F.upper(a[0]),
+    "DATE_TRUNC": lambda a: F.date_trunc(a[1], a[0]),
+    "LOG1P": lambda a: F.log1p(a[0]),
+    "SQRT": lambda a: F.sqrt(a[0]),
+    "CONCAT": lambda a: F.concat(*a),
+}
+
+# DATE_TRUNC takes its unit as a literal string argument but Spark's
+# date_trunc wants (unit, col) with the unit as a python string — the
+# parser special-cases it below.
+
+_AGGS = {
+    "SUM": F.sum,
+    "AVG": F.avg,
+    "MIN": F.min,
+    "MAX": F.max,
+}
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if not m or m.end() == pos:
+                rest = text[pos:].strip()
+                if not rest:
+                    break
+                raise EsqlError(f"cannot tokenize at: {rest[:30]!r}")
+            pos = m.end()
+            for kind in ("num", "str", "name", "op"):
+                v = m.group(kind)
+                if v is not None:
+                    self.toks.append((kind, v))
+                    break
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise EsqlError(f"unexpected end of expression: {self.text!r}")
+        self.i += 1
+        return t
+
+    def accept(self, value: str) -> bool:
+        t = self.peek()
+        if t and t[1].upper() == value.upper():
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, value: str) -> None:
+        if not self.accept(value):
+            raise EsqlError(
+                f"expected {value!r} at: "
+                f"{self.toks[self.i:][:3]} in {self.text!r}",
+            )
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def _like_to_regex(glob: str) -> str:
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+class _ExprParser:
+    """Recursive-descent: OR > AND > NOT > comparison > additive >
+    multiplicative > unary > primary."""
+
+    def __init__(self, toks: _Tokens):
+        self.t = toks
+
+    def parse_bool(self) -> "F.Column":
+        left = self._and()
+        while self.t.accept("OR"):
+            left = left | self._and()
+        return left
+
+    def _and(self) -> "F.Column":
+        left = self._not()
+        while self.t.accept("AND"):
+            left = left & self._not()
+        return left
+
+    def _not(self) -> "F.Column":
+        if self.t.accept("NOT"):
+            return ~self._not()
+        return self._comparison()
+
+    def _comparison(self) -> "F.Column":
+        left = self.parse_value()
+        t = self.t.peek()
+        if t and t[1] in ("==", "!=", ">", ">=", "<", "<="):
+            self.t.next()
+            right = self.parse_value()
+            return {
+                "==": left.__eq__,
+                "!=": left.__ne__,
+                ">": left.__gt__,
+                ">=": left.__ge__,
+                "<": left.__lt__,
+                "<=": left.__le__,
+            }[t[1]](right)
+        if t and t[1].upper() == "IN":
+            self.t.next()
+            self.t.expect("(")
+            vals = [self._literal()]
+            while self.t.accept(","):
+                vals.append(self._literal())
+            self.t.expect(")")
+            return left.isin(vals)
+        if t and t[1].upper() == "LIKE":
+            self.t.next()
+            kind, v = self.t.next()
+            if kind != "str":
+                raise EsqlError("LIKE needs a string pattern")
+            return left.rlike(_like_to_regex(_unquote(v)))
+        return left
+
+    def _literal(self):
+        kind, v = self.t.next()
+        if kind == "num":
+            return float(v) if "." in v else int(v)
+        if kind == "str":
+            return _unquote(v)
+        raise EsqlError(f"expected literal, got {v!r}")
+
+    def parse_value(self) -> "F.Column":
+        left = self._mul()
+        while True:
+            t = self.t.peek()
+            if t and t[1] in ("+", "-"):
+                self.t.next()
+                right = self._mul()
+                left = left + right if t[1] == "+" else left - right
+            else:
+                return left
+
+    def _mul(self) -> "F.Column":
+        left = self._unary()
+        while True:
+            t = self.t.peek()
+            if t and t[1] in ("*", "/", "%"):
+                self.t.next()
+                right = self._unary()
+                if t[1] == "*":
+                    left = left * right
+                elif t[1] == "/":
+                    left = left / right
+                else:
+                    left = left % right
+            else:
+                return left
+
+    def _unary(self) -> "F.Column":
+        if self.t.accept("-"):
+            return -self._unary()
+        return self._primary()
+
+    def _primary(self) -> "F.Column":
+        kind, v = self.t.next()
+        if kind == "num":
+            return F.lit(float(v) if "." in v else int(v))
+        if kind == "str":
+            return F.lit(_unquote(v))
+        if kind == "op" and v == "(":
+            inner = self.parse_bool()
+            self.t.expect(")")
+            return inner
+        if kind == "name":
+            up = v.upper()
+            t = self.t.peek()
+            if t and t[1] == "(":
+                self.t.next()
+                if up == "DATE_TRUNC":
+                    k2, unit = self.t.next()
+                    if k2 != "str":
+                        raise EsqlError(
+                            "DATE_TRUNC needs a string unit first arg",
+                        )
+                    self.t.expect(",")
+                    col = self.parse_value()
+                    self.t.expect(")")
+                    return F.date_trunc(_unquote(unit), col)
+                if up not in _FUNCS:
+                    raise EsqlError(f"unknown function {v!r}")
+                args = []
+                if not self.t.accept(")"):
+                    args.append(self.parse_value())
+                    while self.t.accept(","):
+                        args.append(self.parse_value())
+                    self.t.expect(")")
+                return _FUNCS[up](args)
+            return F.col(v)
+        raise EsqlError(f"unexpected token {v!r}")
+
+
+def _parse_expr(text: str, bool_ctx: bool = False) -> "F.Column":
+    toks = _Tokens(text)
+    p = _ExprParser(toks)
+    col = p.parse_bool() if bool_ctx else p.parse_value()
+    if not toks.done():
+        raise EsqlError(
+            f"trailing tokens {toks.toks[toks.i:]} in {text!r}",
+        )
+    return col
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas not nested in parens/quotes."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_ASSIGN_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.S)
+_AGG_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*(.*?)\s*\)\s*$", re.S,
+)
+
+
+def _parse_agg(expr: str) -> "F.Column":
+    m = _AGG_RE.match(expr)
+    if not m:
+        raise EsqlError(f"STATS needs agg(expr), got {expr!r}")
+    fn, arg = m.group(1).upper(), m.group(2)
+    if fn == "COUNT":
+        if arg in ("*", ""):
+            return F.count(F.lit(1))
+        return F.count(_parse_expr(arg))
+    if fn == "COUNT_DISTINCT":
+        return F.count_distinct(_parse_expr(arg))
+    if fn == "MEDIAN":
+        return F.expr(f"percentile({arg}, 0.5)")
+    if fn == "PERCENTILE":
+        parts = _split_top_commas(arg)
+        if len(parts) != 2:
+            raise EsqlError("PERCENTILE(expr, p) takes two arguments")
+        return F.expr(f"percentile({parts[0]}, {float(parts[1])})")
+    if fn in _AGGS:
+        return _AGGS[fn](_parse_expr(arg))
+    raise EsqlError(f"unknown aggregation {fn!r}")
+
+
+def esql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, DataFrame],
+) -> DataFrame:
+    """Compile and return the DataFrame for an ES|QL pipeline. The
+    caller supplies the FROM-able tables (name -> DataFrame) — the
+    source registry, like ES's index patterns."""
+    stages = [s.strip() for s in query.split("|")]
+    if not stages or not stages[0].upper().startswith("FROM"):
+        raise EsqlError("query must start with FROM <table>")
+    src = stages[0][4:].strip()
+    if src not in tables:
+        raise EsqlError(
+            f"unknown table {src!r}; available: {sorted(tables)}",
+        )
+    df = tables[src]
+    for stage in stages[1:]:
+        if not stage:
+            raise EsqlError("empty pipeline stage (doubled '|'?)")
+        head, _, rest = stage.partition(" ")
+        cmd, rest = head.upper(), rest.strip()
+        if cmd == "WHERE":
+            df = df.filter(_parse_expr(rest, bool_ctx=True))
+        elif cmd == "EVAL":
+            for part in _split_top_commas(rest):
+                m = _ASSIGN_RE.match(part)
+                if not m:
+                    raise EsqlError(f"EVAL needs name = expr, got {part!r}")
+                df = df.withColumn(m.group(1), _parse_expr(m.group(2)))
+        elif cmd == "STATS":
+            by_cols: list[str] = []
+            m = re.search(r"\bBY\b", rest, re.I)
+            if m:
+                by_cols = [
+                    c.strip() for c in rest[m.end():].split(",") if c.strip()
+                ]
+                rest = rest[: m.start()]
+            aggs = []
+            for part in _split_top_commas(rest):
+                am = _ASSIGN_RE.match(part)
+                if not am:
+                    raise EsqlError(
+                        f"STATS needs name = agg(expr), got {part!r}",
+                    )
+                aggs.append(_parse_agg(am.group(2)).alias(am.group(1)))
+            if not aggs:
+                raise EsqlError("STATS needs at least one aggregation")
+            df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+        elif cmd == "SORT":
+            orders = []
+            for part in _split_top_commas(rest):
+                toks = part.split()
+                col = F.col(toks[0])
+                if len(toks) > 2 or (
+                    len(toks) == 2 and toks[1].upper() not in ("ASC", "DESC")
+                ):
+                    raise EsqlError(f"bad SORT clause {part!r}")
+                desc = len(toks) == 2 and toks[1].upper() == "DESC"
+                orders.append(col.desc() if desc else col.asc())
+            df = df.orderBy(*orders)
+        elif cmd == "LIMIT":
+            if not rest.isdigit():
+                raise EsqlError(f"LIMIT needs an integer, got {rest!r}")
+            df = df.limit(int(rest))
+        elif cmd == "KEEP":
+            df = df.select(*[c.strip() for c in rest.split(",")])
+        elif cmd == "DROP":
+            df = df.drop(*[c.strip() for c in rest.split(",")])
+        elif cmd == "RENAME":
+            for part in _split_top_commas(rest):
+                mm = re.match(
+                    r"^\s*([A-Za-z0-9_.]+)\s+AS\s+([A-Za-z0-9_]+)\s*$",
+                    part,
+                    re.I,
+                )
+                if not mm:
+                    raise EsqlError(f"RENAME needs old AS new, got {part!r}")
+                df = df.withColumnRenamed(mm.group(1), mm.group(2))
+        else:
+            raise EsqlError(f"unknown command {head!r}")
+    return df

@@ -1,0 +1,118 @@
+"""ES|QL compiler: language semantics + loud-error contract."""
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.esql import EsqlError, esql
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "click", 10.0, 100),
+            (2, "click", 30.0, 100),
+            (3, "view", 5.0, 200),
+            (4, "error", 99.0, 300),
+            (5, "view", 20.0, 200),
+        ],
+        "id long, kind string, value double, user long",
+    )
+    return {"events": ev}
+
+
+def test_where_eval_stats_sort(spark, tables):
+    out = esql(
+        spark,
+        """FROM events
+        | WHERE kind != "error" AND value >= 10
+        | EVAL v2 = value * 2
+        | STATS n = COUNT(*), s = SUM(v2), m = MEDIAN(value) BY kind
+        | SORT kind ASC""",
+        tables,
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("click", 2, 80.0, 20.0),
+        ("view", 1, 40.0, 20.0),
+    ]
+
+
+def test_stats_without_by_and_count_distinct(spark, tables):
+    row = esql(
+        spark,
+        "FROM events | STATS u = COUNT_DISTINCT(user), n = COUNT(value)",
+        tables,
+    ).collect()[0]
+    assert (row["u"], row["n"]) == (3, 5)
+
+
+def test_like_in_not_limit_keep_drop_rename(spark, tables):
+    out = esql(
+        spark,
+        """FROM events
+        | WHERE kind LIKE "c*" OR (NOT kind IN ("click", "error"))
+        | RENAME kind AS k
+        | DROP user
+        | KEEP id, k
+        | SORT id ASC
+        | LIMIT 3""",
+        tables,
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, "click"), (2, "click"), (3, "view")]
+
+
+def test_arithmetic_parens_and_functions(spark, tables):
+    out = esql(
+        spark,
+        """FROM events
+        | WHERE id == 1
+        | EVAL x = ROUND((value + 2) * 3 / 4 - 1, 2),
+               y = ABS(0 - value), z = CONCAT(UPPER(kind), "!")
+        | KEEP x, y, z""",
+        tables,
+    ).collect()[0]
+    assert (row := tuple(out)) == (8.0, 10.0, "CLICK!"), row
+
+
+def test_percentile_and_modulo(spark, tables):
+    row = esql(
+        spark,
+        """FROM events
+        | WHERE id % 2 == 1
+        | STATS p = PERCENTILE(value, 0.5)""",
+        tables,
+    ).collect()[0]
+    assert row["p"] == 10.0  # median of (10, 5, 20) is 10
+
+
+def test_loud_errors(spark, tables):
+    cases = [
+        ("STATS n = COUNT(*)", "must start with FROM"),
+        ("FROM nope | LIMIT 1", "unknown table"),
+        ("FROM events | FROB x", "unknown command"),
+        ("FROM events | LIMIT x", "LIMIT needs an integer"),
+        ("FROM events | EVAL value + 1", "EVAL needs name = expr"),
+        ("FROM events | STATS n = value", "STATS needs agg"),
+        ("FROM events | STATS n = FROB(value)", "unknown aggregation"),
+        ("FROM events | WHERE ZAP(value) > 1", "unknown function"),
+        ("FROM events | WHERE (value > 1", "expected"),
+        ("FROM events | WHERE value > 1 2", "trailing tokens"),
+        ("FROM events | SORT value SIDEWAYS", "bad SORT"),
+        ("FROM events | RENAME kind TO k", "RENAME needs old AS new"),
+        ("FROM events | | LIMIT 1", "empty pipeline stage"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(EsqlError, match=msg):
+            esql(spark, q, tables)
+
+
+def test_compiles_to_one_declarative_plan(spark, tables):
+    # filter must sit below the aggregate in the optimized plan (no
+    # per-row python, no extra exchanges beyond the agg's)
+    df = esql(
+        spark,
+        'FROM events | WHERE kind == "click" | STATS n = COUNT(*) BY kind',
+        tables,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.index("Aggregate") < plan.index("Filter")
