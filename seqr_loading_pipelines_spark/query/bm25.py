@@ -507,8 +507,12 @@ def search_filtered(
         else index.get("_filter_bcast_max", FILTER_BROADCAST_MAX)
     )
     keep_ids = None
-    if allowed.limit(gate + 1).count() <= gate:
-        arr = allowed.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+    # ONE bounded job answers both "is it under the gate" and "what
+    # are the ids": limit(gate+1) returns every row when the set is
+    # at or under the gate, and its length alone decides otherwise
+    probe = allowed.limit(gate + 1).toPandas()
+    if len(probe) <= gate:
+        arr = probe["doc_id"].to_numpy(dtype=np.int64)
         if not len(arr):
             return _empty_topk(spark)
         keep_ids = np.sort(arr)

@@ -108,8 +108,11 @@ def search_bool(
             if broadcast_max is not None
             else index.get("_filter_bcast_max", FILTER_BROADCAST_MAX)
         )
-        if allowed.limit(gate + 1).count() <= gate:
-            arr = allowed.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+        # one bounded job probes the gate AND fetches the ids (the
+        # limit(gate+1) result IS the full set when under the gate)
+        probe = allowed.limit(gate + 1).toPandas()
+        if len(probe) <= gate:
+            arr = probe["doc_id"].to_numpy(dtype=np.int64)
             if not len(arr):
                 return _empty_topk(spark)
             keep_ids = np.sort(arr)
