@@ -8445,7 +8445,45 @@ ORDER BY nch DESC, doc_id ASC LIMIT 15
 """
 
 
+ESQL_ENRICH = """
+FROM customer
+| ENRICH nation ON c_nationkey == n_nationkey WITH n_name
+| STATS n = COUNT(*), acct = SUM(c_acctbal) BY n_name
+| EVAL acct = ROUND(acct, 4)
+| SORT n DESC, n_name ASC
+| LIMIT 10
+"""
+
+
+def q_esql_enrich_nation(spark, sf_dir):
+    """ES|QL ``ENRICH`` (the policy lookup-join) behind a driver-green
+    row: customers enriched with their nation name through a BROADCAST
+    left join (enrichment tables are dimension-sized by definition —
+    ES materializes them per node; the broadcast hash join is the same
+    physical idea), then STATS BY the enriched column with a bounded
+    top-10. Oracle: the equivalent join+group SQL."""
+    from seqr_loading_pipelines_spark.query.esql import esql
+
+    return esql(
+        spark,
+        ESQL_ENRICH,
+        {
+            "customer": _read(spark, sf_dir, "customer"),
+            "nation": _read(spark, sf_dir, "nation"),
+        },
+    )
+
+
+SQL_ESQL_ENRICH_NATION = """
+SELECT n_name, count(*) AS n, round(sum(c_acctbal), 4) AS acct
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n DESC, n_name ASC LIMIT 10
+"""
+
+
 QUERIES = {
+    "esql_enrich_nation": q_esql_enrich_nation,
     "esql_events_stats": q_esql_events_stats,
     "esql_docs_pipeline": q_esql_docs_pipeline,
     "index_match_bool_prefix": q_index_match_bool_prefix,
@@ -8633,6 +8671,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "esql_enrich_nation": SQL_ESQL_ENRICH_NATION,
     "esql_events_stats": SQL_ESQL_EVENTS_STATS,
     "esql_docs_pipeline": SQL_ESQL_DOCS_PIPELINE,
     "index_match_bool_prefix": SQL_INDEX_MATCH_BOOL_PREFIX,

@@ -12,6 +12,9 @@ Supported pipeline commands (the core analytical subset):
     | KEEP <col> [, ...]
     | DROP <col> [, ...]
     | RENAME <old> AS <new> [, ...]
+    | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
+    | DISSECT <col> "%{a} %{b} ..."
+    | MV_EXPAND <col>
 
 Expressions: column refs, string/number literals, arithmetic
 (+ - * / %), comparisons (== != > >= < <=), boolean AND/OR/NOT,
@@ -22,6 +25,15 @@ SQRT(x), CONCAT(a, b, ...). Aggregations: SUM, AVG, MIN, MAX,
 COUNT(*), COUNT(expr), COUNT_DISTINCT(expr), MEDIAN(expr) — the exact
 interpolated median (ES's is TDigest-approximate; a correctness-gated
 engine wants the reproducible definition), PERCENTILE(expr, p).
+
+ENRICH is ES|QL's policy lookup-join: here the enrich table comes from
+the same ``tables`` registry and joins BROADCAST (enrichment tables
+are dimension-sized by definition — ES materializes them onto every
+node, which is exactly what a broadcast hash join does); a left join,
+so unmatched rows keep null enrichment, and only the WITH columns are
+projected in. DISSECT compiles its pattern to ONE anchored
+regexp_extract per output column (no UDF); MV_EXPAND is explode_outer
+(null/empty arrays keep the row with a null element, ES's semantics).
 
 Design: the compiler is pure plan construction — each command appends
 declarative DataFrame operations (filter/withColumns/groupBy/
@@ -67,6 +79,8 @@ _FUNCS = {
     "LOG1P": lambda a: F.log1p(a[0]),
     "SQRT": lambda a: F.sqrt(a[0]),
     "CONCAT": lambda a: F.concat(*a),
+    "SPLIT": lambda a: F.split(a[0], a[1]),
+    "COALESCE": lambda a: F.coalesce(*a),
 }
 
 # DATE_TRUNC takes its unit as a literal string argument but Spark's
@@ -418,6 +432,62 @@ def esql(
                 if not mm:
                     raise EsqlError(f"RENAME needs old AS new, got {part!r}")
                 df = df.withColumnRenamed(mm.group(1), mm.group(2))
+        elif cmd == "ENRICH":
+            m = re.match(
+                r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+([A-Za-z0-9_.]+)"
+                r"\s*==\s*([A-Za-z0-9_.]+)\s+WITH\s+(.+)$",
+                rest,
+                re.I | re.S,
+            )
+            if not m:
+                raise EsqlError(
+                    "ENRICH needs <table> ON <left> == <right> WITH "
+                    f"<cols>, got {rest!r}",
+                )
+            tname, lkey, rkey, with_cols = m.groups()
+            if tname not in tables:
+                raise EsqlError(
+                    f"unknown enrich table {tname!r}; "
+                    f"available: {sorted(tables)}",
+                )
+            cols = [c.strip() for c in with_cols.split(",") if c.strip()]
+            dim = tables[tname].select(
+                F.col(rkey).alias(lkey), *cols,
+            )
+            df = df.join(F.broadcast(dim), lkey, "left")
+        elif cmd == "DISSECT":
+            m = re.match(
+                r"""^\s*([A-Za-z0-9_.]+)\s+("(?:[^"\\]|\\.)*")\s*$""",
+                rest,
+                re.S,
+            )
+            if not m:
+                raise EsqlError(
+                    f'DISSECT needs <col> "pattern", got {rest!r}',
+                )
+            col, pattern = m.group(1), _unquote(m.group(2))
+            names = re.findall(r"%\{(\w+)\}", pattern)
+            if not names:
+                raise EsqlError("DISSECT pattern has no %{field} captures")
+            # literals alternate with captures; inner captures are
+            # lazy (dissect's shortest-match-to-next-literal rule), a
+            # trailing capture with no literal after it eats the rest
+            lits = re.split(r"%\{\w+\}", pattern)
+            regex = "^" + re.escape(lits[0])
+            for i, lit in enumerate(lits[1:]):
+                last = i == len(names) - 1
+                regex += "(.*)" if last and not lit else "(.*?)"
+                regex += re.escape(lit)
+            regex += "$"
+            for i, name in enumerate(names, start=1):
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(col), regex, i),
+                )
+        elif cmd == "MV_EXPAND":
+            col = rest.strip()
+            if not col or " " in col:
+                raise EsqlError(f"MV_EXPAND takes one column, got {rest!r}")
+            df = df.withColumn(col, F.explode_outer(F.col(col)))
         else:
             raise EsqlError(f"unknown command {head!r}")
     return df

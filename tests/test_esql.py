@@ -116,3 +116,72 @@ def test_compiles_to_one_declarative_plan(spark, tables):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.index("Aggregate") < plan.index("Filter")
+
+
+def test_enrich_broadcast_lookup(spark, tables):
+    from seqr_loading_pipelines_spark.query.esql import esql as _esql
+
+    dims = dict(tables)
+    dims["kinds"] = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce")],
+        "name string, family string",
+    )
+    out = _esql(
+        spark,
+        """FROM events
+        | ENRICH kinds ON kind == name WITH family
+        | STATS n = COUNT(*) BY family
+        | SORT family ASC""",
+        dims,
+    ).collect()
+    # 'error' has no enrichment row -> null family (left join)
+    assert [(r["family"], r["n"]) for r in out] == [
+        (None, 1), ("ui", 4),
+    ]
+    plan = _esql(
+        spark, "FROM events | ENRICH kinds ON kind == name WITH family", dims,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(EsqlError, match="unknown enrich table"):
+        esql(spark, "FROM events | ENRICH nope ON a == b WITH c", tables)
+    with pytest.raises(EsqlError, match="ENRICH needs"):
+        esql(spark, "FROM events | ENRICH kinds USING kind", dims)
+
+
+def test_dissect_and_mv_expand(spark, tables):
+    logs = {
+        "logs": spark.createDataFrame(
+            [("2024-01-01 ERROR disk full",), ("2024-01-02 WARN slow gc",)],
+            "line string",
+        ),
+    }
+    out = esql(
+        spark,
+        '''FROM logs
+        | DISSECT line "%{day} %{level} %{msg}"
+        | KEEP day, level, msg
+        | SORT day ASC''',
+        logs,
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("2024-01-01", "ERROR", "disk full"),
+        ("2024-01-02", "WARN", "slow gc"),
+    ]
+    out2 = esql(
+        spark,
+        '''FROM logs
+        | DISSECT line "%{day} %{rest}"
+        | EVAL words = SPLIT(rest, " ")
+        | MV_EXPAND words
+        | STATS n = COUNT(*) BY day
+        | SORT day ASC''',
+        logs,
+    ).collect()
+    assert [(r["day"], r["n"]) for r in out2] == [
+        ("2024-01-01", 3), ("2024-01-02", 3),
+    ]
+    with pytest.raises(EsqlError, match="no %\\{field\\} captures"):
+        esql(spark, 'FROM logs | DISSECT line "plain"', logs)
+    with pytest.raises(EsqlError, match="MV_EXPAND takes one column"):
+        esql(spark, "FROM logs | MV_EXPAND a b", logs)
