@@ -481,9 +481,19 @@ def _carry_tombstones(current: dict) -> dict:
     return out
 
 
-def compact_segments(spark: SparkSession, index_root: str) -> dict:
+def compact_segments(
+    spark: SparkSession,
+    index_root: str,
+    target_partitions: int | None = None,
+) -> dict:
     """Segment compaction: fold all segments (and any tombstones) into
     one physical segment.
+
+    ``target_partitions`` overrides the rewrite's output partition
+    count (default: the session parallelism) — the ES ``_shrink``
+    analog via shrink_index below: fewer, larger files for a cold or
+    read-mostly index (fewer scan tasks + footers at query time),
+    results identical.
 
     Without tombstones this is a pure sorted segment merge: segments
     hold disjoint, ordered docID ranges, so the merged posting order is
@@ -501,11 +511,20 @@ def compact_segments(spark: SparkSession, index_root: str) -> dict:
     if current is None:
         raise FileNotFoundError(f"no published index at {index_root}")
     tomb_dirs = current.get("tombstone_dirs") or []
-    if len(current["segments"]) == 1 and not tomb_dirs:
+    if (
+        len(current["segments"]) == 1
+        and not tomb_dirs
+        and target_partitions is None
+    ):
+        # already one clean segment and no layout change requested
         return current
     old = load_index(spark, index_root)
     snap = table.new_snapshot_dir()
-    parts = max(1, spark.sparkContext.defaultParallelism)
+    if target_partitions is not None and target_partitions < 1:
+        raise ValueError(
+            f"target_partitions must be >= 1, got {target_partitions}",
+        )
+    parts = target_partitions or max(1, spark.sparkContext.defaultParallelism)
 
     if tomb_dirs:
         from seqr_loading_pipelines_spark.index.build import IndexBuilder
@@ -830,3 +849,24 @@ def update_by_query(
     )
     fs.delete_dir(snap)
     return manifest
+
+
+def shrink_index(
+    spark: SparkSession, index_root: str, target_partitions: int,
+) -> dict:
+    """The ES ``_shrink`` API analog: rewrite the published index into
+    ``target_partitions`` output partitions (ES shrinks primary shard
+    count; the physical analog here is the parquet partition count —
+    the unit of scan parallelism and footer overhead). It IS a
+    compaction with a pinned layout: same staged-snapshot write, same
+    atomic pointer swap, same resumability, results rank-identical.
+    Shrinking a hot index trades build-side parallelism for fewer,
+    larger scan tasks — the read-mostly/cold-tier move, exactly ES's
+    guidance for shrink."""
+    if target_partitions < 1:
+        raise ValueError(
+            f"target_partitions must be >= 1, got {target_partitions}",
+        )
+    return compact_segments(
+        spark, index_root, target_partitions=target_partitions,
+    )

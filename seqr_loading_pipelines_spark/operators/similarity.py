@@ -238,3 +238,55 @@ def cosine_topk_quantized(
     return rescored.orderBy(
         F.col("cosine").desc(), F.col(id_col).asc(),
     ).limit(k)
+
+
+def _dot_expr(vec_col, query: list[float]) -> "F.Column":
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    queries: list[list[float]],
+    k: int = 10,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ColBERT-style late interaction (the ES 8.16 ``rank_vectors``
+    field's maxSimDotProduct): each GROUP (a doc) stores MANY vectors
+    (token embeddings); score(doc) = sum over query vectors q of
+    max over the doc's vectors v of dot(q, v) — per-token best match,
+    summed. Deterministic ties: (quantized score desc, group asc).
+
+    Scale shape: ALL query-vector dots ride ONE projection over one
+    scan (|queries| extra columns, no replication of the table), the
+    per-group maxes fold in ONE map-side-combining hash agg, and the
+    final top-k is a TakeOrdered over #groups rows."""
+    if not queries:
+        raise ValueError("maxsim needs at least one query vector")
+    dots = emb.select(
+        group_col,
+        *[
+            _dot_expr(F.col(vec_col), q).alias(f"_d{i}")
+            for i, q in enumerate(queries)
+        ],
+    )
+    score = None
+    aggs = [F.max(f"_d{i}").alias(f"_m{i}") for i in range(len(queries))]
+    g = dots.groupBy(group_col).agg(*aggs)
+    for i in range(len(queries)):
+        score = F.col(f"_m{i}") if score is None else score + F.col(f"_m{i}")
+    scored = g.select(group_col, score.alias("maxsim"))
+    return (
+        scored.orderBy(
+            F.floor(F.col("maxsim") * 1e5 + 0.5).desc(),
+            F.col(group_col).asc(),
+        )
+        .limit(k)
+        .select(group_col, F.round("maxsim", 5).alias("maxsim"))
+    )

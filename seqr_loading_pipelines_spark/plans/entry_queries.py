@@ -8482,7 +8482,49 @@ ORDER BY n DESC, n_name ASC LIMIT 10
 """
 
 
+def q_ann_maxsim_topk(spark, sf_dir):
+    """Late-interaction retrieval (the ES 8.16 ``rank_vectors`` field's
+    maxSimDotProduct — the ColBERT scoring rule) behind a driver-green
+    row (operators/similarity.py maxsim_topk): each label group plays
+    a multi-vector doc, vec_ids 0 and 1 play the query's token
+    vectors; score = sum over query tokens of the best dot product in
+    the group. Oracle: identical max-then-sum algebra in SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q0 = _query_vec(spark, sf_dir)
+    q1 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    return S.maxsim_topk(
+        emb.filter(~F.col("vec_id").isin(0, 1)), [q0, q1], k=5,
+    )
+
+
+_DOTQ = (
+    "list_sum(list_transform(list_zip(e.embedding, {q}), "
+    "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+)
+
+SQL_ANN_MAXSIM_TOPK = f"""
+WITH q0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+q1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+d AS (
+  SELECT e.label,
+         {_DOTQ.format(q="q0.v")} AS d0,
+         {_DOTQ.format(q="q1.v")} AS d1
+  FROM embeddings e, q0, q1
+  WHERE e.vec_id NOT IN (0, 1)
+),
+g AS (SELECT label, max(d0) + max(d1) AS s FROM d GROUP BY label)
+SELECT label, round(s, 5) AS maxsim FROM g
+ORDER BY floor(s * 1e5 + 0.5) DESC, label ASC LIMIT 5
+"""
+
+
 QUERIES = {
+    "ann_maxsim_topk": q_ann_maxsim_topk,
     "esql_enrich_nation": q_esql_enrich_nation,
     "esql_events_stats": q_esql_events_stats,
     "esql_docs_pipeline": q_esql_docs_pipeline,
@@ -8671,6 +8713,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ann_maxsim_topk": SQL_ANN_MAXSIM_TOPK,
     "esql_enrich_nation": SQL_ESQL_ENRICH_NATION,
     "esql_events_stats": SQL_ESQL_EVENTS_STATS,
     "esql_docs_pipeline": SQL_ESQL_DOCS_PIPELINE,

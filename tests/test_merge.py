@@ -537,3 +537,47 @@ def test_update_by_query_validation(spark, corpus, tmp_path):
             lambda df: df.drop("content"),
             ledger_key="bad-transform",
         )
+
+
+def test_shrink_index_repartitions_and_preserves_results(
+    spark, tmp_path_factory,
+):
+    import glob
+    import os
+
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+    from seqr_loading_pipelines_spark.index.merge import shrink_index
+
+    root = str(tmp_path_factory.mktemp("shrink_idx"))
+    corpus = generate_corpus(spark, 150, n_repos=4, seed=21)
+    IndexBuilder(spark, root).build(corpus, "shrink-base")
+    before = load_index(spark, root)
+    want = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, before, QUERIES[0], 15).collect()
+    ]
+
+    def _n_parts(manifest, sub):
+        seg = manifest["segments"][-1]
+        return len(
+            glob.glob(os.path.join(root, seg, sub, "part-*.parquet")),
+        )
+
+    # single-segment index: shrink still rewrites (layout change
+    # requested), unlike the compaction no-op
+    m = shrink_index(spark, root, 2)
+    assert len(m["segments"]) == 1
+    assert _n_parts(m, "postings") <= 2
+    assert _n_parts(m, "docs") <= 2
+    after = load_index(spark, root)
+    got = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, after, QUERIES[0], 15).collect()
+    ]
+    assert got == want
+    # shrink all the way down to one partition
+    m1 = shrink_index(spark, root, 1)
+    assert _n_parts(m1, "postings") == 1
+    assert m1["n_docs"] == m["n_docs"]
+    with pytest.raises(ValueError, match="target_partitions"):
+        shrink_index(spark, root, 0)

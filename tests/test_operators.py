@@ -1216,3 +1216,32 @@ def test_cosine_topk_quantized_guards(spark):
         cosine_topk_quantized(emb, [1.0, 0.0], k=5, shortlist=3)
     with _pytest.raises(ValueError, match="zeros"):
         cosine_topk_quantized(emb, [0.0, 0.0], k=1, shortlist=1)
+
+
+def test_maxsim_topk_golden_and_guard(spark):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.operators.similarity import maxsim_topk
+
+    emb = spark.createDataFrame(
+        [
+            # group 0: best-per-query = 2.0 (v1 for q0) + 3.0 (v2 for q1)
+            (10, [2.0, 0.0], 0),
+            (11, [0.0, 3.0], 0),
+            # group 1: one vector serves both queries
+            (12, [1.0, 1.0], 1),
+            # group 2: strong on q0 only
+            (13, [4.0, -1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        (r["label"], r["maxsim"])
+        for r in maxsim_topk(
+            emb, [[1.0, 0.0], [0.0, 1.0]], k=3,
+        ).collect()
+    ]
+    # scores: g0 = 2+3 = 5; g1 = 1+1 = 2; g2 = 4 + (-1) = 3
+    assert got == [(0, 5.0), (2, 3.0), (1, 2.0)]
+    with _pytest.raises(ValueError, match="at least one"):
+        maxsim_topk(emb, [])
