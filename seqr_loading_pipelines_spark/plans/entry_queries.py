@@ -8523,7 +8523,43 @@ ORDER BY floor(s * 1e5 + 0.5) DESC, label ASC LIMIT 5
 """
 
 
+ESQL_GROK = """
+FROM events
+| GROK props "%{INT:kv}"
+| EVAL kvn = TO_LONG(kv)
+| STATS total = SUM(kvn), n = COUNT(*),
+        hi = COUNT(CASE(kvn >= 50, 1)) BY event_type
+| SORT event_type ASC
+"""
+
+
+def q_esql_grok_stats(spark, sf_dir):
+    """ES|QL ``GROK`` + ``CASE`` + type conversion behind a
+    driver-green row: the JSON props payload parsed with a grok
+    pattern (one anchored-regex projection, no UDF), cast, and
+    conditionally counted per event_type in a single STATS pass.
+    Oracle: the same regexp_extract + conditional-count SQL."""
+    from seqr_loading_pipelines_spark.query.esql import esql
+
+    return esql(
+        spark, ESQL_GROK, {"events": _read(spark, sf_dir, "events")},
+    )
+
+
+SQL_ESQL_GROK_STATS = r"""
+SELECT event_type,
+       sum(regexp_extract(props, '([+-]?\d+)', 1)::BIGINT) AS total,
+       count(*) AS n,
+       count(CASE WHEN regexp_extract(props, '([+-]?\d+)', 1)::BIGINT >= 50
+                  THEN 1 END) AS hi
+FROM events
+GROUP BY event_type
+ORDER BY event_type ASC
+"""
+
+
 QUERIES = {
+    "esql_grok_stats": q_esql_grok_stats,
     "ann_maxsim_topk": q_ann_maxsim_topk,
     "esql_enrich_nation": q_esql_enrich_nation,
     "esql_events_stats": q_esql_events_stats,
@@ -8713,6 +8749,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "esql_grok_stats": SQL_ESQL_GROK_STATS,
     "ann_maxsim_topk": SQL_ANN_MAXSIM_TOPK,
     "esql_enrich_nation": SQL_ESQL_ENRICH_NATION,
     "esql_events_stats": SQL_ESQL_EVENTS_STATS,

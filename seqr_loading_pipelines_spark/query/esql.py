@@ -14,14 +14,17 @@ Supported pipeline commands (the core analytical subset):
     | RENAME <old> AS <new> [, ...]
     | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
     | DISSECT <col> "%{a} %{b} ..."
+    | GROK <col> "... %{PATTERN:name} ..."
     | MV_EXPAND <col>
 
 Expressions: column refs, string/number literals, arithmetic
 (+ - * / %), comparisons (== != > >= < <=), boolean AND/OR/NOT,
 parentheses, IN (v, ...), LIKE "glob*" (``*``/``?`` wildcards, the
-ES|QL semantics), and the scalar functions ROUND(x[, d]), ABS(x),
-LENGTH(s), LOWER(s), UPPER(s), DATE_TRUNC(unit, ts), LOG1P(x),
-SQRT(x), CONCAT(a, b, ...). Aggregations: SUM, AVG, MIN, MAX,
+ES|QL semantics), IS NULL / IS NOT NULL, and the scalar functions
+ROUND(x[, d]), ABS(x), LENGTH(s), LOWER(s), UPPER(s),
+DATE_TRUNC(unit, ts), LOG1P(x), SQRT(x), CONCAT(a, b, ...),
+SPLIT(s, sep), COALESCE(a, b, ...), TO_LONG(x), TO_DOUBLE(x),
+TO_STRING(x), and CASE(cond1, val1[, cond2, val2 ...][, default]). Aggregations: SUM, AVG, MIN, MAX,
 COUNT(*), COUNT(expr), COUNT_DISTINCT(expr), MEDIAN(expr) — the exact
 interpolated median (ES's is TDigest-approximate; a correctness-gated
 engine wants the reproducible definition), PERCENTILE(expr, p).
@@ -81,6 +84,19 @@ _FUNCS = {
     "CONCAT": lambda a: F.concat(*a),
     "SPLIT": lambda a: F.split(a[0], a[1]),
     "COALESCE": lambda a: F.coalesce(*a),
+    "TO_LONG": lambda a: a[0].cast("long"),
+    "TO_DOUBLE": lambda a: a[0].cast("double"),
+    "TO_STRING": lambda a: a[0].cast("string"),
+}
+
+# grok's built-in pattern subset (the ones real pipelines lean on)
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "GREEDYDATA": r".*",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
 }
 
 # DATE_TRUNC takes its unit as a literal string argument but Spark's
@@ -212,6 +228,11 @@ class _ExprParser:
             if kind != "str":
                 raise EsqlError("LIKE needs a string pattern")
             return left.rlike(_like_to_regex(_unquote(v)))
+        if t and t[1].upper() == "IS":
+            self.t.next()
+            negated = self.t.accept("NOT")
+            self.t.expect("NULL")
+            return left.isNotNull() if negated else left.isNull()
         return left
 
     def _literal(self):
@@ -279,6 +300,24 @@ class _ExprParser:
                     col = self.parse_value()
                     self.t.expect(")")
                     return F.date_trunc(_unquote(unit), col)
+                if up == "CASE":
+                    # alternating (condition, value) pairs, optional
+                    # trailing default — ES|QL's CASE function
+                    args = [self.parse_bool()]
+                    while self.t.accept(","):
+                        args.append(self.parse_bool())
+                    self.t.expect(")")
+                    if len(args) < 2:
+                        raise EsqlError(
+                            "CASE needs at least (condition, value)",
+                        )
+                    pairs, default = args, None
+                    if len(args) % 2 == 1:
+                        pairs, default = args[:-1], args[-1]
+                    col = F.when(pairs[0], pairs[1])
+                    for i in range(2, len(pairs), 2):
+                        col = col.when(pairs[i], pairs[i + 1])
+                    return col.otherwise(default) if default is not None else col
                 if up not in _FUNCS:
                     raise EsqlError(f"unknown function {v!r}")
                 args = []
@@ -479,6 +518,37 @@ def esql(
                 regex += "(.*)" if last and not lit else "(.*?)"
                 regex += re.escape(lit)
             regex += "$"
+            for i, name in enumerate(names, start=1):
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(col), regex, i),
+                )
+        elif cmd == "GROK":
+            m = re.match(
+                r"""^\s*([A-Za-z0-9_.]+)\s+("(?:[^"\\]|\\.)*")\s*$""",
+                rest,
+                re.S,
+            )
+            if not m:
+                raise EsqlError(f'GROK needs <col> "pattern", got {rest!r}')
+            col, pattern = m.group(1), _unquote(m.group(2))
+            names: list[str] = []
+
+            def _sub(mm: "re.Match") -> str:
+                pat, _, name = mm.group(1).partition(":")
+                if pat not in _GROK_PATTERNS:
+                    raise EsqlError(
+                        f"unknown grok pattern %{{{pat}}}; "
+                        f"known: {sorted(_GROK_PATTERNS)}",
+                    )
+                if name:
+                    names.append(name)
+                    return f"({_GROK_PATTERNS[pat]})"
+                return f"(?:{_GROK_PATTERNS[pat]})"
+
+            # text outside %{...} is regex, per grok semantics
+            regex = re.sub(r"%\{([A-Za-z0-9_]+(?::\w+)?)\}", _sub, pattern)
+            if not names:
+                raise EsqlError("GROK pattern captures no named fields")
             for i, name in enumerate(names, start=1):
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(col), regex, i),

@@ -185,3 +185,54 @@ def test_dissect_and_mv_expand(spark, tables):
         esql(spark, 'FROM logs | DISSECT line "plain"', logs)
     with pytest.raises(EsqlError, match="MV_EXPAND takes one column"):
         esql(spark, "FROM logs | MV_EXPAND a b", logs)
+
+
+def test_grok_case_isnull_and_conversions(spark, tables):
+    logs = {
+        "logs": spark.createDataFrame(
+            [('req time=42 path=/a',), ('req time=7 path=/b',)],
+            "line string",
+        ),
+    }
+    out = esql(
+        spark,
+        '''FROM logs
+        | GROK line "time=%{INT:t} path=%{NOTSPACE:p}"
+        | EVAL tn = TO_LONG(t),
+               band = CASE(tn >= 10, "slow", "fast")
+        | KEEP p, tn, band
+        | SORT tn DESC''',
+        logs,
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("/a", 42, "slow"), ("/b", 7, "fast"),
+    ]
+    # IS NULL / IS NOT NULL after a left ENRICH join
+    dims = dict(tables)
+    dims["kinds"] = spark.createDataFrame(
+        [("click", "ui")], "name string, family string",
+    )
+    unmatched = esql(
+        spark,
+        """FROM events
+        | ENRICH kinds ON kind == name WITH family
+        | WHERE family IS NULL
+        | STATS n = COUNT(*)""",
+        dims,
+    ).collect()[0]["n"]
+    assert unmatched == 3  # view x2 + error
+    matched = esql(
+        spark,
+        """FROM events
+        | ENRICH kinds ON kind == name WITH family
+        | WHERE family IS NOT NULL
+        | STATS n = COUNT(*)""",
+        dims,
+    ).collect()[0]["n"]
+    assert matched == 2
+    with pytest.raises(EsqlError, match="unknown grok pattern"):
+        esql(spark, 'FROM events | GROK kind "%{NOPE:x}"', tables)
+    with pytest.raises(EsqlError, match="captures no named fields"):
+        esql(spark, 'FROM events | GROK kind "%{INT}"', tables)
+    with pytest.raises(EsqlError, match="CASE needs at least"):
+        esql(spark, "FROM events | EVAL x = CASE(value > 1)", tables)
