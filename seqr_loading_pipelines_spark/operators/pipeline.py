@@ -432,3 +432,63 @@ def stratified_sample(
         docs.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def mine_hard_negatives(
+    spark,
+    index: dict,
+    query_doc_ids: list[int],
+    k: int = 5,
+    n_terms: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for retrieval-model training (the
+    DPR/Contriever recipe: the best negatives are the retriever's own
+    near-misses): each positive doc becomes a pseudo-query from its
+    top-``n_terms`` stored terms (tf desc, term asc — deterministic),
+    the WHOLE batch retrieves in ONE batched-WAND pass, the positive
+    itself is dropped, and ranks re-close over the negatives. Returns
+    ``(query_doc_id, doc_id, score, rank <= k)``.
+
+    Scale shape: term selection is a bounded doc-store point lookup
+    (|queries| rows via the stored term vectors — no posting scan, no
+    re-tokenize); retrieval costs ONE pruned posting scan for the
+    whole batch (search_wand_many's shared block decode); the drop +
+    re-rank windows run over <= |queries| * (k+1) rows."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import term_vectors
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+
+    if not query_doc_ids:
+        raise ValueError("mine_hard_negatives needs at least one query doc")
+    if k < 1 or n_terms < 1:
+        raise ValueError(f"k and n_terms must be >= 1, got {k}, {n_terms}")
+    tv = term_vectors(spark, index, list(query_doc_ids)).toPandas()
+    queries: dict[str, str] = {}
+    for qd, grp in tv.groupby("doc_id"):
+        top = grp.sort_values(
+            ["tf", "term"], ascending=[False, True],
+        ).head(n_terms)
+        queries[str(int(qd))] = " ".join(top["term"])
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_doc_id long, doc_id long, score double, rank int",
+        )
+    hits = search_wand_many(spark, index, queries, k=k + 1)
+    negs = hits.filter(
+        F.col("doc_id") != F.col("query_id").cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.floor(F.col("score") * 1e5 + 0.5).desc(), F.col("doc_id").asc(),
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_doc_id"),
+            "doc_id",
+            "score",
+            "rank",
+        )
+    )

@@ -8558,7 +8558,93 @@ ORDER BY event_type ASC
 """
 
 
+HARDNEG_QUERY_DOCS = [3, 7, 11]
+HARDNEG_K = 5
+HARDNEG_TERMS = 3
+
+
+def q_mine_hard_negatives(spark, sf_dir):
+    """Hard-negative mining behind a driver-green row
+    (operators/pipeline.py mine_hard_negatives — the DPR/Contriever
+    recipe over the REAL index): three positives become pseudo-queries
+    from their top-3 stored terms, ONE batched-WAND pass retrieves,
+    the positive drops, ranks re-close. IDs map through the path
+    projection both directions. Oracle: identical term-selection +
+    BM25 + self-exclusion algebra in SQL."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        mine_hard_negatives,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    paths = [f"doc_{d:08d}.txt" for d in HARDNEG_QUERY_DOCS]
+    id_rows = (
+        index["doc_stats"]
+        .filter(F.col("path").isin(paths))
+        .select("doc_id", "path")
+        .collect()
+    )
+    by_path = {r["path"]: int(r["doc_id"]) for r in id_rows}
+    internal = [by_path[p] for p in paths]
+    back = {v: d for v, d in zip(internal, HARDNEG_QUERY_DOCS)}
+    out = mine_hard_negatives(
+        spark, index, internal, k=HARDNEG_K, n_terms=HARDNEG_TERMS,
+    )
+    qmap = F.create_map(
+        *[F.lit(x) for pair in back.items() for x in pair],
+    )
+    rel = index["doc_stats"].select("doc_id", "path")
+    return (
+        out.join(F.broadcast(rel), "doc_id")
+        .select(
+            qmap[F.col("query_doc_id")].alias("query_doc"),
+            _orig_doc_id().alias("neg_doc"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+SQL_MINE_HARD_NEGATIVES = f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+flat AS (SELECT doc_id, unnest({_T}) AS term FROM documents),
+qt AS (
+  SELECT qd, term FROM (
+    SELECT doc_id AS qd, term, count(*) AS tf,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY count(*) DESC, term ASC) AS rn
+    FROM flat WHERE doc_id IN ({", ".join(map(str, HARDNEG_QUERY_DOCS))})
+    GROUP BY doc_id, term
+  ) WHERE rn <= {HARDNEG_TERMS}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.qd, tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE tf.doc_id <> qt.qd
+  GROUP BY qt.qd, tf.doc_id
+)
+SELECT qd AS query_doc, doc_id AS neg_doc, round(s, 4) AS score, rank FROM (
+  SELECT qd, doc_id, s,
+         row_number() OVER (PARTITION BY qd
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {HARDNEG_K}
+"""
+
+
 QUERIES = {
+    "mine_hard_negatives": q_mine_hard_negatives,
     "esql_grok_stats": q_esql_grok_stats,
     "ann_maxsim_topk": q_ann_maxsim_topk,
     "esql_enrich_nation": q_esql_enrich_nation,
@@ -8749,6 +8835,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mine_hard_negatives": SQL_MINE_HARD_NEGATIVES,
     "esql_grok_stats": SQL_ESQL_GROK_STATS,
     "ann_maxsim_topk": SQL_ANN_MAXSIM_TOPK,
     "esql_enrich_nation": SQL_ESQL_ENRICH_NATION,

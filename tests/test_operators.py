@@ -1245,3 +1245,40 @@ def test_maxsim_topk_golden_and_guard(spark):
     assert got == [(0, 5.0), (2, 3.0), (1, 2.0)]
     with _pytest.raises(ValueError, match="at least one"):
         maxsim_topk(emb, [])
+
+
+def test_mine_hard_negatives_drops_positive_and_ranks(spark, index):
+    import pytest as _pytest
+
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        mine_hard_negatives,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import term_vectors
+    from seqr_loading_pipelines_spark.query.wand import search_wand
+
+    # ids are deterministic per (input, partition count) — pick the
+    # first NON-EMPTY doc rather than assuming a literal id has terms
+    qd = int(
+        index["doc_stats"]
+        .filter(F.col("doc_len") > 0)
+        .agg(F.min("doc_id"))
+        .first()[0],
+    )
+    out = mine_hard_negatives(spark, index, [qd], k=4, n_terms=3).collect()
+    assert out, "the test corpus should yield negatives"
+    assert all(r["query_doc_id"] == qd for r in out)
+    assert all(r["doc_id"] != qd for r in out)
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    # identical to running the pseudo-query manually and dropping self
+    tv = term_vectors(spark, index, [qd]).toPandas()
+    top = tv.sort_values(["tf", "term"], ascending=[False, True]).head(3)
+    manual = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_wand(spark, index, " ".join(top["term"]), 5).collect()
+        if r["doc_id"] != qd
+    ][:4]
+    assert [(r["doc_id"], round(r["score"], 4)) for r in out] == manual
+    with _pytest.raises(ValueError, match="at least one"):
+        mine_hard_negatives(spark, index, [])
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        mine_hard_negatives(spark, index, [qd], k=0)
