@@ -8643,7 +8643,105 @@ SELECT qd AS query_doc, doc_id AS neg_doc, round(s, 4) AS score, rank FROM (
 """
 
 
+EQL_SEQUENCE = """
+sequence by user_id with maxspan=14d
+  [ signup where true ]
+  [ view where value >= 10 ]
+  [ purchase where value >= 30 ]
+  until [ error where value >= 80 ]
+"""
+
+
+def q_eql_sequence_until(spark, sf_dir):
+    """EQL (the ES ``_eql/search`` endpoint, query/eql.py) behind a
+    driver-green row: a three-stage ordered sequence per user with a
+    14-day maxspan and an ``until`` kill-clause, earliest-binding
+    semantics (deterministic ties on event_id). Compiles to one
+    selective category+condition filter per stage (pushed into the
+    scan), one equi-join + min(struct) hash agg per binding step, and
+    a left_anti range join for ``until`` — no window over the whole
+    event table, no driver collect. Oracle: the window/row_number
+    chain below."""
+    from seqr_loading_pipelines_spark.query.eql import eql
+
+    return eql(spark, EQL_SEQUENCE, _read(spark, sf_dir, "events"))
+
+
+SQL_EQL_SEQUENCE_UNTIL = """
+WITH s1 AS (SELECT user_id, ts AS ts1, event_id AS id1 FROM events
+            WHERE event_type = 'signup'),
+     s2 AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'view' AND value >= 10),
+     s3 AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase' AND value >= 30),
+     u  AS (SELECT user_id, ts FROM events
+            WHERE event_type = 'error' AND value >= 80),
+c2 AS (
+ SELECT user_id, ts1, id1, ts2, id2 FROM (
+  SELECT s1.user_id, s1.ts1, s1.id1, s2.ts AS ts2, s2.event_id AS id2,
+         row_number() OVER (PARTITION BY s1.user_id, s1.ts1, s1.id1
+                            ORDER BY s2.ts, s2.event_id) AS rn
+  FROM s1 JOIN s2 ON s2.user_id = s1.user_id AND s2.ts > s1.ts1
+                 AND s2.ts <= s1.ts1 + INTERVAL 14 DAY
+ ) WHERE rn = 1
+),
+c2k AS (
+ SELECT * FROM c2 WHERE NOT EXISTS (
+   SELECT 1 FROM u WHERE u.user_id = c2.user_id
+                     AND u.ts > c2.ts1 AND u.ts < c2.ts2)
+),
+c3 AS (
+ SELECT user_id, ts1, id1, ts2, id2, ts3, id3 FROM (
+  SELECT c2k.*, s3.ts AS ts3, s3.event_id AS id3,
+         row_number() OVER (PARTITION BY c2k.user_id, c2k.ts1, c2k.id1,
+                                         c2k.ts2, c2k.id2
+                            ORDER BY s3.ts, s3.event_id) AS rn
+  FROM c2k JOIN s3 ON s3.user_id = c2k.user_id AND s3.ts > c2k.ts2
+                  AND s3.ts <= c2k.ts1 + INTERVAL 14 DAY
+ ) WHERE rn = 1
+)
+SELECT * FROM c3 WHERE NOT EXISTS (
+  SELECT 1 FROM u WHERE u.user_id = c3.user_id
+                    AND u.ts > c3.ts2 AND u.ts < c3.ts3)
+"""
+
+
+EQL_SAMPLE = """
+sample by user_id
+  [ signup where true ]
+  [ error where value < 50 ]
+  [ purchase where value >= 20 ]
+"""
+
+
+def q_eql_sample(spark, sf_dir):
+    """EQL ``sample`` (ES 8.6): unordered per-key stage join — every
+    user with >=1 match in EVERY stage, emitting the LATEST matching
+    event per stage (ties on event_id). One max(struct) hash agg per
+    stage + equi inner joins on the sample key; no time ordering by
+    design. Oracle: per-stage arg-max via ROW() below."""
+    from seqr_loading_pipelines_spark.query.eql import eql
+
+    return eql(spark, EQL_SAMPLE, _read(spark, sf_dir, "events"))
+
+
+SQL_EQL_SAMPLE = """
+WITH a AS (SELECT user_id, max(ROW(ts, event_id)) AS s FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+     b AS (SELECT user_id, max(ROW(ts, event_id)) AS s FROM events
+           WHERE event_type = 'error' AND value < 50 GROUP BY user_id),
+     c AS (SELECT user_id, max(ROW(ts, event_id)) AS s FROM events
+           WHERE event_type = 'purchase' AND value >= 20 GROUP BY user_id)
+SELECT a.user_id, a.s[1] AS ts1, a.s[2] AS id1,
+       b.s[1] AS ts2, b.s[2] AS id2,
+       c.s[1] AS ts3, c.s[2] AS id3
+FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+"""
+
+
 QUERIES = {
+    "eql_sequence_until": q_eql_sequence_until,
+    "eql_sample": q_eql_sample,
     "mine_hard_negatives": q_mine_hard_negatives,
     "esql_grok_stats": q_esql_grok_stats,
     "ann_maxsim_topk": q_ann_maxsim_topk,
@@ -8835,6 +8933,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "eql_sequence_until": SQL_EQL_SEQUENCE_UNTIL,
+    "eql_sample": SQL_EQL_SAMPLE,
     "mine_hard_negatives": SQL_MINE_HARD_NEGATIVES,
     "esql_grok_stats": SQL_ESQL_GROK_STATS,
     "ann_maxsim_topk": SQL_ANN_MAXSIM_TOPK,

@@ -1,0 +1,229 @@
+"""EQL — the Event Query Language (Elasticsearch's ``_eql/search``
+endpoint) compiled onto Spark DataFrames.
+
+The reference pipeline's serving tier is Elasticsearch/ClickHouse
+(`v03_pipeline/lib/misc/clickhouse.py` is the query-side analog this
+engine replaces); EQL is the third of ES's query languages after the
+Query DSL (query/bm25.py et al.) and ES|QL (query/esql.py), aimed at
+ordered event-sequence matching. Supported surface:
+
+    <category> where <condition>
+        Plain event query: rows of the event table whose category
+        column equals <category> (or ``any``) and whose condition
+        holds. Compiles to ONE filter that pushes into the scan.
+
+    sequence by <key> [with maxspan=<n><unit>]
+        [ <cat1> where <cond1> ] [ <cat2> where <cond2> ] ...
+        [ until [ <catU> where <condU> ] ]
+        Ordered sequence match per join key. Semantics (deterministic
+        "earliest-binding" — the reproducible definition a
+        correctness-gated engine wants, where ES's state machine is
+        tail-binding and stream-order dependent): for every stage-1
+        event e1 matching cond1, stage i binds the EARLIEST event of
+        its category matching its condition with ts strictly after
+        stage i-1's ts and (with maxspan) ts <= e1.ts + maxspan;
+        ties break on the event-id column. ``until`` kills a chain if
+        an until-matching event for the same key falls strictly
+        between two consecutive bound stages. Output: one row per
+        completed chain — (key, ts1, id1, ..., tsN, idN).
+
+    sample by <key> [ <cat1> where <cond1> ] ...
+        Unordered per-key join (ES 8.6 ``sample``): for each key with
+        at least one match in EVERY stage, emit the LATEST matching
+        event per stage (ties on event id). No time ordering between
+        stages — that's the point of sample vs sequence.
+
+Conditions reuse the ES|QL expression grammar (query/esql.py) —
+comparisons, and/or/not (case-insensitive), IN, LIKE globs, IS NULL,
+arithmetic, and the scalar function library, plus ``true``/``false``
+literals.
+
+Scale shape: each sequence stage is a category+condition filter (a
+selective predicate pushed into the scan — EQL categories are the
+classic selectivity lever), then ONE shuffle join per stage binding
+on the sequence key followed by a map-side-combining min(struct)
+aggregate per partial chain; ``until`` is a range-condition
+left_anti join (no row multiplication). Nothing collects to the
+driver; no per-row Python. A 10^12-event table with a selective
+first stage anchors only the surviving chains through the later
+joins — candidate restriction happens in the right place (before
+any join), same as the posting-list discipline in index/build.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.esql import EsqlError, _parse_expr
+
+
+class EqlError(ValueError):
+    """Malformed EQL — message carries the offending fragment."""
+
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+_BLOCK_RE = re.compile(r"\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+?)\s*\]", re.S)
+_MAXSPAN_RE = re.compile(r"with\s+maxspan\s*=\s*(\d+)\s*([smhd])", re.I)
+
+
+@dataclass
+class EqlQuery:
+    kind: str  # "event" | "sequence" | "sample"
+    key: str | None = None
+    maxspan_s: int | None = None
+    stages: list[tuple[str, str]] = field(default_factory=list)
+    until: tuple[str, str] | None = None
+
+
+def parse_eql(text: str) -> EqlQuery:
+    """Parse an EQL query into its structural form (loud errors)."""
+    body = text.strip()
+    if not body:
+        raise EqlError("empty EQL query")
+    head = body.split(None, 1)[0].lower()
+    if head in ("sequence", "sample"):
+        m = re.match(
+            rf"{head}\s+by\s+([A-Za-z_][A-Za-z0-9_.]*)\s*(.*)$", body,
+            re.I | re.S,
+        )
+        if not m:
+            raise EqlError(f"{head} requires 'by <field>': {body[:60]!r}")
+        key, rest = m.group(1), m.group(2)
+        q = EqlQuery(kind=head, key=key)
+        ms = _MAXSPAN_RE.match(rest.strip())
+        if ms:
+            q.maxspan_s = int(ms.group(1)) * _UNIT_SECONDS[ms.group(2).lower()]
+            rest = rest.strip()[ms.end():]
+        until_m = re.search(r"\buntil\b", rest, re.I)
+        until_part = ""
+        if until_m:
+            until_part = rest[until_m.end():]
+            rest = rest[: until_m.start()]
+        q.stages = _BLOCK_RE.findall(rest)
+        leftover = _BLOCK_RE.sub("", rest).strip()
+        if leftover:
+            raise EqlError(f"unparsed text in {head} body: {leftover[:60]!r}")
+        if until_part:
+            if head == "sample":
+                raise EqlError("sample does not take 'until'")
+            ub = _BLOCK_RE.findall(until_part)
+            if len(ub) != 1 or _BLOCK_RE.sub("", until_part).strip():
+                raise EqlError(f"until takes exactly one [ ... ] block")
+            q.until = ub[0]
+        n_min = 2
+        if len(q.stages) < n_min:
+            raise EqlError(f"{head} needs at least {n_min} [ ... ] blocks")
+        if head == "sample" and q.maxspan_s is not None:
+            raise EqlError("sample does not take maxspan")
+        return q
+    # plain event query: <category> where <condition>
+    m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+)$", body, re.S)
+    if not m:
+        raise EqlError(f"not an EQL query: {body[:60]!r}")
+    return EqlQuery(kind="event", stages=[(m.group(1), m.group(2).strip())])
+
+
+def _stage_filter(
+    events: DataFrame, cat: str, cond: str, category_col: str,
+) -> DataFrame:
+    df = events
+    if cat.lower() != "any":
+        df = df.where(F.col(category_col) == cat)
+    try:
+        pred = _parse_expr(cond, bool_ctx=True)
+    except EsqlError as e:
+        raise EqlError(f"bad condition {cond!r}: {e}") from e
+    return df.where(pred)
+
+
+def eql(
+    spark: SparkSession,
+    query: str,
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    category_col: str = "event_type",
+) -> DataFrame:
+    """Compile and run an EQL query over an event DataFrame.
+
+    ``events`` needs a timestamp column, a unique per-event id column
+    (the deterministic tie-break), and a category column; everything
+    else is available to conditions.
+    """
+    q = parse_eql(query)
+
+    if q.kind == "event":
+        cat, cond = q.stages[0]
+        return _stage_filter(events, cat, cond, category_col)
+
+    key = q.key
+    if q.kind == "sample":
+        out = None
+        for i, (cat, cond) in enumerate(q.stages, start=1):
+            st = (
+                _stage_filter(events, cat, cond, category_col)
+                .groupBy(key)
+                .agg(F.max(F.struct(
+                    F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+                )).alias("_s"))
+                .select(
+                    key,
+                    F.col("_s.ts").alias(f"ts{i}"),
+                    F.col("_s.id").alias(f"id{i}"),
+                )
+            )
+            out = st if out is None else out.join(st, key, "inner")
+        return out
+
+    # sequence: earliest-binding chain construction, one equi-join +
+    # min(struct) aggregate per stage.
+    cat0, cond0 = q.stages[0]
+    chain = _stage_filter(events, cat0, cond0, category_col).select(
+        F.col(key),
+        F.col(ts_col).alias("ts1"),
+        F.col(id_col).alias("id1"),
+    )
+    until_df = None
+    if q.until is not None:
+        ucat, ucond = q.until
+        until_df = _stage_filter(events, ucat, ucond, category_col).select(
+            F.col(key).alias("_uk"), F.col(ts_col).alias("_uts"),
+        )
+    for i, (cat, cond) in enumerate(q.stages[1:], start=2):
+        cand = _stage_filter(events, cat, cond, category_col).select(
+            F.col(key).alias("_ck"),
+            F.col(ts_col).alias("_cts"),
+            F.col(id_col).alias("_cid"),
+        )
+        prev_ts = F.col(f"ts{i - 1}")
+        in_range = (F.col("_ck") == F.col(key)) & (F.col("_cts") > prev_ts)
+        if q.maxspan_s is not None:
+            in_range = in_range & (
+                F.col("_cts")
+                <= F.col("ts1") + F.expr(f"INTERVAL {q.maxspan_s} SECOND")
+            )
+        bound = (
+            chain.join(cand, on=in_range, how="inner")
+            .groupBy(*[F.col(c) for c in chain.columns])
+            .agg(F.min(F.struct("_cts", "_cid")).alias("_b"))
+            .select(
+                *chain.columns,
+                F.col("_b._cts").alias(f"ts{i}"),
+                F.col("_b._cid").alias(f"id{i}"),
+            )
+        )
+        if until_df is not None:
+            kill = (
+                (F.col("_uk") == F.col(key))
+                & (F.col("_uts") > F.col(f"ts{i - 1}"))
+                & (F.col("_uts") < F.col(f"ts{i}"))
+            )
+            bound = bound.join(until_df, on=kill, how="left_anti")
+        chain = bound
+    return chain

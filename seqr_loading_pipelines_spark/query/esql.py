@@ -287,6 +287,10 @@ class _ExprParser:
             return inner
         if kind == "name":
             up = v.upper()
+            if up in ("TRUE", "FALSE"):
+                return F.lit(up == "TRUE")
+            if up == "NULL":
+                return F.lit(None)
             t = self.t.peek()
             if t and t[1] == "(":
                 self.t.next()

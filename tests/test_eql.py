@@ -1,0 +1,131 @@
+"""EQL compiler: parse structure, sequence/sample/until semantics.
+
+Semantics oracle: the deterministic earliest-binding definition in
+query/eql.py's module docstring, hand-checked on tiny fixtures here and
+cross-checked against a DuckDB lateral/window oracle by the driver rows
+(`eql_sequence_until`, `eql_sample`).
+"""
+
+import datetime as dt
+
+import pytest
+
+from seqr_loading_pipelines_spark.query.eql import EqlError, eql, parse_eql
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, _ts(1), 7, "view", 25.0),
+        (2, _ts(2), 7, "click", 1.0),
+        (3, _ts(3), 7, "click", 2.0),     # later click — must NOT bind
+        (4, _ts(1), 8, "view", 30.0),
+        (5, _ts(20), 8, "click", 1.0),    # outside 7d maxspan
+        (6, _ts(2), 9, "view", 5.0),      # fails stage-1 condition
+        (7, _ts(3), 9, "click", 1.0),
+        (8, _ts(4), 7, "purchase", 99.0),
+        (9, _ts(2, 12), 7, "error", 90.0),  # until-event between 1 and 8? no: between stages
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double",
+    )
+
+
+def test_parse_structure():
+    q = parse_eql(
+        "sequence by user_id with maxspan=7d "
+        "[ view where value >= 20 ] [ click where true ] "
+        "until [ error where value >= 80 ]"
+    )
+    assert q.kind == "sequence" and q.key == "user_id"
+    assert q.maxspan_s == 7 * 86400
+    assert q.stages == [("view", "value >= 20"), ("click", "true")]
+    assert q.until == ("error", "value >= 80")
+
+    q2 = parse_eql("any where value > 5")
+    assert q2.kind == "event" and q2.stages[0][0] == "any"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "",
+        "sequence [ a where true ] [ b where true ]",     # no 'by'
+        "sequence by k [ a where true ]",                 # one stage
+        "sample by k with maxspan=1d [ a where true ] [ b where true ]",
+        "sample by k [ a where true ] [ b where true ] until [ c where true ]",
+        "sequence by k [ a where true ] junk [ b where true ]",
+    ],
+)
+def test_parse_loud_errors(bad):
+    with pytest.raises(EqlError):
+        parse_eql(bad)
+
+
+def test_event_query_filters(spark, events):
+    out = eql(spark, "view where value >= 20", events)
+    assert sorted(r.event_id for r in out.collect()) == [1, 4]
+    # 'any' category skips the category filter
+    out2 = eql(spark, "any where value >= 90", events)
+    assert sorted(r.event_id for r in out2.collect()) == [8, 9]
+
+
+def test_sequence_earliest_binding_and_maxspan(spark, events):
+    out = eql(
+        spark,
+        "sequence by user_id with maxspan=7d "
+        "[ view where value >= 20 ] [ click where true ]",
+        events,
+    ).collect()
+    got = {(r.user_id, r.id1, r.id2) for r in out}
+    # user 7: earliest click after the view is id=2 (not 3);
+    # user 8: only click is 19 days later -> maxspan kills it;
+    # user 9: view fails the stage-1 condition.
+    assert got == {(7, 1, 2)}
+
+
+def test_sequence_until_kills_chain(spark, events):
+    # error(90.0) at day 2.5 sits strictly between click(day 2)... no —
+    # between view(day1) and click(day2) nothing intervenes, but between
+    # click(day2) and purchase(day4) the day-2.5 error kills the chain.
+    base = (
+        "sequence by user_id with maxspan=14d "
+        "[ view where value >= 20 ] [ click where true ] "
+        "[ purchase where value > 0 ]"
+    )
+    without = eql(spark, base, events).collect()
+    assert {(r.user_id, r.id1, r.id2, r.id3) for r in without} == {(7, 1, 2, 8)}
+
+    killed = eql(
+        spark, base + " until [ error where value >= 80 ]", events,
+    ).collect()
+    assert killed == []
+
+
+def test_sample_latest_per_stage_no_ordering(spark, events):
+    out = eql(
+        spark,
+        "sample by user_id [ click where true ] [ view where value >= 20 ]",
+        events,
+    ).collect()
+    got = {(r.user_id, r.id1, r.id2) for r in out}
+    # user 7: LATEST click is id=3 (day 3) even though the view (day 1)
+    # precedes both — sample is unordered; user 8's click is fine too
+    # (no maxspan in sample), user 9 has no qualifying view.
+    assert got == {(7, 3, 1), (8, 5, 4)}
+
+
+def test_no_python_udf_in_plan(spark, events):
+    plan = eql(
+        spark,
+        "sequence by user_id with maxspan=7d "
+        "[ view where value >= 20 ] [ click where true ]",
+        events,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
