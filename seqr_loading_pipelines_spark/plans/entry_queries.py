@@ -8739,7 +8739,66 @@ FROM a JOIN b USING (user_id) JOIN c USING (user_id)
 """
 
 
+def q_nested_lineitems(spark, sf_dir):
+    """ES ``nested`` query + ``inner_hits`` (the nested-mapping module)
+    behind a driver-green row: orders with their lineitems collapsed
+    to an ``array<struct>`` nested column (ONE map-side-combining
+    collect per order + an equi join — the family-entries roll-up
+    shape), then the nested predicate `qty >= 45 AND discount >= 0.09`
+    evaluated per ELEMENT inside one higher-order filter — a pure
+    projection, zero additional shuffles, and immune to the
+    cross-sibling false positive a flattened mapping would give.
+    Emits the first inner hit (ordered by linenumber) per match.
+    Oracle: the same-row conjunction grouped per order."""
+    from seqr_loading_pipelines_spark.query.relations import (
+        nest_children,
+        nested_query,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    li = _read(spark, sf_dir, "lineitem")
+    nested = nest_children(
+        orders, li, "o_orderkey", "l_orderkey",
+        child_cols=["l_linenumber", "l_quantity", "l_discount"],
+        sort_field="l_linenumber",
+    )
+    out = nested_query(
+        nested, "items",
+        lambda x: (x["l_quantity"] >= 45) & (x["l_discount"] >= 0.09),
+        inner_hits=1, hit_sort=lambda x: x["l_linenumber"],
+    )
+    return out.select(
+        "o_orderkey",
+        "n_inner_hits",
+        F.col("inner_hits")[0]["l_linenumber"].alias("hit_line"),
+        F.round(F.col("inner_hits")[0]["l_quantity"], 4).alias("hit_qty"),
+    )
+
+
+SQL_NESTED_LINEITEMS = """
+-- hit_qty tiebreak: the synthetic lineitem table has duplicate
+-- l_linenumber per order, so arg_min(qty, linenumber) is
+-- nondeterministic; take min qty among the min-linenumber hits
+-- (= Spark's lexicographic (linenumber, qty, discount) sort).
+WITH hits AS (
+  SELECT o_orderkey, l_linenumber, l_quantity
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 45 AND l_discount >= 0.09
+), agg AS (
+  SELECT o_orderkey, count(*) AS n_inner_hits,
+         min(l_linenumber) AS hit_line
+  FROM hits GROUP BY o_orderkey
+)
+SELECT a.o_orderkey, a.n_inner_hits, a.hit_line,
+       round(min(h.l_quantity), 4) AS hit_qty
+FROM agg a JOIN hits h
+  ON h.o_orderkey = a.o_orderkey AND h.l_linenumber = a.hit_line
+GROUP BY a.o_orderkey, a.n_inner_hits, a.hit_line
+"""
+
+
 QUERIES = {
+    "nested_query_lineitems": q_nested_lineitems,
     "eql_sequence_until": q_eql_sequence_until,
     "eql_sample": q_eql_sample,
     "mine_hard_negatives": q_mine_hard_negatives,
@@ -8933,6 +8992,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "nested_query_lineitems": SQL_NESTED_LINEITEMS,
     "eql_sequence_until": SQL_EQL_SEQUENCE_UNTIL,
     "eql_sample": SQL_EQL_SAMPLE,
     "mine_hard_negatives": SQL_MINE_HARD_NEGATIVES,

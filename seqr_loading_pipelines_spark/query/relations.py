@@ -241,3 +241,102 @@ def children_agg(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
     )
+
+
+def nest_children(
+    parent_df: DataFrame,
+    child_df: DataFrame,
+    parent_key: str,
+    child_key: str,
+    items_col: str = "items",
+    child_cols: list[str] | None = None,
+    sort_field: str | None = None,
+) -> DataFrame:
+    """Collapse a long-format child relation into the parent's
+    ``array<struct>`` nested column — the write-side half of ES
+    ``nested`` mappings (each array element is one nested doc).
+
+    Same MT->table collapse shape as the reference's family-entries
+    roll-up (v03_pipeline/lib/misc/family_entries.py:6-54): ONE
+    map-side-combining collect_list per parent key, then an equi join
+    to the parent table (left — parents with no children keep an
+    empty array, ES's behavior for missing nested fields). With
+    ``sort_field`` the array is ordered by that element field via
+    array_sort on a (sort_field-first) struct — deterministic element
+    order without a window.
+    """
+    cols = child_cols or [c for c in child_df.columns if c != child_key]
+    if sort_field is not None and sort_field not in cols:
+        raise ValueError(f"sort_field {sort_field!r} not in child_cols")
+    # sort key leads the struct so array_sort's lexicographic order is
+    # (sort_field, rest) — then rebuild structs in declared field order.
+    lead = [sort_field] if sort_field else []
+    rest = [c for c in cols if c != sort_field]
+    packed = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in lead + rest])),
+    )
+    items = F.transform(
+        packed, lambda x: F.struct(*[x[c].alias(c) for c in cols]),
+    )
+    nested = (
+        child_df.groupBy(F.col(child_key).alias(parent_key))
+        .agg(items.alias(items_col))
+    )
+    joined = parent_df.join(nested, parent_key, "left")
+    elem = ", ".join(f"{c}: {dict(child_df.dtypes)[c]}" for c in cols)
+    return joined.withColumn(
+        items_col,
+        F.coalesce(F.col(items_col), F.expr(f"CAST(array() AS array<struct<{elem}>>)")),
+    )
+
+
+def nested_query(
+    parent_df: DataFrame,
+    items_col,
+    cond,
+    *,
+    inner_hits: int | None = None,
+    hit_sort=None,
+):
+    """ES ``nested`` query: the predicate must hold on a SINGLE nested
+    element — the semantic that distinguishes nested mappings from
+    flattened object fields, where `a=1 AND b=2` can match across two
+    different siblings (the classic ES cross-object false positive).
+
+    ``cond`` is a Column-lambda over one element (``lambda x:
+    (x["l_quantity"] >= 45) & (x["l_discount"] >= 0.09)``) — the
+    conjunction is evaluated per element inside ONE higher-order
+    ``filter`` over the array, so cross-sibling combinations can never
+    match. Pure projection: no join, no shuffle, no Python — the
+    nested column travels with the row, which is exactly why ES nests
+    child docs in the parent's Lucene block and why at 10^12 docs this
+    beats the equivalent child-table semi-join (zero exchanges).
+
+    Returns matching parents with ``n_inner_hits`` and (when
+    ``inner_hits`` is set) an ``inner_hits`` array of the first n
+    matching elements ordered by ``hit_sort`` (a Column-lambda; ES's
+    inner_hits sort), for the match-explanation UI.
+    """
+    hits = F.filter(
+        items_col if not isinstance(items_col, str) else F.col(items_col),
+        cond,
+    )
+    out = (
+        parent_df.withColumn("_hits", hits)
+        .where(F.size("_hits") > 0)
+        .withColumn("n_inner_hits", F.size("_hits"))
+    )
+    if inner_hits is not None:
+        ordered = F.col("_hits")
+        if hit_sort is not None:
+            # sort-key-first struct trick: lexicographic array_sort,
+            # then strip the key back off.
+            keyed = F.array_sort(
+                F.transform(
+                    F.col("_hits"),
+                    lambda x: F.struct(hit_sort(x).alias("k"), x.alias("v")),
+                ),
+            )
+            ordered = F.transform(keyed, lambda s: s["v"])
+        out = out.withColumn("inner_hits", F.slice(ordered, 1, inner_hits))
+    return out.drop("_hits")

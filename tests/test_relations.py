@@ -224,3 +224,84 @@ def test_children_agg_gate_path_identical_and_empty(spark, rel_index):
     empty = children_agg(spark, rel_index, "zz_nope_zz")
     assert empty.count() == 0
     assert empty.columns == ["facet", "n_docs"]
+
+
+# ---------------------------------------------------------------------------
+# nested mappings: nest_children + nested_query
+
+
+@pytest.fixture(scope="module")
+def nested_orders(spark):
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.relations import nest_children
+
+    parents = spark.createDataFrame(
+        [(1,), (2,), (3,)], "order_id int"
+    )
+    children = spark.createDataFrame(
+        [
+            # order 1: the ES cross-object trap — qty>=10 on one item,
+            # disc>=5 on ANOTHER, never both on one element
+            (1, 1, 12.0, 1.0),
+            (1, 2, 3.0, 9.0),
+            # order 2: one element satisfies both; a linenumber TIE (2,2)
+            # where only the higher-qty twin matches
+            (2, 1, 11.0, 8.0),
+            (2, 2, 2.0, 9.0),
+            (2, 2, 15.0, 7.0),
+            # order 3: no children at all (left join -> empty array)
+        ],
+        "order_id int, line int, qty double, disc double",
+    )
+    return nest_children(
+        parents, children, "order_id", "order_id",
+        child_cols=["line", "qty", "disc"], sort_field="line",
+    )
+
+
+def test_nest_children_shape_and_order(nested_orders):
+    rows = {r["order_id"]: r["items"] for r in nested_orders.collect()}
+    assert [it["line"] for it in rows[2]] == [1, 2, 2]
+    # tie on line=2 ordered by the next struct field (qty)
+    assert [it["qty"] for it in rows[2]] == [11.0, 2.0, 15.0]
+    assert rows[3] == []  # parent with no children keeps empty array
+    # declared field order preserved in the element struct
+    assert list(rows[1][0].asDict()) == ["line", "qty", "disc"]
+
+
+def test_nested_query_single_element_semantics(spark, nested_orders):
+    from seqr_loading_pipelines_spark.query.relations import nested_query
+
+    out = nested_query(
+        nested_orders, "items",
+        lambda x: (x["qty"] >= 10) & (x["disc"] >= 5),
+        inner_hits=2, hit_sort=lambda x: x["line"],
+    ).collect()
+    got = {r["order_id"]: r for r in out}
+    # order 1 must NOT match: qty>=10 and disc>=5 only across siblings
+    assert set(got) == {2}
+    assert got[2]["n_inner_hits"] == 2
+    hits = got[2]["inner_hits"]
+    assert [h["line"] for h in hits] == [1, 2]
+    assert hits[1]["qty"] == 15.0  # the matching twin, not the 2.0 one
+
+
+def test_nested_query_no_python_udf(nested_orders):
+    from seqr_loading_pipelines_spark.query.relations import nested_query
+
+    plan = nested_query(
+        nested_orders, "items", lambda x: x["qty"] >= 10, inner_hits=1,
+        hit_sort=lambda x: x["line"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_nest_children_validates_sort_field(spark):
+    from seqr_loading_pipelines_spark.query.relations import nest_children
+
+    p = spark.createDataFrame([(1,)], "k int")
+    c = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="sort_field"):
+        nest_children(p, c, "k", "k", child_cols=["v"], sort_field="nope")
