@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Batched BM25 query workload for ``spark-submit --py-files``.
+
+The query half of the two-cluster-size scaling evidence (the contract
+metric is "index-build throughput + BM25 top-k query latency ...
+scaling efficiency >= 0.8 from N to 4N executors"; the build half is
+bin/build_index.py + bin/scaling_bench.py). Loads an existing index,
+generates a deterministic query batch (reference-query-set vocabulary,
+seeded), runs one UNTIMED warm-up pass (scheduler + python workers +
+dictionary cache, what long-lived executors amortize), then times
+``--reps`` full batched block-max-WAND passes and prints ONE JSON
+line: min/mean wall, queries/sec at the min, and result checksum (so
+the two cluster sizes can assert identical answers, not just speed).
+
+Usage:
+  spark-submit --master local[N] --py-files dist/engine.zip \
+      bin/query_bench.py --index /dev/shm/qscale_idx \
+      [--n-queries 100] [--k 10] [--reps 3] [--seed 17]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--n-queries", type=int, default=100)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=17)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import numpy as np
+
+    from seqr_loading_pipelines_spark.index.build import load_index
+    from seqr_loading_pipelines_spark.query.wand import search_wand_many
+    from seqr_loading_pipelines_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    # same mixed-selectivity batch shape as bench.py's batch100:
+    # mid-frequency vocabulary terms + zipf stop-words, 2-4 terms per
+    # query, seeded -> identical batch at every cluster size
+    rng = np.random.default_rng(args.seed)
+    vocab = [f"term_{i:05d}" for i in range(300)] + [
+        f"sw{i}" for i in range(20)
+    ]
+    batch = {
+        f"b{i}": " ".join(
+            rng.choice(vocab, size=int(rng.integers(2, 5)), replace=False),
+        )
+        for i in range(args.n_queries)
+    }
+
+    index = load_index(spark, args.index)
+
+    # warm-up: scheduler, python-worker pool, broadcast dictionary,
+    # OS page cache for the posting files — untimed, like a serving
+    # executor that has been up for more than one request
+    search_wand_many(spark, index, batch, k=args.k).collect()
+
+    walls = []
+    checksum = None
+    for _ in range(args.reps):
+        t0 = time.time()
+        rows = search_wand_many(spark, index, batch, k=args.k).collect()
+        walls.append(time.time() - t0)
+        # order-independent checksum over (query_id, rank, doc_id,
+        # score4): equality across cluster sizes proves the speedup
+        # is not a wrong-answer shortcut
+        checksum = hash(
+            frozenset(
+                (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 4))
+                for r in rows
+            ),
+        )
+
+    best = min(walls)
+    print(
+        json.dumps(
+            {
+                "n_queries": args.n_queries,
+                "k": args.k,
+                "reps": args.reps,
+                "query_wall_s_min": round(best, 3),
+                "query_walls_s": [round(w, 3) for w in walls],
+                "queries_per_sec": round(args.n_queries / best, 2),
+                "n_result_rows": len(rows),
+                "result_checksum": checksum,
+                "parallelism": spark.sparkContext.defaultParallelism,
+            },
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence for the QUERY side.
+
+The contract metric names both halves — index-build throughput AND
+BM25 top-k query latency — with >= 0.8 scaling efficiency from N to
+4N executors. bin/scaling_bench.py measures the build half; this
+measures serving: the same deterministic 100-query batched block-max
+WAND pass (bin/query_bench.py) against the same on-disk index at N
+and 4N pinned cores, reporting queries/sec at both plus efficiency.
+
+Protocol identical to the build instrument (one protocol, two
+workloads): whole-process-tree taskset pinning with a per-rep
+rotating core range, -XX:ActiveProcessorCount=N so the JVM sizes its
+pools for N cores, interleaved reps with per-level MINIMA as the
+estimator (host stalls only inflate), per-run container CPU recorded
+so contention is distinguishable from serialization, /dev/shm local
+dirs, CRC sidecars off. The result checksum from query_bench.py must
+be identical across every run — a speedup that changes answers is a
+bug, not scaling.
+
+The index is built ONCE (unpinned, full width — build speed is the
+other instrument's job) and shared read-only by every query run, the
+way a serving fleet shares one published index version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _container_cpu_ns() -> int:
+    for path in ("/sys/fs/cgroup/cpuacct/cpuacct.usage",):
+        try:
+            with open(path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as f:
+            for line in f:
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) * 1000
+    except OSError:
+        pass
+    return 0
+
+
+def _spark_submit(cores: int, script: str, script_args: list[str],
+                  driver_mem: str, cpu_offset: int = 0,
+                  pin: bool = True) -> subprocess.CompletedProcess:
+    local_dir = "/dev/shm/spark-local"
+    os.makedirs(local_dir, exist_ok=True)
+    cmd = []
+    if pin:
+        cmd += ["taskset", "-c", f"{cpu_offset}-{cpu_offset + cores - 1}"]
+    cmd += [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", driver_mem,
+        "--conf",
+        f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={cores}"
+        if pin else "spark.driver.extraJavaOptions=",
+        "--conf", f"spark.sql.shuffle.partitions={max(cores, 2)}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", f"spark.local.dir={local_dir}",
+        "--conf", f"spark.hadoop.io.file.buffer.size={1 << 20}",
+        "--conf", "spark.hadoop.fs.file.impl=org.apache.hadoop.fs.RawLocalFileSystem",
+        "--conf", "spark.shuffle.file.buffer=1m",
+        "--conf", "spark.shuffle.compress=false",
+        "--conf", "spark.shuffle.spill.compress=false",
+        "--py-files", os.path.join(ROOT, "dist", "engine.zip"),
+        os.path.join(ROOT, "bin", script),
+        *script_args,
+    ]
+    return subprocess.run(
+        cmd, capture_output=True, text=True,
+        timeout=int(os.environ.get("SCALING_BENCH_TIMEOUT", "1800")),
+        check=False,
+    )
+
+
+def _last_json(res: subprocess.CompletedProcess, what: str) -> dict:
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"{what} produced no JSON: {res.stdout[-500:]} {res.stderr[-1000:]}",
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1, help="small cluster cores")
+    ap.add_argument("--n4", type=int, default=4, help="large cluster cores")
+    ap.add_argument("--n-docs", type=int, default=600_000)
+    ap.add_argument("--n-queries", type=int, default=100)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--reps-per-run", type=int, default=3,
+        help="timed passes inside one spark-submit (its own min)",
+    )
+    ap.add_argument("--driver-mem", default="24g")
+    ap.add_argument("--index", default="/dev/shm/qscale_idx")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--out-md", default=os.path.join(ROOT, "BENCH", "QUERY_SCALING.md"),
+    )
+    args = ap.parse_args()
+
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bin", "make_dist.py")],
+        check=True, capture_output=True,
+    )
+
+    manifest = os.path.join(args.index, "manifest.json")
+    if args.rebuild or not os.path.exists(manifest):
+        shutil.rmtree(args.index, ignore_errors=True)
+        print(f"building shared index: {args.n_docs} docs -> {args.index}")
+        res = _spark_submit(
+            16, "build_index.py",
+            ["--n-docs", str(args.n_docs), "--out", args.index],
+            "40g", pin=False,
+        )
+        _last_json(res, "index build")
+    else:
+        print(f"reusing index at {args.index}")
+
+    all_runs: dict[int, list[dict]] = {args.n: [], args.n4: []}
+    checksums = set()
+    for rep in range(args.repeats):
+        for cores in (args.n, args.n4):
+            cpu0 = _container_cpu_ns()
+            t0 = time.time()
+            res = _spark_submit(
+                cores, "query_bench.py",
+                [
+                    "--index", args.index,
+                    "--n-queries", str(args.n_queries),
+                    "--k", str(args.k),
+                    "--reps", str(args.reps_per_run),
+                ],
+                args.driver_mem,
+                cpu_offset=(rep * args.n4) % max(1, 32 - args.n4),
+            )
+            r = _last_json(res, f"query bench at local[{cores}]")
+            r["container_cpu_s"] = round((_container_cpu_ns() - cpu0) / 1e9, 1)
+            r["total_wall_s"] = round(time.time() - t0, 1)
+            checksums.add(r["result_checksum"])
+            all_runs[cores].append(r)
+            print(json.dumps({"rep": rep, "cores": cores, **r}))
+
+    if len(checksums) != 1:
+        raise RuntimeError(
+            f"result checksums diverged across runs: {checksums}",
+        )
+
+    results = {
+        cores: min(runs, key=lambda r: r["query_wall_s_min"])
+        for cores, runs in all_runs.items()
+    }
+    small, large = results[args.n], results[args.n4]
+    ratio = small["query_wall_s_min"] / large["query_wall_s_min"]
+    core_ratio = args.n4 / args.n
+    efficiency = ratio / core_ratio
+    p_par = (small["query_wall_s_min"] - large["query_wall_s_min"]) / (
+        1.0 / args.n - 1.0 / args.n4
+    )
+    s_serial = small["query_wall_s_min"] - p_par / args.n
+    summary = {
+        "workload": "batched block-max WAND, whole batch in one pass",
+        "n_docs": args.n_docs,
+        "n_queries": args.n_queries,
+        "k": args.k,
+        "cores_small": args.n,
+        "cores_large": args.n4,
+        "qps_small": small["queries_per_sec"],
+        "qps_large": large["queries_per_sec"],
+        "throughput_ratio": round(ratio, 3),
+        "core_ratio": core_ratio,
+        "scaling_efficiency": round(efficiency, 3),
+        "passes_0_8": efficiency >= 0.8,
+        "results_identical_across_runs": True,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.dirname(args.out_md), exist_ok=True)
+    with open(args.out_md, "w") as f:
+        f.write(
+            f"""# Query-side two-cluster-size scaling evidence
+
+The contract metric has two halves: index-build throughput (measured
+by bin/scaling_bench.py, recorded in BENCH/BASELINE.md) and BM25
+top-k query latency. This instrument measures the query half with the
+same protocol: one shared read-only index ({args.n_docs} docs,
+seed=42), the identical seeded {args.n_queries}-query mixed-selectivity batch
+(2-4 terms/query over mid-frequency vocabulary + zipf stop-words),
+run as ONE batched block-max-WAND pass per rep via
+`spark-submit --master local[N] --py-files dist/engine.zip
+bin/query_bench.py` at N={args.n} and 4N={args.n4} pinned cores
+(taskset, rotating range; -XX:ActiveProcessorCount=N), interleaved
+reps, per-level minima over {args.repeats}x{args.reps_per_run} timed
+passes (warm-up untimed), container CPU per run. The per-run result
+checksum (query_id, rank, doc_id, score) was identical across every
+run at both levels: the speedup changes cost, not answers.
+
+| cores | batch wall (s) | queries/sec | container CPU (s) |
+|---|---|---|---|
+| {args.n} | {small['query_wall_s_min']} | {small['queries_per_sec']} | {small['container_cpu_s']} |
+| {args.n4} | {large['query_wall_s_min']} | {large['queries_per_sec']} | {large['container_cpu_s']} |
+
+- throughput ratio (T_N / T_4N): **{ratio:.3f}x** (ideal {core_ratio:.0f}x)
+- scaling efficiency: **{efficiency:.3f}** (required >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})
+- Amdahl fit over the minima (T(c) = S + P/c): parallel work
+  P = {p_par:.2f}s, non-scaling residue S = {s_serial:.2f}s.
+  The query pass is one pruned posting scan + one shard-parallel
+  score/heap stage + a k-row-per-query TakeOrdered: the only serial
+  pieces are job scheduling and the final k*{args.n_queries}-row
+  collect, both independent of corpus size — at 10^12 docs the
+  parallel fraction only grows.
+
+Raw interleaved-run JSON (per-rep):
+
+```json
+{os.linesep.join(json.dumps({"cores": c, **r}) for c in (args.n, args.n4) for r in all_runs[c])}
+```
+"""
+        )
+    print(f"wrote {args.out_md}")
+
+
+if __name__ == "__main__":
+    main()
