@@ -282,3 +282,101 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --- Code-credential scanning ------------------------------------------
+
+# well-known credential SHAPES in source code (the scan every code
+# training corpus runs before release — leaked keys must not reach
+# model weights). Conservative and portable across Java regex (Spark)
+# and RE2 (DuckDB oracle): no lookaround, no backreferences.
+SECRET_PATTERNS = {
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "github_token": r"\bghp_[A-Za-z0-9]{36}\b",
+    "slack_token": r"\bxox[baprs]-[0-9A-Za-z\-]{10,48}\b",
+    "private_key": r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    # assignment of a long hex literal to a credential-named variable
+    "hex_assign": r"(?i)\b(api_key|apikey|secret|token|passwd|password)"
+                  r"\s*[:=]\s*['\"][0-9a-f]{16,64}['\"]",
+}
+SECRET_TOKEN = "[SECRET_{kind}]"
+
+
+def secret_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Credential scan + typed redaction for a source-code corpus:
+    per-doc counts for each SECRET_PATTERNS kind, a total, a
+    ``has_secret`` verdict, and the sha256 of the redacted text (the
+    redacted corpus is the write path; the fingerprint makes the
+    transformation hash-checkable without shipping text). The
+    reference pipeline's per-row invariant is content-sha equality —
+    this is the one deliberate place the pipeline REWRITES content,
+    so the new sha is first-class output, not a side effect.
+
+    All-JVM: regexp_count + chained regexp_replace in one projection —
+    no shuffle, no UDF; a pure map over any partitioning (at 10^12
+    files this runs inside the ingest scan for free)."""
+    text = F.col(text_col)
+    counts = {
+        kind: F.regexp_count(text, F.lit(pat))
+        for kind, pat in SECRET_PATTERNS.items()
+    }
+    clean = text
+    for kind, pat in SECRET_PATTERNS.items():
+        clean = F.regexp_replace(
+            clean, pat, SECRET_TOKEN.format(kind=kind.upper()),
+        )
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        total.alias("n_secrets"),
+        (total > 0).alias("has_secret"),
+        F.sha2(clean, 256).alias("clean_sha"),
+    )
+
+
+# --- License detection -------------------------------------------------
+
+# characteristic phrases, checked IN ORDER (first match wins): LGPL and
+# AGPL must precede GPL (their texts contain the GPL phrase words);
+# phrases are lowercase because the scan lowercases the header.
+LICENSE_PHRASES = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "apache license, version 2.0"),
+    ("lgpl", "gnu lesser general public license"),
+    ("agpl", "gnu affero general public license"),
+    ("gpl", "gnu general public license"),
+    ("bsd", "redistribution and use in source and binary forms"),
+    ("mpl-2.0", "mozilla public license"),
+    ("unlicense", "this is free and unencumbered software"),
+]
+PERMISSIVE = {"mit", "apache-2.0", "bsd", "mpl-2.0", "unlicense"}
+LICENSE_HEADER_CHARS = 2048
+
+
+def license_expr(text: Column) -> Column:
+    """License family from the file HEADER (first
+    LICENSE_HEADER_CHARS chars, where license banners live — at
+    corpus scale you do not regex multi-MB blobs for a banner):
+    first matching LICENSE_PHRASES entry, else 'unknown'."""
+    head = F.lower(F.substring(text, 1, LICENSE_HEADER_CHARS))
+    out = F.lit("unknown")
+    for fam, phrase in reversed(LICENSE_PHRASES):
+        out = F.when(head.contains(phrase), F.lit(fam)).otherwise(out)
+    return out
+
+
+def license_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc license family + permissive keep flag — the filter a
+    code training pipeline applies before anything else is allowed to
+    sample the file. ``(doc_id, license, permissive)``; 'unknown' is
+    NOT permissive (fail closed: an unlabeled file is not evidence of
+    a grant). Pure projection: no shuffle, no UDF."""
+    lic = license_expr(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        lic.alias("license"),
+        lic.isin(sorted(PERMISSIVE)).alias("permissive"),
+    )
