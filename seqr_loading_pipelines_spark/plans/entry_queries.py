@@ -8983,8 +8983,68 @@ GROUP BY a.o_orderkey, a.n_inner_hits, a.hit_line
 """
 
 
+def q_nested_facet_returnflag(spark, sf_dir):
+    """ES nested terms agg + reverse_nested (query/relations.py
+    nested_facet) behind a driver-green row: orders' lineitems as the
+    nested column, elements pre-filtered to qty >= 25, faceted by
+    l_returnflag — per flag the nested element count AND the parent
+    order count (the reverse_nested jump). Oracle: the same filter +
+    GROUP BY with count(*) / count(DISTINCT orderkey)."""
+    from seqr_loading_pipelines_spark.query.relations import (
+        nest_children,
+        nested_facet,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    li = _read(spark, sf_dir, "lineitem")
+    nested = nest_children(
+        orders, li, "o_orderkey", "l_orderkey",
+        child_cols=["l_linenumber", "l_quantity", "l_returnflag"],
+        sort_field="l_linenumber",
+    )
+    return nested_facet(
+        nested, "items", "l_returnflag", "o_orderkey",
+        elem_cond=lambda x: x["l_quantity"] >= 25,
+    )
+
+
+SQL_NESTED_FACET_RETURNFLAG = """
+SELECT l_returnflag AS facet,
+       count(*) AS n_nested,
+       count(DISTINCT o_orderkey) AS n_parent_docs
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_quantity >= 25
+GROUP BY l_returnflag
+ORDER BY n_nested DESC, facet ASC
+"""
+
+
+def q_index_terms_enum(spark, sf_dir):
+    """ES _terms_enum (query/bm25.py terms_enum): dictionary-prefix
+    autocomplete over the REAL index's term table — pushed
+    StartsWith filter + TakeOrdered, no doc scan. Oracle: the term
+    dictionary derived from documents with LIKE prefix."""
+    from seqr_loading_pipelines_spark.query.bm25 import terms_enum
+
+    _, index = _built_index(spark, sf_dir, "q")
+    return terms_enum(index, "s", size=15)
+
+
+SQL_INDEX_TERMS_ENUM = f"""
+SELECT term, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+GROUP BY term
+HAVING term LIKE 's%'
+ORDER BY term
+LIMIT 15
+"""
+
+
+
 QUERIES = {
     "nested_query_lineitems": q_nested_lineitems,
+    "nested_facet_returnflag": q_nested_facet_returnflag,
+    "index_terms_enum": q_index_terms_enum,
     "eql_sequence_until": q_eql_sequence_until,
     "eql_sample": q_eql_sample,
     "mine_hard_negatives": q_mine_hard_negatives,
@@ -9181,6 +9241,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "nested_query_lineitems": SQL_NESTED_LINEITEMS,
+    "nested_facet_returnflag": SQL_NESTED_FACET_RETURNFLAG,
+    "index_terms_enum": SQL_INDEX_TERMS_ENUM,
     "eql_sequence_until": SQL_EQL_SEQUENCE_UNTIL,
     "eql_sample": SQL_EQL_SAMPLE,
     "mine_hard_negatives": SQL_MINE_HARD_NEGATIVES,

@@ -1935,3 +1935,28 @@ def suggest_phrase(
         [(p, s, i + 1) for i, (p, s) in enumerate(scored[:n])],
         out_schema,
     )
+
+
+def terms_enum(
+    index: dict,
+    prefix: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``_terms_enum``: up to ``size`` index terms starting with
+    ``prefix`` in term order, with document frequency — the
+    index-dictionary autocomplete that powers "did you mean a field
+    value" UIs (terms come from the DICTIONARY, not from scanning
+    stored docs; a 10^12-doc corpus answers from its few-million-row
+    term table). The prefix is lowercased to match the tokenizer
+    contract. Plan: pushed StringStartsWith filter on the dictionary
+    parquet + TakeOrderedAndProject — partial top-k per partition,
+    only ``size`` rows cross to the driver stage."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    return (
+        index["term_dict"]
+        .filter(F.col("term").startswith(prefix.lower()))
+        .select("term", "df")
+        .orderBy("term")
+        .limit(size)
+    )

@@ -340,3 +340,44 @@ def nested_query(
             ordered = F.transform(keyed, lambda s: s["v"])
         out = out.withColumn("inner_hits", F.slice(ordered, 1, inner_hits))
     return out.drop("_hits")
+
+
+def nested_facet(
+    parent_df: DataFrame,
+    items_col: str,
+    facet_field: str,
+    parent_key: str,
+    elem_cond=None,
+) -> DataFrame:
+    """ES ``nested`` terms aggregation + ``reverse_nested``: facet over
+    a FIELD OF THE NESTED ELEMENTS, reporting per value both the
+    nested doc_count (`n_nested`, what the nested agg alone returns)
+    and the PARENT doc count (`n_parent_docs`, what reverse_nested
+    recovers by jumping back up to the parent block). ``elem_cond``
+    (Column-lambda over one element) pre-filters elements, the nested
+    query's single-element semantics applied to the aggregation path.
+
+    Scale shape: per-element filter + field projection are array HOFs
+    inside the parent row (no join); then ONE explode feeding two
+    map-side-combinable hash aggs — (facet, parent) partials, then
+    facet totals where n_parent_docs = count of partial rows. No
+    countDistinct operator, no window: the (facet, parent) partial IS
+    the distinct, produced by the aggregation itself."""
+    items = F.col(items_col)
+    if elem_cond is not None:
+        items = F.filter(items, elem_cond)
+    vals = F.transform(items, lambda x: x[facet_field])
+    exploded = parent_df.select(
+        F.col(parent_key).alias("_pk"), F.explode(vals).alias("facet"),
+    )
+    per_parent = exploded.groupBy("facet", "_pk").agg(
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_parent.groupBy("facet")
+        .agg(
+            F.sum("_n").alias("n_nested"),
+            F.count(F.lit(1)).alias("n_parent_docs"),
+        )
+        .orderBy(F.col("n_nested").desc(), F.col("facet").asc())
+    )

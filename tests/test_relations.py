@@ -305,3 +305,54 @@ def test_nest_children_validates_sort_field(spark):
     c = spark.createDataFrame([(1, 2)], "k int, v int")
     with pytest.raises(ValueError, match="sort_field"):
         nest_children(p, c, "k", "k", child_cols=["v"], sort_field="nope")
+
+
+def test_nested_facet_reverse_nested_semantics(spark, nested_orders):
+    from seqr_loading_pipelines_spark.query.relations import nested_facet
+
+    # facet by line: line=2 elements are order1's (2,3.0) plus order
+    # 2's TWO line-2 twins -> n_nested counts all three, but
+    # n_parent_docs counts each parent once (the reverse_nested jump)
+    rows = {
+        r["facet"]: r
+        for r in nested_facet(
+            nested_orders, "items", "line", "order_id",
+        ).collect()
+    }
+    assert rows[2]["n_nested"] == 3 and rows[2]["n_parent_docs"] == 2
+    assert rows[1]["n_nested"] == 2 and rows[1]["n_parent_docs"] == 2
+    # order 3's empty array contributes nothing
+
+
+def test_nested_facet_elem_cond(spark, nested_orders):
+    from seqr_loading_pipelines_spark.query.relations import nested_facet
+
+    rows = {
+        r["facet"]: r
+        for r in nested_facet(
+            nested_orders, "items", "line", "order_id",
+            elem_cond=lambda x: x["qty"] >= 10,
+        ).collect()
+    }
+    # qty>=10 leaves: order1 line1 (12), order2 line1 (11), line2 (15)
+    assert rows[1]["n_nested"] == 2 and rows[1]["n_parent_docs"] == 2
+    assert rows[2]["n_nested"] == 1 and rows[2]["n_parent_docs"] == 1
+
+
+def test_terms_enum_prefix_order_and_bound(spark, rel_index):
+    from seqr_loading_pipelines_spark.query.bm25 import terms_enum
+
+    out = terms_enum(rel_index, "AL", size=5).collect()
+    # prefix lowercased per tokenizer contract; term order
+    assert [r["term"] for r in out] == ["alpha"]
+    assert out[0]["df"] == 3  # three docs contain 'alpha'
+    full = terms_enum(rel_index, "", size=3).collect()
+    assert len(full) == 3
+    assert [r["term"] for r in full] == sorted(r["term"] for r in full)
+    with pytest.raises(ValueError, match="size"):
+        terms_enum(rel_index, "a", size=0)
+    plan = (
+        terms_enum(rel_index, "al", size=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
