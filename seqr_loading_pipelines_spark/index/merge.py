@@ -870,3 +870,46 @@ def shrink_index(
     return compact_segments(
         spark, index_root, target_partitions=target_partitions,
     )
+
+
+def split_index(
+    spark: SparkSession, index_root: str, factor: int,
+) -> dict:
+    """The ES ``_split`` API analog: multiply the published index's
+    physical partition count by ``factor`` (ES splits each primary
+    shard into ``factor`` shards and requires the target count to be
+    a multiple of the source; the physical unit here is the parquet
+    partition — the unit of scan parallelism). The inverse move of
+    ``shrink_index``: MORE, smaller scan tasks for a hot index whose
+    per-task decode has become the query-latency floor. Same staged
+    snapshot + atomic pointer swap + resumability as compaction;
+    results rank-identical.
+
+    The source partition count is read from the live layout (last
+    segment's postings files), not guessed, so repeated splits
+    compound: split(2) then split(2) = 4x the original layout."""
+    from seqr_loading_pipelines_spark.sources import fs
+
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+    table = ManifestTable(index_root)
+    current = table.current_manifest()
+    if current is None:
+        raise FileNotFoundError(f"no published index at {index_root}")
+    seg = current["segments"][-1]
+    n_now = len(
+        [
+            name
+            for name, _ in fs.list_files(
+                fs.join(index_root, seg, "postings"),
+            )
+            if name.startswith("part-")
+        ],
+    )
+    if n_now < 1:
+        raise FileNotFoundError(
+            f"no posting partitions under segment {seg}",
+        )
+    return compact_segments(
+        spark, index_root, target_partitions=n_now * factor,
+    )

@@ -581,3 +581,51 @@ def test_shrink_index_repartitions_and_preserves_results(
     assert m1["n_docs"] == m["n_docs"]
     with pytest.raises(ValueError, match="target_partitions"):
         shrink_index(spark, root, 0)
+
+
+def test_split_index_multiplies_layout_and_preserves_results(
+    spark, tmp_path_factory,
+):
+    import glob
+    import os
+
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+    from seqr_loading_pipelines_spark.index.merge import (
+        shrink_index,
+        split_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("split_idx"))
+    corpus = generate_corpus(spark, 150, n_repos=4, seed=22)
+    IndexBuilder(spark, root).build(corpus, "split-base")
+    before = load_index(spark, root)
+    want = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, before, QUERIES[0], 15).collect()
+    ]
+
+    def _n_parts(manifest):
+        seg = manifest["segments"][-1]
+        return len(
+            glob.glob(
+                os.path.join(root, seg, "postings", "part-*.parquet"),
+            ),
+        )
+
+    # pin the layout first so the split factor is observable
+    m1 = shrink_index(spark, root, 1)
+    assert _n_parts(m1) == 1
+    m2 = split_index(spark, root, 2)
+    assert _n_parts(m2) == 2
+    # splits compound off the LIVE layout: 1 -> 2 -> 4
+    m4 = split_index(spark, root, 2)
+    assert _n_parts(m4) == 4
+    after = load_index(spark, root)
+    got = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, after, QUERIES[0], 15).collect()
+    ]
+    assert got == want
+    assert m4["n_docs"] == m1["n_docs"]
+    with pytest.raises(ValueError, match="factor"):
+        split_index(spark, root, 1)
