@@ -3022,6 +3022,75 @@ SELECT doc_id, round(s, 4) AS score, rank FROM (
 SQL_INDEX_FUNCTION_SCORE = _sql_bm25_function_score(BM25_QUERY_TERMS, 10)
 
 
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 80.0, 20.0, 2.0
+
+
+def q_index_distance_feature(spark, sf_dir):
+    """Distance-feature retrieval through the REAL index path (ES
+    ``distance_feature`` in a bool should): BM25 over the reference
+    terms PLUS boost*pivot/(pivot+|doc_len-origin|) from the doc
+    store — the additive recency/proximity booster
+    (query/bm25.py search_distance_feature). Oracle: the BM25 SQL
+    with the same additive feature."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        hydrate,
+        search_distance_feature,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    topk = search_distance_feature(
+        spark, index, " ".join(BM25_QUERY_TERMS),
+        field="doc_len", origin=DF_ORIGIN, pivot=DF_PIVOT,
+        boost=DF_BOOST, k=10,
+    )
+    return hydrate(index, topk).select(
+        _orig_doc_id().alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "rank",
+    )
+
+
+def _sql_bm25_distance_feature(terms: list, k: int) -> str:
+    """BM25 + boost*pivot/(pivot+|dl-origin|), mirroring
+    search_distance_feature (additive; corpus stats untouched)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+final AS (
+  SELECT scored.doc_id,
+         scored.s + {DF_BOOST} * {DF_PIVOT}
+             / ({DF_PIVOT} + abs(dl.dl - {DF_ORIGIN})) AS s
+  FROM scored JOIN dl USING (doc_id)
+)
+SELECT doc_id, round(s, 4) AS score, rank FROM (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC) AS rank
+  FROM final
+) WHERE rank <= {k}
+"""
+
+
+SQL_INDEX_DISTANCE_FEATURE = _sql_bm25_distance_feature(BM25_QUERY_TERMS, 10)
+
+
+
 BM25_EXCLUDE_TERM = "window"
 
 
@@ -9190,6 +9259,7 @@ QUERIES = {
     "index_synonym_search": q_index_synonym_search,
     "index_suggest": q_index_suggest,
     "index_function_score": q_index_function_score,
+    "index_distance_feature": q_index_distance_feature,
     "index_bm25_boosted": q_index_bm25_boosted,
     "index_match_count": q_index_match_count,
     "index_sort_by_commit": q_index_sort_by_commit,
@@ -9390,6 +9460,7 @@ ORACLE_SQL = {
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
     "index_suggest": SQL_INDEX_SUGGEST,
     "index_function_score": SQL_INDEX_FUNCTION_SCORE,
+    "index_distance_feature": SQL_INDEX_DISTANCE_FEATURE,
     "index_bm25_boosted": SQL_INDEX_BM25_BOOSTED,
     "index_match_count": SQL_INDEX_MATCH_COUNT,
     "index_sort_by_commit": SQL_INDEX_SORT_BY_COMMIT,

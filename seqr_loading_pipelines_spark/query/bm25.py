@@ -1960,3 +1960,59 @@ def terms_enum(
         .orderBy("term")
         .limit(size)
     )
+
+
+def search_distance_feature(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """Distance-feature retrieval (Elasticsearch ``distance_feature``
+    as a bool ``should`` clause): BM25 relevance PLUS
+    ``boost * pivot / (pivot + |field - origin|)`` from a numeric
+    doc-store column — the additive recency/proximity booster (docs at
+    the origin gain the full ``boost``; the gain halves at ``pivot``
+    distance). Additive, unlike function_score's multiplicative prior:
+    a zero-relevance doc can never ride the boost into the result set
+    because only matching docs are scored.
+
+    Scale shape identical to search_function_score: one pruned posting
+    scan scores the match set, the feature rides a two-column
+    doc-store projection join on doc_id (gated-broadcast when the
+    match bound allows, ONE shuffle past the gate), bounded top-k."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be positive, got {pivot}")
+    if boost < 0:
+        raise ValueError(f"boost must be >= 0, got {boost}")
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("_bm25"))
+    )
+    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
+
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if match_bound(term_infos) <= gate:
+        scored = F.broadcast(scored)
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    feature = (
+        F.lit(float(boost)) * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + dist)
+    )
+    out = (
+        index["doc_stats"]
+        .select("doc_id", field)
+        .join(scored, "doc_id", "inner")
+        .select("doc_id", (F.col("_bm25") + feature).alias("score"))
+    )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    return rank_topk(out, k)

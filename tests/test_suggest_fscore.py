@@ -122,3 +122,85 @@ def test_function_score_absent_term_empty(spark, index):
     assert search_function_score(
         spark, index, "zz_absent_token_zz", k=5,
     ).count() == 0
+
+
+# distance_feature (query/bm25.py search_distance_feature)
+# ---------------------------------------------------------------------
+
+
+def _expected_dfeature(spark, index, text, origin, pivot, boost, k):
+    n = index["manifest"]["n_docs"]
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_exact(spark, index, text, n).collect()
+    }
+    dl = {
+        r["doc_id"]: int(r["doc_len"])
+        for r in index["doc_stats"].select("doc_id", "doc_len").collect()
+        if r["doc_id"] in base
+    }
+    tot = {
+        d: base[d] + boost * pivot / (pivot + abs(dl[d] - origin))
+        for d in base
+    }
+    ranked = sorted(
+        tot.items(), key=lambda kv: (-math.floor(kv[1] * 1e5 + 0.5), kv[0]),
+    )[:k]
+    return [(d, round(s, 4), i + 1) for i, (d, s) in enumerate(ranked)]
+
+
+def test_distance_feature_matches_additive_golden(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_distance_feature,
+    )
+
+    text = "term_00042 sw0"
+    got = [
+        (r["doc_id"], round(r["score"], 4), r["rank"])
+        for r in search_distance_feature(
+            spark, index, text, field="doc_len",
+            origin=60.0, pivot=15.0, boost=2.0, k=10,
+        ).collect()
+    ]
+    assert got == _expected_dfeature(spark, index, text, 60.0, 15.0, 2.0, 10)
+
+
+def test_distance_feature_additive_not_multiplicative(spark, index):
+    # a zero boost degrades exactly to plain BM25 ranking
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_distance_feature,
+    )
+
+    text = "term_00042 sw0"
+    plain = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, index, text, 10).collect()
+    ]
+    boosted = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_distance_feature(
+            spark, index, text, field="doc_len",
+            origin=60.0, pivot=15.0, boost=0.0, k=10,
+        ).collect()
+    ]
+    assert boosted == plain
+
+
+def test_distance_feature_validation_and_empty(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_distance_feature,
+    )
+
+    with pytest.raises(ValueError, match="pivot"):
+        search_distance_feature(
+            spark, index, "x", field="doc_len", origin=0, pivot=0,
+        )
+    with pytest.raises(ValueError, match="boost"):
+        search_distance_feature(
+            spark, index, "x", field="doc_len", origin=0, pivot=1,
+            boost=-1,
+        )
+    assert search_distance_feature(
+        spark, index, "zz_absent_token_zz", field="doc_len",
+        origin=0, pivot=1, k=5,
+    ).count() == 0
