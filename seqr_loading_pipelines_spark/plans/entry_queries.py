@@ -4611,6 +4611,66 @@ ORDER BY min_gap, doc_id LIMIT 10
 """
 
 
+INTERVALS_UNORD_QUERY = ["vector", "hash", "window"]
+INTERVALS_UNORD_GAPS = 5
+
+
+def q_index_intervals_unordered(spark, sf_dir):
+    """ES intervals all_of(ordered=false, max_gaps) through the REAL
+    index path: the three terms must co-occur inside ONE window in
+    ANY order with at most INTERVALS_UNORD_GAPS extra tokens
+    (query/phrase.py search_intervals_unordered — true minimum over
+    the assignment cross-product with a running-extent fold). Oracle:
+    min over all position triples of greatest-least-(n-1) in SQL.
+    Over-fetch + external-id re-rank, same tie-rule rationale as
+    span_near."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_intervals_unordered,
+    )
+
+    _, index = _built_index(spark, sf_dir, "pos", positions=True)
+    out = search_intervals_unordered(
+        spark, index, [[t] for t in INTERVALS_UNORD_QUERY],
+        max_gaps=INTERVALS_UNORD_GAPS, k=200,
+    )
+    hyd = index["doc_stats"].join(out, "doc_id").select(
+        _orig_doc_id().alias("doc_id"), "min_gap",
+    )
+    w = Window.partitionBy(single_partition_key(hyd)).orderBy(
+        F.col("min_gap").asc(), F.col("doc_id").asc(),
+    )
+    return (
+        hyd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+SQL_INDEX_INTERVALS_UNORDERED = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS tok,
+         generate_subscripts({_T}, 1) AS pos
+  FROM documents
+),
+p1 AS (SELECT doc_id, pos FROM toks WHERE tok = '{INTERVALS_UNORD_QUERY[0]}'),
+p2 AS (SELECT doc_id, pos FROM toks WHERE tok = '{INTERVALS_UNORD_QUERY[1]}'),
+p3 AS (SELECT doc_id, pos FROM toks WHERE tok = '{INTERVALS_UNORD_QUERY[2]}'),
+g AS (
+  SELECT p1.doc_id,
+         min(greatest(p1.pos, p2.pos, p3.pos)
+             - least(p1.pos, p2.pos, p3.pos) - 2)::INT AS min_gap
+  FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, min_gap,
+       row_number() OVER (ORDER BY min_gap, doc_id)::INT AS rank
+FROM g WHERE min_gap <= {INTERVALS_UNORD_GAPS}
+ORDER BY min_gap, doc_id LIMIT 10
+"""
+
+
 SESSION_GAP = "6 hours"
 
 
@@ -9252,6 +9312,7 @@ QUERIES = {
     "license_detect": q_license_detect,
     "repetition_signals": q_repetition_signals,
     "index_span_near": q_index_span_near,
+    "index_intervals_unordered": q_index_intervals_unordered,
     "session_windows": q_session_windows,
     "stratified_sample": q_stratified_sample,
     "index_bm25_explain": q_index_bm25_explain,
@@ -9453,6 +9514,7 @@ ORACLE_SQL = {
     "license_detect": SQL_LICENSE_DETECT,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "index_span_near": SQL_INDEX_SPAN_NEAR,
+    "index_intervals_unordered": SQL_INDEX_INTERVALS_UNORDERED,
     "session_windows": SQL_SESSION_WINDOWS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "index_bm25_explain": SQL_INDEX_BM25_EXPLAIN,

@@ -943,3 +943,154 @@ def search_span_within(
         "doc_id", "n_within", "first_pos",
         F.row_number().over(w).alias("rank"),
     )
+
+
+UNORDERED_MAX_STEPS = 3
+
+
+def search_intervals_unordered(
+    spark: SparkSession,
+    index: dict,
+    steps: list,
+    max_gaps: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``intervals`` — the ``all_of(ordered=false, max_gaps)``
+    rule: every step must appear within ONE window in ANY order, with
+    at most ``max_gaps`` non-matching tokens inside the whole span
+    (span = max(pos) - min(pos) - (n-1) over one position per step).
+    ``steps`` as in ``search_intervals``: each a list of alternative
+    tokens (``match`` / ``any_of``). Returns ``(doc_id, min_gap,
+    rank)`` ranked (min_gap asc, doc_id asc).
+
+    The fold: unlike the ordered case there is no greedy chain (any
+    order means no "earliest continuation" argument), so the TRUE
+    minimum is taken over the full assignment cross-product with a
+    running (min, max) accumulator — nested JVM ``transform`` levels,
+    one per step, O(prod |positions|) per doc. Step count is capped
+    at UNORDERED_MAX_STEPS (the sorted-sweep minimal-window algorithm
+    is the upgrade if wider unordered queries ever matter); step
+    alternative sets must be disjoint so two steps can never claim
+    the same token occurrence (ES's non-overlap rule for all_of).
+
+    Shape identical to search_intervals: ONE pruned ``term_id IN``
+    scan of the positions projection, tombstone anti-join, per-step
+    presence gate, per-doc fold, shared bounded top-k."""
+    if "positions" not in index:
+        raise ValueError(
+            "index was built without positional postings; rebuild with "
+            "IndexBuilder(positions=True) to enable intervals queries",
+        )
+    if max_gaps < 0:
+        raise ValueError("max_gaps must be >= 0")
+    empty = spark.createDataFrame([], "doc_id long, min_gap int, rank int")
+    if not steps:
+        return empty
+    if len(steps) > UNORDERED_MAX_STEPS:
+        raise ValueError(
+            f"unordered intervals supports at most {UNORDERED_MAX_STEPS} "
+            f"steps, got {len(steps)}",
+        )
+    norm_steps = []
+    for i, s in enumerate(steps):
+        alts = sorted({t for alt in s for t in index_tokenize(index, alt)})
+        if not alts:
+            raise ValueError(f"intervals step {i} has no tokens")
+        if len(alts) > INTERVALS_MAX_ALTERNATIVES:
+            raise ValueError(
+                f"intervals step {i} has {len(alts)} alternatives "
+                f"(max {INTERVALS_MAX_ALTERNATIVES})",
+            )
+        norm_steps.append(alts)
+    for i in range(len(norm_steps)):
+        for j in range(i + 1, len(norm_steps)):
+            overlap = set(norm_steps[i]) & set(norm_steps[j])
+            if overlap:
+                raise ValueError(
+                    f"unordered intervals steps {i} and {j} share "
+                    f"alternatives {sorted(overlap)}: steps must be "
+                    "disjoint so one token occurrence cannot satisfy "
+                    "two steps",
+                )
+    all_terms = sorted({t for s in norm_steps for t in s})
+    infos = _query_terms(index, " ".join(all_terms))
+    tid_by_term = {i["term"]: i["term_id"] for i in infos}
+    step_tids = []
+    for s in norm_steps:
+        ts = sorted(tid_by_term[t] for t in s if t in tid_by_term)
+        if not ts:
+            return empty
+        step_tids.append(ts)
+    distinct_tids = sorted({t for ts in step_tids for t in ts})
+
+    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    grouped = (
+        pos.select("term_id", "doc_id", "pos")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "pos")),
+            ).alias("pmap"),
+        )
+    )
+
+    def step_union(i):
+        return F.flatten(
+            F.filter(
+                F.array(
+                    *[
+                        F.element_at(F.col("pmap"), F.lit(int(t)))
+                        for t in step_tids[i]
+                    ],
+                ),
+                lambda a: a.isNotNull(),
+            ),
+        )
+
+    n = len(step_tids)
+    unions = grouped.select(
+        "doc_id",
+        *[step_union(i).alias(f"_u{i}") for i in range(n)],
+    )
+    present = unions
+    for i in range(n):
+        present = present.filter(F.size(F.col(f"_u{i}")) > 0)
+
+    def fold(depth, cur_min, cur_max):
+        # running-extent accumulator over one pick per remaining step
+        if depth == n:
+            return cur_max - cur_min - F.lit(n - 1)
+        return F.array_min(
+            F.transform(
+                F.col(f"_u{depth}"),
+                lambda x: fold(
+                    depth + 1, F.least(cur_min, x), F.greatest(cur_max, x),
+                ),
+            ),
+        )
+
+    if n == 1:
+        scored = present.select("doc_id", F.lit(0).alias("min_gap"))
+    else:
+        gap = F.array_min(
+            F.transform(F.col("_u0"), lambda p: fold(1, p, p)),
+        )
+        scored = (
+            present.select("doc_id", gap.cast("int").alias("min_gap"))
+            .filter(F.col("min_gap").isNotNull())
+            .filter(F.col("min_gap") <= max_gaps)
+        )
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    ranked = rank_topk(
+        scored.select(
+            "doc_id", (-F.col("min_gap")).cast("double").alias("score"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "doc_id", (-F.col("score")).cast("int").alias("min_gap"), "rank",
+    )

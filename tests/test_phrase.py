@@ -940,3 +940,76 @@ def test_span_within_dense_stopword_doc_completes(
     assert got[by["dense.py"]] == (2000, 1)
     assert got[by["tiny.py"]] == (1, 2)
     assert by["none.py"] not in got
+
+
+# unordered intervals (all_of ordered=false, max_gaps)
+# ---------------------------------------------------------------------
+
+
+def _unordered(spark, idx, steps, max_gaps, k=10):
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_intervals_unordered,
+    )
+
+    return {
+        r["doc_id"]: r["min_gap"]
+        for r in search_intervals_unordered(
+            spark, idx, steps, max_gaps=max_gaps, k=k,
+        ).collect()
+    }
+
+
+def test_intervals_unordered_any_order_matches(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    # "b a": reversed order matches unordered (ordered would need slop
+    # machinery in the other direction)
+    got = _unordered(spark, idx, [["a"], ["b"]], max_gaps=0)
+    # adjacency in EITHER order: d0 (a b), d1 via? a x b -> gap 1; d2 (b a)
+    assert by["d2.py"] in got and got[by["d2.py"]] == 0
+    assert by["d0.py"] in got and got[by["d0.py"]] == 0
+    assert by["d1.py"] not in got  # gap 1 > max_gaps 0
+    got1 = _unordered(spark, idx, [["a"], ["b"]], max_gaps=1)
+    assert got1[by["d1.py"]] == 1
+
+
+def test_intervals_unordered_true_minimum_not_greedy(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    # d4: "z a b c" — three steps {a},{c},{b} in scrambled query
+    # order; the minimal covering window is a..c = span 3 tokens,
+    # gaps = 3-1-... positions a=2,b=3,c=4 -> max-min-(n-1) = 2-2 = 0
+    got = _unordered(spark, idx, [["c"], ["a"], ["b"]], max_gaps=0)
+    assert got.get(by["d4.py"]) == 0
+
+
+def test_intervals_unordered_gap_budget_and_rank(spark, pos_index):
+    _, idx = pos_index
+    by = idx["_by_path"]
+    got = _unordered(spark, idx, [["z"], ["c"]], max_gaps=1)
+    # d4: z=1, c=4 -> gap 2 > 1: excluded
+    assert by["d4.py"] not in got
+    got2 = _unordered(spark, idx, [["z"], ["c"]], max_gaps=2)
+    assert got2[by["d4.py"]] == 2
+
+
+def test_intervals_unordered_validation(spark, pos_index, index):
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_intervals_unordered,
+    )
+
+    _, idx = pos_index
+    with pytest.raises(ValueError, match="disjoint"):
+        search_intervals_unordered(
+            spark, idx, [["a", "b"], ["b"]], max_gaps=1,
+        )
+    with pytest.raises(ValueError, match="at most"):
+        search_intervals_unordered(
+            spark, idx, [["a"], ["b"], ["c"], ["z"]], max_gaps=1,
+        )
+    with pytest.raises(ValueError, match="max_gaps"):
+        search_intervals_unordered(spark, idx, [["a"]], max_gaps=-1)
+    with pytest.raises(ValueError, match="positional"):
+        search_intervals_unordered(spark, index, [["a"]], max_gaps=0)
+    # absent-term step: empty, no error
+    assert _unordered(spark, idx, [["a"], ["zzqq"]], max_gaps=5) == {}
