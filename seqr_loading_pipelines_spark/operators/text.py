@@ -380,3 +380,59 @@ def license_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lic.alias("license"),
         lic.isin(sorted(PERMISSIVE)).alias("permissive"),
     )
+
+
+# --- Binary / generated-file detection -----------------------------------
+
+# control chars except \t \n \r; any hit marks the blob binary (the
+# git/grep heuristic: real text never carries bare control bytes)
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+NON_ASCII_PATTERN = r"[^\x00-\x7f]"
+MAX_LINE_KEEP = 1000
+NON_ASCII_FRAC_KEEP = 0.3
+
+
+def binary_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Binary / minified / generated-file signals per doc — the ingest
+    filter a source-code corpus runs before tokenization ever sees the
+    bytes: control-char count (any -> ``is_binary``, the git
+    heuristic), non-ASCII fraction, and the longest physical line
+    (minified JS / generated bundles ship as one multi-KB line; the
+    standard code-pipeline cut is ~1k chars). ``keep`` = not binary,
+    longest line <= MAX_LINE_KEEP, non-ASCII fraction <=
+    NON_ASCII_FRAC_KEEP. Empty text keeps (nothing to reject).
+
+    One row per doc: ``(doc_id, n_chars, n_control, non_ascii_frac,
+    longest_line, is_binary, keep)``. All-JVM regexp + split/HOF in a
+    single projection — no shuffle, no UDF; a pure map that runs
+    inside the ingest scan at any corpus size."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_control = F.regexp_count(text, F.lit(CONTROL_CHAR_PATTERN))
+    n_non_ascii = F.regexp_count(text, F.lit(NON_ASCII_PATTERN))
+    longest = F.coalesce(
+        F.array_max(
+            F.transform(F.split(text, "\n"), lambda x: F.length(x)),
+        ),
+        F.lit(0),
+    )
+    non_ascii_frac = F.round(
+        F.when(n_chars > 0, n_non_ascii.cast("double") / n_chars)
+        .otherwise(F.lit(0.0)),
+        5,
+    )
+    is_binary = n_control > 0
+    keep = (
+        (~is_binary)
+        & (longest <= MAX_LINE_KEEP)
+        & (non_ascii_frac <= NON_ASCII_FRAC_KEEP)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_control.alias("n_control"),
+        non_ascii_frac.alias("non_ascii_frac"),
+        longest.alias("longest_line"),
+        is_binary.alias("is_binary"),
+        keep.alias("keep"),
+    )

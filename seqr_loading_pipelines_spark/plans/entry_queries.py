@@ -4407,6 +4407,80 @@ FROM per
 SQL_SECRET_SCAN = _sql_secret_scan()
 
 
+def _binary_augment_expr():
+    """Deterministic binary/minified/non-ASCII injection by doc_id %
+    4: control bytes (git binary heuristic trip), a 1200-char single
+    line (minified-bundle trip), a few non-ASCII chars (fraction
+    signal only), or nothing — identical algebra on both sides."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit("\x01\x02bin"))
+        .when(d % 4 == 1, F.lit("\n" + "x" * 1200))
+        .when(d % 4 == 2, F.lit(" \u00e9\u00ab\u00b1"))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_binary_signals(spark, sf_dir):
+    """Binary / minified / generated-file ingest filter
+    (operators/text.py binary_signals): control-char count ->
+    is_binary (the git heuristic), longest physical line (minified
+    cut at 1000), non-ASCII fraction, composite keep. Input carries
+    deterministic doc_id-derived trips (_binary_augment_expr).
+    Oracle: the same counts/extents via RE2 + list_transform."""
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _binary_augment_expr().alias("text"))
+    return TX.binary_signals(aug)
+
+
+def _sql_binary_signals() -> str:
+    from seqr_loading_pipelines_spark.operators.text import (
+        CONTROL_CHAR_PATTERN,
+        MAX_LINE_KEEP,
+        NON_ASCII_FRAC_KEEP,
+        NON_ASCII_PATTERN,
+    )
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) || 'bin'
+           WHEN doc_id % 4 = 1 THEN chr(10) || repeat('x', 1200)
+           WHEN doc_id % 4 = 2 THEN ' ' || chr(233) || chr(171) || chr(177)
+           ELSE '' END AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{CONTROL_CHAR_PATTERN}'))
+           AS n_control,
+         len(regexp_extract_all(text, '{NON_ASCII_PATTERN}'))
+           AS n_non_ascii,
+         coalesce(list_max(list_transform(
+           string_split(text, chr(10)), x -> length(x))), 0)
+           AS longest_line
+  FROM aug
+)
+SELECT doc_id, n_chars, n_control,
+       round(CASE WHEN n_chars > 0
+             THEN n_non_ascii::DOUBLE / n_chars ELSE 0 END, 5)
+         AS non_ascii_frac,
+       longest_line,
+       n_control > 0 AS is_binary,
+       (n_control = 0 AND longest_line <= {MAX_LINE_KEEP}
+        AND (CASE WHEN n_chars > 0
+             THEN n_non_ascii::DOUBLE / n_chars ELSE 0 END)
+            <= {NON_ASCII_FRAC_KEEP}) AS keep
+FROM sig
+"""
+
+
+SQL_BINARY_SIGNALS = _sql_binary_signals()
+
+
+
 _LICENSE_HEADERS = [
     'Permission is hereby granted, free of charge, to any person ',
     'Licensed under the Apache License, Version 2.0 (the "License") ',
@@ -9309,6 +9383,7 @@ QUERIES = {
     "index_diversified_sampler": q_index_diversified_sampler,
     "pii_scrub": q_pii_scrub,
     "secret_scan": q_secret_scan,
+    "binary_signals": q_binary_signals,
     "license_detect": q_license_detect,
     "repetition_signals": q_repetition_signals,
     "index_span_near": q_index_span_near,
@@ -9511,6 +9586,7 @@ ORACLE_SQL = {
     "index_diversified_sampler": SQL_INDEX_DIVERSIFIED_SAMPLER,
     "pii_scrub": SQL_PII_SCRUB,
     "secret_scan": SQL_SECRET_SCAN,
+    "binary_signals": SQL_BINARY_SIGNALS,
     "license_detect": SQL_LICENSE_DETECT,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "index_span_near": SQL_INDEX_SPAN_NEAR,

@@ -1350,3 +1350,31 @@ def test_license_detect_families_and_priority(spark):
     # fail closed: unknown is not permissive
     assert rows[6]["license"] == "unknown" and not rows[6]["permissive"]
     assert rows[7]["license"] == "unknown"
+
+
+def test_binary_signals_detection_and_keep(spark):
+    from seqr_loading_pipelines_spark.operators.text import binary_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain source\nwith two lines"),
+            (2, "has a control\x01byte"),
+            (3, "tabs\tand\nnewlines\rare fine"),
+            (4, "short\n" + "y" * 1500),       # minified single line
+            (5, "café résumé"),  # non-ASCII but text
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in binary_signals(df).collect()}
+    assert not rows[1]["is_binary"] and rows[1]["keep"]
+    assert rows[1]["longest_line"] == len("with two lines")
+    assert rows[2]["is_binary"] and not rows[2]["keep"]
+    assert rows[2]["n_control"] == 1
+    # \t \n \r are NOT binary markers
+    assert not rows[3]["is_binary"] and rows[3]["keep"]
+    assert not rows[4]["is_binary"] and not rows[4]["keep"]  # line > 1000
+    assert rows[4]["longest_line"] == 1500
+    assert not rows[5]["is_binary"]
+    assert rows[5]["non_ascii_frac"] == pytest.approx(3 / 16, abs=1e-4)
+    assert rows[6]["keep"] and rows[6]["longest_line"] == 0
