@@ -1376,5 +1376,5 @@ def test_binary_signals_detection_and_keep(spark):
     assert not rows[4]["is_binary"] and not rows[4]["keep"]  # line > 1000
     assert rows[4]["longest_line"] == 1500
     assert not rows[5]["is_binary"]
-    assert rows[5]["non_ascii_frac"] == pytest.approx(3 / 16, abs=1e-4)
+    assert rows[5]["non_ascii_frac"] == pytest.approx(3 / 11, abs=1e-4)
     assert rows[6]["keep"] and rows[6]["longest_line"] == 0
