@@ -34,23 +34,13 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
-
-def _container_cpu_ns() -> int:
-    for path in ("/sys/fs/cgroup/cpuacct/cpuacct.usage",):
-        try:
-            with open(path) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            continue
-    try:
-        with open("/sys/fs/cgroup/cpu.stat") as f:
-            for line in f:
-                if line.startswith("usage_usec"):
-                    return int(line.split()[1]) * 1000
-    except OSError:
-        pass
-    return 0
+from seqr_loading_pipelines_spark.functions.bench_protocol import (  # noqa: E402
+    container_cpu_ns,
+    last_json,
+    rotation_offset,
+)
 
 
 def _spark_submit(cores: int, script: str, script_args: list[str],
@@ -88,16 +78,6 @@ def _spark_submit(cores: int, script: str, script_args: list[str],
     )
 
 
-def _last_json(res: subprocess.CompletedProcess, what: str) -> dict:
-    for line in reversed(res.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"{what} produced no JSON: {res.stdout[-500:]} {res.stderr[-1000:]}",
-    )
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1, help="small cluster cores")
@@ -132,7 +112,7 @@ def main() -> None:
             ["--n-docs", str(args.n_docs), "--out", args.index],
             "40g", pin=False,
         )
-        _last_json(res, "index build")
+        last_json(res, "index build")
     else:
         print(f"reusing index at {args.index}")
 
@@ -140,7 +120,7 @@ def main() -> None:
     checksums = set()
     for rep in range(args.repeats):
         for cores in (args.n, args.n4):
-            cpu0 = _container_cpu_ns()
+            cpu0 = container_cpu_ns()
             t0 = time.time()
             res = _spark_submit(
                 cores, "query_bench.py",
@@ -151,10 +131,10 @@ def main() -> None:
                     "--reps", str(args.reps_per_run),
                 ],
                 args.driver_mem,
-                cpu_offset=(rep * args.n4) % max(1, 32 - args.n4),
+                cpu_offset=rotation_offset(rep, args.n4),
             )
-            r = _last_json(res, f"query bench at local[{cores}]")
-            r["container_cpu_s"] = round((_container_cpu_ns() - cpu0) / 1e9, 1)
+            r = last_json(res, f"query bench at local[{cores}]")
+            r["container_cpu_s"] = round((container_cpu_ns() - cpu0) / 1e9, 1)
             r["total_wall_s"] = round(time.time() - t0, 1)
             checksums.add(r["result_checksum"])
             all_runs[cores].append(r)

@@ -21,33 +21,20 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
-
-def _container_cpu_ns() -> int:
-    """Total container CPU (cgroup), for contention-vs-serialization
-    diagnosis: equal CPU across levels + longer wall = idle waiting;
-    higher CPU at more cores = spin/contention overhead."""
-    for path in ("/sys/fs/cgroup/cpuacct/cpuacct.usage",):
-        try:
-            with open(path) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            continue
-    try:
-        with open("/sys/fs/cgroup/cpu.stat") as f:
-            for line in f:
-                if line.startswith("usage_usec"):
-                    return int(line.split()[1]) * 1000
-    except OSError:
-        pass
-    return 0
+from seqr_loading_pipelines_spark.functions.bench_protocol import (  # noqa: E402
+    container_cpu_ns,
+    last_json,
+    rotation_offset,
+)
 
 
 def run_build(
     cores: int, n_docs: int, out: str, driver_mem: str, cpu_offset: int = 0,
 ) -> dict:
     shutil.rmtree(out, ignore_errors=True)
-    cpu0 = _container_cpu_ns()
+    cpu0 = container_cpu_ns()
     local_dir = "/dev/shm/spark-local"
     os.makedirs(local_dir, exist_ok=True)
     cmd = [
@@ -92,18 +79,9 @@ def run_build(
         timeout=int(os.environ.get("SCALING_BENCH_TIMEOUT", "1800")),
         check=False,
     )
-    for line in reversed(res.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            r = json.loads(line)
-            r["container_cpu_s"] = round(
-                (_container_cpu_ns() - cpu0) / 1e9, 1,
-            )
-            return r
-    raise RuntimeError(
-        f"build at local[{cores}] produced no JSON: {res.stdout[-500:]} "
-        f"{res.stderr[-1000:]}",
-    )
+    r = last_json(res, f"build at local[{cores}]")
+    r["container_cpu_s"] = round((container_cpu_ns() - cpu0) / 1e9, 1)
+    return r
 
 
 def main() -> None:
@@ -131,7 +109,7 @@ def main() -> None:
             r = run_build(
                 cores, args.n_docs, f"/dev/shm/scaling_idx_{cores}",
                 args.driver_mem,
-                cpu_offset=(rep * args.n4) % max(1, 32 - args.n4),
+                cpu_offset=rotation_offset(rep, args.n4),
             )
             r["total_wall_s"] = round(time.time() - t0, 1)
             all_runs[cores].append(r)

@@ -1,0 +1,54 @@
+"""Shared plumbing for the two-cluster-size scaling instruments
+(bin/scaling_bench.py = build half, bin/query_scaling_bench.py =
+query half): one source of truth for the cgroup CPU probe, the
+JSON-line harvest, and the pinned-core rotation, so the "one
+protocol, two workloads" claim cannot drift between them."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+
+def container_cpu_ns() -> int:
+    """Total container CPU (cgroup v1 then v2), for
+    contention-vs-serialization diagnosis: equal CPU across levels +
+    longer wall = idle waiting; higher CPU at more cores =
+    spin/contention overhead."""
+    for path in ("/sys/fs/cgroup/cpuacct/cpuacct.usage",):
+        try:
+            with open(path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as f:
+            for line in f:
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) * 1000
+    except OSError:
+        pass
+    return 0
+
+
+def last_json(res: subprocess.CompletedProcess, what: str) -> dict:
+    """The trailing JSON line of a bench subprocess, or a loud error
+    carrying the tails of both streams."""
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"{what} produced no JSON: {res.stdout[-500:]} "
+        f"{res.stderr[-1000:]}",
+    )
+
+
+def rotation_offset(rep: int, large_cores: int) -> int:
+    """Pinned-range rotation for repetition ``rep``: stride by the
+    larger level's width, bounded by the HOST's cpu count (not a
+    hardcoded 32 — on a smaller box a fixed bound would taskset onto
+    nonexistent cpus and abort the whole bench)."""
+    n_host = os.cpu_count() or large_cores
+    return (rep * large_cores) % max(1, n_host - large_cores)

@@ -885,9 +885,12 @@ def split_index(
     snapshot + atomic pointer swap + resumability as compaction;
     results rank-identical.
 
-    The source partition count is read from the live layout (last
-    segment's postings files), not guessed, so repeated splits
-    compound: split(2) then split(2) = 4x the original layout."""
+    The source partition count is the TOTAL live layout — posting
+    part files summed across every published segment (a multi-segment
+    index post-update would otherwise report only the usually-tiny
+    incremental segment and the "split" would shrink) — so repeated
+    splits compound: split(2) then split(2) = 4x the original
+    layout."""
     from seqr_loading_pipelines_spark.sources import fs
 
     if factor < 2:
@@ -896,19 +899,19 @@ def split_index(
     current = table.current_manifest()
     if current is None:
         raise FileNotFoundError(f"no published index at {index_root}")
-    seg = current["segments"][-1]
-    n_now = len(
-        [
-            name
+    n_now = sum(
+        sum(
+            1
             for name, _ in fs.list_files(
                 fs.join(index_root, seg, "postings"),
             )
             if name.startswith("part-")
-        ],
+        )
+        for seg in current["segments"]
     )
     if n_now < 1:
         raise FileNotFoundError(
-            f"no posting partitions under segment {seg}",
+            f"no posting partitions under segments {current['segments']}",
         )
     return compact_segments(
         spark, index_root, target_partitions=n_now * factor,

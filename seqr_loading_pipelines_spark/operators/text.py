@@ -416,12 +416,13 @@ def binary_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.lit(0),
     )
-    non_ascii_frac = F.round(
+    non_ascii_frac = (
         F.when(n_chars > 0, n_non_ascii.cast("double") / n_chars)
-        .otherwise(F.lit(0.0)),
-        5,
+        .otherwise(F.lit(0.0))
     )
     is_binary = n_control > 0
+    # threshold on the RAW fraction; rounding is display-only (a doc
+    # at 0.3000025 must not slip under the cut via round-to-5)
     keep = (
         (~is_binary)
         & (longest <= MAX_LINE_KEEP)
@@ -431,7 +432,7 @@ def binary_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_control.alias("n_control"),
-        non_ascii_frac.alias("non_ascii_frac"),
+        F.round(non_ascii_frac, 5).alias("non_ascii_frac"),
         longest.alias("longest_line"),
         is_binary.alias("is_binary"),
         keep.alias("keep"),

@@ -629,3 +629,43 @@ def test_split_index_multiplies_layout_and_preserves_results(
     assert m4["n_docs"] == m1["n_docs"]
     with pytest.raises(ValueError, match="factor"):
         split_index(spark, root, 1)
+
+
+def test_split_index_multi_segment_counts_total_layout(
+    spark, tmp_path_factory,
+):
+    import glob
+    import os
+
+    from seqr_loading_pipelines_spark.index.merge import split_index
+
+    root = str(tmp_path_factory.mktemp("split_multi"))
+    first = generate_corpus(spark, 150, n_repos=4, seed=23)
+    full = generate_corpus(spark, 220, n_repos=4, seed=23)
+    IndexBuilder(spark, root).build(first, source_fingerprint="b1")
+    update_index(spark, root, full, source_fingerprint="b2")
+    before = load_index(spark, root)
+    assert len(before["manifest"]["segments"]) == 2
+    n_live = sum(
+        len(glob.glob(os.path.join(root, seg, "postings", "part-*.parquet")))
+        for seg in before["manifest"]["segments"]
+    )
+    want = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, before, QUERIES[0], 15).collect()
+    ]
+    # split must count the TOTAL live layout, not just the (small)
+    # incremental segment — a 2x split can never shrink
+    m = split_index(spark, root, 2)
+    seg = m["segments"][-1]
+    n_after = len(
+        glob.glob(os.path.join(root, seg, "postings", "part-*.parquet")),
+    )
+    assert len(m["segments"]) == 1  # split folds into one segment
+    assert n_after == 2 * n_live
+    after = load_index(spark, root)
+    got = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_exact(spark, after, QUERIES[0], 15).collect()
+    ]
+    assert got == want
