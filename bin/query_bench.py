@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import time
 
@@ -76,13 +77,18 @@ def main() -> None:
         walls.append(time.time() - t0)
         # order-independent checksum over (query_id, rank, doc_id,
         # score4): equality across cluster sizes proves the speedup
-        # is not a wrong-answer shortcut
-        checksum = hash(
-            frozenset(
-                (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 4))
-                for r in rows
-            ),
-        )
+        # is not a wrong-answer shortcut. sha256 over sorted tuples,
+        # NOT builtin hash() — string hashing is salted per process
+        # (PYTHONHASHSEED), which would make identical results from
+        # two driver processes "diverge"
+        checksum = hashlib.sha256(
+            repr(
+                sorted(
+                    (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 4))
+                    for r in rows
+                ),
+            ).encode(),
+        ).hexdigest()[:16]
 
     best = min(walls)
     print(

@@ -1305,6 +1305,51 @@ def search_wildcard(
 RANK_FEATURE_FUNCTIONS = ("saturation", "log", "sigmoid")
 
 
+def _bm25_plus_feature(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    feature_col: str,
+    additive,
+    k: int,
+    broadcast_max: int | None,
+) -> DataFrame:
+    """Shared scaffold for the additive-feature retrievals
+    (``rank_feature``, ``distance_feature``): one pruned posting scan
+    scores the BM25 match set, then ``additive`` — a function of the
+    raw doc-store feature Column — rides a two-column doc-store
+    projection join on doc_id (gated-broadcast when the match bound
+    allows, ONE shuffle past the gate), bounded top-k. Only matching
+    docs are scored, so a zero-relevance doc can never ride the boost
+    into the result set."""
+    term_infos = _query_terms(index, query_text)
+    if not term_infos:
+        return _empty_topk(spark)
+    scored = (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("_bm25"))
+    )
+    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
+
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if match_bound(term_infos) <= gate:
+        scored = F.broadcast(scored)
+    out = (
+        index["doc_stats"]
+        .select("doc_id", feature_col)
+        .join(scored, "doc_id", "inner")
+        .select(
+            "doc_id",
+            (
+                F.col("_bm25")
+                + additive(F.col(feature_col).cast("double"))
+            ).alias("score"),
+        )
+    )
+    return rank_topk(out, max(1, min(k, index["manifest"]["n_docs"])))
+
+
 def search_rank_feature(
     spark: SparkSession,
     index: dict,
@@ -1330,9 +1375,9 @@ def search_rank_feature(
     snapshots.
 
     ``final = bm25 + weight * fn(feature)``; statistics stay
-    corpus-level. Scale shape identical to function_score: pruned
-    posting scan, gated broadcast/shuffle join onto a two-column
-    doc-store projection, bounded top-k."""
+    corpus-level. Scale shape: the shared ``_bm25_plus_feature``
+    scaffold (pruned posting scan, gated broadcast/shuffle join onto a
+    two-column doc-store projection, bounded top-k)."""
     if function not in RANK_FEATURE_FUNCTIONS:
         raise ValueError(
             f"function must be one of {RANK_FEATURE_FUNCTIONS}",
@@ -1342,38 +1387,20 @@ def search_rank_feature(
             "need pivot > 0, exponent > 0, scaling_factor >= 1 "
             "(ES's own bounds)",
         )
-    term_infos = _query_terms(index, query_text)
-    if not term_infos:
-        return _empty_topk(spark)
-    scored = (
-        _decoded_postings(index, term_infos)
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("_bm25"))
-    )
-    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
 
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if match_bound(term_infos) <= gate:
-        scored = F.broadcast(scored)
-    x = F.col(feature_col).cast("double")
-    if function == "saturation":
-        contrib = x / (x + F.lit(float(pivot)))
-    elif function == "log":
-        contrib = F.log(F.lit(float(scaling_factor)) + x)
-    else:
-        xp = F.pow(x, F.lit(float(exponent)))
-        contrib = xp / (xp + F.lit(float(pivot) ** float(exponent)))
-    out = (
-        index["doc_stats"]
-        .select("doc_id", feature_col)
-        .join(scored, "doc_id", "inner")
-        .select(
-            "doc_id",
-            (F.col("_bm25") + F.lit(float(weight)) * contrib).alias("score"),
-        )
+    def additive(x):
+        if function == "saturation":
+            contrib = x / (x + F.lit(float(pivot)))
+        elif function == "log":
+            contrib = F.log(F.lit(float(scaling_factor)) + x)
+        else:
+            xp = F.pow(x, F.lit(float(exponent)))
+            contrib = xp / (xp + F.lit(float(pivot) ** float(exponent)))
+        return F.lit(float(weight)) * contrib
+
+    return _bm25_plus_feature(
+        spark, index, query_text, feature_col, additive, k, broadcast_max,
     )
-    k = max(1, min(k, index["manifest"]["n_docs"]))
-    return rank_topk(out, k)
 
 
 def search_constant_score(
@@ -1982,37 +2009,21 @@ def search_distance_feature(
     a zero-relevance doc can never ride the boost into the result set
     because only matching docs are scored.
 
-    Scale shape identical to search_function_score: one pruned posting
-    scan scores the match set, the feature rides a two-column
-    doc-store projection join on doc_id (gated-broadcast when the
-    match bound allows, ONE shuffle past the gate), bounded top-k."""
+    Scale shape: the shared ``_bm25_plus_feature`` scaffold (pruned
+    posting scan, gated broadcast/shuffle join onto a two-column
+    doc-store projection, bounded top-k)."""
     if pivot <= 0:
         raise ValueError(f"pivot must be positive, got {pivot}")
     if boost < 0:
         raise ValueError(f"boost must be >= 0, got {boost}")
-    term_infos = _query_terms(index, query_text)
-    if not term_infos:
-        return _empty_topk(spark)
-    scored = (
-        _decoded_postings(index, term_infos)
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("_bm25"))
-    )
-    from seqr_loading_pipelines_spark.query.facets import MATCH_BROADCAST_MAX
 
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if match_bound(term_infos) <= gate:
-        scored = F.broadcast(scored)
-    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
-    feature = (
-        F.lit(float(boost)) * F.lit(float(pivot))
-        / (F.lit(float(pivot)) + dist)
+    def additive(x):
+        dist = F.abs(x - F.lit(float(origin)))
+        return (
+            F.lit(float(boost)) * F.lit(float(pivot))
+            / (F.lit(float(pivot)) + dist)
+        )
+
+    return _bm25_plus_feature(
+        spark, index, query_text, field, additive, k, broadcast_max,
     )
-    out = (
-        index["doc_stats"]
-        .select("doc_id", field)
-        .join(scored, "doc_id", "inner")
-        .select("doc_id", (F.col("_bm25") + feature).alias("score"))
-    )
-    k = max(1, min(k, index["manifest"]["n_docs"]))
-    return rank_topk(out, k)

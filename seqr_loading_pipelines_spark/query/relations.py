@@ -263,21 +263,28 @@ def nest_children(
     empty array, ES's behavior for missing nested fields). With
     ``sort_field`` the array is ordered by that element field via
     array_sort on a (sort_field-first) struct — deterministic element
-    order without a window.
+    order without a window. Without it the element order is whatever
+    collect_list produced (ES's unspecified nested order) — no sort is
+    applied.
     """
     cols = child_cols or [c for c in child_df.columns if c != child_key]
     if sort_field is not None and sort_field not in cols:
         raise ValueError(f"sort_field {sort_field!r} not in child_cols")
-    # sort key leads the struct so array_sort's lexicographic order is
-    # (sort_field, rest) — then rebuild structs in declared field order.
-    lead = [sort_field] if sort_field else []
-    rest = [c for c in cols if c != sort_field]
-    packed = F.array_sort(
-        F.collect_list(F.struct(*[F.col(c) for c in lead + rest])),
-    )
-    items = F.transform(
-        packed, lambda x: F.struct(*[x[c].alias(c) for c in cols]),
-    )
+    if sort_field is None:
+        items = F.collect_list(F.struct(*[F.col(c) for c in cols]))
+    else:
+        # sort key leads the struct so array_sort's lexicographic order
+        # is (sort_field, rest) — then rebuild structs in declared
+        # field order.
+        rest = [c for c in cols if c != sort_field]
+        packed = F.array_sort(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in [sort_field] + rest]),
+            ),
+        )
+        items = F.transform(
+            packed, lambda x: F.struct(*[x[c].alias(c) for c in cols]),
+        )
     nested = (
         child_df.groupBy(F.col(child_key).alias(parent_key))
         .agg(items.alias(items_col))
