@@ -492,3 +492,93 @@ def mine_hard_negatives(
             "rank",
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how target-like its
+    hashed n-gram feature distribution is, so a pretraining corpus
+    can be importance-sampled toward a target domain. ``target_pred``
+    is a boolean Column marking the in-domain exemplar docs (they
+    stay in the raw pool — DSIR's estimator compares the TARGET
+    feature distribution against the RAW one).
+
+    Features are word unigrams (+ bigrams) hashed into ``n_buckets``
+    buckets (hashed n-gram generative model); each bucket's
+    probability is estimated for target and raw with add-1 smoothing;
+    the per-doc log importance weight is
+
+        log w(doc) = sum_b c_b(doc) * (log p_target[b] - log p_raw[b])
+
+    Output: ``(doc_id, n_features, log_weight)`` for every doc with
+    at least one token — rank/threshold/sample it downstream
+    (deterministic: the hash is md5-based, no RNG anywhere).
+
+    Scale shape: ONE tokenize+hash pass feeds both sides — the bucket
+    histogram aggregates target and raw counts in the SAME map-side-
+    combining hash agg (conditional sums, output = n_buckets rows),
+    and the per-doc weight is a per-doc aggregate of the feature
+    stream joined to the BROADCAST n_buckets-row log-ratio table (a
+    64-row dim — never a shuffle). Two scans of the corpus total,
+    independent of corpus size; no driver materialization beyond the
+    bucket table."""
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = tokenize_expr(F.col(text_col))
+    feats = toks
+    if bigrams:
+        n = F.size(toks)
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(toks, bi)
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("_tgt"),
+        F.explode(feats).alias("_f"),
+    ).select(
+        "doc_id",
+        "_tgt",
+        F.pmod(md5_int32(F.col("_f")), F.lit(n_buckets)).alias("bucket"),
+    )
+    hist = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    # totals ride a window over the n_buckets-row agg output (tiny)
+    tot = Window.partitionBy()
+    ratios = hist.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tgt_n") + 1)
+                / (F.sum("tgt_n").over(tot) + F.lit(float(n_buckets))),
+            )
+            - F.log(
+                (F.col("raw_n") + 1)
+                / (F.sum("raw_n").over(tot) + F.lit(float(n_buckets))),
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        stream.join(F.broadcast(ratios), "bucket", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )

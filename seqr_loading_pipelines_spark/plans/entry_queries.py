@@ -9244,7 +9244,203 @@ LIMIT 15
 
 
 
+SIG_TEXT_TOP_N = 15
+SIG_TEXT_MIN_DC = 2
+
+
+def q_index_significant_text(spark, sf_dir):
+    """ES ``significant_text`` (JLH over RE-ANALYZED stored source
+    text, filter_duplicate_text on) behind a driver-green row: matched
+    docs' content is exact-dup-collapsed by md5 fingerprint, then
+    re-tokenized at query time; fg percentages use the post-filter
+    foreground size (query/facets.py significant_text). Term-level
+    output is id-space independent: which duplicate survives can
+    differ between engine and oracle doc ids, but identical content
+    has identical token sets, so every (term, fg_count) is invariant.
+    Oracle: the same dedup + fg/bg counting + JLH algebra in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        significant_text,
+    )
+
+    _, index = _built_index(spark, sf_dir, "hl", store_content=True)
+    out = significant_text(
+        spark,
+        index,
+        " ".join(BM25_QUERY_TERMS),
+        top_n=SIG_TEXT_TOP_N,
+        min_doc_count=SIG_TEXT_MIN_DC,
+        filter_duplicate_text=True,
+    )
+    return out.select(
+        "term", "fg_count", "bg_count",
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_INDEX_SIGNIFICANT_TEXT = f"""
+WITH m AS (SELECT doc_id, text FROM documents
+           WHERE list_has_any({_T},
+                 [{", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}])),
+dd AS (SELECT min(doc_id) AS doc_id FROM m GROUP BY md5(text)),
+fgd AS (SELECT m.doc_id, {_T} AS toks FROM m JOIN dd USING (doc_id)),
+n AS (SELECT (SELECT count(*) FROM fgd) AS n_m,
+             (SELECT count(*) FROM documents) AS n_d),
+fg AS (SELECT term, count(*) AS fg_count
+       FROM (SELECT DISTINCT doc_id, unnest(toks) AS term FROM fgd)
+       GROUP BY term HAVING count(*) >= {SIG_TEXT_MIN_DC}),
+bg AS (SELECT term, count(*) AS bg_count
+       FROM (SELECT DISTINCT doc_id, unnest({_T}) AS term
+             FROM documents)
+       GROUP BY term)
+SELECT term, fg_count, bg_count, round({_SIG_JLH}, 6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN n
+ORDER BY {_SIG_JLH} DESC, term ASC
+LIMIT {SIG_TEXT_TOP_N}
+"""
+
+
+BUCKET_CORR_INDICATOR = [2.0, 0.5, 3.0, 1.0, 4.0]
+
+
+def q_events_bucket_correlation(spark, sf_dir):
+    """ES ``bucket_correlation`` pipeline aggregation (the ML
+    count_correlation function) behind a driver-green row: Pearson
+    correlation between the per-event_type doc counts (bucket-key
+    order) and a fixed indicator vector (query/facets.py
+    bucket_correlation). Oracle: the same row_number attach + corr()
+    in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        bucket_correlation,
+    )
+
+    buckets = (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = bucket_correlation(
+        buckets, "event_type", "n", BUCKET_CORR_INDICATOR,
+    )
+    return out.select(
+        "n_buckets", F.round("correlation", 6).alias("correlation"),
+    )
+
+
+SQL_EVENTS_BUCKET_CORRELATION = f"""
+WITH b AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY event_type ASC) - 1 AS rk
+      FROM b),
+i AS (SELECT rk, ind FROM (SELECT unnest(
+        [{", ".join(str(x) for x in BUCKET_CORR_INDICATOR)}]) AS ind,
+        generate_subscripts([{", ".join(str(x) for x in BUCKET_CORR_INDICATOR)}], 1) - 1 AS rk))
+SELECT count(*) AS n_buckets, round(corr(n, ind), 6) AS correlation
+FROM r JOIN i USING (rk)
+"""
+
+
+def q_events_ks_test(spark, sf_dir):
+    """ES ``bucket_count_ks_test`` pipeline aggregation behind a
+    driver-green row: the per-day event-count distribution vs the
+    uniform expectation — exact deterministic KS statistics (less /
+    greater / two_sided signed CDF-gap maxima) where ES reports
+    sampled p-values (query/facets.py bucket_count_ks_test). Oracle:
+    the same windowed cumulative-fraction algebra in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        bucket_count_ks_test,
+    )
+
+    buckets = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = bucket_count_ks_test(buckets, "day", "n")
+    return out.select(
+        "n_buckets",
+        F.round("ks_less", 6).alias("ks_less"),
+        F.round("ks_greater", 6).alias("ks_greater"),
+        F.round("ks_two_sided", 6).alias("ks_two_sided"),
+    )
+
+
+SQL_EVENTS_KS_TEST = """
+WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+c AS (SELECT
+        sum(n) OVER (ORDER BY day ASC) / (sum(n) OVER ())::DOUBLE
+          AS cdf_a,
+        (row_number() OVER (ORDER BY day ASC))::DOUBLE
+          / (count(*) OVER ())::DOUBLE AS cdf_e
+      FROM b)
+SELECT count(*) AS n_buckets,
+       round(max(cdf_e - cdf_a), 6) AS ks_less,
+       round(max(cdf_a - cdf_e), 6) AS ks_greater,
+       round(max(abs(cdf_a - cdf_e)), 6) AS ks_two_sided
+FROM c
+"""
+
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023) behind a
+    driver-green row: every document scored by how target-like its
+    hashed unigram+bigram distribution is, target = lang='en' docs
+    (operators/pipeline.py dsir_weights) — the data-selection stage a
+    pretraining corpus runs between dedup and sampling. Full audit
+    output (no top-k boundary → no float-order sensitivity). Oracle:
+    the same md5-bucketed feature stream, add-1 smoothed bucket
+    log-ratios, and per-doc weight sums in SQL."""
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        dsir_weights,
+    )
+
+    out = dsir_weights(
+        _read(spark, sf_dir, "documents"),
+        F.col("lang") == DSIR_TARGET_LANG,
+        n_buckets=DSIR_BUCKETS,
+    )
+    return out.select(
+        "doc_id", "n_features",
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH t AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt,
+                  {_T} AS toks FROM documents),
+f AS (SELECT doc_id, tgt, unnest(toks) AS feat FROM t
+      UNION ALL
+      SELECT doc_id, tgt,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM t),
+s AS (SELECT doc_id, tgt,
+             ('0x' || substr(md5(feat), 1, 8))::BIGINT % {DSIR_BUCKETS}
+               AS bucket
+      FROM f),
+h AS (SELECT bucket, count(*) AS raw_n,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n
+      FROM s GROUP BY 1),
+r AS (SELECT bucket,
+             ln((tgt_n + 1) / (sum(tgt_n) OVER () + {DSIR_BUCKETS}.0))
+           - ln((raw_n + 1) / (sum(raw_n) OVER () + {DSIR_BUCKETS}.0))
+               AS log_ratio
+      FROM h)
+SELECT doc_id, count(*) AS n_features,
+       round(sum(log_ratio), 6) AS log_weight
+FROM s JOIN r USING (bucket)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "index_significant_text": q_index_significant_text,
+    "events_bucket_correlation": q_events_bucket_correlation,
+    "events_ks_test": q_events_ks_test,
+    "dsir_select": q_dsir_select,
     "nested_query_lineitems": q_nested_lineitems,
     "nested_facet_returnflag": q_nested_facet_returnflag,
     "index_terms_enum": q_index_terms_enum,
@@ -9446,6 +9642,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_significant_text": SQL_INDEX_SIGNIFICANT_TEXT,
+    "events_bucket_correlation": SQL_EVENTS_BUCKET_CORRELATION,
+    "events_ks_test": SQL_EVENTS_KS_TEST,
+    "dsir_select": SQL_DSIR_SELECT,
     "nested_query_lineitems": SQL_NESTED_LINEITEMS,
     "nested_facet_returnflag": SQL_NESTED_FACET_RETURNFLAG,
     "index_terms_enum": SQL_INDEX_TERMS_ENUM,

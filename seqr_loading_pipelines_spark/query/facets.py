@@ -1489,3 +1489,218 @@ def extended_stats_by(
         (F.col("avg_v") + F.lit(float(sigma)) * std).alias("upper"),
         (F.col("avg_v") - F.lit(float(sigma)) * std).alias("lower"),
     )
+
+
+def significant_text(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    top_n: int = 10,
+    min_doc_count: int = 3,
+    filter_duplicate_text: bool = False,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+) -> DataFrame:
+    """The Elasticsearch ``significant_text`` aggregation: like
+    ``significant_terms``, but the FOREGROUND counts come from
+    RE-ANALYZING the matched docs' stored source text at query time
+    (the agg's raison d'etre — it works on free-text fields with no
+    per-doc term vectors and lets the analyzer differ from index
+    time), and ``filter_duplicate_text`` de-duplicates copy-pasted
+    text before counting so boilerplate can't masquerade as signal
+    (ES filters near-duplicate sections; this engine's contract is
+    exact-duplicate DOCUMENT filtering by content fingerprint, keeping
+    the lowest doc_id — the deterministic, oracle-checkable core of
+    the same defense). Scoring is the same default JLH as
+    ``significant_terms``; fg percentages use the POST-filter
+    foreground size. One row per surviving term:
+    ``(term, fg_count, bg_count, score)``, (score desc, term asc),
+    top_n.
+
+    Scale shape: pruned posting scan -> gated join against the
+    stored-content projection (only matched docs' text is ever read
+    or re-tokenized) -> optional one hash-agg dedup on md5(content)
+    -> JVM-side regexp tokenize + array_distinct + explode -> one
+    hash agg on term -> dictionary join (AQE broadcasts the small
+    side) -> bounded TakeOrdered. The re-analysis cost is
+    proportional to the MATCH SET, never the corpus.
+
+    Reference parity anchor: the reference exports free-text fields
+    for exactly this kind of ES-side aggregation over its annotation
+    strings (v03_pipeline/lib/tasks/exports, ES mapping surface)."""
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        tokenize_expr,
+    )
+
+    if min_doc_count < 1:
+        raise ValueError(
+            f"min_doc_count must be >= 1, got {min_doc_count}",
+        )
+    if "content" not in index:
+        raise ValueError(
+            "significant_text re-analyzes stored source text: build "
+            "the index with store_content=True",
+        )
+    empty = spark.createDataFrame(
+        [], "term string, fg_count long, bg_count long, score double",
+    )
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
+    if matches is None:
+        return empty
+    matches = _gated(matches, broadcast_max, bound)
+    fg_docs = index["content"].join(matches, "doc_id", "inner")
+    if filter_duplicate_text:
+        # exact-duplicate text collapses to its lowest doc_id before
+        # any term is counted — one hash agg on a 16-byte fingerprint
+        fg_docs = (
+            fg_docs.groupBy(F.md5("content").alias("_fp"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .drop("_fp")
+            .join(index["content"], "doc_id", "inner")
+        )
+    # one sized count, then lazy reuse — the same one-extra-pruned-scan
+    # discipline as significant_terms (no persist, no driver rows)
+    n_fg = fg_docs.count()
+    if n_fg == 0:
+        return empty
+    fg = (
+        fg_docs.select(
+            F.explode(
+                F.array_distinct(tokenize_expr(F.col("content"))),
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(F.col("fg_count") >= min_doc_count)
+    )
+    n_docs = index["manifest"]["n_docs"]
+    bg = index["term_dict"].select(
+        "term", F.col("df").alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_count") / F.lit(float(n_docs))
+    out = fg.join(bg, "term").select(
+        "term",
+        "fg_count",
+        "bg_count",
+        ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+    )
+    return out.orderBy(
+        F.col("score").desc(), F.col("term").asc(),
+    ).limit(top_n)
+
+
+def bucket_correlation(
+    buckets: DataFrame,
+    order_col: str,
+    count_col: str,
+    indicator: list,
+) -> DataFrame:
+    """The Elasticsearch ``bucket_correlation`` pipeline aggregation
+    (count_correlation function): Pearson correlation between a
+    sibling aggregation's per-bucket doc counts, taken in bucket-key
+    order, and a caller-supplied indicator vector of the same length.
+    One row: ``(n_buckets, correlation)``.
+
+    Scale shape: the buckets DataFrame is an aggregation OUTPUT
+    (cardinality = number of buckets, small by construction); the
+    indicator attaches via posexplode of a literal array joined on
+    the bucket's rank, and the correlation is Spark's built-in
+    ``corr`` aggregate — one window pass + one tiny join + one
+    single-row agg, no driver materialization of the buckets."""
+    if not indicator:
+        raise ValueError("indicator must be non-empty")
+    # ES errors when the indicator length differs from the bucket
+    # count — an inner join would silently truncate instead. The
+    # count is one job over an aggregation OUTPUT (tiny by contract).
+    n = buckets.count()
+    if n != len(indicator):
+        raise ValueError(
+            f"indicator has {len(indicator)} entries but the sibling "
+            f"aggregation produced {n} buckets",
+        )
+    ranked = buckets.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.col(order_col).asc())) - 1,
+    )
+    ind = F.array(*[F.lit(float(x)) for x in indicator])
+    ind_df = buckets.sparkSession.range(1).select(
+        F.posexplode(ind).alias("_rk", "_ind"),
+    )
+    joined = ranked.join(F.broadcast(ind_df), "_rk", "inner")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.corr(F.col(count_col).cast("double"), F.col("_ind")).alias(
+            "correlation",
+        ),
+    )
+
+
+def bucket_count_ks_test(
+    buckets: DataFrame,
+    order_col: str,
+    count_col: str,
+    fractions: list | None = None,
+) -> DataFrame:
+    """The Elasticsearch ``bucket_count_ks_test`` pipeline
+    aggregation: a two-sample Kolmogorov-Smirnov comparison of a
+    sibling aggregation's per-bucket doc-count distribution against
+    an expected per-bucket ``fractions`` vector (default: uniform).
+    ES reports Monte-Carlo p-values; this engine reports the EXACT
+    deterministic statistics the test is built on — one row:
+    ``(n_buckets, ks_less, ks_greater, ks_two_sided)`` where
+    two_sided = max |CDF_actual - CDF_expected| over the bucket
+    order, and less/greater are the one-sided signed maxima
+    (ES "alternative" forms) — exact, reproducible, and
+    oracle-checkable where a sampled p-value is neither.
+
+    Scale shape: identical to bucket_correlation — windowed
+    cumulative sums over an already-aggregated buckets DataFrame,
+    one broadcast join for the expected fractions, one single-row
+    final aggregate."""
+    w = Window.orderBy(F.col(order_col).asc())
+    if fractions is not None and buckets.count() != len(fractions):
+        raise ValueError(
+            f"fractions has {len(fractions)} entries but the sibling "
+            "aggregation produced a different bucket count",
+        )
+    ranked = buckets.withColumn("_rk", F.row_number().over(w) - 1)
+    total = Window.partitionBy()
+    cum = Window.orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow,
+    )
+    c = F.col(count_col).cast("double")
+    ranked = ranked.withColumn(
+        "_cdf_a", F.sum(c).over(cum) / F.sum(c).over(total),
+    )
+    if fractions is not None:
+        fr = [float(x) for x in fractions]
+        s = sum(fr)
+        if s <= 0:
+            raise ValueError("fractions must sum to a positive value")
+        cdf, acc = [], 0.0
+        for x in fr:
+            acc += x / s
+            cdf.append(acc)
+        exp_df = buckets.sparkSession.range(1).select(
+            F.posexplode(
+                F.array(*[F.lit(v) for v in cdf]),
+            ).alias("_rk", "_cdf_e"),
+        )
+        ranked = ranked.join(F.broadcast(exp_df), "_rk", "inner")
+    else:
+        n = Window.partitionBy()
+        ranked = ranked.withColumn(
+            "_cdf_e",
+            (F.col("_rk") + 1).cast("double")
+            / F.count(F.lit(1)).over(n).cast("double"),
+        )
+    d = F.col("_cdf_a") - F.col("_cdf_e")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max(-d).alias("ks_less"),
+        F.max(d).alias("ks_greater"),
+        F.max(F.abs(d)).alias("ks_two_sided"),
+    )

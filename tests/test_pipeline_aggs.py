@@ -1,0 +1,236 @@
+"""significant_text (re-analyzed JLH + duplicate-text filter), the
+bucket_correlation / bucket_count_ks_test pipeline aggregations, and
+DSIR importance weighting — hand-computed golden checks."""
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
+from seqr_loading_pipelines_spark.query.facets import (
+    bucket_correlation,
+    bucket_count_ks_test,
+    significant_text,
+)
+from seqr_loading_pipelines_spark.operators.pipeline import dsir_weights
+
+CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture(scope="module")
+def sig_index(spark, tmp_path_factory):
+    """Six docs; 'needle' matches 4 of them, two of which are exact
+    duplicates carrying the boilerplate term 'copypasta'."""
+    rows = [
+        ("r", "a.txt", "c1", "en", "needle alpha unique_one"),
+        ("r", "b.txt", "c1", "en", "needle alpha beta"),
+        ("r", "dup1.txt", "c1", "en", "needle copypasta gamma"),
+        ("r", "dup2.txt", "c1", "en", "needle copypasta gamma"),
+        ("r", "other.txt", "c1", "en", "alpha beta gamma"),
+        ("r", "far.txt", "c1", "en", "delta epsilon"),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_COLS)
+    root = str(tmp_path_factory.mktemp("sig_index"))
+    IndexBuilder(spark, root, store_content=True).build(
+        corpus, source_fingerprint="sig-text",
+    )
+    yield load_index(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _sig_rows(df):
+    return {
+        r["term"]: (r["fg_count"], r["bg_count"], r["score"])
+        for r in df.collect()
+    }
+
+
+def test_significant_text_filters_duplicate_text(spark, sig_index):
+    """With the filter on, the duplicated doc collapses: 'copypasta'
+    counts once (fg over a 3-doc foreground); off, it counts twice
+    (fg over 4)."""
+    on = _sig_rows(
+        significant_text(
+            spark, sig_index, "needle", top_n=50, min_doc_count=1,
+            filter_duplicate_text=True,
+        ),
+    )
+    off = _sig_rows(
+        significant_text(
+            spark, sig_index, "needle", top_n=50, min_doc_count=1,
+            filter_duplicate_text=False,
+        ),
+    )
+    assert off["copypasta"][0] == 2
+    assert on["copypasta"][0] == 1
+    # JLH golden for 'copypasta' with the filter on: fg 1/3, bg 2/6
+    fg_pct, bg_pct = 1 / 3, 2 / 6
+    assert on["copypasta"][2] == pytest.approx(
+        (fg_pct - bg_pct) * (fg_pct / bg_pct),
+    )
+    # 'alpha' appears in 2 of the 3 deduped matches but 3 of 6 docs
+    fg_pct, bg_pct = 2 / 3, 3 / 6
+    assert on["alpha"] == (
+        2, 3, pytest.approx((fg_pct - bg_pct) * (fg_pct / bg_pct)),
+    )
+
+
+def test_significant_text_min_doc_count_and_empty(spark, sig_index):
+    got = _sig_rows(
+        significant_text(
+            spark, sig_index, "needle", top_n=50, min_doc_count=2,
+            filter_duplicate_text=True,
+        ),
+    )
+    assert "copypasta" not in got  # collapsed below the floor
+    assert "alpha" in got
+    assert significant_text(spark, sig_index, "zzz_nohit").count() == 0
+
+
+def test_significant_text_validation(spark, sig_index):
+    with pytest.raises(ValueError, match="min_doc_count"):
+        significant_text(spark, sig_index, "needle", min_doc_count=0)
+    no_content = {k: v for k, v in sig_index.items() if k != "content"}
+    with pytest.raises(ValueError, match="store_content"):
+        significant_text(spark, no_content, "needle")
+
+
+def _buckets(spark, counts):
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "k int, n long",
+    )
+
+
+def test_bucket_correlation_perfect_and_inverse(spark):
+    b = _buckets(spark, [10, 20, 30, 40])
+    r = bucket_correlation(b, "k", "n", [1, 2, 3, 4]).collect()[0]
+    assert r["n_buckets"] == 4
+    assert r["correlation"] == pytest.approx(1.0)
+    r = bucket_correlation(b, "k", "n", [4, 3, 2, 1]).collect()[0]
+    assert r["correlation"] == pytest.approx(-1.0)
+
+
+def test_bucket_correlation_validation(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        bucket_correlation(_buckets(spark, [1]), "k", "n", [])
+
+
+def test_ks_uniform_counts_are_zero(spark):
+    r = bucket_count_ks_test(
+        _buckets(spark, [5, 5, 5, 5]), "k", "n",
+    ).collect()[0]
+    assert r["ks_two_sided"] == pytest.approx(0.0)
+    assert r["ks_less"] == pytest.approx(0.0)
+    assert r["ks_greater"] == pytest.approx(0.0)
+
+
+def test_ks_skew_golden_and_fractions_path(spark):
+    # counts [8,1,1]: cdf_a = .8, .9, 1.0; uniform cdf_e = 1/3, 2/3, 1
+    r = bucket_count_ks_test(
+        _buckets(spark, [8, 1, 1]), "k", "n",
+    ).collect()[0]
+    assert r["ks_greater"] == pytest.approx(0.8 - 1 / 3)
+    assert r["ks_two_sided"] == pytest.approx(0.8 - 1 / 3)
+    assert r["ks_less"] == pytest.approx(0.0, abs=1e-12)
+    # explicit fractions equal to the actual distribution -> 0
+    r = bucket_count_ks_test(
+        _buckets(spark, [8, 1, 1]), "k", "n", fractions=[8, 1, 1],
+    ).collect()[0]
+    assert r["ks_two_sided"] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="positive"):
+        bucket_count_ks_test(
+            _buckets(spark, [1, 1]), "k", "n", fractions=[0, 0],
+        )
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    """Target exemplars speak vocabulary A; background speaks B; two
+    held-out docs (one per vocabulary) are scored by proximity."""
+    rows = (
+        [(i, "alpha beta gamma alpha", "en") for i in range(5)]
+        + [(i + 10, "uno dos tres cuatro", "xx") for i in range(5)]
+        + [(100, "alpha beta gamma", "xx")]   # A-like, off-target label
+        + [(101, "uno dos tres", "xx")]       # B-like
+        + [(102, "   ", "xx")]                # no tokens -> excluded
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_target_like_scores_higher(spark, dsir_docs):
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(
+            dsir_docs, F.col("lang") == "en", n_buckets=32,
+        ).collect()
+    }
+    assert 102 not in w  # token-less doc emits no features
+    assert w[100] > w[101]  # target-vocabulary doc wins
+    assert w[0] > w[10]     # exemplars themselves separate too
+
+
+def test_dsir_unigram_golden(spark):
+    """bigrams=False, 2 buckets' worth of hand algebra: one target doc
+    'a a', one raw-only doc 'b'. Feature counts are exact."""
+    docs = spark.createDataFrame(
+        [(0, "zq zq", True), (1, "mx", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_weights(
+            docs, F.col("tgt"), n_buckets=4, bigrams=False,
+        ).collect()
+    }
+    from seqr_loading_pipelines_spark.operators.text import md5_int32
+    b = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([("zq",), ("mx",)], "t string")
+        .select("t", F.pmod(md5_int32(F.col("t")), F.lit(4)).alias("b"))
+        .collect()
+    }
+    # bigram 'zq zq' absent (bigrams off): raw totals = 3 features;
+    # bucket counts derive from the actual hash map (collision-safe)
+    tgt_tot, raw_tot = 2, 3
+
+    def lr(bucket):
+        tgt_n = 2 if bucket == b["zq"] else 0
+        raw_n = (2 if bucket == b["zq"] else 0) + (
+            1 if bucket == b["mx"] else 0
+        )
+        return (
+            math.log((tgt_n + 1) / (tgt_tot + 4))
+            - math.log((raw_n + 1) / (raw_tot + 4))
+        )
+    assert out[0] == (2, pytest.approx(2 * lr(b["zq"])))
+    assert out[1] == (1, pytest.approx(lr(b["mx"])))
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(docs, F.col("tgt"), n_buckets=1)
+
+
+def test_dsir_plan_shape(spark, dsir_docs):
+    """The 64-row log-ratio table must broadcast (never shuffle the
+    feature stream on bucket) and the whole plan stays JVM-side."""
+    plan = dsir_weights(
+        dsir_docs, F.col("lang") == "en", n_buckets=32,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_significant_text_plan_stays_jvm(spark, sig_index):
+    plan = significant_text(
+        spark, sig_index, "needle", filter_duplicate_text=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_length_mismatch_hard_fails(spark):
+    with pytest.raises(ValueError, match="buckets"):
+        bucket_correlation(_buckets(spark, [1, 2, 3]), "k", "n", [1, 2])
+    with pytest.raises(ValueError, match="bucket count"):
+        bucket_count_ks_test(
+            _buckets(spark, [1, 2, 3]), "k", "n", fractions=[1, 2],
+        )
