@@ -9436,7 +9436,170 @@ GROUP BY doc_id
 """
 
 
+GEO_PRECISION = 4
+GEO_TOP_N = 12
+GEO_CENTER = (10.0, 20.0)
+GEO_RING_EDGES_M = [2_000_000, 5_000_000, 10_000_000]
+GEO_RADIUS_M = 6_000_000.0
+# deterministic synthetic coordinates derived from event ids — the
+# operator itself takes plain (lat, lon) double columns; only the
+# driver row synthesizes them (input tables carry no geo fields)
+_GEO_LAT = "(event_id * 37 % 17000) / 100.0 - 85.0"
+_GEO_LON = "(event_id * 53 % 36000) / 100.0 - 180.0"
+
+
+def _events_geo(spark, sf_dir):
+    return (
+        _read(spark, sf_dir, "events")
+        .select("event_id")
+        # Spark SQL parses the 100.0 literal as DECIMAL — cast the
+        # derived coordinates to the double the operators contract on
+        .withColumn("lat", F.expr(_GEO_LAT).cast("double"))
+        .withColumn("lon", F.expr(_GEO_LON).cast("double"))
+    )
+
+
+def q_events_geotile_grid(spark, sf_dir):
+    """ES ``geotile_grid`` aggregation with a per-tile geo_centroid
+    sub-agg (query/geo.py): web-mercator z/x/y bucketing of derived
+    event coordinates, (count desc, tile asc) top panel. Oracle: the
+    identical mercator tile algebra in SQL."""
+    from seqr_loading_pipelines_spark.query.geo import geotile_grid
+
+    out = geotile_grid(
+        _events_geo(spark, sf_dir), "lat", "lon",
+        precision=GEO_PRECISION, top_n=GEO_TOP_N,
+    )
+    return out.select(
+        "tile", "n",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+_GEO_Z2 = 1 << GEO_PRECISION
+_SQL_CLAT = (
+    "greatest(least(lat, 85.05112878), -85.05112878)"
+)
+_SQL_TILE_X = (
+    f"least(floor((lon + 180.0) / 360.0 * {_GEO_Z2}), {_GEO_Z2 - 1})"
+    "::BIGINT"
+)
+_SQL_TILE_Y = (
+    "greatest(least(floor((1.0 - ln(tan(radians("
+    + _SQL_CLAT
+    + ")) + 1.0 / cos(radians("
+    + _SQL_CLAT
+    + f"))) / pi()) / 2.0 * {_GEO_Z2}), {_GEO_Z2 - 1}), 0)::BIGINT"
+)
+
+SQL_EVENTS_GEOTILE_GRID = f"""
+WITH g AS (SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM events),
+t AS (SELECT '{GEO_PRECISION}' || '/' || {_SQL_TILE_X} || '/'
+             || {_SQL_TILE_Y} AS tile,
+             lat, lon FROM g)
+SELECT tile, count(*) AS n,
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon
+FROM t GROUP BY tile
+ORDER BY n DESC, tile ASC
+LIMIT {GEO_TOP_N}
+"""
+
+
+_SQL_HAVERSINE = (
+    "2.0 * 6371000.0 * atan2(sqrt("
+    "sin(radians(lat - {clat}) / 2) ^ 2"
+    " + cos(radians({clat})) * cos(radians(lat))"
+    " * sin(radians(lon - {clon}) / 2) ^ 2"
+    "), sqrt(1.0 - ("
+    "sin(radians(lat - {clat}) / 2) ^ 2"
+    " + cos(radians({clat})) * cos(radians(lat))"
+    " * sin(radians(lon - {clon}) / 2) ^ 2"
+    ")))"
+).format(clat=GEO_CENTER[0], clon=GEO_CENTER[1])
+
+
+def q_events_geo_distance_rings(spark, sf_dir):
+    """ES ``geo_distance`` RANGE aggregation (query/geo.py): haversine
+    ring buckets around a center, emitted in definition order
+    including empty rings. Oracle: the same haversine + conditional
+    sums + unpivot in SQL."""
+    from seqr_loading_pipelines_spark.query.geo import geo_distance_agg
+
+    return geo_distance_agg(
+        _events_geo(spark, sf_dir), "lat", "lon",
+        GEO_CENTER[0], GEO_CENTER[1], GEO_RING_EDGES_M,
+    )
+
+
+def _sql_ring_rows():
+    bounds = [0.0] + [float(e) for e in GEO_RING_EDGES_M] + [None]
+    rows = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = f"d >= {lo}" + (f" AND d < {hi}" if hi is not None else "")
+        hi_sql = f"{hi}" if hi is not None else "NULL::DOUBLE"
+        rows.append(
+            f"SELECT {i} AS ring, {lo}::DOUBLE AS from_m, "
+            f"{hi_sql} AS to_m, "
+            f"(SELECT count(*) FROM d WHERE {cond}) AS n",
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_EVENTS_GEO_DISTANCE_RINGS = f"""
+WITH g AS (SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM events),
+d AS (SELECT {_SQL_HAVERSINE} AS d FROM g)
+{_sql_ring_rows()}
+"""
+
+
+def q_events_geo_distance_bounds(spark, sf_dir):
+    """ES ``geo_distance`` query + ``geo_bounds``/``geo_centroid``
+    metric aggs (query/geo.py): events within the radius of the
+    center, reduced to one row of count / enclosing box / centroid.
+    The filter brackets the haversine with a pushable bounding box.
+    Oracle: the same haversine predicate + min/max/avg in SQL."""
+    from seqr_loading_pipelines_spark.query.geo import (
+        geo_bounds,
+        geo_distance_filter,
+    )
+
+    hits = geo_distance_filter(
+        _events_geo(spark, sf_dir), "lat", "lon",
+        GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS_M,
+    )
+    out = geo_bounds(hits, "lat", "lon")
+    return out.select(
+        "n",
+        F.round("top", 6).alias("top"),
+        F.round("bottom", 6).alias("bottom"),
+        F.round("left", 6).alias("left"),
+        F.round("right", 6).alias("right"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+SQL_EVENTS_GEO_DISTANCE_BOUNDS = f"""
+WITH g AS (SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM events),
+h AS (SELECT lat, lon FROM g WHERE {_SQL_HAVERSINE} <= {GEO_RADIUS_M})
+SELECT count(*) AS n,
+       round(max(lat), 6) AS top,
+       round(min(lat), 6) AS bottom,
+       round(min(lon), 6) AS "left",
+       round(max(lon), 6) AS "right",
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon
+FROM h
+"""
+
+
 QUERIES = {
+    "events_geotile_grid": q_events_geotile_grid,
+    "events_geo_distance_rings": q_events_geo_distance_rings,
+    "events_geo_distance_bounds": q_events_geo_distance_bounds,
     "index_significant_text": q_index_significant_text,
     "events_bucket_correlation": q_events_bucket_correlation,
     "events_ks_test": q_events_ks_test,
@@ -9642,6 +9805,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_geotile_grid": SQL_EVENTS_GEOTILE_GRID,
+    "events_geo_distance_rings": SQL_EVENTS_GEO_DISTANCE_RINGS,
+    "events_geo_distance_bounds": SQL_EVENTS_GEO_DISTANCE_BOUNDS,
     "index_significant_text": SQL_INDEX_SIGNIFICANT_TEXT,
     "events_bucket_correlation": SQL_EVENTS_BUCKET_CORRELATION,
     "events_ks_test": SQL_EVENTS_KS_TEST,

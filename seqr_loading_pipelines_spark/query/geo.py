@@ -1,0 +1,230 @@
+"""Geo queries and aggregations — the Elasticsearch geo family over
+plain (lat, lon) double columns: ``geo_distance`` / ``geo_bounding_box``
+filters, the ``geotile_grid`` bucketing aggregation (web-mercator
+z/x/y tiles), ``geo_bounds`` / ``geo_centroid`` metric aggs, and the
+``geo_distance`` ring-range aggregation.
+
+Everything is closed-form double math on two columns — Spark built-in
+trig inside whole-stage codegen (radians/sin/cos/atan2/ln/tan), no
+UDFs, no geometry library: the same design ES itself uses for points
+(it only needs a real geometry engine for shapes). Distances are
+haversine meters on a spherical earth (ES's arc distance default,
+mean radius 6371km); tiles are standard OSM web-mercator.
+
+Scale shape: filters are pushable row predicates (a bounding-box
+pre-filter brackets the haversine so a scan can prune on min/max
+lat/lon column stats before any trig runs); grid/ring aggs are one
+map-side-combining hash agg whose output cardinality is the tile /
+ring count. Nothing here shuffles more than one aggregation.
+
+Reference parity anchor: the reference ships interval/locus predicates
+(xpos range filters, v03_pipeline/lib/reference_datasets) — the 1-D
+ancestor of these 2-D range predicates; its ES export mapped
+coordinate-like fields for exactly this class of range query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0
+# web-mercator domain: beyond this latitude the tile y-formula
+# diverges; ES clamps the same way
+MAX_MERCATOR_LAT = 85.05112878
+MAX_TILE_PRECISION = 29  # ES geotile_grid contract
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+) -> Column:
+    """Great-circle distance in meters (haversine, spherical earth).
+    Pure JVM trig — safe inside any filter or aggregate."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2
+    dl = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dp) * F.sin(dp)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    )
+    return (
+        F.lit(2.0 * EARTH_RADIUS_M)
+        * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+    )
+
+
+def geo_distance_filter(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+) -> DataFrame:
+    """The ES ``geo_distance`` query: rows within ``radius_m`` meters
+    of the center. A longitude/latitude bounding box brackets the
+    haversine predicate so the scan can prune on plain column
+    min/max statistics before any trig evaluates (the box is
+    conservative: +/- radius in latitude degrees, and the longitude
+    width widened by the smaller cosine at the box's latitude
+    extremes; near-polar centers degrade to latitude-only pruning —
+    never to a wrong answer)."""
+    import math
+
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    lo_lat = max(center_lat - dlat, -90.0)
+    hi_lat = min(center_lat + dlat, 90.0)
+    # widest longitude span inside the latitude band
+    min_cos = min(
+        math.cos(math.radians(lo_lat)), math.cos(math.radians(hi_lat)),
+    )
+    pred = (F.col(lat_col) >= lo_lat) & (F.col(lat_col) <= hi_lat)
+    if min_cos > 1e-9:
+        dlon = math.degrees(radius_m / (EARTH_RADIUS_M * min_cos))
+        if dlon < 180.0:
+            pred = (
+                pred
+                & (F.col(lon_col) >= center_lon - dlon)
+                & (F.col(lon_col) <= center_lon + dlon)
+            )
+    dist = haversine_m(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(center_lat)), F.lit(float(center_lon)),
+    )
+    return df.filter(pred & (dist <= float(radius_m)))
+
+
+def geo_bounding_box_filter(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> DataFrame:
+    """The ES ``geo_bounding_box`` query — two pushable range
+    predicates."""
+    if top < bottom:
+        raise ValueError(f"top {top} < bottom {bottom}")
+    return df.filter(
+        (F.col(lat_col) <= float(top))
+        & (F.col(lat_col) >= float(bottom))
+        & (F.col(lon_col) >= float(left))
+        & (F.col(lon_col) <= float(right))
+    )
+
+
+def geotile_key(lat: Column, lon: Column, precision: int) -> Column:
+    """Web-mercator tile key "z/x/y" at zoom ``precision`` (the ES
+    ``geotile_grid`` bucket key format). Latitude clamps to the
+    mercator domain, exactly as ES does."""
+    z2 = float(1 << precision)
+    clat = F.greatest(
+        F.least(lat, F.lit(MAX_MERCATOR_LAT)), F.lit(-MAX_MERCATOR_LAT),
+    )
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(z2))
+    # guard the lon=180 edge into the last column, like ES
+    x = F.least(x, F.lit(int(z2) - 1)).cast("long")
+    rad = F.radians(clat)
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    y = F.floor(
+        (F.lit(1.0) - merc / F.lit(3.141592653589793))
+        / F.lit(2.0) * F.lit(z2),
+    )
+    y = F.greatest(
+        F.least(y, F.lit(int(z2) - 1)), F.lit(0),
+    ).cast("long")
+    return F.concat_ws("/", F.lit(str(precision)), x, y)
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 7,
+    top_n: int = 10,
+) -> DataFrame:
+    """The ES ``geotile_grid`` aggregation with a per-tile
+    ``geo_centroid`` sub-agg: bucket every row into its web-mercator
+    tile, count, and average the coordinates. One hash agg (output =
+    occupied tiles), then a bounded TakeOrdered for the ES-style
+    (count desc, key asc) panel."""
+    if not 0 <= precision <= MAX_TILE_PRECISION:
+        raise ValueError(
+            f"precision must be in [0, {MAX_TILE_PRECISION}], "
+            f"got {precision}",
+        )
+    tile = geotile_key(F.col(lat_col), F.col(lon_col), precision)
+    out = (
+        df.groupBy(tile.alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(lat_col).alias("centroid_lat"),
+            F.avg(lon_col).alias("centroid_lon"),
+        )
+    )
+    return out.orderBy(F.col("n").desc(), F.col("tile").asc()).limit(
+        top_n,
+    )
+
+
+def geo_bounds(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """The ES ``geo_bounds`` + ``geo_centroid`` metric aggregations in
+    one single-row pass: the enclosing box and the coordinate mean."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(lat_col).alias("top"),
+        F.min(lat_col).alias("bottom"),
+        F.min(lon_col).alias("left"),
+        F.max(lon_col).alias("right"),
+        F.avg(lat_col).alias("centroid_lat"),
+        F.avg(lon_col).alias("centroid_lon"),
+    )
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    edges_m: list,
+) -> DataFrame:
+    """The ES ``geo_distance`` RANGE aggregation: concentric rings
+    around a center, [from, to) in meters, emitted in DEFINITION
+    order INCLUDING empty rings (what a plain GROUP BY can't give) —
+    the same conditional-aggregate + unpivot shape as the engine's
+    date_range agg. ``edges_m`` are the interior edges; rings are
+    [0, e1), [e1, e2), ..., [eN, inf)."""
+    if not edges_m or sorted(edges_m) != list(edges_m):
+        raise ValueError("edges_m must be non-empty and ascending")
+    dist = haversine_m(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(center_lat)), F.lit(float(center_lon)),
+    )
+    bounds = [0.0] + [float(e) for e in edges_m] + [None]
+    aggs, names = [], []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = dist >= lo
+        if hi is not None:
+            cond = cond & (dist < hi)
+        name = f"r{i}"
+        names.append((i, lo, hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name),
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, double('{lo}'), "
+        + (f"double('{hi}')" if hi is not None else "double(null)")
+        + f", r{i}"
+        for i, lo, hi in names
+    )
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) "
+        "AS (ring, from_m, to_m, n)",
+    )

@@ -1,0 +1,138 @@
+"""Geo family goldens: haversine, web-mercator tiles, distance
+filter (incl. the bounding-box bracket near the pole), ring agg."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqr_loading_pipelines_spark.query.geo import (
+    EARTH_RADIUS_M,
+    geo_bounding_box_filter,
+    geo_bounds,
+    geo_distance_agg,
+    geo_distance_filter,
+    geotile_grid,
+    geotile_key,
+    haversine_m,
+)
+
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2
+    dl = math.radians(lon2 - lon1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2 * EARTH_RADIUS_M * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = [
+        (0, 48.8566, 2.3522),    # Paris
+        (1, 51.5074, -0.1278),   # London
+        (2, -33.8688, 151.2093),  # Sydney
+        (3, 89.9, 10.0),         # near-polar
+        (4, 0.0, 0.0),
+    ]
+    return spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_haversine_golden(spark, pts):
+    got = (
+        pts.filter("id = 0")
+        .select(
+            haversine_m(
+                F.col("lat"), F.col("lon"),
+                F.lit(51.5074), F.lit(-0.1278),
+            ).alias("d"),
+        )
+        .collect()[0]["d"]
+    )
+    assert got == pytest.approx(
+        _hav_py(48.8566, 2.3522, 51.5074, -0.1278), rel=1e-12,
+    )
+    assert 330_000 < got < 350_000  # Paris-London ballpark
+
+
+def test_geotile_key_goldens(spark):
+    rows = [
+        (0.0, 0.0, 1, "1/1/1"),
+        (0.0, 180.0, 1, "1/1/1"),      # antimeridian clamps to last col
+        (90.0, 0.0, 1, "1/1/0"),       # pole clamps into mercator
+        (-90.0, -180.0, 1, "1/0/1"),
+        (41.85, -87.65, 7, "7/32/47"),  # Chicago, OSM reference tile
+    ]
+    df = spark.createDataFrame(
+        [(la, lo, z) for la, lo, z, _ in rows],
+        "lat double, lon double, z int",
+    )
+    for (la, lo, z, want) in rows:
+        got = (
+            df.filter((F.col("lat") == la) & (F.col("lon") == lo))
+            .select(geotile_key(F.col("lat"), F.col("lon"), z).alias("t"))
+            .collect()[0]["t"]
+        )
+        assert got == want, (la, lo, z)
+
+
+def test_geo_distance_filter_and_polar_bracket(spark, pts):
+    # 400km around Paris: London in, Sydney out
+    ids = {
+        r["id"]
+        for r in geo_distance_filter(
+            pts, "lat", "lon", 48.8566, 2.3522, 400_000,
+        ).collect()
+    }
+    assert ids == {0, 1}
+    # polar center: the longitude bracket must NOT prune (cos -> 0);
+    # everything within 100km of the pole is just the near-polar point
+    ids = {
+        r["id"]
+        for r in geo_distance_filter(
+            pts, "lat", "lon", 89.95, -170.0, 100_000,
+        ).collect()
+    }
+    assert ids == {3}
+    with pytest.raises(ValueError, match="radius_m"):
+        geo_distance_filter(pts, "lat", "lon", 0, 0, 0)
+
+
+def test_geo_bounding_box(spark, pts):
+    ids = {
+        r["id"]
+        for r in geo_bounding_box_filter(
+            pts, "lat", "lon", top=60, left=-10, bottom=40, right=20,
+        ).collect()
+    }
+    assert ids == {0, 1}
+    with pytest.raises(ValueError, match="top"):
+        geo_bounding_box_filter(
+            pts, "lat", "lon", top=0, left=0, bottom=10, right=1,
+        )
+
+
+def test_geo_bounds_and_grid(spark, pts):
+    r = geo_bounds(pts, "lat", "lon").collect()[0]
+    assert r["n"] == 5
+    assert r["top"] == 89.9 and r["bottom"] == -33.8688
+    assert r["left"] == -0.1278 and r["right"] == 151.2093
+    g = geotile_grid(pts, "lat", "lon", precision=0, top_n=5).collect()
+    assert len(g) == 1 and g[0]["n"] == 5 and g[0]["tile"] == "0/0/0"
+    with pytest.raises(ValueError, match="precision"):
+        geotile_grid(pts, "lat", "lon", precision=30)
+
+
+def test_geo_distance_rings_order_and_empty(spark, pts):
+    out = geo_distance_agg(
+        pts, "lat", "lon", 48.8566, 2.3522,
+        [400_000, 500_000, 20_000_000],
+    ).collect()
+    assert [r["ring"] for r in out] == [0, 1, 2, 3]
+    ns = [r["n"] for r in out]
+    assert ns[0] == 2          # Paris + London
+    assert ns[1] == 0          # empty ring still emitted
+    assert sum(ns) == 5        # partition of the whole set
+    assert out[-1]["to_m"] is None
+    with pytest.raises(ValueError, match="ascending"):
+        geo_distance_agg(pts, "lat", "lon", 0, 0, [2, 1])
