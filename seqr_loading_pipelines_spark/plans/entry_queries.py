@@ -9596,7 +9596,44 @@ FROM h
 """
 
 
+IP_PREFIX_LEN = 6
+IP_TOP_N = 15
+# deterministic synthetic IPv4 (Knuth multiplicative hash of the id)
+_IP_EXPR = "(event_id * 2654435761) % 4294967296"
+
+
+def q_events_ip_prefix(spark, sf_dir):
+    """ES ``ip_prefix`` aggregation (query/facets.py ip_prefix_agg):
+    events bucketed by the /N network of a derived IPv4, keyed in
+    dotted-quad CIDR form. Oracle: the same integer prefix arithmetic
+    + dotted formatting in SQL."""
+    from seqr_loading_pipelines_spark.query.facets import ip_prefix_agg
+
+    ips = (
+        _read(spark, sf_dir, "events")
+        .select(F.expr(_IP_EXPR).cast("long").alias("ip"))
+    )
+    return ip_prefix_agg(ips, "ip", IP_PREFIX_LEN, top_n=IP_TOP_N)
+
+
+_IP_SHIFT = 1 << (32 - IP_PREFIX_LEN)
+
+SQL_EVENTS_IP_PREFIX = f"""
+WITH i AS (SELECT ({_IP_EXPR}) AS ip FROM events),
+b AS (SELECT (ip // {_IP_SHIFT}) * {_IP_SHIFT} AS base FROM i),
+p AS (SELECT ((base // 16777216) % 256)::VARCHAR || '.'
+          || ((base // 65536) % 256)::VARCHAR || '.'
+          || ((base // 256) % 256)::VARCHAR || '.'
+          || (base % 256)::VARCHAR || '/{IP_PREFIX_LEN}' AS prefix
+      FROM b)
+SELECT prefix, count(*) AS n FROM p GROUP BY prefix
+ORDER BY n DESC, prefix ASC
+LIMIT {IP_TOP_N}
+"""
+
+
 QUERIES = {
+    "events_ip_prefix": q_events_ip_prefix,
     "events_geotile_grid": q_events_geotile_grid,
     "events_geo_distance_rings": q_events_geo_distance_rings,
     "events_geo_distance_bounds": q_events_geo_distance_bounds,
@@ -9805,6 +9842,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_ip_prefix": SQL_EVENTS_IP_PREFIX,
     "events_geotile_grid": SQL_EVENTS_GEOTILE_GRID,
     "events_geo_distance_rings": SQL_EVENTS_GEO_DISTANCE_RINGS,
     "events_geo_distance_bounds": SQL_EVENTS_GEO_DISTANCE_BOUNDS,

@@ -1704,3 +1704,44 @@ def bucket_count_ks_test(
         F.max(d).alias("ks_greater"),
         F.max(F.abs(d)).alias("ks_two_sided"),
     )
+
+
+def ip_prefix_agg(
+    df: DataFrame,
+    ip_col: str,
+    prefix_length: int,
+    top_n: int = 20,
+) -> DataFrame:
+    """The Elasticsearch ``ip_prefix`` bucketing aggregation over an
+    IPv4 address stored as its unsigned 32-bit integer: rows bucket by
+    their /``prefix_length`` network, keyed in ES's dotted-quad CIDR
+    form (``"10.20.0.0/16"``). One row per occupied prefix:
+    ``(prefix, n)``, (n desc, prefix asc), top_n.
+
+    Scale shape: the prefix is pure integer arithmetic (floor-div /
+    mod — whole-stage codegen), one map-side-combining hash agg whose
+    output cardinality is the number of occupied prefixes (<= 2^len),
+    then a bounded TakeOrdered."""
+    if not 0 <= prefix_length <= 32:
+        raise ValueError(
+            f"prefix_length must be in [0, 32], got {prefix_length}",
+        )
+    shift = 1 << (32 - prefix_length)
+    base = (F.col(ip_col).cast("long") / F.lit(shift)).cast(
+        "long",
+    ) * F.lit(shift)
+    octets = [
+        (base / F.lit(1 << b)).cast("long") % F.lit(256)
+        for b in (24, 16, 8, 0)
+    ]
+    prefix = F.concat_ws(
+        "",
+        F.concat_ws(".", *[o.cast("string") for o in octets]),
+        F.lit(f"/{prefix_length}"),
+    )
+    out = df.groupBy(prefix.alias("prefix")).agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.orderBy(F.col("n").desc(), F.col("prefix").asc()).limit(
+        top_n,
+    )

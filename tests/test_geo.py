@@ -136,3 +136,23 @@ def test_geo_distance_rings_order_and_empty(spark, pts):
     assert out[-1]["to_m"] is None
     with pytest.raises(ValueError, match="ascending"):
         geo_distance_agg(pts, "lat", "lon", 0, 0, [2, 1])
+
+
+def test_ip_prefix_agg_goldens(spark):
+    from seqr_loading_pipelines_spark.query.facets import ip_prefix_agg
+
+    df = spark.createDataFrame(
+        [(0x0A141E28,), (0x0A14FFFF,), (0xC0A80101,)], "ip long",
+    )  # 10.20.30.40, 10.20.255.255, 192.168.1.1
+    got = {
+        r["prefix"]: r["n"]
+        for r in ip_prefix_agg(df, "ip", 16, top_n=10).collect()
+    }
+    assert got == {"10.20.0.0/16": 2, "192.168.0.0/16": 1}
+    # /0 collapses everything into one bucket
+    allb = ip_prefix_agg(df, "ip", 0).collect()
+    assert len(allb) == 1 and allb[0]["prefix"] == "0.0.0.0/0"
+    # /32 is identity
+    assert ip_prefix_agg(df, "ip", 32).count() == 3
+    with pytest.raises(ValueError, match="prefix_length"):
+        ip_prefix_agg(df, "ip", 33)
