@@ -9632,7 +9632,69 @@ LIMIT {IP_TOP_N}
 """
 
 
+GEOHASH_PRECISION = 3
+GEOHASH_TOP_N = 12
+
+
+def q_events_geohash_grid(spark, sf_dir):
+    """ES ``geohash_grid`` aggregation (query/geo.py geohash_grid):
+    base-32 geohash cell bucketing of derived event coordinates —
+    every interleaved bit is a literal-shift expression, so the key
+    is one codegen projection. Oracle: the identical bit arithmetic
+    generated into SQL."""
+    from seqr_loading_pipelines_spark.query.geo import geohash_grid
+
+    return geohash_grid(
+        _events_geo(spark, sf_dir), "lat", "lon",
+        precision=GEOHASH_PRECISION, top_n=GEOHASH_TOP_N,
+    )
+
+
+def _sql_geohash(precision: int) -> str:
+    """DuckDB twin of geo.py geohash_key over columns lat/lon —
+    the same literal-shift interleave, generated."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = (
+        f"least(floor((lon + 180.0) / 360.0 * {1 << lon_bits}), "
+        f"{(1 << lon_bits) - 1})::BIGINT"
+    )
+    y = (
+        f"least(floor((lat + 90.0) / 180.0 * {1 << lat_bits}), "
+        f"{(1 << lat_bits) - 1})::BIGINT"
+    )
+
+    def bit(b):
+        if b % 2 == 0:
+            src, nbits, i = "gx", lon_bits, b // 2
+        else:
+            src, nbits, i = "gy", lat_bits, b // 2
+        return f"(({src} // {1 << (nbits - 1 - i)}) % 2)"
+
+    chars = []
+    for c in range(precision):
+        idx = " + ".join(
+            f"{bit(5 * c + k)} * {1 << (4 - k)}" for k in range(5)
+        )
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"({idx})::INT + 1, 1)",
+        )
+    return f"(SELECT {' || '.join(chars)} FROM (SELECT {x} AS gx, {y} AS gy))"
+
+
+SQL_EVENTS_GEOHASH_GRID = f"""
+WITH g AS (SELECT {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM events),
+k AS (SELECT {_sql_geohash(GEOHASH_PRECISION)} AS geohash FROM g)
+SELECT geohash, count(*) AS n FROM k GROUP BY geohash
+ORDER BY n DESC, geohash ASC
+LIMIT {GEOHASH_TOP_N}
+"""
+
+
 QUERIES = {
+    "events_geohash_grid": q_events_geohash_grid,
     "events_ip_prefix": q_events_ip_prefix,
     "events_geotile_grid": q_events_geotile_grid,
     "events_geo_distance_rings": q_events_geo_distance_rings,
@@ -9842,6 +9904,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_geohash_grid": SQL_EVENTS_GEOHASH_GRID,
     "events_ip_prefix": SQL_EVENTS_IP_PREFIX,
     "events_geotile_grid": SQL_EVENTS_GEOTILE_GRID,
     "events_geo_distance_rings": SQL_EVENTS_GEO_DISTANCE_RINGS,

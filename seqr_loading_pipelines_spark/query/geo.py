@@ -228,3 +228,71 @@ def geo_distance_agg(
         f"stack({len(names)}, {stack_args}) "
         "AS (ring, from_m, to_m, n)",
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+MAX_GEOHASH_PRECISION = 12
+
+
+def geohash_key(lat: Column, lon: Column, precision: int) -> Column:
+    """Standard geohash of ``precision`` base-32 characters (the ES
+    ``geohash_grid`` bucket key). Pure closed-form expression: the
+    cell coordinates are two floor-divisions, and every interleaved
+    bit / base-32 character is generated with LITERAL shift constants
+    (the precision is a Python-level constant), so the whole key is
+    one whole-stage-codegen projection — no UDF, no loop at runtime."""
+    if not 1 <= precision <= MAX_GEOHASH_PRECISION:
+        raise ValueError(
+            f"precision must be in [1, {MAX_GEOHASH_PRECISION}], "
+            f"got {precision}",
+        )
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    y = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+
+    def bit(b: int) -> Column:
+        # global bit b (0 = MSB of the interleaved stream): even
+        # positions take longitude bits, odd take latitude, MSB-first
+        if b % 2 == 0:
+            src, nbits, i = x, lon_bits, b // 2
+        else:
+            src, nbits, i = y, lat_bits, b // 2
+        return (src / F.lit(float(1 << (nbits - 1 - i)))).cast(
+            "long",
+        ) % 2
+
+    alphabet = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    chars = []
+    for c in range(precision):
+        idx = F.lit(0)
+        for k in range(5):
+            idx = idx + bit(5 * c + k) * F.lit(1 << (4 - k))
+        chars.append(F.element_at(alphabet, (idx + 1).cast("int")))
+    return F.concat(*chars)
+
+
+def geohash_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 5,
+    top_n: int = 10,
+) -> DataFrame:
+    """The ES ``geohash_grid`` aggregation: bucket rows by geohash
+    cell and count — same single hash-agg + bounded TakeOrdered shape
+    as geotile_grid, (count desc, key asc)."""
+    key = geohash_key(F.col(lat_col), F.col(lon_col), precision)
+    out = df.groupBy(key.alias("geohash")).agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.orderBy(
+        F.col("n").desc(), F.col("geohash").asc(),
+    ).limit(top_n)

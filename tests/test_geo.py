@@ -156,3 +156,27 @@ def test_ip_prefix_agg_goldens(spark):
     assert ip_prefix_agg(df, "ip", 32).count() == 3
     with pytest.raises(ValueError, match="prefix_length"):
         ip_prefix_agg(df, "ip", 33)
+
+
+def test_geohash_canonical_goldens(spark, pts):
+    from seqr_loading_pipelines_spark.query.geo import (
+        geohash_grid,
+        geohash_key,
+    )
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (42.605, -5.603), (90.0, 180.0)],
+        "lat double, lon double",
+    )
+    got = [
+        r["g"]
+        for r in df.select(
+            geohash_key(F.col("lat"), F.col("lon"), 9).alias("g"),
+        ).collect()
+    ]
+    # classic doc example, a second independent reference, the corner
+    assert got == ["u4pruydqq", "ezs42s000", "zzzzzzzzz"]
+    g = geohash_grid(pts, "lat", "lon", precision=1, top_n=10).collect()
+    assert sum(r["n"] for r in g) == 5
+    with pytest.raises(ValueError, match="precision"):
+        geohash_key(F.col("lat"), F.col("lon"), 13)
