@@ -9693,7 +9693,43 @@ LIMIT {GEOHASH_TOP_N}
 """
 
 
+PCT_BUCKET_PERCENTS = [5.0, 25.0, 50.0, 75.0, 95.0]
+
+
+def q_events_percentiles_bucket(spark, sf_dir):
+    """ES ``percentiles_bucket`` pipeline agg (query/facets.py):
+    exact linearly-interpolated percentiles of the per-day event
+    counts. Oracle: quantile_cont over the same day buckets (both
+    engines use exact linear interpolation on the bucket series)."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        percentiles_bucket,
+    )
+
+    buckets = (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = percentiles_bucket(buckets, "n", PCT_BUCKET_PERCENTS)
+    return out.select(
+        "percent", F.round("value", 6).alias("value"),
+    )
+
+
+SQL_EVENTS_PERCENTILES_BUCKET = f"""
+WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+q AS (SELECT unnest([{", ".join(str(p) for p in PCT_BUCKET_PERCENTS)}])
+          AS percent,
+      unnest(quantile_cont(n, [{", ".join(str(p / 100.0) for p in PCT_BUCKET_PERCENTS)}]))
+          AS v
+      FROM b)
+SELECT percent, round(v, 6) AS value FROM q
+"""
+
+
 QUERIES = {
+    "events_percentiles_bucket": q_events_percentiles_bucket,
     "events_geohash_grid": q_events_geohash_grid,
     "events_ip_prefix": q_events_ip_prefix,
     "events_geotile_grid": q_events_geotile_grid,
@@ -9904,6 +9940,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_percentiles_bucket": SQL_EVENTS_PERCENTILES_BUCKET,
     "events_geohash_grid": SQL_EVENTS_GEOHASH_GRID,
     "events_ip_prefix": SQL_EVENTS_IP_PREFIX,
     "events_geotile_grid": SQL_EVENTS_GEOTILE_GRID,

@@ -1745,3 +1745,40 @@ def ip_prefix_agg(
     return out.orderBy(F.col("n").desc(), F.col("prefix").asc()).limit(
         top_n,
     )
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    value_col: str,
+    percents: list | None = None,
+) -> DataFrame:
+    """The Elasticsearch ``percentiles_bucket`` pipeline aggregation:
+    percentiles of a metric ACROSS a sibling aggregation's buckets
+    (e.g. "p95 of daily sales"). One row per requested percent:
+    ``(percent, value)``, linear interpolation over the exact bucket
+    series (ES notes the bucket series is small enough for exact
+    percentiles — the same reasoning holds here: the input is an
+    aggregation OUTPUT, so Spark's exact ``percentile`` aggregate is
+    the right tool, not a sketch).
+
+    Scale shape: one single-row aggregate over the buckets DataFrame,
+    then a posexplode of the percent/value arrays — no shuffle beyond
+    the already-paid sibling aggregation."""
+    if percents is None:
+        percents = [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+    if not percents or any(not 0 <= p <= 100 for p in percents):
+        raise ValueError(
+            f"percents must be within [0, 100], got {percents}",
+        )
+    fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
+    pcts = F.array(*[F.lit(float(p)) for p in percents])
+    agg = buckets.agg(
+        F.percentile(F.col(value_col).cast("double"), fracs).alias("_v"),
+    )
+    return agg.select(
+        F.posexplode(F.arrays_zip(pcts.alias("p"), F.col("_v").alias("v")))
+        .alias("_i", "_pv"),
+    ).select(
+        F.col("_pv.p").alias("percent"),
+        F.col("_pv.v").alias("value"),
+    )

@@ -234,3 +234,21 @@ def test_length_mismatch_hard_fails(spark):
         bucket_count_ks_test(
             _buckets(spark, [1, 2, 3]), "k", "n", fractions=[1, 2],
         )
+
+
+def test_percentiles_bucket_golden(spark):
+    from seqr_loading_pipelines_spark.query.facets import (
+        percentiles_bucket,
+    )
+
+    b = _buckets(spark, [10, 20, 30, 40, 50])
+    got = {
+        r["percent"]: r["value"]
+        for r in percentiles_bucket(b, "n", [0, 50, 100]).collect()
+    }
+    assert got == {0.0: 10.0, 50.0: 30.0, 100.0: 50.0}
+    # linear interpolation between ranks: p25 of [10..50] = 20
+    got = percentiles_bucket(b, "n", [25]).collect()[0]
+    assert got["value"] == pytest.approx(20.0)
+    with pytest.raises(ValueError, match="percents"):
+        percentiles_bucket(b, "n", [101])
