@@ -469,6 +469,52 @@ def main() -> None:
         timings,
     )
 
+    # geo grid aggregations over 500k derived coordinates: one codegen
+    # projection (trig / literal-shift bit interleave) + one hash agg
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.query.geo import (
+        geohash_grid,
+        geotile_grid,
+    )
+
+    geo_pts = spark.range(500_000).select(
+        ((F.col("id") * 37 % 17000) / 100.0 - 85.0)
+        .cast("double").alias("lat"),
+        ((F.col("id") * 53 % 36000) / 100.0 - 180.0)
+        .cast("double").alias("lon"),
+    )
+    timed_min(
+        "geotile_grid_500k",
+        lambda: geotile_grid(
+            geo_pts, "lat", "lon", precision=7, top_n=10,
+        ).collect(),
+        timings,
+    )
+    timed_min(
+        "geohash_grid_500k",
+        lambda: geohash_grid(
+            geo_pts, "lat", "lon", precision=5, top_n=10,
+        ).collect(),
+        timings,
+    )
+
+    # DSIR importance weighting over the full 60k-doc corpus: two
+    # tokenize+hash scans, broadcast 64-row ratio dim
+    from seqr_loading_pipelines_spark.operators.pipeline import (
+        dsir_weights,
+    )
+
+    timed_min(
+        "dsir_weights",
+        lambda: dsir_weights(
+            corpus.withColumn("doc_id", F.xxhash64("path")),
+            F.col("lang") == "python",
+            text_col="content",
+        ).count(),
+        timings,
+    )
+
     # hybrid retrieval: reciprocal-rank fusion of two bounded top-k
     # rankings (the ES 8 rrf retriever) — fusion cost is the union +
     # one hash agg over <= 2k rows, independent of corpus size

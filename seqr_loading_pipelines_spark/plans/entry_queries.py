@@ -9728,7 +9728,44 @@ SELECT percent, round(v, 6) AS value FROM q
 """
 
 
+GEO_LINE_SIZE = 5
+
+
+def q_events_geo_line(spark, sf_dir):
+    """ES ``geo_line`` aggregation (query/geo.py geo_line): per
+    event_type, the ts-ordered track of derived coordinates truncated
+    to the first GEO_LINE_SIZE vertices, with the ES ``complete``
+    flag — emitted row-per-vertex for engine portability. Oracle:
+    row_number + windowed count in SQL."""
+    from seqr_loading_pipelines_spark.query.geo import geo_line
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id")
+        .withColumn("lat", F.expr(_GEO_LAT).cast("double"))
+        .withColumn("lon", F.expr(_GEO_LON).cast("double"))
+    )
+    return geo_line(
+        ev, "event_type", "lat", "lon", "ts", size=GEO_LINE_SIZE,
+    )
+
+
+SQL_EVENTS_GEO_LINE = f"""
+WITH e AS (SELECT event_type, ts, {_GEO_LAT} AS lat, {_GEO_LON} AS lon
+           FROM events),
+r AS (SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, lon, lat) - 1 AS seq,
+             count(*) OVER (PARTITION BY event_type) AS cnt,
+             lat, lon
+      FROM e)
+SELECT event_type, cnt <= {GEO_LINE_SIZE} AS complete, seq, lon, lat
+FROM r WHERE seq < {GEO_LINE_SIZE}
+"""
+
+
 QUERIES = {
+    "events_geo_line": q_events_geo_line,
     "events_percentiles_bucket": q_events_percentiles_bucket,
     "events_geohash_grid": q_events_geohash_grid,
     "events_ip_prefix": q_events_ip_prefix,
@@ -9940,6 +9977,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_geo_line": SQL_EVENTS_GEO_LINE,
     "events_percentiles_bucket": SQL_EVENTS_PERCENTILES_BUCKET,
     "events_geohash_grid": SQL_EVENTS_GEOHASH_GRID,
     "events_ip_prefix": SQL_EVENTS_IP_PREFIX,

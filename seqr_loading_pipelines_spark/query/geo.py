@@ -296,3 +296,51 @@ def geohash_grid(
     return out.orderBy(
         F.col("n").desc(), F.col("geohash").asc(),
     ).limit(top_n)
+
+
+def geo_line(
+    df: DataFrame,
+    group_col: str,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    size: int = 10,
+) -> DataFrame:
+    """The ES ``geo_line`` aggregation: per group, the track of
+    points ordered by ``sort_col`` (a timestamp, typically),
+    truncated to the first ``size`` vertices, with the ES
+    ``complete`` flag saying whether the whole track fit. Emitted
+    row-per-vertex — ``(group, complete, seq, lon, lat)`` — rather
+    than a packed geometry string, so results are engine-portable
+    and directly joinable.
+
+    Scale shape: ONE group aggregation collects (sort, lon, lat)
+    structs, array_sort orders them inside the agg buffer (struct
+    ordering = sort field first), slice truncates BEFORE the
+    explode — so a mega-track group costs its own points once and
+    never amplifies: the exploded output is bounded by
+    groups x size."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(sort_col).alias("s"),
+                F.col(lon_col).alias("lon"),
+                F.col(lat_col).alias("lat"),
+            ),
+        ),
+    )
+    g = df.groupBy(group_col).agg(pts.alias("pts"))
+    g = g.select(
+        group_col,
+        (F.size("pts") <= size).alias("complete"),
+        F.posexplode(F.slice("pts", 1, size)).alias("seq", "p"),
+    )
+    return g.select(
+        group_col,
+        "complete",
+        "seq",
+        F.col("p.lon").alias("lon"),
+        F.col("p.lat").alias("lat"),
+    )

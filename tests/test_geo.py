@@ -180,3 +180,28 @@ def test_geohash_canonical_goldens(spark, pts):
     assert sum(r["n"] for r in g) == 5
     with pytest.raises(ValueError, match="precision"):
         geohash_key(F.col("lat"), F.col("lon"), 13)
+
+
+def test_geo_line_order_truncation_complete(spark):
+    from seqr_loading_pipelines_spark.query.geo import geo_line
+
+    rows = [
+        # group a: 3 points, out-of-order sort values
+        ("a", 3, 30.0, 130.0), ("a", 1, 10.0, 110.0), ("a", 2, 20.0, 120.0),
+        # group b: 1 point
+        ("b", 1, -5.0, -50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, s long, lat double, lon double",
+    )
+    out = geo_line(df, "g", "lat", "lon", "s", size=2).collect()
+    a = sorted(
+        [(r["seq"], r["lon"], r["lat"], r["complete"]) for r in out
+         if r["g"] == "a"],
+    )
+    # truncated to 2 vertices in sort order; complete=False
+    assert a == [(0, 110.0, 10.0, False), (1, 120.0, 20.0, False)]
+    b = [(r["seq"], r["complete"]) for r in out if r["g"] == "b"]
+    assert b == [(0, True)]
+    with pytest.raises(ValueError, match="size"):
+        geo_line(df, "g", "lat", "lon", "s", size=0)
