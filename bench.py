@@ -818,6 +818,21 @@ def main() -> None:
         ).collect(),
         timings,
     )
+
+    # significant_text: match-set stored-content re-tokenize + dup
+    # filter + JLH (same content projection as highlight)
+    from seqr_loading_pipelines_spark.query.facets import (
+        significant_text,
+    )
+
+    timed_min(
+        "significant_text",
+        lambda: significant_text(
+            spark, pos_index, "sw0 term_00042", top_n=10,
+            min_doc_count=2, filter_duplicate_text=True,
+        ).collect(),
+        timings,
+    )
     shutil.rmtree(pos_root, ignore_errors=True)
 
     # batched serving throughput: the WHOLE reference query set in one
