@@ -9764,7 +9764,81 @@ FROM r WHERE seq < {GEO_LINE_SIZE}
 """
 
 
+COLLAPSE_INNER_SIZE = 3
+
+
+def q_index_collapse_inner(spark, sf_dir):
+    """Field collapsing WITH inner_hits through the REAL index path
+    (the ES collapse inner_hits option): top-10 repos by best hit,
+    each carrying its top-3 files inline
+    (query/bm25.py search_collapse_inner). Ties break on the
+    doc-store path (monotone in the oracle's doc_id). Oracle: the
+    same BM25 + per-source window + group page in pure SQL."""
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_collapse_inner,
+    )
+
+    _, index = _built_index(spark, sf_dir, "q")
+    out = search_collapse_inner(
+        spark, index, " ".join(BM25_QUERY_TERMS), "repo", k=10,
+        inner_size=COLLAPSE_INNER_SIZE, tiebreak_col="path",
+    ).withColumnRenamed("repo", "repo_name")
+    doc_map = index["doc_stats"].select("doc_id", "path")
+    return (
+        out.join(doc_map, "doc_id", "inner")
+        .select(
+            "group_rank",
+            "repo_name",
+            "inner_rank",
+            F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1)
+            .cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+SQL_INDEX_COLLAPSE_INNER = f"""
+WITH dl AS (SELECT doc_id, len({_T}) AS dl FROM documents),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT s.doc_id, d.source AS repo_name, s.s,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY floor(s.s * 1e5 + 0.5) DESC, s.doc_id ASC
+         ) AS inner_rank
+  FROM scored s JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT repo_name,
+         row_number() OVER (
+           ORDER BY floor(s * 1e5 + 0.5) DESC, doc_id ASC
+         ) AS group_rank
+  FROM hits WHERE inner_rank = 1
+)
+SELECT group_rank, repo_name, inner_rank, doc_id, round(s, 4) AS score
+FROM hits JOIN groups USING (repo_name)
+WHERE group_rank <= 10 AND inner_rank <= {COLLAPSE_INNER_SIZE}
+"""
+
+
 QUERIES = {
+    "index_collapse_inner": q_index_collapse_inner,
     "events_geo_line": q_events_geo_line,
     "events_percentiles_bucket": q_events_percentiles_bucket,
     "events_geohash_grid": q_events_geohash_grid,
@@ -9977,6 +10051,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "index_collapse_inner": SQL_INDEX_COLLAPSE_INNER,
     "events_geo_line": SQL_EVENTS_GEO_LINE,
     "events_percentiles_bucket": SQL_EVENTS_PERCENTILES_BUCKET,
     "events_geohash_grid": SQL_EVENTS_GEOHASH_GRID,

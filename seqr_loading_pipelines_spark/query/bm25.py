@@ -712,6 +712,62 @@ def search_sort_by(
     )
 
 
+def _collapse_scored_join(
+    index: dict,
+    query_text: str,
+    collapse_col: str,
+    require_all: bool,
+    broadcast_max: int | None,
+    tiebreak_col: str | None,
+):
+    """Shared front half of the collapse family: score the match set
+    (one pruned posting scan), attach the collapse column via the
+    gated doc-store projection join, and build the deterministic
+    ordering. Returns ``(joined, order)`` or ``(None, None)`` when the
+    match set is provably empty.
+
+    ``tiebreak_col``: optional score-tie discipline on a doc-store
+    column (e.g. path) instead of the engine-internal docID — docIDs
+    are an assignment artifact, so callers comparing against an
+    external id space need a tiebreak both spaces agree on."""
+    from seqr_loading_pipelines_spark.query.facets import (
+        MATCH_BROADCAST_MAX,
+    )
+
+    q_terms = set(index_tokenize(index, query_text))
+    term_infos = _query_terms(index, query_text)
+    if not term_infos or (require_all and len(term_infos) < len(q_terms)):
+        return None, None
+    decoded = _decoded_postings(index, term_infos, with_term=require_all)
+    if require_all:
+        scored = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.sum("contribution").alias("score"),
+                F.count(F.lit(1)).alias("_nt"),
+            )
+            .filter(F.col("_nt") == len(term_infos))
+            .select("doc_id", "score")
+        )
+    else:
+        scored = decoded.groupBy("doc_id").agg(
+            F.sum("contribution").alias("score"),
+        )
+    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
+    if match_bound(term_infos, require_all) <= gate:
+        scored = F.broadcast(scored)
+    proj = ["doc_id", collapse_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    joined = index["doc_stats"].select(*proj).join(
+        scored, "doc_id", "inner",
+    )
+    order = [quantized(F.col("score")).desc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    ) + [F.col("doc_id").asc()]
+    return joined, order
+
+
 def search_collapse(
     spark: SparkSession,
     index: dict,
@@ -739,48 +795,16 @@ def search_collapse(
     from seqr_loading_pipelines_spark.functions.hashing import (
         single_partition_key,
     )
-    from seqr_loading_pipelines_spark.query.facets import (
-        MATCH_BROADCAST_MAX,
-    )
 
-    q_terms = set(index_tokenize(index, query_text))
-    term_infos = _query_terms(index, query_text)
-    empty_schema = (
-        f"doc_id long, {collapse_col} string, score double, rank int"
+    joined, order = _collapse_scored_join(
+        index, query_text, collapse_col, require_all, broadcast_max,
+        tiebreak_col,
     )
-    if not term_infos or (require_all and len(term_infos) < len(q_terms)):
-        return spark.createDataFrame([], empty_schema)
-    decoded = _decoded_postings(index, term_infos, with_term=require_all)
-    if require_all:
-        scored = (
-            decoded.groupBy("doc_id")
-            .agg(
-                F.sum("contribution").alias("score"),
-                F.count(F.lit(1)).alias("_nt"),
-            )
-            .filter(F.col("_nt") == len(term_infos))
-            .select("doc_id", "score")
+    if joined is None:
+        return spark.createDataFrame(
+            [],
+            f"doc_id long, {collapse_col} string, score double, rank int",
         )
-    else:
-        scored = decoded.groupBy("doc_id").agg(
-            F.sum("contribution").alias("score"),
-        )
-    gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
-    if match_bound(term_infos, require_all) <= gate:
-        scored = F.broadcast(scored)
-    proj = ["doc_id", collapse_col] + (
-        [tiebreak_col] if tiebreak_col else []
-    )
-    joined = index["doc_stats"].select(*proj).join(
-        scored, "doc_id", "inner",
-    )
-    # ``tiebreak_col``: optional score-tie discipline on a doc-store
-    # column (e.g. path) instead of the engine-internal docID — docIDs
-    # are an assignment artifact, so callers comparing against an
-    # external id space need a tiebreak both spaces agree on
-    order = [quantized(F.col("score")).desc()] + (
-        [F.col(tiebreak_col).asc()] if tiebreak_col else []
-    ) + [F.col("doc_id").asc()]
     w = Window.partitionBy(collapse_col).orderBy(*order)
     best = (
         joined.withColumn("_rn", F.row_number().over(w))
@@ -793,6 +817,63 @@ def search_collapse(
     return page.select(
         "doc_id", collapse_col, "score",
         F.row_number().over(wk).alias("rank"),
+    )
+
+
+def search_collapse_inner(
+    spark: SparkSession,
+    index: dict,
+    query_text: str,
+    collapse_col: str,
+    k: int = 10,
+    inner_size: int = 3,
+    require_all: bool = False,
+    broadcast_max: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Field collapsing WITH ``inner_hits`` (the ES collapse option):
+    the top-k groups ranked by their best hit, each carrying its own
+    top ``inner_size`` hits — "best repo page, with the 3 best files
+    of each repo inline". One row per inner hit:
+    ``(group_rank, <collapse_col>, inner_rank, doc_id, score)``,
+    inner_rank 1 = the group's best (the hit plain collapse returns).
+
+    Shape: the same scored match set + gated doc-store join as
+    ``search_collapse``; ONE window pass ranks hits inside each group
+    and a filter keeps <= inner_size per group BEFORE anything global
+    happens — so the inner-hits expansion is bounded by
+    groups x inner_size, never by the match set. The group page is a
+    bounded TakeOrdered over the rank-1 rows; selected groups
+    broadcast back (k rows) to pull their inner hits."""
+    from seqr_loading_pipelines_spark.functions.hashing import (
+        single_partition_key,
+    )
+
+    if inner_size < 1:
+        raise ValueError(f"inner_size must be >= 1, got {inner_size}")
+    empty_schema = (
+        f"group_rank int, {collapse_col} string, inner_rank int, "
+        "doc_id long, score double"
+    )
+    joined, order = _collapse_scored_join(
+        index, query_text, collapse_col, require_all, broadcast_max,
+        tiebreak_col,
+    )
+    if joined is None:
+        return spark.createDataFrame([], empty_schema)
+    w = Window.partitionBy(collapse_col).orderBy(*order)
+    hits = joined.withColumn(
+        "inner_rank", F.row_number().over(w),
+    ).filter(F.col("inner_rank") <= inner_size)
+    k = max(1, min(k, index["manifest"]["n_docs"]))
+    best = hits.filter(F.col("inner_rank") == 1)
+    page = best.orderBy(*order).limit(k)
+    wk = Window.partitionBy(single_partition_key(page)).orderBy(*order)
+    groups = page.select(
+        collapse_col, F.row_number().over(wk).alias("group_rank"),
+    )
+    return hits.join(F.broadcast(groups), collapse_col, "inner").select(
+        "group_rank", collapse_col, "inner_rank", "doc_id", "score",
     )
 
 

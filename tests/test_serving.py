@@ -1221,3 +1221,37 @@ def test_extended_stats_python_golden(spark, index, oracle):
         extended_stats_by(spark, index, QUERY, "lang", sigma=-1)
     empty = extended_stats_by(spark, index, "zz_nope_zz", "lang")
     assert empty.count() == 0
+
+
+def test_collapse_inner_hits(spark, index):
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        search_collapse,
+        search_collapse_inner,
+    )
+
+    inner = search_collapse_inner(
+        spark, index, QUERY, "repo", k=3, inner_size=2,
+    ).collect()
+    groups = {r["repo"] for r in inner}
+    assert 0 < len(groups) <= 3
+    per_group = {}
+    for r in inner:
+        per_group.setdefault(r["repo"], []).append(r["inner_rank"])
+    for ranks in per_group.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
+    # the rank-1 inner hits ARE plain collapse's page, same order
+    plain = search_collapse(spark, index, QUERY, "repo", k=3).collect()
+    best = sorted(
+        [r for r in inner if r["inner_rank"] == 1],
+        key=lambda r: r["group_rank"],
+    )
+    assert [(r["doc_id"], round(r["score"], 9)) for r in best] == [
+        (r["doc_id"], round(r["score"], 9)) for r in plain
+    ]
+    with pytest.raises(ValueError, match="inner_size"):
+        search_collapse_inner(spark, index, QUERY, "repo", inner_size=0)
+    assert (
+        search_collapse_inner(spark, index, "zzz_absent", "repo").count()
+        == 0
+    )
