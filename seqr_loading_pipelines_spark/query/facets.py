@@ -1505,8 +1505,10 @@ def significant_text(
     ``significant_terms``, but the FOREGROUND counts come from
     RE-ANALYZING the matched docs' stored source text at query time
     (the agg's raison d'etre — it works on free-text fields with no
-    per-doc term vectors and lets the analyzer differ from index
-    time), and ``filter_duplicate_text`` de-duplicates copy-pasted
+    per-doc term vectors; re-analysis follows the INDEX's recorded
+    analyzer so the foreground shares the dictionary's token space,
+    the highlight.py discipline), and
+    ``filter_duplicate_text`` de-duplicates copy-pasted
     text before counting so boilerplate can't masquerade as signal
     (ES filters near-duplicate sections; this engine's contract is
     exact-duplicate DOCUMENT filtering by content fingerprint, keeping
@@ -1529,6 +1531,7 @@ def significant_text(
     for exactly this kind of ES-side aggregation over its annotation
     strings (v03_pipeline/lib/tasks/exports, ES mapping surface)."""
     from seqr_loading_pipelines_spark.functions.tokenizer import (
+        code_subtokens_expr,
         tokenize_expr,
     )
 
@@ -1553,22 +1556,34 @@ def significant_text(
     fg_docs = index["content"].join(matches, "doc_id", "inner")
     if filter_duplicate_text:
         # exact-duplicate text collapses to its lowest doc_id before
-        # any term is counted — one hash agg on a 16-byte fingerprint
+        # any term is counted — one hash agg on a 16-byte fingerprint.
+        # Content is identical inside a fingerprint group, so it rides
+        # THROUGH the agg (min = the one shared value): no second scan
+        # of the stored-content projection
         fg_docs = (
             fg_docs.groupBy(F.md5("content").alias("_fp"))
-            .agg(F.min("doc_id").alias("doc_id"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("content").alias("content"),
+            )
             .drop("_fp")
-            .join(index["content"], "doc_id", "inner")
         )
     # one sized count, then lazy reuse — the same one-extra-pruned-scan
     # discipline as significant_terms (no persist, no driver rows)
     n_fg = fg_docs.count()
     if n_fg == 0:
         return empty
+    # re-analysis uses the INDEX's analyzer (the highlight.py
+    # discipline) so foreground terms share the dictionary's token
+    # space — a code-analyzed index re-tokenizes to code subtokens
+    if index["manifest"].get("analyzer") == "code":
+        reanalyze = code_subtokens_expr
+    else:
+        reanalyze = tokenize_expr
     fg = (
         fg_docs.select(
             F.explode(
-                F.array_distinct(tokenize_expr(F.col("content"))),
+                F.array_distinct(reanalyze(F.col("content"))),
             ).alias("term"),
         )
         .groupBy("term")

@@ -83,12 +83,25 @@ def geo_distance_filter(
     pred = (F.col(lat_col) >= lo_lat) & (F.col(lat_col) <= hi_lat)
     if min_cos > 1e-9:
         dlon = math.degrees(radius_m / (EARTH_RADIUS_M * min_cos))
+        lo_lon, hi_lon = center_lon - dlon, center_lon + dlon
         if dlon < 180.0:
-            pred = (
-                pred
-                & (F.col(lon_col) >= center_lon - dlon)
-                & (F.col(lon_col) <= center_lon + dlon)
-            )
+            if lo_lon >= -180.0 and hi_lon <= 180.0:
+                pred = (
+                    pred
+                    & (F.col(lon_col) >= lo_lon)
+                    & (F.col(lon_col) <= hi_lon)
+                )
+            else:
+                # the box crosses the antimeridian: the interval wraps,
+                # so membership is the OR of the two arcs (e.g. a
+                # center at lon 179.9 must keep lon -179.9 points)
+                pred = pred & (
+                    (F.col(lon_col) >= lo_lon)
+                    | (F.col(lon_col) <= hi_lon - 360.0)
+                    if hi_lon > 180.0
+                    else (F.col(lon_col) <= hi_lon)
+                    | (F.col(lon_col) >= lo_lon + 360.0)
+                )
     dist = haversine_m(
         F.col(lat_col), F.col(lon_col),
         F.lit(float(center_lat)), F.lit(float(center_lon)),
@@ -106,15 +119,23 @@ def geo_bounding_box_filter(
     right: float,
 ) -> DataFrame:
     """The ES ``geo_bounding_box`` query — two pushable range
-    predicates."""
+    predicates. ``left > right`` is ES's dateline-crossing box: the
+    longitude band wraps through ±180 and membership is the OR of the
+    two arcs (lon >= left OR lon <= right)."""
     if top < bottom:
         raise ValueError(f"top {top} < bottom {bottom}")
-    return df.filter(
-        (F.col(lat_col) <= float(top))
-        & (F.col(lat_col) >= float(bottom))
-        & (F.col(lon_col) >= float(left))
-        & (F.col(lon_col) <= float(right))
+    lat_pred = (F.col(lat_col) <= float(top)) & (
+        F.col(lat_col) >= float(bottom)
     )
+    if left <= right:
+        lon_pred = (F.col(lon_col) >= float(left)) & (
+            F.col(lon_col) <= float(right)
+        )
+    else:
+        lon_pred = (F.col(lon_col) >= float(left)) | (
+            F.col(lon_col) <= float(right)
+        )
+    return df.filter(lat_pred & lon_pred)
 
 
 def geotile_key(lat: Column, lon: Column, precision: int) -> Column:

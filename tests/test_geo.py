@@ -205,3 +205,41 @@ def test_geo_line_order_truncation_complete(spark):
     assert b == [(0, True)]
     with pytest.raises(ValueError, match="size"):
         geo_line(df, "g", "lat", "lon", "s", size=0)
+
+
+def test_geo_distance_filter_antimeridian_wrap(spark):
+    """Review finding: a center near lon ±180 must keep in-radius
+    points on the far side of the dateline."""
+    df = spark.createDataFrame(
+        [(0, 0.0, -179.9), (1, 0.0, 179.5), (2, 0.0, 170.0)],
+        "id long, lat double, lon double",
+    )
+    ids = {
+        r["id"]
+        for r in geo_distance_filter(
+            df, "lat", "lon", 0.0, 179.9, 100_000,
+        ).collect()
+    }
+    assert ids == {0, 1}  # -179.9 is ~22km away ACROSS the dateline
+    # mirror case: center near -180
+    ids = {
+        r["id"]
+        for r in geo_distance_filter(
+            df, "lat", "lon", 0.0, -179.7, 100_000,
+        ).collect()
+    }
+    assert ids == {0, 1}
+
+
+def test_geo_bounding_box_dateline_wrap(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0, 175.0), (1, 0.0, -175.0), (2, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    ids = {
+        r["id"]
+        for r in geo_bounding_box_filter(
+            df, "lat", "lon", top=10, left=170, bottom=-10, right=-170,
+        ).collect()
+    }
+    assert ids == {0, 1}  # ES wrap box keeps both sides, drops lon 0

@@ -252,3 +252,47 @@ def test_percentiles_bucket_golden(spark):
     assert got["value"] == pytest.approx(20.0)
     with pytest.raises(ValueError, match="percents"):
         percentiles_bucket(b, "n", [101])
+
+
+def test_significant_text_uses_index_analyzer(spark, tmp_path_factory):
+    """Review finding: a code-analyzed index must re-analyze into
+    code subtokens so fg terms join the dictionary's token space."""
+    rows = [
+        ("r", "a.py", "c1", "py", "needleTok fooBar"),
+        ("r", "b.py", "c1", "py", "needleTok fooBar baz"),
+        ("r", "c.py", "c1", "py", "other stuff"),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_COLS)
+    root = str(tmp_path_factory.mktemp("sig_code"))
+    IndexBuilder(spark, root, store_content=True, analyzer="code").build(
+        corpus, source_fingerprint="sig-code",
+    )
+    idx = load_index(spark, root)
+    got = _sig_rows(
+        significant_text(
+            spark, idx, "needleTok", top_n=50, min_doc_count=1,
+        ),
+    )
+    # the code analyzer splits needleTok/fooBar into subtokens on BOTH
+    # sides: the query matches via needle+tok, and fg re-analysis must
+    # produce the same subtoken space as the dictionary
+    assert got, "no rows — analyzer mismatch would empty the join"
+    assert "foo" in got and "bar" in got and "needle" in got
+    assert got["foo"][:2] == (2, 2)
+
+
+def test_significant_text_dup_filter_plan_has_single_content_scan(
+    spark, sig_index,
+):
+    """Review finding: the dup-filter path must not re-join the full
+    content projection — content rides through the dedup agg, so the
+    stored-content relation appears exactly once in the plan."""
+    import re
+
+    plan = significant_text(
+        spark, sig_index, "needle", filter_duplicate_text=True,
+    )._jdf.queryExecution().optimizedPlan().toString()
+    n_content_scans = len(
+        re.findall(r"Relation \[doc_id#\d+L?,content#", plan),
+    )
+    assert n_content_scans == 1, plan
