@@ -243,3 +243,69 @@ def test_geo_bounding_box_dateline_wrap(spark):
         ).collect()
     }
     assert ids == {0, 1}  # ES wrap box keeps both sides, drops lon 0
+
+
+# -- property-based invariants (hypothesis drives point batches; one
+# Spark job per example keeps the run fast) --------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lat = st.floats(-90, 90, allow_nan=False, width=64)
+_lon = st.floats(-180, 180, allow_nan=False, width=64)
+_pts = st.lists(st.tuples(_lat, _lon), min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pts=_pts)
+def test_geohash_prefix_and_geotile_parent_properties(spark, pts):
+    """Precision-p geohash is a strict prefix of precision-(p+3); a
+    z-level tile is the z+1 tile's parent (x//2, y//2) — both hold by
+    bisection construction, for ANY coordinate."""
+    from seqr_loading_pipelines_spark.query.geo import geohash_key
+
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    bad = df.select(
+        geohash_key(F.col("lat"), F.col("lon"), 3).alias("g3"),
+        geohash_key(F.col("lat"), F.col("lon"), 6).alias("g6"),
+        geotile_key(F.col("lat"), F.col("lon"), 5).alias("t5"),
+        geotile_key(F.col("lat"), F.col("lon"), 6).alias("t6"),
+    ).collect()
+    for r in bad:
+        assert r["g6"].startswith(r["g3"]), (r["g3"], r["g6"])
+        z5, x5, y5 = (int(v) for v in r["t5"].split("/"))
+        z6, x6, y6 = (int(v) for v in r["t6"].split("/"))
+        assert (x6 // 2, y6 // 2) == (x5, y5), (r["t5"], r["t6"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=_pts,
+    center=st.tuples(_lat, _lon),
+    radius_km=st.floats(1, 20_000),
+)
+def test_geo_distance_filter_equals_unbracketed_haversine(
+    spark, pts, center, radius_km,
+):
+    """The bounding-box bracket is an OPTIMIZATION: the filter result
+    must equal the plain haversine predicate for any center (incl.
+    near the dateline and poles) and any radius."""
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    r_m = radius_km * 1000.0
+    got = {
+        (r["lat"], r["lon"])
+        for r in geo_distance_filter(
+            df, "lat", "lon", center[0], center[1], r_m,
+        ).collect()
+    }
+    want = {
+        (r["lat"], r["lon"])
+        for r in df.filter(
+            haversine_m(
+                F.col("lat"), F.col("lon"),
+                F.lit(center[0]), F.lit(center[1]),
+            )
+            <= r_m,
+        ).collect()
+    }
+    assert got == want, (center, radius_km, got ^ want)
