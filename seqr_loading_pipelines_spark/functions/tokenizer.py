@@ -84,6 +84,22 @@ def code_subtokens_expr(col: Column) -> Column:
     return tokenize_expr(s)
 
 
+def analyzer_expr(analyzer: str):
+    """The column-expression twin of ``analyze_text``'s dispatch: map
+    an index manifest's recorded analyzer name to its tokenize
+    expression. THE single place query-time re-analysis (highlight,
+    significant_text, ...) resolves the analyzer — so adding an
+    analyzer cannot silently leave one consumer on the standard
+    tokenizer (the fg-terms-miss-the-dictionary bug class)."""
+    if analyzer == "code":
+        return code_subtokens_expr
+    if analyzer in (None, "standard"):
+        return tokenize_expr
+    raise ValueError(
+        f"unknown analyzer {analyzer!r} (expected 'standard' or 'code')",
+    )
+
+
 def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
     """Driver-side python mirror of the engine's analyzers — the ES
     ``_analyze`` debug surface (api/app.py GET /analyze): no Spark

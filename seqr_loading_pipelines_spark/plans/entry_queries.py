@@ -6084,9 +6084,7 @@ def q_index_dfs_search(spark, sf_dir):
     )
     from seqr_loading_pipelines_spark.query.federated import search_dfs
 
-    parity = F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1).cast(
-        "long",
-    ) % 2
+    parity = _orig_doc_id() % 2
     indices = []
     for tag, rem in (("feda", 0), ("fedb", 1)):
         root = _index_root(sf_dir, tag)
@@ -6100,9 +6098,7 @@ def q_index_dfs_search(spark, sf_dir):
         indices.append(load_index(spark, root))
     out = search_dfs(spark, indices, " ".join(BM25_QUERY_TERMS), k=10)
     return out.select(
-        F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1)
-        .cast("long")
-        .alias("doc_id"),
+        _orig_doc_id().alias("doc_id"),
         F.round("score", 4).alias("score"),
         "rank",
     )
@@ -7011,9 +7007,7 @@ def q_index_rollover(spark, sf_dir):
         spark, registry, "docs", " ".join(BM25_QUERY_TERMS), k=10,
     )
     return out.select(
-        F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1)
-        .cast("long")
-        .alias("doc_id"),
+        _orig_doc_id().alias("doc_id"),
         F.round("score", 4).alias("score"),
         "rank",
     )
@@ -9790,8 +9784,7 @@ def q_index_collapse_inner(spark, sf_dir):
             "group_rank",
             "repo_name",
             "inner_rank",
-            F.regexp_extract("path", r"doc_0*([0-9]+)\.txt", 1)
-            .cast("long").alias("doc_id"),
+            _orig_doc_id().alias("doc_id"),
             F.round("score", 4).alias("score"),
         )
     )

@@ -1531,8 +1531,7 @@ def significant_text(
     for exactly this kind of ES-side aggregation over its annotation
     strings (v03_pipeline/lib/tasks/exports, ES mapping surface)."""
     from seqr_loading_pipelines_spark.functions.tokenizer import (
-        code_subtokens_expr,
-        tokenize_expr,
+        analyzer_expr,
     )
 
     if min_doc_count < 1:
@@ -1559,7 +1558,13 @@ def significant_text(
         # any term is counted — one hash agg on a 16-byte fingerprint.
         # Content is identical inside a fingerprint group, so it rides
         # THROUGH the agg (min = the one shared value): no second scan
-        # of the stored-content projection
+        # of the stored-content projection. Trade-off: the dedup
+        # exchange carries content bytes (O(match-set text)) instead
+        # of a narrow (fp, id) pair + re-scan; the match set is
+        # bounded by the broadcast gate and the agg spills, so the
+        # single-scan shape wins until matched text approaches
+        # executor-cluster shuffle capacity — at which point pass a
+        # lower broadcast_max rather than re-scanning the store
         fg_docs = (
             fg_docs.groupBy(F.md5("content").alias("_fp"))
             .agg(
@@ -1573,13 +1578,10 @@ def significant_text(
     n_fg = fg_docs.count()
     if n_fg == 0:
         return empty
-    # re-analysis uses the INDEX's analyzer (the highlight.py
-    # discipline) so foreground terms share the dictionary's token
-    # space — a code-analyzed index re-tokenizes to code subtokens
-    if index["manifest"].get("analyzer") == "code":
-        reanalyze = code_subtokens_expr
-    else:
-        reanalyze = tokenize_expr
+    # re-analysis uses the INDEX's analyzer so foreground terms share
+    # the dictionary's token space (single dispatch point:
+    # tokenizer.analyzer_expr)
+    reanalyze = analyzer_expr(index["manifest"].get("analyzer"))
     fg = (
         fg_docs.select(
             F.explode(

@@ -30,9 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seqr_loading_pipelines_spark.functions.tokenizer import (
-    code_subtokens_expr,
+    analyzer_expr,
     index_tokenize,
-    tokenize_expr,
 )
 from seqr_loading_pipelines_spark.query.wand import search_wand
 
@@ -75,11 +74,11 @@ def highlight_docs(
     content = index["content"].filter(F.col("doc_id").isin(ids))
     # content re-tokenizes under the INDEX's analyzer so offsets line
     # up with the matched terms (a code-analyzed index highlights the
-    # subtokens a query actually hit)
-    if index["manifest"].get("analyzer") == "code":
-        toks = code_subtokens_expr(F.col("content"))
-    else:
-        toks = tokenize_expr(F.col("content"))
+    # subtokens a query actually hit); single dispatch point:
+    # tokenizer.analyzer_expr
+    toks = analyzer_expr(index["manifest"].get("analyzer"))(
+        F.col("content"),
+    )
     # 1-based offsets of query-term hits, entirely JVM-side: mark each
     # matching token with its position, drop the rest
     hits = F.filter(
