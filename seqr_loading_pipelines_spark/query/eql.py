@@ -67,8 +67,46 @@ class EqlError(ValueError):
 
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
-_BLOCK_RE = re.compile(r"\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+?)\s*\]", re.S)
+_BLOCK_RE = re.compile(
+    r"\[\s*([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+?)\s*\]", re.S | re.I,
+)
 _MAXSPAN_RE = re.compile(r"with\s+maxspan\s*=\s*(\d+)\s*([smhd])", re.I)
+
+
+def _mask_strings(text: str) -> str:
+    """Replace string-literal CONTENTS with \x00 (same length, quotes
+    kept) so structural regexes ('until', '[', ']', 'where') cannot
+    match inside literals; spans line up with the original text."""
+    out = list(text)
+    i, quote = 0, None
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            if ch == "\\" and i + 1 < len(text):
+                out[i] = out[i + 1] = "\x00"
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            else:
+                out[i] = "\x00"
+        elif ch in "\"'":
+            quote = ch
+        i += 1
+    return "".join(out)
+
+
+def _find_blocks(text: str) -> tuple[list[tuple[str, str]], str]:
+    """All [ category where condition ] blocks (quote-aware) plus the
+    text outside them."""
+    masked = _mask_strings(text)
+    blocks, outside, last = [], [], 0
+    for m in _BLOCK_RE.finditer(masked):
+        blocks.append((m.group(1), text[m.start(2):m.end(2)]))
+        outside.append(text[last:m.start()])
+        last = m.end()
+    outside.append(text[last:])
+    return blocks, "".join(outside).strip()
 
 
 @dataclass
@@ -94,26 +132,30 @@ def parse_eql(text: str) -> EqlQuery:
         if not m:
             raise EqlError(f"{head} requires 'by <field>': {body[:60]!r}")
         key, rest = m.group(1), m.group(2)
+        if "." in key:
+            raise EqlError(
+                f"nested (dotted) join keys are not supported: {key!r} — "
+                "alias the field to a top-level column first",
+            )
         q = EqlQuery(kind=head, key=key)
         ms = _MAXSPAN_RE.match(rest.strip())
         if ms:
             q.maxspan_s = int(ms.group(1)) * _UNIT_SECONDS[ms.group(2).lower()]
             rest = rest.strip()[ms.end():]
-        until_m = re.search(r"\buntil\b", rest, re.I)
+        until_m = re.search(r"\buntil\b", _mask_strings(rest), re.I)
         until_part = ""
         if until_m:
             until_part = rest[until_m.end():]
             rest = rest[: until_m.start()]
-        q.stages = _BLOCK_RE.findall(rest)
-        leftover = _BLOCK_RE.sub("", rest).strip()
+        q.stages, leftover = _find_blocks(rest)
         if leftover:
             raise EqlError(f"unparsed text in {head} body: {leftover[:60]!r}")
         if until_part:
             if head == "sample":
                 raise EqlError("sample does not take 'until'")
-            ub = _BLOCK_RE.findall(until_part)
-            if len(ub) != 1 or _BLOCK_RE.sub("", until_part).strip():
-                raise EqlError(f"until takes exactly one [ ... ] block")
+            ub, uleft = _find_blocks(until_part)
+            if len(ub) != 1 or uleft:
+                raise EqlError("until takes exactly one [ ... ] block")
             q.until = ub[0]
         n_min = 2
         if len(q.stages) < n_min:
@@ -122,7 +164,9 @@ def parse_eql(text: str) -> EqlQuery:
             raise EqlError("sample does not take maxspan")
         return q
     # plain event query: <category> where <condition>
-    m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+)$", body, re.S)
+    m = re.match(
+        r"([A-Za-z_][A-Za-z0-9_]*)\s+where\s+(.+)$", body, re.S | re.I,
+    )
     if not m:
         raise EqlError(f"not an EQL query: {body[:60]!r}")
     return EqlQuery(kind="event", stages=[(m.group(1), m.group(2).strip())])

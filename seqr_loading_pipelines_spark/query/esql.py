@@ -165,15 +165,11 @@ def _unquote(s: str) -> str:
 
 
 def _like_to_regex(glob: str) -> str:
-    out = []
-    for ch in glob:
-        if ch == "*":
-            out.append(".*")
-        elif ch == "?":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-    return "^" + "".join(out) + "$"
+    # single source of truth for the */? glob translation: the
+    # oracle-checked, RE2-portable helper in bm25
+    from seqr_loading_pipelines_spark.query.bm25 import wildcard_to_regex
+
+    return wildcard_to_regex(glob)
 
 
 class _ExprParser:
@@ -237,6 +233,11 @@ class _ExprParser:
 
     def _literal(self):
         kind, v = self.t.next()
+        if kind == "op" and v == "-":
+            kind, v = self.t.next()
+            if kind != "num":
+                raise EsqlError(f"expected number after '-', got {v!r}")
+            return -(float(v) if "." in v else int(v))
         if kind == "num":
             return float(v) if "." in v else int(v)
         if kind == "str":
@@ -326,9 +327,9 @@ class _ExprParser:
                     raise EsqlError(f"unknown function {v!r}")
                 args = []
                 if not self.t.accept(")"):
-                    args.append(self.parse_value())
+                    args.append(self.parse_bool())
                     while self.t.accept(","):
-                        args.append(self.parse_value())
+                        args.append(self.parse_bool())
                     self.t.expect(")")
                 return _FUNCS[up](args)
             return F.col(v)
@@ -344,6 +345,44 @@ def _parse_expr(text: str, bool_ctx: bool = False) -> "F.Column":
             f"trailing tokens {toks.toks[toks.i:]} in {text!r}",
         )
     return col
+
+
+def _degroup(seg: str) -> str:
+    """Turn capturing '(' into '(?:' in a raw-regex fragment (escaped
+    parens and already-special '(?' groups untouched)."""
+    out, i = [], 0
+    while i < len(seg):
+        ch = seg[i]
+        if ch == "\\" and i + 1 < len(seg):
+            out.append(seg[i:i + 2])
+            i += 2
+            continue
+        if ch == "(" and not seg.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _split_pipes(text: str) -> list[str]:
+    """Split the pipeline on '|' outside string literals — a '|'
+    inside a quoted string (a GROK alternation, a WHERE literal) is
+    pattern/data, not a stage boundary."""
+    parts, start, quote = [], 0, None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+        elif ch == "|":
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
 
 
 def _split_top_commas(text: str) -> list[str]:
@@ -385,14 +424,26 @@ def _parse_agg(expr: str) -> "F.Column":
     if fn == "COUNT_DISTINCT":
         return F.count_distinct(_parse_expr(arg))
     if fn == "MEDIAN":
-        return F.expr(f"percentile({arg}, 0.5)")
+        return F.percentile(_parse_expr(arg, bool_ctx=True), F.lit(0.5))
     if fn == "PERCENTILE":
         parts = _split_top_commas(arg)
         if len(parts) != 2:
             raise EsqlError("PERCENTILE(expr, p) takes two arguments")
-        return F.expr(f"percentile({parts[0]}, {float(parts[1])})")
+        try:
+            frac = float(parts[1])
+        except ValueError:
+            raise EsqlError(
+                f"PERCENTILE fraction must be numeric, got {parts[1]!r}",
+            ) from None
+        if not 0.0 <= frac <= 1.0:
+            raise EsqlError(
+                f"PERCENTILE fraction must be in [0, 1], got {frac}",
+            )
+        return F.percentile(
+            _parse_expr(parts[0], bool_ctx=True), F.lit(frac),
+        )
     if fn in _AGGS:
-        return _AGGS[fn](_parse_expr(arg))
+        return _AGGS[fn](_parse_expr(arg, bool_ctx=True))
     raise EsqlError(f"unknown aggregation {fn!r}")
 
 
@@ -404,7 +455,7 @@ def esql(
     """Compile and return the DataFrame for an ES|QL pipeline. The
     caller supplies the FROM-able tables (name -> DataFrame) — the
     source registry, like ES's index patterns."""
-    stages = [s.strip() for s in query.split("|")]
+    stages = [s.strip() for s in _split_pipes(query)]
     if not stages or not stages[0].upper().startswith("FROM"):
         raise EsqlError("query must start with FROM <table>")
     src = stages[0][4:].strip()
@@ -425,7 +476,9 @@ def esql(
                 m = _ASSIGN_RE.match(part)
                 if not m:
                     raise EsqlError(f"EVAL needs name = expr, got {part!r}")
-                df = df.withColumn(m.group(1), _parse_expr(m.group(2)))
+                df = df.withColumn(
+                    m.group(1), _parse_expr(m.group(2), bool_ctx=True),
+                )
         elif cmd == "STATS":
             by_cols: list[str] = []
             m = re.search(r"\bBY\b", rest, re.I)
@@ -497,7 +550,11 @@ def esql(
             dim = tables[tname].select(
                 F.col(rkey).alias(lkey), *cols,
             )
-            df = df.join(F.broadcast(dim), lkey, "left")
+            # ES|QL enrich OVERWRITES a pre-existing column of the
+            # same name; an un-dropped clash would make every later
+            # reference ambiguous
+            clash = [c for c in cols if c in df.columns and c != lkey]
+            df = df.drop(*clash).join(F.broadcast(dim), lkey, "left")
         elif cmd == "DISSECT":
             m = re.match(
                 r"""^\s*([A-Za-z0-9_.]+)\s+("(?:[^"\\]|\\.)*")\s*$""",
@@ -537,8 +594,8 @@ def esql(
             col, pattern = m.group(1), _unquote(m.group(2))
             names: list[str] = []
 
-            def _sub(mm: "re.Match") -> str:
-                pat, _, name = mm.group(1).partition(":")
+            def _sub(tok: str) -> str:
+                pat, _, name = tok.partition(":")
                 if pat not in _GROK_PATTERNS:
                     raise EsqlError(
                         f"unknown grok pattern %{{{pat}}}; "
@@ -549,8 +606,18 @@ def esql(
                     return f"({_GROK_PATTERNS[pat]})"
                 return f"(?:{_GROK_PATTERNS[pat]})"
 
-            # text outside %{...} is regex, per grok semantics
-            regex = re.sub(r"%\{([A-Za-z0-9_]+(?::\w+)?)\}", _sub, pattern)
+            # text outside %{...} is regex, per grok semantics — but
+            # its capturing groups must be neutralized to (?:...) so
+            # regexp_extract group indices line up with the named
+            # %{...:name} captures only
+            pieces = re.split(r"%\{([A-Za-z0-9_]+(?::\w+)?)\}", pattern)
+            out = []
+            for i, piece in enumerate(pieces):
+                if i % 2 == 1:
+                    out.append(_sub(piece))
+                else:
+                    out.append(_degroup(piece))
+            regex = "".join(out)
             if not names:
                 raise EsqlError("GROK pattern captures no named fields")
             for i, name in enumerate(names, start=1):

@@ -129,3 +129,38 @@ def test_no_python_udf_in_plan(spark, events):
         events,
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_quote_aware_structure():
+    """Review findings: 'until' and ']' inside string literals are
+    data; WHERE is case-insensitive everywhere; dotted keys fail
+    loud."""
+    from seqr_loading_pipelines_spark.query.eql import EqlError, parse_eql
+
+    q = parse_eql(
+        'sequence by user_id '
+        '[ view WHERE event_type == "wait until done" ] '
+        '[ click WHERE event_type LIKE "*[x]*" ]',
+    )
+    assert q.kind == "sequence" and len(q.stages) == 2
+    assert q.stages[0][1] == 'event_type == "wait until done"'
+    assert q.stages[1][1] == 'event_type LIKE "*[x]*"'
+    # uppercase WHERE in an event query
+    assert parse_eql("view WHERE true").kind == "event"
+    with pytest.raises(EqlError, match="dotted"):
+        parse_eql("sequence by user.name [ a where true ] [ b where true ]")
+
+
+def test_quote_aware_execution(spark, events):
+    """A sequence whose condition contains 'until' in a string still
+    executes (regression for the structural mis-split)."""
+    from seqr_loading_pipelines_spark.query.eql import eql
+
+    out = eql(
+        spark,
+        'sequence by user_id '
+        '[ view WHERE value >= 10 AND event_type != "until later" ] '
+        '[ click WHERE true ]',
+        events,
+    ).collect()
+    assert {r["user_id"] for r in out} == {7, 8}

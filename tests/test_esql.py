@@ -236,3 +236,92 @@ def test_grok_case_isnull_and_conversions(spark, tables):
         esql(spark, 'FROM events | GROK kind "%{INT}"', tables)
     with pytest.raises(EsqlError, match="CASE needs at least"):
         esql(spark, "FROM events | EVAL x = CASE(value > 1)", tables)
+
+
+def test_pipe_inside_string_literal(spark, tables):
+    """Review finding: '|' inside a quoted string is data, not a
+    stage boundary."""
+    ev = spark.createDataFrame(
+        [(1, "a|b"), (2, "c")], "id long, name string",
+    )
+    out = esql(
+        spark,
+        'FROM t | WHERE name == "a|b"',
+        {"t": ev},
+    ).collect()
+    assert [r["id"] for r in out] == [1]
+
+
+def test_grok_raw_group_and_alternation(spark):
+    """Review findings: raw-regex capturing groups must not shift the
+    %{..:name} group indices, and alternation in the raw regex works
+    (requires the quote-aware pipe split)."""
+    ev = spark.createDataFrame(
+        [(1, "foo 42"), (2, "bar 7"), (3, "zap 9")],
+        "id long, msg string",
+    )
+    out = esql(
+        spark,
+        'FROM t | GROK msg "(foo|bar) %{NUMBER:n}" | KEEP id, n',
+        {"t": ev},
+    ).collect()
+    got = {r["id"]: r["n"] for r in out}
+    assert got[1] == "42" and got[2] == "7" and got[3] == ""
+
+
+def test_eval_unparenthesized_comparison(spark, tables):
+    out = esql(
+        spark,
+        "FROM events | EVAL big = value > 15 | STATS n = COUNT(*) BY big"
+        " | SORT big ASC",
+        tables,
+    ).collect()
+    assert [(r["big"], r["n"]) for r in out] == [(False, 2), (True, 3)]
+
+
+def test_enrich_overwrites_existing_column(spark):
+    ev = spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], "id long, name string",
+    )
+    dims = spark.createDataFrame(
+        [(1, "new1")], "id long, name string",
+    )
+    out = esql(
+        spark,
+        "FROM t | ENRICH d ON id == id WITH name | SORT id ASC",
+        {"t": ev, "d": dims},
+    ).collect()
+    # single unambiguous name column, enrich value wins (null when
+    # unmatched — left join)
+    assert [(r["id"], r["name"]) for r in out] == [(1, "new1"), (2, None)]
+
+
+def test_in_negative_literal_and_percentile_validation(spark, tables):
+    out = esql(
+        spark,
+        "FROM events | WHERE value - 11 IN (-1, -6) | SORT id ASC",
+        tables,
+    ).collect()
+    assert [r["id"] for r in out] == [1, 3]
+    with pytest.raises(EsqlError, match="fraction"):
+        esql(
+            spark,
+            "FROM events | STATS p = PERCENTILE(value, p50)",
+            tables,
+        )
+    with pytest.raises(EsqlError, match="fraction"):
+        esql(
+            spark,
+            "FROM events | STATS p = PERCENTILE(value, 90)",
+            tables,
+        )
+
+
+def test_median_of_case_expression(spark, tables):
+    row = esql(
+        spark,
+        "FROM events | STATS m = MEDIAN(CASE(kind == \"error\", 0.0, value))",
+        tables,
+    ).collect()[0]
+    # values become [10, 30, 5, 0, 20] -> median 10
+    assert row["m"] == 10.0
