@@ -95,15 +95,21 @@ def search_near(
         # factory keeps every HOF lambda single-argument (a 2-arg
         # lambda means (element, index) to Spark) and early-binds the
         # loop's pair
+        # tightest-neighbor form (the span_within reduction): for each
+        # x the nearest y is one of max{y <= x} / min{y >= x}, so the
+        # pair distance needs O(|a|) output state — the naive
+        # flatten-of-cross-product materializes an |a|x|b| array per
+        # doc and blows executor memory on stop-word-dense docs
+        # (2k x 2k occurrences = a 4M-element array per pair)
         def pair_min_gap(a, b):
-            return F.array_min(
-                F.flatten(
-                    F.transform(
-                        a,
-                        lambda x: F.transform(b, lambda y: F.abs(x - y)),
-                    ),
+            per_x = F.transform(
+                a,
+                lambda x: F.least(
+                    F.array_min(F.filter(b, lambda y: y >= x)) - x,
+                    x - F.array_max(F.filter(b, lambda y: y <= x)),
                 ),
             )
+            return F.array_min(per_x)
 
         gaps = [
             pair_min_gap(

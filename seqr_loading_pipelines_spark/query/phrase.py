@@ -46,6 +46,45 @@ def _empty(spark: SparkSession) -> DataFrame:
     )
 
 
+def _pmap_grouped(index, distinct_tids, require_n=None) -> DataFrame:
+    """Shared front half of the span family: pruned positions scan
+    (pushed term_id IN), tombstone anti-join on the already-term-
+    restricted rows, then one groupBy(doc) building the per-doc
+    (term_id -> position list) map. ``require_n`` adds the
+    every-term-present conjunctive gate."""
+    pos = index["positions"].filter(
+        F.col("term_id").isin(sorted(distinct_tids)),
+    )
+    if index.get("tombstones") is not None:
+        pos = pos.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    aggs = [
+        F.map_from_entries(
+            F.collect_list(F.struct("term_id", "pos")),
+        ).alias("pmap"),
+    ]
+    if require_n is not None:
+        aggs.insert(0, F.count(F.lit(1)).alias("_nt"))
+    g = pos.select("term_id", "doc_id", "pos").groupBy("doc_id").agg(*aggs)
+    if require_n is not None:
+        g = g.filter(F.col("_nt") == require_n)
+    return g
+
+
+def _step_union_expr(tids):
+    """Union of a step's alternatives' position lists out of the pmap;
+    absent alternatives surface as null lookups and filter out."""
+    return F.flatten(
+        F.filter(
+            F.array(
+                *[F.element_at(F.col("pmap"), F.lit(int(t))) for t in tids],
+            ),
+            lambda a: a.isNotNull(),
+        ),
+    )
+
+
 def search_phrase(
     spark: SparkSession, index: dict, phrase_text: str, k: int = 10,
 ) -> DataFrame:
@@ -348,11 +387,6 @@ def search_span_near(
     term-clustered positions projection as phrase/NEAR, tombstones
     anti-joined, conjunctive distinct-term gate, then the per-doc
     fold and the shared bounded top-k."""
-    from seqr_loading_pipelines_spark.query.bm25 import (
-        _query_terms,
-        rank_topk,
-    )
-
     if "positions" not in index:
         raise ValueError(
             "index was built without positional postings; rebuild with "
@@ -375,22 +409,7 @@ def search_span_near(
     tids = [tid_by_term[t] for t in terms]
     distinct_tids = sorted(set(tids))
 
-    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
-    if index.get("tombstones") is not None:
-        pos = pos.join(
-            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
-        )
-    grouped = (
-        pos.select("term_id", "doc_id", "pos")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("_nt"),
-            F.map_from_entries(
-                F.collect_list(F.struct("term_id", "pos")),
-            ).alias("pmap"),
-        )
-        .filter(F.col("_nt") == len(distinct_tids))
-    )
+    grouped = _pmap_grouped(index, distinct_tids, len(distinct_tids))
 
     def chain_end(prev, depth):
         # earliest continuation of the ordered chain after position
@@ -591,9 +610,20 @@ def search_intervals(
         )
     norm_steps = []
     for i, s in enumerate(steps):
-        alts = sorted(
-            {t for alt in s for t in index_tokenize(index, alt)},
-        )
+        per_alt = [index_tokenize(index, alt) for alt in s]
+        for alt, ts in zip(s, per_alt):
+            # a multi-token alternative is an ordered PHRASE in ES's
+            # intervals match source — silently flattening it into
+            # independent OR alternatives changes semantics, so fail
+            # loud (the span_first/span_not/span_within discipline)
+            if len(ts) > 1:
+                raise ValueError(
+                    f"intervals step {i} alternative {alt!r} tokenizes "
+                    "to multiple tokens; multi-token (phrase) "
+                    "alternatives are not supported — pass each as a "
+                    "single token",
+                )
+        alts = sorted({t for ts in per_alt for t in ts})
         if not alts:
             raise ValueError(f"intervals step {i} has no tokens")
         if len(alts) > INTERVALS_MAX_ALTERNATIVES:
@@ -614,35 +644,10 @@ def search_intervals(
         step_tids.append(ts)
     distinct_tids = sorted({t for ts in step_tids for t in ts})
 
-    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
-    if index.get("tombstones") is not None:
-        pos = pos.join(
-            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
-        )
-    grouped = (
-        pos.select("term_id", "doc_id", "pos")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term_id", "pos")),
-            ).alias("pmap"),
-        )
-    )
+    grouped = _pmap_grouped(index, distinct_tids)
 
     def step_union(i):
-        # union of the step's alternatives' position lists; absent
-        # alternatives surface as null map lookups and filter out
-        return F.flatten(
-            F.filter(
-                F.array(
-                    *[
-                        F.element_at(F.col("pmap"), F.lit(int(t)))
-                        for t in step_tids[i]
-                    ],
-                ),
-                lambda a: a.isNotNull(),
-            ),
-        )
+        return _step_union_expr(step_tids[i])
 
     n = len(step_tids)
     unions = grouped.select(
@@ -718,11 +723,6 @@ def search_span_or_near(
     collecting the per-term map, clause union + greedy fold as nested
     JVM HOFs, bounded top-k. The union adds NO shuffle: it is a
     ``concat`` in the projection."""
-    from seqr_loading_pipelines_spark.query.bm25 import (
-        _query_terms,
-        rank_topk,
-    )
-
     if "positions" not in index:
         raise ValueError(
             "index was built without positional postings; rebuild with "
@@ -742,7 +742,17 @@ def search_span_or_near(
     for alts in clauses:
         toks: list[str] = []
         for a in alts:
-            toks += index_tokenize(index, a)
+            ts = index_tokenize(index, a)
+            if len(ts) > 1:
+                # same contract as intervals: an alternative is ONE
+                # span; silently OR-ing a phrase's tokens would
+                # change semantics
+                raise ValueError(
+                    f"span_or_near alternative {a!r} tokenizes to "
+                    "multiple tokens; pass each alternative as a "
+                    "single token",
+                )
+            toks += ts
         if not toks:
             raise ValueError(f"clause {alts!r} tokenizes to nothing")
         norm.append(sorted(set(toks)))
@@ -756,30 +766,10 @@ def search_span_or_near(
         return empty  # a clause with no known alternative never matches
     distinct_tids = sorted({t for tids in clause_tids for t in tids})
 
-    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
-    if index.get("tombstones") is not None:
-        pos = pos.join(
-            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
-        )
-    grouped = (
-        pos.select("term_id", "doc_id", "pos")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term_id", "pos")),
-            ).alias("pmap"),
-        )
-    )
+    grouped = _pmap_grouped(index, distinct_tids)
 
     def clause_pos(ci: int):
-        parts = [
-            F.coalesce(
-                F.element_at(F.col("pmap"), F.lit(int(tid))),
-                F.array().cast("array<int>"),
-            )
-            for tid in clause_tids[ci]
-        ]
-        return parts[0] if len(parts) == 1 else F.concat(*parts)
+        return _step_union_expr(clause_tids[ci])
 
     # every clause must land at least once (the conjunctive gate —
     # by-size here because presence is per-CLAUSE, not per-term)
@@ -852,7 +842,6 @@ def search_span_within(
     from seqr_loading_pipelines_spark.functions.hashing import (
         single_partition_key,
     )
-    from seqr_loading_pipelines_spark.query.bm25 import _query_terms
     from pyspark.sql import Window
 
     if "positions" not in index:
@@ -884,22 +873,7 @@ def search_span_within(
         return empty
     tid_l, tid_f, tid_b = (tid_by_term[t] for t in toks)
 
-    pos = index["positions"].filter(
-        F.col("term_id").isin(sorted({tid_l, tid_f, tid_b})),
-    )
-    if index.get("tombstones") is not None:
-        pos = pos.join(
-            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
-        )
-    grouped = (
-        pos.select("term_id", "doc_id", "pos")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term_id", "pos")),
-            ).alias("pmap"),
-        )
-    )
+    grouped = _pmap_grouped(index, {tid_l, tid_f, tid_b})
 
     def plist(tid):
         return F.coalesce(
@@ -910,14 +884,25 @@ def search_span_within(
     # pt is within SOME ordered (pa, pb) pair (pa <= pt <= pb,
     # pb - pa - 1 <= slop) iff the TIGHTEST pair around pt satisfies
     # the slop: pa* = max{pa <= pt}, pb* = min{pb >= pt} minimize the
-    # width, and pb* > pa* always (distinct terms never share a
-    # position). The reduction matters: the naive exists-over-pairs
-    # form is O(|T| x |A| x |B|) per doc and never finishes on a
-    # mega-doc where all three are stop-word-dense (measured: a 25k-
-    # token doc with ~2k occurrences of each term = 8e9 lambda evals);
-    # this form is O(|T| x (|A| + |B|)). A missing side yields NULL,
-    # which coalesces to not-enclosed.
+    # width, and pb* > pa* whenever first/last are DISTINCT terms
+    # (distinct terms never share a position). The reduction matters:
+    # the naive exists-over-pairs form is O(|T| x |A| x |B|) per doc
+    # and never finishes on a mega-doc where all three are stop-word-
+    # dense (measured: a 25k-token doc with ~2k occurrences of each
+    # term = 8e9 lambda evals); this form is O(|T| x (|A| + |B|)).
+    # A missing side yields NULL, which coalesces to not-enclosed.
+    #
+    # Degenerate case little == first == last (one shared posting
+    # list): pa* and pb* both resolve to pt itself, fabricating a
+    # single-token "pair". A real big span needs TWO occurrences
+    # (pa < pb), and the tightest valid pair touching pt is one-sided:
+    # (max{pa < pt}, pt) or (pt, min{pb > pt}) — take the narrower.
     def tight_ok(pt):
+        if tid_l == tid_f == tid_b:
+            prev_a = F.array_max(F.filter(plist(tid_f), lambda pa: pa < pt))
+            next_b = F.array_min(F.filter(plist(tid_b), lambda pb: pb > pt))
+            width = F.least(next_b - pt, pt - prev_a) - 1
+            return F.coalesce(width <= F.lit(int(slop)), F.lit(False))
         pa_star = F.array_max(F.filter(plist(tid_f), lambda pa: pa <= pt))
         pb_star = F.array_min(F.filter(plist(tid_b), lambda pb: pb >= pt))
         return F.coalesce(
@@ -1023,20 +1008,7 @@ def search_intervals_unordered(
         step_tids.append(ts)
     distinct_tids = sorted({t for ts in step_tids for t in ts})
 
-    pos = index["positions"].filter(F.col("term_id").isin(distinct_tids))
-    if index.get("tombstones") is not None:
-        pos = pos.join(
-            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
-        )
-    grouped = (
-        pos.select("term_id", "doc_id", "pos")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term_id", "pos")),
-            ).alias("pmap"),
-        )
-    )
+    grouped = _pmap_grouped(index, distinct_tids)
 
     def step_union(i):
         return F.flatten(

@@ -165,3 +165,38 @@ def test_near_excludes_tombstoned_docs(spark, tmp_path_factory):
     idx = load_index(spark, root)
     got = _near(spark, idx, "alpha beta", 3)
     assert got == {by["d2.py"]: 1, by["d4.py"]: 2}
+
+
+def test_near_dense_stopword_doc_completes(spark, tmp_path_factory):
+    """Review finding lock: the per-pair min-gap must not materialize
+    the |A|x|B| cross-product array (4M elements per pair on a
+    2000x2000-occurrence doc) — the tightest-neighbor form keeps
+    per-doc state O(|A|)."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.near import search_near
+
+    dense = "a b " * 2000
+    corpus = spark.createDataFrame(
+        [
+            ("r", "dense.py", "c0", "python", dense),
+            ("r", "tiny.py", "c1", "python", "a filler b"),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    root = str(tmp_path_factory.mktemp("near_dense"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "near-dense")
+    idx = load_index(spark, root)
+    by = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("path", "doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["min_gap"]
+        for r in search_near(spark, idx, "a b", window=5).collect()
+    }
+    assert got[by["dense.py"]] == 1   # adjacent everywhere
+    assert got[by["tiny.py"]] == 2    # one filler token between

@@ -1013,3 +1013,55 @@ def test_intervals_unordered_validation(spark, pos_index, index):
         search_intervals_unordered(spark, index, [["a"]], max_gaps=0)
     # absent-term step: empty, no error
     assert _unordered(spark, idx, [["a"], ["zzqq"]], max_gaps=5) == {}
+
+
+def test_span_within_all_same_token(spark, tmp_path_factory):
+    """Review finding: little == first == last must require TWO
+    occurrences for a big pair — a single occurrence fabricated a
+    width -1 'span' via pa* = pb* = pt."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("r", "one.py", "c0", "python", "x alone here"),
+            ("r", "two.py", "c1", "python", "x x adjacent"),
+            ("r", "far.py", "c2", "python", "x gap gap gap x"),
+        ],
+        SPAN_SCHEMA,
+    )
+    root = str(tmp_path_factory.mktemp("span_same"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "span-same")
+    idx = load_index(spark, root)
+    by = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("path", "doc_id").collect()
+    }
+    got = _within(spark, idx, "x", "x", "x", 0)
+    assert by["one.py"] not in got       # single occurrence: no pair
+    assert got[by["two.py"]][0] == 2     # both x's sit in the (0,1) pair
+    assert by["far.py"] not in got       # width 3 > slop 0
+    # widen the slop: the far pair becomes a valid enclosure
+    got = _within(spark, idx, "x", "x", "x", 3)
+    assert got[by["far.py"]][0] == 2
+
+
+def test_intervals_and_span_or_near_reject_phrase_alternatives(
+    spark, pos_index,
+):
+    """Review finding: a multi-token alternative must fail loud, not
+    silently flatten into an OR of its tokens."""
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_intervals,
+        search_span_or_near,
+    )
+
+    _, idx = pos_index
+    with pytest.raises(ValueError, match="multiple tokens"):
+        search_intervals(spark, idx, [["error handling"], ["retry"]])
+    with pytest.raises(ValueError, match="multiple tokens"):
+        search_span_or_near(
+            spark, idx, [["error handling"], ["retry"]], slop=2,
+        )
