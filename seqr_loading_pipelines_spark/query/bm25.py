@@ -174,6 +174,18 @@ def _decoded_postings(
     return decoded
 
 
+def scored_from_infos(index: dict, term_infos: list) -> DataFrame:
+    """One pruned posting decode + per-doc contribution sum for an
+    already-resolved term set — THE scoring kernel scored_matches /
+    search_sparse / more_like_this all share (a scoring change lands
+    here once)."""
+    return (
+        _decoded_postings(index, term_infos)
+        .groupBy("doc_id")
+        .agg(F.sum("contribution").alias("score"))
+    )
+
+
 def scored_matches(index: dict, query_text: str) -> DataFrame | None:
     """The FULL scored match set ``(doc_id, score)`` for a disjunctive
     BM25 query — every matching doc, unranked and unlimited. None when
@@ -184,11 +196,7 @@ def scored_matches(index: dict, query_text: str) -> DataFrame | None:
     term_infos = _query_terms(index, query_text)
     if not term_infos:
         return None
-    return (
-        _decoded_postings(index, term_infos)
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("score"))
-    )
+    return scored_from_infos(index, term_infos)
 
 
 def scored_terms(index: dict, query_text: str) -> DataFrame | None:

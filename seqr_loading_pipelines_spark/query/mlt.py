@@ -100,11 +100,9 @@ def more_like_this(
     )
     if not term_infos:
         return _empty_topk(spark)
-    scored = (
-        _decoded_postings(index, term_infos)
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("score"))
-    )
+    from seqr_loading_pipelines_spark.query.bm25 import scored_from_infos
+
+    scored = scored_from_infos(index, term_infos)
     if doc_id is not None:
         scored = scored.filter(F.col("doc_id") != int(doc_id))
     k = max(1, min(k, index["manifest"]["n_docs"]))

@@ -60,12 +60,33 @@ def explode_queries(queries_df: DataFrame) -> DataFrame:
     )
 
 
-def save_queries(queries_df: DataFrame, path: str) -> None:
+def _analyzed_queries(index: dict, queries_df: DataFrame) -> DataFrame:
+    """Rewrite the ``terms`` array through the INDEX's analyzer so a
+    registered 'FooBar' matches exactly the docs ``match_docs`` would
+    — the doc side stores ANALYZED tokens, so an unanalyzed stored
+    term can silently never match."""
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        analyzer_expr,
+    )
+
+    tok = analyzer_expr(index["manifest"].get("analyzer"))
+    return queries_df.withColumn(
+        "terms",
+        F.array_distinct(F.flatten(F.transform("terms", tok))),
+    )
+
+
+def save_queries(
+    queries_df: DataFrame, path: str, index: dict | None = None,
+) -> None:
     """Persist the exploded query-term table term-clustered — the
     percolation index for a standing alert set (registered once,
     percolated against every new doc batch). Term clustering keeps the
     shuffled join path co-located when the set outgrows the broadcast
-    gate."""
+    gate. Pass ``index`` to normalize terms through its analyzer at
+    save time (what ``percolate`` expects of the persisted form)."""
+    if index is not None:
+        queries_df = _analyzed_queries(index, queries_df)
     exploded = explode_queries(queries_df)
     exploded.repartition("term").write.mode("overwrite").parquet(path)
 
@@ -94,14 +115,18 @@ def percolate(
             "percolate needs a real index handle (load_index): the doc "
             "side reads the stored per-doc term lists",
         )
-    qx = (
-        queries
-        if set(_EXPLODED_COLS) <= set(queries.columns)
-        else explode_queries(queries)
+    if set(_EXPLODED_COLS) <= set(queries.columns):
+        # persisted/exploded form: terms are expected analyzer-
+        # normalized already (save_queries with index=... does this)
+        qx = queries
+    else:
+        qx = explode_queries(_analyzed_queries(index, queries))
+    from seqr_loading_pipelines_spark.query.facets import _gated
+
+    qx = _gated(
+        qx,
+        broadcast_max if broadcast_max is not None else QUERY_BROADCAST_MAX,
     )
-    gate = broadcast_max if broadcast_max is not None else QUERY_BROADCAST_MAX
-    if qx.limit(gate + 1).count() <= gate:
-        qx = F.broadcast(qx)
     docs = load_docs(spark, index["_root"], index["manifest"]).select(
         "doc_id", "terms",
     )

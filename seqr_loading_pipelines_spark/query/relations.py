@@ -40,6 +40,29 @@ def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _col_type(index: dict, col: str) -> str:
+    """DDL type of a doc-store column — empty-result schemas must
+    carry the column's REAL type, not a hardcoded string (a numeric
+    parent_col would otherwise flip type depending on whether the
+    query text hit the dictionary)."""
+    return dict(index["doc_stats"].dtypes)[col]
+
+
+def _live_doc_stats(index: dict) -> DataFrame:
+    """doc_stats with tombstoned docs excluded — parent-side
+    aggregates and child-step-down scans must see the same live set
+    the match side (_decoded_postings) sees, or a deleted child
+    changes which parents qualify. Also what keeps the parent
+    broadcast gate sound: live parent cardinality is bounded by the
+    manifest's live n_docs."""
+    ds = index["doc_stats"]
+    if index.get("tombstones") is not None:
+        ds = ds.join(
+            index["tombstones"].select("doc_id"), "doc_id", "left_anti",
+        )
+    return ds
+
+
 def _labeled_matches(
     index: dict,
     query_text: str,
@@ -99,7 +122,10 @@ def has_child(
         )
     if min_children < 1:
         raise ValueError(f"min_children must be >= 1, got {min_children}")
-    out_schema = "parent string, score double, n_child_hits long, rank int"
+    out_schema = (
+        f"parent {_col_type(index, parent_col)}, score double, "
+        "n_child_hits long, rank int"
+    )
     labeled = _labeled_matches(index, query_text, parent_col, broadcast_max)
     if labeled is None:
         return _empty(spark, out_schema)
@@ -122,6 +148,9 @@ def has_child(
     )
     from seqr_loading_pipelines_spark.query.bm25 import quantized
 
+    # parent cardinality <= live doc count, so the bm25 k clamp bounds
+    # the TakeOrdered queue here too
+    k = max(1, min(k, index["manifest"]["n_docs"]))
     order = [quantized(F.col("score")).desc(), F.col("parent").asc()]
     ranked = parents.orderBy(*order).limit(k)
     w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
@@ -161,7 +190,10 @@ def has_parent(
     orders of magnitude under the doc count; callers with pathological
     parent cardinality pass broadcast_max=0 to force the shuffle path).
     """
-    out_schema = "parent string, doc_id long, score double, rank int"
+    out_schema = (
+        f"parent {_col_type(index, parent_col)}, doc_id long, "
+        "score double, rank int"
+    )
     labeled = _labeled_matches(
         index, query_text, parent_col, broadcast_max,
         extra_cols=[tiebreak_col] if tiebreak_col else None,
@@ -169,7 +201,7 @@ def has_parent(
     if labeled is None:
         return _empty(spark, out_schema)
     parent_stats = (
-        index["doc_stats"]
+        _live_doc_stats(index)
         .select(F.col(parent_col).alias("parent"), "doc_len")
         .groupBy("parent")
         .agg(
@@ -190,6 +222,7 @@ def has_parent(
     )
     from seqr_loading_pipelines_spark.query.bm25 import quantized
 
+    k = max(1, min(k, index["manifest"]["n_docs"]))
     tie = tiebreak_col or "doc_id"
     order = [quantized(F.col("score")).desc(), F.col(tie).asc()]
     ranked = hits.orderBy(*order).limit(k)
@@ -222,7 +255,7 @@ def children_agg(
     one map-side-combining hash agg on the facet value. The corpus is
     touched by exactly two column-pruned scans (match labeling +
     children scan); nothing corpus-sized shuffles."""
-    out_schema = "facet string, n_docs long"
+    out_schema = f"facet {_col_type(index, facet_col)}, n_docs long"
     labeled = _labeled_matches(index, query_text, parent_col, broadcast_max)
     if labeled is None:
         return _empty(spark, out_schema)
@@ -234,7 +267,7 @@ def children_agg(
         # distinct parents <= doc count: provably under the gate
         parents = F.broadcast(parents)
     return (
-        index["doc_stats"]
+        _live_doc_stats(index)
         .select(F.col(parent_col).alias("parent"), F.col(facet_col))
         .join(parents, "parent", "left_semi")
         .groupBy(F.col(facet_col).alias("facet"))

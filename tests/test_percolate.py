@@ -144,3 +144,18 @@ def test_percolate_plan_broadcasts_under_gate(spark, index):
     # sort-merge join over the exploded doc-term stream
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_percolate_analyzes_stored_terms(spark, index):
+    """Review finding: a registered raw-form term must pass through
+    the index analyzer (an unanalyzed 'FooBar' could never match the
+    lowercased doc tokens)."""
+    from seqr_loading_pipelines_spark.query.percolate import percolate
+
+    queries = spark.createDataFrame(
+        [("q_upper", ["SW0"], False)],
+        "query_id string, terms array<string>, require_all boolean",
+    )
+    got = percolate(spark, index, queries).collect()
+    assert got, "upper-case registered term matched nothing"
+    assert all(r["query_id"] == "q_upper" for r in got)

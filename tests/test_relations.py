@@ -356,3 +356,68 @@ def test_terms_enum_prefix_order_and_bound(spark, rel_index):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_parent_side_excludes_tombstones(spark, tmp_path_factory):
+    """Review finding: after delete_docs the parent aggregate and the
+    children step-down must see the LIVE set the match side sees."""
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.index.deletes import delete_docs
+    from seqr_loading_pipelines_spark.query.relations import (
+        children_agg,
+        has_parent,
+    )
+
+    root = str(tmp_path_factory.mktemp("rel_del"))
+    corpus = spark.createDataFrame(DOCS, SCHEMA)
+    IndexBuilder(spark, root).build(corpus, "rel-del")
+    idx = load_index(spark, root)
+    # pre-delete: repoA has 2 docs -> qualifies at n_docs >= 2
+    pre = {
+        r["parent"]
+        for r in has_parent(
+            spark, idx, "alpha", F.col("n_docs") >= 2, k=10,
+        ).collect()
+    }
+    assert "repoA" in pre
+    pre_counts = {
+        r["facet"]: r["n_docs"]
+        for r in children_agg(spark, idx, "alpha").collect()
+    }
+    assert pre_counts["python"] == 2
+    # tombstone one repoA doc
+    delete_docs(spark, root, F.col("path") == "a1.py", ledger_key="d1")
+    idx = load_index(spark, root)
+    post = {
+        r["parent"]
+        for r in has_parent(
+            spark, idx, "alpha", F.col("n_docs") >= 2, k=10,
+        ).collect()
+    }
+    assert "repoA" not in post  # only 1 live doc now
+    post_counts = {
+        r["facet"]: r["n_docs"]
+        for r in children_agg(spark, idx, "alpha").collect()
+    }
+    assert post_counts["python"] == 1  # deleted child not counted
+
+
+def test_huge_k_clamped_and_empty_schema_types(spark, rel_index):
+    from seqr_loading_pipelines_spark.query.relations import (
+        children_agg,
+        has_child,
+    )
+
+    got = has_child(spark, rel_index, "alpha", k=10**9).collect()
+    assert got  # completes, no OOM-sized TakeOrdered queue
+    # numeric facet column: empty and non-empty schemas agree
+    full = children_agg(spark, rel_index, "alpha", facet_col="doc_len")
+    empty = children_agg(
+        spark, rel_index, "zzz_absent", facet_col="doc_len",
+    )
+    assert dict(full.dtypes)["facet"] == dict(empty.dtypes)["facet"]
