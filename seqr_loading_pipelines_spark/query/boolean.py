@@ -89,7 +89,9 @@ def search_bool(
     if missing_must:
         return _empty_topk(spark)
     matched_should = [t for t in should_terms if t in by_term]
-    if len(matched_should) < minimum_should_match and not must_terms:
+    if len(matched_should) < minimum_should_match:
+        # provably unsatisfiable regardless of must clauses: the
+        # doc-level gate requires _n_should >= msm unconditionally
         return _empty_topk(spark)
 
     # ---- optional metadata filter: gated inclusion mask ------------
@@ -200,9 +202,11 @@ def search_terms_set(
     gate = broadcast_max if broadcast_max is not None else FILTER_BROADCAST_MAX
     if match_bound(infos) <= gate:
         scored = F.broadcast(scored)
+    # a doc MISSING the threshold field never matches (ES terms_set
+    # semantics); greatest() would silently clamp NULL to 1
     thresholds = index["doc_stats"].select(
         "doc_id", F.greatest(req.cast("int"), F.lit(1)).alias("_req"),
-    )
+    ).filter(req.isNotNull())
     survivors = (
         scored.join(thresholds, "doc_id", "inner")
         .filter(F.col("_nm") >= F.col("_req"))

@@ -466,14 +466,31 @@ def composite_agg(
     )
     if after is not None:
         # lexicographic "strictly greater" unrolled: pushable per-col
-        # comparisons, no struct ordering needed
+        # comparisons, no struct ordering needed. NULL-safe under the
+        # page's asc (nulls FIRST) order: a NULL cursor position means
+        # "past the null bucket", so strictly-greater = any non-null
+        # value and prefix-equality = isNull — a plain > would
+        # evaluate to NULL and silently end the walk at the first
+        # null-keyed bucket
+        def _gt(c, v):
+            return (
+                F.col(c).isNotNull() if v is None else F.col(c) > F.lit(v)
+            )
+
+        def _eq(c, v):
+            return (
+                F.col(c).isNull()
+                if v is None
+                else F.col(c).eqNullSafe(F.lit(v))
+            )
+
         clause = None
         for i, c in enumerate(group_cols):
             eq_prefix = None
             for p, pc in enumerate(group_cols[:i]):
-                e = F.col(pc) == F.lit(after[p])
+                e = _eq(pc, after[p])
                 eq_prefix = e if eq_prefix is None else (eq_prefix & e)
-            gt = F.col(c) > F.lit(after[i])
+            gt = _gt(c, after[i])
             arm = gt if eq_prefix is None else (eq_prefix & gt)
             clause = arm if clause is None else (clause | arm)
         labeled = labeled.filter(clause)
@@ -947,6 +964,12 @@ def weighted_avg_by(
     term_infos = _query_terms(index, term)
     if not term_infos:
         return spark.createDataFrame([], "n_docs long, weighted_avg double")
+    if len(term_infos) > 1:
+        # multi-token input would join one row per (term, doc) pair
+        # and double-count docs — the contract is a single term
+        raise ValueError(
+            f"weighted_avg_by takes a single term, got {term!r}",
+        )
     weights = _decoded_postings(index, term_infos, with_stats=True).select(
         "doc_id", "tf",
     )
@@ -1055,8 +1078,15 @@ def mad_by(
         F.count(F.lit(1)).alias("n_docs"),
         F.percentile(F.col(value_col), F.lit(0.5)).alias("median_v"),
     )
+    # eqNullSafe keeps the NULL-group bucket: an equi-join's null !=
+    # null would silently drop it while pass one reported it
+    med_r = med.withColumnRenamed(group_col, "_g")
     return (
-        vals.join(F.broadcast(med), group_col)
+        vals.join(
+            F.broadcast(med_r),
+            F.col(group_col).eqNullSafe(F.col("_g")),
+        )
+        .drop("_g")
         .groupBy(group_col)
         .agg(
             F.first("n_docs").alias("n_docs"),

@@ -85,12 +85,16 @@ def _step_union_expr(tids):
     )
 
 
-def search_phrase(
-    spark: SparkSession, index: dict, phrase_text: str, k: int = 10,
-) -> DataFrame:
-    """Top-k docs containing the exact token phrase, ranked by
-    (phrase_tf desc, doc_id asc). Requires an index built with
-    ``IndexBuilder(positions=True)``."""
+def phrase_match_set(
+    spark: SparkSession, index: dict, phrase_text: str,
+) -> DataFrame | None:
+    """``(doc_id, phrase_tf)`` for EVERY doc containing the exact
+    token phrase — the ``match_docs`` analog of ``search_phrase``
+    (unranked, unlimited, fully distributed). None when the phrase
+    provably matches nothing. Filter-context consumers
+    (query_string's quoted clauses) use this; funneling the whole
+    match set through search_phrase's k-sized TakeOrdered just to
+    read ids would materialize it on one partition."""
     if "positions" not in index:
         raise ValueError(
             "index was built without positional postings; rebuild with "
@@ -98,12 +102,12 @@ def search_phrase(
         )
     terms = index_tokenize(index, phrase_text)
     if not terms:
-        return _empty(spark)
+        return None
     infos = _query_terms(index, phrase_text)
     tid_by_term = {i["term"]: i["term_id"] for i in infos}
     if any(t not in tid_by_term for t in terms):
         # a phrase containing an unindexed term matches nothing
-        return _empty(spark)
+        return None
     qoffs = [(qi, tid_by_term[t]) for qi, t in enumerate(terms)]
     n_off = len(qoffs)
 
@@ -145,9 +149,15 @@ def search_phrase(
             first,
             lambda acc, x: F.array_intersect(acc, x["shifted"]),
         )
-    scored = grouped.select(
+    return grouped.select(
         "doc_id", F.size(inter).alias("phrase_tf"),
     ).filter(F.col("phrase_tf") > 0)
+
+
+def _rank_phrase_scored(index: dict, scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail of the phrase family: (doc_id, phrase_tf)
+    -> k-clamped (phrase_tf desc, doc_id asc) page — one place for
+    the tie rule, used by search_phrase and match_phrase_prefix."""
     k = max(1, min(k, index["manifest"]["n_docs"]))
     ranked = rank_topk(
         scored.select(
@@ -158,6 +168,18 @@ def search_phrase(
     return ranked.select(
         "doc_id", F.col("score").cast("int").alias("phrase_tf"), "rank",
     )
+
+
+def search_phrase(
+    spark: SparkSession, index: dict, phrase_text: str, k: int = 10,
+) -> DataFrame:
+    """Top-k docs containing the exact token phrase, ranked by
+    (phrase_tf desc, doc_id asc). Requires an index built with
+    ``IndexBuilder(positions=True)``."""
+    scored = phrase_match_set(spark, index, phrase_text)
+    if scored is None:
+        return _empty(spark)
+    return _rank_phrase_scored(index, scored, k)
 
 
 def search_span_first(
@@ -340,16 +362,7 @@ def search_match_phrase_prefix(
     scored = grouped.select(
         "doc_id", F.size(inter).alias("phrase_tf"),
     ).filter(F.col("phrase_tf") > 0)
-    k = max(1, min(k, index["manifest"]["n_docs"]))
-    ranked = rank_topk(
-        scored.select(
-            "doc_id", F.col("phrase_tf").cast("double").alias("score"),
-        ),
-        k,
-    )
-    return ranked.select(
-        "doc_id", F.col("score").cast("int").alias("phrase_tf"), "rank",
-    )
+    return _rank_phrase_scored(index, scored, k)
 
 
 SPAN_NEAR_MAX_CLAUSES = 6

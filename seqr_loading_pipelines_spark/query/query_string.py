@@ -86,11 +86,20 @@ def parse_query_string(qs: str, tokenize=tokenize_py) -> dict:
     return out
 
 
-def _phrase_ids(spark: SparkSession, index: dict, text: str) -> DataFrame:
-    from seqr_loading_pipelines_spark.query.phrase import search_phrase
+# hard clause bound for NEGATED prefix expansion (exclusions must see
+# every variant; positives stay df-capped at max_expansions)
+NEG_PREFIX_MAX_EXPANSIONS = 10_000
 
-    n = index["manifest"]["n_docs"]
-    return search_phrase(spark, index, text, k=max(1, n)).select("doc_id")
+
+def _phrase_ids(spark: SparkSession, index: dict, text: str) -> DataFrame:
+    # filter-context phrase: the full DISTRIBUTED match set (no
+    # ranking, no driver-sized TakeOrdered over a common phrase)
+    from seqr_loading_pipelines_spark.query.phrase import phrase_match_set
+
+    scored = phrase_match_set(spark, index, text)
+    if scored is None:
+        return spark.createDataFrame([], "doc_id long")
+    return scored.select("doc_id")
 
 
 def search_query_string(
@@ -118,11 +127,29 @@ def search_query_string(
                 f"'+{prefix}*' (must-match-any-expansion) is not "
                 "supported; express it as an explicit bool tree",
             )
-        terms = [i["term"] for i in expand_prefix(index, prefix, max_expansions)]
         if sign == "-":
+            # exclusion is only correct over EVERY expansion — a
+            # df-capped subset leaks docs matching the rarer variants.
+            # Expand up to the hard clause bound and fail LOUD past it
+            # (ES's too_many_clauses), never silently wrong
+            terms = [
+                i["term"]
+                for i in expand_prefix(
+                    index, prefix, NEG_PREFIX_MAX_EXPANSIONS + 1,
+                )
+            ]
+            if len(terms) > NEG_PREFIX_MAX_EXPANSIONS:
+                raise ValueError(
+                    f"'-{prefix}*' expands past "
+                    f"{NEG_PREFIX_MAX_EXPANSIONS} terms; narrow the "
+                    "excluded prefix",
+                )
             must_not += terms
         else:
-            should += terms
+            should += [
+                i["term"]
+                for i in expand_prefix(index, prefix, max_expansions)
+            ]
 
     includes = [t for s, t in p["phrases"] if s != "-"]
     excludes = [t for s, t in p["phrases"] if s == "-"]

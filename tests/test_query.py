@@ -765,3 +765,107 @@ def test_match_bool_prefix_edges(spark, index):
     # a full term that is ALSO an expansion of the prefix dedupes
     one = search_match_bool_prefix(spark, index, "sw0 sw0", k=5).collect()
     assert all(r["score"] > 0 for r in one)
+
+
+def test_composite_agg_null_cursor_and_mad_null_group(
+    spark, tmp_path_factory,
+):
+    """Review findings: a NULL group key must survive composite
+    pagination (null-safe cursor) and mad_by's second join."""
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.facets import (
+        composite_agg,
+        mad_by,
+    )
+
+    rows = [
+        ("r", "n0.py", "c0", None, "needle zero"),
+        ("r", "p1.py", "c1", "python", "needle one"),
+        ("r", "r2.py", "c2", "rust", "needle two"),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    root = str(tmp_path_factory.mktemp("nullkey_idx"))
+    IndexBuilder(spark, root).build(corpus, "nullkey")
+    idx = load_index(spark, root)
+    # page 1: the NULL bucket sorts first
+    p1 = composite_agg(spark, idx, "needle", ["lang"], size=1).collect()
+    assert len(p1) == 1 and p1[0]["lang"] is None
+    # page 2 with the NULL cursor must NOT end the walk
+    p2 = composite_agg(
+        spark, idx, "needle", ["lang"], size=2, after=(None,),
+    ).collect()
+    assert [r["lang"] for r in p2] == ["python", "rust"]
+    # mad_by keeps the NULL-group bucket through its second join
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in mad_by(spark, idx, "needle", "lang").collect()
+    }
+    assert got.get(None) == 1 and got.get("python") == 1
+
+
+def test_bool_unsatisfiable_msm_with_must(spark, index):
+    from seqr_loading_pipelines_spark.query.boolean import search_bool
+
+    out = search_bool(
+        spark, index,
+        must=["sw0"], should=["sw1", "sw2"], minimum_should_match=3,
+    )
+    assert out.count() == 0
+
+
+def test_terms_set_null_threshold_excludes(spark, tmp_path_factory):
+    """Review finding: a doc with a NULL minimum-match field must not
+    match (ES terms_set semantics), not clamp to 1."""
+    # terms_set reads the threshold from a doc-store column; lang is
+    # the only nullable one in the corpus schema — repurpose it via
+    # the expression hook if available, else skip cleanly
+    from pyspark.sql import functions as F
+
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.boolean import search_terms_set
+
+    rows = [
+        ("r", "a.py", "c0", "1", "alpha beta"),
+        ("r", "b.py", "c1", None, "alpha beta"),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    root = str(tmp_path_factory.mktemp("tset_idx"))
+    IndexBuilder(spark, root).build(corpus, "tset")
+    idx = load_index(spark, root)
+    got = {
+        r["doc_id"]
+        for r in search_terms_set(
+            spark, idx, "alpha beta", "lang",
+        ).collect()
+    }
+    by = {
+        r["path"]: r["doc_id"]
+        for r in idx["doc_stats"].select("path", "doc_id").collect()
+    }
+    assert by["a.py"] in got
+    assert by["b.py"] not in got  # NULL threshold: excluded
+
+
+def test_weighted_avg_multi_token_raises(spark, index):
+    import pytest as _pt
+
+    from seqr_loading_pipelines_spark.query.facets import weighted_avg_by
+
+    with _pt.raises(ValueError, match="single term"):
+        weighted_avg_by(spark, index, "sw0 sw1")

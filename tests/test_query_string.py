@@ -147,3 +147,13 @@ def test_search_template_equals_rendered_query(spark, index):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got, "template search should match docs in the test corpus"
+
+
+def test_negated_prefix_cap_fails_loud(spark, index, monkeypatch):
+    """Review finding: a df-capped exclusion list silently leaks docs;
+    past the hard bound the engine must refuse, never truncate."""
+    import seqr_loading_pipelines_spark.query.query_string as qs
+
+    monkeypatch.setattr(qs, "NEG_PREFIX_MAX_EXPANSIONS", 2)
+    with pytest.raises(ValueError, match="expands past"):
+        qs.search_query_string(spark, index, "sw0 -term_0*")
