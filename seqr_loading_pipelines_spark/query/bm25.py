@@ -218,14 +218,19 @@ def scored_terms(index: dict, query_text: str) -> DataFrame | None:
     )
 
 
-def raw_term_postings(index: dict, query_text: str) -> DataFrame | None:
+def raw_term_postings(
+    index: dict, query_text: str, term_infos: list | None = None,
+) -> DataFrame | None:
     """``(doc_id, term, tf)`` for the query's terms — the raw pruned
     posting decode WITHOUT per-field scoring. combined_fields (BM25F,
     query/fields.py) recombines tf ACROSS fields before any
     saturation, so it needs the pre-saturation counts; everything else
     about the decode (vectorized codec, tombstone exclusion) is the
-    standard path. None when no query term exists in the dictionary."""
-    term_infos = _query_terms(index, query_text)
+    standard path. None when no query term exists in the dictionary.
+    Callers that already resolved the dictionary pass ``term_infos``
+    to skip the second resolution job."""
+    if term_infos is None:
+        term_infos = _query_terms(index, query_text)
     if not term_infos:
         return None
     pairs = []

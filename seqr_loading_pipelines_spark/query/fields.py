@@ -290,7 +290,21 @@ def combined_fields(
     )
     from seqr_loading_pipelines_spark.query.facets import _gated
 
+    if not field_indexes:
+        raise ValueError("combined_fields needs at least one field index")
     weights = weights or {}
+    # per-field k1/b must agree: every doc scores with ONE parameter
+    # set, and which field's would win depends on dict order — a
+    # silent mismatch is the analyzer-mismatch bug in disguise
+    params = {
+        (idx["manifest"]["k1"], idx["manifest"]["b"])
+        for idx in field_indexes.values()
+    }
+    if len(params) > 1:
+        raise ValueError(
+            f"combined_fields requires one shared (k1, b), got "
+            f"{sorted(params)}",
+        )
     first = next(iter(field_indexes.values()))["manifest"]
     k1, b = first["k1"], first["b"]
     n_docs = first["n_docs"]
@@ -300,8 +314,10 @@ def combined_fields(
     for name, idx in field_indexes.items():
         w = float(weights.get(name, 1.0))
         avgdl_c += w * float(idx["manifest"]["avgdl"])
-        bound += match_bound(_query_terms(idx, query_text))
-        rp = raw_term_postings(idx, query_text)
+        # one dictionary resolution per field, reused by the decode
+        infos = _query_terms(idx, query_text)
+        bound += match_bound(infos)
+        rp = raw_term_postings(idx, query_text, term_infos=infos)
         if rp is not None:
             parts.append(rp.select(
                 "doc_id", "term", (F.col("tf") * F.lit(w)).alias("wtf"),

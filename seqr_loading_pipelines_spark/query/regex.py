@@ -32,6 +32,8 @@ from-scratch engine's corpus-scale replacement.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -111,6 +113,38 @@ def required_literals(pattern: str) -> list[str] | None:
                     runs.push(nxt)
             else:
                 runs.brk()  # \d \w \s \b ... — not a literal
+                # operand-bearing escapes: consume the operand too —
+                # left in the stream it would read as literal text
+                # (\u003d would invent the required literal "003d")
+                if nxt == "u":
+                    i += 4
+                elif nxt == "x":
+                    if i < n and pattern[i] == "{":
+                        j = pattern.find("}", i)
+                        if j < 0:
+                            return None
+                        i = j + 1
+                    else:
+                        i += 2
+                elif nxt == "0":
+                    j = i
+                    while (
+                        j < n and j < i + 3 and pattern[j] in "01234567"
+                    ):
+                        j += 1
+                    i = j
+                elif nxt == "c":
+                    i += 1
+                elif nxt in ("p", "P"):
+                    if i < n and pattern[i] == "{":
+                        j = pattern.find("}", i)
+                        if j < 0:
+                            return None
+                        i = j + 1
+                    else:
+                        i += 1
+                if i > n:
+                    return None  # truncated operand: malformed, punt
             continue
         if ch == "|":
             # alternation: nothing on either side is required. Inside
@@ -235,6 +269,14 @@ def search_regex(
     survivors only."""
     if not pattern:
         return _empty(spark)
+    # fail fast driver-side on a malformed pattern: regexp_count would
+    # otherwise die mid-job with a JVM PatternSyntaxException (python's
+    # re accepts a close-enough subset for this sanity check; java-only
+    # syntax that python rejects simply skips the check)
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"malformed regex {pattern!r}: {e}") from None
     lits = required_literals(pattern)
     tris: list[int] = []
     if lits is not None:
@@ -243,10 +285,15 @@ def search_regex(
             seen.update(needle_trigrams(lit))
         tris = sorted(seen)
     if not tris and not allow_scan:
+        reason = (
+            "the pattern's structure defeats conservative literal "
+            "extraction (e.g. top-level alternation)"
+            if lits is None
+            else "the pattern has no required literal of >= 3 bytes"
+        )
         raise ValueError(
-            "pattern has no required literal of >= 3 bytes — no trigram "
-            "anchor, so this query is a full content scan; pass "
-            "allow_scan=True to run it anyway",
+            f"{reason} — no trigram anchor, so this query is a full "
+            "content scan; pass allow_scan=True to run it anyway",
         )
     verified = trigram_candidate_content(
         spark, index, tris, max_probe, id_collect_gate,

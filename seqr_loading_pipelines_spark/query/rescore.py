@@ -87,10 +87,13 @@ def rescore_topk(
             + F.lit(float(rescore_weight)) * F.coalesce(r, F.lit(0.0))
         )
     elif mode == "multiply":
+        # ES applies BOTH weights before the combine: (qw*q) * (rw*r);
+        # a doc the rescorer missed keeps qw*q (the weight rides
+        # INSIDE the coalesce so rw never scales unmatched docs)
         combined = (
             F.lit(float(query_weight))
             * F.col("bm25_score")
-            * F.coalesce(r, F.lit(1.0))
+            * F.coalesce(F.lit(float(rescore_weight)) * r, F.lit(1.0))
         )
     else:  # replace
         combined = F.lit(float(rescore_weight)) * F.coalesce(r, F.lit(0.0))

@@ -175,13 +175,8 @@ def search_substring(
 ) -> DataFrame:
     """Top-k docs containing the exact substring ``needle``, ranked by
     (n_matches desc, doc_id asc). Requires an index built with
-    ``IndexBuilder(trigrams=True)``."""
-    if "tri_postings" not in index:
-        raise ValueError(
-            "index was built without the trigram substring projection; "
-            "rebuild with IndexBuilder(trigrams=True) to enable "
-            "substring queries",
-        )
+    ``IndexBuilder(trigrams=True)`` (the shared candidate helper
+    enforces it)."""
     if not needle:
         return _empty(spark)
     verified = trigram_candidate_content(

@@ -342,3 +342,10 @@ def test_combined_fields_dl_joins_broadcast_under_gate(
         ).collect()
     }
     assert a == b and a
+
+
+def test_combined_fields_empty_dict_fails_loud(spark):
+    from seqr_loading_pipelines_spark.query.fields import combined_fields
+
+    with pytest.raises(ValueError, match="at least one"):
+        combined_fields(spark, {}, "anything")

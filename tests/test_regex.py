@@ -160,3 +160,28 @@ def test_regex_empty_pattern_and_rank_order(spark, tri_index):  # noqa: F811
         ranked, key=lambda x: (-x[0], x[1]),
     )
     assert [r[2] for r in ranked] == list(range(1, len(ranked) + 1))
+
+def test_required_literals_escape_operands():
+    """Review finding: operand-bearing escapes (\\xhh \\uhhhh \\0n
+    \\cX \\p{..}) must not leak their operands into literal runs — an
+    invented literal prunes true matches."""
+    from seqr_loading_pipelines_spark.query.regex import required_literals
+
+    assert required_literals(r"name=value") == ["name=value"]
+    assert required_literals(r"name\u003dvalue") == ["name", "value"]
+    assert required_literals(r"abc\x41def") == ["abc", "def"]
+    assert required_literals(r"abc\x{263A}def") == ["abc", "def"]
+    assert required_literals(r"abc\07def") == ["abc", "def"]
+    assert required_literals(r"abc\cMdef") == ["abc", "def"]
+    assert required_literals(r"abc\p{Lu}def") == ["abc", "def"]
+    assert required_literals(r"bad\u00") is None  # truncated operand
+
+
+def test_search_regex_error_messages_and_malformed(spark, tri_index):  # noqa: F811
+    from seqr_loading_pipelines_spark.query.regex import search_regex
+
+    _, idx = tri_index
+    with pytest.raises(ValueError, match="alternation"):
+        search_regex(spark, idx, "foobarbaz|quux")
+    with pytest.raises(ValueError, match="malformed"):
+        search_regex(spark, idx, "broken(", allow_scan=True)

@@ -113,3 +113,24 @@ def test_rescore_validation_and_plan(spark, index):
     assert empty.columns == [
         "doc_id", "score", "bm25_score", "rescore", "rank",
     ]
+
+
+def test_rescore_multiply_applies_weight(spark, index):
+    """Review finding: multiply mode must honor rescore_weight
+    ((qw*q) * (rw*r)); unmatched docs keep qw*q unscaled."""
+    base = search_exact(spark, index, Q, k=15).collect()
+    top = base[0]["doc_id"]
+    sec = _secondary(spark, [(top, 2.0)])
+    mult = rescore_topk(
+        spark, index, Q, sec, k=15, window=15, mode="multiply",
+        rescore_weight=3.0,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in mult}
+    assert by_id[top]["score"] == pytest.approx(
+        3.0 * 2.0 * by_id[top]["bm25_score"], rel=1e-12,
+    )
+    for r in mult:
+        if r["doc_id"] != top:
+            assert r["score"] == pytest.approx(
+                r["bm25_score"], rel=1e-12,
+            )
