@@ -42,6 +42,7 @@ def global_term_stats(indices: list[dict], query_text: str) -> dict:
 
     g_df: dict[str, int] = {}
     per_index_tids: list[dict[str, int]] = []
+    per_index_df: list[dict[str, int]] = []
     n_total = 0
     dl_total = 0.0
     for idx in indices:
@@ -50,15 +51,23 @@ def global_term_stats(indices: list[dict], query_text: str) -> dict:
         dl_total += float(m["avgdl"]) * int(m["n_docs"])
         infos = _query_terms(idx, query_text)
         tids = {}
+        ldf = {}
         for t in infos:
             g_df[t["term"]] = g_df.get(t["term"], 0) + t["df"]
             tids[t["term"]] = t["term_id"]
+            ldf[t["term"]] = int(t["df"])
         per_index_tids.append(tids)
+        per_index_df.append(ldf)
     return {
         "df": g_df,
         "n_docs": n_total,
         "avgdl": (dl_total / n_total) if n_total else 0.0,
         "per_index_tids": per_index_tids,
+        # SHARD-LOCAL df sums: the per-shard broadcast gate's bound —
+        # the global dfs in `df` would overestimate every shard's
+        # match set by all OTHER shards' postings and wrongly decline
+        # broadcasts
+        "per_index_df": per_index_df,
     }
 
 
@@ -137,13 +146,13 @@ def search_dfs(
         # internal id could otherwise evict the globally-ranked doc at
         # the shard's k boundary. The coordinator never sees more than
         # k rows per shard.
-        from seqr_loading_pipelines_spark.query.bm25 import match_bound
         from seqr_loading_pipelines_spark.query.facets import _gated
 
+        local_bound = sum(g["per_index_df"][ord_].values())
         labeled_all = (
             idx["doc_stats"]
             .select("doc_id", "path")
-            .join(_gated(scored, None, match_bound(infos)), "doc_id")
+            .join(_gated(scored, None, local_bound), "doc_id")
         )
         per_shard = (
             labeled_all.orderBy(
@@ -162,7 +171,14 @@ def search_dfs(
         single_partition_key,
     )
 
-    order = [quantized(F.col("score")).desc(), F.col("path").asc()]
+    # index_ord is the LAST tie arm: nothing validates that shards
+    # share no paths, and two shards scoring the same path into the
+    # same quantum must still rank deterministically
+    order = [
+        quantized(F.col("score")).desc(),
+        F.col("path").asc(),
+        F.col("index_ord").asc(),
+    ]
     ranked = merged.orderBy(*order).limit(max(1, k))
     w = Window.partitionBy(single_partition_key(ranked)).orderBy(*order)
     return ranked.select(

@@ -71,7 +71,26 @@ def rank_eval(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("rating").cast("int").alias("rating"),
     )
-    hits = search_wand_many(spark, index, queries, k=k)
+    # ES rejects duplicate rated documents — a silent duplicate would
+    # double-count gain/recall and let retrieved exceed k (the
+    # judgment table is evaluation-sized, so the probe is one tiny job)
+    dup = (
+        j.groupBy("query_id", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate judgment for (query_id={dup[0]['query_id']!r}, "
+            f"doc_id={dup[0]['doc_id']})",
+        )
+    # stringify keys BEFORE the batched pass: the output schema
+    # declares query_id string, and the qids join below is str-keyed
+    hits = search_wand_many(
+        spark, index, {str(q): t for q, t in queries.items()}, k=k,
+    )
     labeled = (
         hits.join(j, ["query_id", "doc_id"], "left")
         .select(

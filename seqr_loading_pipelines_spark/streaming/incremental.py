@@ -62,8 +62,12 @@ class QueueWorker:
 
         run_id = run_id or new_run_id()
         path = os.path.join(self.queue_dir, f"{run_id}.json")
-        with open(path, "w") as f:
+        # tmp + rename: a polling worker must never see a half-written
+        # request (it would dead-letter — i.e. lose — it)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"corpus_path": corpus_path, "attempt_id": 0}, f)
+        os.replace(tmp, path)
         return run_id
 
     def _pending(self) -> list[str]:
@@ -81,6 +85,23 @@ class QueueWorker:
             json.dump(payload, f)
         os.replace(tmp, os.path.join(self.dead_letter_dir, name))
         os.remove(os.path.join(self.queue_dir, name))
+
+    def _dead_letter_raw(self, name: str, error: str) -> None:
+        """Dead-letter an unparseable/invalid request PRESERVING its
+        original bytes (an operator can repair and re-enqueue); the
+        error rides a sidecar file."""
+        src = os.path.join(self.queue_dir, name)
+        tmp = os.path.join(self.dead_letter_dir, name + ".tmp")
+        with open(src, "rb") as f:
+            raw = f.read()
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, os.path.join(self.dead_letter_dir, name))
+        with open(
+            os.path.join(self.dead_letter_dir, name + ".err"), "w",
+        ) as f:
+            f.write(error)
+        os.remove(src)
 
     def _dispatch(self, name: str, request: dict) -> dict:
         """Route a queue file to its handler by ``request_type`` —
@@ -153,8 +174,19 @@ class QueueWorker:
             with open(path) as f:
                 request = json.load(f)
         except (json.JSONDecodeError, UnicodeDecodeError) as exc:
-            self._dead_letter(name, {"error": f"unparseable: {exc}"})
+            self._dead_letter_raw(name, f"unparseable: {exc}")
             raise
+        # valid JSON but not a usable request (a list, a bare string,
+        # a non-int attempt_id): the RETRY handler itself would raise
+        # on it and wedge the queue head forever — dead-letter now,
+        # raw bytes preserved
+        if not isinstance(request, dict) or not isinstance(
+            request.get("attempt_id", 0), int,
+        ):
+            self._dead_letter_raw(
+                name, f"invalid request shape: {type(request).__name__}",
+            )
+            raise ValueError(f"invalid request shape in {name}")
         try:
             manifest = self._dispatch(name, request)
             os.remove(path)
@@ -251,13 +283,22 @@ def stream_session_rollup(
     """Watermarked streaming session windows: event parquet landing
     in ``landing_dir`` folds into per-user sessions closed by a
     ``gap`` of inactivity (``F.session_window`` — Spark's native
-    stateful merging-window operator), state bounded by the
-    ``watermark`` (events older than max-seen minus the watermark are
-    late and their state evictable). Each micro-batch publishes the
+    stateful merging-window operator). Each micro-batch publishes the
     CURRENT session table to ``output_dir`` (complete-mode
     ``foreachBatch`` overwrite — the sessions-so-far materialized
     view; the file sink itself cannot express updates to still-open
     sessions).
+
+    Mode caveat (honest contract): COMPLETE mode re-emits every group
+    each trigger, so Spark retains all session state for the life of
+    the stream — the watermark marks late data but does NOT evict
+    here. That is the right trade for this function's contract
+    (finite landings, stream == batch provable, the last sessions
+    emitted without waiting for a watermark advance the landing will
+    never send). An unbounded 24/7 stream wants ``append`` mode
+    instead (emit only watermark-closed sessions, state evicted) and
+    gives up the final still-open sessions — a different contract,
+    not a config flip.
 
     The batch twin (identical algebra, oracle-checkable) is
     plans/entry_queries.py::q_session_windows; this is the streaming

@@ -210,3 +210,48 @@ def test_stream_session_rollup_matches_batch(spark, tmp_path):
     # semantic spot-checks: user1 has two sessions (3 + 1 events)
     u1 = [g for g in got if g[0] == 1]
     assert [g[2] for g in u1] == [3, 1]
+
+
+def test_queue_rejects_invalid_json_shapes(spark, tmp_path):
+    """Review finding: a valid-JSON non-dict (or non-int attempt_id)
+    payload must dead-letter with raw bytes preserved, never wedge
+    the queue head."""
+    import json
+    import os
+
+    import pytest
+
+    from seqr_loading_pipelines_spark.streaming.incremental import (
+        QueueWorker,
+    )
+
+    qd = str(tmp_path / "q")
+    w = QueueWorker(spark, str(tmp_path / "idx"), qd)
+    for name, payload in (
+        ("a_list.json", "[1, 2, 3]"),
+        ("a_str.json", '"oops"'),
+        ("bad_attempt.json", '{"attempt_id": "3", "corpus_path": "x"}'),
+    ):
+        with open(os.path.join(qd, name), "w") as f:
+            f.write(payload)
+        with pytest.raises(ValueError, match="invalid request shape"):
+            w.process_one()
+        # raw bytes preserved in dead-letter, queue drained
+        dl = os.path.join(w.dead_letter_dir, name)
+        assert open(dl).read() == payload
+        assert os.path.exists(dl + ".err")
+        assert not os.path.exists(os.path.join(qd, name))
+    assert w.process_one() is None  # queue empty — head never wedged
+
+
+def test_rank_eval_duplicate_judgment_rejected(spark, tmp_path):
+    import pytest
+
+    from seqr_loading_pipelines_spark.query.rank_eval import rank_eval
+
+    j = spark.createDataFrame(
+        [("q1", 5, 3), ("q1", 5, 2)],
+        "query_id string, doc_id long, rating int",
+    )
+    with pytest.raises(ValueError, match="duplicate judgment"):
+        rank_eval(spark, {}, {"q1": "sw0"}, j)
