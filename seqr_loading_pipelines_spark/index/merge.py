@@ -84,6 +84,12 @@ def update_index(
                 **builder_kwargs,
                 "analyzer": current["analyzer"],
             }
+        # BM25 parameters are manifest-recorded query-time settings: a
+        # no-kwargs update must not silently reset a k1=1.6 index to
+        # the defaults
+        for _p in ("k1", "b"):
+            if _p not in builder_kwargs and current.get(_p) is not None:
+                builder_kwargs = {**builder_kwargs, _p: float(current[_p])}
         if "positions" not in builder_kwargs and current.get("positions"):
             # a positions-enabled index must stay phrase-queryable:
             # every appended segment needs its own positions projection

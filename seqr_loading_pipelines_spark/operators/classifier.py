@@ -71,6 +71,19 @@ def _features(text: Column, bigrams: bool) -> Column:
     return F.concat(toks, bi)
 
 
+def _bucketed_features(docs, text_col, id_col, bigrams, n_buckets):
+    """(id, bucket) feature stream — ONE definition for train and
+    score: the hashing scheme IS the model's bucket identity, so the
+    two sides must never drift."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(_features(F.col(text_col), bigrams)).alias("_f"),
+    ).select(
+        id_col,
+        (md5_int64(F.col("_f")) % F.lit(n_buckets)).alias("bucket"),
+    )
+
+
 def train_hashed_linear(
     docs: DataFrame,
     label_col: str,
@@ -106,26 +119,27 @@ def train_hashed_linear(
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    feats = docs.select(
-        F.col(id_col),
-        F.explode(_features(F.col(text_col), bigrams)).alias("_f"),
-    ).select(
-        id_col,
-        (md5_int64(F.col("_f")) % F.lit(n_buckets)).alias("bucket"),
-    )
+    feats = _bucketed_features(docs, text_col, id_col, bigrams, n_buckets)
     pb = (
         feats.groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
     nf = pb.groupBy(id_col).agg(F.sum("tf").alias("nf"))
+    # NULL labels (missing or non-numeric after the cast) are excluded
+    # BEFORE n_train is counted — counting them would silently scale
+    # every gradient by the wrong denominator
     labeled = nf.join(
-        docs.select(id_col, F.col(label_col).cast("double").alias("y")),
+        docs.select(
+            id_col, F.col(label_col).cast("double").alias("y"),
+        ).filter(F.col("y").isNotNull()),
         id_col,
     ).persist()
     n_train = labeled.count()
     if n_train == 0:
-        raise ValueError("no non-empty documents to train on")
+        raise ValueError(
+            "no non-empty documents with a non-null label to train on",
+        )
 
     spark = docs.sparkSession
     weights = spark.createDataFrame([], "bucket long, w double")
@@ -133,6 +147,9 @@ def train_hashed_linear(
     try:
         for _ in range(epochs):
             w = weights
+            # the weight TABLE is bounded by n_buckets but usually far
+            # smaller (only touched buckets carry rows); n_buckets is
+            # still the cheap no-job upper bound for the gate
             if n_buckets <= weights_broadcast_max:
                 w = F.broadcast(w)
             margins = (
@@ -158,7 +175,11 @@ def train_hashed_linear(
                     )
                     - F.col("y")
                 ).alias("r"),
-            )
+            ).localCheckpoint(eager=True)
+            # ^ two actions read resid (bias grad here, bucket grads
+            # below); unmaterialized, each would re-run the
+            # margins join + labeled join from scratch — 2x the
+            # per-epoch shuffle for nothing
             bias_grad = resid.agg(F.avg("r").alias("g")).first()["g"]
             grad = (
                 pb.join(resid, id_col)
@@ -212,13 +233,7 @@ def score_hashed_linear(
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    feats = docs.select(
-        F.col(id_col),
-        F.explode(_features(F.col(text_col), bigrams)).alias("_f"),
-    ).select(
-        id_col,
-        (md5_int64(F.col("_f")) % F.lit(n_buckets)).alias("bucket"),
-    )
+    feats = _bucketed_features(docs, text_col, id_col, bigrams, n_buckets)
     if weights is None:
         # expression path: the weight is a pure function of the
         # bucket, so skip the per-(doc, bucket) pre-aggregation and
@@ -237,8 +252,14 @@ def score_hashed_linear(
             F.col("w").cast("double").alias("w"),
         )
         # miss = 0-weight feature (hashed models have no OOV: a miss
-        # only happens when the table under-covers the bucket space)
-        if n_buckets <= weights_broadcast_max:
+        # only happens when the table under-covers the bucket space).
+        # Gate on the no-job n_buckets bound first; past it, one
+        # bounded count of the ACTUAL table (trained tables only carry
+        # touched buckets, usually far under the bucket space)
+        if n_buckets <= weights_broadcast_max or (
+            w.limit(weights_broadcast_max + 1).count()
+            <= weights_broadcast_max
+        ):
             w = F.broadcast(w)
         weighted = (
             per_bucket.join(w, "bucket", "left")

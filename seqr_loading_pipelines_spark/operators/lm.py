@@ -92,6 +92,14 @@ def doc_cross_entropy(
     oov = lm.filter(F.col("term").isNull()).select(
         F.col("log2p").alias("_oov_log2p"),
     )
+    # the NULL-term OOV row is load-bearing: without it the crossJoin
+    # annihilates EVERY tf row and the whole corpus silently scores to
+    # zero rows — a pruned/hand-built lm table must fail loud instead
+    if oov.limit(1).count() == 0:
+        raise ValueError(
+            "lm table has no OOV row (term IS NULL) — train it with "
+            "train_unigram_lm, or append a NULL-term log2p row",
+        )
     tf = (
         docs.select(
             F.col(id_col),
@@ -116,7 +124,9 @@ def doc_cross_entropy(
             / F.sum("tf")
         ).alias("bits_per_token"),
     )
-    return per_doc.filter(F.col("n_tokens") > 0)
+    # every group has >= 1 tf row with tf >= 1, so n_tokens > 0 by
+    # construction (zero-token docs never explode a row) — no filter
+    return per_doc
 
 
 def train_ngram_counts(

@@ -155,6 +155,7 @@ def ingest(
     hit = _ledger_hit(source_fingerprint, roots[:-1])
     if hit is not None:
         return hit
+    builder_kwargs = _seed_from_previous(roots, builder_kwargs)
     manifest = update_index(
         spark, roots[-1], corpus, source_fingerprint, **builder_kwargs,
     )
@@ -167,6 +168,38 @@ def ingest(
             st["n_generations"] = len(roots) + 1
             _write_state(registry_root, name, st)
     return manifest
+
+
+# build settings a freshly-rolled generation must inherit from its
+# predecessor: a no-kwargs queue worker building generation 2 with the
+# defaults would otherwise break search_dfs (k1/b disagreement raises)
+# or silently change the analyzer mid-target
+_INHERITED_BUILD_KEYS = (
+    "analyzer", "positions", "trigrams", "store_content",
+    "dict_partition_gate", "dict_strategy", "k1", "b",
+)
+
+
+def _seed_from_previous(roots: list, builder_kwargs: dict) -> dict:
+    """For a write slot with NO manifest yet (fresh after rollover),
+    seed the inheritable build settings from the previous generation —
+    update_index's own inheritance only covers the SAME root."""
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    if len(roots) < 2:
+        return builder_kwargs
+    if ManifestTable(roots[-1]).current_manifest() is not None:
+        return builder_kwargs  # slot already built: same-root inherit
+    prev = ManifestTable(roots[-2]).current_manifest()
+    if prev is None:
+        return builder_kwargs
+    out = dict(builder_kwargs)
+    for key in _INHERITED_BUILD_KEYS:
+        if key not in out and prev.get(key) is not None:
+            out[key] = prev[key]
+    return out
 
 
 def load_generations(

@@ -318,3 +318,29 @@ def test_train_validation(spark, labeled_docs):
     empty = labeled_docs.filter("text = ''")
     with pytest.raises(ValueError, match="non-empty"):
         train_hashed_linear(empty, "y")
+
+
+def test_train_excludes_null_labels(spark):
+    """Review finding: NULL labels must not count in the gradient
+    denominator, and all-NULL labels must fail loud."""
+    import pytest
+
+    from seqr_loading_pipelines_spark.operators.classifier import (
+        score_hashed_linear,
+        train_hashed_linear,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good text tokens", 1.0),
+            (1, "bad stuff words", 0.0),
+            (2, "unlabeled content", None),
+        ],
+        "doc_id long, text string, label double",
+    )
+    w, b = train_hashed_linear(docs, "label", epochs=2, n_buckets=64)
+    scored = score_hashed_linear(docs, weights=w, bias=b, n_buckets=64)
+    assert scored.count() == 3  # scoring still covers unlabeled docs
+    all_null = docs.filter("label IS NULL")
+    with pytest.raises(ValueError, match="non-null label"):
+        train_hashed_linear(all_null, "label", n_buckets=64)

@@ -141,3 +141,18 @@ def test_alpha_validation(spark, docs):
 
     with pytest.raises(ValueError, match="alpha"):
         train_unigram_lm(docs, alpha=0)
+
+
+def test_missing_oov_row_fails_loud(spark):
+    import pytest
+
+    from seqr_loading_pipelines_spark.operators.lm import doc_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "some tokens here")], "doc_id long, text string",
+    )
+    lm_no_oov = spark.createDataFrame(
+        [("some", -2.0)], "term string, log2p double",
+    )
+    with pytest.raises(ValueError, match="OOV row"):
+        doc_cross_entropy(docs, lm_no_oov)

@@ -122,3 +122,35 @@ def test_unpublished_slot_skipped_and_empty_errors(spark, target):
     assert len(ro.load_generations(spark, target, "t")) == 1
     got = ro.search_rollover(spark, target, "t", "token_0002", k=3)
     assert got.count() == 1
+
+
+def test_fresh_generation_inherits_build_settings(spark, tmp_path):
+    """Review finding: a no-kwargs ingest after rollover must carry
+    the previous generation's analyzer/k1/b into the new slot (a
+    defaults-built generation 2 makes search_dfs unusable)."""
+    from seqr_loading_pipelines_spark.sources import rollover as ro
+    from seqr_loading_pipelines_spark.sources.manifest_table import (
+        ManifestTable,
+    )
+
+    reg = str(tmp_path / "reg")
+    ro.rollover_init(reg, "t", str(tmp_path / "gens"))
+    c1 = spark.createDataFrame(
+        [("r", f"f{i}.py", "c0", "py", f"alpha beta doc{i}") for i in range(4)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    # generation 1 built with custom settings; rollover immediately
+    ro.ingest(
+        spark, reg, "t", c1, "g1", max_docs=1, k1=1.6, analyzer="code",
+    )
+    c2 = spark.createDataFrame(
+        [("r", "g2.py", "c1", "py", "gamma delta fresh")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    ro.ingest(spark, reg, "t", c2, "g2")  # NO kwargs — worker style
+    roots = ro.generation_roots(reg, "t")
+    m2 = ManifestTable(roots[-1]).current_manifest()
+    assert m2["k1"] == 1.6
+    assert m2["analyzer"] == "code"
