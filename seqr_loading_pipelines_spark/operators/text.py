@@ -139,16 +139,44 @@ def quality_expr(text: Column) -> Column:
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document quality heuristics: length, token stats, stop-word ratio,
-    punctuation ratio, alpha ratio; composite score in [0, 1]."""
-    p = _quality_parts(F.col(text_col))
-    n_tokens, n_chars = p["n_tokens"], p["n_chars"]
-    stop_ratio, punct_ratio = p["stop_ratio"], p["punct_ratio"]
-    alpha_ratio, mean_tok_len = p["alpha_ratio"], p["mean_tok_len"]
-    score = p["score"]
-    return docs.select(
+    punctuation ratio, alpha ratio; composite score in [0, 1].
+
+    Structured as TWO projections so the token array is computed once:
+    higher-order functions (the stop-word ``filter``) are exempt from
+    codegen subexpression elimination, so the one-projection form
+    re-ran ``regexp_extract_all`` per consumer (measured ~2x the
+    whole-query wall). CollapseProject keeps the split because the
+    intermediate columns are non-cheap and multiply referenced."""
+    text = F.col(text_col)
+    toks = tokenize_expr(text)
+    base = docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_m"),
+        toks.alias("_toks"),
+        F.length(text).alias("_nc"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
+        .alias("_np"),
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).alias("_na"),
+    ).select(
+        "doc_id",
+        F.size("_toks").alias("_nt"),
+        F.size(F.filter("_toks", lambda t: t.isin([*STOPWORDS]))).alias("_ns"),
+        "_nc", "_np", "_na",
+    )
+    nt, nc = F.col("_nt"), F.col("_nc")
+    stop_ratio = F.when(nt > 0, F.col("_ns") / nt).otherwise(F.lit(0.0))
+    punct_ratio = F.when(nc > 0, F.col("_np") / nc).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(nc > 0, F.col("_na") / nc).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(nt > 0, nc / nt).otherwise(F.lit(0.0))
+    score = (
+        F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.1
+    )
+    return base.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        nc.alias("n_chars_m"),
         F.round(stop_ratio, 5).alias("stop_ratio"),
         F.round(punct_ratio, 5).alias("punct_ratio"),
         F.round(alpha_ratio, 5).alias("alpha_ratio"),

@@ -35,12 +35,25 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """CPU-spread gate for the single-row-group test parquet (the
+    _doubled_docs gate generalized): a one-file/one-row-group table
+    scans as ~1 task no matter how read splits are tuned, so every
+    tokenize/hash-heavy query downstream runs single-core. Repartition
+    to the session parallelism ONLY then (a real corpus has >= cores
+    input files and the gate stays closed — no exchange in the plan)."""
+    cores = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) * 2 < cores:
+        return df.repartition(cores)
+    return df
+
+
 # --------------------------------------------------------------------
 # index / BM25 family (documents as the corpus)
 # --------------------------------------------------------------------
 
 def q_doc_stats(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(tokenize_expr(F.col("text"))).alias("n_tokens"),
@@ -56,7 +69,7 @@ FROM documents
 
 
 def q_term_dictionary(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -113,30 +126,37 @@ SELECT * FROM (
 
 def q_bm25_topk(spark, sf_dir, terms=None, k=10):
     """Standalone BM25 over documents (the same math the index engine
-    uses, expressed as one declarative plan for the correctness gate)."""
+    uses, expressed as one declarative plan for the correctness gate).
+
+    The analyzer runs ONCE: the corpus reduces to the tiny
+    (doc_id, dl, matched-terms) relation which is localCheckpoint'ed —
+    the stats action and the scoring pass would otherwise each
+    re-tokenize the whole corpus (the q_code_subtoken_search
+    discipline)."""
     terms = terms or BM25_QUERY_TERMS
-    docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
+    per_doc = docs.select(
         "doc_id", tokenize_expr(F.col("text")).alias("toks"),
-    )
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.filter("toks", lambda t: t.isin(*terms)).alias("mt"),
+    ).localCheckpoint()
     # ONE action for both corpus-level constants (single source scan;
     # the index-backed query path reads these from the manifest instead)
-    srow = dl.agg(
+    srow = per_doc.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
     ).first()
     n_docs, avgdl = srow["n"], srow["avgdl"]
     flat = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms))
+        per_doc.select("doc_id", "dl", F.explode("mt").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     df = flat.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
         flat.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .withColumn(
             "contribution",
             idf
@@ -415,7 +435,7 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark, sf_dir):
-    return TX.quality_score(_read(spark, sf_dir, "documents"))
+    return TX.quality_score(_spread(spark, _read(spark, sf_dir, "documents")))
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
@@ -744,7 +764,9 @@ def _query_vec(spark, sf_dir) -> list[float]:
 
 
 def q_embedding_cosine_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    emb = _spread(
+        spark, _read(spark, sf_dir, "embeddings"),
+    ).filter(F.col("vec_id") != 0)
     return S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
@@ -6189,7 +6211,7 @@ def q_classifier_score(spark, sf_dir):
         score_hashed_linear,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
     scored = score_hashed_linear(docs, n_buckets=CLASSIFIER_N_BUCKETS)
     p4 = F.round("prob", 4)
     return scored.select(
@@ -6242,7 +6264,7 @@ def q_code_subtoken_search(spark, sf_dir):
     it matches identifiers whose parts were glued together, the thing
     a plain-term index cannot do. Oracle: identical identifier
     synthesis + boundary-rule algebra in SQL."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", tokenize_expr(F.col("text")).alias("t"),
     )
@@ -6413,7 +6435,7 @@ def q_classifier_sample(spark, sf_dir):
     )
     from seqr_loading_pipelines_spark.operators.text import md5_int32
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
     scored = score_hashed_linear(docs, n_buckets=CLASSIFIER_N_BUCKETS)
     p4 = F.round("prob", 4)
     u = (
