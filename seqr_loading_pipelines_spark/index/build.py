@@ -81,6 +81,37 @@ DICT_BROADCAST_GATE = 5_000_000
 # cluster (partition count grows with data, not with cores).
 POSTING_ROWS_PER_PARTITION = 8_000_000
 
+# ... and bound the task count from BELOW by the data too: every
+# posting/positions/trigram output file is a scan task for every later
+# query on the index, so a small index must not fan out into 2*cores
+# files of a few KB each (measured: a 60k-doc index wrote 64 posting
+# files; every search paid a ~30-task scan stage for data that fits in
+# 3). The floor stays 2*cores once the data is big enough — the cap
+# only bites when rows/TARGET < 2*cores, i.e. exactly when the files
+# would have been tiny.
+TARGET_ROWS_PER_FILE = 500_000
+
+# posting-file row groups: parquet prunes row groups (not files) by
+# the sorted term_id's min/max, so the row-group size IS the unit a
+# query must scan per matching term. The parquet default (128 MB)
+# yields one group per small file — zero pruning; 8 MB groups let a
+# 2-term query skip ~everything while adding negligible footer
+# overhead at scale.
+POSTINGS_ROW_GROUP_BYTES = 8 << 20
+
+
+def _sized_parts(cores: int, est_rows: int | None) -> int:
+    """Shuffle-partition count for an index projection write: floor at
+    2*cores for encode parallelism, capped by the data so small inputs
+    produce few files, floored again by POSTING_ROWS_PER_PARTITION so
+    huge inputs bound per-task sort state (grows with data, not
+    cores)."""
+    parts = 2 * max(1, cores)
+    if est_rows:
+        parts = min(parts, max(1, -(-int(est_rows) // TARGET_ROWS_PER_FILE)))
+        parts = max(parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION))
+    return parts
+
 # content-projection file sizing (trigram substring index): ~128 MB of
 # raw text per partition file keeps row groups small enough that a
 # pushed doc_id IN (...) verify scan prunes to just the candidates
@@ -278,8 +309,12 @@ class IndexBuilder:
             self._orig_split_size = None
 
     # ---- resumable stage runner -------------------------------------
-    def _stage(self, snapshot_dir: str, name: str, fn) -> DataFrame:
-        """Run a stage unless its checkpoint already exists (resume)."""
+    def _stage(
+        self, snapshot_dir: str, name: str, fn, options: dict | None = None,
+    ) -> DataFrame:
+        """Run a stage unless its checkpoint already exists (resume).
+        ``options``: extra DataFrameWriter options (e.g. a per-stage
+        ``parquet.block.size`` for the posting projections)."""
         path = os.path.join(snapshot_dir, name)
         marker = os.path.join(path, "_SUCCESS")
         # renew the staging lease at every stage boundary: a build
@@ -290,7 +325,10 @@ class IndexBuilder:
         self.table.touch_staging_lease(snapshot_dir)
         t0, c0 = time.time(), self._cpu_ns()
         if not pfs.exists(marker):
-            fn().write.mode("overwrite").parquet(path)
+            w = fn().write.mode("overwrite")
+            for k, v in (options or {}).items():
+                w = w.option(k, v)
+            w.parquet(path)
             self.metrics["stages"][name] = {
                 "wall_s": round(time.time() - t0, 3),
                 "cpu_s": round((self._cpu_ns() - c0) / 1e9, 1),
@@ -385,9 +423,9 @@ class IndexBuilder:
                 resumed += 1
                 continue
             chunk_docs = self.spark.read.parquet(os.path.join(docs_path, c))
-            encode(make_flat(chunk_docs)).write.mode("overwrite").parquet(
-                cdir,
-            )
+            encode(make_flat(chunk_docs)).write.mode("overwrite").option(
+                "parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES),
+            ).parquet(cdir)
         self.metrics["stages"]["postings"] = {
             "wall_s": round(time.time() - t0, 3),
             "cpu_s": round((self._cpu_ns() - c0) / 1e9, 1),
@@ -698,17 +736,16 @@ class IndexBuilder:
             if carry is not None and len(carry):
                 yield encode_batch(carry)
 
-        # task count = max(enough tasks per core, enough tasks for the
-        # DATA): est_rows (the caller's sum_dl — token count, an upper
-        # bound on posting rows) caps per-task sort state at
-        # POSTING_ROWS_PER_PARTITION so concurrent sorters never spill
-        # just because they share the execution-memory pool. See the
-        # constant's comment for the measured failure mode.
-        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
-        if est_rows:
-            parts = max(
-                parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION),
-            )
+        # task count: sized by the DATA in both directions — est_rows
+        # (the caller's sum_dl — token count, an upper bound on posting
+        # rows) caps per-task sort state at POSTING_ROWS_PER_PARTITION
+        # so concurrent sorters never spill just because they share the
+        # execution-memory pool, and TARGET_ROWS_PER_FILE keeps a small
+        # index from fanning into 2*cores tiny files that every later
+        # query pays for as scan tasks. See the constants' comments.
+        parts = _sized_parts(
+            self.spark.sparkContext.defaultParallelism, est_rows,
+        )
         self.metrics["postings_encode_partitions"] = parts
         return (
             postings.withColumn(
@@ -738,13 +775,11 @@ class IndexBuilder:
         blocks; the pos arrays stay parquet-encoded ints (delta/RLE)
         rather than varbyte blobs so the phrase intersection runs as
         pure JVM array HOFs with no Python decode pass. Partition
-        count sized by ROWS (POSTING_ROWS_PER_PARTITION) like the
-        postings encode — grows with data, not cores."""
-        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
-        if est_rows:
-            parts = max(
-                parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION),
-            )
+        count sized by ROWS in both directions (_sized_parts), like
+        the postings encode — grows with data, not cores."""
+        parts = _sized_parts(
+            self.spark.sparkContext.defaultParallelism, est_rows,
+        )
         fl = tokenized.select(
             "doc_id", F.explode("terms").alias("t"),
         ).select(
@@ -771,10 +806,15 @@ class IndexBuilder:
         and row groups with tight doc_id min/max, so a bounded
         candidate set verifies via a pushed ``doc_id IN (...)`` scan
         (the key_lookup discipline, key_lookup.py:76-84) instead of a
-        full content scan. Partition count sized by BYTES — grows with
-        data, not cores."""
+        full content scan. Partition count sized by BYTES in both
+        directions — grows with data, not cores, and small corpora
+        don't fan into 2*cores tiny files (the _sized_parts rule at
+        ~16 MB/file)."""
         parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
         if est_bytes:
+            parts = min(
+                parts, max(1, -(-int(est_bytes) // (16 << 20))),
+            )
             parts = max(
                 parts, -(-int(est_bytes) // CONTENT_BYTES_PER_PARTITION),
             )
@@ -792,17 +832,15 @@ class IndexBuilder:
         row groups exactly like the posting blocks. The Arrow kernel
         already emits per-doc-distinct pairs, so the repartition is
         the only shuffle and no groupBy is needed. Partition count
-        sized by ROWS (POSTING_ROWS_PER_PARTITION), like the postings
-        encode."""
+        sized by ROWS in both directions (_sized_parts), like the
+        postings encode."""
         from seqr_loading_pipelines_spark.functions.trigram import (
             trigram_pairs_project,
         )
 
-        parts = 2 * max(1, self.spark.sparkContext.defaultParallelism)
-        if est_rows:
-            parts = max(
-                parts, -(-int(est_rows) // POSTING_ROWS_PER_PARTITION),
-            )
+        parts = _sized_parts(
+            self.spark.sparkContext.defaultParallelism, est_rows,
+        )
         return (
             trigram_pairs_project(content_df)
             .repartition(parts, "tri_id")
@@ -833,6 +871,9 @@ class IndexBuilder:
             lambda: self._trigram_postings_df(
                 content_df, est_rows=sum_dl * 3,
             ),
+            options={
+                "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
+            },
         )
         self._stage(
             snap, "tri_dict",
@@ -1125,7 +1166,12 @@ class IndexBuilder:
 
         try:
             if fused:
-                self._stage(snap, "postings", lambda: encode(postings_flat))
+                self._stage(
+                    snap, "postings", lambda: encode(postings_flat),
+                    options={
+                        "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
+                    },
+                )
             else:
                 # chunk the encode along the docs chunks: a killed
                 # encode resumes at chunk granularity (VERDICT r2)
@@ -1145,6 +1191,9 @@ class IndexBuilder:
             self._stage(
                 snap, "positions",
                 lambda: self._positions_df(tokenized, d, tid_type, sum_dl),
+                options={
+                    "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
+                },
             )
 
         if self.trigrams:

@@ -381,7 +381,14 @@ def _update(
 
     builder._tune_split_size(os.path.join(snap, "docs"))
     if fused:
-        builder._stage(snap, "postings", lambda: encode(make_flat(tokenized)))
+        from seqr_loading_pipelines_spark.index.build import (
+            POSTINGS_ROW_GROUP_BYTES,
+        )
+
+        builder._stage(
+            snap, "postings", lambda: encode(make_flat(tokenized)),
+            options={"parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES)},
+        )
     else:
         # chunk the encode along the docs chunks (per-chunk resume,
         # same shape as build)
@@ -624,11 +631,17 @@ def compact_segments(
             k1=current["k1"], b=current["b"],
             shard_size=current["shard_size"],
         )
+        from seqr_loading_pipelines_spark.index.build import (
+            POSTINGS_ROW_GROUP_BYTES,
+        )
+
         builder._postings_blocks(
             postings_flat, n_docs, avgdl,
             # survivors' token total bounds the re-encoded posting rows
             est_rows=int(current.get("sum_dl", 0)),
-        ).write.mode("overwrite").parquet(os.path.join(snap, "postings"))
+        ).write.mode("overwrite").option(
+            "parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES),
+        ).parquet(os.path.join(snap, "postings"))
         from seqr_loading_pipelines_spark.index.build import load_docs
 
         docs_full = load_docs(spark, table.root, current)
@@ -699,12 +712,18 @@ def compact_segments(
         ):
             d = F.broadcast(d)
         pos_builder = IndexBuilder(spark, index_root, positions=True)
+        from seqr_loading_pipelines_spark.index.build import (
+            POSTINGS_ROW_GROUP_BYTES,
+        )
+
         pos_builder._positions_df(
             compacted_docs,
             d,
             "int" if id_space < (1 << 31) else "long",
             est_rows=int(current.get("sum_dl", 0)),
-        ).write.mode("overwrite").parquet(os.path.join(snap, "positions"))
+        ).write.mode("overwrite").option(
+            "parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES),
+        ).parquet(os.path.join(snap, "positions"))
     if current.get("trigrams"):
         # substring index rebuilt from the compacted (tombstone-free)
         # doc store, which retains the content column when the index

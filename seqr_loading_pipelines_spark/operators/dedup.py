@@ -462,6 +462,12 @@ def dedup_clusters(
                 F.col("doc_id").alias("label"),
                 F.col("label").alias("parent_label"),
             )
+            # the convergence check rides the checkpoint job as an
+            # observed metric — one job per round instead of two (the
+            # build pipeline's df.observe discipline)
+            from pyspark.sql import Observation
+
+            obs = Observation()
             jumped = (
                 stepped.join(parent, "label", "left")
                 .select(
@@ -471,11 +477,15 @@ def dedup_clusters(
                     ).alias("label"),
                     "_prev",
                 )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("_prev")).cast("long"),
+                    ).alias("chg"),
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                jumped.filter(F.col("label") != F.col("_prev")).limit(1).count()
-            )
+            changed = int(obs.get["chg"] or 0)
             labels = jumped.drop("_prev")
             if changed == 0:
                 break

@@ -330,6 +330,12 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("_id"),
         F.col(len_col).cast("long").alias("_len"),
     )
+    # three actions read this 16-byte/row relation (bounds, bucket
+    # totals, the final assignment); left lazy each would re-run the
+    # caller's upstream plan — for the typical caller that is a full
+    # corpus tokenize per action. Materialize the narrow projection
+    # once; it is 2 longs/row at any scale.
+    d = d.localCheckpoint(eager=True)
     bounds = d.agg(
         F.min("_id").alias("mn"), F.max("_id").alias("mx"),
     ).collect()[0]
@@ -555,9 +561,21 @@ def dsir_weights(
         "_tgt",
         F.pmod(md5_int32(F.col("_f")), F.lit(n_buckets)).alias("bucket"),
     )
-    hist = stream.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_n"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_n"),
+    # BOTH aggregations (bucket histogram, per-doc weight fold) consume
+    # the hashed stream; left lazy each would re-run the tokenize +
+    # explode + md5 pass — the dominant CPU of this operator. Collapse
+    # to the (doc, tgt, bucket, tf) grain first (map-side combined;
+    # <= n_buckets rows per doc) and materialize THAT: one md5 pass
+    # total, and the checkpoint is bounded by n_docs * n_buckets
+    # narrow rows, far under the raw feature stream (materializing the
+    # raw stream was measured strictly worse — write cost exceeded the
+    # saved recompute).
+    pb = stream.groupBy("doc_id", "_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("tf"),
+    ).localCheckpoint(eager=True)
+    hist = pb.groupBy("bucket").agg(
+        F.sum("tf").alias("raw_n"),
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("tgt_n"),
     )
     # totals ride a window over the n_buckets-row agg output (tiny)
     tot = Window.partitionBy()
@@ -575,10 +593,10 @@ def dsir_weights(
         ).alias("log_ratio"),
     )
     return (
-        stream.join(F.broadcast(ratios), "bucket", "inner")
+        pb.join(F.broadcast(ratios), "bucket", "inner")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum("log_ratio").alias("log_weight"),
+            F.sum("tf").alias("n_features"),
+            F.sum(F.col("tf") * F.col("log_ratio")).alias("log_weight"),
         )
     )

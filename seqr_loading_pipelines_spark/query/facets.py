@@ -1240,13 +1240,60 @@ def filters_agg(
             f"other_bucket_key {other_bucket_key!r} collides with a "
             "filter name",
         )
-    tagged = None
+    # ONE pruned posting decode for ALL filters (previously one scan
+    # per filter): resolve every filter's terms, decode the union of
+    # term_ids once (with_term), then fan each (doc, term) row out to
+    # the filters containing that term through a literal
+    # term_id -> names map — |filters| never multiplies the scan count.
+    from seqr_loading_pipelines_spark.functions.tokenizer import (
+        index_tokenize,
+    )
+    from seqr_loading_pipelines_spark.query.bm25 import _decoded_postings
+
+    names_by_tid: dict[int, list[str]] = {}
+    infos_by_tid: dict[int, dict] = {}
+    n_required: dict[str, int] = {}
     for name in sorted(filters):
-        m = match_docs(index, filters[name], require_all=require_all)
-        if m is None:
-            continue
-        part = m.withColumn("_name", F.lit(name))
-        tagged = part if tagged is None else tagged.unionByName(part)
+        q_terms = set(index_tokenize(index, filters[name]))
+        infos = _query_terms(index, filters[name])
+        if not infos or (require_all and len(infos) < len(q_terms)):
+            continue  # empty match set, provably — no scan needed
+        n_required[name] = len(infos)
+        for t in infos:
+            infos_by_tid[t["term_id"]] = t
+            names_by_tid.setdefault(t["term_id"], []).append(name)
+    tagged = None
+    if infos_by_tid:
+        pairs = []
+        for tid, names in names_by_tid.items():
+            pairs += [
+                F.lit(int(tid)),
+                F.array(*[F.lit(n) for n in names]),
+            ]
+        name_map = F.create_map(*pairs)
+        decoded = _decoded_postings(
+            index, list(infos_by_tid.values()), with_term=True,
+        )
+        fanned = decoded.select(
+            "doc_id",
+            "term_id",
+            F.explode(name_map[F.col("term_id")]).alias("_name"),
+        )
+        if require_all:
+            need = None
+            for n, k in n_required.items():
+                arm = F.when(F.col("_name") == n, F.lit(k))
+                need = arm if need is None else need.when(
+                    F.col("_name") == n, F.lit(k),
+                )
+            tagged = (
+                fanned.groupBy("_name", "doc_id")
+                .agg(F.count_distinct("term_id").alias("_nt"))
+                .filter(F.col("_nt") == need)
+                .select("_name", "doc_id")
+            )
+        else:
+            tagged = fanned.select("_name", "doc_id").distinct()
     names_df = spark.createDataFrame(
         [(n,) for n in sorted(filters)], "key string",
     )

@@ -85,12 +85,59 @@ def search_dis_max(
     max)`` — ES ``dis_max`` semantics (tie_breaker=0 is pure best-
     query; 1.0 degenerates to the plain sum). Queries with no known
     term drop out; all-unknown returns empty."""
-    sets = [s for s in (scored_matches(index, q) for q in queries)
-            if s is not None]
-    if not sets:
+    # ONE pruned posting decode for ALL query strings (same index, so
+    # a term's (doc, contribution) rows are identical across queries):
+    # resolve every query's terms, decode the union once (with_term),
+    # fan each row out to the queries containing that term through a
+    # literal term_id -> query-indexes map, fold per (doc, query),
+    # then the dis_max combine per doc — |queries| never multiplies
+    # the scan count.
+    from seqr_loading_pipelines_spark.query.bm25 import (
+        _decoded_postings,
+        _query_terms,
+    )
+
+    qis_by_tid: dict[int, list[int]] = {}
+    infos_by_tid: dict[int, dict] = {}
+    any_known = False
+    for qi, q in enumerate(queries):
+        infos = _query_terms(index, q)
+        if not infos:
+            continue  # all-unknown query drops out (ES semantics)
+        any_known = True
+        for t in infos:
+            infos_by_tid[t["term_id"]] = t
+            qis_by_tid.setdefault(t["term_id"], []).append(qi)
+    if not any_known:
         return _empty_topk(spark)
+    pairs = []
+    for tid, qis in qis_by_tid.items():
+        pairs += [F.lit(int(tid)), F.array(*[F.lit(i) for i in qis])]
+    qi_map = F.create_map(*pairs)
+    decoded = _decoded_postings(
+        index, list(infos_by_tid.values()), with_term=True,
+    )
+    per_query = (
+        decoded.select(
+            "doc_id",
+            "contribution",
+            F.explode(qi_map[F.col("term_id")]).alias("_qi"),
+        )
+        .groupBy("doc_id", "_qi")
+        .agg(F.sum("contribution").alias("score"))
+    )
+    agg = per_query.groupBy("doc_id").agg(
+        F.sum("score").alias("_sum"), F.max("score").alias("_max"),
+    )
+    combined = agg.select(
+        "doc_id",
+        (
+            F.col("_max")
+            + F.lit(tie_breaker) * (F.col("_sum") - F.col("_max"))
+        ).alias("score"),
+    )
     k = max(1, min(k, index["manifest"]["n_docs"]))
-    return rank_topk(_combined(sets, "dis_max", tie_breaker), k)
+    return rank_topk(combined, k)
 
 
 def build_field_index(

@@ -316,18 +316,24 @@ def test_empty_corpus_raises(spark, tmp_path):
         IndexBuilder(spark, str(tmp_path / "idx")).build(empty, "empty")
 
 
-def test_stopword_postings_spread_across_shards(spark, tmp_path):
+def test_stopword_postings_spread_across_shards(spark, tmp_path, monkeypatch):
     """The north-rule skew property, locked: a stop-word term's
     postings must split across doc shards (shard_id is the
     sub-partition salt, the farmHash64(...) % n analog,
     test_clickhouse_schema.sql:84-85) AND across physical partition
     files — so both the encode and the query of a hot term
-    parallelize instead of landing on one task."""
+    parallelize instead of landing on one task. The data-driven file
+    cap (TARGET_ROWS_PER_FILE) is shrunk so this 200-doc corpus is
+    "at scale" relative to it — the property under test is the salt
+    spread, not the small-index file collapse (which
+    test_sized_parts_scales_with_data locks)."""
     from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index import build as build_mod
     from seqr_loading_pipelines_spark.index.build import IndexBuilder, load_index
     from seqr_loading_pipelines_spark.query.bm25 import search_exact
     from seqr_loading_pipelines_spark.query.wand import search_wand
 
+    monkeypatch.setattr(build_mod, "TARGET_ROWS_PER_FILE", 100)
     corpus = generate_corpus(spark, 200, n_repos=4, seed=17)
     root = str(tmp_path / "idx")
     IndexBuilder(spark, root, shard_size=16).build(corpus, "v")
@@ -353,6 +359,31 @@ def test_stopword_postings_spread_across_shards(spark, tmp_path):
         for r in search_wand(spark, idx, "sw0 term_00042", 10).collect()
     ]
     assert ex == wa and len(ex) == 10
+
+
+def test_sized_parts_scales_with_data():
+    """Projection-write partition sizing is data-driven in BOTH
+    directions: small inputs collapse below the 2*cores floor (each
+    output file is a scan task for every later query), huge inputs
+    grow past it (bounded per-task sort state), and the mid range
+    keeps the parallelism floor."""
+    from seqr_loading_pipelines_spark.index.build import (
+        POSTING_ROWS_PER_PARTITION,
+        TARGET_ROWS_PER_FILE,
+        _sized_parts,
+    )
+
+    cores = 32
+    # tiny index: files sized by data, not cores
+    assert _sized_parts(cores, TARGET_ROWS_PER_FILE) == 1
+    assert _sized_parts(cores, 4 * TARGET_ROWS_PER_FILE) == 4
+    # mid range: the parallelism floor holds
+    assert _sized_parts(cores, 200 * TARGET_ROWS_PER_FILE) == 2 * cores
+    # no estimate: the floor (callers without bounds keep parallelism)
+    assert _sized_parts(cores, None) == 2 * cores
+    # huge: grows with data, not cores
+    big = 100 * POSTING_ROWS_PER_PARTITION
+    assert _sized_parts(cores, big) == 100
 
 
 def test_arrow_kernel_matches_loop_kernel_on_edges():
