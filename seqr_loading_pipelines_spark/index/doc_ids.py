@@ -156,13 +156,24 @@ def dense_ids_view(
         staged = spark.read.parquet(*paths)
     else:
         staged = spark.read.parquet(checkpoint_path)
+    mid_pid = F.shiftright(F.col("_mid"), 33)
+    mid_row = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    if len(offsets) <= 256:
+        # small checkpoints resolve the per-partition offset as a
+        # literal map lookup — a pure projection, no BroadcastExchange
+        # + join per doc-store scan (every query reads this view, so
+        # the join was a per-query fixed cost); every _pid has an
+        # entry by construction (offsets enumerate the part files)
+        pairs = []
+        for p, o, _ in offsets:
+            pairs += [F.lit(int(p)).cast("long"), F.lit(int(o)).cast("long")]
+        off = F.create_map(*pairs)[mid_pid]
+        return staged.withColumn(id_col, off + mid_row).drop("_mid")
     offsets_df = F.broadcast(
         spark.createDataFrame(
             [(p, o) for (p, o, _) in offsets], "_pid long, _offset long",
         ),
     )
-    mid_pid = F.shiftright(F.col("_mid"), 33)
-    mid_row = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     return (
         staged.withColumn("_pid", mid_pid)
         .join(offsets_df, "_pid")

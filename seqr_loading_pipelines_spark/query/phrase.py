@@ -943,9 +943,6 @@ def search_span_within(
     )
 
 
-UNORDERED_MAX_STEPS = 3
-
-
 def search_intervals_unordered(
     spark: SparkSession,
     index: dict,
@@ -961,15 +958,22 @@ def search_intervals_unordered(
     tokens (``match`` / ``any_of``). Returns ``(doc_id, min_gap,
     rank)`` ranked (min_gap asc, doc_id asc).
 
-    The fold: unlike the ordered case there is no greedy chain (any
-    order means no "earliest continuation" argument), so the TRUE
-    minimum is taken over the full assignment cross-product with a
-    running (min, max) accumulator — nested JVM ``transform`` levels,
-    one per step, O(prod |positions|) per doc. Step count is capped
-    at UNORDERED_MAX_STEPS (the sorted-sweep minimal-window algorithm
-    is the upgrade if wider unordered queries ever matter); step
-    alternative sets must be disjoint so two steps can never claim
-    the same token occurrence (ES's non-overlap rule for all_of).
+    The fold is the SORTED SWEEP (the minimal-window-over-k-lists
+    algorithm): merge every step's positions into one sorted
+    (pos, step) stream and take a single ``aggregate`` pass whose
+    accumulator keeps, per step, the LATEST position seen; whenever
+    every step has been seen, ``pos - min(latest)`` is the width of
+    the tightest window ending here (each step's optimal pick for a
+    window ending at ``pos`` is its latest occurrence <= pos), and
+    the running minimum over all ends is the true minimum over the
+    whole assignment space. O(total positions x n_steps) per doc —
+    the previous formulation folded the full assignment
+    cross-product (O(prod |positions|)) and had to cap the step
+    count at 3; the cap is gone and a stop-word-dense doc now costs
+    one linear pass. Step alternative sets must be disjoint so two
+    steps can never claim the same token occurrence (ES's
+    non-overlap rule for all_of) — which also guarantees the merged
+    stream has no duplicate positions.
 
     Shape identical to search_intervals: ONE pruned ``term_id IN``
     scan of the positions projection, tombstone anti-join, per-step
@@ -984,11 +988,6 @@ def search_intervals_unordered(
     empty = spark.createDataFrame([], "doc_id long, min_gap int, rank int")
     if not steps:
         return empty
-    if len(steps) > UNORDERED_MAX_STEPS:
-        raise ValueError(
-            f"unordered intervals supports at most {UNORDERED_MAX_STEPS} "
-            f"steps, got {len(steps)}",
-        )
     norm_steps = []
     for i, s in enumerate(steps):
         alts = sorted({t for alt in s for t in index_tokenize(index, alt)})
@@ -1045,24 +1044,43 @@ def search_intervals_unordered(
     for i in range(n):
         present = present.filter(F.size(F.col(f"_u{i}")) > 0)
 
-    def fold(depth, cur_min, cur_max):
-        # running-extent accumulator over one pick per remaining step
-        if depth == n:
-            return cur_max - cur_min - F.lit(n - 1)
-        return F.array_min(
-            F.transform(
-                F.col(f"_u{depth}"),
-                lambda x: fold(
-                    depth + 1, F.least(cur_min, x), F.greatest(cur_max, x),
-                ),
-            ),
-        )
-
     if n == 1:
         scored = present.select("doc_id", F.lit(0).alias("min_gap"))
     else:
-        gap = F.array_min(
-            F.transform(F.col("_u0"), lambda p: fold(1, p, p)),
+        # sorted sweep: one pass over the merged (pos, step) stream
+        # with a latest-position-per-step accumulator (see docstring)
+        def tag(i):
+            # single-arg lambda: a two-arg transform lambda would bind
+            # the ARRAY INDEX as its second parameter
+            return F.transform(
+                F.col(f"_u{i}"),
+                lambda x: F.struct(
+                    x.alias("pos"), F.lit(i).cast("int").alias("step"),
+                ),
+            )
+
+        merged = F.array_sort(F.concat(*[tag(i) for i in range(n)]))
+        init = F.struct(
+            F.array_repeat(F.lit(None).cast("int"), n).alias("ls"),
+            F.lit(None).cast("int").alias("best"),
+        )
+
+        def sweep(acc, x):
+            ls2 = F.transform(
+                acc["ls"],
+                lambda v, i: F.when(i == x["step"], x["pos"]).otherwise(v),
+            )
+            all_seen = ~F.exists(ls2, lambda v: v.isNull())
+            width = x["pos"] - F.array_min(ls2)
+            # least() skips NULLs, so the first complete window seeds
+            # the running best
+            best2 = F.when(
+                all_seen, F.least(acc["best"], width),
+            ).otherwise(acc["best"])
+            return F.struct(ls2.alias("ls"), best2.alias("best"))
+
+        gap = (
+            F.aggregate(merged, init, sweep)["best"] - F.lit(n - 1)
         )
         scored = (
             present.select("doc_id", gap.cast("int").alias("min_gap"))

@@ -1003,16 +1003,65 @@ def test_intervals_unordered_validation(spark, pos_index, index):
         search_intervals_unordered(
             spark, idx, [["a", "b"], ["b"]], max_gaps=1,
         )
-    with pytest.raises(ValueError, match="at most"):
-        search_intervals_unordered(
-            spark, idx, [["a"], ["b"], ["c"], ["z"]], max_gaps=1,
-        )
     with pytest.raises(ValueError, match="max_gaps"):
         search_intervals_unordered(spark, idx, [["a"]], max_gaps=-1)
     with pytest.raises(ValueError, match="positional"):
         search_intervals_unordered(spark, index, [["a"]], max_gaps=0)
     # absent-term step: empty, no error
     assert _unordered(spark, idx, [["a"], ["zzqq"]], max_gaps=5) == {}
+
+
+def test_intervals_unordered_four_steps_and_dense_doc(
+    spark, tmp_path_factory,
+):
+    """The sorted-sweep fold: (1) step count is no longer capped at 3
+    (the old cross-product fold was O(prod |positions|)); (2) a
+    stop-word-dense doc (thousands of occurrences per step) completes
+    in one linear pass and still reports the true minimal window."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+    from seqr_loading_pipelines_spark.query.phrase import (
+        search_intervals_unordered,
+    )
+
+    dense = " ".join("aa bb" for _ in range(1000))  # 2000 tokens
+    corpus = spark.createDataFrame(
+        [
+            ("r", "four.py", "c0", "python", "d c x b a tail"),
+            ("r", "dense.py", "c1", "python", dense + " cc dd " + dense),
+            ("r", "sparse.py", "c2", "python", "aa x x bb x x cc x dd"),
+        ],
+        SPAN_SCHEMA,
+    )
+    root = str(tmp_path_factory.mktemp("unordered_sweep"))
+    IndexBuilder(spark, root, positions=True).build(corpus, "v")
+    idx = load_index(spark, root)
+    by = {
+        r["path"]: r["doc_id"] for r in idx["doc_stats"].collect()
+    }
+    # four steps, scrambled order: d c x b a -> window 0..4 = span 4,
+    # gaps = 4 - 3 = 1
+    got = {
+        r["doc_id"]: r["min_gap"]
+        for r in search_intervals_unordered(
+            spark, idx, [["a"], ["b"], ["c"], ["d"]], max_gaps=1,
+        ).collect()
+    }
+    assert got[by["four.py"]] == 1
+    # dense doc: ~1000 occurrences of aa and bb each; minimal window
+    # over the four steps sits around the middle "cc dd" — tightest is
+    # (bb, cc, dd, aa) contiguous: gap 0. Completes fast (linear), not
+    # via a 1000^2-sized assignment product.
+    got2 = {
+        r["doc_id"]: r["min_gap"]
+        for r in search_intervals_unordered(
+            spark, idx, [["aa"], ["bb"], ["cc"], ["dd"]], max_gaps=6,
+        ).collect()
+    }
+    assert got2[by["dense.py"]] == 0
+    assert got2[by["sparse.py"]] == 5  # aa..dd window 0..8, gaps 8-3
 
 
 def test_span_within_all_same_token(spark, tmp_path_factory):
