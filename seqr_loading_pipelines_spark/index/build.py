@@ -858,6 +858,12 @@ class IndexBuilder:
             # ~7 bytes per whitespace-separated token is the sizing
             # estimate; only file COUNT depends on it
             lambda: self._content_df(tokenized, est_bytes=sum_dl * 7),
+            # point-read projection: the doc_id-sorted layout prunes at
+            # ROW-GROUP granularity, so fewer/larger files must carry
+            # small row groups or a bounded doc_id IN (...) read decodes
+            # the whole file (highlight/substring verify regressed until
+            # this matched the fewer-files sizing)
+            options={"parquet.block.size": str(2 << 20)},
         )
 
     def _stage_trigrams(self, snap: str, tokenized: DataFrame, sum_dl: int):
