@@ -870,12 +870,20 @@ class IndexBuilder:
         """Substring-index stages: content projection, trigram posting
         pairs, per-trigram df table (rarest-first probe selection in
         query/substring.py — selection only, never correctness, so
-        post-delete staleness is benign). Each resumable on its own."""
-        content_df = self._stage_content(snap, tokenized, sum_dl)
+        post-delete staleness is benign). Each resumable on its own.
+
+        The trigram kernel reads (doc_id, content) from the SOURCE
+        stream (the docs checkpoint), not the content projection: the
+        projection is sized for point reads (few files), which would
+        cap the CPU-bound Arrow kernel's parallelism at its file
+        count; the docs checkpoint keeps the tokenize stage's
+        parallelism."""
+        self._stage_content(snap, tokenized, sum_dl)
+        kernel_src = tokenized.select("doc_id", "content")
         tri = self._stage(
             snap, "tri_postings",
             lambda: self._trigram_postings_df(
-                content_df, est_rows=sum_dl * 3,
+                kernel_src, est_rows=sum_dl * 3,
             ),
             options={
                 "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
