@@ -3842,8 +3842,11 @@ def q_date_histogram_pipeline(spark, sf_dir):
     return buckets.select(
         F.date_format("bucket", "yyyy-MM-dd").alias("day"),
         "n_events",
+        # double: DuckDB's windowed sum(BIGINT) widens to HUGEINT ->
+        # pandas float64 (the exact-hash representation contract)
         F.sum("n_events")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
         .alias("cumulative"),
         (F.col("n_events") - F.lag("n_events").over(w)).alias("derivative"),
         F.round(F.avg("n_events").over(w.rowsBetween(-2, 0)), 4)
@@ -6159,7 +6162,9 @@ def q_unigram_lm_quality(spark, sf_dir):
     w = Window.partitionBy(single_partition_key(top)).orderBy(*order)
     return top.select(
         "doc_id",
-        "n_tokens",
+        # double: the oracle's sum(BIGINT) tf total widens to HUGEINT
+        # -> pandas float64 (exact-hash representation contract)
+        F.col("n_tokens").cast("double").alias("n_tokens"),
         F.round("bits_per_token", 4).alias("bits_per_token"),
         F.row_number().over(w).alias("rank"),
     )
@@ -7086,8 +7091,14 @@ def q_index_stats_bucket(spark, sf_dir):
     from seqr_loading_pipelines_spark.query.facets import stats_bucket
 
     _, index = _built_index(spark, sf_dir, "q")
-    return stats_bucket(
+    out = stats_bucket(
         spark, index, " ".join(BM25_QUERY_TERMS), interval=HIST_INTERVAL,
+    )
+    # double: the oracle's sum(BIGINT) widens to HUGEINT -> pandas
+    # float64 (exact-hash representation contract; values identical)
+    return out.select(
+        "n_buckets", "min_docs", "max_docs", "avg_docs",
+        F.col("sum_docs").cast("double").alias("sum_docs"),
     )
 
 
@@ -7170,8 +7181,11 @@ def q_events_cumulative_cardinality(spark, sf_dir):
         F.date_format("bucket", "yyyy-MM-dd").alias("day"),
         "n_events",
         "new_users",
+        # double: DuckDB's windowed sum(BIGINT) -> HUGEINT -> pandas
+        # float64 (exact-hash representation contract)
         F.sum("new_users")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
         .alias("cum_users"),
     )
 
@@ -7287,7 +7301,9 @@ def q_docs_vw_histogram(spark, sf_dir):
         .agg(
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
-            F.sum("c").alias("n_docs"),
+            # double: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64
+            # (exact-hash representation contract)
+            F.sum("c").cast("double").alias("n_docs"),
             F.round(F.sum(F.col("v") * F.col("c")) / F.sum("c"), 4)
             .alias("avg_v"),
         )
@@ -7466,7 +7482,15 @@ def q_dup_ngram_spans(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    return dup_ngram_spans(docs, n=DUP_N)
+    out = dup_ngram_spans(docs, n=DUP_N)
+    # double: the oracle's sum(CASE ...) widens to HUGEINT -> pandas
+    # float64 (exact-hash representation contract; values identical)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_dup").cast("double").alias("n_dup"),
+        "dup_frac",
+    )
 
 
 SQL_DUP_NGRAM_SPANS = f"""
@@ -7540,7 +7564,11 @@ def q_events_runtime_field(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
+            # double, matching the oracle's emitted representation:
+            # DuckDB's sum(BIGINT) widens to HUGEINT which lands in
+            # pandas as float64 — the r5 driver hashed exactly and
+            # flagged the int64/float64 mismatch (values identical)
+            F.sum("k").cast("double").alias("sum_k"),
             F.round(F.avg("k"), 4).alias("avg_k"),
         )
     )
@@ -7643,7 +7671,10 @@ def q_index_extended_stats(spark, sf_dir):
         sigma=EXT_STATS_SIGMA,
     )
     return out.select(
-        "lang", "n_docs", "sum_v",
+        "lang", "n_docs",
+        # double: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64; the
+        # exact-hash layer needs the same representation (r5 hash-fail)
+        F.col("sum_v").cast("double").alias("sum_v"),
         F.round("avg_v", 4).alias("avg_v"),
         F.round("sum_sq", 4).alias("sum_sq"),
         F.round("variance", 4).alias("variance"),
@@ -7718,9 +7749,18 @@ def q_events_date_range(spark, sf_dir):
         f"'{(lo or '*')}..{(hi or '*')}', {i}L, `n__{i}`, `s__{i}`"
         for i, (lo, hi) in enumerate(DATE_RANGES)
     )
+    # representation-stable emission (r5 hash-fail): bucket_ord as
+    # int32 (the oracle's plain integer literal) and n_events as
+    # double (DuckDB sum(CASE...) -> HUGEINT -> pandas float64);
+    # values are identical either way
     return row.selectExpr(
         f"stack({len(DATE_RANGES)}, {stack_args}) AS "
         "(range_key, bucket_ord, n_events, sum_value)",
+    ).select(
+        "range_key",
+        F.col("bucket_ord").cast("int").alias("bucket_ord"),
+        F.col("n_events").cast("double").alias("n_events"),
+        "sum_value",
     )
 
 
@@ -8946,8 +8986,16 @@ def q_esql_grok_stats(spark, sf_dir):
     Oracle: the same regexp_extract + conditional-count SQL."""
     from seqr_loading_pipelines_spark.query.esql import esql
 
-    return esql(
+    out = esql(
         spark, ESQL_GROK, {"events": _read(spark, sf_dir, "events")},
+    )
+    # double, matching the oracle's representation (DuckDB sum(BIGINT)
+    # -> HUGEINT -> pandas float64; r5 hash-fail, values identical)
+    return out.select(
+        "event_type",
+        F.col("total").cast("double").alias("total"),
+        "n",
+        "hi",
     )
 
 

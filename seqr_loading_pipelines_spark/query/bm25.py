@@ -701,7 +701,9 @@ def search_sort_by(
         single_partition_key,
     )
 
-    matches = match_docs(index, query_text, require_all=require_all)
+    matches, bound = match_docs_bounded(
+        index, query_text, require_all=require_all,
+    )
     if matches is None:
         return spark.createDataFrame(
             [], f"doc_id long, {sort_col} string, rank int",
@@ -710,7 +712,10 @@ def search_sort_by(
         MATCH_BROADCAST_MAX,
     )
 
-    if matches.limit(MATCH_BROADCAST_MAX + 1).count() <= MATCH_BROADCAST_MAX:
+    # gate on the FREE dictionary df-sum bound (match_bound) — the
+    # limit().count() probe here re-executed the whole posting decode
+    # once per query just to make the broadcast decision
+    if bound <= MATCH_BROADCAST_MAX:
         matches = F.broadcast(matches)
     rows = index["doc_stats"].select("doc_id", sort_col).join(
         matches, "doc_id", "left_semi",
@@ -958,13 +963,13 @@ def search_explain(
     matched term): ``(doc_id, term, tf, idf, contribution, score,
     rank)`` where sum(contribution) over a doc's rows == its score.
 
-    Shape: the ranked pass is ``search_exact``'s plan unchanged; the
-    breakdown is a SECOND pruned posting scan restricted to the k
-    winners via the vectorized inclusion mask (``keep_ids`` — the
-    filtered-search path), so the explain pass decodes only blocks of
-    the query's terms and keeps only k docs' rows. Term metadata
-    (term, idf) joins in from the driver-resolved term infos — a
-    broadcast of |query| rows."""
+    Shape: ONE pruned posting decode (with the per-term breakdown
+    columns riding along) is materialized at match-set size; the
+    ranked pass aggregates it and the winners' breakdown rows join
+    back against the SAME materialized relation — the postings are
+    scanned and decoded once, not twice. Term metadata (term, idf)
+    joins in from the driver-resolved term infos — a broadcast of
+    |query| rows."""
     term_infos = _query_terms(index, query_text)
     empty_schema = (
         "doc_id long, term string, tf int, idf double, "
@@ -972,29 +977,25 @@ def search_explain(
     )
     if not term_infos:
         return spark.createDataFrame([], empty_schema)
-    scored = (
-        _decoded_postings(index, term_infos)
-        .groupBy("doc_id")
-        .agg(F.sum("contribution").alias("score"))
+    # match-set-sized (bounded by the terms' df sum) — safe to pin
+    decoded = _decoded_postings(
+        index, term_infos, with_term=True, with_stats=True,
+    ).localCheckpoint(eager=True)
+    scored = decoded.groupBy("doc_id").agg(
+        F.sum("contribution").alias("score"),
     )
     k = max(1, min(k, index["manifest"]["n_docs"]))
     topk = rank_topk(scored, k)
     top = topk.collect()
     if not top:
         return spark.createDataFrame([], empty_schema)
-    ids = np.sort(
-        np.array([r["doc_id"] for r in top], dtype=np.int64),
-    )
-    per = _decoded_postings(
-        index, term_infos, keep_ids=ids, with_term=True, with_stats=True,
-    )
     tdf = spark.createDataFrame(
         [(t["term_id"], t["term"], t["idf"]) for t in term_infos],
         "term_id long, term string, idf double",
     )
     tiny = spark.createDataFrame(top, topk.schema)
     return (
-        per.join(F.broadcast(tdf), "term_id")
+        decoded.join(F.broadcast(tdf), "term_id")
         .join(F.broadcast(tiny), "doc_id")
         .select(
             "doc_id", "term", "tf", "idf", "contribution",

@@ -386,6 +386,11 @@ def significant_terms(
     )
     if matches is None:
         return empty
+    # the match set feeds BOTH the exact-count action (the JLH score's
+    # fgPct denominator must be exact, not the df-sum bound) and the
+    # doc-store join; left lazy each would re-run the posting decode —
+    # materialize the 8-byte/row id set once (bounded by the bound)
+    matches = matches.localCheckpoint(eager=True)
     n_matches = matches.count()
     if n_matches == 0:
         return empty
@@ -1650,8 +1655,11 @@ def significant_text(
             )
             .drop("_fp")
         )
-    # one sized count, then lazy reuse — the same one-extra-pruned-scan
-    # discipline as significant_terms (no persist, no driver rows)
+    # the foreground relation feeds BOTH the exact-count action and
+    # the re-analysis explode; left lazy each re-ran the content join
+    # (+ dedup agg) — materialize it once (match-set-sized text, the
+    # same bound the dedup exchange above already carries)
+    fg_docs = fg_docs.localCheckpoint(eager=True)
     n_fg = fg_docs.count()
     if n_fg == 0:
         return empty

@@ -285,8 +285,10 @@ def test_significant_text_dup_filter_plan_has_single_content_scan(
     spark, sig_index,
 ):
     """Review finding: the dup-filter path must not re-join the full
-    content projection — content rides through the dedup agg, so the
-    stored-content relation appears exactly once in the plan."""
+    content projection — content rides through the dedup agg and the
+    deduped foreground is materialized once (localCheckpoint), so the
+    final plan reads the checkpointed RDD and the stored-content
+    relation appears at most once (zero after materialization)."""
     import re
 
     plan = significant_text(
@@ -295,4 +297,4 @@ def test_significant_text_dup_filter_plan_has_single_content_scan(
     n_content_scans = len(
         re.findall(r"Relation \[doc_id#\d+L?,content#", plan),
     )
-    assert n_content_scans == 1, plan
+    assert n_content_scans <= 1, plan
