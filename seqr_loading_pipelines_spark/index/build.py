@@ -652,10 +652,17 @@ class IndexBuilder:
         dl_b = sc.broadcast(dl_arr) if dl_arr is not None else None
         base = dl_base
 
+        has_off = "_doc_off" in postings.columns
+
         def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             t = pdf["term_id"].to_numpy(np.int64)
             s = pdf["shard_id"].to_numpy(np.int64)
-            doc = pdf["doc_id"].to_numpy(np.int64)
+            if has_off:
+                # narrow shuffle rows carry the int32 segment offset;
+                # rebuild the absolute id (blocks stay bit-identical)
+                doc = pdf["_doc_off"].to_numpy(np.int64) + base
+            else:
+                doc = pdf["doc_id"].to_numpy(np.int64)
             tf = pdf["tf"].to_numpy(np.int64)
             # side data arrives via broadcast arrays when small enough
             # (narrow shuffle rows); else as per-row columns
@@ -747,10 +754,14 @@ class IndexBuilder:
             self.spark.sparkContext.defaultParallelism, est_rows,
         )
         self.metrics["postings_encode_partitions"] = parts
+        doc_expr = (
+            F.col("_doc_off") + F.lit(base) if has_off else F.col("doc_id")
+        )
+        sort_doc = "_doc_off" if has_off else "doc_id"
         return (
             postings.withColumn(
                 # int32: shard count stays < 2^31 up to ~1.4e14 docs
-                "shard_id", (F.col("doc_id") / F.lit(shard_size)).cast("int"),
+                "shard_id", (doc_expr / F.lit(shard_size)).cast("int"),
             )
             # partition on (term_id, shard_id) — shard_id IS the salt:
             # a stop-word term's postings split across its doc shards
@@ -758,7 +769,8 @@ class IndexBuilder:
             # the north rule calls out; groups stay intact because an
             # encode group is exactly (term_id, shard_id))
             .repartition(parts, "term_id", "shard_id")
-            .sortWithinPartitions("term_id", "shard_id", "doc_id")
+            # offset order == absolute order (monotone shift)
+            .sortWithinPartitions("term_id", "shard_id", sort_doc)
             .mapInPandas(encode_stream, schema=POSTING_SCHEMA)
         )
 
@@ -1132,11 +1144,22 @@ class IndexBuilder:
         # narrow the posting shuffle rows: int32 term_id (dense ids —
         # long only past 2^31 distinct terms), int32 tf (idf feeds only
         # the stored block_max_score metadata; query executors recompute
-        # bounds from (max_tf, min_dl) + live idf)
+        # bounds from (max_tf, min_dl) + live idf), and doc_id as an
+        # int32 OFFSET from the segment start when the id range fits —
+        # the postings exchange is the build's syscall-heaviest stage
+        # and its bytes are ~all doc ids (guide §2.3 narrower types;
+        # encode adds the base back, blocks are bit-identical)
         tid_type = "int" if n_terms < (1 << 31) else "long"
+        doc_base = max_doc_id + 1
+        narrow_doc = doc_base + n_docs < (1 << 31)
+        doc_col = (
+            (F.col("doc_id") - F.lit(doc_base)).cast("int").alias("_doc_off")
+            if narrow_doc
+            else F.col("doc_id")
+        )
         cols = [
             F.col("term_id").cast(tid_type).alias("term_id"),
-            F.col("doc_id"),
+            doc_col,
             F.col("tf").cast("int").alias("tf"),
         ]
         if dl_arr is None:
