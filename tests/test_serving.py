@@ -942,6 +942,29 @@ def test_filters_agg_buckets_zero_and_other(spark, index, oracle):
     }
 
 
+def test_filters_agg_require_all_matches_per_filter(spark, index):
+    """The fused single-decode filters_agg (one pruned posting scan
+    fanned out to every filter) must agree with the per-filter
+    match_docs(require_all=True) counts — the shape the fusion
+    replaced."""
+    from seqr_loading_pipelines_spark.query.bm25 import match_docs
+    from seqr_loading_pipelines_spark.query.facets import filters_agg
+
+    # vocabulary terms from the fixture corpus (sw* are stop-words,
+    # term_* zipf terms) so the counts are non-trivially non-zero
+    filters = {"a": "sw0 term_00042", "b": "term_00123", "z": "zz_nope_zz"}
+    got = {
+        r["key"]: r["doc_count"]
+        for r in filters_agg(
+            spark, index, filters, require_all=True,
+        ).collect()
+    }
+    for name, q in filters.items():
+        m = match_docs(index, q, require_all=True)
+        expected = m.count() if m is not None else 0
+        assert got[name] == expected, (name, got)
+
+
 def test_filters_agg_no_other_and_validation(spark, index):
     from seqr_loading_pipelines_spark.query.facets import filters_agg
 
