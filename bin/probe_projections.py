@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Isolated projections-build probe (guide §1): per-stage walls for the
+positions+trigrams build at bench scale, min-of-N total walls, noop-style
+isolation (no bench sink).  Not part of the frozen bench."""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "60000"))
+REPS = int(os.environ.get("PROBE_REPS", "3"))
+
+
+def main() -> None:
+    from seqr_loading_pipelines_spark.corpus import generate_corpus
+    from seqr_loading_pipelines_spark.index.build import IndexBuilder
+    from seqr_loading_pipelines_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="probe-projections",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.range(0, CPUS * 2, numPartitions=CPUS).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long",
+    ).write.format("noop").mode("overwrite").save()
+
+    corpus = generate_corpus(spark, N_DOCS, n_repos=50, seed=42)
+    walls = []
+    stage_runs = []
+    for rep in range(REPS + 1):  # rep 0 is the untimed warm-up
+        root = os.path.join(tempfile.gettempdir(), "probe_posidx")
+        shutil.rmtree(root, ignore_errors=True)
+        b = IndexBuilder(spark, root, positions=True, trigrams=True)
+        spark.sparkContext.setJobDescription(f"probe projections rep {rep}")
+        t0 = time.time()
+        b.build(corpus, source_fingerprint=f"probe-pos-{N_DOCS}-{rep}")
+        w = time.time() - t0
+        if rep:
+            walls.append(round(w, 3))
+            stage_runs.append({
+                k: v.get("wall_s") for k, v in b.metrics["stages"].items()
+            })
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "walls": walls,
+        "min": min(walls),
+        "stages_per_run": stage_runs,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

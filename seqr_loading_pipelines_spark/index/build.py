@@ -99,6 +99,12 @@ TARGET_ROWS_PER_FILE = 500_000
 # overhead at scale.
 POSTINGS_ROW_GROUP_BYTES = 8 << 20
 
+# the postings-encode UDF coalesces its incoming Arrow batches to this
+# many rows before encoding (in-UDF, so no session-conf mutation): the
+# rows are narrow ints and the per-batch pandas/numpy overhead
+# dominates below ~100k rows
+ENCODE_BATCH_ROWS = 131_072
+
 
 def _sized_parts(cores: int, est_rows: int | None) -> int:
     """Shuffle-partition count for an index projection write: floor at
@@ -724,9 +730,36 @@ class IndexBuilder:
                 columns=col_names,
             )
 
+        def _coalesced(batches):
+            """Accumulate incoming Arrow batches to ~ENCODE_BATCH_ROWS
+            before encoding: amortizes the per-batch python overhead the
+            session-wide ``arrow.maxRecordsPerBatch`` bump used to buy,
+            without mutating shared session conf (which raced with any
+            Arrow-UDF stage planned concurrently on another driver
+            thread). Row ORDER is preserved, so the emitted blocks are
+            bit-identical — encode_batch only sees concatenated runs."""
+            buf: list[pd.DataFrame] = []
+            rows = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                buf.append(pdf)
+                rows += len(pdf)
+                if rows >= ENCODE_BATCH_ROWS:
+                    yield (
+                        pd.concat(buf, ignore_index=True)
+                        if len(buf) > 1 else buf[0]
+                    )
+                    buf, rows = [], 0
+            if buf:
+                yield (
+                    pd.concat(buf, ignore_index=True)
+                    if len(buf) > 1 else buf[0]
+                )
+
         def encode_stream(batches):
             carry: pd.DataFrame | None = None
-            for pdf in batches:
+            for pdf in _coalesced(batches):
                 if carry is not None and len(carry):
                     pdf = pd.concat([carry, pdf], ignore_index=True)
                 if not len(pdf):
@@ -878,11 +911,15 @@ class IndexBuilder:
             options={"parquet.block.size": str(2 << 20)},
         )
 
-    def _stage_trigrams(self, snap: str, tokenized: DataFrame, sum_dl: int):
-        """Substring-index stages: content projection, trigram posting
-        pairs, per-trigram df table (rarest-first probe selection in
-        query/substring.py — selection only, never correctness, so
-        post-delete staleness is benign). Each resumable on its own.
+    def _stage_trigram_tables(
+        self, snap: str, tokenized: DataFrame, sum_dl: int,
+    ):
+        """Trigram posting pairs + per-trigram df table (rarest-first
+        probe selection in query/substring.py — selection only, never
+        correctness, so post-delete staleness is benign). Each
+        resumable on its own; independent of the content projection,
+        so the two run on separate driver threads overlapped with the
+        dict/postings stages.
 
         The trigram kernel reads (doc_id, content) from the SOURCE
         stream (the docs checkpoint), not the content projection: the
@@ -890,7 +927,6 @@ class IndexBuilder:
         cap the CPU-bound Arrow kernel's parallelism at its file
         count; the docs checkpoint keeps the tokenize stage's
         parallelism."""
-        self._stage_content(snap, tokenized, sum_dl)
         kernel_src = tokenized.select("doc_id", "content")
         tri = self._stage(
             snap, "tri_postings",
@@ -1117,6 +1153,44 @@ class IndexBuilder:
         # distributed via range partitioning + footer-offset ids
         # (_rank_dict_partitioned) — no task ever holds the vocabulary.
         self._tune_split_size(os.path.join(snap, "docs"))
+
+        # independent projection stages (content projection, trigram
+        # chain, positions) run on driver threads overlapped with the
+        # dict + postings stages — the key_lookup pattern: each of
+        # these stages alone underfills the scheduler (task counts are
+        # sized by DATA, not cores), so running them serially after
+        # the encode added their whole wall to the build while most
+        # slots sat idle. Content + trigrams need only the docs
+        # checkpoint and spawn here; positions needs the dictionary
+        # and spawns after it. Every stage keeps its own resume
+        # checkpoint; errors are re-raised at the pre-publish join.
+        proj_errs: list[BaseException] = []
+        proj_threads: list[threading.Thread] = []
+
+        def _spawn_stage(label: str, fn) -> None:
+            def _run() -> None:
+                try:
+                    fn()
+                except BaseException as exc:  # noqa: BLE001 re-raised at join
+                    proj_errs.append(exc)
+
+            th = threading.Thread(
+                target=_run, name=f"{label}-write", daemon=True,
+            )
+            th.start()
+            proj_threads.append(th)
+
+        if self.store_content:
+            _spawn_stage(
+                "content",
+                lambda: self._stage_content(snap, tokenized, sum_dl),
+            )
+        if self.trigrams:
+            _spawn_stage(
+                "trigrams",
+                lambda: self._stage_trigram_tables(snap, tokenized, sum_dl),
+            )
+
         term_dict = self._stage_dict(snap, flat)
         n_terms = _parquet_row_count(os.path.join(snap, "term_dict"))
 
@@ -1181,15 +1255,10 @@ class IndexBuilder:
         # filters at query time. (No repartitionByRange: its sampling
         # pass would re-run the encode UDF a second time.)
         self._tune_split_size(os.path.join(snap, "docs"))
-        # the encode UDF consumes narrow int rows: big Arrow batches
-        # amortize the per-batch python/socket overhead (the tokenizer
-        # stage keeps the 10k default — its rows carry large strings)
-        prev_batch = self.spark.conf.get(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000",
-        )
-        self.spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "131072",
-        )
+        # (the encode UDF coalesces its own Arrow batches to
+        # ENCODE_BATCH_ROWS — see _coalesced — so no session-wide
+        # arrow.maxRecordsPerBatch mutation is needed here, which
+        # keeps concurrent driver-thread stages conf-race-free)
         # per-encode row estimate: the chunked path encodes one docs
         # chunk at a time, so each call sees ~1/n_chunks of sum_dl
         est_rows = sum_dl // max(1, 1 if fused else self.docs_chunks)
@@ -1201,49 +1270,49 @@ class IndexBuilder:
                 est_rows=est_rows,
             )
 
-        try:
-            if fused:
-                self._stage(
-                    snap, "postings", lambda: encode(postings_flat),
-                    options={
-                        "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
-                    },
-                )
-            else:
-                # chunk the encode along the docs chunks: a killed
-                # encode resumes at chunk granularity (VERDICT r2)
-                self._stage_postings_chunked(snap, make_flat, encode)
-        finally:
-            self.spark.conf.set(
-                "spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch,
-            )
-        # row count from parquet footers — no Spark job
-        n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
-
         if self.positions:
             # positions projection (phrase queries): second explode +
             # dict join, resumable as its own stage; (doc,term) pair
             # count is bounded by sum_dl, the same row estimator the
-            # postings encode uses
+            # postings encode uses. Needs only the dictionary, so it
+            # overlaps the encode on a driver thread.
+            _spawn_stage(
+                "positions",
+                lambda: self._stage(
+                    snap, "positions",
+                    lambda: self._positions_df(
+                        tokenized, d, tid_type, sum_dl,
+                    ),
+                    options={
+                        "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
+                    },
+                ),
+            )
+
+        if fused:
             self._stage(
-                snap, "positions",
-                lambda: self._positions_df(tokenized, d, tid_type, sum_dl),
+                snap, "postings", lambda: encode(postings_flat),
                 options={
                     "parquet.block.size": str(POSTINGS_ROW_GROUP_BYTES),
                 },
             )
+        else:
+            # chunk the encode along the docs chunks: a killed
+            # encode resumes at chunk granularity (VERDICT r2)
+            self._stage_postings_chunked(snap, make_flat, encode)
+        # row count from parquet footers — no Spark job
+        n_blocks = _parquet_row_count(os.path.join(snap, "postings"))
 
-        if self.trigrams:
-            # substring index (content projection + trigram postings +
-            # trigram df), fed by the content column the tokenize stage
-            # kept in the doc store
-            self._stage_trigrams(snap, tokenized, sum_dl)
-        elif self.store_content:
-            # stored source only (highlighting) — no trigram tables
-            self._stage_content(snap, tokenized, sum_dl)
-
-        # the lookup projections must be durable before the manifest
-        # can reference this segment
+        # the overlapped projection stages and lookup projections must
+        # be durable before the manifest can reference this segment
+        for th in proj_threads:
+            th.join()
+        if proj_errs:
+            raise proj_errs[0]
+        for _overlapped in ("content", "tri_postings", "tri_dict", "positions"):
+            st = self.metrics["stages"].get(_overlapped)
+            if st is not None and not st.get("resumed"):
+                st["overlapped"] = True
         if lk_thread is not None:
             lk_thread.join()
             if lk_err:

@@ -410,7 +410,8 @@ def _update(
         current.get("store_content") or current.get("trigrams"),
     )
     if trigrams_on:
-        builder._stage_trigrams(snap, tokenized, int(new_sdl))
+        builder._stage_content(snap, tokenized, int(new_sdl))
+        builder._stage_trigram_tables(snap, tokenized, int(new_sdl))
     elif content_on:
         builder._stage_content(snap, tokenized, int(new_sdl))
 
@@ -730,7 +731,11 @@ def compact_segments(
         # was built with trigrams=True
         from seqr_loading_pipelines_spark.index.build import IndexBuilder
 
-        IndexBuilder(spark, index_root, trigrams=True)._stage_trigrams(
+        _tb = IndexBuilder(spark, index_root, trigrams=True)
+        _tb._stage_content(
+            snap, compacted_docs, int(current.get("sum_dl", 0)),
+        )
+        _tb._stage_trigram_tables(
             snap, compacted_docs, int(current.get("sum_dl", 0)),
         )
     elif current.get("store_content"):

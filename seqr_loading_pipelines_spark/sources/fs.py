@@ -19,7 +19,9 @@ its staged-load design.
 
 from __future__ import annotations
 
+import os
 import posixpath
+import threading
 
 from pyarrow import fs as pafs
 
@@ -60,9 +62,13 @@ def read_text(path: str) -> str:
 
 @retry()
 def write_text_atomic(path: str, text: str) -> None:
-    """Write then rename — readers never observe a partial file."""
+    """Write then rename — readers never observe a partial file. The
+    tmp name is unique per writer (pid + thread): concurrent touches of
+    the same target (e.g. two overlapped build stages renewing the
+    staging lease) must not rename each other's tmp out from under
+    themselves."""
     fs, p = resolve(path)
-    tmp = p + ".tmp"
+    tmp = f"{p}.tmp.{os.getpid()}.{threading.get_ident()}"
     with fs.open_output_stream(tmp) as f:
         f.write(text.encode())
     fs.move(tmp, p)

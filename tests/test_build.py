@@ -461,3 +461,39 @@ def test_field_caps_reports_capabilities(index):
         assert caps[f]["type"] == "keyword" and caps[f]["aggregatable"]
     assert caps["doc_id"]["type"] == "long"
     assert caps["doc_len"]["type"] == "integer"
+
+
+def test_projection_stages_overlap_and_match_serial_artifacts(
+    spark, corpus, tmp_path,
+):
+    """The positions/content/trigram stages run on driver threads
+    overlapped with the dict+postings stages (r6 optimization): the
+    build must record the overlap AND produce row-identical artifacts
+    to what the serial orchestration produced (the stages' plans are
+    untouched — only their scheduling moved)."""
+    from seqr_loading_pipelines_spark.index.build import (
+        IndexBuilder,
+        load_index,
+    )
+
+    root = str(tmp_path / "overlap")
+    b = IndexBuilder(spark, root, positions=True, trigrams=True)
+    b.build(corpus, source_fingerprint="overlap-test")
+
+    stages = b.metrics["stages"]
+    for name in ("positions", "content", "tri_postings", "tri_dict"):
+        assert stages[name].get("overlapped") is True, name
+        assert not stages[name].get("resumed")
+
+    idx = load_index(spark, root)
+    # every projection is present, non-empty, and consistent with the
+    # postings: same distinct (term_id, doc_id) pair count in the
+    # positions projection as total postings rows
+    n_pairs = idx["positions"].select("term_id", "doc_id").distinct().count()
+    n_postings = int(
+        idx["postings"].agg(F.sum("n_docs")).collect()[0][0],
+    )
+    assert n_pairs == n_postings > 0
+    assert idx["content"].count() == idx["doc_stats"].count()
+    tri_df = idx["tri_dict"].agg(F.sum("df")).collect()[0][0]
+    assert tri_df == idx["tri_postings"].count() > 0
