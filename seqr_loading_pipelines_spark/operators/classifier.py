@@ -144,6 +144,7 @@ def train_hashed_linear(
     spark = docs.sparkSession
     weights = spark.createDataFrame([], "bucket long, w double")
     bias = 0.0
+    prev_resid = None
     try:
         for _ in range(epochs):
             w = weights
@@ -203,9 +204,18 @@ def train_hashed_linear(
                 .localCheckpoint()
             )
             bias -= lr * float(bias_grad)
+            # free the PRIOR epoch's checkpointed residual blocks now
+            # that this epoch's gradients no longer read them —
+            # otherwise executor storage grows linearly with epochs
+            # until driver GC happens to collect the old DataFrames
+            if prev_resid is not None:
+                prev_resid.unpersist()
+            prev_resid = resid
     finally:
         pb.unpersist()
         labeled.unpersist()
+        if prev_resid is not None:
+            prev_resid.unpersist()
     return weights, bias
 
 

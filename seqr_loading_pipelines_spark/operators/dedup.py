@@ -433,10 +433,19 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    # label init folds the FIRST propagation step in: label(v) =
+    # min(v, min neighbor) costs the same single shuffle the plain
+    # distinct-nodes init did (map-side-combined min agg vs distinct),
+    # but for clique-shaped components — the typical near-dup cluster
+    # coming out of banded LSH — it IS already the fixpoint, so the
+    # loop terminates one full checkpointed round earlier. Same
+    # fixpoint either way: labels only ever copy smaller node ids.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            "doc_id", F.least("doc_id", "_mn").alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     try:

@@ -370,10 +370,17 @@ def _split_pipes(text: str) -> list[str]:
     """Split the pipeline on '|' outside string literals — a '|'
     inside a quoted string (a GROK alternation, a WHERE literal) is
     pattern/data, not a stage boundary."""
-    parts, start, quote = [], 0, None
+    parts, start, quote, esc = [], 0, None, False
     for i, ch in enumerate(text):
         if quote:
-            if ch == quote and text[i - 1] != "\\":
+            # consume BOTH chars of an escape (the eql._mask_strings
+            # discipline): a look-back test misreads a literal ending
+            # in an escaped backslash ("dir\\") as still open
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "\"'":
@@ -387,10 +394,14 @@ def _split_pipes(text: str) -> list[str]:
 
 def _split_top_commas(text: str) -> list[str]:
     """Split on commas not nested in parens/quotes."""
-    parts, depth, start, quote = [], 0, 0, None
+    parts, depth, start, quote, esc = [], 0, 0, None, False
     for i, ch in enumerate(text):
         if quote:
-            if ch == quote and text[i - 1] != "\\":
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in "\"'":

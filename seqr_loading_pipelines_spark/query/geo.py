@@ -220,8 +220,18 @@ def geo_distance_agg(
     the same conditional-aggregate + unpivot shape as the engine's
     date_range agg. ``edges_m`` are the interior edges; rings are
     [0, e1), [e1, e2), ..., [eN, inf)."""
-    if not edges_m or sorted(edges_m) != list(edges_m):
-        raise ValueError("edges_m must be non-empty and ascending")
+    # strictly ascending and positive, like ES: a duplicate edge is a
+    # degenerate always-empty [e, e) ring, and a non-positive edge
+    # makes the leading [0, e1) ring unsatisfiable / emits a negative
+    # 'to_m'
+    if (
+        not edges_m
+        or edges_m[0] <= 0
+        or any(b <= a for a, b in zip(edges_m, edges_m[1:]))
+    ):
+        raise ValueError(
+            "edges_m must be non-empty, positive and strictly ascending",
+        )
     dist = haversine_m(
         F.col(lat_col), F.col(lon_col),
         F.lit(float(center_lat)), F.lit(float(center_lon)),

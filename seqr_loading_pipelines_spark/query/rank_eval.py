@@ -88,9 +88,15 @@ def rank_eval(
         )
     # stringify keys BEFORE the batched pass: the output schema
     # declares query_id string, and the qids join below is str-keyed
-    hits = search_wand_many(
-        spark, index, {str(q): t for q, t in queries.items()}, k=k,
-    )
+    str_queries = {str(q): t for q, t in queries.items()}
+    if len(str_queries) != len(queries):
+        # e.g. 1 and "1" — a silent collapse would drop one query's
+        # text and skew the suite metrics with no error
+        raise ValueError(
+            "query ids collide after stringification "
+            f"({len(queries)} ids -> {len(str_queries)} distinct strings)",
+        )
+    hits = search_wand_many(spark, index, str_queries, k=k)
     labeled = (
         hits.join(j, ["query_id", "doc_id"], "left")
         .select(

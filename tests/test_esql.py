@@ -325,3 +325,18 @@ def test_median_of_case_expression(spark, tables):
     ).collect()[0]
     # values become [10, 30, 5, 0, 20] -> median 10
     assert row["m"] == 10.0
+
+
+def test_split_pipes_escaped_backslash_before_close_quote():
+    # a string literal ending in an escaped backslash ("dir\\") must
+    # CLOSE the literal — a look-back escape test left it open and
+    # swallowed the next stage boundary
+    from seqr_loading_pipelines_spark.query.esql import (
+        _split_pipes,
+        _split_top_commas,
+    )
+
+    parts = _split_pipes(r'from t | where p == "dir\\" | limit 5')
+    assert len(parts) == 3 and parts[2].strip() == "limit 5"
+    cols = _split_top_commas(r'a, "x\\", b')
+    assert cols == ["a", r'"x\\"', "b"]

@@ -309,3 +309,15 @@ def test_geo_distance_filter_equals_unbracketed_haversine(
         ).collect()
     }
     assert got == want, (center, radius_km, got ^ want)
+
+
+def test_geo_distance_rejects_duplicate_and_nonpositive_edges(spark, pts):
+    # a duplicate edge would be a degenerate always-empty [e, e) ring;
+    # a non-positive edge an unsatisfiable leading ring — ES rejects
+    # both range definitions
+    with pytest.raises(ValueError, match="strictly ascending"):
+        geo_distance_agg(pts, "lat", "lon", 0, 0, [100.0, 100.0, 200.0])
+    with pytest.raises(ValueError, match="positive"):
+        geo_distance_agg(pts, "lat", "lon", 0, 0, [-5.0, 100.0])
+    with pytest.raises(ValueError, match="positive"):
+        geo_distance_agg(pts, "lat", "lon", 0, 0, [0.0, 100.0])

@@ -1378,3 +1378,19 @@ def test_binary_signals_detection_and_keep(spark):
     assert not rows[5]["is_binary"]
     assert rows[5]["non_ascii_frac"] == pytest.approx(3 / 11, abs=1e-4)
     assert rows[6]["keep"] and rows[6]["longest_line"] == 0
+
+
+def test_dedup_clusters_clique_converges_in_one_round(spark):
+    """The label init folds the first propagation step in (label =
+    min(self, min neighbor)), so a clique — the typical banded-LSH
+    dup cluster — is at its fixpoint immediately and the loop only
+    needs ONE verification round (max_iter=1 must suffice; the plain
+    identity init needed two)."""
+    from seqr_loading_pipelines_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (5, 12), (9, 12)], "doc_a long, doc_b long",
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs, max_iter=1).collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {5: 5, 9: 5, 12: 5}
+    assert [d for d, r in rows.items() if r["keep"]] == [5]

@@ -125,3 +125,11 @@ def test_rank_eval_validation(spark, index):
         rank_eval(spark, index, {"q": "sw0"}, j, k=0)
     with pytest.raises(ValueError, match="relevant_min"):
         rank_eval(spark, index, {"q": "sw0"}, j, relevant_min=0)
+
+
+def test_rank_eval_rejects_colliding_stringified_ids(spark, index):
+    j = spark.createDataFrame(
+        [("1", 1, 1)], "query_id string, doc_id long, rating int",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        rank_eval(spark, index, {1: "sw0", "1": "sw1"}, j)
