@@ -628,11 +628,19 @@ def match_bound(term_infos: list[dict], require_all: bool = False) -> int:
 
 def match_docs_bounded(
     index: dict, query_text: str, require_all: bool = False,
+    distinct: bool = True,
 ) -> tuple[DataFrame | None, int]:
     """``match_docs`` plus the driver-side size bound from the SAME
     dictionary resolution: ``(matches | None, bound)`` — the shape
     every gated consumer (facets, stats, samplers) wants, so the
-    broadcast decision never costs a job."""
+    broadcast decision never costs a job.
+
+    ``distinct=False`` skips the dedup exchange on the OR path and
+    returns ONE row per (term, doc) hit — up to n_query_terms rows per
+    doc. For a consumer that only FILTERS another relation (a
+    ``left_semi`` join), that is equivalent to the distinct set and
+    one whole shuffle round cheaper; any consumer that counts or
+    emits the match rows themselves must keep the default."""
     q_terms = set(index_tokenize(index, query_text))
     term_infos = _query_terms(index, query_text)
     if not term_infos or (require_all and len(term_infos) < len(q_terms)):
@@ -646,7 +654,9 @@ def match_docs_bounded(
             .select("doc_id")
         )
     else:
-        m = decoded.select("doc_id").distinct()
+        m = decoded.select("doc_id")
+        if distinct:
+            m = m.distinct()
     return m, match_bound(term_infos, require_all)
 
 
@@ -702,7 +712,7 @@ def search_sort_by(
     )
 
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -1555,14 +1565,14 @@ def search_random_score(
     from seqr_loading_pipelines_spark.operators.text import md5_int32
     from seqr_loading_pipelines_spark.query.facets import _gated
 
-    matches = match_docs(index, query_text)
+    matches, bound = match_docs_bounded(
+        index, query_text, distinct=False,
+    )
     if matches is None:
         return spark.createDataFrame(
             [], f"doc_id long, {field} string, score double, rank int",
         )
-    matches = _gated(
-        matches, broadcast_max, match_bound(_query_terms(index, query_text)),
-    )
+    matches = _gated(matches, broadcast_max, bound)
     score = (
         F.pmod(
             md5_int32(F.concat(F.col(field), F.lit(f":{int(seed)}"))),
@@ -1573,7 +1583,7 @@ def search_random_score(
     hits = (
         index["doc_stats"]
         .select("doc_id", field)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .select("doc_id", field, score)
     )
     order = [F.col("score").desc(), F.col(field).asc()]

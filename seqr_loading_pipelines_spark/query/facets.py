@@ -59,7 +59,7 @@ def facet_counts(
     NULL — hiding them would silently under-report the match set).
     """
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
@@ -68,7 +68,7 @@ def facet_counts(
     counted = (
         index["doc_stats"]
         .select("doc_id", facet_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -125,7 +125,7 @@ def histogram_by(
                 f"got {extended_bounds!r}",
             )
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         counted = spark.createDataFrame([], "bucket long, n_docs long")
@@ -134,7 +134,7 @@ def histogram_by(
         counted = (
             index["doc_stats"]
             .select("doc_id", value_col)
-            .join(matches, "doc_id", "inner")
+            .join(matches, "doc_id", "left_semi")
             .select(
                 (F.floor(F.col(value_col) / interval) * interval)
                 .cast("long")
@@ -217,7 +217,7 @@ def percentile_ranks_by(
     if len(set(names)) != len(names):
         raise ValueError(f"values collide after naming: {values}")
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -234,7 +234,7 @@ def percentile_ranks_by(
     return (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .groupBy(group_col)
         .agg(*aggs)
     )
@@ -316,7 +316,7 @@ def range_by(
             f"edges must be strictly increasing and non-empty: {edges}",
         )
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -335,7 +335,7 @@ def range_by(
     return (
         index["doc_stats"]
         .select("doc_id", value_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .select(lo.alias("bucket_lo"), hi.alias("bucket_hi"))
         .groupBy("bucket_lo", "bucket_hi")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -456,7 +456,7 @@ def composite_agg(
             f"(one per group col), got {after!r}",
         )
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -467,7 +467,7 @@ def composite_agg(
     labeled = (
         index["doc_stats"]
         .select("doc_id", *group_cols)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
     )
     if after is not None:
         # lexicographic "strictly greater" unrolled: pushable per-col
@@ -547,7 +547,7 @@ def percentiles_by(
             f"percentiles collide after naming (p<pct>): {percentiles}",
         )
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -559,7 +559,7 @@ def percentiles_by(
     agg = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .groupBy(group_col)
         .agg(
             F.percentile(
@@ -598,7 +598,7 @@ def cardinality_by(
     agg buffer holds each group's distinct set (fine for metadata-
     cardinality columns like repo), the HLL path's is O(1) per group."""
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -613,7 +613,7 @@ def cardinality_by(
     return (
         index["doc_stats"]
         .select("doc_id", group_col, distinct_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .groupBy(group_col)
         .agg(counter.alias("n_distinct"))
     )
@@ -698,7 +698,7 @@ def stats_by(
     projection -> map-side-combining hash agg whose output
     cardinality is the group count."""
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -710,7 +710,7 @@ def stats_by(
     return (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -767,14 +767,14 @@ def rare_terms_by(
             f"max_doc_count must be >= 1, got {max_doc_count}",
         )
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
     return (
         index["doc_stats"]
         .select("doc_id", facet_col)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") <= max_doc_count)
@@ -804,7 +804,7 @@ def multi_terms_by(
     if not facet_cols or len(facet_cols) < 2:
         raise ValueError("multi_terms needs at least two key columns")
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         schema = ", ".join(f"{c} string" for c in facet_cols)
@@ -812,7 +812,7 @@ def multi_terms_by(
     return (
         index["doc_stats"]
         .select("doc_id", *facet_cols)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
         .groupBy(*facet_cols)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(
@@ -904,7 +904,7 @@ def string_stats_by(
     values are excluded from both lengths and entropy (ES treats
     missing as absent unless ``missing`` is set)."""
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     empty_schema = (
         "n_docs long, min_length int, max_length int, "
@@ -915,7 +915,7 @@ def string_stats_by(
     vals = (
         index["doc_stats"]
         .select("doc_id", field)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
         .filter(F.col(field).isNotNull())
         .select(F.col(field).alias("v"))
     )
@@ -1010,7 +1010,7 @@ def boxplot_by(
     Same scale shape as facets: gated match join, ONE hash agg
     carrying min/max/count alongside the quartile buffer."""
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -1021,7 +1021,7 @@ def boxplot_by(
     agg = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1066,7 +1066,7 @@ def mad_by(
     match join for the deviation median — so the doc-store scan runs
     twice but nothing ever shuffles by more than the group key."""
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -1077,7 +1077,7 @@ def mad_by(
     vals = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
     )
     med = vals.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1133,14 +1133,14 @@ def bucket_sort_by(
         raise ValueError(f"need offset >= 0 and size >= 1, got "
                          f"offset={offset} size={size}")
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame([], f"{facet_col} string, n_docs long")
     buckets = (
         index["doc_stats"]
         .select("doc_id", facet_col)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
@@ -1455,7 +1455,7 @@ def top_metrics_by(
 
     out_cols = [sort_col, *metric_cols, "path"]
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return (
@@ -1470,7 +1470,7 @@ def top_metrics_by(
     picked = (
         index["doc_stats"]
         .select("doc_id", *out_cols)
-        .join(_gated(matches, broadcast_max, bound), "doc_id", "inner")
+        .join(_gated(matches, broadcast_max, bound), "doc_id", "left_semi")
         .orderBy(*order)
         .limit(size)
     )
@@ -1534,7 +1534,7 @@ def extended_stats_by(
     if sigma < 0:
         raise ValueError(f"sigma must be >= 0, got {sigma}")
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return spark.createDataFrame(
@@ -1548,7 +1548,7 @@ def extended_stats_by(
     agg = (
         index["doc_stats"]
         .select("doc_id", group_col, value_col)
-        .join(matches, "doc_id", "inner")
+        .join(matches, "doc_id", "left_semi")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1629,12 +1629,12 @@ def significant_text(
         [], "term string, fg_count long, bg_count long, score double",
     )
     matches, bound = match_docs_bounded(
-        index, query_text, require_all=require_all,
+        index, query_text, require_all=require_all, distinct=False,
     )
     if matches is None:
         return empty
     matches = _gated(matches, broadcast_max, bound)
-    fg_docs = index["content"].join(matches, "doc_id", "inner")
+    fg_docs = index["content"].join(matches, "doc_id", "left_semi")
     if filter_duplicate_text:
         # exact-duplicate text collapses to its lowest doc_id before
         # any term is counted — one hash agg on a 16-byte fingerprint.
