@@ -151,9 +151,9 @@ def search_bool(
     if not_terms:
         ex_infos = _query_terms(index, " ".join(not_terms))
         if ex_infos:
-            excluded = _decoded_postings(index, ex_infos).select(
-                "doc_id",
-            ).distinct()
+            # no dedup exchange: an anti-join is set-equivalent under
+            # duplicate exclude ids (≤ n_exclude_terms rows per doc)
+            excluded = _decoded_postings(index, ex_infos).select("doc_id")
             scored = scored.join(excluded, "doc_id", "left_anti")
 
     k = max(1, min(k, index["manifest"]["n_docs"]))

@@ -389,9 +389,16 @@ def significant_terms(
     # the match set feeds BOTH the exact-count action (the JLH score's
     # fgPct denominator must be exact, not the df-sum bound) and the
     # doc-store join; left lazy each would re-run the posting decode —
-    # materialize the 8-byte/row id set once (bounded by the bound)
-    matches = matches.localCheckpoint(eager=True)
-    n_matches = matches.count()
+    # materialize the 8-byte/row id set once (bounded by the bound).
+    # The count rides the checkpoint job as an observed metric (the
+    # dedup_clusters discipline) instead of a second job.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    matches = matches.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    n_matches = int(obs.get["n"] or 0)
     if n_matches == 0:
         return empty
     gate = broadcast_max if broadcast_max is not None else MATCH_BROADCAST_MAX
@@ -1658,9 +1665,16 @@ def significant_text(
     # the foreground relation feeds BOTH the exact-count action and
     # the re-analysis explode; left lazy each re-ran the content join
     # (+ dedup agg) — materialize it once (match-set-sized text, the
-    # same bound the dedup exchange above already carries)
-    fg_docs = fg_docs.localCheckpoint(eager=True)
-    n_fg = fg_docs.count()
+    # same bound the dedup exchange above already carries). The count
+    # rides the checkpoint job as an observed metric (one job, not
+    # two — the dedup_clusters discipline).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    fg_docs = fg_docs.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    n_fg = int(obs.get["n"] or 0)
     if n_fg == 0:
         return empty
     # re-analysis uses the INDEX's analyzer so foreground terms share
