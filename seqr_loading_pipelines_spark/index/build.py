@@ -37,6 +37,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -637,11 +638,13 @@ class IndexBuilder:
 
         Layout: hash-repartition by term_id (all of a term's postings
         in one partition), sort by (term_id, shard_id, doc_id), then a
-        single ``mapInPandas`` pass encodes whole partitions. This
-        avoids per-group applyInPandas overhead (one pandas call per
-        tiny group kills throughput at billions of terms) — Arrow
-        batches stream through with a carry buffer so a (term, shard)
-        group spanning a batch boundary is never split.
+        single ``mapInArrow`` pass encodes whole partitions straight
+        from the Arrow columns as numpy arrays (no per-batch pandas
+        materialization). This avoids per-group applyInPandas overhead
+        (one pandas call per tiny group kills throughput at billions
+        of terms) — Arrow batches stream through with a carry buffer
+        so a (term, shard) group spanning a batch boundary is never
+        split.
 
         shard_id keeps the skew property: a stop-word term's postings
         split across doc shards, so its blocks parallelize at QUERY
@@ -660,26 +663,26 @@ class IndexBuilder:
 
         has_off = "_doc_off" in postings.columns
 
-        def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-            t = pdf["term_id"].to_numpy(np.int64)
-            s = pdf["shard_id"].to_numpy(np.int64)
+        def encode_batch(cols: dict) -> "pa.RecordBatch":
+            t = cols["term_id"]
+            s = cols["shard_id"]
             if has_off:
                 # narrow shuffle rows carry the int32 segment offset;
                 # rebuild the absolute id (blocks stay bit-identical)
-                doc = pdf["_doc_off"].to_numpy(np.int64) + base
+                doc = cols["_doc_off"] + base
             else:
-                doc = pdf["doc_id"].to_numpy(np.int64)
-            tf = pdf["tf"].to_numpy(np.int64)
+                doc = cols["doc_id"]
+            tf = cols["tf"]
             # side data arrives via broadcast arrays when small enough
             # (narrow shuffle rows); else as per-row columns
             if dl_b is not None:
                 dl = dl_b.value[doc - base].astype(np.float64)
             else:
-                dl = pdf["dl"].to_numpy(np.float64)
+                dl = cols["dl"].astype(np.float64)
             if idf_b is not None:
                 idf_v = idf_b.value[t]
             else:
-                idf_v = pdf["idf"].to_numpy(np.float64)
+                idf_v = cols["idf"].astype(np.float64)
             n = len(t)
             # all scores vectorized in one shot
             scores = idf_v * tf * (k1 + 1.0) / (
@@ -712,69 +715,79 @@ class IndexBuilder:
             max_tf = np.maximum.reduceat(tf, blk_starts)
             min_dl = np.minimum.reduceat(dl.astype(np.int64), blk_starts)
             max_score = np.maximum.reduceat(scores, blk_starts)
-            return pd.DataFrame(
-                {
-                    "term_id": t[blk_starts],
-                    "shard_id": s[blk_starts],
-                    "block_id": block_ids.astype(np.int32),
-                    "first_doc_id": doc[blk_starts],
-                    "last_doc_id": doc[blk_ends - 1],
-                    "n_docs": (blk_ends - blk_starts).astype(np.int32),
-                    "max_tf": max_tf.astype(np.int32),
-                    "min_dl": min_dl.astype(np.int32),
-                    "block_max_score": max_score,
-                    "doc_id_deltas": deltas_b,
-                    "tfs": tfs_b,
-                    "dls": dls_b,
-                },
-                columns=col_names,
-            )
+            arrays = [
+                pa.array(t[blk_starts], type=pa.int64()),
+                pa.array(s[blk_starts], type=pa.int64()),
+                pa.array(block_ids.astype(np.int32), type=pa.int32()),
+                pa.array(doc[blk_starts], type=pa.int64()),
+                pa.array(doc[blk_ends - 1], type=pa.int64()),
+                pa.array(
+                    (blk_ends - blk_starts).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(max_tf.astype(np.int32), type=pa.int32()),
+                pa.array(min_dl.astype(np.int32), type=pa.int32()),
+                pa.array(max_score, type=pa.float64()),
+                pa.array(deltas_b, type=pa.binary()),
+                pa.array(tfs_b, type=pa.binary()),
+                pa.array(dls_b, type=pa.binary()),
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=col_names)
 
-        def _coalesced(batches):
-            """Accumulate incoming Arrow batches to ~ENCODE_BATCH_ROWS
-            before encoding: amortizes the per-batch python overhead the
-            session-wide ``arrow.maxRecordsPerBatch`` bump used to buy,
-            without mutating shared session conf (which raced with any
-            Arrow-UDF stage planned concurrently on another driver
-            thread). Row ORDER is preserved, so the emitted blocks are
-            bit-identical — encode_batch only sees concatenated runs."""
-            buf: list[pd.DataFrame] = []
-            rows = 0
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                buf.append(pdf)
-                rows += len(pdf)
-                if rows >= ENCODE_BATCH_ROWS:
-                    yield (
-                        pd.concat(buf, ignore_index=True)
-                        if len(buf) > 1 else buf[0]
-                    )
-                    buf, rows = [], 0
-            if buf:
-                yield (
-                    pd.concat(buf, ignore_index=True)
-                    if len(buf) > 1 else buf[0]
-                )
+        # the encode consumes Arrow batches DIRECTLY as numpy columns
+        # (mapInArrow — no per-batch pandas materialization), carrying
+        # the int columns widened to int64 exactly as the pandas path
+        # did. Incoming batches accumulate to ~ENCODE_BATCH_ROWS before
+        # encoding (amortizes per-batch python overhead without the
+        # session-wide ``arrow.maxRecordsPerBatch`` mutation, which
+        # raced with Arrow-UDF stages planned concurrently on other
+        # driver threads); the trailing (term, shard) group is always
+        # held back so a group spanning a chunk boundary is never
+        # split. Row order is preserved throughout, so the emitted
+        # blocks are bit-identical to the pandas formulation.
+        int64_cols = ("term_id", "shard_id", "_doc_off", "doc_id", "tf")
+
+        def _np_cols(batch: "pa.RecordBatch") -> dict:
+            out = {}
+            for name, col in zip(batch.schema.names, batch.columns):
+                a = col.to_numpy(zero_copy_only=False)
+                if name in int64_cols and a.dtype != np.int64:
+                    a = a.astype(np.int64)
+                out[name] = a
+            return out
+
+        def _merged(chunks: list[dict]) -> dict:
+            if len(chunks) == 1:
+                return chunks[0]
+            return {
+                k: np.concatenate([c[k] for c in chunks])
+                for k in chunks[0]
+            }
 
         def encode_stream(batches):
-            carry: pd.DataFrame | None = None
-            for pdf in _coalesced(batches):
-                if carry is not None and len(carry):
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                if not len(pdf):
+            pending: list[dict] = []
+            rows = 0
+            for batch in batches:
+                if not batch.num_rows:
                     continue
+                pending.append(_np_cols(batch))
+                rows += batch.num_rows
+                if rows < ENCODE_BATCH_ROWS:
+                    continue
+                m = _merged(pending)
+                t, s = m["term_id"], m["shard_id"]
                 # hold back the trailing (term, shard) group — it may
                 # continue in the next Arrow batch (input is sorted)
-                t = pdf["term_id"].to_numpy()
-                s = pdf["shard_id"].to_numpy()
                 suffix = (t == t[-1]) & (s == s[-1])
-                cut = len(pdf) - int(suffix.sum())
-                carry = pdf.iloc[cut:]
+                cut = len(t) - int(suffix.sum())
+                carry = {k: v[cut:] for k, v in m.items()}
+                pending, rows = [carry], len(carry["term_id"])
                 if cut:
-                    yield encode_batch(pdf.iloc[:cut])
-            if carry is not None and len(carry):
-                yield encode_batch(carry)
+                    yield encode_batch({k: v[:cut] for k, v in m.items()})
+            if pending:
+                m = _merged(pending)
+                if len(m["term_id"]):
+                    yield encode_batch(m)
 
         # task count: sized by the DATA in both directions — est_rows
         # (the caller's sum_dl — token count, an upper bound on posting
@@ -804,7 +817,7 @@ class IndexBuilder:
             .repartition(parts, "term_id", "shard_id")
             # offset order == absolute order (monotone shift)
             .sortWithinPartitions("term_id", "shard_id", sort_doc)
-            .mapInPandas(encode_stream, schema=POSTING_SCHEMA)
+            .mapInArrow(encode_stream, schema=POSTING_SCHEMA)
         )
 
     def _positions_df(
