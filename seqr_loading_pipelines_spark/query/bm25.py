@@ -18,10 +18,8 @@ dictionary-encoded term filters -> point lookups by docID
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -96,7 +94,8 @@ def _decoded_postings(
 ) -> DataFrame:
     """Candidate blocks -> decoded (doc_id, contribution) rows.
 
-    Decoding runs in mapInPandas (Arrow-batched, numpy codec); the
+    Decoding runs in mapInArrow (numpy codec straight off the Arrow
+    buffers, one vectorized pass per batch across ALL blocks); the
     per-posting BM25 contribution is computed inside the same batch so
     no doc_stats join is needed (dls travel with the block).
 
@@ -124,46 +123,102 @@ def _decoded_postings(
     tomb = tombstone_ids(index)
     gated = tombstones_gated(index)
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            for term_id, deltas, tfs_b, dls_b in zip(
-                pdf["term_id"], pdf["doc_id_deltas"], pdf["tfs"], pdf["dls"],
-            ):
-                doc_ids = np.cumsum(varbyte_decode(bytes(deltas)))
-                tfs = varbyte_decode(bytes(tfs_b)).astype(np.float64)
-                dls = varbyte_decode(bytes(dls_b)).astype(np.float64)
-                if tomb is not None:
-                    # exclude logically-deleted docs (sorted-array test)
-                    keep = ~np.isin(doc_ids, tomb)
-                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
-                if keep_ids is not None:
-                    # metadata-filter inclusion mask (search_filtered)
-                    keep = np.isin(doc_ids, keep_ids)
-                    doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
-                contrib = idf_by_tid[int(term_id)] * tfs * (k1 + 1.0) / (
-                    tfs + k1 * (1.0 - b + b * dls / avgdl)
+    def _flat_binary(col: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+        """A BinaryArray's payload as ONE contiguous uint8 array plus
+        per-row byte offsets (zero-copy views into the Arrow buffers).
+        Rows are non-null by construction (posting blocks)."""
+        bufs = col.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        return data[offs[0] : offs[-1]], offs - offs[0]
+
+    def decode(batches):
+        # ONE vectorized pass per Arrow batch: all blocks' varbyte
+        # streams decode concatenated (varbyte is self-delimiting, so
+        # stream concatenation == value concatenation), the per-block
+        # delta-cumsum folds into a flat cumsum minus repeated block
+        # bases, and idf/term_id fan out via np.repeat. The previous
+        # formulation looped per block building a small pandas frame
+        # each — per-block Python overhead × blocks-per-batch.
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            names = batch.schema.names
+            tids = (
+                batch.column(names.index("term_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            d_bytes, d_offs = _flat_binary(
+                batch.column(names.index("doc_id_deltas")),
+            )
+            t_bytes, _ = _flat_binary(batch.column(names.index("tfs")))
+            l_bytes, _ = _flat_binary(batch.column(names.index("dls")))
+            flat = varbyte_decode(d_bytes.tobytes())
+            # values per block = varbyte terminators inside each row's
+            # byte range (no extra column scan needed)
+            cum_last = np.concatenate(
+                ([0], np.cumsum((d_bytes & 0x80) == 0)),
+            )
+            counts = np.diff(cum_last[d_offs])
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            total = np.cumsum(flat)
+            base = np.where(starts > 0, total[starts - 1], 0)
+            doc_ids = total - np.repeat(base, counts)
+            tfs = varbyte_decode(t_bytes.tobytes()).astype(np.float64)
+            dls = varbyte_decode(l_bytes.tobytes()).astype(np.float64)
+            idf_v = np.repeat(
+                np.array(
+                    [idf_by_tid[int(t)] for t in tids], dtype=np.float64,
+                ),
+                counts,
+            )
+            tid_flat = np.repeat(tids, counts) if with_term else None
+            if tomb is not None:
+                # exclude logically-deleted docs (sorted-array test)
+                keep = ~np.isin(doc_ids, tomb)
+                doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                idf_v = idf_v[keep]
+                if tid_flat is not None:
+                    tid_flat = tid_flat[keep]
+            if keep_ids is not None:
+                # metadata-filter inclusion mask (search_filtered)
+                keep = np.isin(doc_ids, keep_ids)
+                doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                idf_v = idf_v[keep]
+                if tid_flat is not None:
+                    tid_flat = tid_flat[keep]
+            if not len(doc_ids):
+                continue
+            contrib = idf_v * tfs * (k1 + 1.0) / (
+                tfs + k1 * (1.0 - b + b * dls / avgdl)
+            )
+            arrays = [
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(contrib, type=pa.float64()),
+            ]
+            out_names = ["doc_id", "contribution"]
+            if with_term:
+                # conjunctive executors count matched terms per doc
+                arrays.append(pa.array(tid_flat, type=pa.int64()))
+                out_names.append("term_id")
+            if with_stats:
+                # explain executor surfaces the raw tf behind each
+                # contribution (tfs already decoded above)
+                arrays.append(
+                    pa.array(tfs.astype(np.int32), type=pa.int32()),
                 )
-                cols = {"doc_id": doc_ids, "contribution": contrib}
-                if with_term:
-                    # conjunctive executors count matched terms per doc
-                    cols["term_id"] = np.full(
-                        len(doc_ids), int(term_id), dtype=np.int64,
-                    )
-                if with_stats:
-                    # explain executor surfaces the raw tf behind each
-                    # contribution (tfs already decoded above)
-                    cols["tf"] = tfs.astype(np.int32)
-                outs.append(pd.DataFrame(cols))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                out_names.append("tf")
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     schema = "doc_id long, contribution double"
     if with_term:
         schema += ", term_id long"
     if with_stats:
         schema += ", tf int"
-    decoded = blocks.mapInPandas(decode, schema=schema)
+    decoded = blocks.mapInArrow(decode, schema=schema)
     if gated:
         # tombstone set too large to broadcast (mass-delete between
         # compactions): distributed anti-join exclusion instead — the
