@@ -661,7 +661,12 @@ class IndexBuilder:
         dl_b = sc.broadcast(dl_arr) if dl_arr is not None else None
         base = dl_base
 
-        has_off = "_doc_off" in postings.columns
+        # narrow-id builds ship (doc_off << 32 | tf) as ONE column and
+        # no shard_id column at all (shard rides the partitioning
+        # expression) — 2 UnsafeRow slots per shuffle row instead of 4;
+        # _np_cols unpacks them back before the encode
+        has_packed = "_packed" in postings.columns
+        has_off = has_packed or "_doc_off" in postings.columns
 
         def encode_batch(cols: dict) -> "pa.RecordBatch":
             t = cols["term_id"]
@@ -754,6 +759,12 @@ class IndexBuilder:
                 if name in int64_cols and a.dtype != np.int64:
                     a = a.astype(np.int64)
                 out[name] = a
+            if has_packed:
+                packed = out.pop("_packed")
+                # values are non-negative, so arithmetic >> is exact
+                out["_doc_off"] = packed >> 32
+                out["tf"] = packed & 0xFFFFFFFF
+                out["shard_id"] = (out["_doc_off"] + base) // shard_size
             return out
 
         def _merged(chunks: list[dict]) -> dict:
@@ -800,6 +811,22 @@ class IndexBuilder:
             self.spark.sparkContext.defaultParallelism, est_rows,
         )
         self.metrics["postings_encode_partitions"] = parts
+        if has_packed:
+            # shard_id stays a partitioning/sort EXPRESSION — never a
+            # shuffled column (same int32 values as the materialized
+            # form, so hash partition assignment — and therefore the
+            # emitted files — is unchanged). Sorting by _packed within
+            # (term, shard) equals the (doc, tf)-by-doc order: doc is
+            # the high 32 bits and (term, doc) rows are unique.
+            shard_expr = (
+                (F.shiftrightunsigned(F.col("_packed"), 32) + F.lit(base))
+                / F.lit(shard_size)
+            ).cast("int")
+            return (
+                postings.repartition(parts, F.col("term_id"), shard_expr)
+                .sortWithinPartitions(F.col("term_id"), shard_expr, F.col("_packed"))
+                .mapInArrow(encode_stream, schema=POSTING_SCHEMA)
+            )
         doc_expr = (
             F.col("_doc_off") + F.lit(base) if has_off else F.col("doc_id")
         )
@@ -1239,15 +1266,29 @@ class IndexBuilder:
         tid_type = "int" if n_terms < (1 << 31) else "long"
         doc_base = max_doc_id + 1
         narrow_doc = doc_base + n_docs < (1 << 31)
-        doc_col = (
-            (F.col("doc_id") - F.lit(doc_base)).cast("int").alias("_doc_off")
-            if narrow_doc
-            else F.col("doc_id")
-        )
+        if narrow_doc:
+            # ONE int64 carries (doc_off << 32 | tf): UnsafeRow charges
+            # a fixed 8-byte slot per FIELD regardless of declared int
+            # width, so fusing the two columns removes a whole slot
+            # from every shuffle row of the build's biggest exchange
+            # (the encode unpacks; sort order by _packed equals the
+            # (shard, doc) order because shard is monotone in doc)
+            doc_tf_cols = [
+                (
+                    F.shiftleft(
+                        (F.col("doc_id") - F.lit(doc_base)).cast("long"), 32,
+                    )
+                    + F.col("tf").cast("long")
+                ).alias("_packed"),
+            ]
+        else:
+            doc_tf_cols = [
+                F.col("doc_id"),
+                F.col("tf").cast("int").alias("tf"),
+            ]
         cols = [
             F.col("term_id").cast(tid_type).alias("term_id"),
-            doc_col,
-            F.col("tf").cast("int").alias("tf"),
+            *doc_tf_cols,
         ]
         if dl_arr is None:
             cols.append(F.col("dl").cast("int").alias("dl"))
